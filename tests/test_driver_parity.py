@@ -1,0 +1,80 @@
+"""Replicates the driver's correctness gate locally: every query in the
+catalog runs on Spark AND its DuckDB oracle, compared on row count,
+column names, and order-insensitive values (normalized).
+
+This is the test that must stay green before anything ships -- it is a
+faithful stand-in for CORRECTNESS_r{N}.json.
+"""
+
+from __future__ import annotations
+
+import math
+from datetime import date, datetime
+
+import pytest
+
+from yc_data_transfer_clickhouse_from_yandex_metrica_spark.queries.driver import QUERIES
+
+from conftest import SF_ORACLE
+
+
+def _norm(v):
+    if v is None:
+        return None
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        return round(v, 9)
+    if isinstance(v, datetime):
+        return v.isoformat()
+    if isinstance(v, date):
+        return v.isoformat()
+    try:
+        import decimal
+
+        if isinstance(v, decimal.Decimal):
+            return round(float(v), 9)
+    except ImportError:
+        pass
+    return v
+
+
+def _rowset(cols, rows):
+    idx = sorted(range(len(cols)), key=lambda i: cols[i])
+    normed = [tuple(_norm(r[i]) for i in idx) for r in rows]
+    key = lambda row: tuple((v is None, str(v)) for v in row)  # noqa: E731
+    return sorted(normed, key=key), [cols[i] for i in idx]
+
+
+ORACLE_QUERIES = sorted(n for n, s in QUERIES.items() if s.oracle)
+ROWS_ONLY_QUERIES = sorted(n for n, s in QUERIES.items() if not s.oracle)
+
+
+@pytest.mark.parametrize("name", ORACLE_QUERIES)
+def test_oracle_parity(name, spark, duck):
+    spec = QUERIES[name]
+    sdf = spec.build(spark, SF_ORACLE)
+    scols = sdf.columns
+    srows = [tuple(r) for r in sdf.collect()]
+    ores = duck.sql(spec.oracle)
+    ocols = ores.columns
+    orows = ores.fetchall()
+
+    assert sorted(scols) == sorted(ocols), f"{name}: column names differ"
+    assert len(srows) == len(orows), (
+        f"{name}: row count spark={len(srows)} oracle={len(orows)}"
+    )
+    sset, key_cols = _rowset(scols, srows)
+    oset, _ = _rowset(ocols, orows)
+    mism = [
+        (a, b) for a, b in zip(sset, oset) if a != b
+    ]
+    assert not mism, f"{name}: first value mismatches (cols={key_cols}): {mism[:5]}"
+
+
+@pytest.mark.parametrize("name", ROWS_ONLY_QUERIES)
+def test_rows_only_runs(name, spark):
+    spec = QUERIES[name]
+    sdf = spec.build(spark, SF_ORACLE)
+    assert sdf.count() >= 0
+    assert len(sdf.schema.fields) > 0

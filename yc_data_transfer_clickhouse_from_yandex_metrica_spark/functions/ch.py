@@ -1,0 +1,170 @@
+"""ClickHouse-compatible expression library (SURVEY.md section 2.7, F1-F15).
+
+Every scalar/array function the reference's queries use, expressed as
+pure built-in ``pyspark.sql.functions`` compositions -- JVM-side,
+whole-stage-codegen friendly, zero Python UDFs.
+
+The subtle ones are the ClickHouse *default-value* semantics:
+``arr[i]`` with i == 0 or out of range yields the element type's
+default ('' / 0), NOT null and NOT an error
+(reference /root/reference/README.md:103 composes
+``TrafficSource.UTMSource[indexOf(TrafficSource.Model, 2)]`` and relies
+on '' falling out when no element matches, filtered at README.md:113).
+Query code must always use :func:`array_at` -- never raw ``element_at``.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Iterable, Union
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+ColumnOrName = Union[Column, str]
+
+
+def _col(c: ColumnOrName) -> Column:
+    return c if isinstance(c, Column) else F.col(c)
+
+
+# --- F1: indexOf(arr, v) ------------------------------------------------
+def index_of(arr: ColumnOrName, value) -> Column:
+    """1-based position of first element == value; 0 if absent.
+
+    ClickHouse ``indexOf`` (/root/reference/README.md:103).  Spark's
+    ``array_position`` has identical 1-based / 0-if-absent semantics.
+    """
+    return F.array_position(_col(arr), value)
+
+
+# --- F2: arr[i] with ClickHouse default-value semantics ------------------
+def array_at(arr: ColumnOrName, idx: ColumnOrName, default) -> Column:
+    """``arr[i]`` (1-based) returning ``default`` when i == 0 / out of range.
+
+    ClickHouse returns the element type's default ('' for String, 0 for
+    numerics) instead of erroring or null (README.md:103).  ``default``
+    must be that type default (pass ``F.lit("")`` / ``F.lit(0)``).
+    CASE short-circuits, so ``element_at`` never sees an invalid index.
+    """
+    arr, idx = _col(arr), _col(idx).cast("int")  # element_at requires INT index
+    d = default if isinstance(default, Column) else F.lit(default)
+    in_range = (idx >= 1) & (idx <= F.size(arr))
+    return F.when(in_range, F.coalesce(F.element_at(arr, idx), d)).otherwise(d)
+
+
+# --- F3: arrayMap -------------------------------------------------------
+def array_map(f: Callable[[Column], Column], arr: ColumnOrName) -> Column:
+    """ClickHouse ``arrayMap(x -> e, arr)`` == Spark ``transform`` (README.md:109)."""
+    return F.transform(_col(arr), f)
+
+
+def array_filter(f: Callable[[Column], Column], arr: ColumnOrName) -> Column:
+    """ClickHouse ``arrayFilter`` == Spark ``filter`` higher-order fn."""
+    return F.filter(_col(arr), f)
+
+
+# --- A7: sumArray / arraySum --------------------------------------------
+def array_sum(arr: ColumnOrName, zero=None) -> Column:
+    """Sum of the elements of one array value (ClickHouse ``arraySum``).
+
+    ``sumArray(arr)`` across rows (README.md:109) is then
+    ``F.sum(array_sum(arr))``.
+    """
+    z = F.lit(0).cast("long") if zero is None else zero
+    return F.aggregate(_col(arr), z, lambda acc, x: acc + x)
+
+
+# --- F4: if(c, a, b) ----------------------------------------------------
+def if_(cond: Column, a, b) -> Column:
+    """ClickHouse ``if(cond, then, else)`` (README.md:109)."""
+    return F.when(cond, a).otherwise(b)
+
+
+# --- F5: isFinite -------------------------------------------------------
+def is_finite(x: ColumnOrName) -> Column:
+    """ClickHouse ``isFinite(x)`` -> boolean; ints are always finite."""
+    x = _col(x)
+    xd = x.cast("double")
+    return (~F.isnan(xd)) & (xd != F.lit(float("inf"))) & (xd != F.lit(float("-inf")))
+
+
+# --- F6: notEmpty -------------------------------------------------------
+def not_empty(s: ColumnOrName) -> Column:
+    """ClickHouse ``notEmpty(s)`` -> UInt8 1/0 (README.md:109).
+
+    Null-safe: null behaves like '' (ClickHouse Strings are not
+    nullable by default; our schemas allow null, map it to empty).
+    """
+    return (F.length(F.coalesce(_col(s), F.lit(""))) > 0).cast("int")
+
+
+def empty(s: ColumnOrName) -> Column:
+    return (F.length(F.coalesce(_col(s), F.lit(""))) == 0).cast("int")
+
+
+# --- F7: toInt64 and friends --------------------------------------------
+def to_int64(x: ColumnOrName) -> Column:
+    """ClickHouse ``toInt64`` (README.md:109); bool -> 0/1 matches."""
+    return _col(x).cast("long")
+
+
+def to_date(x: ColumnOrName) -> Column:
+    """``cast('...' as date)`` (README.md:145-147,163)."""
+    return _col(x).cast("date")
+
+
+# --- F9: toMonday -------------------------------------------------------
+def to_monday(d: ColumnOrName) -> Column:
+    """Monday of the ISO week of ``d`` (ClickHouse ``toMonday``).
+
+    The reference partitions both fact tables by it
+    (ddl/hits.sql:114, ddl/visits.sql:234).  Spark's
+    ``date_trunc('week', ...)`` is Monday-based -- identical.
+    """
+    return F.date_trunc("week", _col(d)).cast("date")
+
+
+# --- F10: least / greatest ----------------------------------------------
+least = F.least  # README.md:105 (users capped at visits)
+greatest = F.greatest
+
+
+# --- misc ---------------------------------------------------------------
+def count_one() -> Column:
+    """``count(1)`` (README.md:161-162,291)."""
+    return F.count(F.lit(1))
+
+
+def uniq_exact(c: ColumnOrName) -> Column:
+    """ClickHouse ``uniqExact`` == exact distinct count (README.md:105).
+
+    The reference uses the exact variant; ``uniq`` (approximate) maps to
+    :func:`uniq` below as the at-scale option.
+    """
+    return F.countDistinct(_col(c))
+
+
+def uniq(c: ColumnOrName, rsd: float = 0.05) -> Column:
+    """ClickHouse ``uniq`` -- approximate distinct (HLL).  Performance
+    option for 100TB-scale; NOT what the reference queries use."""
+    return F.approx_count_distinct(_col(c), rsd)
+
+
+def round_to(c: ColumnOrName, n: int) -> Column:
+    """Cross-engine-deterministic rounding: floor(x*10^n + 0.5)/10^n.
+
+    Spark's ``round`` rounds the *shortest decimal representation* of
+    the double (Java BigDecimal.valueOf) while DuckDB/C engines round
+    the binary value -- they disagree on values like 91204.335.  This
+    form is pure IEEE arithmetic, bit-identical in every engine, which
+    the oracle-hash correctness gate requires.  Output metrics only.
+    """
+    p = float(10**n)
+    return F.floor(_col(c) * F.lit(p) + F.lit(0.5)) / F.lit(p)
+
+
+def safe_div(num: Column, den: Column) -> Column:
+    """ClickHouse division-by-zero yields IEEE specials; downstream
+    ratio metrics want null-on-zero so aggregates stay finite.  Used
+    for the ratio-of-sums metrics (README.md:106-108)."""
+    return num / F.nullif(den.cast("double"), F.lit(0.0))

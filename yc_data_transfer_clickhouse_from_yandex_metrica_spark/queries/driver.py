@@ -1,0 +1,1037 @@
+"""Driver-facing query catalog: every implemented operator from
+SURVEY.md section 2, expressed on the driver's synthetic tables
+(TESTDATA.md) with a DuckDB oracle where the semantics are
+ANSI-SQL-expressible.
+
+Conventions (driver contract, __spark_entry__.py):
+- builders take (spark, sf_dir) and return a DataFrame;
+- every computed column is aliased identically in Spark and oracle;
+- float outputs are rounded (both sides) so independent engines'
+  accumulation order can't flip the value hash;
+- DuckDB ``round`` returns DECIMAL -> every oracle wraps it in
+  CAST(... AS DOUBLE); integer SUM/COUNT are CAST to BIGINT to match
+  Spark's LongType.
+
+Queries tagged with the SURVEY.md section-2 operator ids they cover.
+Probabilistic operators (simhash blocking recall, IVF probing) have no
+oracle -- the driver records a rows-only check for those, by design.
+"""
+
+from __future__ import annotations
+
+import tempfile
+from collections.abc import Callable
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..functions import ch
+from ..operators import collapse, dedup, multimodal, sampling, similarity, text
+from ..plans import inline_aliases, with_totals
+from ..session import tune
+from ..sources import csvgz
+from ..streaming import cdc
+
+
+def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load a driver table.  The synthetic ``events.parquet`` stores
+    TIMESTAMP(NANOS) which Spark's parquet reader rejects; with
+    ``spark.sql.legacy.parquet.nanosAsLong`` (set in session.tune) it
+    arrives as long nanos -- convert to a microsecond timestamp with
+    integer division (truncation), matching DuckDB's ns->us handling."""
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    if "ts" in df.columns and isinstance(df.schema["ts"].dataType, T.LongType):
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
+
+
+def _prep(spark: SparkSession) -> SparkSession:
+    """Session conf the engine semantics rely on (runtime-settable)."""
+    return tune(spark)
+
+
+@dataclass
+class QuerySpec:
+    build: Callable[[SparkSession, str], DataFrame]
+    oracle: str | None  # DuckDB SQL; None => rows-only check (probabilistic op)
+    tags: str  # SURVEY.md section-2 ids exercised
+
+
+# =========================================================================
+# shared synthesized-input fragments (identical in Spark and oracle SQL)
+# =========================================================================
+# events as a visits-style sign ledger: 'error' events act as cancel rows
+def _sign():
+    # lazy: Column construction requires an active SparkSession
+    return F.when(F.col("event_type") == "error", F.lit(-1)).otherwise(F.lit(1))
+
+
+_SIGN_SQL = "CASE WHEN event_type = 'error' THEN -1 ELSE 1 END"
+
+# documents with synthesized near-duplicates (appended token tail)
+_DUP_TAIL = " zz ex dup tail"
+_DOCS_DUP_SQL = f"""docs AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 100000 AS doc_id, text || '{_DUP_TAIL}' AS text
+  FROM documents WHERE doc_id % 10 = 0
+)"""
+
+# word trigram shingle sets (mirrors operators.dedup.shingles exactly)
+_SHINGLES_SQL = r"""toks AS (
+  SELECT doc_id, unnest(tk) AS tok, generate_subscripts(tk, 1) AS i
+  FROM (
+    SELECT doc_id,
+           regexp_split_to_array(
+             trim(lower(regexp_replace(text, '[^a-z0-9]+', ' ', 'g'))),
+             '\s+') AS tk
+    FROM docs
+  )
+),
+sh AS (
+  SELECT DISTINCT doc_id, shingle FROM (
+    SELECT doc_id,
+           tok || ' ' || lead(tok, 1) OVER w || ' ' || lead(tok, 2) OVER w AS shingle
+    FROM toks
+    WINDOW w AS (PARTITION BY doc_id ORDER BY i)
+    QUALIFY lead(tok, 2) OVER w IS NOT NULL
+  )
+),
+sizes AS (SELECT doc_id, count(*) AS nsh FROM sh GROUP BY doc_id)"""
+
+_JACCARD_PAIRS_SQL = """common AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+pairs AS (
+  SELECT c.id_a, c.id_b,
+         CAST(c.c AS DOUBLE) / (sa.nsh + sb.nsh - c.c) AS j
+  FROM common c
+  JOIN sizes sa ON sa.doc_id = c.id_a
+  JOIN sizes sb ON sb.doc_id = c.id_b
+)"""
+
+
+def _docs_with_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents").select("doc_id", "text")
+    dups = (
+        docs.where(F.col("doc_id") % 10 == 0)
+        .select(
+            (F.col("doc_id") + 100000).alias("doc_id"),
+            F.concat(F.col("text"), F.lit(_DUP_TAIL)).alias("text"),
+        )
+    )
+    return docs.unionByName(dups)
+
+
+def _emb_with_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = t(spark, sf_dir, "embeddings").select(
+        "vec_id", similarity.as_double("embedding").alias("embedding")
+    )
+    dups = emb.where(F.col("vec_id") % 10 == 0).select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        F.transform("embedding", lambda x: x * 2).alias("embedding"),
+    )
+    return emb.unionByName(dups)
+
+
+_EMB_DUP_SQL = """emb AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+  UNION ALL
+  SELECT vec_id + 100000 AS vec_id,
+         list_transform(CAST(embedding AS DOUBLE[]), x -> x * 2) AS v
+  FROM embeddings WHERE vec_id % 10 = 0
+)"""
+
+
+# =========================================================================
+# 1. visits_by_day -- the reference's flagship chart query
+#    (README.md:75-86): date filter + sum(Sign) + WITH TOTALS + HAVING
+#    + ORDER BY + LIMIT.  Tags: A1 A9 A10 P4 P5 P8 O1 O4 F8
+# =========================================================================
+def q_visits_by_day(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _prep(spark)
+    date_from, date_to = "2024-01-03", "2024-01-27"  # {{interval}} params (P8)
+    ev = t(spark, sf_dir, "events")
+    ledger = ev.select(
+        F.col("ts").cast("date").alias("day"), _sign().alias("sign")
+    ).where(
+        F.col("day").between(F.lit(date_from).cast("date"), F.lit(date_to).cast("date"))
+    )
+    out = with_totals(
+        ledger,
+        ["day"],
+        [F.sum("sign").alias("visits")],
+        having=F.col("visits") >= 10,
+    )
+    return out.orderBy(F.col("day").asc_nulls_first()).offset(0).limit(100)
+
+
+_ORACLE_VISITS_BY_DAY = f"""
+SELECT day, CAST(sum(sign) AS BIGINT) AS visits
+FROM (
+  SELECT CAST(ts AS DATE) AS day, {_SIGN_SQL} AS sign
+  FROM events
+  WHERE CAST(ts AS DATE) BETWEEN DATE '2024-01-03' AND DATE '2024-01-27'
+)
+GROUP BY ROLLUP(day)
+HAVING grouping(day) = 1 OR sum(sign) >= 10
+"""
+
+
+# =========================================================================
+# 2. traffic_sources -- the reference's second chart query
+#    (README.md:102-119): sign-weighted ratio metrics, uniqExact+least,
+#    HAVING with OR, multi-key sort, LIMIT offset,n.
+#    Tags: A2 A3 A4 A5 A10 O2 O4 F4 F10 F12 P6 P9
+# =========================================================================
+def q_traffic_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _prep(spark)
+    ev = t(spark, sf_dir, "events").withColumn("sign", _sign())
+    agg = (
+        ev.groupBy(F.col("event_type").alias("source"))
+        .agg(
+            F.sum("sign").alias("visits"),
+            F.least(F.countDistinct("user_id"), F.sum("sign")).alias("users"),
+            ch.round_to(
+                F.lit(100.0)
+                * ch.safe_div(
+                    F.sum(ch.if_(F.col("value") < 5, F.lit(1), F.lit(0)) * F.col("sign")),
+                    F.sum("sign"),
+                ),
+                4,
+            ).alias("bounce_rate"),
+            ch.round_to(
+                ch.safe_div(F.sum(F.col("value") * F.col("sign")), F.sum("sign")), 4
+            ).alias("page_depth"),
+        )
+        .where(
+            (F.col("visits") >= 100) | (F.col("users") >= 50) | (F.col("bounce_rate") > 50.0)
+        )
+        .orderBy(F.col("visits").desc(), F.col("source").asc())
+        .offset(0)
+        .limit(50)
+    )
+    return agg
+
+
+_ORACLE_TRAFFIC_SOURCES = f"""
+WITH base AS (SELECT event_type AS source, user_id, value, {_SIGN_SQL} AS sign FROM events),
+agg AS (
+  SELECT source,
+         CAST(sum(sign) AS BIGINT) AS visits,
+         least(CAST(count(DISTINCT user_id) AS BIGINT), CAST(sum(sign) AS BIGINT)) AS users,
+         floor((100.0 * CAST(sum(CASE WHEN value < 5 THEN 1 ELSE 0 END * sign) AS DOUBLE) / nullif(CAST(sum(sign) AS DOUBLE), 0.0)) * 10000.0 + 0.5) / 10000.0 AS bounce_rate,
+         floor((sum(value * sign) / nullif(CAST(sum(sign) AS DOUBLE), 0.0)) * 10000.0 + 0.5) / 10000.0 AS page_depth
+  FROM base GROUP BY source
+)
+SELECT * FROM agg
+WHERE visits >= 100 OR users >= 50 OR bounce_rate > 50.0
+ORDER BY visits DESC, source ASC
+LIMIT 50 OFFSET 0
+"""
+
+
+# =========================================================================
+# 3. last_significant_source -- the composite array idiom of
+#    README.md:103: element of one parallel array at the position of a
+#    match in another, with ClickHouse arr[0] -> default semantics.
+#    Tags: F1 F2 F3 F6 F7
+# =========================================================================
+def q_last_significant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _prep(spark)
+    ev = t(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(
+        F.array_sort(
+            F.collect_list(F.struct("ts", "event_id", "event_type", "value"))
+        ).alias("seq")
+    )
+    types = F.transform("seq", lambda s: s["event_type"])
+    vals = F.transform("seq", lambda s: s["value"])
+    pos = ch.index_of(types, "purchase")
+    nxt = F.when(pos > 0, pos + 1).otherwise(F.lit(0))
+    return per_user.select(
+        "user_id",
+        pos.cast("long").alias("purchase_pos"),
+        ch.array_at(types, nxt, F.lit("")).alias("after_purchase"),
+        ch.round_to(ch.array_at(vals, pos, F.lit(0.0)), 2).alias("purchase_value"),
+        ch.not_empty(ch.array_at(types, nxt, F.lit(""))).alias("has_next"),
+    )
+
+
+_ORACLE_LAST_SIGNIFICANT = """
+WITH per_user AS (
+  SELECT user_id,
+         list(event_type ORDER BY ts, event_id) AS types,
+         list(value ORDER BY ts, event_id) AS vals
+  FROM events GROUP BY user_id
+),
+pos AS (
+  SELECT user_id, types, vals,
+         CAST(coalesce(list_position(types, 'purchase'), 0) AS BIGINT) AS purchase_pos
+  FROM per_user
+)
+SELECT user_id, purchase_pos,
+  CASE WHEN purchase_pos > 0 AND purchase_pos + 1 <= len(types)
+       THEN coalesce(types[CAST(purchase_pos + 1 AS INT)], '') ELSE '' END AS after_purchase,
+  floor((CASE WHEN purchase_pos >= 1 AND purchase_pos <= len(vals) THEN coalesce(vals[CAST(purchase_pos AS INT)], 0.0) ELSE 0.0 END) * 100.0 + 0.5) / 100.0 AS purchase_value,
+  CAST(CASE WHEN purchase_pos > 0 AND purchase_pos + 1 <= len(types)
+       AND length(coalesce(types[CAST(purchase_pos + 1 AS INT)], '')) > 0
+       THEN 1 ELSE 0 END AS INT) AS has_next
+FROM pos
+"""
+
+
+# =========================================================================
+# 4. sum_array_orders -- sumArray / arrayMap over per-order arrays
+#    (README.md:109).  Tags: A7 F3 F7 A8
+# =========================================================================
+def q_sum_array_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _prep(spark)
+    li = t(spark, sf_dir, "lineitem")
+    per_order = li.groupBy("l_orderkey", "l_returnflag").agg(
+        F.collect_list(F.col("l_quantity").cast("long")).alias("qtys")
+    )
+    return per_order.groupBy("l_returnflag").agg(
+        F.sum(ch.array_sum(F.col("qtys"))).alias("total_qty"),
+        F.sum(
+            ch.array_sum(ch.array_map(lambda x: x * 2, F.col("qtys")))
+        ).alias("total_qty_x2"),
+        ch.count_one().alias("n_groups"),
+    )
+
+
+_ORACLE_SUM_ARRAY = """
+WITH per_order AS (
+  SELECT l_orderkey, l_returnflag, list(CAST(l_quantity AS BIGINT)) AS qtys
+  FROM lineitem GROUP BY l_orderkey, l_returnflag
+)
+SELECT l_returnflag,
+       CAST(sum(list_sum(qtys)) AS BIGINT) AS total_qty,
+       CAST(sum(list_sum(list_transform(qtys, x -> x * 2))) AS BIGINT) AS total_qty_x2,
+       CAST(count(1) AS BIGINT) AS n_groups
+FROM per_order GROUP BY l_returnflag
+"""
+
+
+# =========================================================================
+# 5. scd2_enrich -- the federated enrich query (README.md:287-302):
+#    fact x SCD-2 dim broadcast join with validity-interval predicate,
+#    pre-filter pushed below join, 3-key agg, order by.
+#    Tags: J1 J2 J3 J4 A6 A8 O3
+# =========================================================================
+_DIM_ROWS = [
+    ("A", "Accepted v1", "1995-01-01", "1997-12-31"),
+    ("A", "Accepted v2", "1998-01-01", "2099-12-31"),
+    ("N", "Neutral era", "1995-01-01", "2099-12-31"),
+    ("R", "Returned era", "1995-01-01", "2099-12-31"),
+]
+_DIM_SQL = """dim AS (
+  SELECT * FROM (VALUES
+    ('A', 'Accepted v1', DATE '1995-01-01', DATE '1997-12-31'),
+    ('A', 'Accepted v2', DATE '1998-01-01', DATE '2099-12-31'),
+    ('N', 'Neutral era', DATE '1995-01-01', DATE '2099-12-31'),
+    ('R', 'Returned era', DATE '1995-01-01', DATE '2099-12-31')
+  ) AS v(flag, flag_desc, from_dt, to_dt)
+)"""
+
+
+def q_scd2_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _prep(spark)
+    li = t(spark, sf_dir, "lineitem").withColumn(
+        "ship_date", F.col("l_shipdate").cast("date")
+    )
+    dim = spark.createDataFrame(
+        [(f, d, *map(str, (a, b))) for f, d, a, b in
+         [(r[0], r[1], r[2], r[3]) for r in _DIM_ROWS]],
+        schema="flag string, flag_desc string, from_dt string, to_dt string",
+    ).select(
+        "flag", "flag_desc",
+        F.col("from_dt").cast("date").alias("from_dt"),
+        F.col("to_dt").cast("date").alias("to_dt"),
+    )
+    joined = li.join(
+        F.broadcast(dim),
+        (li["l_returnflag"] == dim["flag"])
+        & (li["ship_date"] >= dim["from_dt"])
+        & (li["ship_date"] <= dim["to_dt"]),
+        "inner",
+    ).where(F.col("l_quantity") > 10)  # J4: pushed below the join by Catalyst
+    return (
+        joined.groupBy("flag_desc", F.year("ship_date").alias("ship_year"))
+        .agg(
+            ch.count_one().alias("n"),
+            F.sum(F.col("l_quantity").cast("long")).alias("qty"),
+        )
+        .orderBy("flag_desc", "ship_year")
+    )
+
+
+_ORACLE_SCD2 = f"""
+WITH {_DIM_SQL},
+f AS (SELECT l_returnflag, CAST(l_shipdate AS DATE) AS ship_date, l_quantity
+      FROM lineitem WHERE l_quantity > 10)
+SELECT d.flag_desc,
+       CAST(year(f.ship_date) AS INT) AS ship_year,
+       CAST(count(1) AS BIGINT) AS n,
+       CAST(sum(CAST(f.l_quantity AS BIGINT)) AS BIGINT) AS qty
+FROM f JOIN dim d
+  ON f.l_returnflag = d.flag
+ AND f.ship_date >= d.from_dt AND f.ship_date <= d.to_dt
+GROUP BY d.flag_desc, year(f.ship_date)
+ORDER BY d.flag_desc, ship_year
+"""
+
+
+# =========================================================================
+# 6. union_reconcile -- the reference's reconciliation pattern
+#    (README.md:159-168): UNION ALL of tagged counts. Tags: U1 U2 F11 A6
+# =========================================================================
+def q_union_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _prep(spark)
+    li = t(spark, sf_dir, "lineitem").withColumn(
+        "ship_date", F.col("l_shipdate").cast("date")
+    )
+    cut = F.lit("1998-01-01").cast("date")
+    early = li.where(F.col("ship_date") < cut).agg(
+        ch.count_one().alias("n")
+    ).select(F.lit("early").alias("storage"), "n")
+    late = li.where(F.col("ship_date") >= cut).agg(
+        ch.count_one().alias("n")
+    ).select(F.lit("late").alias("storage"), "n")
+    allrows = li.agg(ch.count_one().alias("n")).select(
+        F.lit("all").alias("storage"), "n"
+    )
+    return early.unionAll(late).unionAll(allrows)
+
+
+_ORACLE_UNION = """
+SELECT 'early' AS storage, CAST(count(1) AS BIGINT) AS n FROM lineitem WHERE CAST(l_shipdate AS DATE) < DATE '1998-01-01'
+UNION ALL
+SELECT 'late' AS storage, CAST(count(1) AS BIGINT) AS n FROM lineitem WHERE CAST(l_shipdate AS DATE) >= DATE '1998-01-01'
+UNION ALL
+SELECT 'all' AS storage, CAST(count(1) AS BIGINT) AS n FROM lineitem
+"""
+
+
+# =========================================================================
+# 7. top_customers_offset -- top-N with LIMIT offset,n (README.md:86,119)
+#    over a 3-way join.  Tags: O2 O4 O6 J1 A8
+# =========================================================================
+def q_top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _prep(spark)
+    li = t(spark, sf_dir, "lineitem")
+    orders = t(spark, sf_dir, "orders")
+    cust = t(spark, sf_dir, "customer")
+    rev = (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(F.broadcast(cust), orders["o_custkey"] == cust["c_custkey"])
+        .groupBy("c_custkey", "c_name")
+        .agg(
+            ch.round_to(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey").asc())
+    )
+    return rev.offset(10).limit(10)
+
+
+_ORACLE_TOP_CUSTOMERS = """
+SELECT c_custkey, c_name,
+       floor((sum(l_extendedprice * (1 - l_discount))) * 100.0 + 0.5) / 100.0 AS revenue
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+GROUP BY c_custkey, c_name
+ORDER BY revenue DESC, c_custkey ASC
+LIMIT 10 OFFSET 10
+"""
+
+
+# =========================================================================
+# 8. latest_event_per_user -- the collapse-to-latest window (A11), the
+#    batch form of VersionedCollapsingMergeTree semantics.
+# =========================================================================
+def q_latest_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _prep(spark)
+    ev = t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("user_id", "event_id", "event_type", ch.round_to("value", 2).alias("value"))
+    )
+
+
+_ORACLE_LATEST = """
+SELECT user_id, event_id, event_type, floor((value) * 100.0 + 0.5) / 100.0 AS value
+FROM events
+QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) = 1
+"""
+
+
+# =========================================================================
+# 9. where_alias -- ClickHouse alias-in-WHERE (P7) through the engine's
+#    inlining front-end, executed as Spark SQL.
+# =========================================================================
+def q_where_alias(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _prep(spark)
+    t(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem_v")
+    aliases = {"rev": "l_extendedprice * (1 - l_discount)"}
+    where = inline_aliases("rev > 90000", aliases)  # CH dialect -> Spark SQL
+    return spark.sql(
+        f"SELECT l_orderkey, l_linenumber, floor(({aliases['rev']}) * 100.0 + 0.5) / 100.0 AS rev "
+        f"FROM lineitem_v WHERE {where}"
+    )
+
+
+_ORACLE_WHERE_ALIAS = """
+SELECT l_orderkey, l_linenumber,
+       floor((l_extendedprice * (1 - l_discount)) * 100.0 + 0.5) / 100.0 AS rev
+FROM lineitem
+WHERE l_extendedprice * (1 - l_discount) > 90000
+"""
+
+
+# =========================================================================
+# 10. sample_by -- deterministic SAMPLE BY semantics (section 1.3)
+# =========================================================================
+def q_sample_by(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _prep(spark)
+    li = sampling.sample_mod(t(spark, sf_dir, "lineitem"), "l_orderkey", 16)
+    return li.groupBy("l_linestatus").agg(
+        ch.count_one().alias("n"),
+        F.sum(F.col("l_quantity").cast("long")).alias("qty"),
+    )
+
+
+_ORACLE_SAMPLE = """
+SELECT l_linestatus, CAST(count(1) AS BIGINT) AS n,
+       CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty
+FROM lineitem WHERE l_orderkey % 16 = 0
+GROUP BY l_linestatus
+"""
+
+
+# =========================================================================
+# 11. weekly_orders -- toMonday partitioning basis (F9) + range filter
+# =========================================================================
+def q_weekly_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _prep(spark)
+    o = t(spark, sf_dir, "orders").withColumn(
+        "od", F.col("o_orderdate").cast("date")
+    )
+    return (
+        o.where(
+            F.col("od").between(
+                F.lit("1996-01-01").cast("date"), F.lit("1997-12-31").cast("date")
+            )
+        )
+        .groupBy(ch.to_monday(F.col("od")).alias("week"))
+        .agg(
+            ch.count_one().alias("n_orders"),
+            ch.round_to(F.sum("o_totalprice"), 2).alias("total"),
+        )
+        .orderBy("week")
+    )
+
+
+_ORACLE_WEEKLY = """
+SELECT date_trunc('week', CAST(o_orderdate AS DATE)) AS week,
+       CAST(count(1) AS BIGINT) AS n_orders,
+       floor((sum(o_totalprice)) * 100.0 + 0.5) / 100.0 AS total
+FROM orders
+WHERE CAST(o_orderdate AS DATE) BETWEEN DATE '1996-01-01' AND DATE '1997-12-31'
+GROUP BY 1 ORDER BY 1
+"""
+
+
+# =========================================================================
+# 12. csv_export_roundtrip -- file-per-insert CSV-gz export + glob read
+#     with _file virtual column (S3/S4/S8, README.md:138-154)
+# =========================================================================
+def q_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _prep(spark)
+    o = t(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    outdir = tempfile.mkdtemp(prefix="ym_csv_export_")
+    # three INSERTs -> orders.csv.gz, orders.1.csv.gz, orders.2.csv.gz
+    csvgz.insert_csv(o.where(F.col("o_orderpriority") == "1-URGENT"), outdir, "orders")
+    csvgz.insert_csv(o.where(F.col("o_orderpriority") == "2-HIGH"), outdir, "orders")
+    csvgz.insert_csv(
+        o.where(~F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")), outdir, "orders"
+    )
+    schema = T.StructType(
+        [
+            T.StructField("o_orderkey", T.LongType()),
+            T.StructField("o_orderpriority", T.StringType()),
+        ]
+    )
+    back = csvgz.read_csv(spark, f"{outdir}/orders*.csv.gz", schema)
+    return back.groupBy("_file").agg(ch.count_one().alias("n")).orderBy("_file")
+
+
+_ORACLE_CSV_ROUNDTRIP = """
+SELECT CASE WHEN o_orderpriority = '1-URGENT' THEN 'orders.csv.gz'
+            WHEN o_orderpriority = '2-HIGH' THEN 'orders.1.csv.gz'
+            ELSE 'orders.2.csv.gz' END AS _file,
+       CAST(count(1) AS BIGINT) AS n
+FROM orders GROUP BY 1 ORDER BY 1
+"""
+
+
+# =========================================================================
+# 13-17. dedup family
+# =========================================================================
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _prep(spark)
+    docs = _docs_with_dups(spark, sf_dir)
+    return dedup.dedup_exact(docs, ["text"], "doc_id").select("doc_id")
+
+
+_ORACLE_DEDUP_EXACT = f"""
+WITH {_DOCS_DUP_SQL}
+SELECT doc_id FROM (
+  SELECT doc_id, row_number() OVER (PARTITION BY text ORDER BY doc_id) AS rn FROM docs
+) WHERE rn = 1
+"""
+# note: synthesized dups differ by the appended tail, so exact dedup keeps
+# them ALL -- the interesting assertion is that nothing legitimate is lost
+# and genuinely identical rows (none here) would collapse; the near-dup
+# queries below catch the tails.
+
+
+def q_dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _prep(spark)
+    docs = _docs_with_dups(spark, sf_dir)
+    return dedup.ngram_jaccard_pairs(docs, "doc_id", "text", k=3, threshold=0.6)
+
+
+_ORACLE_DEDUP_NGRAM = f"""
+WITH {_DOCS_DUP_SQL},
+{_SHINGLES_SQL},
+{_JACCARD_PAIRS_SQL}
+SELECT id_a, id_b, floor((j) * 10000.0 + 0.5) / 10000.0 AS jaccard
+FROM pairs WHERE j >= 0.6
+"""
+
+
+def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH candidates verified with exact Jaccard.  Oracle is
+    brute-force Jaccard: valid because verification makes precision
+    exact and banded recall at the 0.8 threshold is 1 - (1-s^2)^32
+    (miss probability < 1e-6 for every pair the oracle emits)."""
+    _prep(spark)
+    docs = _docs_with_dups(spark, sf_dir)
+    return dedup.minhash_lsh_pairs(
+        docs, "doc_id", "text", k=3, threshold=0.8, num_hashes=64, bands=32
+    )
+
+
+_ORACLE_DEDUP_MINHASH = f"""
+WITH {_DOCS_DUP_SQL},
+{_SHINGLES_SQL},
+{_JACCARD_PAIRS_SQL}
+SELECT id_a, id_b, floor((j) * 10000.0 + 0.5) / 10000.0 AS jaccard
+FROM pairs WHERE j >= 0.8
+"""
+
+
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash hamming<=3 pairs.  No oracle: the output is a function of
+    xxhash64 bit patterns, not expressible in ANSI SQL (rows-only check
+    by design; the SimHash property itself is pytest-verified)."""
+    _prep(spark)
+    docs = _docs_with_dups(spark, sf_dir)
+    return dedup.simhash_pairs(docs, "doc_id", "text", max_hamming=3)
+
+
+def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup pairs via sign-LSH + exact cosine verify.
+    Scaled-copy duplicates have identical sign signatures (recall
+    exactly 1), natural pairs top out at cos ~0.51 << 0.9 threshold, so
+    the brute-force oracle is exact."""
+    _prep(spark)
+    emb = _emb_with_dups(spark, sf_dir)
+    return similarity.signlsh_pairs(
+        emb, threshold=0.9, id_col="vec_id", vec_col="embedding",
+        dim=64, nplanes=16, ntables=4,
+    )
+
+
+_ORACLE_DEDUP_EMBEDDING = f"""
+WITH {_EMB_DUP_SQL},
+n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM emb)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       floor((list_dot_product(a.v, b.v) / nullif(a.nrm * b.nrm, 0.0)) * 10000.0 + 0.5) / 10000.0 AS cos
+FROM n a JOIN n b ON a.vec_id < b.vec_id
+WHERE list_dot_product(a.v, b.v) / nullif(a.nrm * b.nrm, 0.0) >= 0.9
+"""
+
+
+# =========================================================================
+# 18-19. similarity search
+# =========================================================================
+def q_ann_brute(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _prep(spark)
+    emb = t(spark, sf_dir, "embeddings")
+    queries_df = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return similarity.brute_topk(
+        emb, queries_df, k=10, id_col="vec_id", vec_col="embedding"
+    )
+
+
+_ORACLE_ANN_BRUTE = """
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
+q AS (SELECT vec_id AS query_id, v AS qv, nrm AS qnrm FROM n WHERE vec_id < 5),
+scored AS (
+  SELECT q.query_id, n.vec_id AS neighbor_id,
+         list_dot_product(n.v, q.qv) / nullif(n.nrm * q.qnrm, 0.0) AS c
+  FROM n, q WHERE n.vec_id <> q.query_id
+)
+SELECT query_id, neighbor_id, floor((c) * 10000.0 + 0.5) / 10000.0 AS cos,
+       CAST(row_number() OVER (PARTITION BY query_id ORDER BY c DESC, neighbor_id ASC) AS INT) AS rank
+FROM scored
+QUALIFY rank <= 10
+"""
+
+
+def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN (approximate by construction -> rows-only check; exact
+    baseline is ann_brute_topk)."""
+    _prep(spark)
+    emb = t(spark, sf_dir, "embeddings")
+    queries_df = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return similarity.ivf_topk(
+        emb, queries_df, k=10, nlist=16, nprobe=4,
+        id_col="vec_id", vec_col="embedding",
+    )
+
+
+# =========================================================================
+# 20-21. text analysis
+# =========================================================================
+def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _prep(spark)
+    return text.text_stats(t(spark, sf_dir, "documents"))
+
+
+_TOKS_SQL = r"""regexp_split_to_array(trim(lower(regexp_replace(text, '[^a-z0-9]+', ' ', 'g'))), '\s+')"""
+_ORACLE_TEXT_STATS = f"""
+WITH base AS (
+  SELECT doc_id, text, {_TOKS_SQL} AS tk FROM documents
+),
+m AS (
+  SELECT doc_id, text, tk,
+    CAST(len(tk) AS BIGINT) AS n_tokens,
+    CAST(len(list_filter(tk, x -> x IN ('the','a','of','and','to','in'))) AS DOUBLE)
+      / nullif(CAST(len(tk) AS DOUBLE), 0.0) AS sr_en,
+    CAST(len(list_filter(tk, x -> x IN ('der','die','das','und','nicht','ist'))) AS DOUBLE)
+      / nullif(CAST(len(tk) AS DOUBLE), 0.0) AS sr_de,
+    CAST(len(list_filter(tk, x -> x IN ('le','la','et','les','des','une'))) AS DOUBLE)
+      / nullif(CAST(len(tk) AS DOUBLE), 0.0) AS sr_fr,
+    CAST(len(list_filter(tk, x -> x IN ('i','v','ne','na','chto','eto'))) AS DOUBLE)
+      / nullif(CAST(len(tk) AS DOUBLE), 0.0) AS sr_ru,
+    CAST(list_sum(list_transform(tk, x -> length(x))) AS DOUBLE)
+      / nullif(CAST(len(tk) AS DOUBLE), 0.0) AS mlen,
+    CAST(length(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g')) AS DOUBLE)
+      / nullif(CAST(length(text) AS DOUBLE), 0.0) AS alnum
+  FROM base
+),
+s AS (
+  SELECT doc_id, tk, n_tokens,
+    coalesce(sr_en, 0.0) AS sr_en, coalesce(sr_de, 0.0) AS sr_de,
+    coalesce(sr_fr, 0.0) AS sr_fr, coalesce(sr_ru, 0.0) AS sr_ru,
+    coalesce(mlen, 0.0) AS mlen, coalesce(alnum, 0.0) AS alnum
+  FROM m
+)
+SELECT doc_id, n_tokens,
+  floor((sr_en) * 10000.0 + 0.5) / 10000.0 AS stop_ratio,
+  floor((mlen) * 10000.0 + 0.5) / 10000.0 AS mean_tok_len,
+  floor((alnum) * 10000.0 + 0.5) / 10000.0 AS alnum_ratio,
+  floor((least(greatest(
+      0.25 * least(sr_en * 5.0, 1.0)
+    + 0.25 * (CASE WHEN mlen >= 3.0 AND mlen <= 8.0 THEN 1.0 ELSE 0.5 END)
+    + 0.25 * alnum
+    + 0.25 * least(CAST(n_tokens AS DOUBLE) / 20.0, 1.0), 0.0), 1.0)) * 10000.0 + 0.5) / 10000.0 AS quality,
+  CASE
+    WHEN sr_en > 0.0 AND sr_en >= sr_de AND sr_en >= sr_fr AND sr_en >= sr_ru THEN 'en'
+    WHEN sr_de > 0.0 AND sr_de >= sr_fr AND sr_de >= sr_ru THEN 'de'
+    WHEN sr_fr > 0.0 AND sr_fr >= sr_ru THEN 'fr'
+    WHEN sr_ru > 0.0 THEN 'ru'
+    ELSE 'und' END AS pred_lang,
+  md5(array_to_string(tk, ' ')) AS fingerprint
+FROM s
+"""
+
+
+def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _prep(spark)
+    docs = t(spark, sf_dir, "documents")
+    toks = text.tokens("text")
+    return docs.select(
+        "doc_id",
+        text.fingerprint_rolling(toks).alias("rolling_fp"),
+        text.fingerprint_md5(toks).alias("md5_fp"),
+    )
+
+
+_ORACLE_DOC_FINGERPRINT = f"""
+WITH base AS (SELECT doc_id, {_TOKS_SQL} AS tk FROM documents)
+SELECT doc_id,
+  list_reduce(
+    list_prepend(CAST(0 AS BIGINT),
+      list_transform(tk, t -> CAST(ascii(substring(t, 1, 1)) * 131 + length(t) AS BIGINT))),
+    (a, b) -> (a * 31 + b) % 1000000007) AS rolling_fp,
+  md5(array_to_string(tk, ' ')) AS md5_fp
+FROM base
+"""
+
+
+# =========================================================================
+# 22. multimodal plumbing -- binary payload + Arrow-batched extraction
+# =========================================================================
+def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _prep(spark)
+    media = multimodal.media_from_text(
+        t(spark, sf_dir, "documents"), "doc_id", "text"
+    )
+    return multimodal.extract_image_features(media)
+
+
+_ORACLE_MULTIMODAL = """
+WITH b AS (SELECT doc_id AS media_id, text, length(text) AS n FROM documents)
+SELECT media_id,
+  CAST(n AS BIGINT) AS n_bytes,
+  CAST((n % 640) + 1 AS INT) AS width,
+  CAST((n % 480) + 1 AS INT) AS height,
+  CAST(list_sum(list_transform(range(1, least(n, 64) + 1), i -> ascii(substring(text, CAST(i AS INT), 1))))
+       + n * 131 AS BIGINT) AS byte_checksum
+FROM b
+"""
+
+
+# =========================================================================
+# 23. streaming ledger roundtrip -- ST1/ST4 with a real checkpointed
+#     availableNow stream; result compared against a direct batch oracle.
+# =========================================================================
+def q_streaming_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _prep(spark)
+    base = tempfile.mkdtemp(prefix="ym_stream_")
+    dest = f"{base}/warehouse"
+    chk = f"{base}/checkpoint"
+    feed = f"{base}/feed"  # file-stream source must be a directory (CDC feed)
+    import os
+    import shutil
+
+    os.makedirs(feed, exist_ok=True)
+    shutil.copy(f"{sf_dir}/events.parquet", f"{feed}/events-000.parquet")
+    raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema  # ts=long nanos
+    q = cdc.start_append_stream(
+        spark,
+        feed,
+        raw_schema,
+        dest,
+        chk,
+        date_col="ts",
+        available_now=True,
+        transform=lambda df: df.withColumn(
+            "ts", F.timestamp_micros(F.expr("ts div 1000"))
+        ),
+    )
+    q.awaitTermination(120)
+    back = spark.read.parquet(dest)
+    return back.groupBy("event_type").agg(
+        ch.count_one().alias("n"),
+        F.countDistinct("user_id").alias("users"),
+    )
+
+
+_ORACLE_STREAMING = """
+SELECT event_type, CAST(count(1) AS BIGINT) AS n,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS users
+FROM events GROUP BY event_type
+"""
+
+
+# =========================================================================
+# 24. cdc_collapse -- sign-ledger construction + collapse-to-latest
+#     equivalence (A1/A11/ST3): live count per week == users whose final
+#     version falls in that week.
+# =========================================================================
+def q_cdc_collapse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _prep(spark)
+    ev = t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    versioned = ev.select(
+        F.col("user_id").alias("VisitID"),
+        F.col("ts").cast("date").alias("day"),
+        F.col("event_type"),
+        F.row_number().over(w).alias("VisitVersion"),
+    )
+    states = versioned.withColumn("Sign", F.lit(1))
+    wmax = Window.partitionBy("VisitID")
+    cancels = (
+        versioned.withColumn("maxv", F.max("VisitVersion").over(wmax))
+        .where(F.col("VisitVersion") < F.col("maxv"))
+        .drop("maxv")
+        .withColumn("Sign", F.lit(-1))
+    )
+    ledger = states.unionByName(cancels)
+    live = collapse.collapsed(ledger, key=["VisitID"])
+    by_week_collapse = live.groupBy(ch.to_monday("day").alias("week")).agg(
+        ch.count_one().alias("live_visits")
+    )
+    # sign algebra must agree: sum(Sign) grouped the same way
+    by_week_sign = ledger.groupBy(ch.to_monday("day").alias("week")).agg(
+        collapse.sign_count().cast("long").alias("sign_visits")
+    )
+    # inner join: a week has live rows iff its ledger sign-sum is nonzero,
+    # so the collapse side defines the row set (weeks netting to zero are
+    # pure churn -- no live visits -- and are absent from both columns)
+    return (
+        by_week_collapse.join(by_week_sign, "week", "inner")
+        .select("week", "live_visits", "sign_visits")
+        .orderBy("week")
+    )
+
+
+_ORACLE_CDC_COLLAPSE = """
+WITH latest AS (
+  SELECT user_id, CAST(ts AS DATE) AS day
+  FROM events
+  QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) = 1
+)
+SELECT date_trunc('week', day) AS week,
+       CAST(count(1) AS BIGINT) AS live_visits,
+       CAST(count(1) AS BIGINT) AS sign_visits
+FROM latest GROUP BY 1 ORDER BY 1
+"""
+
+
+# =========================================================================
+# 25-26. classic analytics (bench headliners; general agg/join coverage)
+# =========================================================================
+def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _prep(spark)
+    li = t(spark, sf_dir, "lineitem")
+    return (
+        li.where(F.col("l_shipdate").cast("date") <= F.lit("2001-06-01").cast("date"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(F.col("l_quantity").cast("long")).alias("sum_qty"),
+            ch.round_to(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            ch.round_to(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("sum_disc_price"),
+            ch.round_to(F.avg("l_quantity"), 4).alias("avg_qty"),
+            ch.round_to(F.avg("l_extendedprice"), 4).alias("avg_price"),
+            ch.round_to(F.avg("l_discount"), 6).alias("avg_disc"),
+            ch.count_one().alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+_ORACLE_PRICING = """
+SELECT l_returnflag, l_linestatus,
+  CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+  floor((sum(l_extendedprice)) * 100.0 + 0.5) / 100.0 AS sum_base_price,
+  floor((sum(l_extendedprice * (1 - l_discount))) * 100.0 + 0.5) / 100.0 AS sum_disc_price,
+  floor((avg(l_quantity)) * 10000.0 + 0.5) / 10000.0 AS avg_qty,
+  floor((avg(l_extendedprice)) * 10000.0 + 0.5) / 10000.0 AS avg_price,
+  floor((avg(l_discount)) * 1000000.0 + 0.5) / 1000000.0 AS avg_disc,
+  CAST(count(1) AS BIGINT) AS count_order
+FROM lineitem
+WHERE CAST(l_shipdate AS DATE) <= DATE '2001-06-01'
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+"""
+
+
+def q_regional_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _prep(spark)
+    li = t(spark, sf_dir, "lineitem")
+    orders = t(spark, sf_dir, "orders")
+    cust = t(spark, sf_dir, "customer")
+    nation = t(spark, sf_dir, "nation")
+    region = t(spark, sf_dir, "region")
+    return (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(cust, orders["o_custkey"] == cust["c_custkey"])
+        .join(F.broadcast(nation), cust["c_nationkey"] == nation["n_nationkey"])
+        .join(F.broadcast(region), nation["n_regionkey"] == region["r_regionkey"])
+        .where(F.col("r_name") == "ASIA")
+        .groupBy("n_name")
+        .agg(
+            ch.round_to(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue"),
+            ch.count_one().alias("n_items"),
+        )
+        .orderBy(F.col("revenue").desc())
+    )
+
+
+_ORACLE_REGIONAL = """
+SELECT n_name,
+  floor((sum(l_extendedprice * (1 - l_discount))) * 100.0 + 0.5) / 100.0 AS revenue,
+  CAST(count(1) AS BIGINT) AS n_items
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+GROUP BY n_name ORDER BY revenue DESC
+"""
+
+
+# =========================================================================
+# registry
+# =========================================================================
+QUERIES: dict[str, QuerySpec] = {
+    "visits_by_day": QuerySpec(q_visits_by_day, _ORACLE_VISITS_BY_DAY, "A1 A9 A10 P4 P5 P8 O1 O4 F8"),
+    "traffic_sources": QuerySpec(q_traffic_sources, _ORACLE_TRAFFIC_SOURCES, "A2 A3 A4 A5 A10 O2 O4 F4 F10 F12 P6 P9"),
+    "last_significant_source": QuerySpec(q_last_significant, _ORACLE_LAST_SIGNIFICANT, "F1 F2 F3 F6 F7"),
+    "sum_array_orders": QuerySpec(q_sum_array_orders, _ORACLE_SUM_ARRAY, "A7 F3 F7 A8"),
+    "scd2_enrich": QuerySpec(q_scd2_enrich, _ORACLE_SCD2, "J1 J2 J3 J4 A6 A8 O3"),
+    "union_reconcile": QuerySpec(q_union_reconcile, _ORACLE_UNION, "U1 U2 F11 A6"),
+    "top_customers_offset": QuerySpec(q_top_customers, _ORACLE_TOP_CUSTOMERS, "O2 O4 O6 J1 A8"),
+    "latest_event_per_user": QuerySpec(q_latest_per_user, _ORACLE_LATEST, "A11"),
+    "where_alias": QuerySpec(q_where_alias, _ORACLE_WHERE_ALIAS, "P7 F14"),
+    "sample_by": QuerySpec(q_sample_by, _ORACLE_SAMPLE, "layout/SAMPLE-BY"),
+    "weekly_orders": QuerySpec(q_weekly_orders, _ORACLE_WEEKLY, "F9 P4 P5"),
+    "csv_export_roundtrip": QuerySpec(q_csv_roundtrip, _ORACLE_CSV_ROUNDTRIP, "S3 S4 S7 S8"),
+    "dedup_exact": QuerySpec(q_dedup_exact, _ORACLE_DEDUP_EXACT, "dedup/exact"),
+    "dedup_ngram_jaccard": QuerySpec(q_dedup_ngram, _ORACLE_DEDUP_NGRAM, "dedup/ngram-jaccard"),
+    "dedup_minhash_lsh": QuerySpec(q_dedup_minhash, _ORACLE_DEDUP_MINHASH, "dedup/minhash-lsh"),
+    "dedup_simhash": QuerySpec(q_dedup_simhash, None, "dedup/simhash (hash-dependent: rows-only)"),
+    "dedup_embedding": QuerySpec(q_dedup_embedding, _ORACLE_DEDUP_EMBEDDING, "dedup/embedding-cosine"),
+    "ann_brute_topk": QuerySpec(q_ann_brute, _ORACLE_ANN_BRUTE, "similarity/brute-cosine-topk"),
+    "ann_ivf_topk": QuerySpec(q_ann_ivf, None, "similarity/ivf (approximate: rows-only)"),
+    "text_stats": QuerySpec(q_text_stats, _ORACLE_TEXT_STATS, "text/quality+langid+tokens"),
+    "doc_fingerprint": QuerySpec(q_doc_fingerprint, _ORACLE_DOC_FINGERPRINT, "text/fingerprint"),
+    "multimodal_meta": QuerySpec(q_multimodal_meta, _ORACLE_MULTIMODAL, "multimodal/arrow-plumbing"),
+    "streaming_roundtrip": QuerySpec(q_streaming_roundtrip, _ORACLE_STREAMING, "ST1 ST4 ST7"),
+    "cdc_collapse": QuerySpec(q_cdc_collapse, _ORACLE_CDC_COLLAPSE, "A1 A11 ST3"),
+    "pricing_summary": QuerySpec(q_pricing_summary, _ORACLE_PRICING, "A8 P5 agg-bench"),
+    "regional_revenue": QuerySpec(q_regional_revenue, _ORACLE_REGIONAL, "J1 A8 multi-join-bench"),
+}
+
+
+def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    return {name: spec.build for name, spec in QUERIES.items()}
+
+
+def oracle_sql() -> dict[str, str]:
+    return {name: spec.oracle for name, spec in QUERIES.items() if spec.oracle}

@@ -1,0 +1,146 @@
+"""Structured-Streaming CDC ingestion -- the Data Transfer analog
+(SURVEY.md section 2.8, ST1-ST8).
+
+The reference's transfer runs in replication mode: a continuous stream
+of change rows from Metrica into ClickHouse
+(/root/reference/README.md:46-58).  Hits arrive append-only
+(ddl/hits.sql:112); visits arrive as a versioned sign ledger -- each
+update is a (-1 cancel, +1 new-version) pair that
+VersionedCollapsingMergeTree collapses lazily (ddl/visits.sql:229-233).
+
+Spark mapping:
+- source   : ``readStream`` over a directory of change files (the
+   file-backed stand-in for the Metrica feed; swap for Kafka by
+   changing ``format`` only).  New data only -- replication mode does
+   not backfill history (README.md:49) -- which is exactly the file
+   stream's contract (files present before the first batch ARE read;
+   to mirror "no history", point the stream at a fresh feed dir).
+- transform: per-stream field selection (img/metrica-source.png) as a
+   ``select`` at ingest => column pruning from the first plan.
+- sink     : checkpointed append into the weekly-partitioned parquet
+   warehouse (exactly-once via checkpoint + idempotent file commits;
+   at-least-once inputs collapse correctly because the ledger is
+   sign/versioned -- ST2).  Optional ``foreachBatch`` stateful collapse
+   maintains a latest-version materialization (ST3 option b).
+- naming   : targets suffixed ``_<transfer_id>`` (README.md:58).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.streaming import StreamingQuery
+
+from ..functions import ch
+from ..operators.collapse import collapsed
+
+
+def target_name(base: str, transfer_id: str | None) -> str:
+    return f"{base}_{transfer_id}" if transfer_id else base
+
+
+def start_append_stream(
+    spark: SparkSession,
+    source_dir: str,
+    schema: T.StructType,
+    dest_dir: str,
+    checkpoint_dir: str,
+    date_col: str,
+    fields: list[str] | None = None,
+    fmt: str = "parquet",
+    available_now: bool = True,
+    transform=None,
+) -> StreamingQuery:
+    """Hits-style append replication (ST4): file CDC feed -> weekly-
+    partitioned parquet warehouse.  ``fields`` is the per-stream field
+    selection; ``transform`` an optional DataFrame->DataFrame hook
+    (type normalization at ingest); ``available_now`` gives
+    deterministic drain-and-stop for tests while the same code runs
+    continuously in production."""
+    stream = spark.readStream.format(fmt).schema(schema).load(source_dir)
+    if transform is not None:
+        stream = transform(stream)
+    if fields:
+        stream = stream.select(*fields)
+    stream = stream.withColumn("_week", ch.to_monday(F.col(date_col)))
+    writer = (
+        stream.writeStream.format("parquet")
+        .option("path", dest_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .partitionBy("_week")
+        .outputMode("append")
+    )
+    trigger = {"availableNow": True} if available_now else {"processingTime": "10 seconds"}
+    return writer.trigger(**trigger).start()
+
+
+def start_ledger_stream(
+    spark: SparkSession,
+    source_dir: str,
+    schema: T.StructType,
+    dest_dir: str,
+    checkpoint_dir: str,
+    date_col: str,
+    available_now: bool = True,
+) -> StreamingQuery:
+    """Visits-style sign-ledger replication (ST3 option a).
+
+    The wire format already IS the ledger -- (Sign, VisitVersion) rows
+    -- so ingestion is a plain append; correctness lives in the sign
+    algebra at query time.  Stateless => no watermark state to size;
+    late-arriving versions (README.md:81) are just new ledger rows.
+    """
+    return start_append_stream(
+        spark, source_dir, schema, dest_dir, checkpoint_dir, date_col,
+        available_now=available_now,
+    )
+
+
+def start_collapse_stream(
+    spark: SparkSession,
+    source_dir: str,
+    schema: T.StructType,
+    dest_dir: str,
+    checkpoint_dir: str,
+    key: list[str],
+    version: str = "VisitVersion",
+    sign: str = "Sign",
+    available_now: bool = True,
+) -> StreamingQuery:
+    """ST3 option (b): maintain a collapsed latest-version table via
+    foreachBatch merge.  Each micro-batch unions the existing
+    materialization with new ledger rows and re-collapses -- idempotent
+    under replay (at-least-once safe).
+
+    State is the materialized table itself (not executor memory), so
+    size is bounded by live entities, not stream history.
+    """
+
+    def merge(batch: DataFrame, batch_id: int) -> None:
+        sp = batch.sparkSession
+        if os.path.exists(dest_dir):
+            current = sp.read.parquet(dest_dir)
+            merged = collapsed(
+                current.unionByName(batch.select(*current.columns)),
+                key=key, version=version, sign=sign,
+            )
+        else:
+            merged = collapsed(batch, key=key, version=version, sign=sign)
+        # write to tmp then swap: the merge reads dest_dir, cannot overwrite in place
+        tmp = dest_dir.rstrip("/") + "__tmp"
+        merged.write.mode("overwrite").parquet(tmp)
+        import shutil
+
+        if os.path.exists(dest_dir):
+            shutil.rmtree(dest_dir)
+        os.replace(tmp, dest_dir)
+
+    stream = spark.readStream.format("parquet").schema(schema).load(source_dir)
+    writer = stream.writeStream.foreachBatch(merge).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    trigger = {"availableNow": True} if available_now else {"processingTime": "10 seconds"}
+    return writer.trigger(**trigger).start()
