@@ -1,0 +1,93 @@
+#!/usr/bin/env python
+"""Engine benchmark: headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line:
+  {"metric": "...", "value": <total_sec>, "unit": "sec",
+   "queries": {"<name>": sec, ...}, "sf": <sf>}
+
+Execution is forced through the noop sink so timings measure engine
+compute (scan -> shuffle -> agg/join), not driver-side row
+serialization.  Per-query time includes plan + execute (cold cache,
+sequential order fixed alphabetically for run-to-run comparability).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
+
+# headline set: the reference-parity chart queries, the join/agg
+# benchmarks, and the training-data operators (dedup / similarity /
+# text).  File-writing demos (csv/stream roundtrips) are excluded --
+# they measure tmpfs, not the engine.
+HEADLINE = [
+    "visits_by_day",
+    "traffic_sources",
+    "last_significant_source",
+    "sum_array_orders",
+    "scd2_enrich",
+    "top_customers_offset",
+    "latest_event_per_user",
+    "weekly_orders",
+    "pricing_summary",
+    "regional_revenue",
+    "cdc_collapse",
+    "dedup_exact",
+    "dedup_ngram_jaccard",
+    "dedup_minhash_lsh",
+    "dedup_embedding",
+    "ann_brute_topk",
+    "text_stats",
+    "doc_fingerprint",
+    "multimodal_meta",
+]
+
+
+def main() -> None:
+    from yc_data_transfer_clickhouse_from_yandex_metrica_spark.queries.driver import QUERIES
+    from yc_data_transfer_clickhouse_from_yandex_metrica_spark.session import get_spark
+
+    spark = get_spark(
+        app_name="ym-bench",
+        master=f"local[{CPUS}]",
+        shuffle_partitions=int(CPUS) if CPUS.isdigit() else 32,
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        spec = QUERIES[name]
+        t0 = time.perf_counter()
+        df = spec.build(spark, SF_DIR)
+        df.write.mode("overwrite").format("noop").save()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    try:
+        sf_val: float | str = float(sf)
+    except ValueError:
+        sf_val = sf
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_wall_sec",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf_val,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -78,10 +78,17 @@ def shingles(text_col: Column | str, k: int = 3) -> Column:
 
 
 def _shingle_index(df: DataFrame, id_col: str, text_col: str, k: int) -> DataFrame:
-    """(id, shingle) inverted-index rows, distinct."""
+    """(id, shingle-hash) inverted-index rows.
+
+    Rows are already unique (shingles() is per-doc distinct, so explode
+    emits no dupes -- no extra shuffle), and the shingle is carried as
+    xxhash64 so downstream joins shuffle 8-byte keys instead of
+    strings.  A 64-bit collision (~1e-11 at any realistic shingle
+    cardinality) is the accepted exactness epsilon.
+    """
     return df.select(
-        F.col(id_col).alias("id"), F.explode(shingles(text_col, k)).alias("sh")
-    ).distinct()
+        F.col(id_col).alias("id"), F.explode(shingles(text_col, k)).alias("s")
+    ).select("id", F.xxhash64("s").alias("sh"))
 
 
 # --------------------------------------------------------------------------
@@ -102,7 +109,10 @@ def ngram_jaccard_pairs(
     self-join; the cap is exposed as ``max_df``.
     """
     idx = _shingle_index(df, id_col, text_col, k)
-    sizes = idx.groupBy("id").agg(F.count("*").alias("nsh"))
+    # per-doc shingle count: map-side projection, no shuffle
+    sizes = df.select(
+        F.col(id_col).alias("id"), F.size(shingles(text_col, k)).alias("nsh")
+    )
     a = idx.alias("a")
     b = idx.alias("b")
     common = (
@@ -159,10 +169,16 @@ def minhash_lsh_pairs(
     r = num_hashes // bands
     docs = df.select(
         F.col(id_col).alias("id"), shingles(text_col, k).alias("shset")
-    ).withColumn("sig", minhash_signature(F.col("shset"), num_hashes))
-    banded = docs.select(
+    )
+    # banded rows carry ONLY (id, band, band-hash): the LSH join
+    # shuffles 24 bytes/row instead of the full shingle-string arrays --
+    # the arrays are attached per-side AFTER candidate pairs exist
+    # (|candidates| << |docs| x bands at any realistic dup rate)
+    sigs = docs.select(
+        "id", minhash_signature(F.col("shset"), num_hashes).alias("sig")
+    )
+    banded = sigs.select(
         "id",
-        "shset",
         F.explode(
             F.transform(
                 F.sequence(F.lit(0), F.lit(bands - 1)),
@@ -172,7 +188,7 @@ def minhash_lsh_pairs(
                 ),
             )
         ).alias("bb"),
-    ).select("id", "shset", F.col("bb.band").alias("band"), F.col("bb.bh").alias("bh"))
+    ).select("id", F.col("bb.band").alias("band"), F.col("bb.bh").alias("bh"))
     a = banded.alias("a")
     b = banded.alias("b")
     cands = (
@@ -182,18 +198,16 @@ def minhash_lsh_pairs(
             & (F.col("a.bh") == F.col("b.bh"))
             & (F.col("a.id") < F.col("b.id")),
         )
-        .select(
-            F.col("a.id").alias("id_a"),
-            F.col("b.id").alias("id_b"),
-            F.col("a.shset").alias("sh_a"),
-            F.col("b.shset").alias("sh_b"),
-        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .dropDuplicates(["id_a", "id_b"])
     )
+    sh_a = docs.select(F.col("id").alias("id_a"), F.col("shset").alias("sh_a"))
+    sh_b = docs.select(F.col("id").alias("id_b"), F.col("shset").alias("sh_b"))
+    pairs = cands.join(sh_a, "id_a").join(sh_b, "id_b")
     inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
     union = (F.size("sh_a") + F.size("sh_b")).cast("double") - inter
     return (
-        cands.withColumn("jaccard", inter / union)
+        pairs.withColumn("jaccard", inter / union)
         .where(F.col("jaccard") >= F.lit(threshold))
         .select("id_a", "id_b", ch.round_to(F.col("jaccard"), 4).alias("jaccard"))
     )
