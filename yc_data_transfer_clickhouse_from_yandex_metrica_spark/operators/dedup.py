@@ -136,17 +136,26 @@ def ngram_jaccard_pairs(
 # --------------------------------------------------------------------------
 # MinHash + LSH
 # --------------------------------------------------------------------------
-def minhash_signature(shingle_set: Column, num_hashes: int = 64) -> Column:
-    """MinHash signature: for seed i, min over shingles of xxhash64(s, i).
+def minhash_mins(
+    idx: DataFrame, num_hashes: int = 64
+) -> DataFrame:
+    """MinHash signature as flat columns m0..m{n-1} from an (id, sh)
+    inverted index: for seed i, min over a doc's shingle-hashes of
+    xxhash64(sh, i).
 
-    Computed as one nested higher-order expression over the per-doc
-    shingle array -- a single projection, no extra shuffle.
+    Formulated as a single hash-aggregate with ``num_hashes`` MIN
+    columns so the whole thing stays in whole-stage codegen with
+    map-side partial aggregation -- the shuffle moves one
+    8*num_hashes-byte row per doc, and no per-row array objects are
+    ever built.  (A nested transform/array_min over the shingle array
+    computes the same values but drops to interpreted eval -- ~100x
+    slower per doc; don't go back to it.)
     """
-    return F.transform(
-        F.sequence(F.lit(0), F.lit(num_hashes - 1)),
-        lambda i: F.array_min(
-            F.transform(shingle_set, lambda s: F.xxhash64(s, i))
-        ),
+    return idx.groupBy("id").agg(
+        *[
+            F.min(F.xxhash64("sh", F.lit(i))).alias(f"m{i}")
+            for i in range(num_hashes)
+        ]
     )
 
 
@@ -167,25 +176,34 @@ def minhash_lsh_pairs(
     true Jaccard, so precision IS exact.
     """
     r = num_hashes // bands
+    # shingle strings are hashed to 64-bit longs ONCE; everything
+    # downstream (signature, banding, verify-intersect) works on longs
     docs = df.select(
-        F.col(id_col).alias("id"), shingles(text_col, k).alias("shset")
+        F.col(id_col).alias("id"),
+        F.transform(shingles(text_col, k), lambda s: F.xxhash64(s)).alias(
+            "shset"
+        ),
     )
-    # banded rows carry ONLY (id, band, band-hash): the LSH join
-    # shuffles 24 bytes/row instead of the full shingle-string arrays --
-    # the arrays are attached per-side AFTER candidate pairs exist
-    # (|candidates| << |docs| x bands at any realistic dup rate)
-    sigs = docs.select(
-        "id", minhash_signature(F.col("shset"), num_hashes).alias("sig")
-    )
-    banded = sigs.select(
+    idx = docs.select("id", F.explode("shset").alias("sh"))
+    mins = minhash_mins(idx, num_hashes)
+    # band hash = xxhash64 over that band's r min-columns; banded rows
+    # carry ONLY (id, band, band-hash): the LSH join shuffles 24
+    # bytes/row, and the shingle sets are attached per-side AFTER
+    # candidate pairs exist (|candidates| << |docs| x bands at any
+    # realistic dup rate)
+    banded = mins.select(
         "id",
         F.explode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(bands - 1)),
-                lambda j: F.struct(
-                    j.alias("band"),
-                    F.xxhash64(F.slice("sig", j * r + 1, r)).alias("bh"),
-                ),
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).alias("band"),
+                        F.xxhash64(
+                            *[F.col(f"m{j * r + i}") for i in range(r)]
+                        ).alias("bh"),
+                    )
+                    for j in range(bands)
+                ]
             )
         ).alias("bb"),
     ).select("id", F.col("bb.band").alias("band"), F.col("bb.bh").alias("bh"))
