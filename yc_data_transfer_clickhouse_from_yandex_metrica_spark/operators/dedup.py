@@ -78,17 +78,44 @@ def shingles(text_col: Column | str, k: int = 3) -> Column:
 
 
 def _shingle_index(df: DataFrame, id_col: str, text_col: str, k: int) -> DataFrame:
-    """(id, shingle-hash) inverted-index rows.
+    """(id, shingle-hash) inverted-index rows, NOT per-doc distinct.
 
-    Rows are already unique (shingles() is per-doc distinct, so explode
-    emits no dupes -- no extra shuffle), and the shingle is carried as
-    xxhash64 so downstream joins shuffle 8-byte keys instead of
-    strings.  A 64-bit collision (~1e-11 at any realistic shingle
-    cardinality) is the accepted exactness epsilon.
+    Formulated as posexplode(tokens) -> k-1 LEAD window steps ->
+    concat -> xxhash64, all flat columns in codegen.  Do NOT switch to
+    explode(shingles(...)): a Generate whose child contains the
+    higher-order shingle expression drops the whole pipeline to
+    interpreted eval (~20x slower, measured).  The window shuffle
+    partitions by doc id, which every downstream per-doc aggregate
+    (minhash mins, collect_set) then reuses exchange-free.
+
+    The shingle is carried as xxhash64 so joins shuffle 8-byte keys
+    instead of strings; a 64-bit collision (~1e-11 at realistic
+    shingle cardinality) is the accepted exactness epsilon.  Docs with
+    fewer than k tokens emit no rows (lead(k-1) is null) -- same
+    contract as the SQL-window oracle.
     """
-    return df.select(
-        F.col(id_col).alias("id"), F.explode(shingles(text_col, k)).alias("s")
-    ).select("id", F.xxhash64("s").alias("sh"))
+    toks = df.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(tokens(text_col)).alias("pos", "t0"),
+    )
+    w = Window.partitionBy("id").orderBy("pos")
+    lead_cols = [F.lead("t0", i).over(w).alias(f"t{i}") for i in range(1, k)]
+    grams = toks.select("id", F.col("t0"), *lead_cols)
+    if k > 1:
+        grams = grams.where(F.col(f"t{k - 1}").isNotNull())
+    return grams.select(
+        "id",
+        F.xxhash64(F.concat_ws(" ", *[f"t{i}" for i in range(k)])).alias("sh"),
+    )
+
+
+def _shingle_sets(idx: DataFrame) -> DataFrame:
+    """(id, shset) with shset the distinct shingle-hash array per doc.
+
+    Exchange-free on top of _shingle_index (already partitioned by
+    id); collect_set both dedupes and builds the verify-side array.
+    """
+    return idx.groupBy("id").agg(F.collect_set("sh").alias("shset"))
 
 
 # --------------------------------------------------------------------------
@@ -108,11 +135,9 @@ def ngram_jaccard_pairs(
     (drop shingles with document frequency above a cap) before the
     self-join; the cap is exposed as ``max_df``.
     """
-    idx = _shingle_index(df, id_col, text_col, k)
-    # per-doc shingle count: map-side projection, no shuffle
-    sizes = df.select(
-        F.col(id_col).alias("id"), F.size(shingles(text_col, k)).alias("nsh")
-    )
+    per_doc = _shingle_sets(_shingle_index(df, id_col, text_col, k))
+    sizes = per_doc.select("id", F.size("shset").alias("nsh"))
+    idx = per_doc.select("id", F.explode("shset").alias("sh"))
     a = idx.alias("a")
     b = idx.alias("b")
     common = (
@@ -177,14 +202,11 @@ def minhash_lsh_pairs(
     """
     r = num_hashes // bands
     # shingle strings are hashed to 64-bit longs ONCE; everything
-    # downstream (signature, banding, verify-intersect) works on longs
-    docs = df.select(
-        F.col(id_col).alias("id"),
-        F.transform(shingles(text_col, k), lambda s: F.xxhash64(s)).alias(
-            "shset"
-        ),
-    )
-    idx = docs.select("id", F.explode("shset").alias("sh"))
+    # downstream (signature, banding, verify-intersect) works on longs.
+    # The raw (non-distinct) index feeds the MIN aggregates directly --
+    # MIN is duplicate-insensitive, so no distinct pass is needed there.
+    idx = _shingle_index(df, id_col, text_col, k)
+    docs = _shingle_sets(idx)
     mins = minhash_mins(idx, num_hashes)
     # band hash = xxhash64 over that band's r min-columns; banded rows
     # carry ONLY (id, band, band-hash): the LSH join shuffles 24
