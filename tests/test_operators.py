@@ -1,0 +1,348 @@
+"""Operator-level tests (SURVEY.md section 5): CDC-ledger property
+tests, ClickHouse expression edge semantics, physical-plan assertions
+(partition pruning, broadcast join, pushed filters), streaming
+collapse, and multimodal plumbing.
+
+Complements tests/test_driver_parity.py (the DuckDB oracle gate):
+that file checks end-result values; this one checks the invariants
+and *plans* the 100TB posture depends on.
+"""
+
+from __future__ import annotations
+
+import random
+import shutil
+import tempfile
+from datetime import date
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from yc_data_transfer_clickhouse_from_yandex_metrica_spark.functions import ch
+from yc_data_transfer_clickhouse_from_yandex_metrica_spark.operators import (
+    collapse,
+    dedup,
+    multimodal,
+    sampling,
+)
+from yc_data_transfer_clickhouse_from_yandex_metrica_spark.plans.alias import inline_aliases
+from yc_data_transfer_clickhouse_from_yandex_metrica_spark.plans.totals import with_totals
+from yc_data_transfer_clickhouse_from_yandex_metrica_spark.sources import warehouse
+from yc_data_transfer_clickhouse_from_yandex_metrica_spark.streaming import cdc
+
+
+# --------------------------------------------------------------------------
+# CDC sign-ledger properties (SURVEY.md section 5 item 5)
+# --------------------------------------------------------------------------
+@pytest.mark.parametrize("seed", [1, 7, 42])
+def test_cdc_ledger_random_interleaving(spark, seed):
+    """For ANY interleaving of upserts, the ledger satisfies:
+    sum(Sign) == live-key count, sum(metric*Sign) == sum of live
+    latest-version metrics, and collapsed() == the model's live rows."""
+    rng = random.Random(seed)
+    keys = list(range(8))
+    model: dict[int, tuple[int, int]] = {}  # key -> (version, metric)
+
+    ledger = spark.createDataFrame(
+        [], "VisitID long, metric long, Sign int, VisitVersion int"
+    )
+    for _ in range(4):  # 4 batches of concurrent upserts
+        batch = [
+            (k, rng.randrange(1000))
+            for k in rng.sample(keys, rng.randrange(1, 5))
+        ]
+        new_rows = spark.createDataFrame(
+            [Row(VisitID=k, metric=m) for k, m in batch]
+        )
+        additions = collapse.apply_versions(ledger, new_rows, key=["VisitID"])
+        ledger = ledger.unionByName(additions)
+        # materialize: streaming appends would do this naturally
+        ledger = spark.createDataFrame(ledger.collect(), ledger.schema)
+        for k, m in batch:
+            ver = model.get(k, (0, 0))[0] + 1
+            model[k] = (ver, m)
+
+    agg = ledger.agg(
+        collapse.sign_count().alias("live"),
+        collapse.sign_sum("metric").alias("msum"),
+    ).collect()[0]
+    assert agg["live"] == len(model)
+    assert agg["msum"] == sum(m for _, m in model.values())
+
+    live_rows = {
+        (r["VisitID"], r["VisitVersion"], r["metric"])
+        for r in collapse.collapsed(ledger, key=["VisitID"]).collect()
+    }
+    assert live_rows == {(k, v, m) for k, (v, m) in model.items()}
+
+
+def test_collapsed_annihilation_matches_sign_algebra(spark):
+    """Same-version opposite-sign pairs annihilate (deleted entity);
+    duplicate at-least-once state deliveries emit one row; and the set
+    of live keys agrees exactly with sum(Sign) > 0 per key."""
+    rows = [
+        # key 1: v1 state, v1 cancel + v2 state (normal update)
+        (1, 10, 1, 1), (1, 10, -1, 1), (1, 20, 1, 2),
+        # key 2: deleted -- the latest state's cancel pair annihilates
+        (2, 30, 1, 1), (2, 30, -1, 1),
+        # key 3: deletion expressed at the same top version
+        (3, 40, 1, 5), (3, 40, -1, 5),
+        # key 4: duplicate delivery of the same state (at-least-once)
+        (4, 50, 1, 1), (4, 50, 1, 1),
+    ]
+    df = spark.createDataFrame(
+        rows, "VisitID long, metric long, Sign int, VisitVersion int"
+    )
+    out = {
+        (r["VisitID"], r["metric"], r["VisitVersion"])
+        for r in collapse.collapsed(df, key=["VisitID"]).collect()
+    }
+    assert out == {(1, 20, 2), (4, 50, 1)}
+    live_by_sign = {
+        r["VisitID"]
+        for r in df.groupBy("VisitID")
+        .agg(collapse.sign_count().alias("n"))
+        .where(F.col("n") > 0)
+        .collect()
+    }
+    assert live_by_sign == {k for k, _, _ in out}
+
+
+def test_streaming_collapse_matches_batch(spark):
+    """foreachBatch collapse materialization == batch collapsed()."""
+    tmp = tempfile.mkdtemp(prefix="ym_cdc_")
+    src, dest, ckpt = f"{tmp}/src", f"{tmp}/dest", f"{tmp}/ckpt"
+    schema = "VisitID long, metric long, Sign int, VisitVersion int"
+    b1 = spark.createDataFrame(
+        [(1, 10, 1, 1), (2, 20, 1, 1)], schema
+    )
+    b2 = spark.createDataFrame(
+        [(1, 10, -1, 1), (1, 11, 1, 2), (3, 30, 1, 1)], schema
+    )
+    def feed(batch_df, name):
+        # the file-stream source lists FLAT files in src (no recursion):
+        # stage the write, then move part files in under unique names
+        import glob
+        import os
+
+        stage = f"{tmp}/stage_{name}"
+        batch_df.coalesce(1).write.parquet(stage)
+        os.makedirs(src, exist_ok=True)
+        for i, f in enumerate(sorted(glob.glob(f"{stage}/part-*.parquet"))):
+            shutil.move(f, f"{src}/{name}-{i}.parquet")
+
+    try:
+        feed(b1, "b1")
+        q = cdc.start_collapse_stream(
+            spark, src, b1.schema, dest, ckpt, key=["VisitID"]
+        )
+        assert q.awaitTermination(120), "first drain did not terminate"
+        feed(b2, "b2")
+        q = cdc.start_collapse_stream(
+            spark, src, b1.schema, dest, ckpt, key=["VisitID"]
+        )
+        assert q.awaitTermination(120), "second drain did not terminate"
+        got = {
+            (r["VisitID"], r["metric"], r["VisitVersion"])
+            for r in spark.read.parquet(dest).collect()
+        }
+        assert got == {(1, 11, 2), (2, 20, 1), (3, 30, 1)}
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+# --------------------------------------------------------------------------
+# ClickHouse expression edge semantics (SURVEY.md F1/F2, M2 risk list)
+# --------------------------------------------------------------------------
+def test_array_at_default_semantics(spark):
+    """arr[i] with i=0 or out-of-range yields the type default, never
+    null/error -- the exact composite the reference relies on
+    (README.md:103 + the != '' filter at :113)."""
+    df = spark.createDataFrame(
+        [Row(arr=["a", "b"], i=1), Row(arr=["a", "b"], i=0),
+         Row(arr=["a", "b"], i=9), Row(arr=[], i=1)]
+    )
+    got = [
+        r["v"]
+        for r in df.select(
+            ch.array_at(F.col("arr"), F.col("i"), "").alias("v")
+        ).collect()
+    ]
+    assert got == ["a", "", "", ""]
+
+
+def test_index_of_semantics(spark):
+    df = spark.createDataFrame([Row(arr=[10, 20, 30])])
+    row = df.select(
+        ch.index_of("arr", 20).alias("hit"),
+        ch.index_of("arr", 99).alias("miss"),
+    ).collect()[0]
+    assert (row["hit"], row["miss"]) == (2, 0)  # 1-based; 0 if absent
+
+
+def test_round_to_half_up(spark):
+    """floor(x*p + 0.5)/p -- identical in Spark and DuckDB, unlike
+    F.round (see verify-skill gotchas)."""
+    df = spark.createDataFrame([Row(x=2.675), Row(x=2.665), Row(x=-1.005)])
+    got = [r[0] for r in df.select(ch.round_to("x", 2)).collect()]
+    assert got == [2.68, 2.67, -1.0]
+
+
+def test_to_monday(spark):
+    df = spark.createDataFrame([Row(d=date(2023, 11, 1))])  # a Wednesday
+    assert df.select(ch.to_monday("d")).collect()[0][0] == date(2023, 10, 30)
+
+
+def test_with_totals_before_having(spark):
+    """HAVING filters group rows only; the totals row still reflects
+    ALL rows passing WHERE (ClickHouse default totals_mode)."""
+    df = spark.createDataFrame(
+        [("a", 1), ("a", 2), ("b", 100)], "k string, v long"
+    )
+    out = with_totals(
+        df, ["k"], [F.sum("v").alias("s")], having=F.col("s") > 50
+    ).collect()
+    rows = {(r["k"], r["s"]) for r in out}
+    assert rows == {("b", 100), (None, 103)}  # totals includes 'a'
+
+
+def test_inline_aliases_respects_strings_and_backticks():
+    out = inline_aliases(
+        "`ym:s:date` >= '2023-01-01' AND src != 'visits'",
+        {"ym:s:date": "StartDate", "visits": "sum(Sign)"},
+    )
+    assert "(StartDate) >= '2023-01-01'" in out
+    assert "'visits'" in out  # literal untouched
+
+
+# --------------------------------------------------------------------------
+# Physical-plan assertions -- the 100TB posture (SURVEY.md section 4)
+# --------------------------------------------------------------------------
+def test_partition_pruning_on_weekly_layout(spark):
+    tmp = tempfile.mkdtemp(prefix="ym_wh_")
+    try:
+        df = spark.range(200).select(
+            F.col("id"),
+            F.date_add(F.lit("2023-10-01").cast("date"), (F.col("id") % 60).cast("int")).alias("d"),
+        )
+        warehouse.write_table(
+            df, f"{tmp}/t", warehouse.TableLayout(date_col="d", sort_by=["id"])
+        )
+        back = warehouse.read_table(spark, f"{tmp}/t")
+        pruned = warehouse.prune_weeks(back, date(2023, 10, 16), date(2023, 10, 22))
+        plan = pruned._jdf.queryExecution().executedPlan().toString()
+        assert "PartitionFilters: [" in plan and "_week" in plan
+        # boundary-week rows only: directories outside the range never read
+        n_parts = pruned.select("_week").distinct().count()
+        assert n_parts <= 2
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_scd2_join_broadcasts_dim(spark):
+    from yc_data_transfer_clickhouse_from_yandex_metrica_spark.queries.driver import QUERIES
+
+    from conftest import SF_SMOKE
+
+    df = QUERIES["scd2_enrich"].build(spark, SF_SMOKE)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+
+
+def test_filter_pushdown_reaches_scan(spark):
+    from yc_data_transfer_clickhouse_from_yandex_metrica_spark.queries.driver import QUERIES
+
+    from conftest import SF_SMOKE
+
+    df = QUERIES["pricing_summary"].build(spark, SF_SMOKE)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters: [" in plan and "IsNotNull" in plan
+
+
+# --------------------------------------------------------------------------
+# Sampling determinism (SURVEY.md section 1.3 SAMPLE BY)
+# --------------------------------------------------------------------------
+def test_sample_mod_deterministic_and_partitioning(spark):
+    df = spark.range(1000).withColumn("h", F.col("id") * 2654435761)
+    a = sorted(r["id"] for r in sampling.sample_mod(df, "h", 10).collect())
+    b = sorted(r["id"] for r in sampling.sample_mod(df, "h", 10).collect())
+    assert a == b and 0 < len(a) < 1000
+    # buckets partition the table exactly
+    total = sum(
+        sampling.sample_mod(df, "h", 10, bucket=i).count() for i in range(10)
+    )
+    assert total == 1000
+
+
+# --------------------------------------------------------------------------
+# Dedup invariants
+# --------------------------------------------------------------------------
+def test_minhash_recall_equals_exact_jaccard(spark):
+    """On a corpus with clear dup structure, LSH+verify returns exactly
+    the exact-Jaccard pair set (recall ~1 at threshold 0.8)."""
+    base = (
+        "the quick brown fox jumps over the lazy dog near the red barn "
+        "while seven wizards mix bright blue potions under pale moon light"
+    )
+    rows = []
+    for i in range(30):
+        words = (base + f" tail{i}").split()
+        rows.append(Row(doc_id=i, text=" ".join(words)))
+        if i % 3 == 0:  # near-dup: one word appended
+            rows.append(Row(doc_id=1000 + i, text=" ".join(words + ["extra"])))
+    df = spark.createDataFrame(rows)
+    exact = {
+        (r["id_a"], r["id_b"], r["jaccard"])
+        for r in dedup.ngram_jaccard_pairs(df, "doc_id", "text").collect()
+    }
+    lsh = {
+        (r["id_a"], r["id_b"], r["jaccard"])
+        for r in dedup.minhash_lsh_pairs(df, "doc_id", "text").collect()
+    }
+    assert exact and lsh == exact
+
+
+def test_dedup_exact_keeps_min_id(spark):
+    df = spark.createDataFrame(
+        [Row(doc_id=5, text="same"), Row(doc_id=2, text="same"),
+         Row(doc_id=9, text="other")]
+    )
+    got = {(r["doc_id"], r["text"]) for r in dedup.dedup_exact(df, ["text"]).collect()}
+    assert got == {(2, "same"), (9, "other")}
+
+
+# --------------------------------------------------------------------------
+# Multimodal plumbing (Arrow batch stage + frame sampling)
+# --------------------------------------------------------------------------
+def test_image_features_match_stub(spark):
+    df = spark.createDataFrame(
+        [Row(doc_id=1, text="abc"), Row(doc_id=2, text="x" * 100)]
+    )
+    media = multimodal.media_from_text(df, "doc_id", "text")
+    feats = {r["media_id"]: r for r in multimodal.extract_image_features(media).collect()}
+    for mid, payload in [(1, b"abc"), (2, b"x" * 100)]:
+        n, w, h, c = multimodal._decode_image_stub(payload)
+        r = feats[mid]
+        assert (r["n_bytes"], r["width"], r["height"], r["byte_checksum"]) == (n, w, h, c)
+
+
+def test_video_frame_sampling_counts(spark):
+    df = spark.createDataFrame([Row(doc_id=1, text="x" * 2500)])
+    media = multimodal.media_from_text(df, "doc_id", "text", kind="video")
+    frames = multimodal.sample_video_frames(media, every_n_bytes=1000).collect()
+    assert [(r["frame_idx"], r["byte_offset"]) for r in frames] == [
+        (0, 0), (1, 1000), (2, 2000)
+    ]
+
+
+# --------------------------------------------------------------------------
+# Reconciliation (SURVEY.md section 5 item 1)
+# --------------------------------------------------------------------------
+def test_reconcile_detects_value_drift(spark):
+    a = spark.createDataFrame([(1, "x"), (2, "y")], "id long, v string")
+    b = spark.createDataFrame([(2, "y"), (1, "x")], "id long, v string")
+    c = spark.createDataFrame([(1, "x"), (2, "z")], "id long, v string")
+    assert warehouse.reconcile(a, b)["equal"]  # order-insensitive
+    res = warehouse.reconcile(a, c)
+    assert not res["equal"] and res["src_count"] == res["sink_count"]

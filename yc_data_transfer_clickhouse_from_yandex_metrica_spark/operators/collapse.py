@@ -41,18 +41,29 @@ def collapsed(
 ) -> DataFrame:
     """Live latest-version rows of a sign ledger (SURVEY.md A11).
 
-    For each key keep the row with max version (ties: state row wins
-    over its cancel); drop it if that latest row is a cancel (deleted
-    entity).  Mirrors what a fully-merged
-    VersionedCollapsingMergeTree SELECT FINAL would return.
+    For each key, look at the rows carrying the max version: if their
+    signs annihilate (net sum(Sign) <= 0 -- an exact cancel pair, or a
+    lone trailing cancel) the entity is DELETED and emits nothing;
+    otherwise one surviving state row is kept.  This mirrors
+    VersionedCollapsingMergeTree FINAL on a well-formed ledger, where
+    every lower version has already been cancelled pairwise
+    (/root/reference/ddl/visits.sql:229-233), and keeps the view
+    consistent with the sign algebra: keys collapse() drops are
+    exactly the keys where sum(Sign) == 0.
+
+    Duplicate state deliveries (at-least-once, ST2) net to > 0 and
+    still emit a single row.  One exchange total: all three window
+    steps share the key-only partitioning.
     """
-    w = Window.partitionBy(*key).orderBy(
-        F.col(version).desc(), F.col(sign).desc()
-    )
+    w = Window.partitionBy(*key)
+    wo = w.orderBy(F.col(sign).desc())
     return (
-        df.withColumn(_RN, F.row_number().over(w))
-        .where((F.col(_RN) == 1) & (F.col(sign) == 1))
-        .drop(_RN)
+        df.withColumn("__maxv", F.max(F.col(version)).over(w))
+        .where(F.col(version) == F.col("__maxv"))
+        .withColumn("__net", F.sum(F.col(sign)).over(w))
+        .withColumn(_RN, F.row_number().over(wo))
+        .where((F.col("__net") > 0) & (F.col(sign) == 1) & (F.col(_RN) == 1))
+        .drop("__maxv", "__net", _RN)
     )
 
 
