@@ -337,6 +337,77 @@ def test_video_frame_sampling_counts(spark):
 
 
 # --------------------------------------------------------------------------
+# Bindings (S5) -- named external tables queried by name
+# --------------------------------------------------------------------------
+def test_binding_registry_glob_csv(spark):
+    from pyspark.sql import types as T
+
+    from yc_data_transfer_clickhouse_from_yandex_metrica_spark.sources import csvgz
+    from yc_data_transfer_clickhouse_from_yandex_metrica_spark.sources.bindings import (
+        Binding,
+        BindingRegistry,
+    )
+
+    tmp = tempfile.mkdtemp(prefix="ym_bind_")
+    try:
+        df = spark.createDataFrame([(1, "a"), (2, "b")], "id long, v string")
+        # two inserts -> two files, ClickHouse file-per-insert naming
+        csvgz.insert_csv(df, tmp, "hits")
+        csvgz.insert_csv(df, tmp, "hits")
+        schema = T.StructType(
+            [T.StructField("id", T.LongType()), T.StructField("v", T.StringType())]
+        )
+        reg = BindingRegistry(spark)
+        reg.register(Binding("metrica-hits-s3", f"{tmp}/hits*.csv.gz", "csv_with_names", schema))
+        # query by name, exactly like YQ (README.md:200-216)
+        out = spark.sql(
+            "SELECT count(1) AS n, count(distinct _file) AS files FROM metrica_hits_s3"
+        ).collect()[0]
+        assert (out["n"], out["files"]) == (4, 2)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+# --------------------------------------------------------------------------
+# Remaining ch scalar semantics (F5/F6/F7, uniq, safe_div)
+# --------------------------------------------------------------------------
+def test_is_finite_and_safe_div(spark):
+    df = spark.createDataFrame(
+        [Row(x=1.0, d=0.0), Row(x=float("inf"), d=2.0), Row(x=float("nan"), d=4.0)]
+    )
+    rows = df.select(
+        ch.is_finite("x").alias("fin"),
+        ch.safe_div(F.lit(1.0), F.col("d")).alias("sd"),
+    ).collect()
+    assert [r["fin"] for r in rows] == [True, False, False]
+    assert rows[0]["sd"] is None  # x/0 guarded to null so aggregates stay finite
+    assert rows[1]["sd"] == 0.5
+
+
+def test_uniq_exact_vs_approx(spark):
+    df = spark.range(5000).select((F.col("id") % 1000).alias("k"))
+    row = df.agg(
+        ch.uniq_exact("k").alias("exact"), ch.uniq("k").alias("approx")
+    ).collect()[0]
+    assert row["exact"] == 1000
+    assert abs(row["approx"] - 1000) / 1000 < 0.15
+
+
+def test_fingerprint_rolling_matches_python(spark):
+    from yc_data_transfer_clickhouse_from_yandex_metrica_spark.operators import text as tx
+
+    toks = ["hello", "world", "abc"]
+    h = 0
+    for t_ in toks:
+        h = (h * 31 + ord(t_[0]) * 131 + len(t_)) % 1_000_000_007
+    df = spark.createDataFrame([Row(text="Hello, World! abc")])
+    got = df.select(
+        tx.fingerprint_rolling(tx.tokens("text")).alias("fp")
+    ).collect()[0]["fp"]
+    assert got == h
+
+
+# --------------------------------------------------------------------------
 # Reconciliation (SURVEY.md section 5 item 1)
 # --------------------------------------------------------------------------
 def test_reconcile_detects_value_drift(spark):
