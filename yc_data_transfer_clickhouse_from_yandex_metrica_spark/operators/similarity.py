@@ -128,9 +128,11 @@ def signlsh_pairs(
     1-(1-(1-theta/pi)^nplanes)^ntables for merely-close pairs.
     """
     base = vectors.select(F.col(id_col).alias("id"), as_double(vec_col).alias("v"))
+    # banded rows carry ONLY (id, tbl, sig): the bucket self-join
+    # shuffles 20 bytes/row; vectors are attached per side AFTER the
+    # candidate pairs exist (|candidates| << |vectors| x ntables)
     sigs = base.select(
         "id",
-        "v",
         F.explode(
             F.array(
                 *[
@@ -142,7 +144,7 @@ def signlsh_pairs(
                 ]
             )
         ).alias("s"),
-    ).select("id", "v", F.col("s.tbl").alias("tbl"), F.col("s.sig").alias("sig"))
+    ).select("id", F.col("s.tbl").alias("tbl"), F.col("s.sig").alias("sig"))
     a, b = sigs.alias("a"), sigs.alias("b")
     cands = (
         a.join(
@@ -151,16 +153,15 @@ def signlsh_pairs(
             & (F.col("a.sig") == F.col("b.sig"))
             & (F.col("a.id") < F.col("b.id")),
         )
-        .select(
-            F.col("a.id").alias("id_a"),
-            F.col("b.id").alias("id_b"),
-            F.col("a.v").alias("va"),
-            F.col("b.v").alias("vb"),
-        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .dropDuplicates(["id_a", "id_b"])
     )
+    va = base.select(F.col("id").alias("id_a"), F.col("v").alias("va"))
+    vb = base.select(F.col("id").alias("id_b"), F.col("v").alias("vb"))
     return (
-        cands.withColumn("cos", cosine(F.col("va"), F.col("vb")))
+        cands.join(va, "id_a")
+        .join(vb, "id_b")
+        .withColumn("cos", cosine(F.col("va"), F.col("vb")))
         .where(F.col("cos") >= F.lit(threshold))
         .select("id_a", "id_b", ch.round_to(F.col("cos"), 4).alias("cos"))
     )
