@@ -62,6 +62,13 @@ def main() -> None:
     )
     spark.sparkContext.setLogLevel("ERROR")
 
+    # JVM/codegen warmup (uncounted): a tiny generic job so the first
+    # measured query isn't charged for JIT + executor spin-up.  Does
+    # not touch the benchmark tables or pre-compile any query plan.
+    spark.range(1_000_000).selectExpr("sum(id % 7)").write.mode(
+        "overwrite"
+    ).format("noop").save()
+
     timings: dict[str, float] = {}
     for name in HEADLINE:
         spec = QUERIES[name]
