@@ -109,6 +109,57 @@ def test_collapsed_annihilation_matches_sign_algebra(spark):
     assert live_by_sign == {k for k, _, _ in out}
 
 
+def test_ledger_stream_to_sign_query_end_to_end(spark):
+    """M5+M1 integration: visits arrive as a sign ledger over the file
+    CDC stream into the weekly-partitioned warehouse; the reference's
+    query-time algebra (sum(Sign), A1) then counts live visits
+    correctly, including an update that crossed micro-batches."""
+    tmp = tempfile.mkdtemp(prefix="ym_e2e_")
+    src, dest, ckpt = f"{tmp}/src", f"{tmp}/dest", f"{tmp}/ckpt"
+    schema = "VisitID long, StartDate date, PageViews long, Sign int, VisitVersion int"
+    d1, d2 = date(2023, 10, 30), date(2023, 10, 31)
+    b1 = spark.createDataFrame(
+        [(1, d1, 3, 1, 1), (2, d1, 5, 1, 1), (3, d2, 7, 1, 1)], schema
+    )
+    # batch 2: visit 2 re-emitted with more pageviews (cancel + v2)
+    b2 = spark.createDataFrame(
+        [(2, d1, 5, -1, 1), (2, d1, 9, 1, 2)], schema
+    )
+
+    def run(batch_df, name):
+        import glob
+        import os
+
+        stage = f"{tmp}/stage_{name}"
+        batch_df.coalesce(1).write.parquet(stage)
+        os.makedirs(src, exist_ok=True)
+        for i, f in enumerate(sorted(glob.glob(f"{stage}/part-*.parquet"))):
+            shutil.move(f, f"{src}/{name}-{i}.parquet")
+        q = cdc.start_ledger_stream(
+            spark, src, batch_df.schema, dest, ckpt, date_col="StartDate"
+        )
+        assert q.awaitTermination(120)
+
+    try:
+        run(b1, "b1")
+        run(b2, "b2")
+        ledger = spark.read.parquet(dest)
+        daily = {
+            (r["StartDate"], r["visits"], r["pv"])
+            for r in ledger.groupBy("StartDate")
+            .agg(
+                collapse.sign_count().alias("visits"),
+                collapse.sign_sum("PageViews").alias("pv"),
+            )
+            .collect()
+        }
+        assert daily == {(d1, 2, 12), (d2, 1, 7)}  # visit 2 counted once, pv=9
+        # the weekly partition column landed for pruning
+        assert "_week" in ledger.columns
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 def test_streaming_collapse_matches_batch(spark):
     """foreachBatch collapse materialization == batch collapsed()."""
     tmp = tempfile.mkdtemp(prefix="ym_cdc_")
@@ -405,6 +456,54 @@ def test_fingerprint_rolling_matches_python(spark):
         tx.fingerprint_rolling(tx.tokens("text")).alias("fp")
     ).collect()[0]["fp"]
     assert got == h
+
+
+# --------------------------------------------------------------------------
+# Skew mitigation (salting)
+# --------------------------------------------------------------------------
+def test_salted_agg_matches_plain(spark):
+    from yc_data_transfer_clickhouse_from_yandex_metrica_spark.operators import skew
+
+    # one hot key holding 90% of rows
+    df = spark.range(2000).select(
+        F.when(F.col("id") < 1800, F.lit("hot")).otherwise(
+            F.concat(F.lit("k"), F.col("id"))
+        ).alias("k"),
+        (F.col("id") % 7).alias("v"),
+    )
+    got = {
+        (r["k"], r["s"], r["n"])
+        for r in skew.salted_agg(
+            df, ["k"], {"s": F.sum("v"), "n": F.count(F.lit(1))}, nsalt=8
+        ).collect()
+    }
+    want = {
+        (r["k"], r["s"], r["n"])
+        for r in df.groupBy("k")
+        .agg(F.sum("v").alias("s"), F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert got == want
+
+
+def test_salted_join_matches_plain(spark):
+    from yc_data_transfer_clickhouse_from_yandex_metrica_spark.operators import skew
+
+    fact = spark.range(3000).select(
+        F.when(F.col("id") < 2500, F.lit(1)).otherwise(F.col("id") % 50).alias("k"),
+        F.col("id").alias("rid"),
+    )
+    dim = spark.range(50).select(
+        F.col("id").alias("k"), F.concat(F.lit("d"), F.col("id")).alias("label")
+    )
+    got = sorted(
+        (r["rid"], r["label"])
+        for r in skew.salted_join(fact, dim, ["k"], nsalt=8).collect()
+    )
+    want = sorted(
+        (r["rid"], r["label"]) for r in fact.join(dim, "k").collect()
+    )
+    assert got == want and len(got) == 3000
 
 
 # --------------------------------------------------------------------------
