@@ -135,19 +135,24 @@ def ngram_jaccard_pairs(
     (drop shingles with document frequency above a cap) before the
     self-join; the cap is exposed as ``max_df``.
     """
+    # each index row carries its doc's distinct-shingle count (nsh, a
+    # small int riding the 16-byte shuffle row): after the bucket join
+    # aggregates |common|, both set sizes are already present as
+    # first(nsh) -- no size-attach joins, one shuffle fewer
     per_doc = _shingle_sets(_shingle_index(df, id_col, text_col, k))
-    sizes = per_doc.select("id", F.size("shset").alias("nsh"))
-    idx = per_doc.select("id", F.explode("shset").alias("sh"))
+    idx = per_doc.select(
+        "id", F.size("shset").alias("nsh"), F.explode("shset").alias("sh")
+    )
     a = idx.alias("a")
     b = idx.alias("b")
-    common = (
+    return (
         a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.id") < F.col("b.id")))
         .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
-        .agg(F.count("*").alias("common"))
-    )
-    return (
-        common.join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("nsh", "nsh_a"), "id_a")
-        .join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("nsh", "nsh_b"), "id_b")
+        .agg(
+            F.count("*").alias("common"),
+            F.first(F.col("a.nsh")).alias("nsh_a"),
+            F.first(F.col("b.nsh")).alias("nsh_b"),
+        )
         .withColumn(
             "jaccard",
             F.col("common").cast("double")
