@@ -31,6 +31,7 @@ CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
 HEADLINE = [
     "visits_by_day",
     "traffic_sources",
+    "metrica_traffic_chart",
     "last_significant_source",
     "sum_array_orders",
     "scd2_enrich",

@@ -997,6 +997,102 @@ GROUP BY n_name ORDER BY revenue DESC
 
 
 # =========================================================================
+# 27. metrica_traffic_chart -- the «Источники трафика» chart
+#     (README.md:96-119) run VERBATIM through queries.metrica on a
+#     visits frame in the real VISITS_SCHEMA shape (array-of-struct
+#     nested groups), synthesized deterministically from events.
+#     Exercises the full chart formula stack: F1+F2 composite, sign
+#     algebra A1/A2, uniqExact A4, least A5, sumArray-over-arrayMap A7
+#     with F4/F5/F6/F7, 3-way-OR HAVING A10, O2/O4.
+# =========================================================================
+def _metrica_visits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .. import schemas
+
+    ev = t(spark, sf_dir, "events")
+    return ev.select(
+        F.lit(1).cast("long").alias("CounterID"),
+        F.col("ts").cast("date").alias("StartDate"),
+        F.col("user_id").alias("CounterUserIDHash"),
+        F.col("event_id").alias("VisitID"),
+        _sign().cast("byte").alias("Sign"),
+        F.lit(1).alias("VisitVersion"),
+        F.floor(F.col("value") * 10).alias("Duration"),
+        (F.floor(F.col("event_id") / 2) % 2).cast("short").alias("IsBounce"),
+        ((F.col("event_id") % 5) + 1).cast("int").alias("PageViews"),
+        F.array(
+            F.struct(
+                F.lit(1).cast("byte").alias("ID"),
+                (F.lit(1) + F.col("event_id") % 2).cast("short").alias("Model"),
+                F.col("event_type").alias("UTMSource"),
+                F.lit("").alias("UTMMedium"),
+                F.lit("").alias("UTMCampaign"),
+            )
+        ).alias("TrafficSource"),
+        F.when(
+            F.col("event_id") % 4 == 0,
+            F.array(
+                F.struct(
+                    F.lit("p").alias("ID"), F.lit(0).cast("long").alias("Revenue")
+                )
+            ),
+        )
+        .otherwise(F.array().cast(schemas.EPURCHASE))
+        .alias("EPurchase"),
+        F.array().cast(schemas.PARSED_PARAMS).alias("ParsedParams"),
+    )
+
+
+def q_metrica_traffic_chart(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from . import metrica
+
+    _prep(spark)
+    visits = _metrica_visits(spark, sf_dir)
+    out = metrica.traffic_sources(visits, "2024-01-01", "2025-12-31", limit=50)
+    return out.select(
+        "`ym:s:lastSignUTMSource`",
+        "`ym:s:visits`",
+        "`ym:s:users`",
+        ch.round_to(F.col("`ym:s:bounceRate`"), 4).alias("ym:s:bounceRate"),
+        ch.round_to(F.col("`ym:s:pageDepth`"), 4).alias("ym:s:pageDepth"),
+        ch.round_to(F.col("`ym:s:avgVisitDurationSeconds`"), 4).alias(
+            "ym:s:avgVisitDurationSeconds"
+        ),
+        "`ym:s:ecommercePurchases`",
+    )
+
+
+_ORACLE_METRICA_TRAFFIC = f"""
+WITH v AS (
+  SELECT event_id, user_id,
+         {_SIGN_SQL} AS sign,
+         CASE WHEN event_id % 2 = 1 THEN event_type ELSE '' END AS src,
+         (event_id // 2) % 2 AS isb,
+         (event_id % 5) + 1 AS pv,
+         CAST(floor(value * 10) AS BIGINT) AS dur,
+         CASE WHEN event_id % 4 = 0 THEN 1 ELSE 0 END AS purch
+  FROM events
+  WHERE CAST(ts AS DATE) BETWEEN DATE '2024-01-01' AND DATE '2025-12-31'
+)
+SELECT src AS "ym:s:lastSignUTMSource",
+       CAST(sum(sign) AS BIGINT) AS "ym:s:visits",
+       CAST(least(count(DISTINCT user_id), sum(sign)) AS BIGINT) AS "ym:s:users",
+       floor(((100.0 * sum(isb * sign)) / sum(sign)) * 10000.0 + 0.5) / 10000.0
+         AS "ym:s:bounceRate",
+       floor((CAST(sum(pv * sign) AS DOUBLE) / sum(sign)) * 10000.0 + 0.5) / 10000.0
+         AS "ym:s:pageDepth",
+       floor((CAST(sum(dur * sign) AS DOUBLE) / sum(sign)) * 10000.0 + 0.5) / 10000.0
+         AS "ym:s:avgVisitDurationSeconds",
+       CAST(sum(purch * sign) AS BIGINT) AS "ym:s:ecommercePurchases"
+FROM v WHERE src != ''
+GROUP BY src
+HAVING sum(sign) > 0
+    OR least(count(DISTINCT user_id), sum(sign)) > 0
+    OR sum(purch * sign) > 0
+ORDER BY 2 DESC, 1 ASC LIMIT 50
+"""
+
+
+# =========================================================================
 # registry
 # =========================================================================
 QUERIES: dict[str, QuerySpec] = {
@@ -1026,6 +1122,11 @@ QUERIES: dict[str, QuerySpec] = {
     "cdc_collapse": QuerySpec(q_cdc_collapse, _ORACLE_CDC_COLLAPSE, "A1 A11 ST3"),
     "pricing_summary": QuerySpec(q_pricing_summary, _ORACLE_PRICING, "A8 P5 agg-bench"),
     "regional_revenue": QuerySpec(q_regional_revenue, _ORACLE_REGIONAL, "J1 A8 multi-join-bench"),
+    "metrica_traffic_chart": QuerySpec(
+        q_metrica_traffic_chart,
+        _ORACLE_METRICA_TRAFFIC,
+        "B1 B2 F1 F2 F4 F5 F6 F7 A1 A2 A4 A5 A7 A10 O2 O4 (real VISITS_SCHEMA)",
+    ),
 }
 
 
