@@ -50,6 +50,33 @@ def token_count(text: Column | str) -> Column:
     return F.size(tokens(text)).cast("long")
 
 
+# GPT2-style pre-tokenizer shape: contractions, letter runs, digit
+# runs, non-space symbol runs, then whitespace.  No \p classes so the
+# identical pattern runs in Spark (Java regex) and DuckDB (RE2).
+_BPE_PIECE = "'(?:s|t|re|ve|m|ll|d)|[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]+"
+
+
+def bpe_token_estimate(text: Column | str) -> Column:
+    """LLM-tokenizer-shaped token count (BPE-ish): count pre-tokenizer
+    pieces, then charge one extra token per 8 characters of piece
+    length beyond the first 8 (long words split into subwords).  A
+    deterministic, pure-regexp estimator of training-token cost --
+    the unit data budgets are denominated in; NOT a real BPE encode
+    (no vocab in this container; swap in tiktoken via mapInPandas for
+    exact counts, batch shape stays).
+    """
+    c = F.col(text) if isinstance(text, str) else text
+    pieces = F.regexp_count(c, F.lit(_BPE_PIECE))
+    # long-piece surcharge: ceil(len/8)-1 summed over pieces equals
+    # (total piece chars + continuation) approximated via total
+    # alnum-run length: use length of text stripped of whitespace
+    dense_len = F.length(F.regexp_replace(c, "\\s+", ""))
+    surcharge = F.greatest(
+        F.floor((dense_len - pieces * F.lit(4)) / F.lit(8)), F.lit(0)
+    )
+    return (pieces + surcharge).cast("long")
+
+
 def stopword_ratio(toks: Column, lang: str = "en") -> Column:
     """Fraction of tokens that are stopwords of ``lang``."""
     stops = STOPWORDS[lang]
@@ -147,6 +174,7 @@ def text_stats(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") ->
     return df.select(
         F.col(id_col),
         token_count(text_col).alias("n_tokens"),
+        bpe_token_estimate(text_col).alias("n_tokens_bpe"),
         ch.round_to(F.coalesce(stopword_ratio(t), F.lit(0.0)), 4).alias("stop_ratio"),
         ch.round_to(F.coalesce(mean_token_len(t), F.lit(0.0)), 4).alias("mean_tok_len"),
         ch.round_to(F.coalesce(alnum_ratio(text_col), F.lit(0.0)), 4).alias("alnum_ratio"),

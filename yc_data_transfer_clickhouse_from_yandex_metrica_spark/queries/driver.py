@@ -748,13 +748,17 @@ m AS (
   FROM base
 ),
 s AS (
-  SELECT doc_id, tk, n_tokens,
+  SELECT doc_id, text, tk, n_tokens,
     coalesce(sr_en, 0.0) AS sr_en, coalesce(sr_de, 0.0) AS sr_de,
     coalesce(sr_fr, 0.0) AS sr_fr, coalesce(sr_ru, 0.0) AS sr_ru,
     coalesce(mlen, 0.0) AS mlen, coalesce(alnum, 0.0) AS alnum
   FROM m
 )
 SELECT doc_id, n_tokens,
+  CAST(len(regexp_extract_all(text, '''(?:s|t|re|ve|m|ll|d)|[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]+'))
+       + greatest(floor((length(regexp_replace(text, '\\s+', '', 'g'))
+           - len(regexp_extract_all(text, '''(?:s|t|re|ve|m|ll|d)|[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]+')) * 4) / 8.0), 0)
+       AS BIGINT) AS n_tokens_bpe,
   floor((sr_en) * 10000.0 + 0.5) / 10000.0 AS stop_ratio,
   floor((mlen) * 10000.0 + 0.5) / 10000.0 AS mean_tok_len,
   floor((alnum) * 10000.0 + 0.5) / 10000.0 AS alnum_ratio,
@@ -1093,6 +1097,63 @@ ORDER BY 2 DESC, 1 ASC LIMIT 50
 
 
 # =========================================================================
+# 28. metrica_visits_chart -- the «Посещаемость» chart (README.md:75-86)
+#     through queries.metrica on a versioned sign ledger: date filter +
+#     sum(Sign) + WITH TOTALS + HAVING + ORDER BY + LIMIT 0,10.  Each
+#     user's event history becomes visit versions, so the cancel pairs
+#     must net out day-by-day for the chart to be right.
+# =========================================================================
+def q_metrica_visits_chart(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from . import metrica
+
+    _prep(spark)
+    ev = t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    versioned = ev.select(
+        F.col("user_id").alias("VisitID"),
+        F.col("ts").cast("date").alias("StartDate"),
+        F.row_number().over(w).alias("VisitVersion"),
+    )
+    states = versioned.withColumn("Sign", F.lit(1))
+    wmax = Window.partitionBy("VisitID")
+    cancels = (
+        versioned.withColumn("maxv", F.max("VisitVersion").over(wmax))
+        .where(F.col("VisitVersion") < F.col("maxv"))
+        .drop("maxv")
+        .withColumn("Sign", F.lit(-1))
+    )
+    ledger = states.unionByName(cancels)
+    return metrica.visits_by_day(ledger, "2024-01-01", "2025-12-31", limit=10)
+
+
+_ORACLE_METRICA_VISITS = """
+WITH ev AS (
+  SELECT CAST(ts AS DATE) AS day,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS ver,
+         count(*) OVER (PARTITION BY user_id) AS maxv
+  FROM events
+),
+ledger AS (
+  SELECT day, 1 AS sign FROM ev
+  UNION ALL
+  SELECT day, -1 AS sign FROM ev WHERE ver < maxv
+),
+in_range AS (
+  SELECT * FROM ledger WHERE day BETWEEN DATE '2024-01-01' AND DATE '2025-12-31'
+),
+-- group rows keep zero-netting days: HAVING sum(Sign) >= 0.0 passes 0,
+-- exactly as ClickHouse GROUP BY over the un-collapsed table does
+detail AS (
+  SELECT day AS "ym:s:date", CAST(sum(sign) AS BIGINT) AS "ym:s:visits"
+  FROM in_range GROUP BY day HAVING sum(sign) >= 0.0 ORDER BY day ASC LIMIT 10
+)
+SELECT * FROM detail
+UNION ALL
+SELECT NULL, CAST(sum(sign) AS BIGINT) FROM in_range
+"""
+
+
+# =========================================================================
 # registry
 # =========================================================================
 QUERIES: dict[str, QuerySpec] = {
@@ -1126,6 +1187,11 @@ QUERIES: dict[str, QuerySpec] = {
         q_metrica_traffic_chart,
         _ORACLE_METRICA_TRAFFIC,
         "B1 B2 F1 F2 F4 F5 F6 F7 A1 A2 A4 A5 A7 A10 O2 O4 (real VISITS_SCHEMA)",
+    ),
+    "metrica_visits_chart": QuerySpec(
+        q_metrica_visits_chart,
+        _ORACLE_METRICA_VISITS,
+        "B1 B2 A1 A9 A10 A11 P4 P8 O1 O4 ST3 (real ledger + TOTALS)",
     ),
 }
 
