@@ -364,6 +364,37 @@ def test_dedup_exact_keeps_min_id(spark):
 
 
 # --------------------------------------------------------------------------
+# ANN quality: IVF recall against the exact baseline
+# --------------------------------------------------------------------------
+def test_ivf_recall_against_brute(spark):
+    from yc_data_transfer_clickhouse_from_yandex_metrica_spark.operators import similarity
+
+    from conftest import SF_SMOKE
+
+    vecs = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
+    qs = vecs.limit(5).selectExpr("vec_id AS query_id", "embedding")
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in similarity.brute_topk(vecs, qs, k=10).collect()
+    }
+    approx = {
+        (r["query_id"], r["neighbor_id"])
+        for r in similarity.ivf_topk(vecs, qs, k=10, nlist=8, nprobe=4).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.5, f"IVF recall {recall:.2f} too low vs brute"
+    # every IVF hit must carry the TRUE cosine (verify step is exact)
+    exact_cos = {
+        (r["query_id"], r["neighbor_id"]): r["cos"]
+        for r in similarity.brute_topk(vecs, qs, k=10).collect()
+    }
+    for r in similarity.ivf_topk(vecs, qs, k=10, nlist=8, nprobe=4).collect():
+        key = (r["query_id"], r["neighbor_id"])
+        if key in exact_cos:
+            assert abs(r["cos"] - exact_cos[key]) < 1e-9
+
+
+# --------------------------------------------------------------------------
 # Multimodal plumbing (Arrow batch stage + frame sampling)
 # --------------------------------------------------------------------------
 def test_image_features_match_stub(spark):
