@@ -354,6 +354,26 @@ def test_minhash_recall_equals_exact_jaccard(spark):
     assert exact and lsh == exact
 
 
+def test_connected_components_chain_and_singletons(spark):
+    """A 5-node chain (diameter 4 -- worst case for label propagation),
+    a separate pair, and docs in no pair at all."""
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5), (10, 11)], "id_a long, id_b long"
+    )
+    comps = {
+        (r["id"], r["comp"])
+        for r in dedup.connected_components(pairs).collect()
+    }
+    assert comps == {(1, 1), (2, 1), (3, 1), (4, 1), (5, 1), (10, 10), (11, 10)}
+    docs = spark.createDataFrame([(i,) for i in [1, 2, 3, 4, 5, 10, 11, 99]], "doc_id long")
+    clusters = {
+        (r["doc_id"], r["component"], r["is_canonical"])
+        for r in dedup.dedup_clusters(docs, pairs).collect()
+    }
+    assert (99, 99, True) in clusters  # singleton: own canonical
+    assert (5, 1, False) in clusters and (1, 1, True) in clusters
+
+
 def test_dedup_exact_keeps_min_id(spark):
     df = spark.createDataFrame(
         [Row(doc_id=5, text="same"), Row(doc_id=2, text="same"),

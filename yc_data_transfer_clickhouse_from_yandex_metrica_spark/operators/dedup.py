@@ -259,6 +259,92 @@ def minhash_lsh_pairs(
 
 
 # --------------------------------------------------------------------------
+# Connected components over near-dup pairs -> dedup clusters
+# --------------------------------------------------------------------------
+def connected_components(
+    pairs: DataFrame,
+    a_col: str = "id_a",
+    b_col: str = "id_b",
+    max_iter: int = 20,
+) -> DataFrame:
+    """(id, component) for every id appearing in ``pairs``; component =
+    min id reachable through the pair graph.
+
+    Iterative min-label propagation: each round every node adopts the
+    smallest label among itself and its neighbours; converges in
+    graph-diameter rounds.  Near-dup clusters from LSH mining are
+    near-cliques (diameter ~2-3), so this beats the log-round
+    large-star/small-star contraction in practice while staying three
+    DataFrame ops per round.  Each round is one shuffle join on id;
+    ``localCheckpoint`` cuts lineage so plans stay constant-size, and
+    the loop exits early on the first round with zero label changes
+    (driver sees only the change COUNT, never the data).
+    """
+    edges = (
+        pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
+        .unionAll(pairs.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    labels = (
+        edges.select(F.col("src").alias("id"))
+        .distinct()
+        .withColumn("comp", F.col("id"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iter):
+        # smallest neighbour label per node
+        nbr_min = (
+            edges.join(labels.withColumnRenamed("id", "dst"), "dst")
+            .groupBy(F.col("src").alias("id"))
+            .agg(F.min("comp").alias("nbr_comp"))
+        )
+        new_labels = (
+            labels.join(nbr_min, "id", "left")
+            .select(
+                "id",
+                F.least(
+                    F.col("comp"), F.coalesce(F.col("nbr_comp"), F.col("comp"))
+                ).alias("comp"),
+                (F.coalesce(F.col("nbr_comp"), F.col("comp")) < F.col("comp")).alias(
+                    "__changed"
+                ),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = new_labels.where(F.col("__changed")).limit(1).count()
+        labels = new_labels.drop("__changed")
+        if changed == 0:
+            break
+    return labels
+
+
+def dedup_clusters(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Cluster assignment for every document: (id, component, is_canonical).
+
+    Documents in no pair form singleton clusters (component = own id).
+    The canonical survivor of each cluster is its min id -- the same
+    keep-smallest rule as dedup_exact, so exact and near dedup compose.
+    """
+    comps = connected_components(pairs)
+    return (
+        df.select(F.col(id_col).alias("id"))
+        .join(comps, "id", "left")
+        .select(
+            F.col("id").alias(id_col),
+            F.coalesce(F.col("comp"), F.col("id")).alias("component"),
+            (F.coalesce(F.col("comp"), F.col("id")) == F.col("id")).alias(
+                "is_canonical"
+            ),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
 # SimHash
 # --------------------------------------------------------------------------
 def simhash_hashes(

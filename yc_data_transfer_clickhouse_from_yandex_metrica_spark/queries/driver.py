@@ -1001,6 +1001,38 @@ GROUP BY n_name ORDER BY revenue DESC
 
 
 # =========================================================================
+# 26b. dedup_clusters -- near-dup pair mining composed with connected
+#      components: every doc gets (component, is_canonical), the form a
+#      training-data pipeline actually consumes.  Oracle = recursive
+#      transitive closure in DuckDB over the same exact-Jaccard pairs.
+# =========================================================================
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _prep(spark)
+    docs = _docs_with_dups(spark, sf_dir)
+    pairs = dedup.ngram_jaccard_pairs(docs, "doc_id", "text", k=3, threshold=0.6)
+    return dedup.dedup_clusters(docs, pairs, "doc_id")
+
+
+_ORACLE_DEDUP_CLUSTERS = f"""
+WITH RECURSIVE {_DOCS_DUP_SQL},
+{_SHINGLES_SQL},
+{_JACCARD_PAIRS_SQL},
+p AS (SELECT id_a, id_b FROM pairs WHERE j >= 0.6),
+und AS (SELECT id_a AS a, id_b AS b FROM p UNION SELECT id_b, id_a FROM p),
+reach(a, b) AS (
+  SELECT a, b FROM und
+  UNION
+  SELECT r.a, u.b FROM reach r JOIN und u ON r.b = u.a
+),
+comp AS (SELECT a AS id, least(a, min(b)) AS component FROM reach GROUP BY a)
+SELECT d.doc_id,
+       coalesce(c.component, d.doc_id) AS component,
+       coalesce(c.component, d.doc_id) = d.doc_id AS is_canonical
+FROM docs d LEFT JOIN comp c ON c.id = d.doc_id
+"""
+
+
+# =========================================================================
 # 27. metrica_traffic_chart -- the «Источники трафика» chart
 #     (README.md:96-119) run VERBATIM through queries.metrica on a
 #     visits frame in the real VISITS_SCHEMA shape (array-of-struct
@@ -1173,6 +1205,7 @@ QUERIES: dict[str, QuerySpec] = {
     "dedup_ngram_jaccard": QuerySpec(q_dedup_ngram, _ORACLE_DEDUP_NGRAM, "dedup/ngram-jaccard"),
     "dedup_minhash_lsh": QuerySpec(q_dedup_minhash, _ORACLE_DEDUP_MINHASH, "dedup/minhash-lsh"),
     "dedup_simhash": QuerySpec(q_dedup_simhash, None, "dedup/simhash (hash-dependent: rows-only)"),
+    "dedup_clusters": QuerySpec(q_dedup_clusters, _ORACLE_DEDUP_CLUSTERS, "dedup/connected-components"),
     "dedup_embedding": QuerySpec(q_dedup_embedding, _ORACLE_DEDUP_EMBEDDING, "dedup/embedding-cosine"),
     "ann_brute_topk": QuerySpec(q_ann_brute, _ORACLE_ANN_BRUTE, "similarity/brute-cosine-topk"),
     "ann_ivf_topk": QuerySpec(q_ann_ivf, None, "similarity/ivf (approximate: rows-only)"),
