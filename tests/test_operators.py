@@ -314,6 +314,49 @@ def test_filter_pushdown_reaches_scan(spark):
 # --------------------------------------------------------------------------
 # Sampling determinism (SURVEY.md section 1.3 SAMPLE BY)
 # --------------------------------------------------------------------------
+def test_stratified_sample_consistent_and_monotone(spark):
+    df = spark.range(3000).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") % 3 == 0, "hi").when(F.col("id") % 3 == 1, "mid").otherwise("lo").alias("q"),
+    )
+    low = sampling.stratified_sample(df, "doc_id", "q", {"hi": 1.0, "mid": 0.1})
+    high = sampling.stratified_sample(df, "doc_id", "q", {"hi": 1.0, "mid": 0.5})
+    low_ids = {r["doc_id"] for r in low.collect()}
+    high_ids = {r["doc_id"] for r in high.collect()}
+    # all hi kept, lo dropped entirely
+    assert all(i % 3 != 2 for i in low_ids)
+    assert {i for i in range(0, 3000, 3)} <= low_ids
+    # determinism + monotone composition: the 10% set nests in the 50% set
+    assert low_ids <= high_ids
+    assert low_ids == {r["doc_id"] for r in low.collect()}
+    # mid rate lands near 10%
+    mid_kept = sum(1 for i in low_ids if i % 3 == 1)
+    assert 40 <= mid_kept <= 160  # 1000 mids, ~100 expected
+
+
+def test_contamination_detects_excerpt(spark):
+    base = ("alpha beta gamma delta epsilon zeta eta theta iota kappa "
+            "lam mu nu xi omicron pi rho sigma tau upsilon")
+    train = spark.createDataFrame(
+        [Row(doc_id=1, text=base), Row(doc_id=2, text="totally different words here entirely")]
+    )
+    bench = spark.createDataFrame(
+        [Row(doc_id=100, text="gamma delta epsilon zeta eta"),  # excerpt of 1
+         Row(doc_id=101, text="unrelated benchmark question text")]
+    )
+    got = {(r["bench_id"], r["train_id"], r["overlap"])
+           for r in dedup.contamination(train, bench).collect()}
+    assert got == {(100, 1, 1.0)}  # fully contained; 101 clean
+
+
+def test_audio_fingerprint_stub(spark):
+    df = spark.createDataFrame([Row(doc_id=1, text="abcdefgh" * 10)])
+    media = multimodal.media_from_text(df, "doc_id", "text", kind="audio")
+    r = multimodal.fingerprint_audio(media).collect()[0]
+    n, dur, fp = multimodal._fingerprint_audio_stub(b"abcdefgh" * 10)
+    assert (r["n_bytes"], r["duration_ms"], list(r["fingerprint"])) == (n, dur, fp)
+
+
 def test_sample_mod_deterministic_and_partitioning(spark):
     df = spark.range(1000).withColumn("h", F.col("id") * 2654435761)
     a = sorted(r["id"] for r in sampling.sample_mod(df, "h", 10).collect())

@@ -259,6 +259,62 @@ def minhash_lsh_pairs(
 
 
 # --------------------------------------------------------------------------
+# Cross-table contamination check (train vs benchmark n-gram overlap)
+# --------------------------------------------------------------------------
+def contamination(
+    train: DataFrame,
+    bench: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    min_overlap: float = 0.5,
+) -> DataFrame:
+    """Benchmark documents contaminated by the training set: for each
+    bench doc, the max fraction of its k-gram shingles found in any
+    single train doc, reported when >= min_overlap.
+
+    Asymmetric by design (overlap is normalized by the BENCH doc's
+    shingle count -- a benchmark question fully contained in a long
+    training doc scores 1.0).  Same inverted-index join discipline as
+    ngram_jaccard_pairs: cost bounded by shingle-bucket sizes, both
+    sides shuffled as 8-byte hashes.  Returns (bench_id, train_id,
+    overlap) for the argmax train doc, ties broken by min train id.
+    """
+    t_idx = _shingle_sets(_shingle_index(train, id_col, text_col, k)).select(
+        F.col("id").alias("tid"), F.explode("shset").alias("sh")
+    )
+    b_per_doc = _shingle_sets(_shingle_index(bench, id_col, text_col, k))
+    b_idx = b_per_doc.select(
+        F.col("id").alias("bid"),
+        F.size("shset").alias("bn"),
+        F.explode("shset").alias("sh"),
+    )
+    overlaps = (
+        b_idx.join(t_idx, "sh")
+        .groupBy("bid", "tid")
+        .agg(
+            F.count("*").alias("common"), F.first("bn").alias("bn")
+        )
+        .withColumn(
+            "overlap", F.col("common").cast("double") / F.col("bn").cast("double")
+        )
+        .where(F.col("overlap") >= F.lit(min_overlap))
+    )
+    w = Window.partitionBy("bid").orderBy(
+        F.col("overlap").desc(), F.col("tid").asc()
+    )
+    return (
+        overlaps.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .select(
+            F.col("bid").alias("bench_id"),
+            F.col("tid").alias("train_id"),
+            ch.round_to(F.col("overlap"), 4).alias("overlap"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
 # Connected components over near-dup pairs -> dedup clusters
 # --------------------------------------------------------------------------
 def connected_components(

@@ -111,6 +111,53 @@ def extract_image_features(media: DataFrame) -> DataFrame:
     )
 
 
+AUDIO_FEATURES_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("n_bytes", T.LongType(), True),
+        T.StructField("duration_ms", T.LongType(), True),
+        T.StructField("fingerprint", T.ArrayType(T.LongType()), True),
+    ]
+)
+
+
+def _fingerprint_audio_stub(payload: bytes | None) -> tuple[int, int, list[int]]:
+    """STUB audio fingerprinter: deterministic fake of (n_bytes,
+    duration_ms, 4-gram chroma-like fingerprint).  A real one would
+    decode via ffmpeg/librosa and emit a chromaprint; neither library
+    ships in this container, so the fake derives a stable fingerprint
+    from byte chunks -- the plumbing (batch shape, array column out)
+    is what's under test.
+    """
+    if not payload:
+        return 0, 0, []
+    n = len(payload)
+    duration_ms = n * 8  # pretend 1 byte ~ 8ms of audio
+    fp = [sum(payload[i : i + 16]) % 997 for i in range(0, min(n, 64), 16)]
+    return n, duration_ms, fp
+
+
+def fingerprint_audio(media: DataFrame) -> DataFrame:
+    """Arrow-batched audio fingerprinting over binary payloads
+    (mapInPandas, same contract as extract_image_features)."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            feats = pdf["payload"].map(_fingerprint_audio_stub)
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "n_bytes": feats.map(lambda f: f[0]).astype("int64"),
+                    "duration_ms": feats.map(lambda f: f[1]).astype("int64"),
+                    "fingerprint": feats.map(lambda f: f[2]),
+                }
+            )
+
+    return media.select("media_id", "payload").mapInPandas(
+        batches, schema=AUDIO_FEATURES_SCHEMA
+    )
+
+
 def sample_video_frames(media: DataFrame, every_n_bytes: int = 1000) -> DataFrame:
     """STUB frame sampler: emits (media_id, frame_idx, offset) rows as a
     real ffmpeg-backed sampler would; offsets are deterministic from

@@ -39,3 +39,32 @@ def sample_hash(df: DataFrame, col: str, k: int, bucket: int = 0, seed: int = 0)
 def sample_expr(col: str, k: int, bucket: int = 0) -> Column:
     """The pushdown-able predicate itself (for composing into scans)."""
     return F.pmod(F.col(col), F.lit(k)) == F.lit(bucket)
+
+
+def stratified_sample(
+    df: DataFrame,
+    key_col: str,
+    stratum_col: str,
+    rates: dict,
+    denominator: int = 10_000,
+) -> DataFrame:
+    """Deterministic per-stratum sampling -- the data-mixing primitive
+    (e.g. keep 100% of high-quality docs, 10% of medium, 1% of low).
+
+    ``rates`` maps stratum value -> keep fraction; strata absent from
+    the map are dropped.  Membership is decided by
+    ``pmod(xxhash64(key), denominator) < rate * denominator``: the
+    SAME key gets a consistent verdict across tables and runs (the
+    ClickHouse SAMPLE-BY property), sampling composes monotonically
+    (raising a rate only ADDS rows -- the kept set at 1% is a subset
+    of the kept set at 10%), and the filter is a pure scan predicate:
+    no shuffle, no rand(), safe under task retries.
+    """
+    bucket = F.pmod(F.xxhash64(F.col(key_col)), F.lit(denominator))
+    verdict = F.lit(False)
+    for stratum, rate in rates.items():
+        thresh = int(round(rate * denominator))
+        verdict = verdict | (
+            (F.col(stratum_col) == F.lit(stratum)) & (bucket < F.lit(thresh))
+        )
+    return df.where(verdict)

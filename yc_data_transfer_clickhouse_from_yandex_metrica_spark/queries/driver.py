@@ -1001,6 +1001,72 @@ GROUP BY n_name ORDER BY revenue DESC
 
 
 # =========================================================================
+# 26a. contamination -- benchmark-vs-train n-gram overlap: bench docs
+#      whose shingles are mostly contained in some train doc.  Train =
+#      documents; bench = synthesized excerpts (first 120 chars of
+#      every 7th doc, so containment is by construction) + clean docs.
+# =========================================================================
+def q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _prep(spark)
+    train = t(spark, sf_dir, "documents").select("doc_id", "text")
+    bench = train.where(F.col("doc_id") % 7 == 0).select(
+        (F.col("doc_id") + 500000).alias("doc_id"),
+        F.substring("text", 1, 120).alias("text"),
+    )
+    return dedup.contamination(
+        train, bench, "doc_id", "text", k=3, min_overlap=0.5
+    )
+
+
+_ORACLE_CONTAMINATION = r"""
+WITH train AS (SELECT doc_id, text FROM documents),
+bench AS (
+  SELECT doc_id + 500000 AS doc_id, substring(text, 1, 120) AS text
+  FROM documents WHERE doc_id % 7 = 0
+),
+tsh AS (
+  SELECT DISTINCT doc_id AS tid, shingle FROM (
+    SELECT doc_id,
+           tok || ' ' || lead(tok, 1) OVER w || ' ' || lead(tok, 2) OVER w AS shingle
+    FROM (
+      SELECT doc_id, unnest(tk) AS tok, generate_subscripts(tk, 1) AS i
+      FROM (SELECT doc_id, regexp_split_to_array(
+              trim(lower(regexp_replace(text, '[^a-z0-9]+', ' ', 'g'))), '\s+') AS tk
+            FROM train)
+    )
+    WINDOW w AS (PARTITION BY doc_id ORDER BY i)
+    QUALIFY lead(tok, 2) OVER w IS NOT NULL
+  )
+),
+bsh AS (
+  SELECT DISTINCT doc_id AS bid, shingle FROM (
+    SELECT doc_id,
+           tok || ' ' || lead(tok, 1) OVER w || ' ' || lead(tok, 2) OVER w AS shingle
+    FROM (
+      SELECT doc_id, unnest(tk) AS tok, generate_subscripts(tk, 1) AS i
+      FROM (SELECT doc_id, regexp_split_to_array(
+              trim(lower(regexp_replace(text, '[^a-z0-9]+', ' ', 'g'))), '\s+') AS tk
+            FROM bench)
+    )
+    WINDOW w AS (PARTITION BY doc_id ORDER BY i)
+    QUALIFY lead(tok, 2) OVER w IS NOT NULL
+  )
+),
+bn AS (SELECT bid, count(*) AS n FROM bsh GROUP BY bid),
+ov AS (
+  SELECT b.bid, t.tid, CAST(count(*) AS DOUBLE) / bn.n AS overlap
+  FROM bsh b JOIN tsh t ON b.shingle = t.shingle JOIN bn ON bn.bid = b.bid
+  GROUP BY b.bid, t.tid, bn.n
+)
+SELECT bid AS bench_id, tid AS train_id,
+       floor((overlap) * 10000.0 + 0.5) / 10000.0 AS overlap
+FROM ov
+WHERE overlap >= 0.5
+QUALIFY row_number() OVER (PARTITION BY bid ORDER BY overlap DESC, tid ASC) = 1
+"""
+
+
+# =========================================================================
 # 26b. dedup_clusters -- near-dup pair mining composed with connected
 #      components: every doc gets (component, is_canonical), the form a
 #      training-data pipeline actually consumes.  Oracle = recursive
@@ -1206,6 +1272,7 @@ QUERIES: dict[str, QuerySpec] = {
     "dedup_minhash_lsh": QuerySpec(q_dedup_minhash, _ORACLE_DEDUP_MINHASH, "dedup/minhash-lsh"),
     "dedup_simhash": QuerySpec(q_dedup_simhash, None, "dedup/simhash (hash-dependent: rows-only)"),
     "dedup_clusters": QuerySpec(q_dedup_clusters, _ORACLE_DEDUP_CLUSTERS, "dedup/connected-components"),
+    "contamination": QuerySpec(q_contamination, _ORACLE_CONTAMINATION, "dedup/train-bench-contamination"),
     "dedup_embedding": QuerySpec(q_dedup_embedding, _ORACLE_DEDUP_EMBEDDING, "dedup/embedding-cosine"),
     "ann_brute_topk": QuerySpec(q_ann_brute, _ORACLE_ANN_BRUTE, "similarity/brute-cosine-topk"),
     "ann_ivf_topk": QuerySpec(q_ann_ivf, None, "similarity/ivf (approximate: rows-only)"),
