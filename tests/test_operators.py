@@ -258,6 +258,58 @@ def test_with_totals_before_having(spark):
     assert rows == {("b", 100), (None, 103)}  # totals includes 'a'
 
 
+def test_select_with_aliases_builder_end_to_end(spark):
+    from yc_data_transfer_clickhouse_from_yandex_metrica_spark.plans.alias import (
+        select_with_aliases,
+    )
+
+    spark.createDataFrame(
+        [("a", 5), ("a", 7), ("b", 1)], "k string, v long"
+    ).createOrReplaceTempView("tbl")
+    sql = select_with_aliases(
+        "tbl",
+        {"ym:s:key": "k", "total": "sum(v)"},
+        where="`ym:s:key` != 'zzz'",
+        group_by=["`ym:s:key`"],
+        having="total > 2",
+        order_by="total DESC",
+        limit="10",
+    )
+    rows = [(r["ym:s:key"], r["total"]) for r in spark.sql(sql).collect()]
+    assert rows == [("a", 12)]  # b filtered by HAVING on the agg alias
+
+
+def test_export_chunked_partitioned_csv(spark):
+    from yc_data_transfer_clickhouse_from_yandex_metrica_spark.sources import csvgz
+
+    tmp = tempfile.mkdtemp(prefix="ym_chunk_")
+    try:
+        df = spark.createDataFrame(
+            [(d, i) for d in ("2023-11-01", "2023-11-02") for i in range(50)],
+            "day string, v long",
+        )
+        csvgz.export_chunked(df, f"{tmp}/out", partition_cols=["day"])
+        import glob
+
+        # one Hive dir per day, gzip files inside
+        assert sorted(
+            p.split("/")[-1] for p in glob.glob(f"{tmp}/out/day=*")
+        ) == ["day=2023-11-01", "day=2023-11-02"]
+        back = spark.read.option("header", True).csv(f"{tmp}/out")
+        assert back.count() == 100
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_inline_aliases_overlapping_names():
+    out = inline_aliases(
+        "visits_total > visits", {"visits": "sum(Sign)", "visits_total": "count(1)"}
+    )
+    # longest-first substitution: visits_total must not be corrupted by
+    # the shorter 'visits' alias
+    assert out == "(count(1)) > (sum(Sign))"
+
+
 def test_inline_aliases_respects_strings_and_backticks():
     out = inline_aliases(
         "`ym:s:date` >= '2023-01-01' AND src != 'visits'",
