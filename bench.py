@@ -44,6 +44,8 @@ HEADLINE = [
     "dedup_exact",
     "dedup_ngram_jaccard",
     "dedup_minhash_lsh",
+    "dedup_clusters",
+    "contamination",
     "dedup_embedding",
     "ann_brute_topk",
     "text_stats",

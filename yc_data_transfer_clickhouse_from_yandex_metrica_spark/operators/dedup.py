@@ -58,25 +58,6 @@ def dedup_exact(
 # --------------------------------------------------------------------------
 # shingles
 # --------------------------------------------------------------------------
-def shingles(text_col: Column | str, k: int = 3) -> Column:
-    """Distinct word k-gram shingles of a document (space-joined).
-
-    Documents with fewer than k tokens produce NO shingles (empty
-    array) and therefore never pair -- the same contract as the
-    SQL-window oracle formulation (lead(t, k-1) IS NOT NULL).
-    """
-    toks = tokens(text_col)
-    n = F.size(toks)
-    grams = F.when(
-        n >= k,
-        F.transform(
-            F.sequence(F.lit(1), n - (k - 1)),
-            lambda i: F.concat_ws(" ", F.slice(toks, i, k)),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
-    return F.array_distinct(grams)
-
-
 def _shingle_index(df: DataFrame, id_col: str, text_col: str, k: int) -> DataFrame:
     """(id, shingle-hash) inverted-index rows, NOT per-doc distinct.
 
