@@ -160,6 +160,54 @@ def test_ledger_stream_to_sign_query_end_to_end(spark):
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+def test_stateful_latest_version_stream(spark):
+    """applyInPandasWithState tracker: per-key (maxv, net) state across
+    micro-batches -- visit 1 updated in a later batch resolves to v2,
+    visit 2 deleted (same-version cancel) resolves to not-live."""
+    tmp = tempfile.mkdtemp(prefix="ym_state_")
+    src = f"{tmp}/src"
+    schema = "VisitID long, metric long, Sign int, VisitVersion int"
+    b1 = spark.createDataFrame([(1, 10, 1, 1), (2, 20, 1, 1)], schema)
+    b2 = spark.createDataFrame(
+        [(1, 10, -1, 1), (1, 11, 1, 2), (2, 20, -1, 1)], schema
+    )
+
+    def feed(batch_df, name):
+        import glob
+        import os
+
+        stage = f"{tmp}/stage_{name}"
+        batch_df.coalesce(1).write.parquet(stage)
+        os.makedirs(src, exist_ok=True)
+        for i, f in enumerate(sorted(glob.glob(f"{stage}/part-*.parquet"))):
+            shutil.move(f, f"{src}/{name}-{i}.parquet")
+
+    try:
+        feed(b1, "b1")
+        feed(b2, "b2")
+        updates = cdc.latest_version_stream(spark, src, b1.schema)
+        q = (
+            updates.writeStream.format("memory")
+            .queryName("latest_updates")
+            .outputMode("update")
+            .option("checkpointLocation", f"{tmp}/ckpt")
+            .trigger(availableNow=True)
+            .start()
+        )
+        assert q.awaitTermination(120)
+        rows = spark.sql(
+            "SELECT * FROM latest_updates"
+        ).collect()
+        # last update per key wins
+        final = {}
+        for r in rows:
+            final[r["key"]] = (r["version"], r["net"], r["live"])
+        assert final[1] == (2, 1, True)  # updated to v2, live
+        assert final[2] == (1, 0, False)  # cancel pair annihilated
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 def test_streaming_collapse_matches_batch(spark):
     """foreachBatch collapse materialization == batch collapsed()."""
     tmp = tempfile.mkdtemp(prefix="ym_cdc_")

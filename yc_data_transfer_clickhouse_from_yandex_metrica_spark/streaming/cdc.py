@@ -99,6 +99,79 @@ def start_ledger_stream(
     )
 
 
+def latest_version_stream(
+    spark: SparkSession,
+    source_dir: str,
+    schema: T.StructType,
+    key: str = "VisitID",
+    version: str = "VisitVersion",
+    sign: str = "Sign",
+):
+    """ST3 option (c): per-key latest-version tracking as a CUSTOM
+    STATEFUL OPERATOR via ``applyInPandasWithState``.
+
+    State per key = (max version seen, net sign at that version): a
+    few bytes per live entity, independent of stream history -- the
+    bounded-state formulation the 100TB stream needs.  Each
+    micro-batch emits the key's current resolution:
+    ``live`` whether the latest version nets positive (same
+    annihilation rule as operators.collapse.collapsed).
+
+    Returns the UNSTARTED streaming DataFrame of (key, version, net,
+    live) updates; callers attach their sink (tests use memory sink).
+    Arrow-batched: groups arrive as pandas DataFrames, no per-row
+    Python.
+    """
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+    import pandas as pd
+
+    out_schema = T.StructType(
+        [
+            T.StructField("key", T.LongType(), False),
+            T.StructField("version", T.LongType(), True),
+            T.StructField("net", T.LongType(), True),
+            T.StructField("live", T.BooleanType(), True),
+        ]
+    )
+    state_schema = T.StructType(
+        [
+            T.StructField("maxv", T.LongType(), True),
+            T.StructField("net", T.LongType(), True),
+        ]
+    )
+
+    def track(key_tuple, pdfs, state: GroupState):
+        maxv, net = state.get if state.exists else (None, 0)
+        for pdf in pdfs:
+            for v, s in zip(pdf[version].astype("int64"), pdf[sign].astype("int64")):
+                if maxv is None or v > maxv:
+                    maxv, net = int(v), int(s)
+                elif v == maxv:
+                    net += int(s)
+                # v < maxv: stale row of an already-superseded version
+        state.update((maxv, net))
+        yield pd.DataFrame(
+            {
+                "key": [key_tuple[0]],
+                "version": [maxv],
+                "net": [net],
+                "live": [net > 0],
+            }
+        )
+
+    stream = spark.readStream.format("parquet").schema(schema).load(source_dir)
+    return (
+        stream.groupBy(key)
+        .applyInPandasWithState(
+            track,
+            outputStructType=out_schema,
+            stateStructType=state_schema,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
 def start_collapse_stream(
     spark: SparkSession,
     source_dir: str,
