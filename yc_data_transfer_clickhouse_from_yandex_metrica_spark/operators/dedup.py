@@ -19,8 +19,20 @@ Five strategies, all shuffle-disciplined for 100TB:
                    cosine verify (see operators.similarity for the
                    vector primitives).
 
-Everything is built from built-in higher-order functions -- no Python
-UDFs; xxhash64 (stable, seedable) is the only hash primitive.
+Everything is built from built-in functions -- no Python UDFs;
+xxhash64 (stable, seedable) is the only hash primitive.
+
+Algorithms (public literature): MinHash resemblance sketches per
+Broder, "On the resemblance and containment of documents" (SEQUENCES
+1997) with banded LSH per Leskovec/Rajaraman/Ullman, *Mining of
+Massive Datasets* ch.3; SimHash per Charikar, "Similarity estimation
+techniques from rounding algorithms" (STOC 2002) with the
+pigeonhole-chunk blocking of Manku/Jain/Sarma, "Detecting
+near-duplicates for web crawling" (WWW 2007); connected components by
+iterative min-label propagation (cf. Kiveris et al., "Connected
+components in MapReduce and beyond", SoCC 2014, whose
+large-star/small-star variant is the log-round alternative when
+cluster diameters are large).
 """
 
 from __future__ import annotations

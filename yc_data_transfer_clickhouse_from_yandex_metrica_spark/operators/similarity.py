@@ -14,6 +14,12 @@ aggregate dot products -- JVM, codegen'd, no Python).  Three levels:
                     scale path for large |Q|.
 
 Hyperplanes/centroids are deterministic (seeded) so runs reproduce.
+
+Algorithms (public literature): random-hyperplane sign LSH per
+Charikar (STOC 2002); IVF coarse quantization in the style of
+Jegou/Douze/Schmid, "Product quantization for nearest neighbor
+search" (TPAMI 2011) / the FAISS IVF-Flat index family, reduced here
+to its bucketing skeleton (no PQ codes -- exact residual scoring).
 """
 
 from __future__ import annotations
