@@ -411,6 +411,33 @@ def test_filter_pushdown_reaches_scan(spark):
     assert "PushedFilters: [" in plan and "IsNotNull" in plan
 
 
+def test_bucketed_join_is_exchange_free(spark):
+    """Co-located join: both sides bucketed on the key -> the join plan
+    has NO Exchange (the 100TB fact-to-fact join layout)."""
+    hits = spark.range(1000).select(
+        (F.col("id") % 37).alias("CounterID"), F.col("id").alias("watch")
+    )
+    visits = spark.range(500).select(
+        (F.col("id") % 37).alias("CounterID"), F.col("id").alias("visit")
+    )
+    warehouse.write_bucketed(hits, spark, "t_hits_b", ["CounterID"], 8)
+    warehouse.write_bucketed(visits, spark, "t_visits_b", ["CounterID"], 8)
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        joined = spark.table("t_hits_b").join(spark.table("t_visits_b"), "CounterID")
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan, plan
+        assert joined.count() == sum(
+            (1000 // 37 + (1 if k < 1000 % 37 else 0))
+            * (500 // 37 + (1 if k < 500 % 37 else 0))
+            for k in range(37)
+        )
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        spark.sql("DROP TABLE IF EXISTS t_hits_b")
+        spark.sql("DROP TABLE IF EXISTS t_visits_b")
+
+
 # --------------------------------------------------------------------------
 # Sampling determinism (SURVEY.md section 1.3 SAMPLE BY)
 # --------------------------------------------------------------------------

@@ -76,6 +76,32 @@ def write_table(
         )
 
 
+def write_bucketed(
+    df: DataFrame,
+    spark: SparkSession,
+    table: str,
+    bucket_cols: list[str],
+    num_buckets: int = 32,
+    sort_cols: list[str] | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Bucketed catalog table -- the co-located-join layout.
+
+    Two tables bucketed the SAME way on their join key (e.g.
+    ``CounterID``, the reference's leading ORDER BY / implicit
+    distribution key, ddl/hits.sql:115) join with NO exchange on
+    either side: at 100TB that deletes the dominant shuffle of
+    fact-to-fact joins (hits x visits by counter/user).  Bucket
+    pruning also serves point predicates on the bucket column.
+    Requires saveAsTable (bucket metadata lives in the catalog);
+    plan-asserted in tests via absence of Exchange under the join.
+    """
+    w = df.write.mode(mode).bucketBy(num_buckets, *bucket_cols)
+    if sort_cols:
+        w = w.sortBy(*sort_cols)
+    w.saveAsTable(table)
+
+
 def read_table(spark: SparkSession, path: str) -> DataFrame:
     """Read back; the weekly partition column stays available for
     explicit pruning, and date predicates on it prune directories."""
