@@ -65,12 +65,20 @@ def main() -> None:
     )
     spark.sparkContext.setLogLevel("ERROR")
 
-    # JVM/codegen warmup (uncounted): a tiny generic job so the first
-    # measured query isn't charged for JIT + executor spin-up.  Does
-    # not touch the benchmark tables or pre-compile any query plan.
+    # JVM/codegen + Python-worker warmup (uncounted): tiny generic jobs
+    # so the first measured query isn't charged for JIT, executor
+    # spin-up, or Arrow worker fork.  Does not touch the benchmark
+    # tables or pre-compile any query plan.
     spark.range(1_000_000).selectExpr("sum(id % 7)").write.mode(
         "overwrite"
     ).format("noop").save()
+
+    def _identity(it):
+        yield from it
+
+    spark.range(1000).repartition(int(CPUS) if CPUS.isdigit() else 32).mapInPandas(
+        _identity, schema="id long"
+    ).write.mode("overwrite").format("noop").save()
 
     timings: dict[str, float] = {}
     for name in HEADLINE:

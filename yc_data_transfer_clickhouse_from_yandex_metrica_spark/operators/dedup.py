@@ -329,6 +329,15 @@ def connected_components(
     the loop exits early on the first round with zero label changes
     (driver sees only the change COUNT, never the data).
     """
+    # localCheckpoint cuts lineage each generation (a persist()-only
+    # variant doubles the logical plan per iteration -- analysis time
+    # explodes by iteration ~6, measured).  Checkpoint blocks are
+    # released by the ContextCleaner once unreferenced; dropping the
+    # Python handles + one gc pass at the end hands every intermediate
+    # generation back promptly, otherwise LATER queries in the session
+    # degrade under the leaked storage (also measured).
+    import gc
+
     edges = (
         pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
         .unionAll(pairs.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst")))
@@ -362,9 +371,12 @@ def connected_components(
             .localCheckpoint(eager=True)
         )
         changed = new_labels.where(F.col("__changed")).limit(1).count()
-        labels = new_labels.drop("__changed")
+        prev, labels = labels, new_labels.drop("__changed")
+        del prev, new_labels
         if changed == 0:
             break
+    del edges
+    gc.collect()
     return labels
 
 
