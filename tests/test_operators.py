@@ -411,6 +411,43 @@ def test_filter_pushdown_reaches_scan(spark):
     assert "PushedFilters: [" in plan and "IsNotNull" in plan
 
 
+def test_interval_join_equals_broadcast_path_without_broadcast(spark):
+    """The bucketed range join must (a) produce exactly the broadcast
+    non-equi join's rows and (b) plan as an EQUI join (no
+    BroadcastNestedLoopJoin) even with auto-broadcast disabled."""
+    from yc_data_transfer_clickhouse_from_yandex_metrica_spark.operators import rangejoin
+
+    fact = spark.createDataFrame(
+        [(i, date(2023, 10, 1 + i % 28), f"k{i % 3}") for i in range(300)],
+        "id long, d date, k string",
+    )
+    dim = spark.createDataFrame(
+        [("k0", date(2023, 10, 1), date(2023, 10, 14), "early"),
+         ("k0", date(2023, 10, 15), date(2099, 12, 31), "late"),
+         ("k1", date(2023, 1, 1), date(2023, 10, 20), "k1all")],
+        "k2 string, from_dt date, to_dt date, label string",
+    )
+    want = sorted(
+        (r["id"], r["label"])
+        for r in fact.join(
+            F.broadcast(dim),
+            (fact["k"] == dim["k2"])
+            & (fact["d"] >= dim["from_dt"]) & (fact["d"] <= dim["to_dt"]),
+        ).collect()
+    )
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        out = rangejoin.interval_join(
+            fact, dim, "d", "from_dt", "to_dt", equi=[("k", "k2")]
+        )
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastNestedLoopJoin" not in plan
+        got = sorted((r["id"], r["label"]) for r in out.collect())
+        assert got == want and len(got) > 0
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+
+
 def test_bucketed_join_is_exchange_free(spark):
     """Co-located join: both sides bucketed on the key -> the join plan
     has NO Exchange (the 100TB fact-to-fact join layout)."""

@@ -1001,6 +1001,43 @@ GROUP BY n_name ORDER BY revenue DESC
 
 
 # =========================================================================
+# 5b. scd2_range_join -- the SAME validity-interval enrichment as
+#     scd2_enrich but through the non-broadcast bucketed range join
+#     (operators.rangejoin): the scale path for SCD-2 dims too big to
+#     broadcast.  Shares scd2_enrich's oracle -- results must be
+#     identical by construction.
+# =========================================================================
+def q_scd2_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import rangejoin
+
+    _prep(spark)
+    li = t(spark, sf_dir, "lineitem").withColumn(
+        "ship_date", F.col("l_shipdate").cast("date")
+    ).where(F.col("l_quantity") > 10)
+    dim = spark.createDataFrame(
+        [(f, d, *map(str, (a, b))) for f, d, a, b in
+         [(r[0], r[1], r[2], r[3]) for r in _DIM_ROWS]],
+        schema="flag string, flag_desc string, from_dt string, to_dt string",
+    ).select(
+        "flag", "flag_desc",
+        F.col("from_dt").cast("date").alias("from_dt"),
+        F.col("to_dt").cast("date").alias("to_dt"),
+    )
+    joined = rangejoin.interval_join(
+        li, dim, "ship_date", "from_dt", "to_dt",
+        equi=[("l_returnflag", "flag")], granularity="week",
+    )
+    return (
+        joined.groupBy("flag_desc", F.year("ship_date").alias("ship_year"))
+        .agg(
+            ch.count_one().alias("n"),
+            F.sum(F.col("l_quantity").cast("long")).alias("qty"),
+        )
+        .orderBy("flag_desc", "ship_year")
+    )
+
+
+# =========================================================================
 # 26a. contamination -- benchmark-vs-train n-gram overlap: bench docs
 #      whose shingles are mostly contained in some train doc.  Train =
 #      documents; bench = synthesized excerpts (first 120 chars of
@@ -1260,6 +1297,7 @@ QUERIES: dict[str, QuerySpec] = {
     "last_significant_source": QuerySpec(q_last_significant, _ORACLE_LAST_SIGNIFICANT, "F1 F2 F3 F6 F7"),
     "sum_array_orders": QuerySpec(q_sum_array_orders, _ORACLE_SUM_ARRAY, "A7 F3 F7 A8"),
     "scd2_enrich": QuerySpec(q_scd2_enrich, _ORACLE_SCD2, "J1 J2 J3 J4 A6 A8 O3"),
+    "scd2_range_join": QuerySpec(q_scd2_range_join, _ORACLE_SCD2, "J2 scale path: bucketed range join, no broadcast"),
     "union_reconcile": QuerySpec(q_union_reconcile, _ORACLE_UNION, "U1 U2 F11 A6"),
     "top_customers_offset": QuerySpec(q_top_customers, _ORACLE_TOP_CUSTOMERS, "O2 O4 O6 J1 A8"),
     "latest_event_per_user": QuerySpec(q_latest_per_user, _ORACLE_LATEST, "A11"),
