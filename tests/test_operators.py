@@ -448,6 +448,33 @@ def test_interval_join_equals_broadcast_path_without_broadcast(spark):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
 
 
+def test_asof_join_semantics(spark):
+    """<=-match, equal-time tie matches, earlier rows unmatched; inner
+    mode drops them, left mode keeps them with null."""
+    from yc_data_transfer_clickhouse_from_yandex_metrica_spark.operators import rangejoin
+
+    left = spark.createDataFrame(
+        [(1, 1, 5), (2, 1, 10), (3, 1, 2), (4, 2, 7)],
+        "event_id long, k long, t long",
+    )
+    right = spark.createDataFrame(
+        [(1, 5, 50), (1, 8, 80), (2, 9, 90)], "k long, rt long, v long"
+    )
+    out = {
+        r["event_id"]: r["v"]
+        for r in rangejoin.asof_join(
+            left, right, key="k", left_time="t", right_time="rt", value_cols=["v"]
+        ).collect()
+    }
+    # t=5 matches rt=5 (tie), t=10 matches rt=8, t=2 no match, k=2 t=7 < 9
+    assert out == {1: 50, 2: 80, 3: None, 4: None}
+    inner = rangejoin.asof_join(
+        left, right, key="k", left_time="t", right_time="rt",
+        value_cols=["v"], how="inner",
+    )
+    assert {r["event_id"] for r in inner.collect()} == {1, 2}
+
+
 def test_bucketed_join_is_exchange_free(spark):
     """Co-located join: both sides bucketed on the key -> the join plan
     has NO Exchange (the 100TB fact-to-fact join layout)."""

@@ -76,3 +76,68 @@ def interval_join(
         cond = cond & (f[fc] == d[dc])
     cond = cond & (f[point_col] >= d[from_col]) & (f[point_col] <= d[to_col])
     return f.join(d, cond, how).drop(_B)
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_time: str,
+    right_time: str,
+    value_cols: list[str],
+    how: str = "left",
+) -> DataFrame:
+    """As-of join: attach to each left row the LATEST right row of the
+    same key with ``right_time <= left_time`` (DuckDB/kdb ASOF JOIN
+    semantics; ties at equal time match).
+
+    Join-free formulation: union the two streams tagged by side, one
+    window per key ordered by (time, right-first) carrying
+    ``last(value, ignorenulls)`` forward, keep the left rows.  ONE
+    shuffle on the key, no join, no broadcast -- the right side can be
+    as large as the left.  At 100TB pre-partition both inputs by key
+    (bucketed tables) and even that shuffle disappears.  Rows with
+    equal (key, right_time) resolve by the last in window order; keep
+    (key, right_time) unique for determinism.
+    """
+    rv = F.struct(*[F.col(c) for c in value_cols]).alias("__rv")
+    r = right.select(
+        F.col(key).alias(key),
+        F.col(right_time).alias("__t"),
+        rv,
+        F.lit(1).alias("__is_right"),
+    )
+    l_cols = left.columns
+    lt = left.select(
+        *l_cols,
+        F.col(left_time).alias("__t"),
+        F.lit(None).cast(r.schema["__rv"].dataType).alias("__rv"),
+        F.lit(0).alias("__is_right"),
+    )
+    r_full = r.select(
+        *[
+            F.lit(None).cast(left.schema[c].dataType).alias(c)
+            if c != key
+            else F.col(key)
+            for c in l_cols
+        ],
+        "__t",
+        "__rv",
+        "__is_right",
+    )
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy(key)
+        .orderBy(F.col("__t").asc(), F.col("__is_right").desc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    merged = lt.unionByName(r_full).withColumn(
+        "__last", F.last("__rv", ignorenulls=True).over(w)
+    )
+    out = merged.where(F.col("__is_right") == 0)
+    if how == "inner":
+        out = out.where(F.col("__last").isNotNull())
+    return out.select(
+        *l_cols, *[F.col(f"__last.{c}").alias(c) for c in value_cols]
+    )

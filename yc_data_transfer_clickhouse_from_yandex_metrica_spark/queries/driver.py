@@ -1038,6 +1038,49 @@ def q_scd2_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # =========================================================================
+# 5c. asof_enrich -- as-of join: each click event annotated with the
+#     user's most recent prior purchase value (join-free union+window
+#     formulation; oracle = DuckDB's native ASOF LEFT JOIN).
+# =========================================================================
+def q_asof_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import rangejoin
+
+    _prep(spark)
+    ev = t(spark, sf_dir, "events")
+    clicks = ev.where(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    purchases = (
+        ev.where(F.col("event_type") == "purchase")
+        .groupBy("user_id", "ts")  # unique (key, time) for determinism
+        .agg(F.max("value").alias("purchase_value"))
+    )
+    out = rangejoin.asof_join(
+        clicks, purchases, key="user_id", left_time="ts", right_time="ts",
+        value_cols=["purchase_value"],
+    )
+    return out.select(
+        "event_id", "user_id",
+        ch.round_to(F.col("purchase_value"), 2).alias("purchase_value"),
+    )
+
+
+_ORACLE_ASOF = """
+WITH clicks AS (
+  SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'
+),
+purchases AS (
+  SELECT user_id, ts, max(value) AS purchase_value
+  FROM events WHERE event_type = 'purchase' GROUP BY user_id, ts
+)
+SELECT c.event_id, c.user_id,
+       floor((p.purchase_value) * 100.0 + 0.5) / 100.0 AS purchase_value
+FROM clicks c ASOF LEFT JOIN purchases p
+  ON c.user_id = p.user_id AND c.ts >= p.ts
+"""
+
+
+# =========================================================================
 # 26a. contamination -- benchmark-vs-train n-gram overlap: bench docs
 #      whose shingles are mostly contained in some train doc.  Train =
 #      documents; bench = synthesized excerpts (first 120 chars of
@@ -1298,6 +1341,7 @@ QUERIES: dict[str, QuerySpec] = {
     "sum_array_orders": QuerySpec(q_sum_array_orders, _ORACLE_SUM_ARRAY, "A7 F3 F7 A8"),
     "scd2_enrich": QuerySpec(q_scd2_enrich, _ORACLE_SCD2, "J1 J2 J3 J4 A6 A8 O3"),
     "scd2_range_join": QuerySpec(q_scd2_range_join, _ORACLE_SCD2, "J2 scale path: bucketed range join, no broadcast"),
+    "asof_enrich": QuerySpec(q_asof_enrich, _ORACLE_ASOF, "custom operator: as-of join (union+window, join-free)"),
     "union_reconcile": QuerySpec(q_union_reconcile, _ORACLE_UNION, "U1 U2 F11 A6"),
     "top_customers_offset": QuerySpec(q_top_customers, _ORACLE_TOP_CUSTOMERS, "O2 O4 O6 J1 A8"),
     "latest_event_per_user": QuerySpec(q_latest_per_user, _ORACLE_LATEST, "A11"),
