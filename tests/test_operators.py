@@ -448,6 +448,41 @@ def test_interval_join_equals_broadcast_path_without_broadcast(spark):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
 
 
+def test_sessionize_streaming_with_watermark(spark):
+    """The same session_window aggregation runs as a watermarked
+    stream (merge-capable stateful agg) -- the docstring's claim."""
+    from yc_data_transfer_clickhouse_from_yandex_metrica_spark.operators import sessionize
+
+    tmp = tempfile.mkdtemp(prefix="ym_sess_")
+    try:
+        df = spark.createDataFrame(
+            [(1, "2024-01-01 10:00:00"), (1, "2024-01-01 10:10:00"),
+             (1, "2024-01-01 11:30:00"), (2, "2024-01-01 10:05:00")],
+            "user_id long, ts_s string",
+        ).select("user_id", F.col("ts_s").cast("timestamp").alias("ts"))
+        df.coalesce(1).write.parquet(f"{tmp}/src")
+        stream = (
+            spark.readStream.schema("user_id long, ts timestamp")
+            .parquet(f"{tmp}/src")
+            .withWatermark("ts", "1 hour")
+        )
+        sess = sessionize.sessionize(stream, "user_id", "ts")
+        q = (
+            sess.writeStream.format("memory").queryName("sess_out")
+            .outputMode("complete")
+            .option("checkpointLocation", f"{tmp}/ckpt")
+            .trigger(availableNow=True).start()
+        )
+        assert q.awaitTermination(120)
+        rows = {
+            (r["user_id"], r["n_events"], r["duration_sec"], r["is_bounce"])
+            for r in spark.sql("SELECT * FROM sess_out").collect()
+        }
+        assert rows == {(1, 2, 600, False), (1, 1, 0, True), (2, 1, 0, True)}
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 def test_asof_join_semantics(spark):
     """<=-match, equal-time tie matches, earlier rows unmatched; inner
     mode drops them, left mode keeps them with null."""

@@ -1081,6 +1081,44 @@ FROM clicks c ASOF LEFT JOIN purchases p
 
 
 # =========================================================================
+# 5d. sessionize_hits -- derive Metrica-style visits from the raw
+#     event stream: 30-min-gap session windows per user, rolled up to
+#     the visit-table core (start, pageviews, duration, bounce).
+# =========================================================================
+def q_sessionize_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import sessionize
+
+    _prep(spark)
+    ev = t(spark, sf_dir, "events").select("user_id", "ts")
+    return sessionize.sessionize(ev, "user_id", "ts", "30 minutes")
+
+
+_ORACLE_SESSIONIZE = """
+WITH m AS (
+  SELECT user_id, ts,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+              THEN 1 ELSE 0 END AS brk
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+),
+s AS (
+  SELECT user_id, ts,
+         sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+                        ROWS UNBOUNDED PRECEDING) AS sid
+  FROM m
+)
+SELECT user_id,
+       min(ts) AS session_start,
+       CAST(count(1) AS BIGINT) AS n_events,
+       CAST((epoch_us(max(ts)) - epoch_us(min(ts))) // 1000000 AS BIGINT)
+         AS duration_sec,
+       count(1) = 1 AS is_bounce
+FROM s GROUP BY user_id, sid
+"""
+
+
+# =========================================================================
 # 26a. contamination -- benchmark-vs-train n-gram overlap: bench docs
 #      whose shingles are mostly contained in some train doc.  Train =
 #      documents; bench = synthesized excerpts (first 120 chars of
@@ -1342,6 +1380,7 @@ QUERIES: dict[str, QuerySpec] = {
     "scd2_enrich": QuerySpec(q_scd2_enrich, _ORACLE_SCD2, "J1 J2 J3 J4 A6 A8 O3"),
     "scd2_range_join": QuerySpec(q_scd2_range_join, _ORACLE_SCD2, "J2 scale path: bucketed range join, no broadcast"),
     "asof_enrich": QuerySpec(q_asof_enrich, _ORACLE_ASOF, "custom operator: as-of join (union+window, join-free)"),
+    "sessionize_hits": QuerySpec(q_sessionize_hits, _ORACLE_SESSIONIZE, "sessionization: derive visits from hits (session_window)"),
     "union_reconcile": QuerySpec(q_union_reconcile, _ORACLE_UNION, "U1 U2 F11 A6"),
     "top_customers_offset": QuerySpec(q_top_customers, _ORACLE_TOP_CUSTOMERS, "O2 O4 O6 J1 A8"),
     "latest_event_per_user": QuerySpec(q_latest_per_user, _ORACLE_LATEST, "A11"),
