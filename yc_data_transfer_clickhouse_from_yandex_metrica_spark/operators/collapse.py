@@ -54,6 +54,14 @@ def collapsed(
     Duplicate state deliveries (at-least-once, ST2) net to > 0 and
     still emit a single row.  One exchange total: all three window
     steps share the key-only partitioning.
+
+    Precondition (the CDC wire contract, ddl/visits.sql:10): versions
+    are MONOTONE per key -- a re-created entity continues the version
+    sequence, it does not restart at 1.  With restarted versions, a
+    deleted-then-recreated key's live state can sit BELOW an
+    annihilated higher version and this max-version view misses it
+    (property-test-found); ``apply_versions`` never produces such
+    ledgers, and neither does Metrica.
     """
     w = Window.partitionBy(*key)
     wo = w.orderBy(F.col(sign).desc())
@@ -87,7 +95,10 @@ def apply_versions(
         live.join(new_rows.select(*key_cols).distinct(), on=key_cols, how="inner")
         .withColumn(sign, F.lit(-1).cast(ledger.schema[sign].dataType))
     )
-    next_ver = live.groupBy(*key_cols).agg(F.max(version).alias("__cur"))
+    # next version from the FULL ledger, not the live view: a deleted-
+    # then-recreated key must CONTINUE its version sequence (collapsed()
+    # precondition) rather than restart at 1
+    next_ver = ledger.groupBy(*key_cols).agg(F.max(version).alias("__cur"))
     additions = (
         new_rows.join(next_ver, on=key_cols, how="left")
         .withColumn(

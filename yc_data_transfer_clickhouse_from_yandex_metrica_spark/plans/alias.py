@@ -25,27 +25,36 @@ def inline_aliases(predicate: str, aliases: dict[str, str]) -> str:
     ``aliases`` maps alias name -> defining SQL expression.  Backtick-
     quoted aliases (the reference uses names like ``ym:s:date``,
     README.md:75-86) and plain-identifier aliases are both handled;
-    replacements are parenthesized to preserve precedence.  Longest
-    aliases are substituted first so overlapping names nest correctly.
+    replacements are parenthesized to preserve precedence.
+
+    All match spans are located on the ORIGINAL string and spliced in
+    one pass -- sequential re-substitution would rescan text produced
+    by earlier replacements, so an alias whose definition mentions its
+    own name (``visits -> visits + 1``) or another alias's name would
+    expand recursively (hypothesis-found bug).  String literals are
+    masked out before matching; overlapping spans resolve longest-
+    match-first.
     """
-    out = predicate
-    for name in sorted(aliases, key=len, reverse=True):
-        expr = f"({aliases[name]})"
-        quoted = re.escape(f"`{name}`")
-        out = re.sub(quoted, expr, out)
+    masked = _strip_strings(predicate)
+    spans: list[tuple[int, int, str]] = []
+    for name, definition in aliases.items():
+        expr = f"({definition})"
+        for m in re.finditer(re.escape(f"`{name}`"), masked):
+            spans.append((m.start(), m.end(), expr))
         if re.fullmatch(r"\w+", name):
-            # plain identifier: word-boundary match outside string literals
-            pat = re.compile(rf"\b{re.escape(name)}\b")
-            pieces = []
-            last = 0
-            masked = _strip_strings(out)
-            for m in pat.finditer(masked):
-                pieces.append(out[last : m.start()])
-                pieces.append(expr)
-                last = m.end()
-            pieces.append(out[last:])
-            out = "".join(pieces)
-    return out
+            for m in re.finditer(rf"\b{re.escape(name)}\b", masked):
+                spans.append((m.start(), m.end(), expr))
+    spans.sort(key=lambda s: (s[0], -(s[1] - s[0])))
+    pieces: list[str] = []
+    last = 0
+    for start, end, expr in spans:
+        if start < last:
+            continue  # nested inside an already-replaced span
+        pieces.append(predicate[last:start])
+        pieces.append(expr)
+        last = end
+    pieces.append(predicate[last:])
+    return "".join(pieces)
 
 
 def select_with_aliases(
