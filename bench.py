@@ -51,6 +51,11 @@ HEADLINE = [
     "text_stats",
     "doc_fingerprint",
     "multimodal_meta",
+    "scd2_range_join",
+    "asof_enrich",
+    "sessionize_hits",
+    "pack_sequences",
+    "curation_pipeline",
 ]
 
 

@@ -1410,6 +1410,95 @@ SELECT NULL, CAST(sum(sign) AS BIGINT) FROM in_range
 
 
 # =========================================================================
+# 29. curation_pipeline -- the training-data flow end-to-end in ONE
+#     declarative plan: quality-score -> stratify -> mix (per-stratum
+#     keep rates) -> token-count -> pack into budget bins.  Every stage
+#     is an already-oracle-checked operator; this query proves they
+#     COMPOSE (one Catalyst plan, no materialization between stages).
+# =========================================================================
+def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import packing
+
+    _prep(spark)
+    docs = t(spark, sf_dir, "documents")
+    scored = docs.select(
+        "doc_id",
+        text.token_count("text").alias("n_tokens"),
+        ch.round_to(text.quality_score("text"), 4).alias("quality"),
+    ).withColumn(
+        "stratum",
+        F.when(F.col("quality") >= 0.75, "hi")
+        .when(F.col("quality") >= 0.5, "mid")
+        .otherwise("lo"),
+    )
+    # mod-based per-stratum keep (oracle-portable; production uses
+    # sampling.stratified_sample's hash variant)
+    kept = scored.where(
+        (F.col("stratum") == "hi")
+        | ((F.col("stratum") == "mid") & (F.pmod(F.col("doc_id"), F.lit(10)) < 3))
+        | ((F.col("stratum") == "lo") & (F.pmod(F.col("doc_id"), F.lit(10)) < 1))
+    )
+    packed = packing.pack_sequences(
+        kept, "doc_id", "n_tokens", budget=2048, nshards=8,
+        shard_expr=F.pmod(F.col("doc_id"), F.lit(8)),
+    )
+    return packed.join(kept.select("doc_id", "stratum", "quality"), "doc_id")
+
+
+_ORACLE_CURATION = r"""
+WITH scored AS (
+  SELECT doc_id,
+    CAST(len(tk) AS BIGINT) AS n_tokens,
+    floor((least(greatest(
+        0.25 * least(coalesce(sr_en, 0.0) * 5.0, 1.0)
+      + 0.25 * (CASE WHEN coalesce(mlen, 0.0) >= 3.0 AND coalesce(mlen, 0.0) <= 8.0
+                     THEN 1.0 ELSE 0.5 END)
+      + 0.25 * coalesce(alnum, 0.0)
+      + 0.25 * least(CAST(len(tk) AS DOUBLE) / 20.0, 1.0), 0.0), 1.0))
+      * 10000.0 + 0.5) / 10000.0 AS quality
+  FROM (
+    SELECT doc_id, tk,
+      CAST(len(list_filter(tk, x -> x IN ('the','a','of','and','to','in'))) AS DOUBLE)
+        / nullif(CAST(len(tk) AS DOUBLE), 0.0) AS sr_en,
+      CAST(list_sum(list_transform(tk, x -> length(x))) AS DOUBLE)
+        / nullif(CAST(len(tk) AS DOUBLE), 0.0) AS mlen,
+      CAST(length(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g')) AS DOUBLE)
+        / nullif(CAST(length(text) AS DOUBLE), 0.0) AS alnum
+    FROM (
+      SELECT doc_id, text,
+             regexp_split_to_array(
+               trim(lower(regexp_replace(text, '[^a-z0-9]+', ' ', 'g'))), '\s+') AS tk
+      FROM documents
+    )
+  )
+),
+strat AS (
+  SELECT *, CASE WHEN quality >= 0.75 THEN 'hi'
+                 WHEN quality >= 0.5 THEN 'mid'
+                 ELSE 'lo' END AS stratum
+  FROM scored
+),
+kept AS (
+  SELECT * FROM strat
+  WHERE stratum = 'hi'
+     OR (stratum = 'mid' AND doc_id % 10 < 3)
+     OR (stratum = 'lo' AND doc_id % 10 < 1)
+),
+s AS (
+  SELECT doc_id, n_tokens, stratum, quality, doc_id % 8 AS shard,
+         sum(n_tokens) OVER (PARTITION BY doc_id % 8 ORDER BY doc_id
+                             ROWS UNBOUNDED PRECEDING) - n_tokens AS strt
+  FROM kept
+)
+SELECT doc_id, shard,
+       CAST(floor(strt / 2048.0) AS BIGINT) AS bin,
+       CAST(strt % 2048 AS BIGINT) AS "offset",
+       stratum, quality
+FROM s
+"""
+
+
+# =========================================================================
 # registry
 # =========================================================================
 QUERIES: dict[str, QuerySpec] = {
@@ -1422,6 +1511,7 @@ QUERIES: dict[str, QuerySpec] = {
     "asof_enrich": QuerySpec(q_asof_enrich, _ORACLE_ASOF, "custom operator: as-of join (union+window, join-free)"),
     "sessionize_hits": QuerySpec(q_sessionize_hits, _ORACLE_SESSIONIZE, "sessionization: derive visits from hits (session_window)"),
     "pack_sequences": QuerySpec(q_pack_sequences, _ORACLE_PACKING, "training-data: token-budget sequence packing"),
+    "curation_pipeline": QuerySpec(q_curation_pipeline, _ORACLE_CURATION, "training-data: score->stratify->mix->pack composed in one plan"),
     "union_reconcile": QuerySpec(q_union_reconcile, _ORACLE_UNION, "U1 U2 F11 A6"),
     "top_customers_offset": QuerySpec(q_top_customers, _ORACLE_TOP_CUSTOMERS, "O2 O4 O6 J1 A8"),
     "latest_event_per_user": QuerySpec(q_latest_per_user, _ORACLE_LATEST, "A11"),
