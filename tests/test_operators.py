@@ -671,6 +671,23 @@ def test_connected_components_chain_and_singletons(spark):
     assert (5, 1, False) in clusters and (1, 1, True) in clusters
 
 
+def test_jaccard_max_df_drops_only_hot_shingles(spark):
+    """With max_df above every bucket size, results are identical to
+    the exact path; with max_df=1 all shared shingles are cut and no
+    pairs survive -- the stop-shingle guard works end to end."""
+    rows = [Row(doc_id=i, text="common words here plus tail " + ("x" if i % 2 else "y"))
+            for i in range(6)]
+    df = spark.createDataFrame(rows)
+    exact = {(r["id_a"], r["id_b"]) for r in
+             dedup.ngram_jaccard_pairs(df, threshold=0.5).collect()}
+    capped_loose = {(r["id_a"], r["id_b"]) for r in
+                    dedup.ngram_jaccard_pairs(df, threshold=0.5, max_df=100).collect()}
+    capped_tight = {(r["id_a"], r["id_b"]) for r in
+                    dedup.ngram_jaccard_pairs(df, threshold=0.5, max_df=1).collect()}
+    assert exact and capped_loose == exact
+    assert capped_tight == set()
+
+
 def test_dedup_exact_keeps_min_id(spark):
     df = spark.createDataFrame(
         [Row(doc_id=5, text="same"), Row(doc_id=2, text="same"),

@@ -120,13 +120,21 @@ def ngram_jaccard_pairs(
     text_col: str = "text",
     k: int = 3,
     threshold: float = 0.8,
+    max_df: int | None = None,
 ) -> DataFrame:
-    """All unordered pairs with word-k-gram Jaccard >= threshold. EXACT.
+    """All unordered pairs with word-k-gram Jaccard >= threshold.
+    EXACT when ``max_df`` is None.
 
     Inverted-index join: |pairs examined| = sum over shingles of
-    C(bucket, 2) -- no cross join.  At 100TB add a stop-shingle cut
-    (drop shingles with document frequency above a cap) before the
-    self-join; the cap is exposed as ``max_df``.
+    C(bucket, 2) -- no cross join.  The quadratic term is per-bucket,
+    so one boilerplate shingle shared by 1M docs would alone generate
+    5e11 candidate pairs: at 100TB set ``max_df`` to drop shingles
+    with document frequency above the cap (stop-shingle cut) BEFORE
+    the self-join.  Dropped shingles still count in each doc's |set|
+    (denominator), so the reported Jaccard only loses the common
+    contribution of ultra-frequent shingles: scores are a lower bound
+    and near-dup pairs (which share mostly LOW-df shingles) are
+    barely affected.
     """
     # each index row carries its doc's distinct-shingle count (nsh, a
     # small int riding the 16-byte shuffle row): after the bucket join
@@ -136,6 +144,14 @@ def ngram_jaccard_pairs(
     idx = per_doc.select(
         "id", F.size("shset").alias("nsh"), F.explode("shset").alias("sh")
     )
+    if max_df is not None:
+        hot = (
+            idx.groupBy("sh")
+            .agg(F.count("*").alias("df"))
+            .where(F.col("df") > max_df)
+            .select("sh")
+        )
+        idx = idx.join(F.broadcast(hot), "sh", "left_anti")
     a = idx.alias("a")
     b = idx.alias("b")
     return (
