@@ -44,6 +44,7 @@ HEADLINE = [
     "dedup_exact",
     "dedup_ngram_jaccard",
     "dedup_minhash_lsh",
+    "dedup_simhash",
     "dedup_clusters",
     "contamination",
     "dedup_embedding",
@@ -85,6 +86,19 @@ def main() -> None:
         _identity, schema="id long"
     ).write.mode("overwrite").format("noop").save()
 
+    def release_storage() -> None:
+        """Unpersist every cached/checkpointed RDD so one query's
+        leftover storage (e.g. connected-components checkpoints,
+        released asynchronously by the ContextCleaner) cannot bleed
+        into the next query's timing."""
+        try:
+            jsc = spark.sparkContext._jsc.sc()
+            it = jsc.getPersistentRDDs().values().iterator()
+            while it.hasNext():
+                it.next().unpersist(False)
+        except Exception:
+            pass  # cleanup is best-effort; timings just get noisier
+
     timings: dict[str, float] = {}
     for name in HEADLINE:
         spec = QUERIES[name]
@@ -92,6 +106,7 @@ def main() -> None:
         df = spec.build(spark, SF_DIR)
         df.write.mode("overwrite").format("noop").save()
         timings[name] = round(time.perf_counter() - t0, 3)
+        release_storage()
 
     total = round(sum(timings.values()), 3)
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
