@@ -671,6 +671,24 @@ def test_connected_components_chain_and_singletons(spark):
     assert (5, 1, False) in clusters and (1, 1, True) in clusters
 
 
+def test_jaccard_prefix_filter_is_lossless(spark):
+    """PPJoin prefix candidates must yield exactly the full-index
+    pair set (the filter is a lossless candidate pruner)."""
+    rows = []
+    base = "one two three four five six seven eight nine ten eleven twelve"
+    for i in range(12):
+        words = (base + f" tail{i}").split()
+        rows.append(Row(doc_id=i, text=" ".join(words)))
+        if i % 4 == 0:
+            rows.append(Row(doc_id=100 + i, text=" ".join(words + ["extra"])))
+    df = spark.createDataFrame(rows)
+    plain = {(r["id_a"], r["id_b"], r["jaccard"]) for r in
+             dedup.ngram_jaccard_pairs(df, threshold=0.5, prefix_filter=False).collect()}
+    prefixed = {(r["id_a"], r["id_b"], r["jaccard"]) for r in
+                dedup.ngram_jaccard_pairs(df, threshold=0.5, prefix_filter=True).collect()}
+    assert plain and prefixed == plain
+
+
 def test_jaccard_max_df_drops_only_hot_shingles(spark):
     """With max_df above every bucket size, results are identical to
     the exact path; with max_df=1 all shared shingles are cut and no

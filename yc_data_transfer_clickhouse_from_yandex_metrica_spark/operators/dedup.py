@@ -121,26 +121,41 @@ def ngram_jaccard_pairs(
     k: int = 3,
     threshold: float = 0.8,
     max_df: int | None = None,
+    prefix_filter: bool = False,
 ) -> DataFrame:
     """All unordered pairs with word-k-gram Jaccard >= threshold.
-    EXACT when ``max_df`` is None.
+    EXACT (the prefix filter is lossless; only ``max_df`` trades
+    exactness for a bucket-size bound).
 
-    Inverted-index join: |pairs examined| = sum over shingles of
-    C(bucket, 2) -- no cross join.  The quadratic term is per-bucket,
-    so one boilerplate shingle shared by 1M docs would alone generate
-    5e11 candidate pairs: at 100TB set ``max_df`` to drop shingles
-    with document frequency above the cap (stop-shingle cut) BEFORE
-    the self-join.  Dropped shingles still count in each doc's |set|
-    (denominator), so the reported Jaccard only loses the common
-    contribution of ultra-frequent shingles: scores are a lower bound
-    and near-dup pairs (which share mostly LOW-df shingles) are
-    barely affected.
+    Default path: inverted-index count-join -- |pairs examined| = sum
+    over shingles of C(bucket, 2), one bucket shuffle, no cross join.
+
+    ``prefix_filter=True`` switches candidate generation to the
+    PPJoin-style prefix filter (Xiao et al., WWW 2008): under a global
+    shingle order (ascending document frequency, ties by hash), two
+    sets with J(A,B) >= t MUST share a shingle among their first
+    ``|S| - ceil(t*|S|) + 1``, so only those prefixes enter the index;
+    candidates are verified with exact Jaccard on the full sets.
+    MEASURED trade-off (PLANS.md): the prefix costs two extra shuffles
+    (df-count join + rank window) and does NOT help when candidate
+    volume comes from true near-dup clusters (replicas share their
+    RARE shingles, so prefix buckets scale with cluster size anyway --
+    184s vs 186s at the 16x probe, and 2.6x slower at sf0.1).  Use it
+    only when candidate inflation comes from mid-frequency boilerplate
+    shingles shared across NON-duplicate docs; for dup-heavy corpora
+    the scale path is minhash_lsh_pairs.
+
+    ``max_df`` drops shingles with document frequency above the cap
+    from the index (both modes); with a cap set, the prefix path keeps
+    scores exact but may miss pairs whose overlap is mostly hot
+    shingles, while the full-index path reports tight lower-bound
+    scores (hot shingles stay in denominators).
     """
+    per_doc = _shingle_sets(_shingle_index(df, id_col, text_col, k))
     # each index row carries its doc's distinct-shingle count (nsh, a
     # small int riding the 16-byte shuffle row): after the bucket join
     # aggregates |common|, both set sizes are already present as
     # first(nsh) -- no size-attach joins, one shuffle fewer
-    per_doc = _shingle_sets(_shingle_index(df, id_col, text_col, k))
     idx = per_doc.select(
         "id", F.size("shset").alias("nsh"), F.explode("shset").alias("sh")
     )
@@ -152,6 +167,43 @@ def ngram_jaccard_pairs(
             .select("sh")
         )
         idx = idx.join(F.broadcast(hot), "sh", "left_anti")
+    if prefix_filter:
+        dfreq = idx.groupBy("sh").agg(F.count("*").alias("df"))
+        ranked = idx.join(dfreq, "sh").withColumn(
+            "__rnk",
+            F.row_number().over(
+                Window.partitionBy("id").orderBy(
+                    F.col("df").asc(), F.col("sh").asc()
+                )
+            ),
+        )
+        probe = ranked.where(
+            F.col("__rnk")
+            <= F.col("nsh") - F.ceil(F.lit(threshold) * F.col("nsh")) + 1
+        ).select("id", "sh")
+        pa = probe.alias("a")
+        pb = probe.alias("b")
+        cands = (
+            pa.join(
+                pb,
+                (F.col("a.sh") == F.col("b.sh")) & (F.col("a.id") < F.col("b.id")),
+            )
+            .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+            .dropDuplicates(["id_a", "id_b"])
+        )
+        sa = per_doc.select(F.col("id").alias("id_a"), F.col("shset").alias("sa"))
+        sb = per_doc.select(F.col("id").alias("id_b"), F.col("shset").alias("sb"))
+        inter = F.size(F.array_intersect("sa", "sb")).cast("double")
+        union = (F.size("sa") + F.size("sb")).cast("double") - inter
+        return (
+            cands.join(sa, "id_a")
+            .join(sb, "id_b")
+            .withColumn("jaccard", inter / union)
+            .where(F.col("jaccard") >= F.lit(threshold))
+            .select(
+                "id_a", "id_b", ch.round_to(F.col("jaccard"), 4).alias("jaccard")
+            )
+        )
     a = idx.alias("a")
     b = idx.alias("b")
     return (
