@@ -890,6 +890,38 @@ def test_salted_join_matches_plain(spark):
 
 
 # --------------------------------------------------------------------------
+# Partitioning-invariance: results must not depend on shuffle layout
+# --------------------------------------------------------------------------
+@pytest.mark.parametrize(
+    "qname", ["dedup_exact", "dedup_ngram_jaccard", "latest_event_per_user", "pack_sequences"]
+)
+def test_results_invariant_to_shuffle_partitions(spark, qname):
+    """Any first()/row_number() tie-break that silently depends on
+    partition layout shows up as a diff between these two runs."""
+    from yc_data_transfer_clickhouse_from_yandex_metrica_spark.queries.driver import QUERIES
+
+    from conftest import SF_SMOKE
+
+    import os
+
+    # query builders self-tune from SPARK_GRAFT_CPUS (session.tune), so
+    # vary the layout through the env var they actually read
+    orig = os.environ.get("SPARK_GRAFT_CPUS")
+    try:
+        os.environ["SPARK_GRAFT_CPUS"] = "7"
+        a = sorted(map(tuple, QUERIES[qname].build(spark, SF_SMOKE).collect()))
+        assert spark.conf.get("spark.sql.shuffle.partitions") == "7"
+        os.environ["SPARK_GRAFT_CPUS"] = "29"
+        b = sorted(map(tuple, QUERIES[qname].build(spark, SF_SMOKE).collect()))
+        assert a == b
+    finally:
+        if orig is None:
+            os.environ.pop("SPARK_GRAFT_CPUS", None)
+        else:
+            os.environ["SPARK_GRAFT_CPUS"] = orig
+
+
+# --------------------------------------------------------------------------
 # Reconciliation (SURVEY.md section 5 item 1)
 # --------------------------------------------------------------------------
 def test_reconcile_detects_value_drift(spark):
