@@ -869,6 +869,21 @@ def test_salted_agg_matches_plain(spark):
     assert got == want
 
 
+def test_salted_agg_rejects_non_algebraic(spark):
+    from yc_data_transfer_clickhouse_from_yandex_metrica_spark.operators import skew
+
+    df = spark.range(10).select(F.lit("k").alias("k"), F.col("id").alias("v"))
+    with pytest.raises(ValueError, match="algebraic"):
+        skew.salted_agg(df, ["k"], {"d": F.countDistinct("v")}).collect()
+
+
+def test_binding_rejects_unknown_format(spark):
+    from yc_data_transfer_clickhouse_from_yandex_metrica_spark.sources.bindings import Binding
+
+    with pytest.raises(ValueError, match="unsupported binding format"):
+        Binding("x", "/tmp/none", "avro").load(spark)
+
+
 def test_salted_join_matches_plain(spark):
     from yc_data_transfer_clickhouse_from_yandex_metrica_spark.operators import skew
 

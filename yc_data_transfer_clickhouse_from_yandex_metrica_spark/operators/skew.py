@@ -80,12 +80,26 @@ def salted_agg(
 
     merged = []
     for n, c in aggs.items():
-        # Column repr is "Column<'sum(v)'>" -- the head names the agg
-        m = re.match(r"(\w+)\(", str(c).split("'", 1)[1])
-        head = m.group(1).lower() if m else ""
-        if head not in merge_fn:
+        head, distinct = "", False
+        try:  # classic-mode column tree: exact function name + DISTINCT flag
+            node = c._jc.node()
+            head = node.functionName().lower()
+            distinct = bool(node.isDistinct())
+        except Exception:
+            # fallback: parse the repr "Column<'sum(v)'>" (loses the
+            # DISTINCT flag in Spark 4, hence the primary path above)
+            body = str(c).split("'", 1)[1]
+            m = re.match(r"(\w+)\(", body)
+            head = m.group(1).lower() if m else ""
+            distinct = "DISTINCT" in body
+        # DISTINCT aggregates are NOT mergeable: the same value can
+        # appear under several salts, so summing per-salt partials
+        # overcounts -- reject them explicitly
+        if head not in merge_fn or distinct:
             raise ValueError(
-                f"salted_agg only supports algebraic aggregates, got {head!r}"
+                "salted_agg only supports algebraic aggregates "
+                f"(sum/count/min/max, no DISTINCT), got {head!r}"
+                + (" DISTINCT" if distinct else "")
             )
         merged.append(merge_fn[head](F.col(n)).alias(n))
     return phase1.groupBy(*keys).agg(*merged)
