@@ -1159,6 +1159,57 @@ FROM s
 
 
 # =========================================================================
+# 12b. partition_probe -- the reference's per-partition spot check
+#      (README.md:150-154): one file per day via file-per-insert
+#      naming, then a 3-branch UNION ALL where each branch filters one
+#      day and takes LIMIT 1, projecting the `_file` virtual column.
+#      Deterministic because each day lands in exactly one file, so
+#      the probed (_file, day) is constant within a branch; the oracle
+#      is a literal VALUES table of the expected file names.
+# =========================================================================
+def q_partition_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _prep(spark)
+    base = tempfile.mkdtemp(prefix="ym_probe_")
+    li = t(spark, sf_dir, "lineitem").select(
+        F.col("l_shipdate").cast("date").alias("day"), "l_orderkey", "l_quantity"
+    )
+    days = ["1995-06-01", "1995-06-02", "1995-06-03"]
+    for d in days:
+        csvgz.insert_csv(
+            li.where(F.col("day") == F.lit(d).cast("date")).limit(200),
+            base,
+            f"hits_{d}",
+        )
+    schema = T.StructType(
+        [
+            T.StructField("day", T.DateType()),
+            T.StructField("l_orderkey", T.LongType()),
+            T.StructField("l_quantity", T.DoubleType()),
+        ]
+    )
+    back = csvgz.read_csv(spark, f"{base}/hits_*.csv.gz", schema)
+    branches = [
+        back.where(F.col("day") == F.lit(d).cast("date"))
+        .select("_file", "day")
+        .limit(1)
+        for d in days
+    ]
+    out = branches[0]
+    for b in branches[1:]:
+        out = out.unionAll(b)
+    return out
+
+
+_ORACLE_PARTITION_PROBE = """
+SELECT * FROM (VALUES
+  ('hits_1995-06-01.csv.gz', DATE '1995-06-01'),
+  ('hits_1995-06-02.csv.gz', DATE '1995-06-02'),
+  ('hits_1995-06-03.csv.gz', DATE '1995-06-03')
+) AS t("_file", day)
+"""
+
+
+# =========================================================================
 # 26a. contamination -- benchmark-vs-train n-gram overlap: bench docs
 #      whose shingles are mostly contained in some train doc.  Train =
 #      documents; bench = synthesized excerpts (first 120 chars of
@@ -1519,6 +1570,7 @@ QUERIES: dict[str, QuerySpec] = {
     "sample_by": QuerySpec(q_sample_by, _ORACLE_SAMPLE, "layout/SAMPLE-BY"),
     "weekly_orders": QuerySpec(q_weekly_orders, _ORACLE_WEEKLY, "F9 P4 P5"),
     "csv_export_roundtrip": QuerySpec(q_csv_roundtrip, _ORACLE_CSV_ROUNDTRIP, "S3 S4 S7 S8"),
+    "partition_probe": QuerySpec(q_partition_probe, _ORACLE_PARTITION_PROBE, "O5 per-branch limit + S8 _file probe (README.md:150-154)"),
     "dedup_exact": QuerySpec(q_dedup_exact, _ORACLE_DEDUP_EXACT, "dedup/exact"),
     "dedup_ngram_jaccard": QuerySpec(q_dedup_ngram, _ORACLE_DEDUP_NGRAM, "dedup/ngram-jaccard"),
     "dedup_minhash_lsh": QuerySpec(q_dedup_minhash, _ORACLE_DEDUP_MINHASH, "dedup/minhash-lsh"),
