@@ -204,8 +204,8 @@ def ngram_jaccard_pairs(
                 "id_a", "id_b", ch.round_to(F.col("jaccard"), 4).alias("jaccard")
             )
         )
-    a = idx.alias("a")
-    b = idx.alias("b")
+    a = idx.hint("shuffle_hash").alias("a")
+    b = idx.hint("shuffle_hash").alias("b")
     return (
         a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.id") < F.col("b.id")))
         .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
@@ -295,8 +295,10 @@ def minhash_lsh_pairs(
             )
         ).alias("bb"),
     ).select("id", F.col("bb.band").alias("band"), F.col("bb.bh").alias("bh"))
-    a = banded.alias("a")
-    b = banded.alias("b")
+    # shuffle_hash both sides: one materialized band exchange, reused,
+    # instead of broadcast's double computation of the signature lineage
+    a = banded.hint("shuffle_hash").alias("a")
+    b = banded.hint("shuffle_hash").alias("b")
     cands = (
         a.join(
             b,
@@ -545,8 +547,8 @@ def simhash_pairs(
             )
         ).alias("cc"),
     ).select("id", "sim", F.col("cc.ci").alias("ci"), F.col("cc.cv").alias("cv"))
-    a = chunked.alias("a")
-    b = chunked.alias("b")
+    a = chunked.hint("shuffle_hash").alias("a")
+    b = chunked.hint("shuffle_hash").alias("b")
     return (
         a.join(
             b,

@@ -151,7 +151,13 @@ def signlsh_pairs(
             )
         ).alias("s"),
     ).select("id", F.col("s.tbl").alias("tbl"), F.col("s.sig").alias("sig"))
-    a, b = sigs.alias("a"), sigs.alias("b")
+    # shuffle_hash on BOTH sides: broadcast would compute the signature
+    # lineage twice (build + probe); the shuffled join materializes the
+    # sig exchange once and reuses it -- measured 4.4x at sf0.1, and at
+    # scale both sides are large so a shuffle join is the right plan
+    # anyway
+    a = sigs.hint("shuffle_hash").alias("a")
+    b = sigs.hint("shuffle_hash").alias("b")
     cands = (
         a.join(
             b,
