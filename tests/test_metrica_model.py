@@ -118,6 +118,28 @@ def test_last_sign_utm_source_default(ledger, spark):
     assert vals[104] == "direct"
 
 
+def test_traffic_chart_shape_properties(spark):
+    """SURVEY.md section 5 item 3: the reference's published chart
+    outputs (img/datalens-chart-utmsources.png) imply invariants we
+    CAN check on any data: users <= visits (the least() cap),
+    bounceRate in [0, 100], rows sorted by visits desc then source
+    asc."""
+    from yc_data_transfer_clickhouse_from_yandex_metrica_spark.queries.driver import (
+        QUERIES,
+    )
+
+    from conftest import SF_ORACLE
+
+    rows = QUERIES["metrica_traffic_chart"].build(spark, SF_ORACLE).collect()
+    assert rows
+    for r in rows:
+        assert r["ym:s:users"] <= r["ym:s:visits"]
+        assert 0.0 <= r["ym:s:bounceRate"] <= 100.0
+        assert r["ym:s:lastSignUTMSource"] != ""
+    keys = [(-r["ym:s:visits"], r["ym:s:lastSignUTMSource"]) for r in rows]
+    assert keys == sorted(keys)
+
+
 def test_dotted_nested_view_matches_reference_layout(ledger):
     dotted = metrica.dotted_nested_view(ledger)
     assert "TrafficSource.Model" in dotted.columns
