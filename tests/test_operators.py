@@ -937,6 +937,48 @@ def test_results_invariant_to_shuffle_partitions(spark, qname):
 
 
 # --------------------------------------------------------------------------
+# Warehouse cleanup policies (S2) and schema-on-read options (S4)
+# --------------------------------------------------------------------------
+def test_write_table_cleanup_policies(spark):
+    tmp = tempfile.mkdtemp(prefix="ym_clean_")
+    layout = warehouse.TableLayout(date_col="d")
+    df = spark.createDataFrame(
+        [(1, date(2023, 11, 1))], "id long, d date"
+    )
+    try:
+        warehouse.write_table(df, f"{tmp}/t", layout)
+        warehouse.write_table(df, f"{tmp}/t", layout)  # disabled: appends
+        assert warehouse.read_table(spark, f"{tmp}/t").count() == 2
+        warehouse.write_table(df, f"{tmp}/t", layout, cleanup="truncate")
+        assert warehouse.read_table(spark, f"{tmp}/t").count() == 1
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_read_csv_custom_timestamp_format(spark):
+    from pyspark.sql import types as T
+
+    from yc_data_transfer_clickhouse_from_yandex_metrica_spark.sources import csvgz
+
+    tmp = tempfile.mkdtemp(prefix="ym_tsf_")
+    try:
+        with open(f"{tmp}/x.csv", "w") as f:
+            f.write("ts,v\n01.11.2023 10:30:00,7\n")
+        schema = T.StructType(
+            [T.StructField("ts", T.TimestampType()), T.StructField("v", T.LongType())]
+        )
+        df = csvgz.read_csv(
+            spark, f"{tmp}/x.csv", schema,
+            timestampFormat="dd.MM.yyyy HH:mm:ss",
+        )
+        row = df.collect()[0]
+        assert row["v"] == 7 and row["ts"].month == 11 and row["ts"].day == 1
+        assert row["_file"] == "x.csv"
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+# --------------------------------------------------------------------------
 # Reconciliation (SURVEY.md section 5 item 1)
 # --------------------------------------------------------------------------
 def test_reconcile_detects_value_drift(spark):
