@@ -15,7 +15,7 @@ Query code must always use :func:`array_at` -- never raw ``element_at``.
 
 from __future__ import annotations
 
-from typing import Callable, Iterable, Union
+from typing import Callable, Union
 
 from pyspark.sql import Column
 from pyspark.sql import functions as F
