@@ -42,18 +42,18 @@ def pack_sequences(
     """
     if shard_expr is None:
         shard_expr = F.pmod(F.xxhash64(F.col(id_col)), F.lit(nshards))
-    shard = shard_expr.alias("shard")
     w = Window.partitionBy("shard").orderBy(id_col)
-    cum = F.sum(tokens_col).over(w)
-    start = (cum - F.col(tokens_col)).alias("__start")
-    out = (
-        df.select(F.col(id_col), F.col(tokens_col), shard)
+    start = F.sum(tokens_col).over(w) - F.col(tokens_col)
+    # all input columns pass through, so downstream stages (stratum
+    # labels, quality scores) ride the SAME plan instead of re-joining
+    # and recomputing their lineage
+    return (
+        df.withColumn("shard", shard_expr)
         .withColumn("__start", start)
         .select(
-            id_col,
+            *df.columns,
             "shard",
             F.floor(F.col("__start") / F.lit(budget)).alias("bin"),
             F.pmod(F.col("__start"), F.lit(budget)).alias("offset"),
         )
     )
-    return out

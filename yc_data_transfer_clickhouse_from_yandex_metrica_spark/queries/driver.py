@@ -1134,7 +1134,7 @@ def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     return packing.pack_sequences(
         docs, "doc_id", "n_tokens", budget=2048, nshards=16,
         shard_expr=F.pmod(F.col("doc_id"), F.lit(16)),
-    )
+    ).select("doc_id", "shard", "bin", "offset")
 
 
 _ORACLE_PACKING = r"""
@@ -1493,7 +1493,7 @@ def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         kept, "doc_id", "n_tokens", budget=2048, nshards=8,
         shard_expr=F.pmod(F.col("doc_id"), F.lit(8)),
     )
-    return packed.join(kept.select("doc_id", "stratum", "quality"), "doc_id")
+    return packed.select("doc_id", "shard", "bin", "offset", "stratum", "quality")
 
 
 _ORACLE_CURATION = r"""
