@@ -343,15 +343,17 @@ def contamination(
     sides shuffled as 8-byte hashes.  Returns (bench_id, train_id,
     overlap) for the argmax train doc, ties broken by min train id.
     """
-    t_idx = _shingle_sets(_shingle_index(train, id_col, text_col, k)).select(
-        F.col("id").alias("tid"), F.explode("shset").alias("sh")
+    t_idx = (
+        _shingle_sets(_shingle_index(train, id_col, text_col, k))
+        .select(F.col("id").alias("tid"), F.explode("shset").alias("sh"))
+        .hint("shuffle_hash")
     )
     b_per_doc = _shingle_sets(_shingle_index(bench, id_col, text_col, k))
     b_idx = b_per_doc.select(
         F.col("id").alias("bid"),
         F.size("shset").alias("bn"),
         F.explode("shset").alias("sh"),
-    )
+    ).hint("shuffle_hash")
     overlaps = (
         b_idx.join(t_idx, "sh")
         .groupBy("bid", "tid")
