@@ -19,6 +19,10 @@ from conftest import SF_ORACLE
 
 
 def _norm(v):
+    # Deliberately does NOT coerce decimal.Decimal to float: the driver's
+    # value-hash distinguishes them, so a Spark DECIMAL result column must
+    # fail here exactly as it fails the external gate (round-1 lesson:
+    # where_alias shipped red while pytest was green).
     if v is None:
         return None
     if isinstance(v, float):
@@ -29,14 +33,17 @@ def _norm(v):
         return v.isoformat()
     if isinstance(v, date):
         return v.isoformat()
-    try:
-        import decimal
-
-        if isinstance(v, decimal.Decimal):
-            return round(float(v), 9)
-    except ImportError:
-        pass
     return v
+
+
+def _coltypes(cols, rows):
+    """Per-column set of non-None Python types, keyed by column name."""
+    out = {c: set() for c in cols}
+    for r in rows:
+        for c, v in zip(cols, r):
+            if v is not None:
+                out[c].add(type(v).__name__)
+    return out
 
 
 def _rowset(cols, rows):
@@ -64,6 +71,14 @@ def test_oracle_parity(name, spark, duck):
     assert len(srows) == len(orows), (
         f"{name}: row count spark={len(srows)} oracle={len(orows)}"
     )
+    stypes = _coltypes(scols, srows)
+    otypes = _coltypes(ocols, orows)
+    type_mism = {
+        c: (stypes[c], otypes[c])
+        for c in stypes
+        if stypes[c] != otypes[c] and stypes[c] and otypes[c]
+    }
+    assert not type_mism, f"{name}: python value types differ per column: {type_mism}"
     sset, key_cols = _rowset(scols, srows)
     oset, _ = _rowset(ocols, orows)
     mism = [

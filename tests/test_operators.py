@@ -651,6 +651,42 @@ def test_minhash_recall_equals_exact_jaccard(spark):
     assert exact and lsh == exact
 
 
+def test_simhash_pairs_equal_brute_force_hamming(spark):
+    """simhash_pairs must return EXACTLY the pairs whose packed-hash
+    hamming distance is <= max_hamming -- the pigeonhole chunk blocking
+    is exact w.r.t. the hash, so this is an equality, not a recall bound.
+
+    Brute force is computed in plain Python over simhash_hashes output
+    (independent of the chunk-join under test).  Corpus: planted
+    near-dups (one-word edits of a long base) plus distinct docs.
+    """
+    base = (
+        "large language models are trained on vast corpora of text that "
+        "must be deduplicated filtered and scored before any tokens are "
+        "packed into fixed length training sequences for the optimizer"
+    )
+    rows = []
+    for i in range(25):
+        words = (base + f" tail{i}").split()
+        rows.append(Row(doc_id=i, text=" ".join(words)))
+        if i % 4 == 0:  # near-dup: single-word append -> tiny hamming
+            rows.append(Row(doc_id=1000 + i, text=" ".join(words + ["extra"])))
+    df = spark.createDataFrame(rows)
+
+    hashes = {r["id"]: r["sim"] for r in
+              dedup.simhash_hashes(df, "doc_id", "text").collect()}
+    ids = sorted(hashes)
+    brute = {
+        (a, b, bin((hashes[a] ^ hashes[b]) & ((1 << 64) - 1)).count("1"))
+        for i, a in enumerate(ids) for b in ids[i + 1:]
+        if bin((hashes[a] ^ hashes[b]) & ((1 << 64) - 1)).count("1") <= 3
+    }
+    got = {(r["id_a"], r["id_b"], r["hamming"]) for r in
+           dedup.simhash_pairs(df, "doc_id", "text", max_hamming=3).collect()}
+    assert brute, "corpus must plant at least one near-dup pair"
+    assert got == brute
+
+
 def test_connected_components_chain_and_singletons(spark):
     """A 5-node chain (diameter 4 -- worst case for label propagation),
     a separate pair, and docs in no pair at all."""

@@ -484,8 +484,12 @@ def q_where_alias(spark: SparkSession, sf_dir: str) -> DataFrame:
     t(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem_v")
     aliases = {"rev": "l_extendedprice * (1 - l_discount)"}
     where = inline_aliases("rev > 90000", aliases)  # CH dialect -> Spark SQL
+    # Spark parses the 100.0 literals as DECIMAL(4,1), so the division
+    # would yield DecimalType(27,6) where ClickHouse/DuckDB yield DOUBLE.
+    # Force DOUBLE to match warehouse semantics (round-1 hash-fail fix).
     return spark.sql(
-        f"SELECT l_orderkey, l_linenumber, floor(({aliases['rev']}) * 100.0 + 0.5) / 100.0 AS rev "
+        f"SELECT l_orderkey, l_linenumber, "
+        f"CAST(floor(({aliases['rev']}) * 100.0 + 0.5) / 100.0 AS DOUBLE) AS rev "
         f"FROM lineitem_v WHERE {where}"
     )
 
@@ -644,7 +648,9 @@ FROM pairs WHERE j >= 0.8
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash hamming<=3 pairs.  No oracle: the output is a function of
     xxhash64 bit patterns, not expressible in ANSI SQL (rows-only check
-    by design; the SimHash property itself is pytest-verified)."""
+    by design).  The blocking-is-exact property is pytest-verified by
+    tests/test_operators.py::test_simhash_pairs_equal_brute_force_hamming,
+    which asserts pair-set equality against brute-force bit_count(a^b)."""
     _prep(spark)
     docs = _docs_with_dups(spark, sf_dir)
     return dedup.simhash_pairs(docs, "doc_id", "text", max_hamming=3)
