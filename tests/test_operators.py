@@ -10,6 +10,7 @@ and *plans* the 100TB posture depends on.
 
 from __future__ import annotations
 
+import os
 import random
 import shutil
 import tempfile
@@ -391,6 +392,38 @@ def test_partition_pruning_on_weekly_layout(spark):
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+def test_write_table_parallelism_within_week(spark):
+    """A hot week must NOT funnel through one task: with range
+    repartitioning on (week, sort keys), each weekly directory is
+    written by several tasks (several files), not exactly one
+    (round-1's repartition-by-week-value gave 1 file == 1 task per
+    week regardless of cluster size)."""
+    tmp = tempfile.mkdtemp(prefix="ym_whpar_")
+    # AQE sizes the range exchange by bytes; at toy scale it would
+    # rightly coalesce to 1 partition, so shrink the advisory size to
+    # make the 100TB-scale behavior (many tasks per week) observable.
+    advisory = spark.conf.get("spark.sql.adaptive.advisoryPartitionSizeInBytes", "64MB")
+    spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "16KB")
+    try:
+        df = spark.range(20_000).select(
+            F.col("id"),
+            F.date_add(
+                F.lit("2023-10-02").cast("date"), (F.col("id") % 14).cast("int")
+            ).alias("d"),
+        )
+        warehouse.write_table(
+            df, f"{tmp}/t", warehouse.TableLayout(date_col="d", sort_by=["id"])
+        )
+        week_dirs = [p for p in os.listdir(f"{tmp}/t") if p.startswith("_week=")]
+        assert len(week_dirs) == 2
+        for wd in week_dirs:
+            files = [f for f in os.listdir(f"{tmp}/t/{wd}") if f.endswith(".parquet")]
+            assert len(files) > 1, f"{wd}: written by a single task"
+    finally:
+        spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", advisory)
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 def test_scd2_join_broadcasts_dim(spark):
     from yc_data_transfer_clickhouse_from_yandex_metrica_spark.queries.driver import QUERIES
 
@@ -769,6 +802,11 @@ def test_ivf_recall_against_brute(spark):
         (r["query_id"], r["neighbor_id"])
         for r in similarity.ivf_topk(vecs, qs, k=10, nlist=8, nprobe=4).collect()
     }
+    # The test embeddings are i.i.d. random (same-label and cross-label
+    # cosine both ~0, measured), so true neighbors are spread uniformly
+    # across lists and ANY IVF's recall is structurally ~nprobe/nlist.
+    # This is a sanity floor; the >=0.9 quality gate lives in
+    # test_ivf_recall_on_clustered_data where the data HAS structure.
     recall = len(exact & approx) / len(exact)
     assert recall >= 0.5, f"IVF recall {recall:.2f} too low vs brute"
     # every IVF hit must carry the TRUE cosine (verify step is exact)
@@ -780,6 +818,37 @@ def test_ivf_recall_against_brute(spark):
         key = (r["query_id"], r["neighbor_id"])
         if key in exact_cos:
             assert abs(r["cos"] - exact_cos[key]) < 1e-9
+
+
+def test_ivf_recall_on_clustered_data(spark):
+    """The real IVF quality gate: on data with genuine cluster structure
+    (8 well-separated spherical clusters), k-means-trained centroids must
+    recover the clusters and recall@10 must be >= 0.9 even probing only
+    2 of 8 lists.  (Round-1's lowest-id seeds gave no such guarantee.)"""
+    import numpy as np
+
+    from yc_data_transfer_clickhouse_from_yandex_metrica_spark.operators import similarity
+
+    rng = np.random.RandomState(7)
+    centers = rng.normal(size=(8, 64))
+    centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+    rows = []
+    for i in range(400):
+        c = centers[i % 8]
+        v = c + 0.08 * rng.normal(size=64)
+        rows.append((i, [float(x) for x in v / np.linalg.norm(v)]))
+    vecs = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    qs = vecs.limit(8).selectExpr("vec_id AS query_id", "embedding")
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in similarity.brute_topk(vecs, qs, k=10).collect()
+    }
+    approx = {
+        (r["query_id"], r["neighbor_id"])
+        for r in similarity.ivf_topk(vecs, qs, k=10, nlist=8, nprobe=2).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.9, f"IVF recall {recall:.2f} on clustered data"
 
 
 # --------------------------------------------------------------------------

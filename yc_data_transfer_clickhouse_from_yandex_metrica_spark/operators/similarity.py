@@ -179,6 +179,53 @@ def signlsh_pairs(
     )
 
 
+def train_centroids(
+    vectors: DataFrame,
+    nlist: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    train_per_list: int = 64,
+    lloyd_iters: int = 2,
+) -> list[list[float]]:
+    """Spherical k-means centroids from a bounded deterministic sample.
+
+    One distributed pass: TakeOrdered of nlist*train_per_list rows by
+    xxhash64(id) (a deterministic pseudo-random sample, spread across
+    the data -- NOT the lowest ids, which are arbitrarily biased).  The
+    sample is tiny (independent of |vectors|), so the Lloyd iterations
+    run driver-side in numpy -- the same split MLlib's KMeansModel uses
+    (distributed assignment, driver-held centroids).  Seeds are the
+    first nlist sample rows in hash order; empty clusters keep their
+    previous centroid; everything is seed-deterministic so runs
+    reproduce bit-for-bit.
+    """
+    train_rows = (
+        vectors.select(
+            F.xxhash64(F.col(id_col).cast("string")).alias("h"),
+            F.col(id_col).alias("id"),
+            as_double(vec_col).alias("v"),
+        )
+        .orderBy("h", "id")
+        .limit(nlist * train_per_list)
+        .select("v")
+        .collect()
+    )
+    x = np.array([r["v"] for r in train_rows], dtype=np.float64)
+    norms = np.linalg.norm(x, axis=1)
+    x = x[norms > 0] / norms[norms > 0, None]  # spherical: cosine == dot
+    cents = x[: min(nlist, len(x))].copy()
+    for _ in range(lloyd_iters):
+        assign = np.argmax(x @ cents.T, axis=1)
+        for c in range(len(cents)):
+            members = x[assign == c]
+            if len(members):
+                m = members.mean(axis=0)
+                n = np.linalg.norm(m)
+                if n > 0:
+                    cents[c] = m / n
+    return [[float(v) for v in row] for row in cents]
+
+
 def ivf_topk(
     vectors: DataFrame,
     queries: DataFrame,
@@ -188,16 +235,21 @@ def ivf_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
+    centroids: list[list[float]] | None = None,
 ) -> DataFrame:
-    """IVF ANN: coarse-quantize vectors to nlist centroids (deterministic
-    choice: the nlist lowest-id vectors act as seeds -- one cheap pass,
-    no iterative k-means on the hot path), then answer each query from
-    its nprobe nearest lists only.  Approximate by design; rows-only
-    correctness check (the exact baseline is brute_topk)."""
+    """IVF ANN: coarse-quantize vectors to nlist k-means centroids
+    (trained by `train_centroids` on a bounded hash sample unless
+    passed in pre-trained), then answer each query from its nprobe
+    nearest lists only.  Approximate by design; rows-only correctness
+    check (the exact baseline is brute_topk).  Pytest gates recall@10
+    >= 0.9 vs brute on clustered data (nprobe=2/nlist=8) and >= 0.5 on
+    the unclustered test embeddings, where ~nprobe/nlist is the
+    structural ceiling for any IVF."""
+    if centroids is None:
+        centroids = train_centroids(vectors, nlist, id_col, vec_col)
     base = vectors.select(F.col(id_col).alias("nn_id"), as_double(vec_col).alias("nv"))
-    centroids = (
-        base.orderBy("nn_id").limit(nlist)
-        .select(F.col("nn_id").alias("cid"), F.col("nv").alias("cv"))
+    centroids = vectors.sparkSession.createDataFrame(
+        [(i, row) for i, row in enumerate(centroids)], "cid long, cv array<double>"
     )
     assigned = (
         base.crossJoin(F.broadcast(centroids))

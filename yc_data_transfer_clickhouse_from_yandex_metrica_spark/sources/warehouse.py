@@ -57,7 +57,16 @@ def write_table(
         shutil.rmtree(path)
     out = df.withColumn(WEEK_COL, ch.to_monday(F.col(layout.date_col)))
     if layout.sort_by:
-        out = out.repartition(F.col(WEEK_COL)).sortWithinPartitions(*layout.sort_by)
+        # repartitionByRange on (week, sort keys), NOT repartition(week):
+        # hash-partitioning by week value caps write parallelism at the
+        # number of weeks and funnels a hot week through ONE task (at
+        # 100TB every week is hot).  Range partitioning splits each week
+        # across ~shuffle.partitions/n_weeks tasks along the sort keys,
+        # and rows arrive already range-clustered so the within-partition
+        # sort is cheap and file row-group min/max stay tight.
+        out = out.repartitionByRange(
+            F.col(WEEK_COL), *[F.col(c) for c in layout.sort_by]
+        ).sortWithinPartitions(WEEK_COL, *layout.sort_by)
     (
         out.write.mode(mode)
         .option("maxRecordsPerFile", layout.max_records_per_file)
