@@ -399,11 +399,13 @@ def test_write_table_parallelism_within_week(spark):
     (round-1's repartition-by-week-value gave 1 file == 1 task per
     week regardless of cluster size)."""
     tmp = tempfile.mkdtemp(prefix="ym_whpar_")
-    # AQE sizes the range exchange by bytes; at toy scale it would
-    # rightly coalesce to 1 partition, so shrink the advisory size to
-    # make the 100TB-scale behavior (many tasks per week) observable.
-    advisory = spark.conf.get("spark.sql.adaptive.advisoryPartitionSizeInBytes", "64MB")
-    spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "16KB")
+    # AQE coalescing works on COMPRESSED map-output sizes: at toy scale
+    # each range partition is ~5KB compressed, so even a 16KB advisory
+    # size lets AQE legally re-merge each week to one partition.  Turn
+    # coalescing off for the probe so the 100TB-scale behavior (many
+    # tasks per week) is observable at 20k rows.
+    coalesce = spark.conf.get("spark.sql.adaptive.coalescePartitions.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
     try:
         df = spark.range(20_000).select(
             F.col("id"),
@@ -420,7 +422,7 @@ def test_write_table_parallelism_within_week(spark):
             files = [f for f in os.listdir(f"{tmp}/t/{wd}") if f.endswith(".parquet")]
             assert len(files) > 1, f"{wd}: written by a single task"
     finally:
-        spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", advisory)
+        spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", coalesce)
         shutil.rmtree(tmp, ignore_errors=True)
 
 
