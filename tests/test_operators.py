@@ -252,6 +252,70 @@ def test_streaming_collapse_matches_batch(spark):
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+def test_streaming_collapse_partition_scoped(spark):
+    """date_col path: the foreachBatch merge is scoped to the _week
+    partitions the micro-batch touches -- untouched week directories
+    keep their exact files -- and a multi-batch replay with late/stale
+    versions lands on the same final state as one global batch
+    collapse (entity dates are stable across versions, the visits
+    wire contract, so week-scoped == global)."""
+    tmp = tempfile.mkdtemp(prefix="ym_cdcp_")
+    src, dest, ckpt = f"{tmp}/src", f"{tmp}/dest", f"{tmp}/ckpt"
+    schema = "VisitID long, d date, metric long, Sign int, VisitVersion int"
+    mk = lambda rows: spark.createDataFrame(
+        [(k, date.fromisoformat(d), m, s, v) for k, d, m, s, v in rows], schema
+    )
+    # weeks: 2023-10-02 (w1) and 2023-10-09 (w2)
+    b1 = mk([(1, "2023-10-03", 10, 1, 1), (2, "2023-10-10", 20, 1, 1),
+             (3, "2023-10-04", 30, 1, 1)])
+    b2 = mk([(2, "2023-10-10", 20, -1, 1), (2, "2023-10-10", 21, 1, 2),
+             (4, "2023-10-11", 40, 1, 1)])  # touches w2 ONLY
+    b3 = mk([(1, "2023-10-03", 10, -1, 1), (1, "2023-10-03", 11, 1, 2),
+             (2, "2023-10-10", 20, 1, 1),   # stale v1 arriving late: ignored
+             (3, "2023-10-04", 30, -1, 1)])  # trailing cancel: k3 deleted
+
+    def feed(batch_df, name):
+        import glob
+
+        stage = f"{tmp}/stage_{name}"
+        batch_df.coalesce(1).write.parquet(stage)
+        os.makedirs(src, exist_ok=True)
+        for i, f in enumerate(sorted(glob.glob(f"{stage}/part-*.parquet"))):
+            shutil.move(f, f"{src}/{name}-{i}.parquet")
+
+    def drain():
+        q = cdc.start_collapse_stream(
+            spark, src, b1.schema, dest, ckpt, key=["VisitID"], date_col="d"
+        )
+        assert q.awaitTermination(120), "drain did not terminate"
+
+    try:
+        feed(b1, "b1")
+        drain()
+        w1 = f"{dest}/_week=2023-10-02"
+        before = sorted(os.listdir(w1))
+        feed(b2, "b2")
+        drain()
+        # batch touched only w2: w1's directory must be byte-identical
+        assert sorted(os.listdir(w1)) == before, "clean week was rewritten"
+        feed(b3, "b3")
+        drain()
+        got = {
+            (r["VisitID"], r["metric"], r["VisitVersion"])
+            for r in spark.read.parquet(dest).collect()
+        }
+        # equivalence with a single global collapse over the full ledger
+        expect = {
+            (r["VisitID"], r["metric"], r["VisitVersion"])
+            for r in collapse.collapsed(
+                b1.unionByName(b2).unionByName(b3), key=["VisitID"]
+            ).collect()
+        }
+        assert got == expect == {(1, 11, 2), (2, 21, 2), (4, 40, 1)}
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 # --------------------------------------------------------------------------
 # ClickHouse expression edge semantics (SURVEY.md F1/F2, M2 risk list)
 # --------------------------------------------------------------------------

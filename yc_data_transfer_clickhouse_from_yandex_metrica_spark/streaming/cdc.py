@@ -37,6 +37,8 @@ from pyspark.sql.streaming import StreamingQuery
 from ..functions import ch
 from ..operators.collapse import collapsed
 
+_WEEK = "_week"
+
 
 def target_name(base: str, transfer_id: str | None) -> str:
     return f"{base}_{transfer_id}" if transfer_id else base
@@ -181,12 +183,27 @@ def start_collapse_stream(
     key: list[str],
     version: str = "VisitVersion",
     sign: str = "Sign",
+    date_col: str | None = None,
     available_now: bool = True,
 ) -> StreamingQuery:
     """ST3 option (b): maintain a collapsed latest-version table via
-    foreachBatch merge.  Each micro-batch unions the existing
-    materialization with new ledger rows and re-collapses -- idempotent
-    under replay (at-least-once safe).
+    foreachBatch merge, idempotent under replay (at-least-once safe).
+
+    With ``date_col`` set (the 100TB path), the materialization is
+    weekly-partitioned and each micro-batch merges ONLY the ``_week``
+    partitions it touches: read is partition-pruned to the dirty
+    weeks, the re-collapse runs over those rows alone, and a dynamic
+    partition overwrite replaces just those directories.  Per-batch
+    cost is O(dirty weeks), not O(table).  Collapse never crosses
+    week boundaries -- exactly VersionedCollapsingMergeTree semantics,
+    where merges are scoped to the ``PARTITION BY toMonday(...)``
+    partition (ddl/visits.sql:229-234); equivalent to a global
+    collapse whenever an entity's date (hence week) is stable across
+    its versions, which is the visits wire contract (a visit's
+    StartDate does not move between updates).
+
+    Without ``date_col`` the whole table is re-collapsed and swapped
+    each batch -- acceptable only for small unpartitioned tables.
 
     State is the materialized table itself (not executor memory), so
     size is bounded by live entities, not stream history.
@@ -194,22 +211,54 @@ def start_collapse_stream(
 
     def merge(batch: DataFrame, batch_id: int) -> None:
         sp = batch.sparkSession
-        if os.path.exists(dest_dir):
-            current = sp.read.parquet(dest_dir)
+        if date_col is None:
+            # full-rewrite fallback: small unpartitioned tables only
+            if os.path.exists(dest_dir):
+                current = sp.read.parquet(dest_dir)
+                merged = collapsed(
+                    current.unionByName(batch.select(*current.columns)),
+                    key=key, version=version, sign=sign,
+                )
+            else:
+                merged = collapsed(batch, key=key, version=version, sign=sign)
+            # write to tmp then swap: the merge reads dest_dir, cannot
+            # overwrite in place
+            tmp = dest_dir.rstrip("/") + "__tmp"
+            merged.write.mode("overwrite").parquet(tmp)
+            import shutil
+
+            if os.path.exists(dest_dir):
+                shutil.rmtree(dest_dir)
+            os.replace(tmp, dest_dir)
+            return
+
+        b = batch.withColumn(_WEEK, ch.to_monday(F.col(date_col)))
+        weeks = [r[0] for r in b.select(_WEEK).distinct().collect()]
+        if not weeks:
+            return
+        have_data = os.path.exists(dest_dir) and any(
+            p.startswith(f"{_WEEK}=") for p in os.listdir(dest_dir)
+        )
+        scoped_key = [*key, _WEEK]
+        if have_data:
+            # partition filter prunes to the dirty week directories
+            current = sp.read.parquet(dest_dir).where(F.col(_WEEK).isin(weeks))
             merged = collapsed(
-                current.unionByName(batch.select(*current.columns)),
-                key=key, version=version, sign=sign,
+                current.unionByName(b.select(*current.columns)),
+                key=scoped_key, version=version, sign=sign,
             )
         else:
-            merged = collapsed(batch, key=key, version=version, sign=sign)
-        # write to tmp then swap: the merge reads dest_dir, cannot overwrite in place
-        tmp = dest_dir.rstrip("/") + "__tmp"
-        merged.write.mode("overwrite").parquet(tmp)
-        import shutil
-
-        if os.path.exists(dest_dir):
-            shutil.rmtree(dest_dir)
-        os.replace(tmp, dest_dir)
+            merged = collapsed(b, key=scoped_key, version=version, sign=sign)
+        # localCheckpoint breaks lineage so the write may replace the
+        # very partitions the merge read; it materializes only the
+        # dirty weeks' rows (bounded by the batch's week span)
+        merged = merged.localCheckpoint()
+        (
+            merged.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy(_WEEK)
+            .parquet(dest_dir)
+        )
 
     stream = spark.readStream.format("parquet").schema(schema).load(source_dir)
     writer = stream.writeStream.foreachBatch(merge).option(
