@@ -16,16 +16,53 @@ non-equi join degenerates to a nested-loop; the scale-safe shape is:
 
 Dim inflation = interval-weeks per row, bounded by the fact span; the
 join itself is pure equi so AQE/skew handling and co-location all
-apply.  Two driver-side scalars (min/max fact date) are the only
-collected values.
+apply.  The clamp bounds come from the caller or from parquet footer
+statistics (``parquet_min_max``) -- metadata only, so the fact is
+scanned exactly once, by the join itself.
 """
 
 from __future__ import annotations
+
+import glob
+import os
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 _B = "__bucket"
+
+
+def parquet_min_max(path: str, column: str) -> tuple:
+    """(min, max) of ``column`` from parquet FOOTER statistics alone:
+    O(#files) metadata reads, zero data pages touched.  The 100TB way
+    to learn a table's date span -- the same numbers a catalog or
+    partition listing would hand a warehouse engine.  Returns
+    (None, None) when no file carries stats for the column.
+
+    Footer min/max cover every row, so the result is a valid clamp
+    bound for ANY filtered subset of the table (bounds only need to
+    contain the fact's points; wider is still exact)."""
+    import pyarrow.parquet as pq
+
+    files = (
+        sorted(glob.glob(os.path.join(path, "**", "*.parquet"), recursive=True))
+        if os.path.isdir(path)
+        else [path]
+    )
+    lo = hi = None
+    for fp in files:
+        md = pq.ParquetFile(fp).metadata
+        arrow_names = md.schema.to_arrow_schema().names
+        if column not in arrow_names:
+            continue
+        ci = arrow_names.index(column)
+        for g in range(md.num_row_groups):
+            st = md.row_group(g).column(ci).statistics
+            if st is None or not st.has_min_max:
+                continue
+            lo = st.min if lo is None else min(lo, st.min)
+            hi = st.max if hi is None else max(hi, st.max)
+    return lo, hi
 
 
 def interval_join(
@@ -37,6 +74,7 @@ def interval_join(
     equi: list[tuple[str, str]] | None = None,
     granularity: str = "week",
     how: str = "inner",
+    bounds: tuple | None = None,
 ) -> DataFrame:
     """Join fact rows to dim rows whose [from_col, to_col] interval
     contains ``fact.point_col``, without broadcasting the dim.
@@ -45,11 +83,22 @@ def interval_join(
     the bucket equi-join.  Output columns = fact columns + dim columns
     (helper columns dropped); same semantics as the broadcast
     formulation, plan shape = equi join + filter.
+
+    ``bounds=(lo, hi)`` clamps the dim intervals without touching the
+    fact: pass partition-listing or footer-statistics values (see
+    ``parquet_min_max``) so the fact is scanned once, by the join
+    itself.  Bounds must COVER the fact's points (wider is fine --
+    the exact between-refine keeps the result identical).  When
+    omitted, the bounds are computed with an eager min/max aggregate
+    -- an extra full pass over the fact, acceptable only off the
+    100TB path.
     """
-    bounds = fact.agg(
-        F.min(point_col).alias("lo"), F.max(point_col).alias("hi")
-    ).first()
-    lo, hi = bounds["lo"], bounds["hi"]
+    if bounds is None:
+        row = fact.agg(
+            F.min(point_col).alias("lo"), F.max(point_col).alias("hi")
+        ).first()
+        bounds = (row["lo"], row["hi"])
+    lo, hi = bounds
     if lo is None:  # empty fact: emit no rows, keep schema
         empty_cond = F.lit(False)
         return fact.join(dim, empty_cond, how)

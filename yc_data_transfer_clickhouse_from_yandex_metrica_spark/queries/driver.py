@@ -1029,9 +1029,14 @@ def q_scd2_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("from_dt").cast("date").alias("from_dt"),
         F.col("to_dt").cast("date").alias("to_dt"),
     )
+    # clamp bounds from parquet footer stats: metadata-only, so the
+    # fact is scanned exactly once -- by the join itself.  date() is
+    # monotone, so the footer timestamp min/max cover the cast dates.
+    lo, hi = rangejoin.parquet_min_max(f"{sf_dir}/lineitem.parquet", "l_shipdate")
     joined = rangejoin.interval_join(
         li, dim, "ship_date", "from_dt", "to_dt",
         equi=[("l_returnflag", "flag")], granularity="week",
+        bounds=(lo.date() if lo else None, hi.date() if hi else None),
     )
     return (
         joined.groupBy("flag_desc", F.year("ship_date").alias("ship_year"))
