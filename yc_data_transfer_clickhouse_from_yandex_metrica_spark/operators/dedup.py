@@ -114,13 +114,26 @@ def _shingle_sets(idx: DataFrame) -> DataFrame:
 # --------------------------------------------------------------------------
 # exact n-gram Jaccard pair mining
 # --------------------------------------------------------------------------
+# Default document-frequency cap for the inverted index.  The bucket
+# join examines C(df, 2) pairs per shingle, so ONE boilerplate shingle
+# shared by 10^6 web documents would alone contribute ~5*10^11
+# candidate pairs; capping df bounds any shingle's cost at
+# C(5000, 2) ~ 1.25*10^7.  A shingle in > 5000 documents is template
+# boilerplate, not authorship signal -- true near-dups above any useful
+# threshold still meet through their rarer shingles.  Pass
+# ``max_df=None`` for the fully exact index.
+DEFAULT_MAX_DF = 5000
+
+_UNSET = object()
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
     k: int = 3,
     threshold: float = 0.8,
-    max_df: int | None = None,
+    max_df: int | None = _UNSET,  # type: ignore[assignment]
     prefix_filter: bool = False,
 ) -> DataFrame:
     """All unordered pairs with word-k-gram Jaccard >= threshold.
@@ -149,8 +162,13 @@ def ngram_jaccard_pairs(
     from the index (both modes); with a cap set, the prefix path keeps
     scores exact but may miss pairs whose overlap is mostly hot
     shingles, while the full-index path reports tight lower-bound
-    scores (hot shingles stay in denominators).
+    scores (hot shingles stay in denominators).  Defaults to
+    ``DEFAULT_MAX_DF`` (5000): at web scale an uncapped index is
+    bucket-quadratic on boilerplate shingles; ``max_df=None`` restores
+    the fully exact index for bounded corpora.
     """
+    if max_df is _UNSET:
+        max_df = DEFAULT_MAX_DF
     per_doc = _shingle_sets(_shingle_index(df, id_col, text_col, k))
     # each index row carries its doc's distinct-shingle count (nsh, a
     # small int riding the 16-byte shuffle row): after the bucket join
