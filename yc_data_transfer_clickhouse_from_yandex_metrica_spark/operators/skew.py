@@ -25,8 +25,9 @@ does not:
                       (key, salt).  Hot fact keys spread over nsalt
                       reducers; dim inflates by exactly nsalt.
 
-Both are deterministic (hash-based salt, no rand()) so retried tasks
-produce identical partitions -- required for exactly-once sinks.
+Both are deterministic (ordinal-based salt, no rand()) for
+deterministic scans, so retried tasks produce identical partitions --
+required for exactly-once sinks.
 """
 
 from __future__ import annotations
@@ -39,70 +40,58 @@ from pyspark.sql import functions as F
 _SALT = "__salt"
 
 
-def _salt_col(keys: Sequence[str], nsalt: int) -> Column:
-    return F.pmod(F.xxhash64(*[F.col(k) for k in keys]), F.lit(nsalt))
-
-
 def with_salt(df: DataFrame, keys: Sequence[str], nsalt: int = 16) -> DataFrame:
-    """Append a deterministic salt in [0, nsalt) that is INDEPENDENT of
-    the keys -- it must differ across rows of the same hot key to
-    spread them.  Derived from xxhash64 over the non-key columns when
-    any exist (deterministic under retry), else from the source
-    partition id (stable for deterministic scans)."""
-    non_key = [c for c in df.columns if c not in keys]
-    if non_key:
-        salt = F.pmod(F.xxhash64(*[F.col(c) for c in non_key]), F.lit(nsalt))
-    else:
-        salt = F.pmod(F.spark_partition_id().cast("long"), F.lit(nsalt))
-    return df.withColumn(_SALT, salt)
+    """Append a salt in [0, nsalt) that is INDEPENDENT of the keys --
+    it must differ across rows of the same hot key to spread them,
+    INCLUDING payload-identical duplicate rows (the duplicate-heavy
+    corpus is exactly where skew bites, so a payload hash is the wrong
+    source).  Round-robin over the per-partition row ordinal
+    (``monotonically_increasing_id`` = partition id << 33 | row index)
+    spreads every partition's rows exactly evenly and stays
+    deterministic for a deterministic scan order, same as any
+    ordinal-derived value under retry."""
+    _ = keys  # salt is key-independent by construction
+    return df.withColumn(
+        _SALT, F.pmod(F.monotonically_increasing_id(), F.lit(nsalt))
+    )
+
+
+# phase-2 merge function per phase-1 head: sum-of-sums, sum-of-counts,
+# min-of-mins, max-of-maxes.  DISTINCT aggregates are deliberately
+# inexpressible: the same value can appear under several salts, so
+# merging per-salt distinct partials overcounts.
+_MERGE = {"sum": F.sum, "count": F.sum, "min": F.min, "max": F.max}
 
 
 def salted_agg(
     df: DataFrame,
     keys: Sequence[str],
-    aggs: dict[str, Column],
+    aggs: dict[str, tuple[str, Column | str]],
     nsalt: int = 16,
 ) -> DataFrame:
     """Two-phase skew-safe aggregate for ALGEBRAIC aggregates.
 
-    ``aggs`` maps output name -> phase-1 aggregate expression; phase 2
-    re-aggregates with the matching merge function inferred from the
-    expression's head (sum->sum, count->sum, min->min, max->max).
-    For non-algebraic aggregates (countDistinct, collect_*) decompose
+    ``aggs`` maps output name -> ``(head, column)`` with head one of
+    ``sum/count/min/max``: phase 1 applies ``head`` per (keys, salt),
+    phase 2 re-aggregates the partials with the matching merge
+    function.  The spec is declarative -- no Column-tree introspection,
+    so it works identically on classic and Spark Connect sessions.
+    For non-algebraic aggregates (count_distinct, collect_*) decompose
     manually (distinct-then-count etc.) -- they cannot be salted
     blindly.
     """
-    merge_fn = {"sum": F.sum, "count": F.sum, "min": F.min, "max": F.max}
-    phase1 = with_salt(df, keys, nsalt).groupBy(*keys, _SALT).agg(
-        *[c.alias(n) for n, c in aggs.items()]
-    )
-    import re
-
-    merged = []
-    for n, c in aggs.items():
-        head, distinct = "", False
-        try:  # classic-mode column tree: exact function name + DISTINCT flag
-            node = c._jc.node()
-            head = node.functionName().lower()
-            distinct = bool(node.isDistinct())
-        except Exception:
-            # fallback: parse the repr "Column<'sum(v)'>" (loses the
-            # DISTINCT flag in Spark 4, hence the primary path above)
-            body = str(c).split("'", 1)[1]
-            m = re.match(r"(\w+)\(", body)
-            head = m.group(1).lower() if m else ""
-            distinct = "DISTINCT" in body
-        # DISTINCT aggregates are NOT mergeable: the same value can
-        # appear under several salts, so summing per-salt partials
-        # overcounts -- reject them explicitly
-        if head not in merge_fn or distinct:
+    for n, (head, _c) in aggs.items():
+        if head not in _MERGE:
             raise ValueError(
                 "salted_agg only supports algebraic aggregates "
-                f"(sum/count/min/max, no DISTINCT), got {head!r}"
-                + (" DISTINCT" if distinct else "")
+                f"(sum/count/min/max, no DISTINCT), got {head!r} for {n!r}"
             )
-        merged.append(merge_fn[head](F.col(n)).alias(n))
-    return phase1.groupBy(*keys).agg(*merged)
+    phase1 = with_salt(df, keys, nsalt).groupBy(*keys, _SALT).agg(
+        *[getattr(F, head)(c).alias(n) for n, (head, c) in aggs.items()]
+    )
+    return phase1.groupBy(*keys).agg(
+        *[_MERGE[head](F.col(n)).alias(n) for n, (head, _c) in aggs.items()]
+    )
 
 
 def salted_join(
