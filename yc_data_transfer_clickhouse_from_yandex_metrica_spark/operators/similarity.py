@@ -197,7 +197,9 @@ def train_centroids(
     (distributed assignment, driver-held centroids).  Seeds are the
     first nlist sample rows in hash order; empty clusters keep their
     previous centroid; everything is seed-deterministic so runs
-    reproduce bit-for-bit.
+    reproduce bit-for-bit.  Returns [] when the input holds no vector
+    with a positive norm (ivf_topk then short-circuits to an empty
+    result instead of crashing).
     """
     train_rows = (
         vectors.select(
@@ -210,9 +212,13 @@ def train_centroids(
         .select("v")
         .collect()
     )
+    if not train_rows:
+        return []
     x = np.array([r["v"] for r in train_rows], dtype=np.float64)
     norms = np.linalg.norm(x, axis=1)
     x = x[norms > 0] / norms[norms > 0, None]  # spherical: cosine == dot
+    if not len(x):
+        return []
     cents = x[: min(nlist, len(x))].copy()
     for _ in range(lloyd_iters):
         assign = np.argmax(x @ cents.T, axis=1)
@@ -244,9 +250,27 @@ def ivf_topk(
     check (the exact baseline is brute_topk).  Pytest gates recall@10
     >= 0.9 vs brute on clustered data (nprobe=2/nlist=8) and >= 0.5 on
     the unclustered test embeddings, where ~nprobe/nlist is the
-    structural ceiling for any IVF."""
+    structural ceiling for any IVF.
+
+    Training runs EAGERLY at call time (the bounded TakeOrdered
+    sample); callers issuing repeated queries over the same vectors
+    should pre-train once via ``train_centroids`` and pass
+    ``centroids=`` to avoid retraining per call.  A supplied
+    ``centroids`` list defines the lists outright -- ``nlist`` is a
+    training-only parameter and is ignored in that case."""
     if centroids is None:
         centroids = train_centroids(vectors, nlist, id_col, vec_col)
+    if not centroids:
+        # no trainable vectors: empty result with the stable schema
+        return (
+            queries.select(F.col(query_id_col).alias("query_id"))
+            .withColumn(
+                "neighbor_id", F.lit(None).cast(vectors.schema[id_col].dataType)
+            )
+            .withColumn("cos", F.lit(None).cast("double"))
+            .withColumn("rank", F.lit(None).cast("int"))
+            .where(F.lit(False))
+        )
     base = vectors.select(F.col(id_col).alias("nn_id"), as_double(vec_col).alias("nv"))
     centroids = vectors.sparkSession.createDataFrame(
         [(i, row) for i, row in enumerate(centroids)], "cid long, cv array<double>"
