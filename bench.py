@@ -4,12 +4,19 @@
 
 Prints ONE JSON line:
   {"metric": "...", "value": <total_sec>, "unit": "sec",
-   "queries": {"<name>": sec, ...}, "sf": <sf>}
+   "queries": {"<name>": median_sec, ...},
+   "queries_runs": {"<name>": [sec, ...]}, "runs": N, "sf": <sf>}
 
 Execution is forced through the noop sink so timings measure engine
 compute (scan -> shuffle -> agg/join), not driver-side row
-serialization.  Per-query time includes plan + execute (cold cache,
-sequential order fixed alphabetically for run-to-run comparability).
+serialization.  Per-query time includes plan + execute.
+
+Each query runs $SPARK_GRAFT_BENCH_RUNS times (default 3) in
+interleaved passes (pass 1 runs every query once, then pass 2, ...)
+and reports the per-query MEDIAN: single-run timings on this machine
+swing up to 3x on identical code (measured round 1/2 -- the r2-vs-r1
+comparison was 100% noise), so only medians are comparable
+round-over-round.  `value` is the total of medians.
 """
 
 from __future__ import annotations
@@ -23,6 +30,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
+RUNS = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3")))
 
 # headline set: the reference-parity chart queries, the join/agg
 # benchmarks, and the training-data operators (dedup / similarity /
@@ -99,15 +107,19 @@ def main() -> None:
         except Exception:
             pass  # cleanup is best-effort; timings just get noisier
 
-    timings: dict[str, float] = {}
-    for name in HEADLINE:
-        spec = QUERIES[name]
-        t0 = time.perf_counter()
-        df = spec.build(spark, SF_DIR)
-        df.write.mode("overwrite").format("noop").save()
-        timings[name] = round(time.perf_counter() - t0, 3)
-        release_storage()
+    import statistics
 
+    runs: dict[str, list[float]] = {name: [] for name in HEADLINE}
+    for _pass in range(RUNS):
+        for name in HEADLINE:
+            spec = QUERIES[name]
+            t0 = time.perf_counter()
+            df = spec.build(spark, SF_DIR)
+            df.write.mode("overwrite").format("noop").save()
+            runs[name].append(round(time.perf_counter() - t0, 3))
+            release_storage()
+
+    timings = {name: round(statistics.median(r), 3) for name, r in runs.items()}
     total = round(sum(timings.values()), 3)
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     try:
@@ -121,6 +133,8 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "queries_runs": runs,
+                "runs": RUNS,
                 "sf": sf_val,
             }
         )
