@@ -33,6 +33,52 @@ class ClickHouseConn:
         return f"jdbc:clickhouse://{self.host}:{self.port}/{self.database}"
 
 
+_DRIVER = "com.clickhouse.jdbc.ClickHouseDriver"
+
+
+def reader_options(
+    conn: ClickHouseConn,
+    table: str,
+    partition_column: str | None = None,
+    num_partitions: int = 8,
+    lower_bound: int | None = None,
+    upper_bound: int | None = None,
+) -> dict[str, str]:
+    """The exact option map handed to ``spark.read.format("jdbc")``.
+    Pure (no session, no server) so tests can golden-assert the URL,
+    driver class, and parallel-range settings this container cannot
+    execute live."""
+    opts = {
+        "url": conn.url,
+        "dbtable": table,
+        "user": conn.user,
+        "password": conn.password,
+        "driver": _DRIVER,
+    }
+    if partition_column is not None:
+        opts.update(
+            {
+                "partitionColumn": partition_column,
+                "numPartitions": str(num_partitions),
+                "lowerBound": str(lower_bound if lower_bound is not None else 0),
+                "upperBound": str(upper_bound if upper_bound is not None else 1 << 31),
+            }
+        )
+    return opts
+
+
+def writer_options(conn: ClickHouseConn, table: str) -> dict[str, str]:
+    """Option map for the JDBC sink (batched inserts)."""
+    return {
+        "url": conn.url,
+        "dbtable": table,
+        "user": conn.user,
+        "password": conn.password,
+        "driver": _DRIVER,
+        "batchsize": str(100_000),
+    }
+
+
 def read_table(
     spark: SparkSession,
     conn: ClickHouseConn,
@@ -45,33 +91,22 @@ def read_table(
     """Parallel JDBC read.  partition_column should be a dense numeric
     key (CounterID / CounterUserIDHash) so each executor pulls an
     independent range -- a single-connection read does not scale."""
-    r = (
+    return (
         spark.read.format("jdbc")
-        .option("url", conn.url)
-        .option("dbtable", table)
-        .option("user", conn.user)
-        .option("password", conn.password)
-        .option("driver", "com.clickhouse.jdbc.ClickHouseDriver")
-    )
-    if partition_column is not None:
-        r = (
-            r.option("partitionColumn", partition_column)
-            .option("numPartitions", num_partitions)
-            .option("lowerBound", lower_bound or 0)
-            .option("upperBound", upper_bound or 1 << 31)
+        .options(
+            **reader_options(
+                conn, table, partition_column, num_partitions,
+                lower_bound, upper_bound,
+            )
         )
-    return r.load()
+        .load()
+    )
 
 
 def write_table(df: DataFrame, conn: ClickHouseConn, table: str, mode: str = "append") -> None:
     (
         df.write.format("jdbc")
-        .option("url", conn.url)
-        .option("dbtable", table)
-        .option("user", conn.user)
-        .option("password", conn.password)
-        .option("driver", "com.clickhouse.jdbc.ClickHouseDriver")
-        .option("batchsize", 100_000)
+        .options(**writer_options(conn, table))
         .mode(mode)
         .save()
     )
