@@ -547,6 +547,52 @@ def test_interval_join_equals_broadcast_path_without_broadcast(spark):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
 
 
+def test_interval_join_footer_bounds_no_extra_scan(spark):
+    """bounds= from parquet footer statistics: parquet_min_max reads
+    metadata only, interval_join with bounds launches ZERO jobs at
+    construction (the no-bounds path runs an eager min/max pre-job --
+    a second full pass over a 100TB fact), and the rows match the
+    broadcast reference exactly."""
+    from yc_data_transfer_clickhouse_from_yandex_metrica_spark.operators import rangejoin
+
+    tmp = tempfile.mkdtemp(prefix="ym_rj_")
+    try:
+        spark.createDataFrame(
+            [(i, date(2023, 10, 1 + i % 28), f"k{i % 3}") for i in range(300)],
+            "id long, d date, k string",
+        ).write.parquet(f"{tmp}/fact")
+        lo, hi = rangejoin.parquet_min_max(f"{tmp}/fact", "d")
+        assert (lo, hi) == (date(2023, 10, 1), date(2023, 10, 28))
+        assert rangejoin.parquet_min_max(f"{tmp}/fact", "absent") == (None, None)
+
+        fact = spark.read.parquet(f"{tmp}/fact")
+        dim = spark.createDataFrame(
+            [("k0", date(2023, 10, 1), date(2023, 10, 14), "early"),
+             ("k0", date(2023, 10, 15), date(2099, 12, 31), "late"),
+             ("k1", date(2023, 1, 1), date(2023, 10, 20), "k1all")],
+            "k2 string, from_dt date, to_dt date, label string",
+        )
+        jobs_before = len(spark.sparkContext.statusTracker().getJobIdsForGroup())
+        out = rangejoin.interval_join(
+            fact, dim, "d", "from_dt", "to_dt", equi=[("k", "k2")],
+            bounds=(lo, hi),
+        )
+        jobs_after = len(spark.sparkContext.statusTracker().getJobIdsForGroup())
+        assert jobs_after == jobs_before, "bounds path ran an eager pre-job"
+        want = sorted(
+            (r["id"], r["label"])
+            for r in fact.join(
+                F.broadcast(dim),
+                (fact["k"] == dim["k2"])
+                & (fact["d"] >= dim["from_dt"]) & (fact["d"] <= dim["to_dt"]),
+            ).collect()
+        )
+        got = sorted((r["id"], r["label"]) for r in out.collect())
+        assert got == want and len(got) > 0
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 def test_pack_sequences_invariants(spark):
     """Next-fit packing: offsets are consistent cumsums, every bin
     except a shard's last holds >= budget tokens incl. the straddling
@@ -841,6 +887,25 @@ def test_jaccard_max_df_drops_only_hot_shingles(spark):
     assert capped_tight == set()
 
 
+def test_jaccard_default_max_df_prunes_planted_hot_shingle(spark, monkeypatch):
+    """The DEFAULT cap must engage without the caller asking: plant a
+    boilerplate shingle with df >> cap (cap shrunk via the module
+    constant so the test stays small) and the pairs whose only overlap
+    is that shingle disappear, while max_df=None still surfaces them
+    -- the uncapped index is bucket-quadratic at web scale."""
+    rows = [
+        Row(doc_id=i, text=f"shared boilerplate footer uniq{i} tok{i}a tok{i}b")
+        for i in range(30)
+    ]
+    df = spark.createDataFrame(rows)
+    # every doc pair shares exactly the one hot shingle
+    monkeypatch.setattr(dedup, "DEFAULT_MAX_DF", 10)
+    capped = dedup.ngram_jaccard_pairs(df, threshold=0.01).collect()
+    assert capped == [], "default max_df did not prune the hot bucket"
+    uncapped = dedup.ngram_jaccard_pairs(df, threshold=0.01, max_df=None).collect()
+    assert len(uncapped) == 30 * 29 // 2
+
+
 def test_dedup_exact_keeps_min_id(spark):
     df = spark.createDataFrame(
         [Row(doc_id=5, text="same"), Row(doc_id=2, text="same"),
@@ -915,6 +980,26 @@ def test_ivf_recall_on_clustered_data(spark):
     }
     recall = len(exact & approx) / len(exact)
     assert recall >= 0.9, f"IVF recall {recall:.2f} on clustered data"
+
+
+def test_ivf_empty_and_zero_norm_inputs(spark):
+    """Degenerate inputs degrade to empty results, not numpy crashes:
+    train_centroids returns [] on an empty or all-zero-norm vectors
+    frame, and ivf_topk short-circuits to an empty DataFrame with the
+    stable output schema."""
+    from yc_data_transfer_clickhouse_from_yandex_metrica_spark.operators import similarity
+
+    empty = spark.createDataFrame([], "vec_id long, embedding array<double>")
+    zeros = spark.createDataFrame(
+        [(i, [0.0] * 8) for i in range(5)], "vec_id long, embedding array<double>"
+    )
+    qs = spark.createDataFrame([(0, [1.0] * 8)], "query_id long, embedding array<double>")
+    assert similarity.train_centroids(empty, nlist=4) == []
+    assert similarity.train_centroids(zeros, nlist=4) == []
+    for vecs in (empty, zeros):
+        out = similarity.ivf_topk(vecs, qs, k=3, nlist=4)
+        assert out.columns == ["query_id", "neighbor_id", "cos", "rank"]
+        assert out.count() == 0
 
 
 # --------------------------------------------------------------------------
@@ -1028,7 +1113,7 @@ def test_salted_agg_matches_plain(spark):
     got = {
         (r["k"], r["s"], r["n"])
         for r in skew.salted_agg(
-            df, ["k"], {"s": F.sum("v"), "n": F.count(F.lit(1))}, nsalt=8
+            df, ["k"], {"s": ("sum", "v"), "n": ("count", F.lit(1))}, nsalt=8
         ).collect()
     }
     want = {
@@ -1045,7 +1130,91 @@ def test_salted_agg_rejects_non_algebraic(spark):
 
     df = spark.range(10).select(F.lit("k").alias("k"), F.col("id").alias("v"))
     with pytest.raises(ValueError, match="algebraic"):
-        skew.salted_agg(df, ["k"], {"d": F.countDistinct("v")}).collect()
+        skew.salted_agg(df, ["k"], {"d": ("count_distinct", "v")}).collect()
+
+
+def test_with_salt_spreads_payload_identical_duplicates(spark):
+    """The duplicate-heavy hot key is the case salting exists for:
+    1000 byte-identical rows of one key must cover every salt value
+    (round-1's payload-hash salt put them all on ONE)."""
+    from yc_data_transfer_clickhouse_from_yandex_metrica_spark.operators import skew
+
+    df = spark.range(1000).select(F.lit("hot").alias("k"), F.lit(1).alias("v"))
+    salts = {
+        r["__salt"]
+        for r in skew.with_salt(df, ["k"], nsalt=8).select("__salt").collect()
+    }
+    assert salts == set(range(8))
+
+
+def test_jdbc_golden_options():
+    """The federated-ClickHouse gateway cannot run live here (no CH
+    server or driver jar), so golden-assert the exact option maps it
+    would hand Spark: URL shape, driver class, and the parallel-range
+    read settings (a single-connection JDBC scan does not scale)."""
+    from yc_data_transfer_clickhouse_from_yandex_metrica_spark.sources import jdbc
+
+    conn = jdbc.ClickHouseConn(host="ch.example.net", port=8443, database="web",
+                               user="reader", password="s3cret")
+    assert conn.url == "jdbc:clickhouse://ch.example.net:8443/web"
+    plain = jdbc.reader_options(conn, "visits_v1")
+    assert plain == {
+        "url": "jdbc:clickhouse://ch.example.net:8443/web",
+        "dbtable": "visits_v1",
+        "user": "reader",
+        "password": "s3cret",
+        "driver": "com.clickhouse.jdbc.ClickHouseDriver",
+    }
+    ranged = jdbc.reader_options(
+        conn, "hits_v1", partition_column="CounterID",
+        num_partitions=16, lower_bound=100, upper_bound=5000,
+    )
+    assert ranged["partitionColumn"] == "CounterID"
+    assert (ranged["numPartitions"], ranged["lowerBound"], ranged["upperBound"]) == (
+        "16", "100", "5000",
+    )
+    # defaults: full signed-int32 range, never an unpartitioned scan
+    dflt = jdbc.reader_options(conn, "hits_v1", partition_column="CounterID")
+    assert (dflt["numPartitions"], dflt["lowerBound"], dflt["upperBound"]) == (
+        "8", "0", str(1 << 31),
+    )
+    w = jdbc.writer_options(conn, "visits_sink")
+    assert w["batchsize"] == "100000" and w["driver"].endswith("ClickHouseDriver")
+
+
+def test_append_stream_json_format(spark):
+    """The CDC source's 'swap the wire format by changing fmt only'
+    claim, exercised: the same start_append_stream ingests an ndjson
+    feed (schema-applied, weekly-partitioned) identically to the
+    parquet feed."""
+    tmp = tempfile.mkdtemp(prefix="ym_cdcjson_")
+    src, dest, ckpt = f"{tmp}/src", f"{tmp}/dest", f"{tmp}/ckpt"
+    os.makedirs(src)
+    with open(f"{src}/b1.json", "w") as f:
+        f.write('{"VisitID": 1, "d": "2023-10-03", "metric": 10}\n')
+        f.write('{"VisitID": 2, "d": "2023-10-10", "metric": 20}\n')
+    try:
+        import pyspark.sql.types as T
+
+        schema = T.StructType([
+            T.StructField("VisitID", T.LongType()),
+            T.StructField("d", T.DateType()),
+            T.StructField("metric", T.LongType()),
+        ])
+        q = cdc.start_append_stream(
+            spark, src, schema, dest, ckpt, date_col="d", fmt="json"
+        )
+        assert q.awaitTermination(120)
+        got = {
+            (r["VisitID"], r["d"], r["metric"], r["_week"])
+            for r in spark.read.parquet(dest).collect()
+        }
+        assert got == {
+            (1, date(2023, 10, 3), 10, date(2023, 10, 2)),
+            (2, date(2023, 10, 10), 20, date(2023, 10, 9)),
+        }
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
 
 
 def test_binding_rejects_unknown_format(spark):
