@@ -1182,6 +1182,37 @@ def test_jdbc_golden_options():
     assert w["batchsize"] == "100000" and w["driver"].endswith("ClickHouseDriver")
 
 
+def test_jdbc_roundtrip_live_embedded_derby(spark):
+    """The JDBC read/write path EXECUTED, not just option-built:
+    Spark ships an embedded Derby driver, so write_table creates and
+    fills a real JDBC table and read_table pulls it back through the
+    parallel-range path (numPartitions range queries -- the shape a
+    live ClickHouse read uses)."""
+    from yc_data_transfer_clickhouse_from_yandex_metrica_spark.sources import jdbc
+
+    tmp = tempfile.mkdtemp(prefix="ym_derby_")
+    spark._jvm.System.setProperty("derby.system.home", tmp)  # derby.log here
+    conn = jdbc.JdbcConn(
+        jdbc_url=f"jdbc:derby:{tmp}/db;create=true",
+        driver="org.apache.derby.jdbc.EmbeddedDriver",
+    )
+    try:
+        df = spark.range(100).select(
+            F.col("id"), (F.col("id") % 7).alias("metric")
+        )
+        jdbc.write_table(df, conn, "visits_t", mode="overwrite")
+        back = jdbc.read_table(
+            spark, conn, "visits_t",
+            partition_column="id", num_partitions=4,
+            lower_bound=0, upper_bound=100,
+        )
+        assert back.rdd.getNumPartitions() == 4, "parallel ranges not applied"
+        got = {(r["id"], r["metric"]) for r in back.collect()}
+        assert got == {(i, i % 7) for i in range(100)}
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 def test_append_stream_json_format(spark):
     """The CDC source's 'swap the wire format by changing fmt only'
     claim, exercised: the same start_append_stream ingests an ndjson

@@ -20,6 +20,27 @@ from dataclasses import dataclass
 from pyspark.sql import DataFrame, SparkSession
 
 
+_DRIVER = "com.clickhouse.jdbc.ClickHouseDriver"
+
+
+@dataclass
+class JdbcConn:
+    """Any JDBC endpoint: url + driver class + credentials.  The
+    option-builders and read/write paths are driver-agnostic; tests
+    exercise them LIVE against Spark's embedded Derby (the only JDBC
+    engine shipped in this container), and ClickHouseConn specializes
+    the url/driver for the reference warehouse."""
+
+    jdbc_url: str
+    driver: str
+    user: str = ""
+    password: str = ""
+
+    @property
+    def url(self) -> str:
+        return self.jdbc_url
+
+
 @dataclass
 class ClickHouseConn:
     host: str
@@ -27,17 +48,15 @@ class ClickHouseConn:
     database: str = "default"
     user: str = "default"
     password: str = ""
+    driver: str = _DRIVER
 
     @property
     def url(self) -> str:
         return f"jdbc:clickhouse://{self.host}:{self.port}/{self.database}"
 
 
-_DRIVER = "com.clickhouse.jdbc.ClickHouseDriver"
-
-
 def reader_options(
-    conn: ClickHouseConn,
+    conn: ClickHouseConn | JdbcConn,
     table: str,
     partition_column: str | None = None,
     num_partitions: int = 8,
@@ -46,14 +65,14 @@ def reader_options(
 ) -> dict[str, str]:
     """The exact option map handed to ``spark.read.format("jdbc")``.
     Pure (no session, no server) so tests can golden-assert the URL,
-    driver class, and parallel-range settings this container cannot
-    execute live."""
+    driver class, and parallel-range settings a live ClickHouse would
+    receive."""
     opts = {
         "url": conn.url,
         "dbtable": table,
         "user": conn.user,
         "password": conn.password,
-        "driver": _DRIVER,
+        "driver": conn.driver,
     }
     if partition_column is not None:
         opts.update(
@@ -67,21 +86,21 @@ def reader_options(
     return opts
 
 
-def writer_options(conn: ClickHouseConn, table: str) -> dict[str, str]:
+def writer_options(conn: ClickHouseConn | JdbcConn, table: str) -> dict[str, str]:
     """Option map for the JDBC sink (batched inserts)."""
     return {
         "url": conn.url,
         "dbtable": table,
         "user": conn.user,
         "password": conn.password,
-        "driver": _DRIVER,
+        "driver": conn.driver,
         "batchsize": str(100_000),
     }
 
 
 def read_table(
     spark: SparkSession,
-    conn: ClickHouseConn,
+    conn: ClickHouseConn | JdbcConn,
     table: str,
     partition_column: str | None = None,
     num_partitions: int = 8,
@@ -103,7 +122,9 @@ def read_table(
     )
 
 
-def write_table(df: DataFrame, conn: ClickHouseConn, table: str, mode: str = "append") -> None:
+def write_table(
+    df: DataFrame, conn: ClickHouseConn | JdbcConn, table: str, mode: str = "append"
+) -> None:
     (
         df.write.format("jdbc")
         .options(**writer_options(conn, table))
