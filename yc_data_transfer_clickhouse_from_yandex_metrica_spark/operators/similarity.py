@@ -90,12 +90,20 @@ def brute_topk(
 
 
 def _hyperplanes(dim: int, nplanes: int, seed: int = 42) -> Column:
-    """Deterministic +-1 hyperplanes as a literal array-of-arrays."""
+    """Deterministic +-1 hyperplanes as a literal array-of-arrays.
+
+    Built as ONE parsed SQL expression: nplanes*dim per-element
+    ``F.lit`` calls cost a py4j round-trip each (~0.75 s for 16x64,
+    measured -- it made plan CONSTRUCTION dominate dedup_embedding's
+    wall time); the single ``F.expr`` string parses JVM-side in ~5 ms.
+    The ``D`` suffix keeps elements DOUBLE -- bare ``1.0`` parses as
+    DECIMAL(2,1) and would poison downstream arithmetic."""
     rng = np.random.RandomState(seed)
     planes = rng.choice([-1.0, 1.0], size=(nplanes, dim))
-    return F.array(
-        *[F.array(*[F.lit(float(x)) for x in row]) for row in planes]
-    )
+    sql = "array(" + ",".join(
+        "array(" + ",".join(f"{float(x)!r}D" for x in row) + ")" for row in planes
+    ) + ")"
+    return F.expr(sql)
 
 
 def sign_signature(vec: Column, dim: int, nplanes: int = 16, seed: int = 42) -> Column:
