@@ -262,7 +262,7 @@ def minhash_mins(
     """
     return idx.groupBy("id").agg(
         *[
-            F.min(F.xxhash64("sh", F.lit(i))).alias(f"m{i}")
+            F.expr(f"min(xxhash64(sh, {i})) AS m{i}")
             for i in range(num_hashes)
         ]
     )
@@ -513,21 +513,21 @@ def simhash_hashes(
     idx = df.select(
         F.col(id_col).alias("id"), F.explode(tokens(text_col)).alias("t")
     ).select("id", F.xxhash64("t").alias("th")).distinct()
+    # per-column F.expr strings, not composed Column objects: the
+    # composed form costs ~6 py4j round-trips per bit (~1 s of
+    # driver-side build for 64 bits, measured); a parsed string is one
     votes = idx.groupBy("id").agg(
         *[
-            F.sum(
-                F.when(F.bit_get("th", F.lit(i)) == 1, 1).otherwise(-1)
-            ).alias(f"v{i}")
+            F.expr(f"sum(if(bit_get(th, {i}) = 1, 1, -1)) AS v{i}")
             for i in range(nbits)
         ]
     )
-    packed = None
-    for i in range(nbits):
-        bit = F.shiftleft(
-            F.when(F.col(f"v{i}") > 0, F.lit(1)).otherwise(F.lit(0)).cast("long"),
-            i,
+    packed = F.expr(
+        " + ".join(
+            f"shiftleft(CAST(if(v{i} > 0, 1, 0) AS LONG), {i})"
+            for i in range(nbits)
         )
-        packed = bit if packed is None else packed + bit
+    )
     return votes.select("id", packed.alias("sim"))
 
 
