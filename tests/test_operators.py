@@ -316,6 +316,68 @@ def test_streaming_collapse_partition_scoped(spark):
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+def test_streaming_collapse_partition_scoped_random_replay(spark):
+    """Fixed-seed randomized replay: 4 micro-batches of interleaved
+    upserts/deletes/stale-version rows for 12 keys pinned across 3
+    weeks must land the partition-scoped merge on exactly the global
+    batch collapse (keys' dates are stable, so week-scoped == global)."""
+    rng = random.Random(20260813)
+    key_week = {k: rng.choice(["2023-10-03", "2023-10-11", "2023-10-18"])
+                for k in range(12)}
+    last_ver = {k: 0 for k in key_week}
+    batches, all_rows = [], []
+    for _ in range(4):
+        rows = []
+        for _ in range(15):
+            k = rng.randrange(12)
+            d = key_week[k]
+            action = rng.random()
+            if action < 0.2 and last_ver[k] > 0:
+                rows.append((k, d, 0, -1, last_ver[k]))  # delete (cancel)
+            elif action < 0.35 and last_ver[k] > 1:
+                # stale duplicate of an old version: must be ignored
+                rows.append((k, d, 99, 1, rng.randrange(1, last_ver[k])))
+            else:
+                if last_ver[k] > 0:
+                    rows.append((k, d, 0, -1, last_ver[k]))
+                last_ver[k] += 1
+                rows.append((k, d, k * 100 + last_ver[k], 1, last_ver[k]))
+        batches.append(rows)
+        all_rows.extend(rows)
+
+    tmp = tempfile.mkdtemp(prefix="ym_cdcr_")
+    src, dest, ckpt = f"{tmp}/src", f"{tmp}/dest", f"{tmp}/ckpt"
+    schema = "VisitID long, d date, metric long, Sign int, VisitVersion int"
+    mk = lambda rows: spark.createDataFrame(
+        [(k, date.fromisoformat(d), m, s, v) for k, d, m, s, v in rows], schema
+    )
+    try:
+        for i, rows in enumerate(batches):
+            stage = f"{tmp}/stage_{i}"
+            mk(rows).coalesce(1).write.parquet(stage)
+            os.makedirs(src, exist_ok=True)
+            import glob as _g
+
+            for j, f in enumerate(sorted(_g.glob(f"{stage}/part-*.parquet"))):
+                shutil.move(f, f"{src}/b{i}-{j}.parquet")
+            q = cdc.start_collapse_stream(
+                spark, src, mk(rows).schema, dest, ckpt,
+                key=["VisitID"], date_col="d",
+            )
+            assert q.awaitTermination(120)
+        got = {
+            (r["VisitID"], r["metric"], r["VisitVersion"])
+            for r in spark.read.parquet(dest).collect()
+        }
+        expect = {
+            (r["VisitID"], r["metric"], r["VisitVersion"])
+            for r in collapse.collapsed(mk(all_rows), key=["VisitID"]).collect()
+        }
+        assert got == expect
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 # --------------------------------------------------------------------------
 # ClickHouse expression edge semantics (SURVEY.md F1/F2, M2 risk list)
 # --------------------------------------------------------------------------

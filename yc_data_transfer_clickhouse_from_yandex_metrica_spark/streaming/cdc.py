@@ -236,13 +236,20 @@ def start_collapse_stream(
         weeks = [r[0] for r in b.select(_WEEK).distinct().collect()]
         if not weeks:
             return
-        have_data = os.path.exists(dest_dir) and any(
-            p.startswith(f"{_WEEK}=") for p in os.listdir(dest_dir)
-        )
+        # read ONLY the dirty week directories (basePath keeps _week a
+        # partition column): file listing is O(dirty weeks), not
+        # O(table) -- pruning-after-full-listing still walks every
+        # partition directory of a 100TB table each micro-batch
+        dirty_dirs = [
+            p
+            for w in weeks
+            if os.path.isdir(p := os.path.join(dest_dir, f"{_WEEK}={w}"))
+        ]
         scoped_key = [*key, _WEEK]
-        if have_data:
-            # partition filter prunes to the dirty week directories
-            current = sp.read.parquet(dest_dir).where(F.col(_WEEK).isin(weeks))
+        if dirty_dirs:
+            current = (
+                sp.read.option("basePath", dest_dir).parquet(*dirty_dirs)
+            )
             merged = collapsed(
                 current.unionByName(b.select(*current.columns)),
                 key=scoped_key, version=version, sign=sign,
