@@ -858,7 +858,8 @@ def test_minhash_recall_equals_exact_jaccard(spark):
     assert exact and lsh == exact
 
 
-def test_simhash_pairs_equal_brute_force_hamming(spark):
+@pytest.mark.parametrize("hash_fn", ["xxhash64", "md5"])
+def test_simhash_pairs_equal_brute_force_hamming(spark, hash_fn):
     """simhash_pairs must return EXACTLY the pairs whose packed-hash
     hamming distance is <= max_hamming -- the pigeonhole chunk blocking
     is exact w.r.t. the hash, so this is an equality, not a recall bound.
@@ -866,6 +867,8 @@ def test_simhash_pairs_equal_brute_force_hamming(spark):
     Brute force is computed in plain Python over simhash_hashes output
     (independent of the chunk-join under test).  Corpus: planted
     near-dups (one-word edits of a long base) plus distinct docs.
+    Parametrized over both term-hash variants (xxhash64 = production
+    default; md5 = the ANSI-portable, driver-oracle-checked path).
     """
     base = (
         "large language models are trained on vast corpora of text that "
@@ -881,7 +884,7 @@ def test_simhash_pairs_equal_brute_force_hamming(spark):
     df = spark.createDataFrame(rows)
 
     hashes = {r["id"]: r["sim"] for r in
-              dedup.simhash_hashes(df, "doc_id", "text").collect()}
+              dedup.simhash_hashes(df, "doc_id", "text", hash_fn=hash_fn).collect()}
     ids = sorted(hashes)
     brute = {
         (a, b, bin((hashes[a] ^ hashes[b]) & ((1 << 64) - 1)).count("1"))
@@ -889,7 +892,8 @@ def test_simhash_pairs_equal_brute_force_hamming(spark):
         if bin((hashes[a] ^ hashes[b]) & ((1 << 64) - 1)).count("1") <= 3
     }
     got = {(r["id_a"], r["id_b"], r["hamming"]) for r in
-           dedup.simhash_pairs(df, "doc_id", "text", max_hamming=3).collect()}
+           dedup.simhash_pairs(df, "doc_id", "text", max_hamming=3,
+                               hash_fn=hash_fn).collect()}
     assert brute, "corpus must plant at least one near-dup pair"
     assert got == brute
 

@@ -498,8 +498,23 @@ def dedup_clusters(
 # --------------------------------------------------------------------------
 # SimHash
 # --------------------------------------------------------------------------
+# 64-bit term hash from the first 16 hex chars of md5, built as two
+# 32-bit conv() halves OR-ed together (conv of 8 hex chars fits a
+# signed long; the OR reassembles the exact unsigned bit pattern in
+# two's complement).  Portable: DuckDB reproduces the identical bits
+# from md5 hex nibbles, so simhash output becomes oracle-checkable.
+_MD5_TERM_HASH = (
+    "shiftleft(CAST(conv(substring(md5(t), 1, 8), 16, 10) AS BIGINT), 32) | "
+    "CAST(conv(substring(md5(t), 9, 8), 16, 10) AS BIGINT)"
+)
+
+
 def simhash_hashes(
-    df: DataFrame, id_col: str, text_col: str, nbits: int = 64
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    nbits: int = 64,
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """(id, sim) with sim the nbits-bit Charikar SimHash as ONE long.
 
@@ -508,11 +523,23 @@ def simhash_hashes(
     hash-aggregate, then pack sign bits with shiftleft -- no per-row
     arrays, no interpreted lambdas (the nested zip_with/transform
     formulation of the same math ran ~30x slower).  Bit i of sim is 1
-    iff sum over distinct tokens of sign(bit i of xxhash64(token)) > 0.
+    iff sum over distinct tokens of sign(bit i of hash(token)) > 0.
+
+    hash_fn: "xxhash64" (default -- fastest, JVM-native) or "md5"
+    (term hash = first 64 bits of md5 hex; bit-identical to what ANSI
+    SQL / DuckDB can compute from md5 nibbles, making the whole
+    simhash output oracle-checkable).  Both paths share every
+    downstream step; only the 64-bit term hash differs.
     """
+    if hash_fn == "xxhash64":
+        th = F.xxhash64("t")
+    elif hash_fn == "md5":
+        th = F.expr(_MD5_TERM_HASH)
+    else:
+        raise ValueError(f"hash_fn must be 'xxhash64' or 'md5', got {hash_fn!r}")
     idx = df.select(
         F.col(id_col).alias("id"), F.explode(tokens(text_col)).alias("t")
-    ).select("id", F.xxhash64("t").alias("th")).distinct()
+    ).select("id", th.alias("th")).distinct()
     # per-column F.expr strings, not composed Column objects: the
     # composed form costs ~6 py4j round-trips per bit (~1 s of
     # driver-side build for 64 bits, measured); a parsed string is one
@@ -537,6 +564,7 @@ def simhash_pairs(
     text_col: str = "text",
     max_hamming: int = 3,
     nbits: int = 64,
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """Pairs with SimHash hamming distance <= max_hamming.
 
@@ -545,10 +573,13 @@ def simhash_pairs(
     one full chunk, so joining on (chunk_idx, chunk_value) finds ALL
     such pairs -- exact w.r.t. the hash, then verified by true hamming
     = bit_count(a XOR b) on the packed longs.
+
+    hash_fn: see simhash_hashes -- "md5" yields an oracle-checkable
+    (ANSI-SQL-reproducible) pair set; "xxhash64" is the fast default.
     """
     nchunks = max_hamming + 1
     width = nbits // nchunks
-    docs = simhash_hashes(df, id_col, text_col, nbits)
+    docs = simhash_hashes(df, id_col, text_col, nbits, hash_fn=hash_fn)
     mask = (1 << width) - 1
     chunked = docs.select(
         "id",

@@ -646,14 +646,54 @@ FROM pairs WHERE j >= 0.8
 
 
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash hamming<=3 pairs.  No oracle: the output is a function of
-    xxhash64 bit patterns, not expressible in ANSI SQL (rows-only check
-    by design).  The blocking-is-exact property is pytest-verified by
-    tests/test_operators.py::test_simhash_pairs_equal_brute_force_hamming,
-    which asserts pair-set equality against brute-force bit_count(a^b)."""
+    """SimHash hamming<=3 pairs, md5 term-hash variant.
+
+    hash_fn="md5" makes the term hash the first 64 bits of md5 hex --
+    bit-identical to what DuckDB derives from md5 nibbles, so the full
+    pair set (blocking + exact hamming verify) is oracle-checked
+    against a brute-force all-pairs hamming join.  Production default
+    stays xxhash64 (JVM-native, no hex-string decode); that path is
+    pytest-verified by test_simhash_pairs_equal_brute_force_hamming
+    (pair-set equality vs brute-force bit_count(a^b))."""
     _prep(spark)
     docs = _docs_with_dups(spark, sf_dir)
-    return dedup.simhash_pairs(docs, "doc_id", "text", max_hamming=3)
+    return dedup.simhash_pairs(docs, "doc_id", "text", max_hamming=3, hash_fn="md5")
+
+
+# bit i of the 64-bit md5 term hash lives at hex char 16 - i//4, nibble
+# bit i%4 (big-endian hex -> LSB-0 bit order); a doc's simhash bit is
+# the sign of the +-1 vote sum over its distinct term hashes -- the
+# exact math of operators.dedup.simhash_hashes(hash_fn="md5").
+_SIMHASH_VOTES = ",\n         ".join(
+    "CASE WHEN sum(CASE WHEN ((strpos('0123456789abcdef', substring(mh, "
+    f"{16 - i // 4}, 1)) - 1) // {2 ** (i % 4)}) % 2 = 1 THEN 1 ELSE -1 END) > 0 "
+    f"THEN 1 ELSE 0 END AS b{i}"
+    for i in range(64)
+)
+_SIMHASH_HAMMING = " + ".join(f"abs(a.b{i} - b.b{i})" for i in range(64))
+
+_ORACLE_DEDUP_SIMHASH = f"""
+WITH {_DOCS_DUP_SQL},
+tok AS (
+  SELECT doc_id, unnest(
+    regexp_split_to_array(
+      trim(lower(regexp_replace(text, '[^a-z0-9]+', ' ', 'g'))), '\\s+')
+  ) AS tok
+  FROM docs
+  WHERE trim(lower(regexp_replace(text, '[^a-z0-9]+', ' ', 'g'))) <> ''
+),
+th AS (SELECT DISTINCT doc_id, md5(tok) AS mh FROM tok),
+bits AS (
+  SELECT doc_id,
+         {_SIMHASH_VOTES}
+  FROM th GROUP BY doc_id
+)
+SELECT id_a, id_b, hamming FROM (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         {_SIMHASH_HAMMING} AS hamming
+  FROM bits a JOIN bits b ON a.doc_id < b.doc_id
+) WHERE hamming <= 3
+"""
 
 
 def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1585,7 +1625,7 @@ QUERIES: dict[str, QuerySpec] = {
     "dedup_exact": QuerySpec(q_dedup_exact, _ORACLE_DEDUP_EXACT, "dedup/exact"),
     "dedup_ngram_jaccard": QuerySpec(q_dedup_ngram, _ORACLE_DEDUP_NGRAM, "dedup/ngram-jaccard"),
     "dedup_minhash_lsh": QuerySpec(q_dedup_minhash, _ORACLE_DEDUP_MINHASH, "dedup/minhash-lsh"),
-    "dedup_simhash": QuerySpec(q_dedup_simhash, None, "dedup/simhash (hash-dependent: rows-only)"),
+    "dedup_simhash": QuerySpec(q_dedup_simhash, _ORACLE_DEDUP_SIMHASH, "dedup/simhash (md5 variant, oracle=brute-force hamming)"),
     "dedup_clusters": QuerySpec(q_dedup_clusters, _ORACLE_DEDUP_CLUSTERS, "dedup/connected-components"),
     "contamination": QuerySpec(q_contamination, _ORACLE_CONTAMINATION, "dedup/train-bench-contamination"),
     "dedup_embedding": QuerySpec(q_dedup_embedding, _ORACLE_DEDUP_EMBEDDING, "dedup/embedding-cosine"),
