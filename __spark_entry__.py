@@ -32,6 +32,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    """DuckDB-runnable ANSI oracles; probabilistic operators (simhash
-    blocking, IVF probing) are intentionally absent -> rows-only check."""
+    """DuckDB-runnable ANSI oracles; the one approximate-by-design
+    operator (IVF probing) is intentionally absent -> rows-only check."""
     return _driver.oracle_sql()

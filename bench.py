@@ -58,6 +58,8 @@ HEADLINE = [
     "dedup_embedding",
     "ann_brute_topk",
     "text_stats",
+    "repetition_stats",
+    "pii_scrub",
     "doc_fingerprint",
     "multimodal_meta",
     "scd2_range_join",

@@ -1163,6 +1163,62 @@ def test_fingerprint_rolling_matches_python(spark):
     assert got == h
 
 
+def test_repetition_stats_hand_computed(spark):
+    """Gopher-style repetition signals on docs with known answers:
+    all-same tokens, all-distinct tokens, alternating (every trigram
+    duplicated), and an empty doc (kept with zero ratios)."""
+    from yc_data_transfer_clickhouse_from_yandex_metrica_spark.operators import text as tx
+
+    df = spark.createDataFrame(
+        [
+            Row(doc_id=1, text="a a a a"),
+            Row(doc_id=2, text="w x y z"),
+            Row(doc_id=3, text="p q p q p q"),
+            Row(doc_id=4, text="..."),
+        ]
+    )
+    rows = {r["doc_id"]: r for r in tx.repetition_stats(df).collect()}
+    # doc 1: 4 tokens, 1 distinct; bigram "a a" x3 -> 3*2/4
+    assert rows[1]["n_tokens"] == 4
+    assert rows[1]["dup_token_ratio"] == 0.75
+    assert rows[1]["top_bigram_frac"] == 1.5
+    assert rows[1]["dup_trigram_frac"] == 1.0  # "a a a" x2, both dup
+    # doc 2: unique tokens -> no repetition; top bigram count 1 -> 2/4
+    assert rows[2]["dup_token_ratio"] == 0.0
+    assert rows[2]["top_bigram_frac"] == 0.5
+    assert rows[2]["dup_trigram_frac"] == 0.0
+    # doc 3: 6 tokens/2 distinct; trigrams p-q-p x2, q-p-q x2 all dup
+    assert rows[3]["dup_token_ratio"] == 0.6667
+    assert rows[3]["top_bigram_frac"] == 1.0  # "p q" x3 * 2 / 6
+    assert rows[3]["dup_trigram_frac"] == 1.0
+    # doc 4: tokenizes to nothing -> present, all zero
+    assert rows[4]["n_tokens"] == 0
+    assert rows[4]["dup_token_ratio"] == 0.0
+    assert rows[4]["top_bigram_frac"] == 0.0
+    assert rows[4]["dup_trigram_frac"] == 0.0
+
+
+def test_scrub_pii_counts_and_redacts(spark):
+    """Sequential scrub: email removed first so its digits/dots never
+    feed the phone/IPv4 patterns; counts reflect each stage's input."""
+    from yc_data_transfer_clickhouse_from_yandex_metrica_spark.operators import text as tx
+
+    df = spark.createDataFrame(
+        [
+            Row(doc_id=1, text="mail a.b@c.io and x_1@d.org now"),
+            Row(doc_id=2, text="call 555-123-4567 or ping 10.0.0.1"),
+            Row(doc_id=3, text="nothing sensitive here"),
+        ]
+    )
+    rows = {r["doc_id"]: r for r in tx.scrub_pii(df).collect()}
+    assert rows[1]["n_pii"] == 2
+    assert rows[1]["text_clean"] == "mail [REDACTED] and [REDACTED] now"
+    assert rows[2]["n_pii"] == 2
+    assert rows[2]["text_clean"] == "call [REDACTED] or ping [REDACTED]"
+    assert rows[3]["n_pii"] == 0
+    assert rows[3]["text_clean"] == "nothing sensitive here"
+
+
 # --------------------------------------------------------------------------
 # Skew mitigation (salting)
 # --------------------------------------------------------------------------

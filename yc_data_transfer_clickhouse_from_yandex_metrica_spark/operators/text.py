@@ -12,7 +12,7 @@ pushdown intact.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions import ch
@@ -165,6 +165,123 @@ def fingerprint_rolling(toks: Column, mod: int = 1_000_000_007) -> Column:
             p,
         ),
     )
+
+
+def repetition_stats(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Gopher-style repetition quality signals, token-level.
+
+    Per document (cf. Rae et al., "Scaling Language Models: ... Gopher",
+    2021, table A1 -- the repetition filters, re-expressed over tokens
+    since the corpus has no line structure):
+
+    - ``dup_token_ratio``   : 1 - distinct_tokens / n_tokens
+    - ``top_bigram_frac``   : tokens covered by the single most frequent
+                              bigram = max(bigram count) * 2 / n_tokens
+    - ``dup_trigram_frac``  : fraction of trigram occurrences whose
+                              trigram appears more than once
+
+    Formulation is the shingle pattern from operators.dedup: posexplode
+    tokens -> LEAD window for 2/3-grams (never an HOF under a Generate),
+    then flat count aggregates.  Each branch is a per-doc hash aggregate
+    with map-side partial agg; everything shuffles on (id[, gram]) only
+    -- no text moves after the explode, so the shape holds at 100TB.
+    Docs with zero tokens are kept (all ratios 0.0).
+    """
+    idx = df.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(tokens(text_col)).alias("pos", "t"),
+    )
+    w = Window.partitionBy("id").orderBy("pos")
+    g = idx.select(
+        "id",
+        "t",
+        F.lead("t", 1).over(w).alias("t1"),
+        F.lead("t", 2).over(w).alias("t2"),
+    )
+    tstats = g.groupBy("id").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.countDistinct("t").alias("n_distinct"),
+    )
+    s2 = (
+        g.where(F.col("t1").isNotNull())
+        .groupBy("id", "t", "t1")
+        .count()
+        .groupBy("id")
+        .agg(F.max("count").alias("top2"))
+    )
+    s3 = (
+        g.where(F.col("t2").isNotNull())
+        .groupBy("id", "t", "t1", "t2")
+        .count()
+        .groupBy("id")
+        .agg(
+            F.sum(F.when(F.col("count") > 1, F.col("count")).otherwise(0)).alias("dup3"),
+            F.sum("count").alias("n3"),
+        )
+    )
+    base = df.select(F.col(id_col).alias("id"))
+    joined = (
+        base.join(tstats, "id", "left")
+        .join(s2, "id", "left")
+        .join(s3, "id", "left")
+    )
+    nt = F.coalesce(F.col("n_tokens"), F.lit(0)).cast("long")
+    dup_tok = F.when(
+        nt > 0,
+        1.0 - F.col("n_distinct").cast("double") / nt.cast("double"),
+    ).otherwise(F.lit(0.0))
+    top2 = F.when(
+        F.col("top2").isNotNull() & (nt > 0),
+        F.col("top2").cast("double") * 2.0 / nt.cast("double"),
+    ).otherwise(F.lit(0.0))
+    dup3 = F.when(
+        F.coalesce(F.col("n3"), F.lit(0)) > 0,
+        F.col("dup3").cast("double") / F.col("n3").cast("double"),
+    ).otherwise(F.lit(0.0))
+    return joined.select(
+        F.col("id").alias(id_col),
+        nt.alias("n_tokens"),
+        ch.round_to(dup_tok, 4).alias("dup_token_ratio"),
+        ch.round_to(top2, 4).alias("top_bigram_frac"),
+        ch.round_to(dup3, 4).alias("dup_trigram_frac"),
+    )
+
+
+# PII scrub patterns: conservative ASCII regex syntax that parses
+# identically in Java (Spark) and RE2 (DuckDB) -- no lookaround, no \p
+# classes.  Order matters and is applied sequentially (emails first so
+# their digit/dot substrings are gone before phone/IPv4 matching).
+PII_PATTERNS: tuple[tuple[str, str], ...] = (
+    ("email", r"[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}"),
+    ("phone", r"\b[0-9]{3}[-. ][0-9]{3}[-. ][0-9]{4}\b"),
+    ("ipv4", r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b"),
+)
+
+
+def scrub_pii(
+    df: DataFrame,
+    text_col: str = "text",
+    repl: str = "[REDACTED]",
+    out_col: str = "text_clean",
+    count_col: str = "n_pii",
+) -> DataFrame:
+    """Redact emails, US-style phone numbers, and IPv4 literals.
+
+    Adds ``out_col`` (scrubbed text) and ``count_col`` (total matches
+    redacted).  Patterns are applied in PII_PATTERNS order, each one
+    counting and replacing on the PREVIOUS stage's output so overlapping
+    matches are never double-counted.  Pure regexp_replace /
+    regexp_extract_all map-side expressions: no shuffle, codegen-friendly,
+    and the identical regexes run under DuckDB for the oracle.
+    """
+    cur: Column = F.col(text_col)
+    total: Column = F.lit(0).cast("long")
+    for _, pat in PII_PATTERNS:
+        total = total + F.size(F.regexp_extract_all(cur, F.lit(pat), F.lit(0))).cast("long")
+        cur = F.regexp_replace(cur, pat, repl.replace("$", r"\$"))
+    return df.withColumn(count_col, total).withColumn(out_col, cur)
 
 
 def text_stats(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:

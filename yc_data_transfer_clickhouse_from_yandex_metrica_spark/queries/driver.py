@@ -772,6 +772,116 @@ def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _TOKS_SQL = r"""regexp_split_to_array(trim(lower(regexp_replace(text, '[^a-z0-9]+', ' ', 'g'))), '\s+')"""
+
+
+def q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style token-repetition quality signals (Rae et al. 2021
+    filters re-expressed over tokens; see operators.text.repetition_stats)."""
+    _prep(spark)
+    return text.repetition_stats(t(spark, sf_dir, "documents"))
+
+
+_ORACLE_REPETITION = f"""
+WITH base AS (
+  SELECT doc_id, {_TOKS_SQL} AS tk FROM documents
+  WHERE trim(lower(regexp_replace(text, '[^a-z0-9]+', ' ', 'g'))) <> ''
+),
+tok AS (
+  SELECT doc_id, unnest(tk) AS t, generate_subscripts(tk, 1) AS i FROM base
+),
+lagged AS (
+  SELECT doc_id, t, lead(t, 1) OVER w AS t1, lead(t, 2) OVER w AS t2
+  FROM tok WINDOW w AS (PARTITION BY doc_id ORDER BY i)
+),
+tstats AS (
+  SELECT doc_id, count(*) AS n_tokens, count(DISTINCT t) AS n_distinct
+  FROM lagged GROUP BY doc_id
+),
+g2 AS (
+  SELECT doc_id, t || ' ' || t1 AS g, count(*) AS c
+  FROM lagged WHERE t1 IS NOT NULL GROUP BY 1, 2
+),
+s2 AS (SELECT doc_id, max(c) AS top2 FROM g2 GROUP BY doc_id),
+g3 AS (
+  SELECT doc_id, t || ' ' || t1 || ' ' || t2 AS g, count(*) AS c
+  FROM lagged WHERE t2 IS NOT NULL GROUP BY 1, 2
+),
+s3 AS (
+  SELECT doc_id,
+         sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS dup3,
+         sum(c) AS n3
+  FROM g3 GROUP BY doc_id
+)
+SELECT d.doc_id,
+  CAST(coalesce(t.n_tokens, 0) AS BIGINT) AS n_tokens,
+  floor((CASE WHEN coalesce(t.n_tokens, 0) > 0
+         THEN 1.0 - CAST(t.n_distinct AS DOUBLE) / CAST(t.n_tokens AS DOUBLE)
+         ELSE 0.0 END) * 10000.0 + 0.5) / 10000.0 AS dup_token_ratio,
+  floor((CASE WHEN s2.top2 IS NOT NULL AND coalesce(t.n_tokens, 0) > 0
+         THEN CAST(s2.top2 AS DOUBLE) * 2.0 / CAST(t.n_tokens AS DOUBLE)
+         ELSE 0.0 END) * 10000.0 + 0.5) / 10000.0 AS top_bigram_frac,
+  floor((CASE WHEN coalesce(s3.n3, 0) > 0
+         THEN CAST(s3.dup3 AS DOUBLE) / CAST(s3.n3 AS DOUBLE)
+         ELSE 0.0 END) * 10000.0 + 0.5) / 10000.0 AS dup_trigram_frac
+FROM documents d
+LEFT JOIN tstats t USING (doc_id)
+LEFT JOIN s2 USING (doc_id)
+LEFT JOIN s3 USING (doc_id)
+"""
+
+
+def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction over docs with synthesized PII tails (every 7th doc
+    gets an email + phone + IPv4 appended; the corpus itself is clean,
+    so the planted rows prove the scrub actually fires)."""
+    _prep(spark)
+    docs = t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 7 == 0,
+            F.concat(
+                F.col("text"),
+                F.lit(" contact john.doe@example.com or 555-123-4567 at 192.168.0.1"),
+            ),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    return text.scrub_pii(docs).select("doc_id", "n_pii", "text_clean")
+
+
+_PII_EMAIL = "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}"
+_PII_PHONE = "\\b[0-9]{3}[-. ][0-9]{3}[-. ][0-9]{4}\\b"
+_PII_IPV4 = "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"
+
+_ORACLE_PII_SCRUB = f"""
+WITH pii AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 7 = 0
+              THEN text || ' contact john.doe@example.com or 555-123-4567 at 192.168.0.1'
+              ELSE text END AS text
+  FROM documents
+),
+s1 AS (
+  SELECT doc_id,
+         len(regexp_extract_all(text, '{_PII_EMAIL}')) AS c1,
+         regexp_replace(text, '{_PII_EMAIL}', '[REDACTED]', 'g') AS t1
+  FROM pii
+),
+s2 AS (
+  SELECT doc_id, c1,
+         len(regexp_extract_all(t1, '{_PII_PHONE}')) AS c2,
+         regexp_replace(t1, '{_PII_PHONE}', '[REDACTED]', 'g') AS t2
+  FROM s1
+),
+s3 AS (
+  SELECT doc_id, c1, c2,
+         len(regexp_extract_all(t2, '{_PII_IPV4}')) AS c3,
+         regexp_replace(t2, '{_PII_IPV4}', '[REDACTED]', 'g') AS t3
+  FROM s2
+)
+SELECT doc_id, CAST(c1 + c2 + c3 AS BIGINT) AS n_pii, t3 AS text_clean FROM s3
+"""
 _ORACLE_TEXT_STATS = f"""
 WITH base AS (
   SELECT doc_id, text, {_TOKS_SQL} AS tk FROM documents
@@ -1632,6 +1742,8 @@ QUERIES: dict[str, QuerySpec] = {
     "ann_brute_topk": QuerySpec(q_ann_brute, _ORACLE_ANN_BRUTE, "similarity/brute-cosine-topk"),
     "ann_ivf_topk": QuerySpec(q_ann_ivf, None, "similarity/ivf (approximate: rows-only)"),
     "text_stats": QuerySpec(q_text_stats, _ORACLE_TEXT_STATS, "text/quality+langid+tokens"),
+    "repetition_stats": QuerySpec(q_repetition_stats, _ORACLE_REPETITION, "text/repetition (Gopher-style filters)"),
+    "pii_scrub": QuerySpec(q_pii_scrub, _ORACLE_PII_SCRUB, "text/pii-redaction"),
     "doc_fingerprint": QuerySpec(q_doc_fingerprint, _ORACLE_DOC_FINGERPRINT, "text/fingerprint"),
     "multimodal_meta": QuerySpec(q_multimodal_meta, _ORACLE_MULTIMODAL, "multimodal/arrow-plumbing"),
     "streaming_roundtrip": QuerySpec(q_streaming_roundtrip, _ORACLE_STREAMING, "ST1 ST4 ST7"),
