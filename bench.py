@@ -49,6 +49,8 @@ HEADLINE = [
     "pricing_summary",
     "regional_revenue",
     "cdc_collapse",
+    "ch_aggregates",
+    "quantiles_exact",
     "dedup_exact",
     "dedup_ngram_jaccard",
     "dedup_minhash_lsh",

@@ -1222,6 +1222,69 @@ def test_scrub_pii_counts_and_redacts(spark):
 # --------------------------------------------------------------------------
 # Skew mitigation (salting)
 # --------------------------------------------------------------------------
+def test_quantile_exact_matches_python_reference(spark):
+    """quantile_exact (windowed rank selection) must equal indexing the
+    Python-sorted values at floor/ceil(q*(n-1)) -- both variants, uneven
+    group sizes including a singleton group."""
+    import math
+
+    from yc_data_transfer_clickhouse_from_yandex_metrica_spark.operators import stats
+
+    rnd = random.Random(7)
+    data = [("a", rnd.uniform(0, 100)) for _ in range(101)]
+    data += [("b", rnd.uniform(0, 100)) for _ in range(40)]
+    data += [("c", 42.5)]  # n=1: every quantile is the lone value
+    df = spark.createDataFrame(data, "g string, v double")
+    qs = {"p10": 0.1, "p50": 0.5, "p99": 0.99}
+    by_group: dict[str, list[float]] = {}
+    for g, v in data:
+        by_group.setdefault(g, []).append(v)
+    for variant, rank in (("low", math.floor), ("high", math.ceil)):
+        got = {
+            r["g"]: r
+            for r in stats.quantile_exact(df, ["g"], "v", qs, variant=variant).collect()
+        }
+        for g, vals in by_group.items():
+            s = sorted(vals)
+            for name, q in qs.items():
+                assert got[g][name] == s[rank(q * (len(s) - 1))], (variant, g, name)
+
+
+def test_quantile_exact_rejects_bad_args(spark):
+    from yc_data_transfer_clickhouse_from_yandex_metrica_spark.operators import stats
+
+    df = spark.createDataFrame([("a", 1.0)], "g string, v double")
+    with pytest.raises(ValueError, match="variant"):
+        stats.quantile_exact(df, ["g"], "v", {"p50": 0.5}, variant="mid")
+    with pytest.raises(ValueError, match="outside"):
+        stats.quantile_exact(df, ["g"], "v", {"bad": 1.5})
+
+
+def test_ch_aggregate_combinators(spark):
+    """countIf/sumIf return 0 (not null) on an empty match set, avgIf
+    returns null, argMax/argMin pick by the ordering column, and
+    groupUniqArray is the sorted distinct set."""
+    df = spark.createDataFrame(
+        [("g", 1, 10.0, "x"), ("g", 2, 20.0, "y"), ("g", 3, 30.0, "x")],
+        "k string, id long, v double, tag string",
+    )
+    row = df.groupBy("k").agg(
+        ch.count_if(F.col("tag") == "x").alias("cx"),
+        ch.sum_if("v", F.col("tag") == "x").alias("sx"),
+        ch.avg_if("v", F.col("tag") == "x").alias("ax"),
+        ch.count_if(F.col("tag") == "zzz").alias("c0"),
+        ch.sum_if("v", F.col("tag") == "zzz").alias("s0"),
+        ch.avg_if("v", F.col("tag") == "zzz").alias("a0"),
+        ch.arg_max("v", "id").alias("am"),
+        ch.arg_min("v", "id").alias("an"),
+        ch.group_uniq_array("tag").alias("tags"),
+    ).collect()[0]
+    assert row["cx"] == 2 and row["sx"] == 40.0 and row["ax"] == 20.0
+    assert row["c0"] == 0 and row["s0"] == 0.0 and row["a0"] is None
+    assert row["am"] == 30.0 and row["an"] == 10.0
+    assert row["tags"] == ["x", "y"]
+
+
 def test_salted_agg_matches_plain(spark):
     from yc_data_transfer_clickhouse_from_yandex_metrica_spark.operators import skew
 

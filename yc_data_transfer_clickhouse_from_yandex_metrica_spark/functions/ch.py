@@ -150,6 +150,49 @@ def uniq(c: ColumnOrName, rsd: float = 0.05) -> Column:
     return F.approx_count_distinct(_col(c), rsd)
 
 
+# --- aggregate combinators (ClickHouse -If / arg* / array family) -------
+# The idiomatic ClickHouse analytics vocabulary beyond what the
+# reference's own queries spell out: a Metrica user porting dashboards
+# will reach for argMax (latest-row-per-key), countIf/sumIf/avgIf
+# (conditional metrics without subqueries), and groupUniqArray.  All
+# map to single built-in JVM aggregates -- no UDFs, map-side partial
+# aggregation intact.
+def arg_max(arg: ColumnOrName, by: ColumnOrName) -> Column:
+    """ClickHouse ``argMax(arg, val)``: arg at the row with max val.
+    Spark ``max_by`` has identical semantics (ties: engine-chosen row,
+    same caveat as ClickHouse -- order by a unique key for determinism).
+    """
+    return F.max_by(_col(arg), _col(by))
+
+
+def arg_min(arg: ColumnOrName, by: ColumnOrName) -> Column:
+    """ClickHouse ``argMin(arg, val)`` == Spark ``min_by``."""
+    return F.min_by(_col(arg), _col(by))
+
+
+def count_if(cond: Column) -> Column:
+    """ClickHouse ``countIf(cond)`` -- 0 (not null) when nothing matches."""
+    return F.sum(F.when(cond, F.lit(1)).otherwise(F.lit(0))).cast("long")
+
+
+def sum_if(c: ColumnOrName, cond: Column) -> Column:
+    """ClickHouse ``sumIf(col, cond)`` -- 0 (not null) when nothing matches."""
+    return F.sum(F.when(cond, _col(c)).otherwise(F.lit(0)))
+
+
+def avg_if(c: ColumnOrName, cond: Column) -> Column:
+    """ClickHouse ``avgIf(col, cond)``.  Deviation: an empty match set
+    yields NULL here (Spark null-skipping avg) where ClickHouse yields
+    NaN -- null composes better with outer aggregates and the oracle."""
+    return F.avg(F.when(cond, _col(c)))
+
+
+def group_uniq_array(c: ColumnOrName) -> Column:
+    """ClickHouse ``groupUniqArray`` with a deterministic twist: the
+    distinct set is sorted (collect_set order is engine-internal)."""
+    return F.array_sort(F.collect_set(_col(c)))
+
+
 def round_to(c: ColumnOrName, n: int) -> Column:
     """Cross-engine-deterministic rounding: floor(x*10^n + 0.5)/10^n.
 

@@ -28,7 +28,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from ..functions import ch
-from ..operators import collapse, dedup, multimodal, sampling, similarity, text
+from ..operators import collapse, dedup, multimodal, sampling, similarity, stats, text
 from ..plans import inline_aliases, with_totals
 from ..session import tune
 from ..sources import csvgz
@@ -772,6 +772,80 @@ def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _TOKS_SQL = r"""regexp_split_to_array(trim(lower(regexp_replace(text, '[^a-z0-9]+', ' ', 'g'))), '\s+')"""
+
+
+def q_ch_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse aggregate-combinator vocabulary a Metrica dashboard
+    port leans on beyond the reference's own queries: countIf / sumIf /
+    avgIf conditional metrics, argMax/argMin (the idiomatic CH
+    latest-row-per-key pattern), groupUniqArray.  All single built-in
+    JVM aggregates (functions/ch.py), one hash-aggregate exchange."""
+    _prep(spark)
+    o = t(spark, sf_dir, "orders")
+    f = F.col("o_orderstatus") == "F"
+    return (
+        o.groupBy("o_orderpriority")
+        .agg(
+            ch.count_if(f).alias("n_f"),
+            ch.round_to(ch.sum_if("o_totalprice", f), 2).alias("rev_f"),
+            ch.round_to(ch.avg_if("o_totalprice", f), 4).alias("avg_f"),
+            ch.arg_max("o_custkey", "o_orderkey").alias("last_cust"),
+            ch.arg_min("o_custkey", "o_orderkey").alias("first_cust"),
+            ch.group_uniq_array("o_orderstatus").alias("statuses"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+_ORACLE_CH_AGGREGATES = """
+SELECT o_orderpriority,
+  CAST(count(*) FILTER (WHERE o_orderstatus = 'F') AS BIGINT) AS n_f,
+  floor(coalesce(sum(o_totalprice) FILTER (WHERE o_orderstatus = 'F'), 0.0)
+        * 100.0 + 0.5) / 100.0 AS rev_f,
+  floor(avg(o_totalprice) FILTER (WHERE o_orderstatus = 'F')
+        * 10000.0 + 0.5) / 10000.0 AS avg_f,
+  arg_max(o_custkey, o_orderkey) AS last_cust,
+  arg_min(o_custkey, o_orderkey) AS first_cust,
+  list_sort(list(DISTINCT o_orderstatus)) AS statuses
+FROM orders GROUP BY o_orderpriority
+"""
+
+
+def q_quantiles_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse quantileExactLow analog, scalable window formulation
+    (operators/stats.py): rank + count over one shuffle, integer rank
+    selection -- no per-group array materialization."""
+    _prep(spark)
+    li = t(spark, sf_dir, "lineitem")
+    return stats.quantile_exact(
+        li,
+        ["l_returnflag"],
+        "l_extendedprice",
+        {"p50": 0.5, "p90": 0.9, "p99": 0.99},
+        variant="low",
+    ).orderBy("l_returnflag")
+
+
+def _q_rank_case(q: float, name: str) -> str:
+    return (
+        f"max(CASE WHEN r = CAST(floor({q} * CAST(n - 1 AS DOUBLE)) AS BIGINT) "
+        f"THEN v END) AS {name}"
+    )
+
+
+_ORACLE_QUANTILES = f"""
+WITH s AS (
+  SELECT l_returnflag, l_extendedprice AS v,
+         row_number() OVER (PARTITION BY l_returnflag ORDER BY l_extendedprice) - 1 AS r,
+         count(*) OVER (PARTITION BY l_returnflag) AS n
+  FROM lineitem
+)
+SELECT l_returnflag,
+  {_q_rank_case(0.5, "p50")},
+  {_q_rank_case(0.9, "p90")},
+  {_q_rank_case(0.99, "p99")}
+FROM s GROUP BY l_returnflag
+"""
 
 
 def q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1743,6 +1817,8 @@ QUERIES: dict[str, QuerySpec] = {
     "ann_ivf_topk": QuerySpec(q_ann_ivf, None, "similarity/ivf (approximate: rows-only)"),
     "text_stats": QuerySpec(q_text_stats, _ORACLE_TEXT_STATS, "text/quality+langid+tokens"),
     "repetition_stats": QuerySpec(q_repetition_stats, _ORACLE_REPETITION, "text/repetition (Gopher-style filters)"),
+    "ch_aggregates": QuerySpec(q_ch_aggregates, _ORACLE_CH_AGGREGATES, "F-ext: argMax/argMin countIf/sumIf/avgIf groupUniqArray"),
+    "quantiles_exact": QuerySpec(q_quantiles_exact, _ORACLE_QUANTILES, "A-ext: quantileExactLow (windowed exact order stats)"),
     "pii_scrub": QuerySpec(q_pii_scrub, _ORACLE_PII_SCRUB, "text/pii-redaction"),
     "doc_fingerprint": QuerySpec(q_doc_fingerprint, _ORACLE_DOC_FINGERPRINT, "text/fingerprint"),
     "multimodal_meta": QuerySpec(q_multimodal_meta, _ORACLE_MULTIMODAL, "multimodal/arrow-plumbing"),
