@@ -161,6 +161,77 @@ def test_ledger_stream_to_sign_query_end_to_end(spark):
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+def _feed_files(spark, df, src, name):
+    """Stage a batch DataFrame as one parquet file in the feed dir."""
+    import glob
+
+    stage = f"{os.path.dirname(src)}/stage_{name}"
+    df.coalesce(1).write.parquet(stage)
+    os.makedirs(src, exist_ok=True)
+    for i, f in enumerate(sorted(glob.glob(f"{stage}/part-*.parquet"))):
+        shutil.move(f, f"{src}/{name}-{i}.parquet")
+
+
+def test_streaming_dedup_across_batches_and_restarts(spark):
+    """start_dedup_stream must drop content duplicates within a
+    micro-batch, across micro-batches (state), and across stream
+    RESTARTS (state restored from checkpoint)."""
+    tmp = tempfile.mkdtemp(prefix="ym_sdedup_")
+    src, dest, ckpt = f"{tmp}/src", f"{tmp}/dest", f"{tmp}/ckpt"
+    schema = "doc_id long, text string"
+    b1 = spark.createDataFrame([(1, "alpha"), (2, "beta"), (3, "beta")], schema)
+    b2 = spark.createDataFrame([(4, "beta"), (5, "gamma")], schema)
+    b3 = spark.createDataFrame([(6, "gamma"), (7, "delta")], schema)
+    try:
+        _feed_files(spark, b1, src, "b1")
+        _feed_files(spark, b2, src, "b2")
+        q = cdc.start_dedup_stream(
+            spark, src, b1.schema, dest, ckpt,
+            content_cols=["text"], max_files_per_trigger=1,
+        )
+        assert q.awaitTermination(120), "first drain did not terminate"
+        rows = spark.read.parquet(dest).collect()
+        assert sorted(r["text"] for r in rows) == ["alpha", "beta", "gamma"]
+
+        _feed_files(spark, b3, src, "b3")  # gamma already seen pre-restart
+        q = cdc.start_dedup_stream(
+            spark, src, b1.schema, dest, ckpt,
+            content_cols=["text"], max_files_per_trigger=1,
+        )
+        assert q.awaitTermination(120), "second drain did not terminate"
+        rows = spark.read.parquet(dest).collect()
+        assert sorted(r["text"] for r in rows) == ["alpha", "beta", "delta", "gamma"]
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_streaming_dedup_watermark_bounded_state(spark):
+    """ts_col path: dropDuplicatesWithinWatermark dedups inside the
+    horizon while keeping per-key state evictable (Spark's contract);
+    duplicates arriving within the watermark are dropped."""
+    from datetime import datetime
+
+    tmp = tempfile.mkdtemp(prefix="ym_sdedup_wm_")
+    src, dest, ckpt = f"{tmp}/src", f"{tmp}/dest", f"{tmp}/ckpt"
+    schema = "doc_id long, text string, ts timestamp"
+    t0 = datetime(2023, 10, 30, 10, 0, 0)
+    t1 = datetime(2023, 10, 30, 10, 5, 0)
+    b1 = spark.createDataFrame(
+        [(1, "x", t0), (2, "x", t1), (3, "y", t0)], schema
+    )
+    try:
+        _feed_files(spark, b1, src, "b1")
+        q = cdc.start_dedup_stream(
+            spark, src, b1.schema, dest, ckpt,
+            content_cols=["text"], ts_col="ts", watermark="1 hour",
+        )
+        assert q.awaitTermination(120), "drain did not terminate"
+        rows = spark.read.parquet(dest).collect()
+        assert sorted(r["text"] for r in rows) == ["x", "y"]
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 def test_stateful_latest_version_stream(spark):
     """applyInPandasWithState tracker: per-key (maxv, net) state across
     micro-batches -- visit 1 updated in a later batch resolves to v2,

@@ -1097,6 +1097,31 @@ FROM events GROUP BY event_type
 """
 
 
+def q_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ingestion-side exact dedup (streaming/cdc.start_dedup_stream):
+    the documents corpus plus exact re-sends of every 10th doc flows
+    through the hash-keyed dedup stream; the sink must hold exactly
+    one copy per distinct text.  Output = distinct md5(text) of the
+    sink, so the check is content-set equality, independent of which
+    duplicate copy survived."""
+    _prep(spark)
+    base = tempfile.mkdtemp(prefix="ym_sdedup_q_")
+    feed, dest, chk = f"{base}/feed", f"{base}/warehouse", f"{base}/checkpoint"
+    docs = t(spark, sf_dir, "documents").select("doc_id", "text")
+    docs.write.mode("append").parquet(feed)
+    docs.where(F.col("doc_id") % 10 == 0).write.mode("append").parquet(feed)
+    q = cdc.start_dedup_stream(
+        spark, feed, docs.schema, dest, chk, content_cols=["text"]
+    )
+    q.awaitTermination(120)
+    return spark.read.parquet(dest).select(F.md5("text").alias("h")).distinct()
+
+
+_ORACLE_STREAMING_DEDUP = """
+SELECT DISTINCT md5(text) AS h FROM documents
+"""
+
+
 # =========================================================================
 # 24. cdc_collapse -- sign-ledger construction + collapse-to-latest
 #     equivalence (A1/A11/ST3): live count per week == users whose final
@@ -1823,6 +1848,7 @@ QUERIES: dict[str, QuerySpec] = {
     "doc_fingerprint": QuerySpec(q_doc_fingerprint, _ORACLE_DOC_FINGERPRINT, "text/fingerprint"),
     "multimodal_meta": QuerySpec(q_multimodal_meta, _ORACLE_MULTIMODAL, "multimodal/arrow-plumbing"),
     "streaming_roundtrip": QuerySpec(q_streaming_roundtrip, _ORACLE_STREAMING, "ST1 ST4 ST7"),
+    "streaming_dedup": QuerySpec(q_streaming_dedup, _ORACLE_STREAMING_DEDUP, "ST-ext: stateful streaming exact dedup (dedup/exact at ingest)"),
     "cdc_collapse": QuerySpec(q_cdc_collapse, _ORACLE_CDC_COLLAPSE, "A1 A11 ST3"),
     "pricing_summary": QuerySpec(q_pricing_summary, _ORACLE_PRICING, "A8 P5 agg-bench"),
     "regional_revenue": QuerySpec(q_regional_revenue, _ORACLE_REGIONAL, "J1 A8 multi-join-bench"),

@@ -174,6 +174,65 @@ def latest_version_stream(
     )
 
 
+def start_dedup_stream(
+    spark: SparkSession,
+    source_dir: str,
+    schema: T.StructType,
+    dest_dir: str,
+    checkpoint_dir: str,
+    content_cols: list[str],
+    ts_col: str | None = None,
+    watermark: str = "1 hour",
+    fmt: str = "parquet",
+    available_now: bool = True,
+    max_files_per_trigger: int | None = None,
+) -> StreamingQuery:
+    """Streaming exact dedup for document feeds: the ingestion-side
+    half of operators.dedup -- rows whose content was already seen (in
+    this batch or ANY earlier one) are dropped before they reach the
+    warehouse, so downstream batch dedup starts from a clean corpus.
+
+    The dedup state key is ``xxhash64(content_cols)``: 8 bytes per
+    distinct document in the state store, never the raw text (the
+    same never-shuffle-the-text discipline as dedup_exact).  A 64-bit
+    collision silently drops a legitimate document with probability
+    ~n^2/2^65 -- at 10^10 docs that is ~0.003 expected losses, noise
+    for a training corpus (batch dedup_exact resolves bucket
+    collisions exactly when provenance matters).
+
+    With ``ts_col`` set, uses ``dropDuplicatesWithinWatermark``: state
+    is EVICTED once the watermark passes, so memory is bounded by the
+    dedup horizon, not stream history -- the 100TB posture (a feed
+    replaying a day of documents needs a day of state, not forever).
+    Without it, plain ``dropDuplicates`` state grows with distinct
+    documents; acceptable when the corpus itself is the bound.
+
+    Exactly-once: state lives in the checkpoint, so a restart resumes
+    with every previously-seen hash -- duplicates spanning restarts
+    are still dropped (covered by tests).
+    """
+    reader = spark.readStream.format(fmt).schema(schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    stream = reader.load(source_dir).withColumn(
+        "__h", F.xxhash64(*[F.col(c) for c in content_cols])
+    )
+    if ts_col is not None:
+        stream = stream.withWatermark(ts_col, watermark)
+        stream = stream.dropDuplicatesWithinWatermark(["__h"])
+    else:
+        stream = stream.dropDuplicates(["__h"])
+    writer = (
+        stream.drop("__h")
+        .writeStream.format("parquet")
+        .option("path", dest_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+    )
+    trigger = {"availableNow": True} if available_now else {"processingTime": "10 seconds"}
+    return writer.trigger(**trigger).start()
+
+
 def start_collapse_stream(
     spark: SparkSession,
     source_dir: str,
