@@ -183,10 +183,14 @@ def repetition_stats(
                               trigram appears more than once
 
     Formulation is the shingle pattern from operators.dedup: posexplode
-    tokens -> LEAD window for 2/3-grams (never an HOF under a Generate),
-    then flat count aggregates.  Each branch is a per-doc hash aggregate
-    with map-side partial agg; everything shuffles on (id[, gram]) only
-    -- no text moves after the explode, so the shape holds at 100TB.
+    tokens -> LEAD window for 2/3-grams (never an HOF under a Generate).
+    All three signals then derive from a SINGLE per-(id, trigram) count
+    aggregate (tail positions kept as null-t1/t2 rows so token totals
+    stay exact): the expensive part of the lineage -- token explode,
+    window sort, gram-count shuffle -- is one identical subtree under
+    every branch, which Spark's ReuseExchange materializes once; the
+    follow-up aggregates run over the already-tiny per-gram counts.
+    No text moves after the explode, so the shape holds at 100TB.
     Docs with zero tokens are kept (all ratios 0.0).
     """
     idx = df.select(
@@ -200,33 +204,28 @@ def repetition_stats(
         F.lead("t", 1).over(w).alias("t1"),
         F.lead("t", 2).over(w).alias("t2"),
     )
-    tstats = g.groupBy("id").agg(
-        F.count(F.lit(1)).alias("n_tokens"),
+    # null-position exclusions are CASE expressions inside the
+    # aggregates, NOT .where() filters: a filter on a grouping key gets
+    # pushed below the shared aggregate, making the three branch
+    # subtrees non-identical and defeating ReuseExchange (verified in
+    # the static plan: filters -> 3 window sorts, CASEs -> 1).
+    counts3 = g.groupBy("id", "t", "t1", "t2").count()
+    tstats = counts3.groupBy("id").agg(
+        F.sum("count").alias("n_tokens"),
         F.countDistinct("t").alias("n_distinct"),
+        F.sum(
+            F.when(F.col("t2").isNotNull() & (F.col("count") > 1), F.col("count")).otherwise(0)
+        ).alias("dup3"),
+        F.sum(F.when(F.col("t2").isNotNull(), F.col("count")).otherwise(0)).alias("n3"),
     )
     s2 = (
-        g.where(F.col("t1").isNotNull())
-        .groupBy("id", "t", "t1")
-        .count()
+        counts3.groupBy("id", "t", "t1")
+        .agg(F.sum("count").alias("c2"))
         .groupBy("id")
-        .agg(F.max("count").alias("top2"))
-    )
-    s3 = (
-        g.where(F.col("t2").isNotNull())
-        .groupBy("id", "t", "t1", "t2")
-        .count()
-        .groupBy("id")
-        .agg(
-            F.sum(F.when(F.col("count") > 1, F.col("count")).otherwise(0)).alias("dup3"),
-            F.sum("count").alias("n3"),
-        )
+        .agg(F.max(F.when(F.col("t1").isNotNull(), F.col("c2"))).alias("top2"))
     )
     base = df.select(F.col(id_col).alias("id"))
-    joined = (
-        base.join(tstats, "id", "left")
-        .join(s2, "id", "left")
-        .join(s3, "id", "left")
-    )
+    joined = base.join(tstats, "id", "left").join(s2, "id", "left")
     nt = F.coalesce(F.col("n_tokens"), F.lit(0)).cast("long")
     dup_tok = F.when(
         nt > 0,
