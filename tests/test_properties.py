@@ -90,3 +90,79 @@ def test_inline_aliases_never_touches_literals(alias, literal_text, expr):
     out = inline_aliases(pred, {alias: expr})
     assert f"({expr}) > 0" in out
     assert f"'{literal_text}'" in out  # string literal byte-identical
+
+
+# --------------------------------------------------------------------------
+# quantile_exact == python sorted-index reference for ANY groups/level
+# --------------------------------------------------------------------------
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=3),
+            st.floats(
+                min_value=-1e6, max_value=1e6, allow_nan=False, allow_infinity=False
+            ),
+        ),
+        min_size=1,
+        max_size=50,
+    ),
+    st.floats(min_value=0.0, max_value=1.0, allow_nan=False),
+)
+def test_quantile_exact_any_groups_and_level(spark, data, q):
+    """Both variants must equal indexing the Python-sorted group at
+    floor/ceil(q*(n-1)) -- the selection is pure rank arithmetic, so
+    equality is exact (no float tolerance)."""
+    import math
+
+    from yc_data_transfer_clickhouse_from_yandex_metrica_spark.operators import stats
+
+    df = spark.createDataFrame([(f"g{g}", v) for g, v in data], "g string, v double")
+    by_group: dict[str, list[float]] = {}
+    for g, v in data:
+        by_group.setdefault(f"g{g}", []).append(v)
+    for variant, rank in (("low", math.floor), ("high", math.ceil)):
+        got = {
+            r["g"]: r["p"]
+            for r in stats.quantile_exact(df, ["g"], "v", {"p": q}, variant=variant).collect()
+        }
+        for g, vals in by_group.items():
+            s = sorted(vals)
+            assert got[g] == s[rank(q * (len(s) - 1))], (variant, g, q)
+
+
+# --------------------------------------------------------------------------
+# scrub_pii is idempotent: redaction can never create a new match
+# --------------------------------------------------------------------------
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    st.lists(
+        st.text(
+            alphabet="abc01. @-x\n", min_size=0, max_size=60
+        ),
+        min_size=1,
+        max_size=8,
+    )
+)
+def test_scrub_pii_idempotent(spark, texts):
+    """scrub(scrub(x)) == scrub(x) and the second pass finds 0 matches:
+    '[REDACTED]' contains no digits or '@', so redaction cannot
+    manufacture a new email/phone/IP -- for ANY input."""
+    from pyspark.sql import functions as F
+
+    from yc_data_transfer_clickhouse_from_yandex_metrica_spark.operators import text as tx
+
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)], "id long, text string")
+    once = tx.scrub_pii(df).select("id", F.col("text_clean").alias("text"))
+    twice = tx.scrub_pii(once).collect()
+    for r in twice:
+        assert r["n_pii"] == 0
+        assert r["text_clean"] == r["text"]
