@@ -643,6 +643,28 @@ def test_filter_pushdown_reaches_scan(spark):
     assert "PushedFilters: [" in plan and "IsNotNull" in plan
 
 
+def test_quantile_exact_plan_single_data_exchange(spark):
+    """Both windows (rank + group count) must share ONE sort over ONE
+    data exchange, and the scan must read only the two needed columns
+    -- the plan shape that makes exact quantiles viable at scale
+    (PLANS.md round-3 section)."""
+    import re
+
+    from yc_data_transfer_clickhouse_from_yandex_metrica_spark.queries.driver import QUERIES
+
+    from conftest import SF_SMOKE
+
+    df = QUERIES["quantiles_exact"].build(spark, SF_SMOKE)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # exchanges: one for the window partitioning + one for the final
+    # ORDER BY on the 3-row output -- never a third
+    assert len(re.findall(r"\bExchange\b", plan)) == 2
+    assert len(re.findall(r"\bSort\b", plan)) == 2  # window sort + output sort
+    assert "collect_list" not in plan  # no per-group array materialization
+    assert re.search(r"ReadSchema:[^\n]*l_extendedprice", plan)
+    assert not re.search(r"ReadSchema:[^\n]*l_quantity", plan)
+
+
 def test_interval_join_equals_broadcast_path_without_broadcast(spark):
     """The bucketed range join must (a) produce exactly the broadcast
     non-equi join's rows and (b) plan as an EQUI join (no
