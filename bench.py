@@ -51,6 +51,8 @@ HEADLINE = [
     "cdc_collapse",
     "ch_aggregates",
     "quantiles_exact",
+    "funnel_depths",
+    "retention_cohort",
     "dedup_exact",
     "dedup_ngram_jaccard",
     "dedup_minhash_lsh",

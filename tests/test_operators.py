@@ -643,6 +643,86 @@ def test_filter_pushdown_reaches_scan(spark):
     assert "PushedFilters: [" in plan and "IsNotNull" in plan
 
 
+def test_window_funnel_semantics(spark):
+    """Earliest-chain rules, hand-checked: order matters (a click
+    BEFORE the first view does not advance), the window is anchored at
+    the first step-1 event, and equal-timestamp events do not chain
+    (strictly-after rule)."""
+    from datetime import datetime
+
+    from yc_data_transfer_clickhouse_from_yandex_metrica_spark.operators import funnel
+
+    T = lambda d, h=0: datetime(2023, 10, d, h, 0, 0)
+    rows = [
+        # u1: full chain inside window -> depth 3
+        (1, T(1), "view"), (1, T(2), "click"), (1, T(3), "purchase"),
+        # u2: click precedes the only view -> depth 1
+        (2, T(5), "click"), (2, T(6), "view"),
+        # u3: click lands 8 days after first view (outside 7d) -> 1
+        (3, T(1), "view"), (3, T(9), "click"),
+        # u4: no view at all -> depth 0
+        (4, T(1), "purchase"),
+        # u5: click at the SAME instant as the view -> strictly-after
+        # rule rejects it -> depth 1
+        (5, T(10), "view"), (5, T(10), "click"),
+        # u6: second view opens no new window (anchor = FIRST view):
+        # view d1, view d8, click d9 -> click is 8d after anchor -> 1
+        (6, T(1), "view"), (6, T(8), "view"), (6, T(9), "click"),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp, event_type string")
+    got = {
+        r["user_id"]: r["depth"]
+        for r in funnel.window_funnel(
+            df, "user_id", "ts",
+            [F.col("event_type") == "view",
+             F.col("event_type") == "click",
+             F.col("event_type") == "purchase"],
+            window_seconds=7 * 86400,
+        ).collect()
+    }
+    assert got == {1: 3, 2: 1, 3: 1, 4: 0, 5: 1, 6: 1}
+
+
+def test_window_funnel_single_exchange(spark):
+    """All per-step windows and the final per-user aggregate must reuse
+    one hash(user) exchange -- k steps may never mean k shuffles."""
+    import re
+
+    from yc_data_transfer_clickhouse_from_yandex_metrica_spark.operators import funnel
+
+    df = spark.createDataFrame(
+        [(1, date(2023, 10, 1), "view")], "user_id long, d date, event_type string"
+    ).select("user_id", F.col("d").cast("timestamp").alias("ts"), "event_type")
+    out = funnel.window_funnel(
+        df, "user_id", "ts",
+        [F.col("event_type") == "view", F.col("event_type") == "click"],
+        window_seconds=3600,
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert len(re.findall(r"\bExchange\b", plan)) == 1
+
+
+def test_retention_flags(spark):
+    from yc_data_transfer_clickhouse_from_yandex_metrica_spark.operators import funnel
+
+    df = spark.createDataFrame(
+        [(1, "signup"), (1, "purchase"),
+         (2, "click"), (2, "purchase"),  # no signup -> all 0
+         (3, "signup")],
+        "user_id long, event_type string",
+    )
+    got = {
+        r["user_id"]: (r["r1"], r["r2"], r["r3"])
+        for r in funnel.retention(
+            df, "user_id",
+            [F.col("event_type") == "signup",
+             F.col("event_type") == "click",
+             F.col("event_type") == "purchase"],
+        ).collect()
+    }
+    assert got == {1: (1, 0, 1), 2: (0, 0, 0), 3: (1, 0, 0)}
+
+
 def test_quantile_exact_plan_single_data_exchange(spark):
     """Both windows (rank + group count) must share ONE sort over ONE
     data exchange, and the scan must read only the two needed columns

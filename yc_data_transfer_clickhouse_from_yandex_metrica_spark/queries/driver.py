@@ -28,7 +28,16 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from ..functions import ch
-from ..operators import collapse, dedup, multimodal, sampling, similarity, stats, text
+from ..operators import (
+    collapse,
+    dedup,
+    funnel,
+    multimodal,
+    sampling,
+    similarity,
+    stats,
+    text,
+)
 from ..plans import inline_aliases, with_totals
 from ..session import tune
 from ..sources import csvgz
@@ -845,6 +854,92 @@ SELECT l_returnflag,
   {_q_rank_case(0.9, "p90")},
   {_q_rank_case(0.99, "p99")}
 FROM s GROUP BY l_returnflag
+"""
+
+
+def q_funnel_depths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """view -> click -> purchase funnel within 7 days of the user's
+    first view (operators/funnel.py earliest-chain semantics), reduced
+    to users-per-depth.  One exchange end-to-end: the per-step
+    conditional-min windows, the per-user depth, and the depth
+    histogram all reuse the hash(user) partitioning."""
+    _prep(spark)
+    ev = t(spark, sf_dir, "events")
+    d = funnel.window_funnel(
+        ev,
+        "user_id",
+        "ts",
+        [
+            F.col("event_type") == "view",
+            F.col("event_type") == "click",
+            F.col("event_type") == "purchase",
+        ],
+        window_seconds=7 * 86400,
+    )
+    return d.groupBy("depth").agg(ch.count_one().alias("users")).orderBy("depth")
+
+
+_FUNNEL_WINDOW_US = 7 * 86400 * 1_000_000
+_ORACLE_FUNNEL = f"""
+WITH t1 AS (
+  SELECT user_id, min(ts) AS t1 FROM events
+  WHERE event_type = 'view' GROUP BY user_id
+),
+t2 AS (
+  SELECT e.user_id, min(e.ts) AS t2
+  FROM events e JOIN t1 ON e.user_id = t1.user_id
+  WHERE e.event_type = 'click' AND e.ts > t1.t1
+    AND epoch_us(e.ts) <= epoch_us(t1.t1) + {_FUNNEL_WINDOW_US}
+  GROUP BY e.user_id
+),
+t3 AS (
+  SELECT e.user_id, min(e.ts) AS t3
+  FROM events e
+  JOIN t2 ON e.user_id = t2.user_id
+  JOIN t1 ON e.user_id = t1.user_id
+  WHERE e.event_type = 'purchase' AND e.ts > t2.t2
+    AND epoch_us(e.ts) <= epoch_us(t1.t1) + {_FUNNEL_WINDOW_US}
+  GROUP BY e.user_id
+),
+d AS (
+  SELECT u.user_id,
+         CASE WHEN t3.user_id IS NOT NULL THEN 3
+              WHEN t2.user_id IS NOT NULL THEN 2
+              WHEN t1.user_id IS NOT NULL THEN 1
+              ELSE 0 END AS depth
+  FROM (SELECT DISTINCT user_id FROM events) u
+  LEFT JOIN t1 ON u.user_id = t1.user_id
+  LEFT JOIN t2 ON u.user_id = t2.user_id
+  LEFT JOIN t3 ON u.user_id = t3.user_id
+)
+SELECT depth, CAST(count(*) AS BIGINT) AS users FROM d GROUP BY depth
+"""
+
+
+def q_retention_cohort(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse retention() analog: per user, signup ever happened;
+    signup AND click; signup AND purchase (flat max aggregates)."""
+    _prep(spark)
+    ev = t(spark, sf_dir, "events")
+    return funnel.retention(
+        ev,
+        "user_id",
+        [
+            F.col("event_type") == "signup",
+            F.col("event_type") == "click",
+            F.col("event_type") == "purchase",
+        ],
+    )
+
+
+_ORACLE_RETENTION = """
+SELECT user_id,
+  CAST(max(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS INT) AS r1,
+  CAST(max(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END)
+     * max(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS INT) AS r2,
+  CAST(max(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END)
+     * max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS INT) AS r3
+FROM events GROUP BY user_id
 """
 
 
@@ -1843,6 +1938,8 @@ QUERIES: dict[str, QuerySpec] = {
     "text_stats": QuerySpec(q_text_stats, _ORACLE_TEXT_STATS, "text/quality+langid+tokens"),
     "repetition_stats": QuerySpec(q_repetition_stats, _ORACLE_REPETITION, "text/repetition (Gopher-style filters)"),
     "ch_aggregates": QuerySpec(q_ch_aggregates, _ORACLE_CH_AGGREGATES, "F-ext: argMax/argMin countIf/sumIf/avgIf groupUniqArray"),
+    "funnel_depths": QuerySpec(q_funnel_depths, _ORACLE_FUNNEL, "A-ext: windowFunnel (earliest-chain, one-exchange windows)"),
+    "retention_cohort": QuerySpec(q_retention_cohort, _ORACLE_RETENTION, "A-ext: retention cohort flags"),
     "quantiles_exact": QuerySpec(q_quantiles_exact, _ORACLE_QUANTILES, "A-ext: quantileExactLow (windowed exact order stats)"),
     "pii_scrub": QuerySpec(q_pii_scrub, _ORACLE_PII_SCRUB, "text/pii-redaction"),
     "doc_fingerprint": QuerySpec(q_doc_fingerprint, _ORACLE_DOC_FINGERPRINT, "text/fingerprint"),
