@@ -51,6 +51,7 @@ HEADLINE = [
     "cdc_collapse",
     "ch_aggregates",
     "quantiles_exact",
+    "quantiles_weighted",
     "funnel_depths",
     "retention_cohort",
     "dedup_exact",

@@ -1395,16 +1395,20 @@ def test_scrub_pii_counts_and_redacts(spark):
 # --------------------------------------------------------------------------
 # Skew mitigation (salting)
 # --------------------------------------------------------------------------
-def test_quantile_exact_matches_python_reference(spark):
-    """quantile_exact (windowed rank selection) must equal indexing the
-    Python-sorted values at floor/ceil(q*(n-1)) -- both variants, uneven
-    group sizes including a singleton group."""
+@pytest.mark.parametrize("method", ["window", "range"])
+def test_quantile_exact_matches_python_reference(spark, method):
+    """quantile_exact must equal indexing the Python-sorted values at
+    floor/ceil(q*(n-1)) -- both variants, both plan methods, uneven
+    group sizes including a singleton group.  Duplicated values are
+    planted so a range boundary can land between equal values (the
+    case where the 'range' method's rank split must stay exact)."""
     import math
 
     from yc_data_transfer_clickhouse_from_yandex_metrica_spark.operators import stats
 
     rnd = random.Random(7)
     data = [("a", rnd.uniform(0, 100)) for _ in range(101)]
+    data += [("a", 50.0)] * 17  # heavy duplicate mass
     data += [("b", rnd.uniform(0, 100)) for _ in range(40)]
     data += [("c", 42.5)]  # n=1: every quantile is the lone value
     df = spark.createDataFrame(data, "g string, v double")
@@ -1415,9 +1419,39 @@ def test_quantile_exact_matches_python_reference(spark):
     for variant, rank in (("low", math.floor), ("high", math.ceil)):
         got = {
             r["g"]: r
-            for r in stats.quantile_exact(df, ["g"], "v", qs, variant=variant).collect()
+            for r in stats.quantile_exact(
+                df, ["g"], "v", qs, variant=variant, method=method, partitions=7
+            ).collect()
         }
         for g, vals in by_group.items():
+            s = sorted(vals)
+            for name, q in qs.items():
+                assert got[g][name] == s[rank(q * (len(s) - 1))], (variant, g, name)
+
+
+def test_quantile_exact_weighted_equals_expanded(spark):
+    """quantileExactWeighted == quantile over the expanded multiset
+    (each value repeated weight times); zero weights are ignored."""
+    import math
+
+    from yc_data_transfer_clickhouse_from_yandex_metrica_spark.operators import stats
+
+    rnd = random.Random(11)
+    rows = [("a", float(rnd.randint(0, 30)), rnd.randint(0, 4)) for _ in range(60)]
+    rows += [("b", 7.0, 3), ("b", 9.0, 0)]  # zero weight must vanish
+    df = spark.createDataFrame(rows, "g string, v double, w int")
+    qs = {"p25": 0.25, "p50": 0.5, "p90": 0.9}
+    expanded: dict[str, list[float]] = {}
+    for g, v, w in rows:
+        expanded.setdefault(g, []).extend([v] * w)
+    for variant, rank in (("low", math.floor), ("high", math.ceil)):
+        got = {
+            r["g"]: r
+            for r in stats.quantile_exact_weighted(
+                df, ["g"], "v", "w", qs, variant=variant
+            ).collect()
+        }
+        for g, vals in expanded.items():
             s = sorted(vals)
             for name, q in qs.items():
                 assert got[g][name] == s[rank(q * (len(s) - 1))], (variant, g, name)
@@ -1431,6 +1465,8 @@ def test_quantile_exact_rejects_bad_args(spark):
         stats.quantile_exact(df, ["g"], "v", {"p50": 0.5}, variant="mid")
     with pytest.raises(ValueError, match="outside"):
         stats.quantile_exact(df, ["g"], "v", {"bad": 1.5})
+    with pytest.raises(ValueError, match="method"):
+        stats.quantile_exact(df, ["g"], "v", {"p50": 0.5}, method="sketch")
 
 
 def test_ch_aggregate_combinators(spark):

@@ -943,6 +943,49 @@ FROM events GROUP BY user_id
 """
 
 
+def q_quantiles_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse quantileExactWeighted analog: price quantiles of the
+    quantity-expanded multiset, computed over the compressed
+    per-(group, value) distribution -- the window sorts distinct
+    values, never expanded rows."""
+    _prep(spark)
+    li = t(spark, sf_dir, "lineitem")
+    return stats.quantile_exact_weighted(
+        li,
+        ["l_returnflag"],
+        "l_extendedprice",
+        "l_quantity",
+        {"p50": 0.5, "p90": 0.9},
+        variant="low",
+    ).orderBy("l_returnflag")
+
+
+def _qw_rank_case(q: float, name: str) -> str:
+    r = f"CAST(floor({q} * CAST(n - 1 AS DOUBLE)) AS BIGINT)"
+    return f"max(CASE WHEN {r} >= cb AND {r} < cb + w THEN v END) AS {name}"
+
+
+_ORACLE_QUANTILES_WEIGHTED = f"""
+WITH dist AS (
+  SELECT l_returnflag, l_extendedprice AS v,
+         sum(CAST(l_quantity AS BIGINT)) AS w
+  FROM lineitem WHERE l_quantity > 0
+  GROUP BY 1, 2
+),
+c AS (
+  SELECT l_returnflag, v, w,
+         coalesce(sum(w) OVER (PARTITION BY l_returnflag ORDER BY v
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cb,
+         sum(w) OVER (PARTITION BY l_returnflag) AS n
+  FROM dist
+)
+SELECT l_returnflag,
+  {_qw_rank_case(0.5, "p50")},
+  {_qw_rank_case(0.9, "p90")}
+FROM c GROUP BY l_returnflag
+"""
+
+
 def q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-style token-repetition quality signals (Rae et al. 2021
     filters re-expressed over tokens; see operators.text.repetition_stats)."""
@@ -1941,6 +1984,7 @@ QUERIES: dict[str, QuerySpec] = {
     "funnel_depths": QuerySpec(q_funnel_depths, _ORACLE_FUNNEL, "A-ext: windowFunnel (earliest-chain, one-exchange windows)"),
     "retention_cohort": QuerySpec(q_retention_cohort, _ORACLE_RETENTION, "A-ext: retention cohort flags"),
     "quantiles_exact": QuerySpec(q_quantiles_exact, _ORACLE_QUANTILES, "A-ext: quantileExactLow (windowed exact order stats)"),
+    "quantiles_weighted": QuerySpec(q_quantiles_weighted, _ORACLE_QUANTILES_WEIGHTED, "A-ext: quantileExactWeighted (compressed distribution)"),
     "pii_scrub": QuerySpec(q_pii_scrub, _ORACLE_PII_SCRUB, "text/pii-redaction"),
     "doc_fingerprint": QuerySpec(q_doc_fingerprint, _ORACLE_DOC_FINGERPRINT, "text/fingerprint"),
     "multimodal_meta": QuerySpec(q_multimodal_meta, _ORACLE_MULTIMODAL, "multimodal/arrow-plumbing"),
