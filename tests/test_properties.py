@@ -136,6 +136,76 @@ def test_quantile_exact_any_groups_and_level(spark, data, q):
 
 
 # --------------------------------------------------------------------------
+# window_funnel == pure-Python earliest-chain reference for ANY stream
+# --------------------------------------------------------------------------
+def _funnel_ref(events, n_steps, window_s):
+    """Earliest-chain reference: anchor = earliest step-1 ts; each next
+    step = earliest matching event strictly after the previous bind and
+    within window of the anchor."""
+    depth_by_user: dict[int, int] = {}
+    users = {u for u, _, _ in events}
+    for u in users:
+        mine = sorted([(ts, s) for uu, ts, s in events if uu == u])
+        t_prev = None
+        t1 = None
+        depth = 0
+        for step in range(1, n_steps + 1):
+            cands = [
+                ts
+                for ts, s in mine
+                if s == step
+                and (t_prev is None or ts > t_prev)
+                and (t1 is None or ts <= t1 + window_s)
+            ]
+            if not cands:
+                break
+            t_prev = min(cands)
+            if step == 1:
+                t1 = t_prev
+            depth = step
+        depth_by_user[u] = depth
+    return depth_by_user
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=3),    # user
+            st.integers(min_value=0, max_value=400),  # ts offset seconds
+            st.integers(min_value=1, max_value=3),    # which step fired
+        ),
+        min_size=1,
+        max_size=40,
+    ),
+    st.integers(min_value=1, max_value=300),  # window seconds
+)
+def test_window_funnel_any_stream(spark, events, window_s):
+    from datetime import datetime, timedelta
+
+    from pyspark.sql import functions as F
+
+    from yc_data_transfer_clickhouse_from_yandex_metrica_spark.operators import funnel
+
+    base = datetime(2023, 10, 1)
+    rows = [(u, base + timedelta(seconds=s), step) for u, s, step in events]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp, step int")
+    got = {
+        r["user_id"]: r["depth"]
+        for r in funnel.window_funnel(
+            df, "user_id", "ts",
+            [F.col("step") == 1, F.col("step") == 2, F.col("step") == 3],
+            window_seconds=window_s,
+        ).collect()
+    }
+    assert got == _funnel_ref(events, 3, window_s)
+
+
+# --------------------------------------------------------------------------
 # scrub_pii is idempotent: redaction can never create a new match
 # --------------------------------------------------------------------------
 @settings(

@@ -440,25 +440,32 @@ def connected_components(
         .withColumn("comp", F.col("id"))
         .localCheckpoint(eager=True)
     )
-    for _ in range(max_iter):
+    def propagate(lbl: DataFrame) -> DataFrame:
         # smallest neighbour label per node
         nbr_min = (
-            edges.join(labels.withColumnRenamed("id", "dst"), "dst")
+            edges.join(lbl.withColumnRenamed("id", "dst"), "dst")
             .groupBy(F.col("src").alias("id"))
             .agg(F.min("comp").alias("nbr_comp"))
         )
-        new_labels = (
-            labels.join(nbr_min, "id", "left")
-            .select(
-                "id",
-                F.least(
-                    F.col("comp"), F.coalesce(F.col("nbr_comp"), F.col("comp"))
-                ).alias("comp"),
-                (F.coalesce(F.col("nbr_comp"), F.col("comp")) < F.col("comp")).alias(
-                    "__changed"
-                ),
-            )
-            .localCheckpoint(eager=True)
+        return lbl.withColumnRenamed("comp", "__prev").join(nbr_min, "id", "left").select(
+            "id",
+            F.least(
+                F.col("__prev"), F.coalesce(F.col("nbr_comp"), F.col("__prev"))
+            ).alias("comp"),
+            (F.coalesce(F.col("nbr_comp"), F.col("__prev")) < F.col("__prev")).alias(
+                "__changed"
+            ),
+        )
+
+    # TWO propagation rounds per checkpoint+convergence-check cycle:
+    # the eager checkpoint and the existence-check job are the fixed
+    # costs of a cycle (they dwarf the joins at interactive scale), and
+    # label propagation is monotone -- if the inner round would change
+    # anything, the outer round's __changed is set too, so checking
+    # only every second round can never exit early.
+    for _ in range(max_iter):
+        new_labels = propagate(propagate(labels).drop("__changed")).localCheckpoint(
+            eager=True
         )
         changed = new_labels.where(F.col("__changed")).limit(1).count()
         prev, labels = labels, new_labels.drop("__changed")
