@@ -1753,3 +1753,130 @@ def test_reconcile_detects_value_drift(spark):
     assert warehouse.reconcile(a, b)["equal"]  # order-insensitive
     res = warehouse.reconcile(a, c)
     assert not res["equal"] and res["src_count"] == res["sink_count"]
+
+
+# --------------------------------------------------------------------------
+# Ordered-series dialect (operators/series.py, stats.heavy_hitters,
+# stats.histogram)
+# --------------------------------------------------------------------------
+def test_fill_series_dates_and_defaults(spark):
+    from yc_data_transfer_clickhouse_from_yandex_metrica_spark.operators import series
+
+    agg = spark.createDataFrame(
+        [
+            (date(2024, 1, 1), 3),
+            (date(2024, 1, 4), 1),
+            (date(2024, 1, 7), 2),
+        ],
+        "d date, n int",
+    )
+    out = series.fill_series(agg, "d", "1 day", fill={"n": 0}).orderBy("d")
+    rows = [(r["d"], r["n"]) for r in out.collect()]
+    assert len(rows) == 7  # dense 1..7
+    assert rows[0] == (date(2024, 1, 1), 3)
+    assert rows[1] == (date(2024, 1, 2), 0)  # gap filled with default
+    assert rows[3] == (date(2024, 1, 4), 1)
+    assert rows[6] == (date(2024, 1, 7), 2)
+
+
+def test_fill_series_integer_axis_explicit_bounds(spark):
+    from yc_data_transfer_clickhouse_from_yandex_metrica_spark.operators import series
+
+    agg = spark.createDataFrame([(2, 10.5), (4, 20.0)], "k int, v double")
+    out = series.fill_series(
+        agg, "k", "1", fill={"v": 0.0}, bounds=(1, 5)
+    ).orderBy("k")
+    rows = [(r["k"], r["v"]) for r in out.collect()]
+    assert rows == [(1, 0.0), (2, 10.5), (3, 0.0), (4, 20.0), (5, 0.0)]
+
+
+def test_fill_series_unfilled_column_stays_null(spark):
+    from yc_data_transfer_clickhouse_from_yandex_metrica_spark.operators import series
+
+    agg = spark.createDataFrame([(1, 7), (3, 9)], "k int, n int")
+    out = series.fill_series(agg, "k", "1").orderBy("k")
+    rows = [(r["k"], r["n"]) for r in out.collect()]
+    assert rows == [(1, 7), (2, None), (3, 9)]
+
+
+def test_running_difference_and_neighbor(spark):
+    from yc_data_transfer_clickhouse_from_yandex_metrica_spark.operators import series
+
+    df = spark.createDataFrame(
+        [(1, 1, 10.0), (1, 2, 13.0), (1, 3, 11.5), (2, 1, 5.0)],
+        "uid int, seq int, v double",
+    )
+    rd = series.running_difference(df, ["uid"], "seq", "v", out_col="dv")
+    got = {(r["uid"], r["seq"]): r["dv"] for r in rd.collect()}
+    assert got[(1, 1)] is None  # first row per key
+    assert got[(1, 2)] == 3.0
+    assert got[(1, 3)] == -1.5
+    assert got[(2, 1)] is None  # keys do not bleed into each other
+
+    nb = series.neighbor(df, ["uid"], "seq", "v", 1, default=-1.0, out_col="nx")
+    got = {(r["uid"], r["seq"]): r["nx"] for r in nb.collect()}
+    assert got[(1, 1)] == 13.0
+    assert got[(1, 3)] == -1.0  # CH default beyond the key's last row
+    assert got[(2, 1)] == -1.0
+
+
+def test_limit_by_with_offset(spark):
+    from yc_data_transfer_clickhouse_from_yandex_metrica_spark.operators import series
+
+    df = spark.createDataFrame(
+        [("a", i) for i in range(5)] + [("b", i) for i in range(2)],
+        "k string, v int",
+    )
+    out = series.limit_by(df, ["k"], 2, [F.col("v").asc()], offset=1)
+    got = sorted((r["k"], r["v"]) for r in out.collect())
+    # per key: skip 1 row, keep the next 2 (b has only one left)
+    assert got == [("a", 1), ("a", 2), ("b", 1)]
+
+
+def test_heavy_hitters_exact_with_ties(spark):
+    from yc_data_transfer_clickhouse_from_yandex_metrica_spark.operators import stats
+
+    vals = ["x"] * 5 + ["y"] * 5 + ["z"] * 3 + ["w"]
+    df = spark.createDataFrame([(v,) for v in vals], "c string")
+    out = stats.heavy_hitters(df, ["c"], 3).collect()
+    # deterministic tie-break: freq desc, value asc
+    assert [(r["c"], r["freq"]) for r in out] == [("x", 5), ("y", 5), ("z", 3)]
+
+
+def test_heavy_hitters_weighted(spark):
+    from yc_data_transfer_clickhouse_from_yandex_metrica_spark.operators import stats
+
+    df = spark.createDataFrame(
+        [("a", 10), ("a", 1), ("b", 5), ("c", 20)], "c string, w int"
+    )
+    out = stats.heavy_hitters(df, ["c"], 2, weight_col="w").collect()
+    assert [(r["c"], r["freq"]) for r in out] == [("c", 20), ("a", 11)]
+
+
+def test_histogram_bins_cover_range_and_counts(spark):
+    from yc_data_transfer_clickhouse_from_yandex_metrica_spark.operators import stats
+
+    df = spark.createDataFrame(
+        [(float(x),) for x in range(100)] + [(None,)], "v double"
+    )
+    out = stats.histogram(df, "v", 10).orderBy("bin").collect()
+    assert len(out) == 10
+    assert [r["n"] for r in out] == [10] * 9 + [10]  # max folded into last bin
+    assert out[0]["lo"] == 0.0 and out[0]["hi"] == pytest.approx(9.9)
+    assert out[9]["hi"] == pytest.approx(99.0)
+    assert sum(r["n"] for r in out) == 100  # NULL ignored
+
+
+def test_histogram_explicit_bounds_single_scan(spark):
+    from yc_data_transfer_clickhouse_from_yandex_metrica_spark.operators import stats
+
+    df = spark.createDataFrame([(1.0,), (2.0,), (3.0,)], "v double")
+    out = stats.histogram(df, "v", 2, bounds=(0.0, 4.0)).orderBy("bin")
+    rows = [(r["bin"], r["n"]) for r in out.collect()]
+    assert rows == [(0, 1), (1, 2)]
+    # with explicit bounds the plan must NOT contain a pre-aggregate
+    # (count scans in the FINAL plan only -- after collect, AQE's
+    # toString repeats the tree under an "== Initial Plan ==" section)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    final = plan.split("== Initial Plan ==")[0]
+    assert final.lower().count("scan existingrdd") <= 1

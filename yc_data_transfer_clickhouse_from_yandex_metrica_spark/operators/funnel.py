@@ -58,12 +58,16 @@ def window_funnel(
     out = out.withColumn(
         "__t1", F.min(F.when(F.col("__c1"), F.col("__ts"))).over(w)
     )
-    horizon = F.unix_micros(F.col("__t1")) + int(window_seconds) * 1_000_000
+    # timestamp_add is type-safe for TIMESTAMP and TIMESTAMP_NTZ alike
+    # (unix_micros rejects NTZ), and timezone-free.
+    horizon = F.timestamp_add(
+        "SECOND", F.lit(int(window_seconds)), F.col("__t1")
+    )
     for i in range(2, len(steps) + 1):
         qualify = (
             F.col(f"__c{i}")
             & (F.col("__ts") > F.col(f"__t{i-1}"))
-            & (F.unix_micros(F.col("__ts")) <= horizon)
+            & (F.col("__ts") <= horizon)
         )
         out = out.withColumn(
             f"__t{i}", F.min(F.when(qualify, F.col("__ts"))).over(w)

@@ -1,0 +1,157 @@
+"""Ordered-series analytics: ClickHouse's ORDER BY ... WITH FILL,
+neighbor()/runningDifference(), and LIMIT n BY key -- the constructs a
+Metrica dashboard port reaches for right after the reference's own
+chart queries (dense date axes, deltas between consecutive visits,
+"first n rows per group").
+
+Reference context: the reference's DataLens charts plot per-day series
+straight from ClickHouse (/root/reference/README.md:300-320); a day
+with zero visits silently vanishes from such a chart unless the query
+gap-fills -- ClickHouse answers that with ``ORDER BY d WITH FILL``.
+``runningDifference``/``neighbor`` and ``LIMIT BY`` are the other two
+ClickHouse-dialect constructs in that orbit, re-expressed here on
+Spark primitives.
+
+Scale notes (100 TB posture):
+
+- ``fill_series``: the spine is built from the aggregated frame's own
+  min/max (one cheap column-pruned agg -- map-side combined, bytes of
+  driver traffic), exploded from a single row, then re-exploded across
+  partitions.  The join is spine x aggregate-output -- both are
+  |distinct axis values| rows, orders of magnitude below the fact
+  table, so the broadcast is safe no matter how big the fact was.
+- ``running_difference``: one shuffle on the partition key; the lag
+  window is whole-stage-codegen'd, no Python.
+- ``limit_by``: row_number over (key, order) -- one shuffle; Spark
+  plans a WindowGroupLimit pushdown (rank-limit filter before the full
+  sort materializes) in recent releases.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def fill_series(
+    agg: DataFrame,
+    axis_col: str,
+    step: str = "1 day",
+    fill: dict[str, object] | None = None,
+    bounds: tuple[object, object] | None = None,
+) -> DataFrame:
+    """ClickHouse ``ORDER BY <axis> WITH FILL [STEP <step>]`` over an
+    ALREADY-AGGREGATED frame: make the axis dense from min to max (or
+    explicit ``bounds``), inserting rows with ``fill`` defaults (CH
+    fills with type defaults -- pass e.g. ``{"n": 0}``).
+
+    ``axis_col`` must be a date column for interval steps ("1 day",
+    "1 week") or an integral column for numeric steps ("1").  The
+    spine is one exploded ``sequence`` -- bounded by the axis SPAN,
+    not the pre-aggregation row count, so it is safe at any fact-table
+    scale (guard: CH itself materializes the same number of filled
+    rows).
+    """
+    fill = fill or {}
+    if bounds is not None:
+        lo, hi = F.lit(bounds[0]), F.lit(bounds[1])
+        bounds_df = agg.sparkSession.range(1).select(
+            lo.alias("__lo"), hi.alias("__hi")
+        )
+    else:
+        bounds_df = agg.agg(
+            F.min(axis_col).alias("__lo"), F.max(axis_col).alias("__hi")
+        )
+    if step.strip().isdigit():
+        seq = F.sequence(
+            F.col("__lo"), F.col("__hi"), F.lit(int(step.strip()))
+        )
+    else:
+        seq = F.sequence(
+            F.col("__lo"), F.col("__hi"), F.expr(f"interval {step}")
+        )
+    spine = bounds_df.select(F.explode(seq).alias(axis_col))
+    # spine and agg are both |axis| rows; broadcast the aggregate side
+    # so the dense axis never shuffles (agg output is post-reduction,
+    # i.e. tiny relative to the fact table it came from)
+    out = spine.join(F.broadcast(agg), on=axis_col, how="left")
+    return out.select(
+        axis_col,
+        *[
+            F.coalesce(F.col(c), F.lit(fill[c])).alias(c)
+            if c in fill
+            else F.col(c)
+            for c in agg.columns
+            if c != axis_col
+        ],
+    )
+
+
+def _order_cols(order_col: str | Sequence[str]) -> list[str]:
+    return [order_col] if isinstance(order_col, str) else list(order_col)
+
+
+def running_difference(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    order_col: str | Sequence[str],
+    value_col: str,
+    out_col: str = "diff",
+) -> DataFrame:
+    """ClickHouse ``runningDifference(value)`` scoped per key: value
+    minus the previous row's value in (key, order) order; NULL for each
+    key's first row (CH yields 0 for the first row of the WHOLE scan
+    and makes no per-key promise -- block-dependent; the per-key
+    window form is the deterministic semantic people actually want,
+    and what neighbor(value, -1) arithmetic gives).  Pass a
+    tie-breaking ``order_col`` list when the order key can repeat.
+    """
+    w = Window.partitionBy(*key_cols).orderBy(*_order_cols(order_col))
+    return df.withColumn(
+        out_col, F.col(value_col) - F.lag(value_col, 1).over(w)
+    )
+
+
+def neighbor(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    order_col: str | Sequence[str],
+    value_col: str,
+    offset: int,
+    default=None,
+    out_col: str = "neighbor",
+) -> DataFrame:
+    """ClickHouse ``neighbor(value, offset[, default])`` per key:
+    lead for positive offsets, lag for negative, with CH's explicit
+    default instead of NULL when the neighbor falls outside the key."""
+    w = Window.partitionBy(*key_cols).orderBy(*_order_cols(order_col))
+    fn = F.lead(value_col, offset) if offset >= 0 else F.lag(
+        value_col, -offset
+    )
+    c: Column = fn.over(w)
+    if default is not None:
+        c = F.coalesce(c, F.lit(default))
+    return df.withColumn(out_col, c)
+
+
+def limit_by(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    n: int,
+    order_by: Sequence[Column | str],
+    offset: int = 0,
+) -> DataFrame:
+    """ClickHouse ``LIMIT [offset,] n BY key``: the first ``n`` rows
+    (after ``offset``) of each key group in ``order_by`` order.  Pass a
+    deterministic ``order_by`` (CH inherits the query's ORDER BY;
+    Spark needs it explicit).  One shuffle on the key."""
+    w = Window.partitionBy(*key_cols).orderBy(*order_by)
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .where(
+            (F.col("__rn") > offset) & (F.col("__rn") <= offset + n)
+        )
+        .drop("__rn")
+    )

@@ -41,7 +41,9 @@ def sessionize(
             F.min(ts_col).alias("session_start"),
             F.count(F.lit(1)).alias("n_events"),
             (
-                (F.unix_micros(F.max(ts_col)) - F.unix_micros(F.min(ts_col)))
+                F.timestamp_diff(
+                    "MICROSECOND", F.min(ts_col), F.max(ts_col)
+                )
                 / F.lit(1_000_000)
             )
             .cast("long")

@@ -219,3 +219,78 @@ def quantile_exact_weighted(
             ).alias(name)
         )
     return cum.groupBy(*keys).agg(*aggs)
+
+
+def heavy_hitters(
+    df: DataFrame,
+    cols: list[str],
+    k: int,
+    weight_col: str | None = None,
+) -> DataFrame:
+    """ClickHouse ``topK(k)(x)`` made exact: the k most frequent
+    values of ``cols`` (optionally frequency = sum(weight_col)), with
+    the deterministic tie-break (count desc, value asc) CH's
+    SpaceSaving sketch cannot promise.
+
+    Plan: one hash aggregate (map-side partial combine does the heavy
+    lifting -- post-shuffle volume is |distinct values|, not |rows|),
+    then a global TakeOrderedAndProject of k rows.  No full sort, no
+    sketch error.  CH accepts approximation because its aggregate runs
+    inside one server; on Spark the exact form IS the cheap form.
+    """
+    freq = F.sum(F.col(weight_col)) if weight_col else F.count(F.lit(1))
+    out = df.groupBy(*cols).agg(freq.alias("freq"))
+    return out.orderBy(
+        F.col("freq").desc(), *[F.col(c).asc() for c in cols]
+    ).limit(k)
+
+
+def histogram(
+    df: DataFrame,
+    value_col: str,
+    nbins: int,
+    keys: list[str] | None = None,
+    bounds: tuple[float, float] | None = None,
+) -> DataFrame:
+    """Equi-width histogram of ``value_col`` (ClickHouse exposes
+    ``histogram(n)(x)`` with adaptive bins; the equi-width form is the
+    deterministic, oracle-expressible variant): bin i covers
+    [lo + i*w, lo + (i+1)*w) with the max value folded into the last
+    bin.  NULLs are ignored.
+
+    Bounds default to the column's global min/max -- one cheap
+    column-pruned pre-aggregate (map-side combined, bytes to the
+    driver is a 1-row broadcast, NOT a driver collect of data rows).
+    The histogram itself is a single hash aggregate on the bin id:
+    two scans total, both pruned to ``value_col``, each fully
+    parallel; pass explicit ``bounds`` to drop to one scan.
+    """
+    keys = keys or []
+    v = F.col(value_col).cast("double")
+    if bounds is not None:
+        lo, hi = F.lit(float(bounds[0])), F.lit(float(bounds[1]))
+        src = df.select(*keys, v.alias("__v")).withColumn(
+            "__lo", lo
+        ).withColumn("__hi", hi)
+    else:
+        b = df.agg(
+            F.min(v).cast("double").alias("__lo"),
+            F.max(v).cast("double").alias("__hi"),
+        )
+        src = df.select(*keys, v.alias("__v")).crossJoin(F.broadcast(b))
+    width = (F.col("__hi") - F.col("__lo")) / F.lit(float(nbins))
+    bin_id = F.least(
+        F.floor((F.col("__v") - F.col("__lo")) / width).cast("long"),
+        F.lit(nbins - 1),
+    )
+    return (
+        src.where(F.col("__v").isNotNull())
+        .select(
+            *keys,
+            bin_id.alias("bin"),
+            (F.col("__lo") + bin_id * width).alias("lo"),
+            (F.col("__lo") + (bin_id + 1) * width).alias("hi"),
+        )
+        .groupBy(*keys, "bin", "lo", "hi")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )

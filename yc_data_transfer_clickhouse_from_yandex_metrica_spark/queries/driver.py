@@ -34,6 +34,7 @@ from ..operators import (
     funnel,
     multimodal,
     sampling,
+    series,
     similarity,
     stats,
     text,
@@ -45,11 +46,12 @@ from ..streaming import cdc
 
 
 def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Load a driver table.  The synthetic ``events.parquet`` stores
-    TIMESTAMP(NANOS) which Spark's parquet reader rejects; with
-    ``spark.sql.legacy.parquet.nanosAsLong`` (set in session.tune) it
-    arrives as long nanos -- convert to a microsecond timestamp with
-    integer division (truncation), matching DuckDB's ns->us handling."""
+    """Load a driver table.  Testdata generations differ on the ``ts``
+    column: TIMESTAMP(NANOS) files arrive as long nanos (via
+    ``spark.sql.legacy.parquet.nanosAsLong``, set in session.tune) and
+    are converted to microsecond timestamps here; TIMESTAMP(MICROS)
+    files arrive as TIMESTAMP_NTZ and pass through unchanged (all ts
+    arithmetic downstream uses the NTZ-safe timestamp_add/diff)."""
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if "ts" in df.columns and isinstance(df.schema["ts"].dataType, T.LongType):
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
@@ -772,6 +774,23 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ann_ivf_exhaustive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF with nprobe == nlist probes every list, so the result must
+    equal exact brute-force top-k -- an oracle-checkable proof that the
+    IVF machinery (training, assignment, probing, ranking) loses
+    nothing beyond the list pruning itself.  The production
+    ann_ivf_topk (nprobe < nlist) stays rows-only by design."""
+    _prep(spark)
+    emb = t(spark, sf_dir, "embeddings")
+    queries_df = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return similarity.ivf_topk(
+        emb, queries_df, k=10, nlist=8, nprobe=8,
+        id_col="vec_id", vec_col="embedding",
+    )
+
+
 # =========================================================================
 # 20-21. text analysis
 # =========================================================================
@@ -800,7 +819,11 @@ def q_ch_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
             ch.round_to(ch.avg_if("o_totalprice", f), 4).alias("avg_f"),
             ch.arg_max("o_custkey", "o_orderkey").alias("last_cust"),
             ch.arg_min("o_custkey", "o_orderkey").alias("first_cust"),
-            ch.group_uniq_array("o_orderstatus").alias("statuses"),
+            # joined to one string: the driver's value-hash canonicalizes
+            # via pandas, which cannot sort/hash raw array cells
+            F.array_join(ch.group_uniq_array("o_orderstatus"), ",").alias(
+                "statuses"
+            ),
         )
         .orderBy("o_orderpriority")
     )
@@ -815,7 +838,7 @@ SELECT o_orderpriority,
         * 10000.0 + 0.5) / 10000.0 AS avg_f,
   arg_max(o_custkey, o_orderkey) AS last_cust,
   arg_min(o_custkey, o_orderkey) AS first_cust,
-  list_sort(list(DISTINCT o_orderstatus)) AS statuses
+  array_to_string(list_sort(list(DISTINCT o_orderstatus)), ',') AS statuses
 FROM orders GROUP BY o_orderpriority
 """
 
@@ -940,6 +963,159 @@ SELECT user_id,
   CAST(max(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END)
      * max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS INT) AS r3
 FROM events GROUP BY user_id
+"""
+
+
+# =========================================================================
+# Ordered-series dialect: WITH FILL, runningDifference/neighbor,
+# LIMIT BY, topK, histogram (operators/series.py, operators/stats.py).
+# The reference's DataLens charts plot per-day ClickHouse series
+# (README.md:300-320); these are the CH constructs in that orbit.
+# =========================================================================
+def q_orders_daily_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORDER BY day WITH FILL: daily count of urgent finished orders
+    with the zero days materialized (a chart axis must be dense).
+    Spine = one exploded sequence over the aggregate's own min/max --
+    bounded by the axis span, not the fact-table size."""
+    _prep(spark)
+    o = t(spark, sf_dir, "orders")
+    daily = (
+        o.where(
+            (F.col("o_orderpriority") == "1-URGENT")
+            & (F.col("o_orderstatus") == "F")
+        )
+        .groupBy(F.col("o_orderdate").cast("date").alias("d"))
+        .agg(ch.count_one().alias("n"))
+    )
+    return series.fill_series(daily, "d", step="1 day", fill={"n": 0}).orderBy(
+        "d"
+    )
+
+
+_ORACLE_DAILY_FILL = """
+WITH a AS (
+  SELECT CAST(o_orderdate AS DATE) AS d, CAST(count(1) AS BIGINT) AS n
+  FROM orders
+  WHERE o_orderpriority = '1-URGENT' AND o_orderstatus = 'F'
+  GROUP BY 1
+),
+b AS (SELECT min(d) AS lo, max(d) AS hi FROM a),
+s AS (
+  SELECT CAST(unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS DATE) AS d
+  FROM b
+)
+SELECT s.d, CAST(coalesce(a.n, 0) AS BIGINT) AS n
+FROM s LEFT JOIN a USING (d)
+"""
+
+
+def q_running_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """runningDifference(value) per user in (ts, event_id) order --
+    the delta between a user's consecutive event values.  One shuffle
+    on user_id; the lag window is codegen'd."""
+    _prep(spark)
+    ev = t(spark, sf_dir, "events")
+    out = series.running_difference(
+        ev.select("event_id", "user_id", "ts", "value"),
+        ["user_id"],
+        ["ts", "event_id"],
+        "value",
+        out_col="dv",
+    )
+    return out.select(
+        "event_id", "user_id", ch.round_to("dv", 4).alias("dv")
+    )
+
+
+_ORACLE_RUNNING_DIFF = """
+SELECT event_id, user_id,
+  floor((value - lag(value) OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id)) * 10000.0 + 0.5)
+    / 10000.0 AS dv
+FROM events
+"""
+
+
+def q_orders_limit_by(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LIMIT 2 BY priority: each priority's two earliest finished
+    orders by (date, key) -- ClickHouse's LIMIT BY re-expressed as a
+    rank-limited window (WindowGroupLimit prunes before a full sort)."""
+    _prep(spark)
+    o = t(spark, sf_dir, "orders").where(F.col("o_orderstatus") == "F")
+    return series.limit_by(
+        o.select(
+            "o_orderpriority",
+            F.col("o_orderdate").cast("date").alias("d"),
+            "o_orderkey",
+        ),
+        ["o_orderpriority"],
+        2,
+        [F.col("d").asc(), F.col("o_orderkey").asc()],
+    ).orderBy("o_orderpriority", "d", "o_orderkey")
+
+
+_ORACLE_LIMIT_BY = """
+SELECT o_orderpriority, d, o_orderkey FROM (
+  SELECT o_orderpriority, CAST(o_orderdate AS DATE) AS d, o_orderkey,
+         row_number() OVER (PARTITION BY o_orderpriority
+                            ORDER BY CAST(o_orderdate AS DATE), o_orderkey)
+           AS rn
+  FROM orders WHERE o_orderstatus = 'F'
+) WHERE rn <= 2
+"""
+
+
+def q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """topK(10) made exact: the ten customers placing the most orders,
+    deterministic tie-break (freq desc, key asc).  Map-side partial
+    aggregate collapses to |customers| rows; the top-10 is a global
+    TakeOrderedAndProject -- no full sort, no sketch error."""
+    _prep(spark)
+    o = t(spark, sf_dir, "orders")
+    return stats.heavy_hitters(o, ["o_custkey"], 10)
+
+
+_ORACLE_HEAVY_HITTERS = """
+SELECT o_custkey, CAST(count(1) AS BIGINT) AS freq
+FROM orders GROUP BY o_custkey
+ORDER BY freq DESC, o_custkey ASC LIMIT 10
+"""
+
+
+def q_price_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """histogram(10)(o_totalprice), equi-width: bounds from one
+    column-pruned min/max pre-aggregate (1-row broadcast), bins from
+    one hash aggregate.  Bin edges are pure IEEE double arithmetic --
+    bit-identical in DuckDB, so the oracle hashes exactly."""
+    _prep(spark)
+    o = t(spark, sf_dir, "orders")
+    h = stats.histogram(o, "o_totalprice", 10)
+    return h.select(
+        "bin",
+        ch.round_to("lo", 4).alias("lo"),
+        ch.round_to("hi", 4).alias("hi"),
+        "n",
+    ).orderBy("bin")
+
+
+_ORACLE_HISTOGRAM = """
+WITH b AS (
+  SELECT CAST(min(o_totalprice) AS DOUBLE) AS lo,
+         CAST(max(o_totalprice) AS DOUBLE) AS hi
+  FROM orders
+),
+s AS (
+  SELECT least(CAST(floor((o_totalprice - b.lo) / ((b.hi - b.lo) / 10.0))
+                    AS BIGINT), 9) AS bin,
+         b.lo AS blo, b.hi - b.lo AS span
+  FROM orders, b
+  WHERE o_totalprice IS NOT NULL
+)
+SELECT bin,
+  floor((blo + bin * (span / 10.0)) * 10000.0 + 0.5) / 10000.0 AS lo,
+  floor((blo + (bin + 1) * (span / 10.0)) * 10000.0 + 0.5) / 10000.0 AS hi,
+  CAST(count(1) AS BIGINT) AS n
+FROM s GROUP BY bin, blo, span
 """
 
 
@@ -1207,7 +1383,15 @@ def q_streaming_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     os.makedirs(feed, exist_ok=True)
     shutil.copy(f"{sf_dir}/events.parquet", f"{feed}/events-000.parquet")
-    raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema  # ts=long nanos
+    raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    # Normalize ts like the batch loader t(): long-nanos feeds get a
+    # micros conversion; timestamp(_ntz) feeds pass through unchanged.
+    if isinstance(raw_schema["ts"].dataType, T.LongType):
+        fix_ts = lambda df: df.withColumn(  # noqa: E731
+            "ts", F.timestamp_micros(F.expr("ts div 1000"))
+        )
+    else:
+        fix_ts = lambda df: df  # noqa: E731
     q = cdc.start_append_stream(
         spark,
         feed,
@@ -1216,9 +1400,7 @@ def q_streaming_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         chk,
         date_col="ts",
         available_now=True,
-        transform=lambda df: df.withColumn(
-            "ts", F.timestamp_micros(F.expr("ts div 1000"))
-        ),
+        transform=fix_ts,
     )
     q.awaitTermination(120)
     back = spark.read.parquet(dest)
@@ -1978,12 +2160,18 @@ QUERIES: dict[str, QuerySpec] = {
     "dedup_embedding": QuerySpec(q_dedup_embedding, _ORACLE_DEDUP_EMBEDDING, "dedup/embedding-cosine"),
     "ann_brute_topk": QuerySpec(q_ann_brute, _ORACLE_ANN_BRUTE, "similarity/brute-cosine-topk"),
     "ann_ivf_topk": QuerySpec(q_ann_ivf, None, "similarity/ivf (approximate: rows-only)"),
+    "ann_ivf_exhaustive": QuerySpec(q_ann_ivf_exhaustive, _ORACLE_ANN_BRUTE, "similarity/ivf nprobe==nlist == exact brute top-k"),
     "text_stats": QuerySpec(q_text_stats, _ORACLE_TEXT_STATS, "text/quality+langid+tokens"),
     "repetition_stats": QuerySpec(q_repetition_stats, _ORACLE_REPETITION, "text/repetition (Gopher-style filters)"),
     "ch_aggregates": QuerySpec(q_ch_aggregates, _ORACLE_CH_AGGREGATES, "F-ext: argMax/argMin countIf/sumIf/avgIf groupUniqArray"),
     "funnel_depths": QuerySpec(q_funnel_depths, _ORACLE_FUNNEL, "A-ext: windowFunnel (earliest-chain, one-exchange windows)"),
     "retention_cohort": QuerySpec(q_retention_cohort, _ORACLE_RETENTION, "A-ext: retention cohort flags"),
     "quantiles_exact": QuerySpec(q_quantiles_exact, _ORACLE_QUANTILES, "A-ext: quantileExactLow (windowed exact order stats)"),
+    "orders_daily_fill": QuerySpec(q_orders_daily_fill, _ORACLE_DAILY_FILL, "O-ext: ORDER BY WITH FILL (dense date axis)"),
+    "running_diff_events": QuerySpec(q_running_diff, _ORACLE_RUNNING_DIFF, "F-ext: runningDifference/neighbor per key"),
+    "orders_limit_by": QuerySpec(q_orders_limit_by, _ORACLE_LIMIT_BY, "O-ext: LIMIT n BY key (rank-limited window)"),
+    "heavy_hitters_custkey": QuerySpec(q_heavy_hitters, _ORACLE_HEAVY_HITTERS, "A-ext: topK exact (agg + TakeOrdered)"),
+    "price_histogram": QuerySpec(q_price_histogram, _ORACLE_HISTOGRAM, "A-ext: histogram equi-width (two pruned scans)"),
     "quantiles_weighted": QuerySpec(q_quantiles_weighted, _ORACLE_QUANTILES_WEIGHTED, "A-ext: quantileExactWeighted (compressed distribution)"),
     "pii_scrub": QuerySpec(q_pii_scrub, _ORACLE_PII_SCRUB, "text/pii-redaction"),
     "doc_fingerprint": QuerySpec(q_doc_fingerprint, _ORACLE_DOC_FINGERPRINT, "text/fingerprint"),
