@@ -54,6 +54,15 @@ HEADLINE = [
     "quantiles_weighted",
     "funnel_depths",
     "retention_cohort",
+    "orders_daily_fill",
+    "running_diff_events",
+    "orders_limit_by",
+    "heavy_hitters_custkey",
+    "price_histogram",
+    "weekly_moving_avg",
+    "array_funcs",
+    "orders_semi_join",
+    "customers_anti_join",
     "dedup_exact",
     "dedup_ngram_jaccard",
     "dedup_minhash_lsh",

@@ -1880,3 +1880,49 @@ def test_histogram_explicit_bounds_single_scan(spark):
     plan = out._jdf.queryExecution().executedPlan().toString()
     final = plan.split("== Initial Plan ==")[0]
     assert final.lower().count("scan existingrdd") <= 1
+
+
+def test_moving_agg_frame_semantics(spark):
+    from yc_data_transfer_clickhouse_from_yandex_metrica_spark.operators import series
+
+    df = spark.createDataFrame(
+        [(1, i, float(i)) for i in range(1, 6)], "k int, seq int, v double"
+    )
+    out = series.moving_agg(df, ["k"], "seq", "v", window=3, agg="sum")
+    got = {r["seq"]: r["mov"] for r in out.collect()}
+    # sliding sum over the last 3 rows, shorter at the head
+    assert got == {1: 1.0, 2: 3.0, 3: 6.0, 4: 9.0, 5: 12.0}
+    with pytest.raises(ValueError):
+        series.moving_agg(df, ["k"], "seq", "v", 3, agg="median")
+
+
+def test_array_function_family(spark):
+    df = spark.createDataFrame(
+        [([1, 1, 2, 2, 1, 3],), ([],)], "a array<int>"
+    )
+    out = df.select(
+        ch.array_count(lambda x: x > 1, "a").alias("cnt"),
+        ch.array_exists(lambda x: x == 3, "a").alias("ex"),
+        ch.array_all(lambda x: x > 0, "a").alias("al"),
+        ch.array_compact("a").alias("compact"),
+        ch.array_slice("a", 2, 3).alias("sl"),
+        ch.array_slice("a", -2, 2).alias("sl_neg"),
+        ch.array_reverse("a").alias("rev"),
+        ch.array_enumerate("a").alias("en"),
+        ch.has("a", 2).alias("h"),
+        ch.has_all("a", F.array(F.lit(1), F.lit(3))).alias("hall"),
+        ch.has_any("a", F.array(F.lit(9), F.lit(3))).alias("hany"),
+        ch.array_string_concat("a", "-").alias("sc"),
+    ).collect()
+    r = out[0]
+    assert r["cnt"] == 3 and r["ex"] and r["al"]
+    assert r["compact"] == [1, 2, 1, 3]  # consecutive runs collapsed
+    assert r["sl"] == [1, 2, 2] and r["sl_neg"] == [1, 3]
+    assert r["rev"] == [3, 1, 2, 2, 1, 1]
+    assert r["en"] == [1, 2, 3, 4, 5, 6]
+    assert r["h"] and r["hall"] and r["hany"]
+    assert r["sc"] == "1-1-2-2-1-3"
+    e = out[1]
+    assert e["cnt"] == 0 and not e["ex"] and e["al"]  # arrayAll true on []
+    assert e["compact"] == [] and e["en"] == []
+    assert not e["h"] and not e["hall"] and not e["hany"]

@@ -211,3 +211,84 @@ def safe_div(num: Column, den: Column) -> Column:
     ratio metrics want null-on-zero so aggregates stay finite.  Used
     for the ratio-of-sums metrics (README.md:106-108)."""
     return num / F.nullif(den.cast("double"), F.lit(0.0))
+
+
+# -- array function family (ClickHouse names -> Spark higher-order
+#    functions; all JVM-side, codegen-friendly, no Python) ------------
+
+
+def array_exists(f: Callable[[Column], Column], arr: ColumnOrName) -> Column:
+    """``arrayExists(f, arr)`` -> any element satisfies f."""
+    return F.exists(_col(arr), f)
+
+
+def array_all(f: Callable[[Column], Column], arr: ColumnOrName) -> Column:
+    """``arrayAll(f, arr)`` -> every element satisfies f (true on [])."""
+    return F.forall(_col(arr), f)
+
+
+def array_count(f: Callable[[Column], Column], arr: ColumnOrName) -> Column:
+    """``arrayCount(f, arr)`` -> number of elements satisfying f."""
+    return F.size(F.filter(_col(arr), f))
+
+
+def array_distinct(arr: ColumnOrName) -> Column:
+    """``arrayDistinct`` (first-occurrence order, same as Spark's)."""
+    return F.array_distinct(_col(arr))
+
+
+def array_compact(arr: ColumnOrName) -> Column:
+    """``arrayCompact``: drop CONSECUTIVE duplicates (keep the first of
+    each run).  The (element, index) filter form keeps it a single
+    codegen'd expression: element i survives iff i == 0 or it differs
+    from element i-1 (``element_at`` is 1-based, so at 0-based index i
+    it reads the previous element)."""
+    a = _col(arr)
+    return F.filter(
+        a, lambda x, i: (i == 0) | ~x.eqNullSafe(F.element_at(a, i))
+    )
+
+
+def array_slice(arr: ColumnOrName, offset: int, length: int) -> Column:
+    """``arraySlice(arr, offset, length)`` -- 1-based, negative offset
+    counts from the end (Spark ``slice`` shares both conventions)."""
+    return F.slice(_col(arr), offset, length)
+
+
+def array_reverse(arr: ColumnOrName) -> Column:
+    """``arrayReverse``."""
+    return F.reverse(_col(arr))
+
+
+def array_string_concat(arr: ColumnOrName, sep: str = "") -> Column:
+    """``arrayStringConcat(arr, sep)``."""
+    return F.array_join(_col(arr), sep)
+
+
+def array_flatten(arr: ColumnOrName) -> Column:
+    """``arrayFlatten`` (one level, like CH)."""
+    return F.flatten(_col(arr))
+
+
+def has(arr: ColumnOrName, value) -> Column:
+    """``has(arr, v)``."""
+    return F.array_contains(_col(arr), value)
+
+
+def has_all(arr: ColumnOrName, needles: ColumnOrName) -> Column:
+    """``hasAll(arr, needles)``: every needle present (true on [])."""
+    a = _col(arr)
+    return F.forall(_col(needles), lambda x: F.array_contains(a, x))
+
+
+def has_any(arr: ColumnOrName, needles: ColumnOrName) -> Column:
+    """``hasAny(arr, needles)``."""
+    return F.arrays_overlap(_col(arr), _col(needles))
+
+
+def array_enumerate(arr: ColumnOrName) -> Column:
+    """``arrayEnumerate(arr)`` -> [1, 2, ..., size] ([] stays [])."""
+    a = _col(arr)
+    return F.when(
+        F.size(a) > 0, F.sequence(F.lit(1), F.size(a))
+    ).otherwise(F.array().cast("array<int>"))

@@ -53,6 +53,14 @@ def fill_series(
     not the pre-aggregation row count, so it is safe at any fact-table
     scale (guard: CH itself materializes the same number of filled
     rows).
+
+    When ``bounds`` is None the min/max comes from ``agg`` itself;
+    naively that would evaluate the aggregate's lineage twice (two
+    scans of the fact table it was derived from), so the frame --
+    post-aggregation, i.e. |axis values| rows -- is eagerly
+    localCheckpoint'ed first and BOTH the bounds probe and the join
+    read the materialized blocks: one fact scan total.  Pass explicit
+    ``bounds`` to skip even that.
     """
     fill = fill or {}
     if bounds is not None:
@@ -61,6 +69,7 @@ def fill_series(
             lo.alias("__lo"), hi.alias("__hi")
         )
     else:
+        agg = agg.localCheckpoint(eager=True)
         bounds_df = agg.agg(
             F.min(axis_col).alias("__lo"), F.max(axis_col).alias("__hi")
         )
@@ -155,3 +164,30 @@ def limit_by(
         )
         .drop("__rn")
     )
+
+
+def moving_agg(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    order_col: str | Sequence[str],
+    value_col: str,
+    window: int,
+    agg: str = "avg",
+    out_col: str = "mov",
+) -> DataFrame:
+    """ClickHouse ``groupArrayMovingAvg/Sum(window)`` re-expressed as
+    a sliding row-frame window: for each row, agg over the last
+    ``window`` rows (current included) within the key, in order.  CH
+    returns the whole per-group array -- which is the group
+    materialized on one server; the per-row frame form is the same
+    numbers without ever holding a group in memory.  One shuffle on
+    the key; the frame is codegen'd."""
+    if agg not in ("avg", "sum", "min", "max"):
+        raise ValueError(f"unsupported agg {agg!r}")
+    w = (
+        Window.partitionBy(*key_cols)
+        .orderBy(*_order_cols(order_col))
+        .rowsBetween(-(window - 1), Window.currentRow)
+    )
+    fn = getattr(F, agg)
+    return df.withColumn(out_col, fn(value_col).over(w))

@@ -1119,6 +1119,165 @@ FROM s GROUP BY bin, blo, span
 """
 
 
+def q_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """groupArrayMovingAvg(7) analog: 7-day moving average of daily
+    order revenue, per order priority (sliding row-frame window --
+    the group is never materialized as an array)."""
+    _prep(spark)
+    o = t(spark, sf_dir, "orders")
+    daily = (
+        o.groupBy(
+            "o_orderpriority", F.col("o_orderdate").cast("date").alias("d")
+        )
+        .agg(F.sum("o_totalprice").alias("rev"))
+    )
+    out = series.moving_agg(
+        daily, ["o_orderpriority"], "d", "rev", window=7, agg="avg",
+        out_col="mov7",
+    )
+    return out.select(
+        "o_orderpriority",
+        "d",
+        ch.round_to("rev", 2).alias("rev"),
+        ch.round_to("mov7", 2).alias("mov7"),
+    )
+
+
+_ORACLE_MOVING_AVG = """
+WITH daily AS (
+  SELECT o_orderpriority, CAST(o_orderdate AS DATE) AS d,
+         sum(o_totalprice) AS rev
+  FROM orders GROUP BY 1, 2
+)
+SELECT o_orderpriority, d,
+  floor(rev * 100.0 + 0.5) / 100.0 AS rev,
+  floor(avg(rev) OVER (PARTITION BY o_orderpriority ORDER BY d
+                       ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+        * 100.0 + 0.5) / 100.0 AS mov7
+FROM daily
+"""
+
+
+def q_array_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ClickHouse array-function family (arrayExists/Count/
+    Distinct/Slice/Reverse, has) over per-order quantity vectors.
+    The vectors are built ON the engine (sort_array over collected
+    (linenumber, qty) structs -- deterministic order), then every
+    metric is a codegen'd higher-order-function expression; the
+    output is scalars only, so the value-hash canonicalizes."""
+    _prep(spark)
+    li = t(spark, sf_dir, "lineitem")
+    qarr = F.transform(
+        F.array_sort(
+            F.collect_list(F.struct("l_linenumber", "l_quantity"))
+        ),
+        lambda s: s["l_quantity"],
+    )
+    base = li.groupBy("l_orderkey").agg(qarr.alias("q"))
+    return base.select(
+        "l_orderkey",
+        F.size("q").alias("n_items"),
+        ch.array_count(lambda x: x > 25.0, "q").alias("n_big"),
+        ch.has("q", 40.0).alias("has_q40"),
+        ch.array_exists(lambda x: x >= 49.0, "q").alias("near_max"),
+        F.size(ch.array_distinct("q")).alias("n_distinct"),
+        ch.round_to(
+            ch.array_sum(ch.array_slice("q", 1, 2), zero=F.lit(0.0)), 2
+        ).alias("first2_sum"),
+        ch.array_at(ch.array_reverse("q"), F.lit(1), F.lit(0.0)).alias(
+            "last_qty"
+        ),
+    )
+
+
+_ORACLE_ARRAY_FUNCS = """
+WITH a AS (
+  SELECT l_orderkey,
+         list(l_quantity ORDER BY l_linenumber, l_quantity) AS q
+  FROM lineitem GROUP BY l_orderkey
+)
+SELECT l_orderkey,
+  CAST(len(q) AS INT) AS n_items,
+  CAST(len(list_filter(q, x -> x > 25.0)) AS INT) AS n_big,
+  list_contains(q, 40.0) AS has_q40,
+  CAST(len(list_filter(q, x -> x >= 49.0)) AS INT) > 0 AS near_max,
+  CAST(len(list_distinct(q)) AS INT) AS n_distinct,
+  floor(coalesce(list_sum(q[1:2]), 0.0) * 100.0 + 0.5) / 100.0
+    AS first2_sum,
+  coalesce(q[-1], 0.0) AS last_qty
+FROM a
+"""
+
+
+def q_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IN-subquery as LEFT SEMI join (ClickHouse GLOBAL IN analog):
+    lineitem volume per return flag, restricted to urgent orders.
+    The semi join carries only the fact row -- no dim payload, no
+    duplicate inflation from the build side."""
+    _prep(spark)
+    li = t(spark, sf_dir, "lineitem")
+    o = t(spark, sf_dir, "orders").where(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
+    hits = li.join(
+        o.select(F.col("o_orderkey").alias("l_orderkey")),
+        "l_orderkey",
+        "left_semi",
+    )
+    return (
+        hits.groupBy("l_returnflag")
+        .agg(
+            ch.count_one().alias("n"),
+            ch.round_to(F.sum("l_extendedprice"), 2).alias("volume"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+_ORACLE_SEMI_JOIN = """
+SELECT l_returnflag, CAST(count(1) AS BIGINT) AS n,
+       floor(sum(l_extendedprice) * 100.0 + 0.5) / 100.0 AS volume
+FROM lineitem
+WHERE l_orderkey IN (
+  SELECT o_orderkey FROM orders WHERE o_orderpriority = '1-URGENT'
+)
+GROUP BY l_returnflag
+"""
+
+
+def q_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NOT IN / NOT EXISTS as LEFT ANTI join: customers who never
+    placed an URGENT order, counted per nation (the urgent filter
+    keeps the result non-empty on the synthetic data, where every
+    customer has SOME order)."""
+    _prep(spark)
+    c = t(spark, sf_dir, "customer")
+    o = t(spark, sf_dir, "orders").where(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
+    silent = c.join(
+        o.select(F.col("o_custkey").alias("c_custkey")),
+        "c_custkey",
+        "left_anti",
+    )
+    return (
+        silent.groupBy("c_nationkey")
+        .agg(ch.count_one().alias("n_silent"))
+        .orderBy("c_nationkey")
+    )
+
+
+_ORACLE_ANTI_JOIN = """
+SELECT c_nationkey, CAST(count(1) AS BIGINT) AS n_silent
+FROM customer c
+WHERE NOT EXISTS (
+  SELECT 1 FROM orders o
+  WHERE o.o_custkey = c.c_custkey AND o.o_orderpriority = '1-URGENT'
+)
+GROUP BY c_nationkey
+"""
+
+
 def q_quantiles_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ClickHouse quantileExactWeighted analog: price quantiles of the
     quantity-expanded multiset, computed over the compressed
@@ -2172,6 +2331,10 @@ QUERIES: dict[str, QuerySpec] = {
     "orders_limit_by": QuerySpec(q_orders_limit_by, _ORACLE_LIMIT_BY, "O-ext: LIMIT n BY key (rank-limited window)"),
     "heavy_hitters_custkey": QuerySpec(q_heavy_hitters, _ORACLE_HEAVY_HITTERS, "A-ext: topK exact (agg + TakeOrdered)"),
     "price_histogram": QuerySpec(q_price_histogram, _ORACLE_HISTOGRAM, "A-ext: histogram equi-width (two pruned scans)"),
+    "weekly_moving_avg": QuerySpec(q_moving_avg, _ORACLE_MOVING_AVG, "A-ext: groupArrayMovingAvg (sliding row frame)"),
+    "array_funcs": QuerySpec(q_array_funcs, _ORACLE_ARRAY_FUNCS, "F-ext: arrayExists/Count/Distinct/Slice/Reverse, has"),
+    "orders_semi_join": QuerySpec(q_semi_join, _ORACLE_SEMI_JOIN, "J-ext: IN-subquery as LEFT SEMI join"),
+    "customers_anti_join": QuerySpec(q_anti_join, _ORACLE_ANTI_JOIN, "J-ext: NOT EXISTS as LEFT ANTI join"),
     "quantiles_weighted": QuerySpec(q_quantiles_weighted, _ORACLE_QUANTILES_WEIGHTED, "A-ext: quantileExactWeighted (compressed distribution)"),
     "pii_scrub": QuerySpec(q_pii_scrub, _ORACLE_PII_SCRUB, "text/pii-redaction"),
     "doc_fingerprint": QuerySpec(q_doc_fingerprint, _ORACLE_DOC_FINGERPRINT, "text/fingerprint"),
