@@ -63,6 +63,10 @@ HEADLINE = [
     "array_funcs",
     "orders_semi_join",
     "customers_anti_join",
+    "orders_rollup",
+    "date_dims",
+    "string_funcs",
+    "sum_map_priority",
     "dedup_exact",
     "dedup_ngram_jaccard",
     "dedup_minhash_lsh",

@@ -1926,3 +1926,109 @@ def test_array_function_family(spark):
     assert e["cnt"] == 0 and not e["ex"] and e["al"]  # arrayAll true on []
     assert e["compact"] == [] and e["en"] == []
     assert not e["h"] and not e["hall"] and not e["hany"]
+
+
+def test_agg_map_sum_min_max(spark):
+    from yc_data_transfer_clickhouse_from_yandex_metrica_spark.operators import maps
+
+    df = spark.createDataFrame(
+        [
+            ("g1", ["a", "b"], [1, 2]),
+            ("g1", ["b", "c"], [10, 20]),
+            ("g2", ["a"], [5]),
+        ],
+        "g string, ks array<string>, vs array<int>",
+    )
+    out = maps.sum_map(df, ["g"], "ks", "vs").orderBy("g").collect()
+    assert (out[0]["map_keys"], out[0]["map_vals"]) == (
+        ["a", "b", "c"],
+        [1, 12, 20],
+    )
+    assert (out[1]["map_keys"], out[1]["map_vals"]) == (["a"], [5])
+    mx = maps.agg_map(df, ["g"], "ks", "vs", how="max").orderBy("g").collect()
+    assert mx[0]["map_vals"] == [1, 10, 20]
+    with pytest.raises(ValueError):
+        maps.agg_map(df, ["g"], "ks", "vs", how="avg")
+
+
+def test_date_function_family(spark):
+    df = spark.createDataFrame([(date(2023, 11, 17),)], "d date")
+    r = df.select(
+        ch.to_start_of_month("d").alias("m"),
+        ch.to_start_of_quarter("d").alias("q"),
+        ch.to_start_of_year("d").alias("y"),
+        ch.to_yyyymm("d").alias("ym"),
+        ch.add_days("d", 20).alias("d20"),
+        ch.add_months("d", 2).alias("m2"),
+        ch.date_diff_days("d", F.lit("2023-12-01")).alias("dd"),
+    ).collect()[0]
+    assert r["m"] == date(2023, 11, 1)
+    assert r["q"] == date(2023, 10, 1)
+    assert r["y"] == date(2023, 1, 1)
+    assert r["ym"] == 202311
+    assert r["d20"] == date(2023, 12, 7)
+    assert r["m2"] == date(2024, 1, 17)
+    assert r["dd"] == 14
+
+
+def test_string_function_family(spark):
+    df = spark.createDataFrame(
+        [("the cat ate 12 of 34 mice",)], "s string"
+    )
+    r = df.select(
+        F.size(ch.split_by_char(" ", "s")).alias("n"),
+        ch.extract_all("s", "[0-9]+").alias("nums"),
+        ch.position("s", "cat").alias("p"),
+        ch.replace_regexp_all("s", "[aeiou]", "").alias("dv"),
+        ch.replace_all("s", "cat", "dog").alias("rep"),
+    ).collect()[0]
+    assert r["n"] == 7
+    assert r["nums"] == ["12", "34"]
+    assert r["p"] == 5
+    assert r["dv"] == "th ct t 12 f 34 mc"
+    assert r["rep"] == "the dog ate 12 of 34 mice"
+
+
+def test_quantile_approx_within_tolerance_of_exact(spark):
+    from yc_data_transfer_clickhouse_from_yandex_metrica_spark.operators import stats
+
+    rnd = random.Random(7)
+    vals = [rnd.gauss(100.0, 15.0) for _ in range(20_000)]
+    df = spark.createDataFrame([(v,) for v in vals], "v double")
+    approx = df.select(
+        ch.quantile_approx("v", [0.5, 0.9, 0.99]).alias("qs")
+    ).collect()[0]["qs"]
+    exact = stats.quantile_exact(
+        df.withColumn("g", F.lit(1)), ["g"], "v",
+        {"p50": 0.5, "p90": 0.9, "p99": 0.99},
+    ).collect()[0]
+    spread = max(vals) - min(vals)
+    for got, want in zip(approx, (exact["p50"], exact["p90"], exact["p99"])):
+        assert abs(got - want) / spread < 0.01  # within 1% of the range
+
+
+def test_heavy_hitters_plan_is_take_ordered(spark):
+    from yc_data_transfer_clickhouse_from_yandex_metrica_spark.operators import stats
+
+    df = spark.range(10_000).select(
+        (F.col("id") % 97).alias("k")
+    )
+    out = stats.heavy_hitters(df, ["k"], 5)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # exact topK must be a TakeOrderedAndProject over a partial agg,
+    # never a global sort of the aggregate output
+    assert "TakeOrderedAndProject" in plan
+    assert "Sort " not in plan.split("TakeOrderedAndProject")[0]
+
+
+def test_limit_by_plan_has_window_group_limit(spark):
+    from yc_data_transfer_clickhouse_from_yandex_metrica_spark.operators import series
+
+    df = spark.range(10_000).select(
+        (F.col("id") % 13).alias("k"), F.col("id").alias("v")
+    )
+    out = series.limit_by(df, ["k"], 3, [F.col("v").asc()])
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # the rank filter must be pushed below the shuffle: each map task
+    # forwards at most n rows per key (WindowGroupLimit Partial)
+    assert "WindowGroupLimit" in plan and "Partial" in plan

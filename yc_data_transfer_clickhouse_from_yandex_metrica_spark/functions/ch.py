@@ -292,3 +292,93 @@ def array_enumerate(arr: ColumnOrName) -> Column:
     return F.when(
         F.size(a) > 0, F.sequence(F.lit(1), F.size(a))
     ).otherwise(F.array().cast("array<int>"))
+
+
+# -- date/time function family ---------------------------------------
+
+
+def to_start_of_month(d: ColumnOrName) -> Column:
+    """``toStartOfMonth`` -> first day of the month as DATE."""
+    return F.trunc(F.to_date(_col(d)), "month")
+
+
+def to_start_of_quarter(d: ColumnOrName) -> Column:
+    """``toStartOfQuarter``."""
+    return F.trunc(F.to_date(_col(d)), "quarter")
+
+
+def to_start_of_year(d: ColumnOrName) -> Column:
+    """``toStartOfYear``."""
+    return F.trunc(F.to_date(_col(d)), "year")
+
+
+def to_start_of_hour(ts: ColumnOrName) -> Column:
+    """``toStartOfHour`` (timestamp in, timestamp out)."""
+    return F.date_trunc("hour", _col(ts))
+
+
+def to_yyyymm(d: ColumnOrName) -> Column:
+    """``toYYYYMM`` -> integer like 202312."""
+    c = F.to_date(_col(d))
+    return (F.year(c) * F.lit(100) + F.month(c)).cast("int")
+
+
+def date_diff_days(a: ColumnOrName, b: ColumnOrName) -> Column:
+    """``dateDiff('day', a, b)`` = b - a in whole days."""
+    return F.datediff(F.to_date(_col(b)), F.to_date(_col(a)))
+
+
+def add_days(d: ColumnOrName, n: int) -> Column:
+    """``addDays``."""
+    return F.date_add(F.to_date(_col(d)), n)
+
+
+def add_months(d: ColumnOrName, n: int) -> Column:
+    """``addMonths``."""
+    return F.add_months(F.to_date(_col(d)), n)
+
+
+# -- string function family ------------------------------------------
+
+
+def split_by_char(sep: str, s: ColumnOrName) -> Column:
+    """``splitByChar(sep, s)`` (argument order is CH's).  The
+    separator is a literal character, escaped for Spark's regex-based
+    ``split``."""
+    import re as _re
+
+    return F.split(_col(s), _re.escape(sep))
+
+
+def extract_all(s: ColumnOrName, pattern: str) -> Column:
+    """``extractAll(s, pattern)`` -> array of all matches."""
+    return F.regexp_extract_all(_col(s), F.lit(pattern), F.lit(0))
+
+
+def position(haystack: ColumnOrName, needle: str) -> Column:
+    """``position(haystack, needle)`` -- 1-based, 0 when absent."""
+    return F.instr(_col(haystack), needle)
+
+
+def replace_regexp_all(s: ColumnOrName, pattern: str, repl: str) -> Column:
+    """``replaceRegexpAll``."""
+    return F.regexp_replace(_col(s), pattern, repl)
+
+
+def replace_all(s: ColumnOrName, needle: str, repl: str) -> Column:
+    """``replaceAll`` (literal, not regex)."""
+    return F.replace(_col(s), F.lit(needle), F.lit(repl))
+
+
+def quantile_approx(
+    c: ColumnOrName, probs: list[float], accuracy: int = 10000
+) -> Column:
+    """ClickHouse ``quantileTDigest``-class approximate quantiles:
+    Spark's ``percentile_approx`` (Greenwald-Khanna sketch; mergeable,
+    bounded memory -- the property that matters at 100 TB).  Exact
+    counterparts live in ``operators/stats.py`` (quantile_exact);
+    approximate results are unit-gated against them, never
+    oracle-hashed (sketch outputs are engine-specific by nature)."""
+    return F.percentile_approx(
+        _col(c), F.array(*[F.lit(p) for p in probs]), F.lit(accuracy)
+    )

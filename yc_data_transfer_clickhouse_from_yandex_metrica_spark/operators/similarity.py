@@ -280,33 +280,56 @@ def ivf_topk(
             .where(F.lit(False))
         )
     base = vectors.select(F.col(id_col).alias("nn_id"), as_double(vec_col).alias("nv"))
-    centroids = vectors.sparkSession.createDataFrame(
-        [(i, row) for i, row in enumerate(centroids)], "cid long, cv array<double>"
-    )
-    assigned = (
-        base.crossJoin(F.broadcast(centroids))
-        .withColumn("d", cosine(F.col("nv"), F.col("cv")))
-        .withColumn(
-            "rn",
-            F.row_number().over(
-                Window.partitionBy("nn_id").orderBy(F.col("d").desc(), F.col("cid").asc())
+    # Centroids as ONE parsed literal array-of-arrays (the _hyperplanes
+    # lesson: per-element F.lit costs a py4j round trip each; a single
+    # F.expr string parses JVM-side).  Assignment is then a pure
+    # map-side Project: the old formulation (crossJoin(broadcast) +
+    # row_number window partitioned by vector id) pushed |N| x nlist
+    # rows through a shuffle -- a 1024x inflation at nlist=1024, the
+    # exact kind of hidden exchange that kills a 100 TB run.
+    cent_sql = "array(" + ",".join(
+        "array(" + ",".join(f"{float(x)!r}D" for x in row) + ")"
+        for row in centroids
+    ) + ")"
+    cents = F.expr(cent_sql)
+    nprobe = min(int(nprobe), len(centroids))
+
+    def _best_cids(vec: Column, n: int) -> Column:
+        """cids of the n nearest centroids (cos desc, cid asc), as a
+        codegen'd expression: zip (dist, cid) structs, sort with a
+        comparator, slice.  No join, no window, no shuffle."""
+        scored = F.transform(
+            cents,
+            lambda c, i: F.struct(
+                cosine(vec, c).alias("d"), i.cast("long").alias("cid")
             ),
         )
-        .where(F.col("rn") == 1)
-        .select("nn_id", "nv", "cid")
+        ordered = F.array_sort(
+            scored,
+            lambda a, b: F.when(a["d"] > b["d"], F.lit(-1))
+            .when(a["d"] < b["d"], F.lit(1))
+            .otherwise((a["cid"] - b["cid"]).cast("int")),
+        )
+        return F.transform(F.slice(ordered, 1, n), lambda s: s["cid"])
+
+    assigned = base.select(
+        "nn_id", "nv", _best_cids(F.col("nv"), 1)[0].alias("cid")
     )
     q = queries.select(F.col(query_id_col).alias("query_id"), as_double(vec_col).alias("qv"))
-    probes = (
-        q.crossJoin(F.broadcast(centroids))
-        .withColumn("d", cosine(F.col("qv"), F.col("cv")))
-        .withColumn(
-            "rn",
-            F.row_number().over(
-                Window.partitionBy("query_id").orderBy(F.col("d").desc(), F.col("cid").asc())
-            ),
-        )
-        .where(F.col("rn") <= nprobe)
-        .select("query_id", "qv", "cid")
+    # explode a PURE sequence and index into the sorted-cid array in
+    # the Project above it: explode(<HOF expr>) would put the
+    # higher-order function under the Generate and drop the operator
+    # to interpreted eval (the verify-skill shingle lesson)
+    probes = q.select(
+        "query_id",
+        "qv",
+        F.explode(F.sequence(F.lit(1), F.lit(int(nprobe)))).alias("__i"),
+    ).select(
+        "query_id",
+        "qv",
+        F.element_at(
+            _best_cids(F.col("qv"), nprobe), F.col("__i")
+        ).alias("cid"),
     )
     scored = (
         probes.join(assigned, "cid")

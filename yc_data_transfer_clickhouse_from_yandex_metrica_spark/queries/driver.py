@@ -1278,6 +1278,156 @@ GROUP BY c_nationkey
 """
 
 
+def q_orders_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUP BY ... WITH ROLLUP (ClickHouse modifier): subtotals per
+    (priority, status), per priority, and grand total in ONE pass --
+    Spark's native rollup is the same expand-based single-scan plan.
+    WITH TOTALS (A9) is the 1-level special case; this is the full
+    hierarchy."""
+    _prep(spark)
+    o = t(spark, sf_dir, "orders")
+    return (
+        o.rollup("o_orderpriority", "o_orderstatus")
+        .agg(
+            ch.count_one().alias("n"),
+            ch.round_to(F.sum("o_totalprice"), 2).alias("rev"),
+        )
+        .orderBy(
+            F.col("o_orderpriority").asc_nulls_first(),
+            F.col("o_orderstatus").asc_nulls_first(),
+        )
+    )
+
+
+_ORACLE_ROLLUP = """
+SELECT o_orderpriority, o_orderstatus,
+  CAST(count(1) AS BIGINT) AS n,
+  floor(sum(o_totalprice) * 100.0 + 0.5) / 100.0 AS rev
+FROM orders
+GROUP BY ROLLUP (o_orderpriority, o_orderstatus)
+"""
+
+
+def q_date_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The CH date-function family (toStartOfMonth/Quarter, toYYYYMM,
+    addDays/addMonths, dateDiff) as one monthly dimension rollup --
+    all built-ins, one aggregate exchange."""
+    _prep(spark)
+    o = t(spark, sf_dir, "orders")
+    m = ch.to_start_of_month("o_orderdate")
+    out = o.groupBy(m.alias("m")).agg(ch.count_one().alias("n"))
+    return out.select(
+        "m",
+        "n",
+        ch.to_yyyymm("m").alias("yyyymm"),
+        ch.to_start_of_quarter("m").alias("q"),
+        ch.add_days("m", 7).alias("d7"),
+        ch.add_months("m", 3).alias("m3"),
+        ch.date_diff_days("m", ch.add_months("m", 1)).alias("mdays"),
+    ).orderBy("m")
+
+
+_ORACLE_DATE_DIMS = """
+WITH a AS (
+  SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS m,
+         CAST(count(1) AS BIGINT) AS n
+  FROM orders GROUP BY 1
+)
+SELECT m, n,
+  CAST(year(m) * 100 + month(m) AS INT) AS yyyymm,
+  CAST(date_trunc('quarter', m) AS DATE) AS q,
+  CAST(m + INTERVAL 7 DAY AS DATE) AS d7,
+  CAST(m + INTERVAL 3 MONTH AS DATE) AS m3,
+  CAST(date_diff('day', m, CAST(m + INTERVAL 1 MONTH AS DATE)) AS INT)
+    AS mdays
+FROM a
+"""
+
+
+def q_string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The CH string-function family (splitByChar, extractAll,
+    position, replaceRegexpAll/replaceAll) over the documents corpus;
+    scalar outputs only, map-side only (no shuffle)."""
+    _prep(spark)
+    d = t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.size(ch.split_by_char(" ", "text")).alias("n_ws_tokens"),
+        F.size(ch.extract_all("text", "[0-9]+")).alias("n_numbers"),
+        ch.position("text", "e").alias("pos_e"),
+        F.length(ch.replace_regexp_all("text", "[aeiou]", "")).alias(
+            "devoweled_len"
+        ),
+        F.length(ch.replace_all("text", "the", "THE*")).alias(
+            "replaced_len"
+        ),
+    )
+
+
+_ORACLE_STRING_FUNCS = """
+SELECT doc_id,
+  CAST(len(string_split(text, ' ')) AS INT) AS n_ws_tokens,
+  CAST(len(regexp_extract_all(text, '[0-9]+')) AS INT) AS n_numbers,
+  CAST(strpos(text, 'e') AS INT) AS pos_e,
+  CAST(length(regexp_replace(text, '[aeiou]', '', 'g')) AS INT)
+    AS devoweled_len,
+  CAST(length(replace(text, 'the', 'THE*')) AS INT) AS replaced_len
+FROM documents
+"""
+
+
+def q_sum_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse sumMap over Nested-style parallel arrays (the
+    Metrica visits Goals.ID/Goals.Revenue shape, ddl/visits.sql): per
+    order build (returnflag[], qty[]) pair arrays, then element-wise
+    sum per order priority.  Joined values are emitted as
+    integer-cent strings so the cross-engine hash is stable."""
+    _prep(spark)
+    from ..operators import maps
+
+    li = t(spark, sf_dir, "lineitem")
+    o = t(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    per_order = (
+        li.groupBy("l_orderkey")
+        .agg(F.collect_list(F.struct("l_returnflag", "l_quantity")).alias("p"))
+        .select(
+            "l_orderkey",
+            F.transform("p", lambda s: s["l_returnflag"]).alias("ks"),
+            F.transform("p", lambda s: s["l_quantity"]).alias("vs"),
+        )
+    )
+    joined = per_order.join(
+        o, per_order["l_orderkey"] == o["o_orderkey"]
+    )
+    m = maps.sum_map(joined, ["o_orderpriority"], "ks", "vs")
+    cents = F.transform(
+        F.col("map_vals"),
+        lambda v: F.floor(v * F.lit(100.0) + F.lit(0.5))
+        .cast("long")
+        .cast("string"),
+    )
+    return m.select(
+        "o_orderpriority",
+        F.array_join("map_keys", ",").alias("map_keys"),
+        F.array_join(cents, ",").alias("map_vals_cents"),
+    ).orderBy("o_orderpriority")
+
+
+_ORACLE_SUM_MAP = """
+WITH r AS (
+  SELECT o_orderpriority, l_returnflag AS k, sum(l_quantity) AS v
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  GROUP BY 1, 2
+)
+SELECT o_orderpriority,
+  array_to_string(list(k ORDER BY k), ',') AS map_keys,
+  array_to_string(
+    list(CAST(CAST(floor(v * 100.0 + 0.5) AS BIGINT) AS VARCHAR)
+         ORDER BY k), ',') AS map_vals_cents
+FROM r GROUP BY o_orderpriority
+"""
+
+
 def q_quantiles_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ClickHouse quantileExactWeighted analog: price quantiles of the
     quantity-expanded multiset, computed over the compressed
@@ -2335,6 +2485,10 @@ QUERIES: dict[str, QuerySpec] = {
     "array_funcs": QuerySpec(q_array_funcs, _ORACLE_ARRAY_FUNCS, "F-ext: arrayExists/Count/Distinct/Slice/Reverse, has"),
     "orders_semi_join": QuerySpec(q_semi_join, _ORACLE_SEMI_JOIN, "J-ext: IN-subquery as LEFT SEMI join"),
     "customers_anti_join": QuerySpec(q_anti_join, _ORACLE_ANTI_JOIN, "J-ext: NOT EXISTS as LEFT ANTI join"),
+    "orders_rollup": QuerySpec(q_orders_rollup, _ORACLE_ROLLUP, "A-ext: GROUP BY WITH ROLLUP (single expand pass)"),
+    "date_dims": QuerySpec(q_date_dims, _ORACLE_DATE_DIMS, "F-ext: toStartOfMonth/Quarter toYYYYMM addDays/Months dateDiff"),
+    "string_funcs": QuerySpec(q_string_funcs, _ORACLE_STRING_FUNCS, "F-ext: splitByChar extractAll position replace[Regexp]All"),
+    "sum_map_priority": QuerySpec(q_sum_map, _ORACLE_SUM_MAP, "A-ext: sumMap over Nested-style parallel arrays"),
     "quantiles_weighted": QuerySpec(q_quantiles_weighted, _ORACLE_QUANTILES_WEIGHTED, "A-ext: quantileExactWeighted (compressed distribution)"),
     "pii_scrub": QuerySpec(q_pii_scrub, _ORACLE_PII_SCRUB, "text/pii-redaction"),
     "doc_fingerprint": QuerySpec(q_doc_fingerprint, _ORACLE_DOC_FINGERPRINT, "text/fingerprint"),
