@@ -2032,3 +2032,46 @@ def test_limit_by_plan_has_window_group_limit(spark):
     # the rank filter must be pushed below the shuffle: each map task
     # forwards at most n rows per key (WindowGroupLimit Partial)
     assert "WindowGroupLimit" in plan and "Partial" in plan
+
+
+def test_windowed_counts_stream_absorbs_second_batch(spark):
+    """Two-file feed: complete mode re-emits corrected per-day counts
+    after the second (late-arriving) batch is drained."""
+    import uuid as _uuid
+
+    base = tempfile.mkdtemp(prefix="ym_winstream_")
+    feed = f"{base}/feed"
+    os.makedirs(feed, exist_ok=True)
+    rows1 = [(1, "2024-01-01 10:00:00", "view"), (2, "2024-01-01 11:00:00", "click")]
+    rows2 = [(3, "2024-01-01 09:30:00", "view"), (4, "2024-01-02 08:00:00", "view")]
+    schema = "event_id long, ts timestamp, event_type string"
+    for i, rows in enumerate([rows1, rows2]):
+        (
+            spark.createDataFrame(rows, "event_id long, ts string, event_type string")
+            .withColumn("ts", F.col("ts").cast("timestamp"))
+            .coalesce(1)
+            .write.mode("append" if i else "overwrite")
+            .parquet(feed)
+        )
+    name = f"wc_{_uuid.uuid4().hex[:8]}"
+    q = cdc.start_windowed_counts_stream(
+        spark,
+        feed,
+        spark.read.parquet(feed).schema,
+        "ts",
+        ["event_type"],
+        window_len="1 day",
+        watermark="1 hour",
+        query_name=name,
+    )
+    q.awaitTermination(60)
+    got = {
+        (str(r["win_start"])[:10], r["event_type"]): r["n"]
+        for r in spark.table(name).collect()
+    }
+    assert got == {
+        ("2024-01-01", "view"): 2,
+        ("2024-01-01", "click"): 1,
+        ("2024-01-02", "view"): 1,
+    }
+    shutil.rmtree(base, ignore_errors=True)

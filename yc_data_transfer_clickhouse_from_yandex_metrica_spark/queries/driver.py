@@ -1677,6 +1677,62 @@ FROM b
 """
 
 
+def q_streaming_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling-window streaming aggregation (ST-ext): per-day counts
+    per event type computed ON the watermarked stream (cdc.
+    start_windowed_counts_stream), drained availableNow into the
+    memory sink and compared against the batch oracle.  The windowed
+    state the stream carries is |open windows x event types| -- never
+    the events."""
+    import uuid
+
+    _prep(spark)
+    base = tempfile.mkdtemp(prefix="ym_stream_win_")
+    feed = f"{base}/feed"
+    import os
+    import shutil
+
+    os.makedirs(feed, exist_ok=True)
+    shutil.copy(f"{sf_dir}/events.parquet", f"{feed}/events-000.parquet")
+    raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    if isinstance(raw_schema["ts"].dataType, T.LongType):
+        fix_ts = lambda df: df.withColumn(  # noqa: E731
+            "ts", F.timestamp_micros(F.expr("ts div 1000"))
+        )
+    else:
+        # watermarks demand TIMESTAMP; under the UTC session tz
+        # (_prep/tune) the NTZ->TIMESTAMP cast is wall-clock-preserving
+        fix_ts = lambda df: df.withColumn(  # noqa: E731
+            "ts", F.col("ts").cast("timestamp")
+        )
+    name = f"win_counts_{uuid.uuid4().hex[:8]}"
+    q = cdc.start_windowed_counts_stream(
+        spark,
+        feed,
+        raw_schema,
+        "ts",
+        ["event_type"],
+        window_len="1 day",
+        watermark="1 hour",
+        query_name=name,
+        transform=fix_ts,
+    )
+    q.awaitTermination(120)
+    out = spark.table(name)
+    return out.select(
+        F.col("win_start").cast("date").alias("day"),
+        "event_type",
+        "n",
+    ).orderBy("day", "event_type")
+
+
+_ORACLE_STREAMING_WINDOWED = """
+SELECT CAST(ts AS DATE) AS day, event_type,
+       CAST(count(1) AS BIGINT) AS n
+FROM events GROUP BY 1, 2
+"""
+
+
 # =========================================================================
 # 23. streaming ledger roundtrip -- ST1/ST4 with a real checkpointed
 #     availableNow stream; result compared against a direct batch oracle.
@@ -2494,6 +2550,7 @@ QUERIES: dict[str, QuerySpec] = {
     "doc_fingerprint": QuerySpec(q_doc_fingerprint, _ORACLE_DOC_FINGERPRINT, "text/fingerprint"),
     "multimodal_meta": QuerySpec(q_multimodal_meta, _ORACLE_MULTIMODAL, "multimodal/arrow-plumbing"),
     "streaming_roundtrip": QuerySpec(q_streaming_roundtrip, _ORACLE_STREAMING, "ST1 ST4 ST7"),
+    "streaming_windowed": QuerySpec(q_streaming_windowed, _ORACLE_STREAMING_WINDOWED, "ST-ext: watermarked tumbling-window stream aggregation"),
     "streaming_dedup": QuerySpec(q_streaming_dedup, _ORACLE_STREAMING_DEDUP, "ST-ext: stateful streaming exact dedup (dedup/exact at ingest)"),
     "cdc_collapse": QuerySpec(q_cdc_collapse, _ORACLE_CDC_COLLAPSE, "A1 A11 ST3"),
     "pricing_summary": QuerySpec(q_pricing_summary, _ORACLE_PRICING, "A8 P5 agg-bench"),

@@ -332,3 +332,47 @@ def start_collapse_stream(
     )
     trigger = {"availableNow": True} if available_now else {"processingTime": "10 seconds"}
     return writer.trigger(**trigger).start()
+
+
+def start_windowed_counts_stream(
+    spark: SparkSession,
+    source_dir: str,
+    schema: T.StructType,
+    ts_col: str,
+    group_cols: list[str],
+    window_len: str = "1 day",
+    watermark: str = "1 hour",
+    query_name: str = "windowed_counts",
+    fmt: str = "parquet",
+    transform=None,
+) -> StreamingQuery:
+    """Tumbling-window streaming aggregation (the per-day chart feed,
+    computed ON the stream): watermarked ``window(ts, len)`` counts
+    per group, complete-mode into an in-memory sink queryable as
+    ``query_name`` (the DataLens-dashboard serving pattern; swap the
+    sink for a JDBC/parquet upsert in production).
+
+    State is bounded by |open windows x groups| -- the watermark lets
+    Spark drop window state older than (max event time - watermark);
+    complete mode here re-emits the small aggregate table, NOT the
+    events.  availableNow drain keeps tests deterministic."""
+    stream = spark.readStream.format(fmt).schema(schema).load(source_dir)
+    if transform is not None:
+        stream = transform(stream)
+    agg = (
+        stream.withWatermark(ts_col, watermark)
+        .groupBy(F.window(F.col(ts_col), window_len), *group_cols)
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.col("window.start").alias("win_start"),
+            *group_cols,
+            "n",
+        )
+    )
+    return (
+        agg.writeStream.queryName(query_name)
+        .format("memory")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
