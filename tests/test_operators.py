@@ -2075,3 +2075,44 @@ def test_windowed_counts_stream_absorbs_second_batch(spark):
         ("2024-01-02", "view"): 1,
     }
     shutil.rmtree(base, ignore_errors=True)
+
+
+def test_compact_partitions_rewrites_only_dirty_weeks(spark):
+    """Fragment one week with many small appends, leave another week
+    clean; compaction must shrink the dirty week to one file, keep the
+    clean week's files byte-identical, and preserve every row."""
+    base = tempfile.mkdtemp(prefix="ym_compact_")
+    path = f"{base}/tbl"
+    layout = warehouse.TableLayout(date_col="d", sort_by=["k"])
+    clean = spark.createDataFrame(
+        [(date(2023, 10, 2), i) for i in range(50)], "d date, k int"
+    )
+    warehouse.write_table(clean, path, layout, mode="overwrite")
+    # fragment the following week: 6 separate appends -> >=6 files
+    for j in range(6):
+        frag = spark.createDataFrame(
+            [(date(2023, 10, 9), 100 * j + i) for i in range(10)],
+            "d date, k int",
+        )
+        warehouse.write_table(frag, path, layout, mode="append")
+    wk_clean, wk_dirty = "_week=2023-10-02", "_week=2023-10-09"
+
+    def files(wd):
+        return sorted(
+            f for f in os.listdir(os.path.join(path, wd))
+            if f.endswith(".parquet")
+        )
+
+    clean_before = files(wk_clean)
+    assert len(files(wk_dirty)) >= 6
+    total_before = spark.read.parquet(path).count()
+    stats = warehouse.compact_partitions(
+        spark, path, max_files_per_week=4, target_files_per_week=1
+    )
+    assert list(stats["files_before"]) == [wk_dirty]  # clean week not listed
+    assert stats["files_after"][wk_dirty] == 1
+    assert files(wk_clean) == clean_before  # untouched, same file names
+    back = spark.read.parquet(path)
+    assert back.count() == total_before
+    assert back.where(F.col("_week") == "2023-10-09").count() == 60
+    shutil.rmtree(base, ignore_errors=True)

@@ -152,3 +152,67 @@ def reconcile(src: DataFrame, sink: DataFrame) -> dict:
         res["src_count"] == res["sink_count"] and res["src_hash"] == res["sink_hash"]
     )
     return res
+
+
+def compact_partitions(
+    spark: SparkSession,
+    path: str,
+    max_files_per_week: int = 4,
+    target_files_per_week: int = 1,
+    max_records_per_file: int | None = None,
+) -> dict:
+    """Small-files compaction for the weekly layout (the MergeTree
+    background-merge analog -- streaming appends fragment partitions;
+    ClickHouse merges parts, a parquet lake must OPTIMIZE).
+
+    Week directories holding more than ``max_files_per_week`` data
+    files are rewritten to ``target_files_per_week``.  Discovery is a
+    driver-side DIRECTORY listing (metadata only, never data); the
+    rewrite is ONE distributed job over just the dirty weeks, swapped
+    in atomically per-partition via dynamic partition overwrite --
+    clean weeks are never read, never touched.  Rows are
+    range-clustered on (week, sort keys from table meta) so the
+    rewrite restores tight row-group min/max bounds too.
+
+    Returns {"files_before": {week: n}, "files_after": {week: n}}
+    for the compacted weeks.
+    """
+    meta = table_meta(path)
+    sort_by = meta.get("sort_by") or []
+
+    def _files(wd: str) -> int:
+        return sum(
+            1
+            for f in os.listdir(os.path.join(path, wd))
+            if f.endswith(".parquet")
+        )
+
+    week_dirs = sorted(
+        d for d in os.listdir(path) if d.startswith(f"{WEEK_COL}=")
+    )
+    before = {wd: _files(wd) for wd in week_dirs}
+    dirty = [wd for wd, n in before.items() if n > max_files_per_week]
+    if not dirty:
+        return {"files_before": {}, "files_after": {}}
+    src = spark.read.option("basePath", path).parquet(
+        *[os.path.join(path, wd) for wd in dirty]
+    )
+    n_out = max(1, len(dirty) * target_files_per_week)
+    keys = [F.col(WEEK_COL)] + [F.col(c) for c in sort_by]
+    out = src.repartitionByRange(n_out, *keys)
+    if sort_by:
+        out = out.sortWithinPartitions(WEEK_COL, *sort_by)
+    conf_key = "spark.sql.sources.partitionOverwriteMode"
+    prev = spark.conf.get(conf_key, "static")
+    spark.conf.set(conf_key, "dynamic")
+    try:
+        w = out.write.mode("overwrite").partitionBy(WEEK_COL)
+        if max_records_per_file:
+            w = w.option("maxRecordsPerFile", max_records_per_file)
+        w.parquet(path)
+    finally:
+        spark.conf.set(conf_key, prev)
+    return {
+        "files_before": {wd: before[wd] for wd in dirty},
+        "files_after": {wd: _files(wd) for wd in dirty},
+    }
