@@ -67,6 +67,8 @@ HEADLINE = [
     "date_dims",
     "string_funcs",
     "sum_map_priority",
+    "event_transitions",
+    "cohort_matrix",
     "dedup_exact",
     "dedup_ngram_jaccard",
     "dedup_minhash_lsh",

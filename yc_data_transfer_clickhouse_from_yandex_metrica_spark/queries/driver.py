@@ -1428,6 +1428,80 @@ FROM r GROUP BY o_orderpriority
 """
 
 
+def q_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Path analysis (the Sankey/user-flow feed): count consecutive
+    event-type transitions per user in (ts, event_id) order, top 20.
+    One hash(user) exchange for the lag window; the transition count
+    reuses nothing heavier than a hash aggregate + TakeOrdered."""
+    _prep(spark)
+    ev = t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    steps = ev.select(
+        F.lag("event_type", 1).over(w).alias("src"),
+        F.col("event_type").alias("dst"),
+    ).where(F.col("src").isNotNull())
+    return (
+        steps.groupBy("src", "dst")
+        .agg(ch.count_one().alias("n"))
+        .orderBy(F.col("n").desc(), "src", "dst")
+        .limit(20)
+    )
+
+
+_ORACLE_TRANSITIONS = """
+WITH s AS (
+  SELECT lag(event_type) OVER (PARTITION BY user_id
+                               ORDER BY ts, event_id) AS src,
+         event_type AS dst
+  FROM events
+)
+SELECT src, dst, CAST(count(1) AS BIGINT) AS n
+FROM s WHERE src IS NOT NULL
+GROUP BY src, dst
+ORDER BY n DESC, src, dst LIMIT 20
+"""
+
+
+def q_cohort_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort-retention matrix: users grouped by first-seen
+    week (the cohort), counted distinct per week-offset of later
+    activity.  Two aggregates over the same hash(user) partitioning
+    (first-seen min reuses the exchange of the per-user-week distinct)
+    -- the layout every retention dashboard renders."""
+    _prep(spark)
+    ev = t(spark, sf_dir, "events")
+    uw = ev.select(
+        "user_id", ch.to_monday(F.col("ts")).alias("wk")
+    ).distinct()
+    first = uw.groupBy("user_id").agg(F.min("wk").alias("cohort"))
+    return (
+        uw.join(first, "user_id")
+        .groupBy(
+            "cohort",
+            ((F.datediff(F.col("wk"), F.col("cohort")) / 7).cast("int")).alias(
+                "week_offset"
+            ),
+        )
+        .agg(F.countDistinct("user_id").alias("users"))
+        .orderBy("cohort", "week_offset")
+    )
+
+
+_ORACLE_COHORT = """
+WITH uw AS (
+  SELECT DISTINCT user_id,
+         CAST(date_trunc('week', ts) AS DATE) AS wk
+  FROM events
+),
+f AS (SELECT user_id, min(wk) AS cohort FROM uw GROUP BY user_id)
+SELECT f.cohort,
+       CAST(date_diff('day', f.cohort, uw.wk) / 7 AS INT) AS week_offset,
+       CAST(count(DISTINCT uw.user_id) AS BIGINT) AS users
+FROM uw JOIN f ON uw.user_id = f.user_id
+GROUP BY 1, 2
+"""
+
+
 def q_quantiles_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ClickHouse quantileExactWeighted analog: price quantiles of the
     quantity-expanded multiset, computed over the compressed
@@ -2542,6 +2616,8 @@ QUERIES: dict[str, QuerySpec] = {
     "orders_semi_join": QuerySpec(q_semi_join, _ORACLE_SEMI_JOIN, "J-ext: IN-subquery as LEFT SEMI join"),
     "customers_anti_join": QuerySpec(q_anti_join, _ORACLE_ANTI_JOIN, "J-ext: NOT EXISTS as LEFT ANTI join"),
     "orders_rollup": QuerySpec(q_orders_rollup, _ORACLE_ROLLUP, "A-ext: GROUP BY WITH ROLLUP (single expand pass)"),
+    "event_transitions": QuerySpec(q_event_transitions, _ORACLE_TRANSITIONS, "A-ext: path analysis (lag-pair transition counts)"),
+    "cohort_matrix": QuerySpec(q_cohort_matrix, _ORACLE_COHORT, "A-ext: weekly cohort-retention matrix"),
     "date_dims": QuerySpec(q_date_dims, _ORACLE_DATE_DIMS, "F-ext: toStartOfMonth/Quarter toYYYYMM addDays/Months dateDiff"),
     "string_funcs": QuerySpec(q_string_funcs, _ORACLE_STRING_FUNCS, "F-ext: splitByChar extractAll position replace[Regexp]All"),
     "sum_map_priority": QuerySpec(q_sum_map, _ORACLE_SUM_MAP, "A-ext: sumMap over Nested-style parallel arrays"),
