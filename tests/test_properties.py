@@ -236,3 +236,125 @@ def test_scrub_pii_idempotent(spark, texts):
     for r in twice:
         assert r["n_pii"] == 0
         assert r["text_clean"] == r["text"]
+
+
+# --------------------------------------------------------------------------
+# limit_by / heavy_hitters / agg_map vs pure-Python models
+# --------------------------------------------------------------------------
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=3),  # key
+            st.integers(min_value=-50, max_value=50),  # value
+        ),
+        min_size=1,
+        max_size=30,
+    ),
+    st.integers(min_value=1, max_value=3),  # n
+    st.integers(min_value=0, max_value=2),  # offset
+)
+def test_limit_by_matches_python_model(spark, rows, n, offset):
+    """limit_by == sort-then-slice per key, for any data/offset/n.
+    Rows are made unique via an index column so the order is total."""
+    from pyspark.sql import functions as F
+
+    from yc_data_transfer_clickhouse_from_yandex_metrica_spark.operators import series
+
+    data = [(k, v, i) for i, (k, v) in enumerate(rows)]
+    df = spark.createDataFrame(data, "k int, v int, idx int")
+    got = sorted(
+        (r["k"], r["v"], r["idx"])
+        for r in series.limit_by(
+            df, ["k"], n, [F.col("v").asc(), F.col("idx").asc()],
+            offset=offset,
+        ).collect()
+    )
+    model = []
+    by_key: dict[int, list] = {}
+    for k, v, i in data:
+        by_key.setdefault(k, []).append((v, i))
+    for k, vs in by_key.items():
+        for v, i in sorted(vs)[offset:offset + n]:
+            model.append((k, v, i))
+    assert got == sorted(model)
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    st.lists(
+        st.sampled_from(["a", "b", "c", "d", "e"]),
+        min_size=1,
+        max_size=40,
+    ),
+    st.integers(min_value=1, max_value=4),
+)
+def test_heavy_hitters_matches_python_model(spark, values, k):
+    from collections import Counter
+
+    from yc_data_transfer_clickhouse_from_yandex_metrica_spark.operators import stats
+
+    df = spark.createDataFrame([(v,) for v in values], "c string")
+    got = [(r["c"], r["freq"]) for r in stats.heavy_hitters(df, ["c"], k).collect()]
+    counts = Counter(values)
+    model = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))[:k]
+    assert got == model
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=2),  # group
+            st.lists(
+                st.tuples(
+                    st.sampled_from(["x", "y", "z"]),  # map key
+                    st.integers(min_value=-9, max_value=9),  # map value
+                ),
+                min_size=0,
+                max_size=4,
+            ),
+        ),
+        min_size=1,
+        max_size=12,
+    )
+)
+def test_sum_map_matches_python_model(spark, rows):
+    """sum_map == per-group dict-merge with sorted keys, any input
+    (including rows with empty arrays, which contribute nothing)."""
+    from yc_data_transfer_clickhouse_from_yandex_metrica_spark.operators import maps
+
+    data = [
+        (g, [k for k, _ in pairs], [v for _, v in pairs])
+        for g, pairs in rows
+    ]
+    df = spark.createDataFrame(
+        data, "g int, ks array<string>, vs array<int>"
+    )
+    got = {
+        r["g"]: (r["map_keys"], r["map_vals"])
+        for r in maps.sum_map(df, ["g"], "ks", "vs").collect()
+    }
+    model: dict[int, dict[str, int]] = {}
+    for g, pairs in rows:
+        acc = model.setdefault(g, {})
+        for k, v in pairs:
+            acc[k] = acc.get(k, 0) + v
+    expect = {
+        g: (sorted(d), [d[k] for k in sorted(d)])
+        for g, d in model.items()
+        if d  # groups whose rows are all empty produce no pairs
+    }
+    assert got == expect
