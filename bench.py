@@ -53,6 +53,7 @@ HEADLINE = [
     "quantiles_exact",
     "quantiles_weighted",
     "funnel_depths",
+    "funnel_strict",
     "retention_cohort",
     "orders_daily_fill",
     "running_diff_events",

@@ -2116,3 +2116,58 @@ def test_compact_partitions_rewrites_only_dirty_weeks(spark):
     assert back.count() == total_before
     assert back.where(F.col("_week") == "2023-10-09").count() == 60
     shutil.rmtree(base, ignore_errors=True)
+
+
+def test_window_funnel_strict_order_hand_cases(spark):
+    """CH strict_order semantics: A->B->C consecutive binds depth 3;
+    A->X->B->C stops at X (depth 1); A->B->X->C stops at X (depth 2);
+    a tie at the next instant binds if any tied event matches."""
+    from yc_data_transfer_clickhouse_from_yandex_metrica_spark.operators import funnel
+
+    rows = []
+    # user 1: A B C consecutive -> 3
+    rows += [(1, 10, "A"), (1, 20, "B"), (1, 30, "C")]
+    # user 2: A X B C -> stops at X -> 1
+    rows += [(2, 10, "A"), (2, 15, "X"), (2, 20, "B"), (2, 30, "C")]
+    # user 3: A B X C -> 2
+    rows += [(3, 10, "A"), (3, 20, "B"), (3, 25, "X"), (3, 30, "C")]
+    # user 4: A then tie at t=20 of (X and B) -> permissive tie -> then C -> 3
+    rows += [(4, 10, "A"), (4, 20, "X"), (4, 20, "B"), (4, 30, "C")]
+    # user 5: no A -> 0
+    rows += [(5, 10, "B"), (5, 20, "C")]
+    df = spark.createDataFrame(
+        [(u, float(s), e) for u, s, e in rows], "uid long, sec double, et string"
+    ).select("uid", F.timestamp_seconds("sec").alias("ts"), "et")
+    out = funnel.window_funnel(
+        df,
+        "uid",
+        "ts",
+        [F.col("et") == "A", F.col("et") == "B", F.col("et") == "C"],
+        window_seconds=3600,
+        mode="strict_order",
+    )
+    got = {r["uid"]: r["depth"] for r in out.collect()}
+    assert got == {1: 3, 2: 1, 3: 2, 4: 3, 5: 0}
+    with pytest.raises(ValueError):
+        funnel.window_funnel(df, "uid", "ts", [F.col("et") == "A"], 10, mode="bogus")
+
+
+def test_window_funnel_strict_single_exchange(spark):
+    """strict_order keeps the one-exchange plan: all step windows
+    share the hash(uid) partitioning."""
+    from yc_data_transfer_clickhouse_from_yandex_metrica_spark.operators import funnel
+
+    df = spark.range(1000).select(
+        (F.col("id") % 50).alias("uid"),
+        F.timestamp_seconds(F.col("id").cast("double")).alias("ts"),
+        (F.col("id") % 3).cast("string").alias("et"),
+    )
+    out = funnel.window_funnel(
+        df, "uid", "ts",
+        [F.col("et") == "0", F.col("et") == "1", F.col("et") == "2"],
+        3600, mode="strict_order",
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    final = plan.split("== Initial Plan ==")[0]
+    import re
+    assert len(re.findall(r"Exchange hashpartitioning", final)) == 1

@@ -41,14 +41,31 @@ def window_funnel(
     ts_col: str,
     steps: list[Column],
     window_seconds: int,
+    mode: str | None = None,
 ) -> DataFrame:
     """(user, depth): deepest funnel step completed within the window.
 
     ``steps`` are boolean per-event conditions in funnel order; depth 0
     means the user never performed step 1.
+
+    ``mode=None`` (default): earliest-chain as documented above --
+    events not matching the next step are ignored.
+
+    ``mode="strict_order"``: ClickHouse's strict_order -- the chain
+    breaks when ANY other event interleaves (CH docs' A->B->D->C
+    example stops at D, depth 2, even though D matches no condition).
+    Step i binds only if the EARLIEST event after step i-1 satisfies
+    condition i (tie rule: if several events share that earliest
+    timestamp, any of them satisfying the condition binds --
+    deterministic, where CH depends on block order).  Still the same
+    single hash(user) exchange: the extra "next event" and "condition
+    holds at that instant" lookups are two more aggregate windows over
+    the SAME partitioning.
     """
     if not steps:
         raise ValueError("steps must be non-empty")
+    if mode not in (None, "strict_order"):
+        raise ValueError(f"unsupported mode {mode!r}")
     w = Window.partitionBy(user_col)
     out = df.select(
         user_col,
@@ -64,6 +81,28 @@ def window_funnel(
         "SECOND", F.lit(int(window_seconds)), F.col("__t1")
     )
     for i in range(2, len(steps) + 1):
+        if mode == "strict_order":
+            nxt = F.min(
+                F.when(F.col("__ts") > F.col(f"__t{i-1}"), F.col("__ts"))
+            ).over(w)
+            out = out.withColumn(f"__nf{i}", nxt)
+            ok = F.max(
+                F.when(
+                    F.col(f"__c{i}")
+                    & (F.col("__ts") == F.col(f"__nf{i}")),
+                    F.lit(1),
+                )
+            ).over(w)
+            out = out.withColumn(f"__ok{i}", ok)
+            out = out.withColumn(
+                f"__t{i}",
+                F.when(
+                    (F.col(f"__ok{i}") == 1)
+                    & (F.col(f"__nf{i}") <= horizon),
+                    F.col(f"__nf{i}"),
+                ),
+            )
+            continue
         qualify = (
             F.col(f"__c{i}")
             & (F.col("__ts") > F.col(f"__t{i-1}"))

@@ -939,6 +939,73 @@ SELECT depth, CAST(count(*) AS BIGINT) AS users FROM d GROUP BY depth
 """
 
 
+def q_funnel_strict(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """windowFunnel strict_order mode: the same view -> click ->
+    purchase funnel, but ANY interleaving event breaks the chain (CH's
+    A->B->D->C stops at D).  Same one-exchange plan as the default
+    mode -- the next-event probe is just two more windows over the
+    hash(user) partitioning."""
+    _prep(spark)
+    ev = t(spark, sf_dir, "events")
+    d = funnel.window_funnel(
+        ev,
+        "user_id",
+        "ts",
+        [
+            F.col("event_type") == "view",
+            F.col("event_type") == "click",
+            F.col("event_type") == "purchase",
+        ],
+        window_seconds=7 * 86400,
+        mode="strict_order",
+    )
+    return d.groupBy("depth").agg(ch.count_one().alias("users")).orderBy("depth")
+
+
+_ORACLE_FUNNEL_STRICT = f"""
+WITH t1 AS (
+  SELECT user_id, min(ts) AS t1 FROM events
+  WHERE event_type = 'view' GROUP BY user_id
+),
+n2 AS (
+  SELECT e.user_id, min(e.ts) AS nf
+  FROM events e JOIN t1 ON e.user_id = t1.user_id
+  WHERE e.ts > t1.t1 GROUP BY e.user_id
+),
+t2 AS (
+  SELECT n2.user_id, n2.nf AS t2
+  FROM n2 JOIN t1 ON n2.user_id = t1.user_id
+  WHERE EXISTS (SELECT 1 FROM events x WHERE x.user_id = n2.user_id
+                AND x.ts = n2.nf AND x.event_type = 'click')
+    AND epoch_us(n2.nf) <= epoch_us(t1.t1) + {_FUNNEL_WINDOW_US}
+),
+n3 AS (
+  SELECT e.user_id, min(e.ts) AS nf
+  FROM events e JOIN t2 ON e.user_id = t2.user_id
+  WHERE e.ts > t2.t2 GROUP BY e.user_id
+),
+t3 AS (
+  SELECT n3.user_id, n3.nf AS t3
+  FROM n3 JOIN t1 ON n3.user_id = t1.user_id
+  WHERE EXISTS (SELECT 1 FROM events x WHERE x.user_id = n3.user_id
+                AND x.ts = n3.nf AND x.event_type = 'purchase')
+    AND epoch_us(n3.nf) <= epoch_us(t1.t1) + {_FUNNEL_WINDOW_US}
+),
+d AS (
+  SELECT u.user_id,
+         CASE WHEN t3.user_id IS NOT NULL THEN 3
+              WHEN t2.user_id IS NOT NULL THEN 2
+              WHEN t1.user_id IS NOT NULL THEN 1
+              ELSE 0 END AS depth
+  FROM (SELECT DISTINCT user_id FROM events) u
+  LEFT JOIN t1 ON u.user_id = t1.user_id
+  LEFT JOIN t2 ON u.user_id = t2.user_id
+  LEFT JOIN t3 ON u.user_id = t3.user_id
+)
+SELECT depth, CAST(count(*) AS BIGINT) AS users FROM d GROUP BY depth
+"""
+
+
 def q_retention_cohort(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ClickHouse retention() analog: per user, signup ever happened;
     signup AND click; signup AND purchase (flat max aggregates)."""
@@ -2604,6 +2671,7 @@ QUERIES: dict[str, QuerySpec] = {
     "repetition_stats": QuerySpec(q_repetition_stats, _ORACLE_REPETITION, "text/repetition (Gopher-style filters)"),
     "ch_aggregates": QuerySpec(q_ch_aggregates, _ORACLE_CH_AGGREGATES, "F-ext: argMax/argMin countIf/sumIf/avgIf groupUniqArray"),
     "funnel_depths": QuerySpec(q_funnel_depths, _ORACLE_FUNNEL, "A-ext: windowFunnel (earliest-chain, one-exchange windows)"),
+    "funnel_strict": QuerySpec(q_funnel_strict, _ORACLE_FUNNEL_STRICT, "A-ext: windowFunnel strict_order (chain breaks on interleave)"),
     "retention_cohort": QuerySpec(q_retention_cohort, _ORACLE_RETENTION, "A-ext: retention cohort flags"),
     "quantiles_exact": QuerySpec(q_quantiles_exact, _ORACLE_QUANTILES, "A-ext: quantileExactLow (windowed exact order stats)"),
     "orders_daily_fill": QuerySpec(q_orders_daily_fill, _ORACLE_DAILY_FILL, "O-ext: ORDER BY WITH FILL (dense date axis)"),
