@@ -69,6 +69,8 @@ HEADLINE = [
     "string_funcs",
     "sum_map_priority",
     "event_transitions",
+    "delta_sum_events",
+    "interval_coverage",
     "cohort_matrix",
     "dedup_exact",
     "dedup_ngram_jaccard",

@@ -2171,3 +2171,49 @@ def test_window_funnel_strict_single_exchange(spark):
     final = plan.split("== Initial Plan ==")[0]
     import re
     assert len(re.findall(r"Exchange hashpartitioning", final)) == 1
+
+
+def test_delta_sum_and_uniq_up_to(spark):
+    from yc_data_transfer_clickhouse_from_yandex_metrica_spark.operators import series
+
+    df = spark.createDataFrame(
+        [(1, 1, 10.0), (1, 2, 13.0), (1, 3, 11.0), (1, 4, 15.0), (2, 1, 5.0)],
+        "k int, seq int, v double",
+    )
+    out = {r["k"]: r["delta_sum"] for r in series.delta_sum(df, ["k"], "seq", "v").collect()}
+    # +3 (10->13), drop ignored, +4 (11->15) => 7; single row => 0
+    assert out == {1: 7.0, 2: 0.0}
+
+    vals = spark.createDataFrame([(v,) for v in "aabbccdd"], "c string")
+    got = vals.agg(
+        ch.uniq_up_to("c", 2).alias("u2"), ch.uniq_up_to("c", 10).alias("u10")
+    ).collect()[0]
+    assert got["u2"] == 3  # "more than 2" cap
+    assert got["u10"] == 4  # exact below the cap
+
+
+def test_interval_length_sum_numeric_and_timestamp(spark):
+    from yc_data_transfer_clickhouse_from_yandex_metrica_spark.operators import series
+
+    # numeric: [0,10],[5,15] union 15; [20,30] adds 10; key 2: nested
+    # [0,100],[10,20] -> 100; touching [100,110] adds 10
+    df = spark.createDataFrame(
+        [(1, 0, 10), (1, 5, 15), (1, 20, 30), (2, 0, 100), (2, 10, 20), (2, 100, 110)],
+        "k int, s long, e long",
+    )
+    got = {r["k"]: r["covered"] for r in series.interval_length_sum(df, ["k"], "s", "e").collect()}
+    assert got == {1: 25, 2: 110}
+
+    ts = spark.createDataFrame(
+        [(1, 0.0, 600.0), (1, 300.0, 900.0), (1, 2000.0, 2600.0)],
+        "k int, s double, e double",
+    ).select(
+        "k",
+        F.timestamp_seconds("s").alias("ts_s"),
+        F.timestamp_seconds("e").alias("ts_e"),
+    )
+    got = {
+        r["k"]: r["covered"]
+        for r in series.interval_length_sum(df=ts, key_cols=["k"], start_col="ts_s", end_col="ts_e").collect()
+    }
+    assert got == {1: 900 + 600}  # overlap counted once + disjoint block

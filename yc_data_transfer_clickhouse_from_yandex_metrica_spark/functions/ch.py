@@ -382,3 +382,12 @@ def quantile_approx(
     return F.percentile_approx(
         _col(c), F.array(*[F.lit(p) for p in probs]), F.lit(accuracy)
     )
+
+
+def uniq_up_to(c: ColumnOrName, n: int) -> Column:
+    """ClickHouse ``uniqUpTo(N)``: exact distinct count while it is
+    <= N, else N+1 (the "more than N?" probe).  CH caps the hash-state
+    size; Spark's exact countDistinct then least() yields identical
+    results (the state-size optimization is internal to CH -- on
+    Spark the map-side partial distinct already bounds memory)."""
+    return F.least(F.countDistinct(_col(c)), F.lit(n + 1))

@@ -191,3 +191,78 @@ def moving_agg(
     )
     fn = getattr(F, agg)
     return df.withColumn(out_col, fn(value_col).over(w))
+
+
+def delta_sum(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    order_col: str | Sequence[str],
+    value_col: str,
+    out_col: str = "delta_sum",
+) -> DataFrame:
+    """ClickHouse ``deltaSum``: the sum of POSITIVE deltas between
+    consecutive values, per key in order (CH computes it in block
+    order and patches block boundaries; the per-key ordered-window
+    form is the deterministic semantic).  One shuffle: lag window and
+    the final per-key sum share the hash(key) partitioning."""
+    w = Window.partitionBy(*key_cols).orderBy(*_order_cols(order_col))
+    d = F.col(value_col) - F.lag(value_col, 1).over(w)
+    return (
+        df.withColumn("__d", F.greatest(d, F.lit(0)))
+        .groupBy(*key_cols)
+        .agg(F.sum("__d").alias(out_col))
+    )
+
+
+def interval_length_sum(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    start_col: str,
+    end_col: str,
+    out_col: str = "covered",
+) -> DataFrame:
+    """ClickHouse ``intervalLengthSum``: per key, the total length of
+    the UNION of [start, end] intervals -- overlaps counted once (the
+    "time spent" aggregate: union of session/visibility windows).
+
+    Sweep formulation, one shuffle: order intervals by (start, end)
+    per key; the running max of *previous* ends marks what is already
+    covered, so each row contributes
+    ``greatest(0, end - greatest(start, prev_max_end))``; a sibling
+    per-key sum reuses the same partitioning.  Numeric or timestamp
+    columns both work (timestamps contribute seconds).
+    """
+    w = (
+        Window.partitionBy(*key_cols)
+        .orderBy(start_col, end_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    s, e = F.col(start_col), F.col(end_col)
+    is_ts = dict(df.dtypes)[start_col] in ("timestamp", "timestamp_ntz")
+    if is_ts:
+        # sweep in EXACT integer microseconds and divide ONCE at the
+        # end: per-term double seconds accumulate rounding error that
+        # flips truncation at integer boundaries (observed off-by-one
+        # vs the oracle); the long sum is exact in any engine.
+        # timestamp_diff stays type-safe for TIMESTAMP and NTZ alike.
+        prev_end = F.max(e).over(w)
+        us = lambda a, b: F.timestamp_diff("MICROSECOND", a, b)  # noqa: E731
+        contrib = F.when(
+            prev_end.isNull() | (prev_end < s), us(s, e)
+        ).otherwise(F.greatest(us(prev_end, e), F.lit(0)))
+    else:
+        prev_end = F.max(e).over(w)
+        eff_start = F.greatest(s, F.coalesce(prev_end, s))
+        contrib = F.greatest(e - eff_start, F.lit(0))
+    agg = (
+        df.withColumn("__c", contrib)
+        .groupBy(*key_cols)
+        .agg(F.sum("__c").alias("__sum"))
+    )
+    if is_ts:
+        # seconds as double from the exact micros sum
+        return agg.select(
+            *key_cols,
+            (F.col("__sum") / F.lit(1_000_000.0)).alias(out_col),
+        )
+    return agg.select(*key_cols, F.col("__sum").alias(out_col))

@@ -1569,6 +1569,92 @@ GROUP BY 1, 2
 """
 
 
+def q_delta_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse deltaSum + uniqUpTo per user: sum of positive value
+    deltas in (ts, event_id) order, and "more than 3 distinct event
+    types?" -- both over one hash(user) partitioning."""
+    _prep(spark)
+    ev = t(spark, sf_dir, "events")
+    ds = series.delta_sum(
+        ev.select("user_id", "ts", "event_id", "value"),
+        ["user_id"],
+        ["ts", "event_id"],
+        "value",
+    )
+    uu = ev.groupBy("user_id").agg(
+        ch.uniq_up_to("event_type", 3).alias("types_up_to_3")
+    )
+    return (
+        ds.join(uu, "user_id")
+        .select(
+            "user_id",
+            ch.round_to("delta_sum", 4).alias("delta_sum"),
+            "types_up_to_3",
+        )
+        .orderBy("user_id")
+    )
+
+
+_ORACLE_DELTA_SUM = """
+WITH d AS (
+  SELECT user_id,
+         greatest(value - lag(value) OVER (PARTITION BY user_id
+                                           ORDER BY ts, event_id),
+                  0) AS dv
+  FROM events
+),
+u AS (
+  SELECT user_id,
+         CAST(least(count(DISTINCT event_type), 4) AS BIGINT)
+           AS types_up_to_3
+  FROM events GROUP BY user_id
+)
+SELECT d.user_id,
+  floor(sum(dv) * 10000.0 + 0.5) / 10000.0 AS delta_sum,
+  any_value(u.types_up_to_3) AS types_up_to_3
+FROM d JOIN u ON d.user_id = u.user_id
+GROUP BY d.user_id
+"""
+
+
+def q_interval_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse intervalLengthSum (the "time spent" aggregate): per
+    user, the union length in seconds of 10-minute activity windows
+    [ts, ts+600s] -- overlaps counted once.  Sweep formulation, one
+    shuffle (operators/series.py)."""
+    _prep(spark)
+    ev = t(spark, sf_dir, "events")
+    iv = ev.select(
+        "user_id",
+        F.col("ts").alias("s"),
+        F.timestamp_add("SECOND", F.lit(600), F.col("ts")).alias("e"),
+    )
+    out = series.interval_length_sum(iv, ["user_id"], "s", "e")
+    return out.select(
+        "user_id", F.floor(F.col("covered")).cast("long").alias("covered_sec")
+    ).orderBy("user_id")
+
+
+_ORACLE_INTERVAL_COVERAGE = """
+WITH iv AS (
+  SELECT user_id, ts AS s, ts + INTERVAL 600 SECOND AS e FROM events
+),
+m AS (
+  SELECT user_id, s, e,
+         max(e) OVER (PARTITION BY user_id ORDER BY s, e
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+           AS pe
+  FROM iv
+)
+SELECT user_id,
+  CAST(floor(sum(CASE WHEN pe IS NULL OR pe < s
+                      THEN epoch_us(e) - epoch_us(s)
+                      ELSE greatest(epoch_us(e) - epoch_us(pe), 0) END)
+             / 1000000.0) AS BIGINT) AS covered_sec
+FROM m GROUP BY user_id
+"""
+
+
 def q_quantiles_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ClickHouse quantileExactWeighted analog: price quantiles of the
     quantity-expanded multiset, computed over the compressed
@@ -2685,6 +2771,8 @@ QUERIES: dict[str, QuerySpec] = {
     "customers_anti_join": QuerySpec(q_anti_join, _ORACLE_ANTI_JOIN, "J-ext: NOT EXISTS as LEFT ANTI join"),
     "orders_rollup": QuerySpec(q_orders_rollup, _ORACLE_ROLLUP, "A-ext: GROUP BY WITH ROLLUP (single expand pass)"),
     "event_transitions": QuerySpec(q_event_transitions, _ORACLE_TRANSITIONS, "A-ext: path analysis (lag-pair transition counts)"),
+    "delta_sum_events": QuerySpec(q_delta_sum, _ORACLE_DELTA_SUM, "A-ext: deltaSum + uniqUpTo per key"),
+    "interval_coverage": QuerySpec(q_interval_coverage, _ORACLE_INTERVAL_COVERAGE, "A-ext: intervalLengthSum (union of activity windows)"),
     "cohort_matrix": QuerySpec(q_cohort_matrix, _ORACLE_COHORT, "A-ext: weekly cohort-retention matrix"),
     "date_dims": QuerySpec(q_date_dims, _ORACLE_DATE_DIMS, "F-ext: toStartOfMonth/Quarter toYYYYMM addDays/Months dateDiff"),
     "string_funcs": QuerySpec(q_string_funcs, _ORACLE_STRING_FUNCS, "F-ext: splitByChar extractAll position replace[Regexp]All"),
