@@ -2217,3 +2217,43 @@ def test_interval_length_sum_numeric_and_timestamp(spark):
         for r in series.interval_length_sum(df=ts, key_cols=["k"], start_col="ts_s", end_col="ts_e").collect()
     }
     assert got == {1: 900 + 600}  # overlap counted once + disjoint block
+
+
+def test_ivf_assignment_is_map_side(spark):
+    """The IVF centroid assignment must stay a map-side Project: no
+    exchange/window between the vector scan and the candidate join
+    (the old crossJoin+row_number formulation shuffled |N| x nlist
+    rows).  Budget: exactly the candidate-join + final-rank exchanges."""
+    import re
+
+    from yc_data_transfer_clickhouse_from_yandex_metrica_spark.operators import similarity
+
+    vecs = spark.createDataFrame(
+        [(i, [float(i % 7), float((i * 3) % 5), 1.0]) for i in range(200)],
+        "vec_id long, embedding array<double>",
+    )
+    qs = vecs.where(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    cents = [[1.0, 0.0, 0.0], [0.0, 1.0, 0.0], [0.0, 0.0, 1.0]]
+    out = similarity.ivf_topk(
+        vecs, qs, k=5, nprobe=2, centroids=cents,
+        id_col="vec_id", vec_col="embedding",
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    final = plan.split("== Initial Plan ==")[0]
+    # budget: both candidate-join sides exchange on cid + the final
+    # per-query rank exchange -- NOTHING else (the old formulation
+    # added an |N| x nlist shuffle for assignment)
+    n_exchanges = len(re.findall(r"Exchange (hash|range|Single)", final))
+    assert n_exchanges <= 3, f"IVF grew extra exchanges:\n{final[:2000]}"
+    # exactly one Window operator: the final per-query rank
+    # (WindowGroupLimit pushdown lines are not Window operators)
+    win_ops = [
+        ln
+        for ln in final.splitlines()
+        if ln.strip().lstrip("+-:| *()0123456789").startswith("Window [")
+    ]
+    assert len(win_ops) == 1, win_ops
+    # assignment shuffles by cid only -- never by the vector id
+    assert "hashpartitioning(nn_id" not in final
