@@ -71,6 +71,8 @@ HEADLINE = [
     "event_transitions",
     "delta_sum_events",
     "interval_coverage",
+    "stats_moments",
+    "type_entropy",
     "cohort_matrix",
     "dedup_exact",
     "dedup_ngram_jaccard",

@@ -2257,3 +2257,20 @@ def test_ivf_assignment_is_map_side(spark):
     assert len(win_ops) == 1, win_ops
     # assignment shuffles by cid only -- never by the vector id
     assert "hashpartitioning(nn_id" not in final
+
+
+def test_entropy_hand_computed(spark):
+    from yc_data_transfer_clickhouse_from_yandex_metrica_spark.operators import stats
+
+    df = spark.createDataFrame(
+        [(1, "a"), (1, "a"), (1, "b"), (1, "b"), (2, "x"), (2, "x"), (2, "x"), (2, "y")],
+        "k int, v string",
+    )
+    got = {r["k"]: r["entropy"] for r in stats.entropy(df, ["k"], "v").collect()}
+    assert got[1] == pytest.approx(1.0)  # uniform over 2 values
+    import math
+    expect2 = -(0.75 * math.log2(0.75) + 0.25 * math.log2(0.25))
+    assert got[2] == pytest.approx(expect2)
+    single = spark.createDataFrame([(1, "only")], "k int, v string")
+    got = stats.entropy(single, ["k"], "v").collect()[0]["entropy"]
+    assert got == pytest.approx(0.0)  # degenerate distribution

@@ -294,3 +294,27 @@ def histogram(
         .groupBy(*keys, "bin", "lo", "hi")
         .agg(F.count(F.lit(1)).alias("n"))
     )
+
+
+def entropy(
+    df: DataFrame,
+    keys: list[str],
+    value_col: str,
+    out_col: str = "entropy",
+) -> DataFrame:
+    """ClickHouse ``entropy(x)``: Shannon entropy (bits) of the value
+    distribution per group.  Two-level aggregate: counts per
+    (group, value) with map-side combine compress the input to
+    |distinct values| rows; the probability window and final sum run
+    over that compressed frame -- the raw rows are never re-shuffled.
+    """
+    counts = df.groupBy(*keys, value_col).agg(
+        F.count(F.lit(1)).alias("__n")
+    )
+    w = Window.partitionBy(*keys)
+    p = F.col("__n") / F.sum("__n").over(w)
+    return (
+        counts.withColumn("__p", p)
+        .groupBy(*keys)
+        .agg((-F.sum(F.col("__p") * F.log2(F.col("__p")))).alias(out_col))
+    )

@@ -1655,6 +1655,71 @@ FROM m GROUP BY user_id
 """
 
 
+def q_type_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse entropy(x): Shannon entropy (bits) of each user's
+    event-type distribution (operators/stats.py two-level aggregate
+    over the compressed per-(user, type) counts)."""
+    _prep(spark)
+    ev = t(spark, sf_dir, "events")
+    out = stats.entropy(ev, ["user_id"], "event_type")
+    return out.select(
+        "user_id", ch.round_to("entropy", 6).alias("entropy")
+    ).orderBy("user_id")
+
+
+_ORACLE_TYPE_ENTROPY = """
+WITH c AS (
+  SELECT user_id, event_type, CAST(count(1) AS DOUBLE) AS n
+  FROM events GROUP BY 1, 2
+),
+p AS (
+  SELECT user_id, n / sum(n) OVER (PARTITION BY user_id) AS p FROM c
+)
+SELECT user_id,
+  floor((-sum(p * log2(p))) * 1000000.0 + 0.5) / 1000000.0 AS entropy
+FROM p GROUP BY user_id
+"""
+
+
+def q_stats_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse statistical-aggregate vocabulary (corr, covarPop,
+    stddevPop, varPop) per return flag -- all single JVM built-in
+    aggregates in one hash exchange.  Rounded to 4dp: both engines
+    compute the same moments to ~1e-12, so the floor-rounded output
+    hashes identically."""
+    _prep(spark)
+    li = t(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            ch.round_to(F.corr("l_quantity", "l_extendedprice"), 4).alias(
+                "qty_price_corr"
+            ),
+            ch.round_to(
+                F.covar_pop("l_quantity", "l_extendedprice"), 2
+            ).alias("qty_price_covar"),
+            ch.round_to(F.stddev_pop("l_extendedprice"), 2).alias(
+                "price_stddev"
+            ),
+            ch.round_to(F.var_pop("l_quantity"), 4).alias("qty_var"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+_ORACLE_STATS_MOMENTS = """
+SELECT l_returnflag,
+  floor(corr(l_quantity, l_extendedprice) * 10000.0 + 0.5) / 10000.0
+    AS qty_price_corr,
+  floor(covar_pop(l_quantity, l_extendedprice) * 100.0 + 0.5) / 100.0
+    AS qty_price_covar,
+  floor(stddev_pop(l_extendedprice) * 100.0 + 0.5) / 100.0
+    AS price_stddev,
+  floor(var_pop(l_quantity) * 10000.0 + 0.5) / 10000.0 AS qty_var
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
 def q_quantiles_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ClickHouse quantileExactWeighted analog: price quantiles of the
     quantity-expanded multiset, computed over the compressed
@@ -2772,6 +2837,8 @@ QUERIES: dict[str, QuerySpec] = {
     "orders_rollup": QuerySpec(q_orders_rollup, _ORACLE_ROLLUP, "A-ext: GROUP BY WITH ROLLUP (single expand pass)"),
     "event_transitions": QuerySpec(q_event_transitions, _ORACLE_TRANSITIONS, "A-ext: path analysis (lag-pair transition counts)"),
     "delta_sum_events": QuerySpec(q_delta_sum, _ORACLE_DELTA_SUM, "A-ext: deltaSum + uniqUpTo per key"),
+    "stats_moments": QuerySpec(q_stats_moments, _ORACLE_STATS_MOMENTS, "A-ext: corr/covarPop/stddevPop/varPop"),
+    "type_entropy": QuerySpec(q_type_entropy, _ORACLE_TYPE_ENTROPY, "A-ext: entropy(x) over compressed counts"),
     "interval_coverage": QuerySpec(q_interval_coverage, _ORACLE_INTERVAL_COVERAGE, "A-ext: intervalLengthSum (union of activity windows)"),
     "cohort_matrix": QuerySpec(q_cohort_matrix, _ORACLE_COHORT, "A-ext: weekly cohort-retention matrix"),
     "date_dims": QuerySpec(q_date_dims, _ORACLE_DATE_DIMS, "F-ext: toStartOfMonth/Quarter toYYYYMM addDays/Months dateDiff"),
