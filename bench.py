@@ -73,6 +73,7 @@ HEADLINE = [
     "interval_coverage",
     "stats_moments",
     "type_entropy",
+    "peak_concurrency",
     "cohort_matrix",
     "dedup_exact",
     "dedup_ngram_jaccard",

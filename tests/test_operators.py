@@ -2274,3 +2274,18 @@ def test_entropy_hand_computed(spark):
     single = spark.createDataFrame([(1, "only")], "k int, v string")
     got = stats.entropy(single, ["k"], "v").collect()[0]["entropy"]
     assert got == pytest.approx(0.0)  # degenerate distribution
+
+
+def test_max_intersections_sweep(spark):
+    from yc_data_transfer_clickhouse_from_yandex_metrica_spark.operators import series
+
+    df = spark.createDataFrame(
+        [
+            (1, 0, 10), (1, 5, 15), (1, 7, 9),   # triple overlap at 7-9
+            (1, 20, 30),
+            (2, 0, 10), (2, 10, 20),             # half-open: touching != overlap
+        ],
+        "k int, s long, e long",
+    )
+    got = {r["k"]: r["max_open"] for r in series.max_intersections(df, ["k"], "s", "e").collect()}
+    assert got == {1: 3, 2: 1}

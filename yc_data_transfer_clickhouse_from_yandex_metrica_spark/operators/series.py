@@ -266,3 +266,41 @@ def interval_length_sum(
             (F.col("__sum") / F.lit(1_000_000.0)).alias(out_col),
         )
     return agg.select(*key_cols, F.col("__sum").alias(out_col))
+
+
+def max_intersections(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    start_col: str,
+    end_col: str,
+    out_col: str = "max_open",
+) -> DataFrame:
+    """ClickHouse ``maxIntersections``: per key, the maximum number of
+    intervals open at once (peak concurrency).  Intervals are treated
+    half-open [start, end): an interval ending exactly when another
+    starts does NOT overlap it -- a documented deterministic choice
+    (CH's own tie behavior is block-order-dependent).
+
+    Classic sweep: union +1 events at starts and -1 events at ends,
+    order by (point, delta) so ends sort before starts at the same
+    instant, running-sum the deltas, take the per-key max.  One union
+    of two column-pruned projections, one hash(key) exchange for the
+    window, and the final max reuses that partitioning.
+    """
+    starts = df.select(
+        *key_cols, F.col(start_col).alias("__pt"), F.lit(1).alias("__d")
+    )
+    ends = df.select(
+        *key_cols, F.col(end_col).alias("__pt"), F.lit(-1).alias("__d")
+    )
+    events = starts.unionByName(ends)
+    w = (
+        Window.partitionBy(*key_cols)
+        .orderBy("__pt", "__d")  # -1 (end) before +1 (start) at ties
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        events.withColumn("__open", F.sum("__d").over(w))
+        .groupBy(*key_cols)
+        .agg(F.max("__open").alias(out_col))
+    )

@@ -1720,6 +1720,44 @@ FROM lineitem GROUP BY l_returnflag
 """
 
 
+def q_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse maxIntersections: each user's peak number of
+    simultaneously open 10-minute activity windows [ts, ts+600s) --
+    the companion of interval_coverage (operators/series.py sweep:
+    union of +1/-1 events, running sum, per-key max)."""
+    _prep(spark)
+    ev = t(spark, sf_dir, "events")
+    iv = ev.select(
+        "user_id",
+        F.col("ts").alias("s"),
+        F.timestamp_add("SECOND", F.lit(600), F.col("ts")).alias("e"),
+    )
+    out = series.max_intersections(iv, ["user_id"], "s", "e")
+    return out.select(
+        "user_id", F.col("max_open").cast("long").alias("max_open")
+    ).orderBy("user_id")
+
+
+_ORACLE_PEAK_CONCURRENCY = """
+WITH iv AS (
+  SELECT user_id, ts AS s, ts + INTERVAL 600 SECOND AS e FROM events
+),
+ev AS (
+  SELECT user_id, s AS pt, 1 AS d FROM iv
+  UNION ALL
+  SELECT user_id, e AS pt, -1 AS d FROM iv
+),
+r AS (
+  SELECT user_id,
+         sum(d) OVER (PARTITION BY user_id ORDER BY pt, d
+                      ROWS UNBOUNDED PRECEDING) AS open
+  FROM ev
+)
+SELECT user_id, CAST(max(open) AS BIGINT) AS max_open
+FROM r GROUP BY user_id
+"""
+
+
 def q_quantiles_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ClickHouse quantileExactWeighted analog: price quantiles of the
     quantity-expanded multiset, computed over the compressed
@@ -2840,6 +2878,7 @@ QUERIES: dict[str, QuerySpec] = {
     "stats_moments": QuerySpec(q_stats_moments, _ORACLE_STATS_MOMENTS, "A-ext: corr/covarPop/stddevPop/varPop"),
     "type_entropy": QuerySpec(q_type_entropy, _ORACLE_TYPE_ENTROPY, "A-ext: entropy(x) over compressed counts"),
     "interval_coverage": QuerySpec(q_interval_coverage, _ORACLE_INTERVAL_COVERAGE, "A-ext: intervalLengthSum (union of activity windows)"),
+    "peak_concurrency": QuerySpec(q_peak_concurrency, _ORACLE_PEAK_CONCURRENCY, "A-ext: maxIntersections (interval sweep peak)"),
     "cohort_matrix": QuerySpec(q_cohort_matrix, _ORACLE_COHORT, "A-ext: weekly cohort-retention matrix"),
     "date_dims": QuerySpec(q_date_dims, _ORACLE_DATE_DIMS, "F-ext: toStartOfMonth/Quarter toYYYYMM addDays/Months dateDiff"),
     "string_funcs": QuerySpec(q_string_funcs, _ORACLE_STRING_FUNCS, "F-ext: splitByChar extractAll position replace[Regexp]All"),
