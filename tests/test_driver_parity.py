@@ -93,3 +93,36 @@ def test_rows_only_runs(name, spark):
     sdf = spec.build(spark, SF_ORACLE)
     assert sdf.count() >= 0
     assert len(sdf.schema.fields) > 0
+
+
+def test_registry_rotation_contract():
+    """Driver-window rotation (README 'Driver verification window'):
+    queries()/oracle_sql() order is a deterministic permutation of the
+    registry that puts least-recently-verified entries first, so every
+    entry cycles through the driver's 50-entry checked prefix."""
+    from yc_data_transfer_clickhouse_from_yandex_metrica_spark.queries import driver
+
+    order = driver.registry_order()
+    assert sorted(order) == sorted(QUERIES), "rotation must be a permutation"
+    assert order == driver.registry_order(), "rotation must be deterministic"
+    assert list(driver.queries()) == order
+    oracles = driver.oracle_sql()
+    assert list(oracles) == [n for n in order if QUERIES[n].oracle]
+
+    last = driver._last_green_rounds()
+    if last:  # with committed CORRECTNESS artifacts present
+        window = set(order[: driver.DRIVER_WINDOW])
+        worst_in = max(last.get(n, -1) for n in window)
+        best_out = min(
+            (last.get(n, -1) for n in order[driver.DRIVER_WINDOW :]),
+            default=10**9,
+        )
+        assert worst_in <= best_out, (
+            "an entry outside the window was verified less recently than "
+            "one inside it"
+        )
+        never = [n for n in QUERIES if n not in last]
+        assert all(n in window for n in never), (
+            f"never-verified entries must be in the checked window: "
+            f"{[n for n in never if n not in window]}"
+        )
