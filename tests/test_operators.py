@@ -644,10 +644,10 @@ def test_filter_pushdown_reaches_scan(spark):
 
 
 def test_window_funnel_semantics(spark):
-    """Earliest-chain rules, hand-checked: order matters (a click
-    BEFORE the first view does not advance), the window is anchored at
-    the first step-1 event, and equal-timestamp events do not chain
-    (strictly-after rule)."""
+    """Multi-anchor max-chain rules, hand-checked: order matters (a
+    click BEFORE the only view does not advance), EVERY view anchors
+    its own window (CH windowFunnel), and equal-timestamp events do
+    not chain (strict_increase binding)."""
     from datetime import datetime
 
     from yc_data_transfer_clickhouse_from_yandex_metrica_spark.operators import funnel
@@ -665,9 +665,15 @@ def test_window_funnel_semantics(spark):
         # u5: click at the SAME instant as the view -> strictly-after
         # rule rejects it -> depth 1
         (5, T(10), "view"), (5, T(10), "click"),
-        # u6: second view opens no new window (anchor = FIRST view):
-        # view d1, view d8, click d9 -> click is 8d after anchor -> 1
+        # u6: the SECOND view opens its own window (multi-anchor):
+        # view d1, view d8, click d9 -> click is 1d after the second
+        # anchor -> depth 2 (the old earliest-chain rule said 1)
         (6, T(1), "view"), (6, T(8), "view"), (6, T(9), "click"),
+        # u7: deeper chain from a LATER anchor: view d1 (click 8d away,
+        # outside its window), view d3 -> click d9 -> purchase d10 all
+        # within the second anchor's 7d window -> depth 3
+        (7, T(1), "view"), (7, T(3), "view"),
+        (7, T(9), "click"), (7, T(10), "purchase"),
     ]
     df = spark.createDataFrame(rows, "user_id long, ts timestamp, event_type string")
     got = {
@@ -680,7 +686,7 @@ def test_window_funnel_semantics(spark):
             window_seconds=7 * 86400,
         ).collect()
     }
-    assert got == {1: 3, 2: 1, 3: 1, 4: 0, 5: 1, 6: 1}
+    assert got == {1: 3, 2: 1, 3: 1, 4: 0, 5: 1, 6: 2, 7: 3}
 
 
 def test_window_funnel_single_exchange(spark):
@@ -2121,7 +2127,8 @@ def test_compact_partitions_rewrites_only_dirty_weeks(spark):
 def test_window_funnel_strict_order_hand_cases(spark):
     """CH strict_order semantics: A->B->C consecutive binds depth 3;
     A->X->B->C stops at X (depth 1); A->B->X->C stops at X (depth 2);
-    a tie at the next instant binds if any tied event matches."""
+    a tie at the next instant binds if any tied event matches; and
+    every A anchors its own chain (CH docs' A,X,A,B,C example -> 3)."""
     from yc_data_transfer_clickhouse_from_yandex_metrica_spark.operators import funnel
 
     rows = []
@@ -2135,6 +2142,12 @@ def test_window_funnel_strict_order_hand_cases(spark):
     rows += [(4, 10, "A"), (4, 20, "X"), (4, 20, "B"), (4, 30, "C")]
     # user 5: no A -> 0
     rows += [(5, 10, "B"), (5, 20, "C")]
+    # user 6: A X A B C -> first A breaks at X, SECOND A chains -> 3
+    # (the CH docs' strict_order multi-anchor example)
+    rows += [(6, 10, "A"), (6, 15, "X"), (6, 20, "A"), (6, 25, "B"), (6, 30, "C")]
+    # user 7: window cap on a consecutive chain: A B C consecutive but
+    # C lands outside the 3600s window -> 2
+    rows += [(7, 10, "A"), (7, 20, "B"), (7, 5000, "C")]
     df = spark.createDataFrame(
         [(u, float(s), e) for u, s, e in rows], "uid long, sec double, et string"
     ).select("uid", F.timestamp_seconds("sec").alias("ts"), "et")
@@ -2147,7 +2160,7 @@ def test_window_funnel_strict_order_hand_cases(spark):
         mode="strict_order",
     )
     got = {r["uid"]: r["depth"] for r in out.collect()}
-    assert got == {1: 3, 2: 1, 3: 2, 4: 3, 5: 0}
+    assert got == {1: 3, 2: 1, 3: 2, 4: 3, 5: 0, 6: 3, 7: 2}
     with pytest.raises(ValueError):
         funnel.window_funnel(df, "uid", "ts", [F.col("et") == "A"], 10, mode="bogus")
 

@@ -136,34 +136,36 @@ def test_quantile_exact_any_groups_and_level(spark, data, q):
 
 
 # --------------------------------------------------------------------------
-# window_funnel == pure-Python earliest-chain reference for ANY stream
+# window_funnel == pure-Python multi-anchor reference for ANY stream
 # --------------------------------------------------------------------------
 def _funnel_ref(events, n_steps, window_s):
-    """Earliest-chain reference: anchor = earliest step-1 ts; each next
-    step = earliest matching event strictly after the previous bind and
-    within window of the anchor."""
+    """CH multi-anchor max-chain reference: EVERY step-1 event anchors
+    a candidate chain; each next step binds to the earliest matching
+    event strictly after the previous bind and within window of that
+    anchor (greedy earliest binding is depth-optimal); result = the
+    deepest chain over all anchors."""
     depth_by_user: dict[int, int] = {}
     users = {u for u, _, _ in events}
     for u in users:
         mine = sorted([(ts, s) for uu, ts, s in events if uu == u])
-        t_prev = None
-        t1 = None
-        depth = 0
-        for step in range(1, n_steps + 1):
-            cands = [
-                ts
-                for ts, s in mine
-                if s == step
-                and (t_prev is None or ts > t_prev)
-                and (t1 is None or ts <= t1 + window_s)
-            ]
-            if not cands:
-                break
-            t_prev = min(cands)
-            if step == 1:
-                t1 = t_prev
-            depth = step
-        depth_by_user[u] = depth
+        best = 0
+        for t1, s1 in mine:
+            if s1 != 1:
+                continue
+            depth = 1
+            t_prev = t1
+            for step in range(2, n_steps + 1):
+                cands = [
+                    ts
+                    for ts, s in mine
+                    if s == step and ts > t_prev and ts <= t1 + window_s
+                ]
+                if not cands:
+                    break
+                t_prev = min(cands)
+                depth = step
+            best = max(best, depth)
+        depth_by_user[u] = best
     return depth_by_user
 
 
@@ -203,6 +205,77 @@ def test_window_funnel_any_stream(spark, events, window_s):
         ).collect()
     }
     assert got == _funnel_ref(events, 3, window_s)
+
+
+def _funnel_strict_ref(events, n_steps, window_s):
+    """strict_order reference: events sharing a timestamp form one
+    instant (any matching event at the instant advances); a chain from
+    each step-1 anchor must occupy CONSECUTIVE instants, breaks on the
+    first non-matching instant, and is capped by the anchor's window."""
+    depth_by_user: dict[int, int] = {}
+    users = {u for u, _, _ in events}
+    for u in users:
+        by_ts: dict[int, set[int]] = {}
+        for uu, ts, s in events:
+            if uu == u:
+                by_ts.setdefault(ts, set()).add(s)
+        instants = sorted(by_ts)
+        best = 0
+        for i, t1 in enumerate(instants):
+            if 1 not in by_ts[t1]:
+                continue
+            depth = 1
+            for step in range(2, n_steps + 1):
+                j = i + step - 1
+                if (
+                    j >= len(instants)
+                    or instants[j] > t1 + window_s
+                    or step not in by_ts[instants[j]]
+                ):
+                    break
+                depth = step
+            best = max(best, depth)
+        depth_by_user[u] = best
+    return depth_by_user
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=3),    # user
+            st.integers(min_value=0, max_value=400),  # ts offset seconds
+            st.integers(min_value=1, max_value=3),    # which step fired
+        ),
+        min_size=1,
+        max_size=40,
+    ),
+    st.integers(min_value=1, max_value=300),  # window seconds
+)
+def test_window_funnel_strict_any_stream(spark, events, window_s):
+    from datetime import datetime, timedelta
+
+    from pyspark.sql import functions as F
+
+    from yc_data_transfer_clickhouse_from_yandex_metrica_spark.operators import funnel
+
+    base = datetime(2023, 10, 1)
+    rows = [(u, base + timedelta(seconds=s), step) for u, s, step in events]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp, step int")
+    got = {
+        r["user_id"]: r["depth"]
+        for r in funnel.window_funnel(
+            df, "user_id", "ts",
+            [F.col("step") == 1, F.col("step") == 2, F.col("step") == 3],
+            window_seconds=window_s,
+            mode="strict_order",
+        ).collect()
+    }
+    assert got == _funnel_strict_ref(events, 3, window_s)
 
 
 # --------------------------------------------------------------------------

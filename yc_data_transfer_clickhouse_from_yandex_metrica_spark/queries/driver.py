@@ -884,11 +884,14 @@ FROM s GROUP BY l_returnflag
 
 
 def q_funnel_depths(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """view -> click -> purchase funnel within 7 days of the user's
-    first view (operators/funnel.py earliest-chain semantics), reduced
-    to users-per-depth.  One exchange end-to-end: the per-step
-    conditional-min windows, the per-user depth, and the depth
-    histogram all reuse the hash(user) partitioning."""
+    """view -> click -> purchase funnel within 1 day of ANY view
+    (operators/funnel.py multi-anchor max-chain semantics -- ClickHouse
+    windowFunnel parity, every step-1 event anchors its own window),
+    reduced to users-per-depth.  One exchange end-to-end: the backward
+    -DP windows, the per-user depth, and the depth histogram all reuse
+    the hash(user) partitioning.  The oracle enumerates every anchor
+    and takes the per-user max, so the green row proves CH-parity
+    semantics, not just self-consistency."""
     _prep(spark)
     ev = t(spark, sf_dir, "events")
     d = funnel.window_funnel(
@@ -900,43 +903,46 @@ def q_funnel_depths(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("event_type") == "click",
             F.col("event_type") == "purchase",
         ],
-        window_seconds=7 * 86400,
+        window_seconds=86400,
     )
     return d.groupBy("depth").agg(ch.count_one().alias("users")).orderBy("depth")
 
 
-_FUNNEL_WINDOW_US = 7 * 86400 * 1_000_000
+_FUNNEL_WINDOW_US = 86400 * 1_000_000
+# Multi-anchor CH parity: every 'view' anchors a chain; greedy earliest
+# binding per anchor is depth-optimal; per-user depth = max over anchors.
 _ORACLE_FUNNEL = f"""
-WITH t1 AS (
-  SELECT user_id, min(ts) AS t1 FROM events
-  WHERE event_type = 'view' GROUP BY user_id
+WITH a AS (
+  SELECT user_id, ts AS t1 FROM events WHERE event_type = 'view'
 ),
-t2 AS (
-  SELECT e.user_id, min(e.ts) AS t2
-  FROM events e JOIN t1 ON e.user_id = t1.user_id
-  WHERE e.event_type = 'click' AND e.ts > t1.t1
-    AND epoch_us(e.ts) <= epoch_us(t1.t1) + {_FUNNEL_WINDOW_US}
-  GROUP BY e.user_id
+c2 AS (
+  SELECT a.user_id, a.t1, min(e.ts) AS t2
+  FROM a JOIN events e ON e.user_id = a.user_id
+  WHERE e.event_type = 'click' AND e.ts > a.t1
+    AND epoch_us(e.ts) <= epoch_us(a.t1) + {_FUNNEL_WINDOW_US}
+  GROUP BY a.user_id, a.t1
 ),
-t3 AS (
-  SELECT e.user_id, min(e.ts) AS t3
-  FROM events e
-  JOIN t2 ON e.user_id = t2.user_id
-  JOIN t1 ON e.user_id = t1.user_id
-  WHERE e.event_type = 'purchase' AND e.ts > t2.t2
-    AND epoch_us(e.ts) <= epoch_us(t1.t1) + {_FUNNEL_WINDOW_US}
-  GROUP BY e.user_id
+c3 AS (
+  SELECT c2.user_id, c2.t1, min(e.ts) AS t3
+  FROM c2 JOIN events e ON e.user_id = c2.user_id
+  WHERE e.event_type = 'purchase' AND e.ts > c2.t2
+    AND epoch_us(e.ts) <= epoch_us(c2.t1) + {_FUNNEL_WINDOW_US}
+  GROUP BY c2.user_id, c2.t1
+),
+ad AS (
+  SELECT a.user_id,
+         CASE WHEN c3.t1 IS NOT NULL THEN 3
+              WHEN c2.t1 IS NOT NULL THEN 2
+              ELSE 1 END AS depth
+  FROM a
+  LEFT JOIN c2 ON a.user_id = c2.user_id AND a.t1 = c2.t1
+  LEFT JOIN c3 ON a.user_id = c3.user_id AND a.t1 = c3.t1
 ),
 d AS (
-  SELECT u.user_id,
-         CASE WHEN t3.user_id IS NOT NULL THEN 3
-              WHEN t2.user_id IS NOT NULL THEN 2
-              WHEN t1.user_id IS NOT NULL THEN 1
-              ELSE 0 END AS depth
+  SELECT u.user_id, COALESCE(m.md, 0) AS depth
   FROM (SELECT DISTINCT user_id FROM events) u
-  LEFT JOIN t1 ON u.user_id = t1.user_id
-  LEFT JOIN t2 ON u.user_id = t2.user_id
-  LEFT JOIN t3 ON u.user_id = t3.user_id
+  LEFT JOIN (SELECT user_id, max(depth) AS md FROM ad GROUP BY user_id) m
+    ON u.user_id = m.user_id
 )
 SELECT depth, CAST(count(*) AS BIGINT) AS users FROM d GROUP BY depth
 """
@@ -945,9 +951,12 @@ SELECT depth, CAST(count(*) AS BIGINT) AS users FROM d GROUP BY depth
 def q_funnel_strict(spark: SparkSession, sf_dir: str) -> DataFrame:
     """windowFunnel strict_order mode: the same view -> click ->
     purchase funnel, but ANY interleaving event breaks the chain (CH's
-    A->B->D->C stops at D).  Same one-exchange plan as the default
-    mode -- the next-event probe is just two more windows over the
-    hash(user) partitioning."""
+    A->B->D->C stops at D), while every view still anchors its own
+    candidate chain (CH's A,X,A,B,C returns 3).  Same one-exchange
+    plan as the default mode -- instant collapse, run-length LEADs and
+    the window cap are all windows over the hash(user) partitioning.
+    The oracle enumerates anchors over collapsed instants, proving
+    CH-parity strict_order, not just self-consistency."""
     _prep(spark)
     ev = t(spark, sf_dir, "events")
     d = funnel.window_funnel(
@@ -959,51 +968,47 @@ def q_funnel_strict(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("event_type") == "click",
             F.col("event_type") == "purchase",
         ],
-        window_seconds=7 * 86400,
+        window_seconds=86400,
         mode="strict_order",
     )
     return d.groupBy("depth").agg(ch.count_one().alias("users")).orderBy("depth")
 
 
+# Multi-anchor strict_order parity: events sharing a timestamp form one
+# instant (any matching event advances); a chain occupies CONSECUTIVE
+# instants from each 'view' anchor; per-user depth = max over anchors.
 _ORACLE_FUNNEL_STRICT = f"""
-WITH t1 AS (
-  SELECT user_id, min(ts) AS t1 FROM events
-  WHERE event_type = 'view' GROUP BY user_id
+WITH g AS (
+  SELECT user_id, ts,
+         max(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS f1,
+         max(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS f2,
+         max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS f3
+  FROM events GROUP BY user_id, ts
 ),
-n2 AS (
-  SELECT e.user_id, min(e.ts) AS nf
-  FROM events e JOIN t1 ON e.user_id = t1.user_id
-  WHERE e.ts > t1.t1 GROUP BY e.user_id
+s AS (
+  SELECT user_id, ts, f1,
+         lead(ts, 1) OVER w AS ts1, lead(f2, 1) OVER w AS f2n,
+         lead(ts, 2) OVER w AS ts2, lead(f3, 2) OVER w AS f3n
+  FROM g
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
 ),
-t2 AS (
-  SELECT n2.user_id, n2.nf AS t2
-  FROM n2 JOIN t1 ON n2.user_id = t1.user_id
-  WHERE EXISTS (SELECT 1 FROM events x WHERE x.user_id = n2.user_id
-                AND x.ts = n2.nf AND x.event_type = 'click')
-    AND epoch_us(n2.nf) <= epoch_us(t1.t1) + {_FUNNEL_WINDOW_US}
-),
-n3 AS (
-  SELECT e.user_id, min(e.ts) AS nf
-  FROM events e JOIN t2 ON e.user_id = t2.user_id
-  WHERE e.ts > t2.t2 GROUP BY e.user_id
-),
-t3 AS (
-  SELECT n3.user_id, n3.nf AS t3
-  FROM n3 JOIN t1 ON n3.user_id = t1.user_id
-  WHERE EXISTS (SELECT 1 FROM events x WHERE x.user_id = n3.user_id
-                AND x.ts = n3.nf AND x.event_type = 'purchase')
-    AND epoch_us(n3.nf) <= epoch_us(t1.t1) + {_FUNNEL_WINDOW_US}
+ad AS (
+  SELECT user_id,
+    CASE WHEN f1 = 1 AND f2n = 1
+              AND epoch_us(ts1) <= epoch_us(ts) + {_FUNNEL_WINDOW_US}
+              AND f3n = 1
+              AND epoch_us(ts2) <= epoch_us(ts) + {_FUNNEL_WINDOW_US} THEN 3
+         WHEN f1 = 1 AND f2n = 1
+              AND epoch_us(ts1) <= epoch_us(ts) + {_FUNNEL_WINDOW_US} THEN 2
+         WHEN f1 = 1 THEN 1
+         ELSE 0 END AS depth
+  FROM s
 ),
 d AS (
-  SELECT u.user_id,
-         CASE WHEN t3.user_id IS NOT NULL THEN 3
-              WHEN t2.user_id IS NOT NULL THEN 2
-              WHEN t1.user_id IS NOT NULL THEN 1
-              ELSE 0 END AS depth
+  SELECT u.user_id, COALESCE(m.md, 0) AS depth
   FROM (SELECT DISTINCT user_id FROM events) u
-  LEFT JOIN t1 ON u.user_id = t1.user_id
-  LEFT JOIN t2 ON u.user_id = t2.user_id
-  LEFT JOIN t3 ON u.user_id = t3.user_id
+  LEFT JOIN (SELECT user_id, max(depth) AS md FROM ad GROUP BY user_id) m
+    ON u.user_id = m.user_id
 )
 SELECT depth, CAST(count(*) AS BIGINT) AS users FROM d GROUP BY depth
 """
