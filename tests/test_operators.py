@@ -989,12 +989,31 @@ def test_contamination_detects_excerpt(spark):
     assert got == {(100, 1, 1.0)}  # fully contained; 101 clean
 
 
-def test_audio_fingerprint_stub(spark):
-    df = spark.createDataFrame([Row(doc_id=1, text="abcdefgh" * 10)])
-    media = multimodal.media_from_text(df, "doc_id", "text", kind="audio")
-    r = multimodal.fingerprint_audio(media).collect()[0]
-    n, dur, fp = multimodal._fingerprint_audio_stub(b"abcdefgh" * 10)
-    assert (r["n_bytes"], r["duration_ms"], list(r["fingerprint"])) == (n, dur, fp)
+def test_audio_wav_decode_real(spark):
+    """Golden RIFF/WAVE roundtrip: wav_bytes writes a canonical PCM16
+    file, fingerprint_audio parses the fmt/data chunks back and the
+    energy fingerprint matches a numpy recompute of the PCM ramp."""
+    import numpy as np
+
+    payload = multimodal.wav_bytes(sample_rate=16000, channels=2, n_samples=120)
+    wav = multimodal.parse_wav(payload)
+    assert (wav["sample_rate"], wav["channels"], wav["bits_per_sample"]) == (16000, 2, 16)
+    assert wav["data_size"] == 120 * 2 * 2
+    assert wav["duration_ms"] == 120 * 2 * 2 * 1000 // (16000 * 2 * 2)
+
+    df = spark.createDataFrame([Row(media_id=1, kind="audio", payload=payload)])
+    r = multimodal.fingerprint_audio(df).collect()[0]
+    assert (r["n_bytes"], r["sample_rate"], r["channels"], r["bits_per_sample"]) == (
+        44 + 120 * 2 * 2, 16000, 2, 16,
+    )
+    samples = np.frombuffer(payload, dtype="<i2", offset=44)
+    expect = [int(w.mean()) for w in np.array_split(np.abs(samples.astype(np.int64)), 8)]
+    assert list(r["fingerprint"]) == expect
+    # non-WAV payload: null audio fields, empty fingerprint, real length
+    other = spark.createDataFrame([Row(media_id=2, kind="audio", payload=b"not audio")])
+    r2 = multimodal.fingerprint_audio(other).collect()[0]
+    assert r2["sample_rate"] is None and list(r2["fingerprint"]) == []
+    assert r2["n_bytes"] == 9
 
 
 def test_sample_mod_deterministic_and_partitioning(spark):
@@ -1250,16 +1269,47 @@ def test_ivf_empty_and_zero_norm_inputs(spark):
 # --------------------------------------------------------------------------
 # Multimodal plumbing (Arrow batch stage + frame sampling)
 # --------------------------------------------------------------------------
-def test_image_features_match_stub(spark):
-    df = spark.createDataFrame(
-        [Row(doc_id=1, text="abc"), Row(doc_id=2, text="x" * 100)]
+def test_image_probe_golden_formats():
+    """Real header parsing of all four formats, pure-python probe on
+    spec-built golden bytes."""
+    assert multimodal.probe_image(multimodal.png_bytes(640, 480)) == ("png", 640, 480, 8, 3)
+    assert multimodal.probe_image(multimodal.png_bytes(3, 2, color_type=6)) == ("png", 3, 2, 8, 4)
+    assert multimodal.probe_image(multimodal.gif_bytes(320, 200)) == ("gif", 320, 200, 8, 3)
+    assert multimodal.probe_image(multimodal.bmp_bytes(17, 9)) == ("bmp", 17, 9, 24, 3)
+    # hand-built minimal JPEG: SOI + SOF0 (precision 8, 33x21, 3 comps) + EOI
+    import struct as _s
+
+    jpeg = (
+        b"\xff\xd8"
+        + b"\xff\xc0" + _s.pack(">H", 17) + bytes([8]) + _s.pack(">HH", 21, 33)
+        + bytes([3]) + bytes(9) + b"\xff\xd9"
     )
-    media = multimodal.media_from_text(df, "doc_id", "text")
-    feats = {r["media_id"]: r for r in multimodal.extract_image_features(media).collect()}
-    for mid, payload in [(1, b"abc"), (2, b"x" * 100)]:
-        n, w, h, c = multimodal._decode_image_stub(payload)
-        r = feats[mid]
-        assert (r["n_bytes"], r["width"], r["height"], r["byte_checksum"]) == (n, w, h, c)
+    assert multimodal.probe_image(jpeg) == ("jpeg", 33, 21, 8, 3)
+    assert multimodal.probe_image(b"plain text") == ("unknown", None, None, None, None)
+    assert multimodal.probe_image(None) == ("unknown", None, None, None, None)
+
+
+def test_image_features_real_decode(spark):
+    """extract_image_features parses real bytes through the Arrow
+    stage: a PNG and a BMP come back with their true dimensions, an
+    unknown payload yields nulls plus a real CRC32."""
+    import zlib as _z
+
+    png, bmp, raw = multimodal.png_bytes(12, 7), multimodal.bmp_bytes(5, 4), b"abc"
+    df = spark.createDataFrame(
+        [
+            Row(media_id=1, kind="image", payload=png),
+            Row(media_id=2, kind="image", payload=bmp),
+            Row(media_id=3, kind="image", payload=raw),
+        ]
+    )
+    feats = {r["media_id"]: r for r in multimodal.extract_image_features(df).collect()}
+    assert (feats[1]["format"], feats[1]["width"], feats[1]["height"]) == ("png", 12, 7)
+    assert (feats[2]["format"], feats[2]["width"], feats[2]["height"]) == ("bmp", 5, 4)
+    assert feats[3]["format"] == "unknown" and feats[3]["width"] is None
+    for mid, payload in [(1, png), (2, bmp), (3, raw)]:
+        assert feats[mid]["n_bytes"] == len(payload)
+        assert feats[mid]["byte_checksum"] == _z.crc32(payload)
 
 
 def test_video_frame_sampling_counts(spark):

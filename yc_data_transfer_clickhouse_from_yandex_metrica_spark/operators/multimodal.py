@@ -2,13 +2,25 @@
 
 Media ride through the engine as opaque ``binary`` payload columns
 with typed metadata structs; compute-heavy decode/feature steps run as
-Arrow-batched ``mapInPandas`` stages.  The DECODERS THEMSELVES ARE
-STUBS -- this container has no image/audio libraries -- but everything
-Spark-side is real and tested: schemas, batch iteration, partitioning
-behavior, column pruning around the Python stage.
+Arrow-batched ``mapInPandas`` stages.
 
-Replace ``_decode_image_stub`` / ``_fingerprint_audio_stub`` with real
-PIL/ffmpeg calls to productionize; signatures and batch shapes stay.
+The header probes are REAL decoders for real formats -- PNG, GIF, BMP,
+JPEG image headers and RIFF/WAVE audio (including PCM sample decode
+for the energy fingerprint) are public, stable byte layouts parsed
+here with nothing but ``struct``/``zlib``/``numpy``.  Only payloads in
+a format none of the probes recognize fall back to the documented
+``unknown`` row (real length + CRC32, null dimensions) -- full pixel
+decode of compressed codecs (JPEG entropy data, video) would need
+PIL/ffmpeg, which this container does not ship; the Spark-side
+contract (schemas, Arrow batch iteration, partitioning, column
+pruning) is identical either way.
+
+Byte-layout sources (public specifications):
+- PNG: RFC 2083 / W3C PNG spec (8-byte signature, IHDR first chunk).
+- GIF: GIF89a specification (logical screen descriptor).
+- BMP: Windows BITMAPFILEHEADER + BITMAPINFOHEADER layout.
+- JPEG: ISO/IEC 10918 marker segments (SOFn frame headers).
+- WAV: RIFF/WAVE canonical layout (fmt / data chunks).
 
 Scale notes: mapInPandas streams Arrow batches (no per-row pickling);
 keep payloads out of shuffle keys; repartition by size before the
@@ -18,6 +30,8 @@ the binary column is pruned as soon as possible.
 
 from __future__ import annotations
 
+import struct
+import zlib
 from collections.abc import Iterator
 
 import pandas as pd
@@ -43,21 +57,12 @@ MEDIA_SCHEMA = T.StructType(
     ]
 )
 
-IMAGE_FEATURES_SCHEMA = T.StructType(
-    [
-        T.StructField("media_id", T.LongType(), False),
-        T.StructField("n_bytes", T.LongType(), True),
-        T.StructField("width", T.IntegerType(), True),
-        T.StructField("height", T.IntegerType(), True),
-        T.StructField("byte_checksum", T.LongType(), True),
-    ]
-)
-
 
 def media_from_text(df: DataFrame, id_col: str, text_col: str, kind: str = "image") -> DataFrame:
     """Deterministic fake media table: payload = utf-8 bytes of a text
     column.  Lets every pipeline stage run end-to-end in this
-    container with real binary data."""
+    container with real binary data (the probes classify these
+    payloads as format='unknown', by design)."""
     return df.select(
         F.col(id_col).cast("long").alias("media_id"),
         F.lit(kind).alias("kind"),
@@ -69,89 +74,219 @@ def media_from_text(df: DataFrame, id_col: str, text_col: str, kind: str = "imag
     )
 
 
-def _decode_image_stub(payload: bytes | None) -> tuple[int, int, int, int]:
-    """STUB decoder: deterministic fake of (n_bytes, width, height,
-    checksum).  A real implementation would be::
+# =========================================================================
+# real image header probes (PNG / GIF / BMP / JPEG)
+# =========================================================================
 
-        from PIL import Image;  im = Image.open(io.BytesIO(payload))
-        return len(payload), im.width, im.height, crc
+# PNG color type -> sample channels (PNG spec section 4.1.1)
+_PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
+# JPEG SOFn markers carrying frame dimensions (C4=DHT, C8=JPG, CC=DAC excluded)
+_JPEG_SOF = frozenset(
+    [0xC0, 0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF]
+)
 
-    (PIL is not available here -- NotImplementedError semantics are
-    replaced by a deterministic fake so the plumbing stays testable.)
-    """
-    if payload is None:
-        return 0, 0, 0, 0
-    n = len(payload)
-    checksum = sum(payload[:64]) + n * 131
-    return n, (n % 640) + 1, (n % 480) + 1, checksum
+
+def probe_image(payload: bytes | None) -> tuple[str, int | None, int | None, int | None, int | None]:
+    """(format, width, height, bit_depth, channels) from real header
+    bytes; ('unknown', None, None, None, None) when no probe matches."""
+    if not payload:
+        return ("unknown", None, None, None, None)
+    b = bytes(payload)
+    if b[:8] == b"\x89PNG\r\n\x1a\n" and len(b) >= 26 and b[12:16] == b"IHDR":
+        w, h = struct.unpack(">II", b[16:24])
+        return ("png", w, h, b[24], _PNG_CHANNELS.get(b[25]))
+    if b[:6] in (b"GIF87a", b"GIF89a") and len(b) >= 11:
+        w, h = struct.unpack("<HH", b[6:10])
+        packed = b[10]
+        # color resolution: bits per primary; GIF pixels index an RGB palette
+        return ("gif", w, h, ((packed >> 4) & 0x7) + 1, 3)
+    if b[:2] == b"BM" and len(b) >= 30:
+        w = struct.unpack("<i", b[18:22])[0]
+        h = struct.unpack("<i", b[22:26])[0]  # negative => top-down rows
+        bpp = struct.unpack("<H", b[28:30])[0]
+        channels = 4 if bpp == 32 else (3 if bpp == 24 else 1)
+        return ("bmp", w, abs(h), bpp, channels)
+    if b[:2] == b"\xff\xd8":
+        i = 2
+        while i + 9 < len(b):
+            if b[i] != 0xFF:
+                break
+            marker = b[i + 1]
+            if marker == 0x01 or 0xD0 <= marker <= 0xD8:  # standalone markers
+                i += 2
+                continue
+            if i + 4 > len(b):
+                break
+            seg_len = struct.unpack(">H", b[i + 2 : i + 4])[0]
+            if marker in _JPEG_SOF and i + 10 <= len(b):
+                precision = b[i + 4]
+                h, w = struct.unpack(">HH", b[i + 5 : i + 9])
+                return ("jpeg", w, h, precision, b[i + 9])
+            i += 2 + seg_len
+        return ("jpeg", None, None, None, None)
+    return ("unknown", None, None, None, None)
+
+
+IMAGE_FEATURES_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("n_bytes", T.LongType(), True),
+        T.StructField("format", T.StringType(), True),
+        T.StructField("width", T.IntegerType(), True),
+        T.StructField("height", T.IntegerType(), True),
+        T.StructField("bit_depth", T.IntegerType(), True),
+        T.StructField("channels", T.IntegerType(), True),
+        T.StructField("byte_checksum", T.LongType(), True),
+    ]
+)
 
 
 def extract_image_features(media: DataFrame) -> DataFrame:
-    """Arrow-batched feature extraction over binary payloads.
-
-    Real mapInPandas plumbing: iterator of pandas batches in/out,
-    output schema declared, payload column pruned after this stage.
-    """
+    """Arrow-batched image header extraction over binary payloads:
+    real PNG/GIF/BMP/JPEG probes + CRC32, unknown formats yield null
+    dimensions.  mapInPandas contract: iterator of pandas batches
+    in/out, output schema declared, payload column pruned after this
+    stage."""
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
-            feats = pdf["payload"].map(_decode_image_stub)
-            yield pd.DataFrame(
-                {
-                    "media_id": pdf["media_id"],
-                    "n_bytes": feats.map(lambda f: f[0]).astype("int64"),
-                    "width": feats.map(lambda f: f[1]).astype("int32"),
-                    "height": feats.map(lambda f: f[2]).astype("int32"),
-                    "byte_checksum": feats.map(lambda f: f[3]).astype("int64"),
-                }
+            rows = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                fmt, w, h, depth, ch = probe_image(payload)
+                n = len(payload) if payload is not None else 0
+                crc = zlib.crc32(bytes(payload)) if payload is not None else 0
+                rows.append((mid, n, fmt, w, h, depth, ch, crc))
+            out = pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id", "n_bytes", "format", "width",
+                    "height", "bit_depth", "channels", "byte_checksum",
+                ],
             )
+            out["media_id"] = out["media_id"].astype("int64")
+            out["n_bytes"] = out["n_bytes"].astype("int64")
+            for c in ("width", "height", "bit_depth", "channels"):
+                out[c] = out[c].astype("Int32")
+            out["byte_checksum"] = out["byte_checksum"].astype("int64")
+            yield out
 
     return media.select("media_id", "payload").mapInPandas(
         batches, schema=IMAGE_FEATURES_SCHEMA
     )
 
 
+# =========================================================================
+# real RIFF/WAVE audio probe + PCM energy fingerprint
+# =========================================================================
+
 AUDIO_FEATURES_SCHEMA = T.StructType(
     [
         T.StructField("media_id", T.LongType(), False),
         T.StructField("n_bytes", T.LongType(), True),
+        T.StructField("sample_rate", T.IntegerType(), True),
+        T.StructField("channels", T.IntegerType(), True),
+        T.StructField("bits_per_sample", T.IntegerType(), True),
         T.StructField("duration_ms", T.LongType(), True),
         T.StructField("fingerprint", T.ArrayType(T.LongType()), True),
     ]
 )
 
+_FP_WINDOWS = 8  # energy fingerprint resolution
 
-def _fingerprint_audio_stub(payload: bytes | None) -> tuple[int, int, list[int]]:
-    """STUB audio fingerprinter: deterministic fake of (n_bytes,
-    duration_ms, 4-gram chroma-like fingerprint).  A real one would
-    decode via ffmpeg/librosa and emit a chromaprint; neither library
-    ships in this container, so the fake derives a stable fingerprint
-    from byte chunks -- the plumbing (batch shape, array column out)
-    is what's under test.
-    """
-    if not payload:
-        return 0, 0, []
-    n = len(payload)
-    duration_ms = n * 8  # pretend 1 byte ~ 8ms of audio
-    fp = [sum(payload[i : i + 16]) % 997 for i in range(0, min(n, 64), 16)]
-    return n, duration_ms, fp
+
+def parse_wav(payload: bytes | None) -> dict | None:
+    """Parse a RIFF/WAVE payload: fmt chunk fields, data chunk extent,
+    duration.  None when the payload is not a WAV file."""
+    b = bytes(payload or b"")
+    if len(b) < 12 or b[:4] != b"RIFF" or b[8:12] != b"WAVE":
+        return None
+    fmt = None
+    data_off = data_size = None
+    i = 12
+    while i + 8 <= len(b):
+        cid = b[i : i + 4]
+        csize = struct.unpack("<I", b[i + 4 : i + 8])[0]
+        if cid == b"fmt " and csize >= 16 and i + 24 <= len(b):
+            audio_fmt, ch, sr, byte_rate, block_align, bits = struct.unpack(
+                "<HHIIHH", b[i + 8 : i + 24]
+            )
+            fmt = {
+                "audio_format": audio_fmt,
+                "channels": ch,
+                "sample_rate": sr,
+                "byte_rate": byte_rate,
+                "block_align": block_align,
+                "bits_per_sample": bits,
+            }
+        elif cid == b"data":
+            data_off, data_size = i + 8, min(csize, len(b) - i - 8)
+        i += 8 + csize + (csize & 1)  # chunks are word-aligned
+    if fmt is None:
+        return None
+    out = dict(fmt)
+    out["data_off"] = data_off
+    out["data_size"] = data_size or 0
+    out["duration_ms"] = (
+        out["data_size"] * 1000 // fmt["byte_rate"] if fmt["byte_rate"] else 0
+    )
+    return out
+
+
+def _pcm16_energy_fingerprint(b: bytes, off: int, size: int) -> list[int]:
+    """Mean |amplitude| per window over little-endian PCM16 samples --
+    a real (if simple) acoustic energy profile, numpy-vectorized."""
+    import numpy as np
+
+    size -= size % 2
+    if size <= 0:
+        return []
+    samples = np.frombuffer(b, dtype="<i2", count=size // 2, offset=off)
+    if samples.size == 0:
+        return []
+    windows = np.array_split(np.abs(samples.astype(np.int64)), min(_FP_WINDOWS, samples.size))
+    return [int(w.mean()) for w in windows]
 
 
 def fingerprint_audio(media: DataFrame) -> DataFrame:
-    """Arrow-batched audio fingerprinting over binary payloads
-    (mapInPandas, same contract as extract_image_features)."""
+    """Arrow-batched audio probing over binary payloads (mapInPandas,
+    same contract as extract_image_features).  RIFF/WAVE payloads get
+    real fmt-chunk fields and, for PCM16, a real energy fingerprint
+    over the decoded samples; anything else yields null audio fields
+    and an empty fingerprint."""
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
-            feats = pdf["payload"].map(_fingerprint_audio_stub)
-            yield pd.DataFrame(
-                {
-                    "media_id": pdf["media_id"],
-                    "n_bytes": feats.map(lambda f: f[0]).astype("int64"),
-                    "duration_ms": feats.map(lambda f: f[1]).astype("int64"),
-                    "fingerprint": feats.map(lambda f: f[2]),
-                }
+            rows = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                n = len(payload) if payload is not None else 0
+                wav = parse_wav(payload)
+                if wav is None:
+                    rows.append((mid, n, None, None, None, None, []))
+                    continue
+                fp = []
+                if wav["audio_format"] == 1 and wav["bits_per_sample"] == 16 and wav["data_off"]:
+                    fp = _pcm16_energy_fingerprint(
+                        bytes(payload), wav["data_off"], wav["data_size"]
+                    )
+                rows.append(
+                    (
+                        mid, n, wav["sample_rate"], wav["channels"],
+                        wav["bits_per_sample"], wav["duration_ms"], fp,
+                    )
+                )
+            out = pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id", "n_bytes", "sample_rate", "channels",
+                    "bits_per_sample", "duration_ms", "fingerprint",
+                ],
             )
+            out["media_id"] = out["media_id"].astype("int64")
+            out["n_bytes"] = out["n_bytes"].astype("int64")
+            for c in ("sample_rate", "channels", "bits_per_sample"):
+                out[c] = out[c].astype("Int32")
+            out["duration_ms"] = out["duration_ms"].astype("Int64")
+            yield out
 
     return media.select("media_id", "payload").mapInPandas(
         batches, schema=AUDIO_FEATURES_SCHEMA
@@ -170,3 +305,128 @@ def sample_video_frames(media: DataFrame, every_n_bytes: int = 1000) -> DataFram
     return media.select(
         "media_id", F.posexplode(offsets).alias("frame_idx", "byte_offset")
     )
+
+
+# =========================================================================
+# deterministic real-format writers (fixture generators for the driver
+# correctness gate and tests; every byte layout is the public spec)
+# =========================================================================
+
+
+def png_bytes(width: int, height: int, bit_depth: int = 8, color_type: int = 2) -> bytes:
+    """Minimal VALID PNG: signature + IHDR + one IDAT of zlib-compressed
+    zero scanlines + IEND, all chunk CRCs correct."""
+
+    def chunk(tag: bytes, body: bytes) -> bytes:
+        crc = zlib.crc32(tag + body) & 0xFFFFFFFF
+        return struct.pack(">I", len(body)) + tag + body + struct.pack(">I", crc)
+
+    ihdr = struct.pack(">IIBBBBB", width, height, bit_depth, color_type, 0, 0, 0)
+    channels = _PNG_CHANNELS[color_type]
+    stride = (width * channels * bit_depth + 7) // 8
+    raw = (b"\x00" + b"\x00" * stride) * height  # filter byte + zero pixels
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw, 9))
+        + chunk(b"IEND", b"")
+    )
+
+
+def gif_bytes(width: int, height: int, color_bits: int = 8) -> bytes:
+    """GIF89a header + logical screen descriptor + global palette +
+    trailer (no image data -- enough for any header probe)."""
+    packed = 0x80 | ((color_bits - 1) << 4) | (color_bits - 1)
+    palette = bytes(3 * (1 << color_bits))
+    return (
+        b"GIF89a"
+        + struct.pack("<HH", width, height)
+        + bytes([packed, 0, 0])
+        + palette
+        + b"\x3b"
+    )
+
+
+def bmp_bytes(width: int, height: int, bpp: int = 24) -> bytes:
+    """BITMAPFILEHEADER + BITMAPINFOHEADER + zero pixel array (rows
+    padded to 4 bytes per the spec)."""
+    stride = ((width * bpp + 31) // 32) * 4
+    pixels = bytes(stride * height)
+    info = struct.pack("<IiiHHIIiiII", 40, width, height, 1, bpp, 0, len(pixels), 2835, 2835, 0, 0)
+    file_header = struct.pack("<2sIHHI", b"BM", 14 + 40 + len(pixels), 0, 0, 14 + 40)
+    return file_header + info + pixels
+
+
+def wav_bytes(sample_rate: int, channels: int, n_samples: int, bits: int = 16) -> bytes:
+    """Canonical 44-byte-header RIFF/WAVE with PCM16 samples on a
+    deterministic ramp (sample i = (i * 37) % 32768, same in every
+    channel)."""
+    block_align = channels * bits // 8
+    byte_rate = sample_rate * block_align
+    frames = b"".join(
+        struct.pack("<h", (i * 37) % 32768) * channels for i in range(n_samples)
+    )
+    hdr = (
+        b"RIFF"
+        + struct.pack("<I", 36 + len(frames))
+        + b"WAVE"
+        + b"fmt "
+        + struct.pack("<IHHIIHH", 16, 1, channels, sample_rate, byte_rate, block_align, bits)
+        + b"data"
+        + struct.pack("<I", len(frames))
+    )
+    return hdr + frames
+
+
+_MEDIA_SYNTH_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("kind", T.StringType(), False),
+        T.StructField("payload", T.BinaryType(), True),
+    ]
+)
+
+
+def synth_media(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Deterministic mixed-format media table from an id column:
+    id % 4 == 0 -> PNG, 1 -> GIF, 2 -> BMP, 3 -> raw utf-8 text bytes
+    (unknown format).  Dimensions derive from the id so an oracle can
+    recompute them in SQL; payload bytes are REAL format files from
+    the writers above.  Arrow-batched like every other media stage."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for mid, txt in zip(pdf[id_col], pdf[text_col]):
+                mid = int(mid)
+                w, h = mid % 64 + 1, mid % 48 + 1
+                sel = mid % 4
+                if sel == 0:
+                    payload = png_bytes(w, h)
+                elif sel == 1:
+                    payload = gif_bytes(w, h)
+                elif sel == 2:
+                    payload = bmp_bytes(w, h)
+                else:
+                    payload = str(txt).encode("utf-8")
+                rows.append((mid, "image", payload))
+            yield pd.DataFrame(rows, columns=["media_id", "kind", "payload"])
+
+    return df.select(id_col, text_col).mapInPandas(batches, schema=_MEDIA_SYNTH_SCHEMA)
+
+
+def synth_audio_media(df: DataFrame, id_col: str) -> DataFrame:
+    """Deterministic WAV media table: sample_rate = 8000 + (id%4)*4000,
+    channels = 1 + id%2, n_samples = 100 + id%50 -- all recomputable in
+    oracle SQL; payloads are real RIFF/WAVE PCM16 files."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for mid in pdf[id_col]:
+                mid = int(mid)
+                payload = wav_bytes(8000 + (mid % 4) * 4000, 1 + mid % 2, 100 + mid % 50)
+                rows.append((mid, "audio", payload))
+            yield pd.DataFrame(rows, columns=["media_id", "kind", "payload"])
+
+    return df.select(id_col).mapInPandas(batches, schema=_MEDIA_SYNTH_SCHEMA)

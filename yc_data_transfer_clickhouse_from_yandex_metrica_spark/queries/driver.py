@@ -1996,22 +1996,72 @@ FROM base
 # 22. multimodal plumbing -- binary payload + Arrow-batched extraction
 # =========================================================================
 def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image header decode through the Arrow mapInPandas stage:
+    synth_media writes actual PNG / GIF / BMP files (public byte
+    layouts, dimensions derived from doc_id) plus raw-text payloads
+    for the unknown-format path; extract_image_features parses the
+    real headers back.  The oracle recomputes the expected metadata
+    arithmetically, so a green row proves the parsers, not an echo."""
     _prep(spark)
-    media = multimodal.media_from_text(
+    media = multimodal.synth_media(
         t(spark, sf_dir, "documents"), "doc_id", "text"
     )
-    return multimodal.extract_image_features(media)
+    return multimodal.extract_image_features(media).select(
+        "media_id", "format", "width", "height", "bit_depth", "channels"
+    )
 
 
 _ORACLE_MULTIMODAL = """
-WITH b AS (SELECT doc_id AS media_id, text, length(text) AS n FROM documents)
+SELECT doc_id AS media_id,
+  CASE doc_id % 4 WHEN 0 THEN 'png' WHEN 1 THEN 'gif'
+                  WHEN 2 THEN 'bmp' ELSE 'unknown' END AS format,
+  CASE WHEN doc_id % 4 = 3 THEN NULL
+       ELSE CAST(doc_id % 64 + 1 AS INT) END AS width,
+  CASE WHEN doc_id % 4 = 3 THEN NULL
+       ELSE CAST(doc_id % 48 + 1 AS INT) END AS height,
+  CAST(CASE doc_id % 4 WHEN 0 THEN 8 WHEN 1 THEN 8
+                       WHEN 2 THEN 24 ELSE NULL END AS INT) AS bit_depth,
+  CAST(CASE WHEN doc_id % 4 = 3 THEN NULL ELSE 3 END AS INT) AS channels
+FROM documents
+"""
+
+
+def q_multimodal_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL RIFF/WAVE decode: synth_audio_media writes canonical
+    PCM16 WAV files (rate/channels/length derived from doc_id);
+    fingerprint_audio parses the fmt/data chunks back and decodes the
+    samples for the energy fingerprint.  Oracle recomputes every field
+    arithmetically (44-byte header + 2 bytes/sample/channel; duration
+    = data/byte_rate)."""
+    _prep(spark)
+    media = multimodal.synth_audio_media(t(spark, sf_dir, "documents"), "doc_id")
+    return multimodal.fingerprint_audio(media).select(
+        "media_id",
+        "n_bytes",
+        "sample_rate",
+        "channels",
+        "bits_per_sample",
+        "duration_ms",
+        F.size("fingerprint").alias("fp_windows"),
+    )
+
+
+_ORACLE_MULTIMODAL_AUDIO = """
+WITH p AS (
+  SELECT doc_id AS media_id,
+         8000 + (doc_id % 4) * 4000 AS sr,
+         1 + doc_id % 2 AS ch,
+         100 + doc_id % 50 AS ns
+  FROM documents
+)
 SELECT media_id,
-  CAST(n AS BIGINT) AS n_bytes,
-  CAST((n % 640) + 1 AS INT) AS width,
-  CAST((n % 480) + 1 AS INT) AS height,
-  CAST(list_sum(list_transform(range(1, least(n, 64) + 1), i -> ascii(substring(text, CAST(i AS INT), 1))))
-       + n * 131 AS BIGINT) AS byte_checksum
-FROM b
+  CAST(44 + ns * ch * 2 AS BIGINT) AS n_bytes,
+  CAST(sr AS INT) AS sample_rate,
+  CAST(ch AS INT) AS channels,
+  CAST(16 AS INT) AS bits_per_sample,
+  CAST(ns * 1000 // sr AS BIGINT) AS duration_ms,
+  CAST(8 AS INT) AS fp_windows
+FROM p
 """
 
 
@@ -2894,7 +2944,8 @@ QUERIES: dict[str, QuerySpec] = {
     "quantiles_weighted": QuerySpec(q_quantiles_weighted, _ORACLE_QUANTILES_WEIGHTED, "A-ext: quantileExactWeighted (compressed distribution)"),
     "pii_scrub": QuerySpec(q_pii_scrub, _ORACLE_PII_SCRUB, "text/pii-redaction"),
     "doc_fingerprint": QuerySpec(q_doc_fingerprint, _ORACLE_DOC_FINGERPRINT, "text/fingerprint"),
-    "multimodal_meta": QuerySpec(q_multimodal_meta, _ORACLE_MULTIMODAL, "multimodal/arrow-plumbing"),
+    "multimodal_meta": QuerySpec(q_multimodal_meta, _ORACLE_MULTIMODAL, "multimodal/real PNG-GIF-BMP header decode + unknown fallback"),
+    "multimodal_audio": QuerySpec(q_multimodal_audio, _ORACLE_MULTIMODAL_AUDIO, "multimodal/real RIFF-WAVE decode + PCM16 energy fingerprint"),
     "streaming_roundtrip": QuerySpec(q_streaming_roundtrip, _ORACLE_STREAMING, "ST1 ST4 ST7"),
     "streaming_windowed": QuerySpec(q_streaming_windowed, _ORACLE_STREAMING_WINDOWED, "ST-ext: watermarked tumbling-window stream aggregation"),
     "streaming_dedup": QuerySpec(q_streaming_dedup, _ORACLE_STREAMING_DEDUP, "ST-ext: stateful streaming exact dedup (dedup/exact at ingest)"),
