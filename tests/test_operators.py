@@ -1938,6 +1938,27 @@ def test_histogram_explicit_bounds_single_scan(spark):
     assert final.lower().count("scan existingrdd") <= 1
 
 
+def test_histogram_degenerate_and_clamped(spark):
+    """hi == lo (all values equal) -> single bin 0, no NaN bin ids;
+    explicit bounds clamp below-lo into bin 0 and above-hi into the
+    last bin symmetrically."""
+    from yc_data_transfer_clickhouse_from_yandex_metrica_spark.operators import stats
+
+    const = spark.createDataFrame([(5.0,), (5.0,), (5.0,)], "v double")
+    out = stats.histogram(const, "v", 4).collect()
+    assert [(r["bin"], r["n"]) for r in out] == [(0, 3)]
+    assert out[0]["lo"] == 5.0 and out[0]["hi"] == 5.0
+
+    spread = spark.createDataFrame(
+        [(-10.0,), (0.5,), (1.5,), (99.0,)], "v double"
+    )
+    got = {
+        r["bin"]: r["n"]
+        for r in stats.histogram(spread, "v", 2, bounds=(0.0, 2.0)).collect()
+    }
+    assert got == {0: 2, 1: 2}  # -10 clamps into bin 0, 99 into bin 1
+
+
 def test_moving_agg_frame_semantics(spark):
     from yc_data_transfer_clickhouse_from_yandex_metrica_spark.operators import series
 
@@ -2005,6 +2026,38 @@ def test_agg_map_sum_min_max(spark):
     assert mx[0]["map_vals"] == [1, 10, 20]
     with pytest.raises(ValueError):
         maps.agg_map(df, ["g"], "ks", "vs", how="avg")
+
+
+def test_agg_map_edge_semantics(spark):
+    """CH-parity edges: unequal keys/vals sizes RAISE (never a silent
+    null-padded phantom key); all-empty groups still emit ([], [])."""
+    from pyspark.errors.exceptions.captured import SparkRuntimeException
+
+    from yc_data_transfer_clickhouse_from_yandex_metrica_spark.operators import maps
+
+    bad = spark.createDataFrame(
+        [("g1", ["a", "b"], [1])], "g string, ks array<string>, vs array<int>"
+    )
+    with pytest.raises(SparkRuntimeException, match="agg_map"):
+        maps.sum_map(bad, ["g"], "ks", "vs").collect()
+
+    edge = spark.createDataFrame(
+        [
+            ("empty", [], []),
+            ("nulls", None, None),
+            ("full", ["a"], [7]),
+        ],
+        "g string, ks array<string>, vs array<int>",
+    )
+    got = {
+        r["g"]: (r["map_keys"], r["map_vals"])
+        for r in maps.sum_map(edge, ["g"], "ks", "vs").collect()
+    }
+    assert got == {
+        "empty": ([], []),
+        "nulls": ([], []),
+        "full": (["a"], [7]),
+    }
 
 
 def test_date_function_family(spark):
@@ -2124,6 +2177,54 @@ def test_windowed_counts_stream_absorbs_second_batch(spark):
     got = {
         (str(r["win_start"])[:10], r["event_type"]): r["n"]
         for r in spark.table(name).collect()
+    }
+    assert got == {
+        ("2024-01-01", "view"): 2,
+        ("2024-01-01", "click"): 1,
+        ("2024-01-02", "view"): 1,
+    }
+    shutil.rmtree(base, ignore_errors=True)
+
+
+def test_windowed_counts_stream_update_mode(spark):
+    """update mode is the bounded-state path (watermark evicts closed
+    windows): the memory sink appends per-batch updates, counts are
+    monotone per key, so max(n) per (win_start, group) must equal the
+    batch ground truth."""
+    import uuid as _uuid
+
+    base = tempfile.mkdtemp(prefix="ym_winstream_upd_")
+    feed = f"{base}/feed"
+    os.makedirs(feed, exist_ok=True)
+    rows1 = [(1, "2024-01-01 10:00:00", "view"), (2, "2024-01-01 11:00:00", "click")]
+    rows2 = [(3, "2024-01-01 09:30:00", "view"), (4, "2024-01-02 08:00:00", "view")]
+    for i, rows in enumerate([rows1, rows2]):
+        (
+            spark.createDataFrame(rows, "event_id long, ts string, event_type string")
+            .withColumn("ts", F.col("ts").cast("timestamp"))
+            .coalesce(1)
+            .write.mode("append" if i else "overwrite")
+            .parquet(feed)
+        )
+    name = f"wcu_{_uuid.uuid4().hex[:8]}"
+    q = cdc.start_windowed_counts_stream(
+        spark,
+        feed,
+        spark.read.parquet(feed).schema,
+        "ts",
+        ["event_type"],
+        window_len="1 day",
+        watermark="1 hour",
+        query_name=name,
+        output_mode="update",
+    )
+    q.awaitTermination(60)
+    got = {
+        (str(r["win_start"])[:10], r["event_type"]): r["mx"]
+        for r in spark.table(name)
+        .groupBy("win_start", "event_type")
+        .agg(F.max("n").alias("mx"))
+        .collect()
     }
     assert got == {
         ("2024-01-01", "view"): 2,

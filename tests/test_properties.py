@@ -426,8 +426,8 @@ def test_sum_map_matches_python_model(spark, rows):
         for k, v in pairs:
             acc[k] = acc.get(k, 0) + v
     expect = {
+        # groups whose rows are all empty still appear, as ([], [])
         g: (sorted(d), [d[k] for k in sorted(d)])
         for g, d in model.items()
-        if d  # groups whose rows are all empty produce no pairs
     }
     assert got == expect

@@ -241,11 +241,18 @@ def array_compact(arr: ColumnOrName) -> Column:
     """``arrayCompact``: drop CONSECUTIVE duplicates (keep the first of
     each run).  The (element, index) filter form keeps it a single
     codegen'd expression: element i survives iff i == 0 or it differs
-    from element i-1 (``element_at`` is 1-based, so at 0-based index i
-    it reads the previous element)."""
+    from element i-1.  The previous element is read with 0-based
+    ``F.get(a, i - 1)`` (null-safe, never errors) under an explicit
+    ``when`` guard -- relying on Or short-circuiting to keep 1-based
+    ``element_at`` away from index 0 would raise
+    ELEMENT_AT_BY_INDEX_ZERO if an expression rewrite reordered the
+    disjuncts."""
     a = _col(arr)
     return F.filter(
-        a, lambda x, i: (i == 0) | ~x.eqNullSafe(F.element_at(a, i))
+        a,
+        lambda x, i: F.when(i == 0, F.lit(True)).otherwise(
+            ~x.eqNullSafe(F.get(a, i - 1))
+        ),
     )
 
 

@@ -36,10 +36,36 @@ def agg_map(
 ) -> DataFrame:
     """``sumMap``/``minMap``/``maxMap``: per group, element-wise
     aggregate of the (keys[], values[]) pairs across rows; output is
-    (sorted keys array, matching aggregated values array)."""
+    (sorted keys array, matching aggregated values array).
+
+    Edge semantics (matching ClickHouse where it defines them):
+
+    - a row with ``size(keys) != size(vals)`` RAISES, as CH's sumMap
+      does on unequal Nested sizes (``arrays_zip`` alone would
+      silently null-pad the shorter side into a phantom null-key
+      group); null arrays count as size 0, so (null, []) passes.
+    - a group whose rows carry only empty/null arrays still appears
+      in the output, with ``([], [])`` -- never silently dropped.
+    """
     if how not in _AGGS:
         raise ValueError(f"how must be one of {sorted(_AGGS)}, got {how!r}")
-    pairs = df.select(
+    nk = F.coalesce(F.size(keys_col), F.lit(0))
+    nv = F.coalesce(F.size(vals_col), F.lit(0))
+    # assert_true yields NULL on success; the filter both forces its
+    # evaluation (it cannot be pruned) and keeps every valid row.
+    guard = F.assert_true(
+        nk == nv,
+        F.concat(
+            F.lit(f"agg_map: size({keys_col}) != size({vals_col}): "),
+            nk.cast("string"),
+            F.lit(" vs "),
+            nv.cast("string"),
+        ),
+    )
+    checked = df.select(*group_cols, keys_col, vals_col, guard.alias("__chk")).filter(
+        F.col("__chk").isNull()
+    )
+    pairs = checked.select(
         *group_cols,
         F.explode(
             F.arrays_zip(
@@ -53,10 +79,26 @@ def agg_map(
     packed = reduced.groupBy(*group_cols).agg(
         F.array_sort(F.collect_list(F.struct("k", "v"))).alias("__kv")
     )
-    return packed.select(
-        *group_cols,
-        F.transform("__kv", lambda s: s["k"]).alias(out_keys),
-        F.transform("__kv", lambda s: s["v"]).alias(out_vals),
+    # groups whose pairs all exploded away (empty/null arrays) must
+    # still appear as ([], []); the distinct-groups agg shares the
+    # hash(group) partitioning with `packed`, so this is a cheap
+    # left join, not a second scan-wide shuffle of the pair stream.
+    all_groups = checked.select(*group_cols).distinct()
+    key_type = df.schema[keys_col].dataType
+    val_type = df.schema[vals_col].dataType
+    return (
+        all_groups.join(packed, on=list(group_cols), how="left")
+        .select(
+            *group_cols,
+            F.coalesce(
+                F.transform("__kv", lambda s: s["k"]),
+                F.array().cast(key_type),
+            ).alias(out_keys),
+            F.coalesce(
+                F.transform("__kv", lambda s: s["v"]),
+                F.array().cast(val_type),
+            ).alias(out_vals),
+        )
     )
 
 

@@ -256,7 +256,11 @@ def histogram(
     ``histogram(n)(x)`` with adaptive bins; the equi-width form is the
     deterministic, oracle-expressible variant): bin i covers
     [lo + i*w, lo + (i+1)*w) with the max value folded into the last
-    bin.  NULLs are ignored.
+    bin.  NULLs are ignored.  Degenerate/out-of-range rules: when
+    hi <= lo (all values equal, or inverted explicit bounds) every
+    value lands in a single bin 0 of zero width -- never a NaN bin id;
+    with explicit ``bounds``, values below lo clamp into bin 0 and
+    values above hi clamp into bin nbins-1 (symmetric edge fold).
 
     Bounds default to the column's global min/max -- one cheap
     column-pruned pre-aggregate (map-side combined, bytes to the
@@ -279,9 +283,9 @@ def histogram(
         )
         src = df.select(*keys, v.alias("__v")).crossJoin(F.broadcast(b))
     width = (F.col("__hi") - F.col("__lo")) / F.lit(float(nbins))
-    bin_id = F.least(
-        F.floor((F.col("__v") - F.col("__lo")) / width).cast("long"),
-        F.lit(nbins - 1),
+    raw_bin = F.floor((F.col("__v") - F.col("__lo")) / width).cast("long")
+    bin_id = F.when(F.col("__hi") <= F.col("__lo"), F.lit(0)).otherwise(
+        F.greatest(F.lit(0), F.least(raw_bin, F.lit(nbins - 1)))
     )
     return (
         src.where(F.col("__v").isNotNull())

@@ -345,17 +345,32 @@ def start_windowed_counts_stream(
     query_name: str = "windowed_counts",
     fmt: str = "parquet",
     transform=None,
+    output_mode: str = "complete",
 ) -> StreamingQuery:
     """Tumbling-window streaming aggregation (the per-day chart feed,
     computed ON the stream): watermarked ``window(ts, len)`` counts
-    per group, complete-mode into an in-memory sink queryable as
-    ``query_name`` (the DataLens-dashboard serving pattern; swap the
-    sink for a JDBC/parquet upsert in production).
+    per group into an in-memory sink queryable as ``query_name``
+    (the DataLens-dashboard serving pattern).
 
-    State is bounded by |open windows x groups| -- the watermark lets
-    Spark drop window state older than (max event time - watermark);
-    complete mode here re-emits the small aggregate table, NOT the
-    events.  availableNow drain keeps tests deterministic."""
+    Output-mode/state contract (Spark semantics, not interchangeable):
+
+    - ``complete`` (default): the sink always holds the FULL current
+      aggregate table -- simplest to query, but Spark retains ALL
+      window state ever seen (the watermark does NOT evict state in
+      complete mode).  Fine when |windows x groups| is small and
+      capped (a dashboard over a bounded date range); wrong for an
+      unbounded stream.
+    - ``update``: only changed windows are emitted per micro-batch
+      and the watermark DOES evict state older than (max event time -
+      watermark) -- this is the bounded-state production path; swap
+      the memory sink for a JDBC/parquet upsert keyed on
+      (win_start, groups), where the last update per key wins.  The
+      memory sink merely APPENDS updates, so a test reader takes
+      max(n) per key -- counts are monotone across updates -- see
+      test_windowed_counts_stream_update_mode.
+
+    Either way the state is aggregate rows, NOT events.  availableNow
+    drain keeps tests deterministic."""
     stream = spark.readStream.format(fmt).schema(schema).load(source_dir)
     if transform is not None:
         stream = transform(stream)
@@ -372,7 +387,7 @@ def start_windowed_counts_stream(
     return (
         agg.writeStream.queryName(query_name)
         .format("memory")
-        .outputMode("complete")
+        .outputMode(output_mode)
         .trigger(availableNow=True)
         .start()
     )
