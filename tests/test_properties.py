@@ -431,3 +431,122 @@ def test_sum_map_matches_python_model(spark, rows):
         for g, d in model.items()
     }
     assert got == expect
+
+
+# --------------------------------------------------------------------------
+# with_totals multi-key == dual-aggregate union model (VERDICT r5 #6)
+# --------------------------------------------------------------------------
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=2),   # k1
+            st.integers(min_value=0, max_value=2),   # k2
+            st.integers(min_value=-5, max_value=5),  # v
+        ),
+        min_size=1,
+        max_size=30,
+    ),
+    st.integers(min_value=-3, max_value=3),  # HAVING threshold
+)
+def test_with_totals_two_key_property(spark, rows, thr):
+    """n>=2 grouping keys: output must be exactly the full-detail
+    groups passing HAVING plus ONE grand-total row over all rows
+    computed BEFORE HAVING -- no intermediate rollup levels, totals
+    row never filtered."""
+    from pyspark.sql import functions as F
+
+    from yc_data_transfer_clickhouse_from_yandex_metrica_spark.plans.totals import (
+        with_totals,
+    )
+
+    df = spark.createDataFrame(rows, "k1 int, k2 int, v int")
+    out = with_totals(
+        df,
+        ["k1", "k2"],
+        [F.sum("v").alias("s")],
+        having=F.col("s") > thr,
+    )
+    got = {(r["k1"], r["k2"]): r["s"] for r in out.collect()}
+
+    detail: dict[tuple[int, int], int] = {}
+    for k1, k2, v in rows:
+        detail[(k1, k2)] = detail.get((k1, k2), 0) + v
+    expect = {k: s for k, s in detail.items() if s > thr}
+    expect[(None, None)] = sum(v for _, _, v in rows)  # before HAVING
+    assert got == expect
+
+
+# --------------------------------------------------------------------------
+# apply_versions: sequential batches keep the collapsed() preconditions
+# (VERDICT r5 #7 -- monotone versions, last-write-wins, sign algebra)
+# --------------------------------------------------------------------------
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    st.lists(  # two-to-three sequential batches of (key, payload) states
+        st.lists(
+            st.tuples(
+                st.integers(min_value=0, max_value=3),    # key
+                st.integers(min_value=0, max_value=99),   # payload
+            ),
+            min_size=1,
+            max_size=5,
+            unique_by=lambda kv: kv[0],  # one state per key per batch
+        ),
+        min_size=2,
+        max_size=3,
+    )
+)
+def test_apply_versions_sequential_batches(spark, batches):
+    """Applying batches sequentially (each appended before the next is
+    computed) must keep versions strictly monotone per key, make
+    collapsed() the last-write-wins view, and keep sum(Sign) == 1 for
+    every live key -- the precondition contract collapsed() documents."""
+    from pyspark.sql import functions as F
+
+    from yc_data_transfer_clickhouse_from_yandex_metrica_spark.operators import collapse
+
+    schema = "VisitID int, payload int, VisitVersion int, Sign int"
+    ledger = spark.createDataFrame([], schema)
+    expected_state: dict[int, int] = {}
+    expected_versions: dict[int, int] = {}
+    for batch in batches:
+        new_rows = spark.createDataFrame(
+            [(k, p, None, None) for k, p in batch], schema
+        ).select("VisitID", "payload")
+        delta = collapse.apply_versions(ledger, new_rows, key=("VisitID",))
+        ledger = ledger.unionByName(delta).localCheckpoint(eager=True)
+        for k, p in batch:
+            expected_state[k] = p
+            expected_versions[k] = expected_versions.get(k, 0) + 1
+
+    live = {
+        r["VisitID"]: (r["payload"], r["VisitVersion"], r["Sign"])
+        for r in collapse.collapsed(ledger, key=("VisitID",)).collect()
+    }
+    assert {k: v[0] for k, v in live.items()} == expected_state
+    # versions continue monotonically: live version == number of updates
+    assert {k: v[1] for k, v in live.items()} == expected_versions
+    # sign algebra: net sum(Sign) per key is exactly 1 for live keys
+    nets = {
+        r["VisitID"]: r["net"]
+        for r in ledger.groupBy("VisitID").agg(F.sum("Sign").alias("net")).collect()
+    }
+    assert nets == {k: 1 for k in expected_state}
+    # every (key, version) pair appears at most once with sign +1
+    dup = (
+        ledger.where(F.col("Sign") == 1)
+        .groupBy("VisitID", "VisitVersion")
+        .count()
+        .where(F.col("count") > 1)
+        .count()
+    )
+    assert dup == 0
