@@ -1663,7 +1663,147 @@ def test_jdbc_roundtrip_live_embedded_derby(spark):
         shutil.rmtree(tmp, ignore_errors=True)
 
 
-def test_append_stream_json_format(spark):
+def test_ch_type_grid_to_spark():
+    """Golden grid: every ClickHouse type the reference DDL uses
+    (ddl/visits.sql, ddl/hits.sql) plus the public clickhouse-jdbc
+    extras, mapped to the documented Spark types."""
+    from pyspark.sql import types as T
+
+    from yc_data_transfer_clickhouse_from_yandex_metrica_spark.sources import chtypes
+
+    grid = {
+        # reference DDL scalar types
+        "Int8": (T.ByteType(), False),
+        "UInt8": (T.ShortType(), False),
+        "UInt16": (T.IntegerType(), False),
+        "UInt32": (T.LongType(), False),
+        "UInt64": (T.DecimalType(20, 0), False),
+        "Float32": (T.FloatType(), False),
+        "String": (T.StringType(), False),
+        "FixedString(16)": (T.StringType(), False),
+        "Date": (T.DateType(), False),
+        "DateTime": (T.TimestampType(), False),
+        # reference DDL wrappers, incl. nested arrays
+        "Nullable(String)": (T.StringType(), True),
+        "Nullable(UInt8)": (T.ShortType(), True),
+        "Nullable(FixedString(2))": (T.StringType(), True),
+        "Nullable(DateTime)": (T.TimestampType(), True),
+        "Array(String)": (T.ArrayType(T.StringType(), False), False),
+        "Array(UInt64)": (T.ArrayType(T.DecimalType(20, 0), False), False),
+        "Array(DateTime)": (T.ArrayType(T.TimestampType(), False), False),
+        "Array(Array(String))": (
+            T.ArrayType(T.ArrayType(T.StringType(), False), False),
+            False,
+        ),
+        "Array(Nullable(String))": (T.ArrayType(T.StringType(), True), False),
+        # public clickhouse-jdbc grid extras
+        "DateTime64(3)": (T.TimestampType(), False),
+        "DateTime64(9, 'UTC')": (T.TimestampType(), False),
+        "DateTime('Europe/Moscow')": (T.TimestampType(), False),
+        "Decimal(18, 4)": (T.DecimalType(18, 4), False),
+        "Decimal64(4)": (T.DecimalType(18, 4), False),
+        "Enum8('a' = 1, 'b' = 2)": (T.StringType(), False),
+        "UUID": (T.StringType(), False),
+        "IPv4": (T.StringType(), False),
+        "Bool": (T.BooleanType(), False),
+        "LowCardinality(String)": (T.StringType(), False),
+        "LowCardinality(Nullable(String))": (T.StringType(), True),
+        "SimpleAggregateFunction(sum, Int64)": (T.LongType(), False),
+        "Map(String, UInt32)": (
+            T.MapType(T.StringType(), T.LongType(), False),
+            False,
+        ),
+        "Tuple(String, UInt32)": (
+            T.StructType(
+                [
+                    T.StructField("_1", T.StringType(), False),
+                    T.StructField("_2", T.LongType(), False),
+                ]
+            ),
+            False,
+        ),
+    }
+    for ch, want in grid.items():
+        assert chtypes.ch_to_spark(ch) == want, ch
+    # UInt64 id policy: two's-complement long reinterpretation
+    assert chtypes.ch_to_spark("UInt64", uint64="long") == (T.LongType(), False)
+    assert chtypes.ch_to_spark("Array(UInt64)", uint64="long") == (
+        T.ArrayType(T.LongType(), False),
+        False,
+    )
+    with pytest.raises(chtypes.UnsupportedCHType):
+        chtypes.ch_to_spark("AggregateFunction(quantiles(0.5), UInt64)")
+    with pytest.raises(ValueError):
+        chtypes.ch_to_spark("UInt64", uint64="bogus")
+
+
+def test_spark_to_ch_ddl_and_roundtrip():
+    """Write-side DDL policy: composites never Nullable (CH forbids
+    it), scalar nullability wraps, DECIMAL(20,0) inverts back to
+    UInt64; and ch->spark->ch is stable for the reference's types."""
+    from pyspark.sql import types as T
+
+    from yc_data_transfer_clickhouse_from_yandex_metrica_spark.sources import chtypes
+
+    schema = T.StructType(
+        [
+            T.StructField("VisitID", T.DecimalType(20, 0), False),
+            T.StructField("StartDate", T.DateType(), False),
+            T.StructField("StartTime", T.TimestampType(), True),
+            T.StructField("Referer", T.StringType(), True),
+            T.StructField("Goals_ID", T.ArrayType(T.LongType(), False), False),
+            T.StructField("Tags", T.ArrayType(T.StringType(), True), True),
+        ]
+    )
+    assert chtypes.create_table_types(schema) == (
+        "VisitID UInt64, StartDate Date, StartTime Nullable(DateTime64(6)), "
+        "Referer Nullable(String), Goals_ID Array(Int64), "
+        "Tags Array(Nullable(String))"
+    )
+    # ch -> spark -> ch stability on reference types (modulo the
+    # documented collapses: FixedString->String, DateTime->micros)
+    for ch in ["UInt64", "Nullable(String)", "Array(Int64)", "Array(Nullable(String))",
+               "Decimal(18, 4)", "Map(String, Int64)"]:
+        dt, nullable = chtypes.ch_to_spark(ch)
+        assert chtypes.spark_to_ch(dt, nullable) == ch
+
+
+def test_jdbc_scd2_dim_roundtrip_derby(spark):
+    """The SCD-2 dim (key, attr, valid_from, valid_to with an open-end
+    NULL) through a LIVE JDBC engine: dates, timestamps, nullable
+    strings and decimals survive the write/read boundary byte-exact."""
+    from datetime import datetime
+    from decimal import Decimal
+
+    from yc_data_transfer_clickhouse_from_yandex_metrica_spark.sources import jdbc
+
+    tmp = tempfile.mkdtemp(prefix="ym_derby_scd2_")
+    spark._jvm.System.setProperty("derby.system.home", tmp)
+    conn = jdbc.JdbcConn(
+        jdbc_url=f"jdbc:derby:{tmp}/db;create=true",
+        driver="org.apache.derby.jdbc.EmbeddedDriver",
+    )
+    rows = [
+        (1, "bronze", Decimal("10.50"), datetime(2023, 1, 1), datetime(2023, 6, 1)),
+        (1, "silver", Decimal("12.00"), datetime(2023, 6, 1), None),  # open-ended
+        (2, None, Decimal("0.00"), datetime(2023, 3, 1), None),  # null attr
+    ]
+    schema = (
+        "cust_key int, tier string, rate decimal(8,2), "
+        "valid_from timestamp, valid_to timestamp"
+    )
+    try:
+        dim = spark.createDataFrame(rows, schema)
+        jdbc.write_table(dim, conn, "dim_scd2", mode="overwrite")
+        back = jdbc.read_table(spark, conn, "dim_scd2")
+        got = {
+            (r["cust_key"], r["tier"], r["rate"], r["valid_from"], r["valid_to"])
+            for r in back.collect()
+        }
+        assert got == set(rows)
+        assert back.schema["rate"].dataType.simpleString() == "decimal(8,2)"
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
     """The CDC source's 'swap the wire format by changing fmt only'
     claim, exercised: the same start_append_stream ingests an ndjson
     feed (schema-applied, weekly-partitioned) identically to the
