@@ -34,8 +34,10 @@ RUNS = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3")))
 
 # headline set: the reference-parity chart queries, the join/agg
 # benchmarks, and the training-data operators (dedup / similarity /
-# text).  File-writing demos (csv/stream roundtrips) are excluded --
-# they measure tmpfs, not the engine.
+# text).  The csv roundtrip demo is excluded (measures tmpfs, not the
+# engine); the STREAMING trio below IS benched -- availableNow drain
+# wall-time is the engine number for ingest -- but listed separately
+# because each run re-feeds and re-drains a stream end-to-end.
 HEADLINE = [
     "visits_by_day",
     "traffic_sources",
@@ -88,11 +90,22 @@ HEADLINE = [
     "pii_scrub",
     "doc_fingerprint",
     "multimodal_meta",
+    "multimodal_audio",
     "scd2_range_join",
     "asof_enrich",
     "sessionize_hits",
     "pack_sequences",
     "curation_pipeline",
+]
+
+# streaming drain benchmarks: each build() feeds a fresh file stream
+# and drains it with trigger(availableNow) before returning the
+# result frame, so build+noop wall time IS the ingest drain time
+# (feed synthesis included -- constant, small vs the drain at sf0.1).
+STREAMING = [
+    "streaming_roundtrip",
+    "streaming_windowed",
+    "streaming_dedup",
 ]
 
 
@@ -137,9 +150,10 @@ def main() -> None:
 
     import statistics
 
-    runs: dict[str, list[float]] = {name: [] for name in HEADLINE}
+    bench_set = HEADLINE + STREAMING
+    runs: dict[str, list[float]] = {name: [] for name in bench_set}
     for _pass in range(RUNS):
-        for name in HEADLINE:
+        for name in bench_set:
             spec = QUERIES[name]
             t0 = time.perf_counter()
             df = spec.build(spark, SF_DIR)
