@@ -56,6 +56,8 @@ HEADLINE = [
     "quantiles_weighted",
     "funnel_depths",
     "funnel_strict",
+    "sequence_match_gaps",
+    "sequence_count",
     "retention_cohort",
     "orders_daily_fill",
     "running_diff_events",

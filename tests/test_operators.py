@@ -2477,6 +2477,33 @@ def test_window_funnel_strict_single_exchange(spark):
     assert len(re.findall(r"Exchange hashpartitioning", final)) == 1
 
 
+def test_sequence_ops_single_exchange(spark):
+    """sequence_match (bounded range-frame DP) and
+    sequence_count_pairs (run-length algebra) each keep ONE
+    hash(user) exchange end-to-end."""
+    import re
+
+    from yc_data_transfer_clickhouse_from_yandex_metrica_spark.operators import funnel
+
+    df = spark.range(1000).select(
+        (F.col("id") % 50).alias("uid"),
+        F.timestamp_seconds(F.col("id").cast("double")).alias("ts"),
+        (F.col("id") % 3).cast("string").alias("et"),
+    )
+    m = funnel.sequence_match(
+        df, "uid", "ts",
+        [F.col("et") == "0", F.col("et") == "1", F.col("et") == "2"],
+        max_gaps=[60, None],
+    )
+    c = funnel.sequence_count_pairs(
+        df, "uid", "ts", F.col("et") == "0", F.col("et") == "1"
+    )
+    for out in (m, c):
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        final = plan.split("== Initial Plan ==")[0]
+        assert len(re.findall(r"Exchange hashpartitioning", final)) == 1
+
+
 def test_delta_sum_and_uniq_up_to(spark):
     from yc_data_transfer_clickhouse_from_yandex_metrica_spark.operators import series
 

@@ -550,3 +550,130 @@ def test_apply_versions_sequential_batches(spark, batches):
         .count()
     )
     assert dup == 0
+
+
+# --------------------------------------------------------------------------
+# sequence_match / sequence_count_pairs vs pure-python references
+# --------------------------------------------------------------------------
+def _seq_match_ref(events, n_steps, gaps):
+    """Subsequence e1<e2<...<ek with adjacent gap caps, exact search."""
+    out = {}
+    for u in {u for u, _, _ in events}:
+        mine = sorted([(ts, s) for uu, ts, s in events if uu == u])
+
+        # exhaustive DFS (tiny inputs): try every candidate per step
+        def dfs(step, j0, prev_ts):
+            if step > n_steps:
+                return True
+            for j in range(j0, len(mine)):
+                ts, s = mine[j]
+                if s != step:
+                    continue
+                if prev_ts is not None:
+                    if ts <= prev_ts:
+                        continue
+                    g = gaps[step - 2]
+                    if g is not None and ts > prev_ts + g:
+                        continue
+                if dfs(step + 1, j + 1, ts):
+                    return True
+            return False
+
+        out[u] = 1 if dfs(1, 0, None) else 0
+    return out
+
+
+def _seq_count_ref(events):
+    """CH sequenceCount('(?1).*(?2)') state machine: greedy scan in ts
+    order, waiting-for-1 advances on step 1, waiting-for-2 completes
+    on step 2 and resets."""
+    out = {}
+    for u in {u for u, _, _ in events}:
+        mine = sorted([(ts, s) for uu, ts, s in events if uu == u])
+        state, n = 1, 0
+        for _, s in mine:
+            if state == 1 and s == 1:
+                state = 2
+            elif state == 2 and s == 2:
+                n += 1
+                state = 1
+        out[u] = n
+    return out
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=3),    # user
+            st.integers(min_value=0, max_value=400),  # ts offset seconds
+            st.integers(min_value=1, max_value=3),    # step
+        ),
+        min_size=1,
+        max_size=40,
+        unique_by=lambda e: (e[0], e[1]),  # unique ts per user (tie-free)
+    ),
+    st.tuples(
+        st.one_of(st.none(), st.integers(min_value=1, max_value=120)),
+        st.one_of(st.none(), st.integers(min_value=1, max_value=120)),
+    ),
+)
+def test_sequence_match_any_stream(spark, events, gaps):
+    from datetime import datetime, timedelta
+
+    from pyspark.sql import functions as F
+
+    from yc_data_transfer_clickhouse_from_yandex_metrica_spark.operators import funnel
+
+    base = datetime(2023, 10, 1)
+    rows = [(u, base + timedelta(seconds=s), step) for u, s, step in events]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp, step int")
+    got = {
+        r["user_id"]: r["matched"]
+        for r in funnel.sequence_match(
+            df, "user_id", "ts",
+            [F.col("step") == 1, F.col("step") == 2, F.col("step") == 3],
+            max_gaps=list(gaps),
+        ).collect()
+    }
+    assert got == _seq_match_ref(events, 3, list(gaps))
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=3),
+            st.integers(min_value=0, max_value=400),
+            st.integers(min_value=1, max_value=3),  # step 3 = noise
+        ),
+        min_size=1,
+        max_size=40,
+        unique_by=lambda e: (e[0], e[1]),
+    )
+)
+def test_sequence_count_any_stream(spark, events):
+    from datetime import datetime, timedelta
+
+    from pyspark.sql import functions as F
+
+    from yc_data_transfer_clickhouse_from_yandex_metrica_spark.operators import funnel
+
+    base = datetime(2023, 10, 1)
+    rows = [(u, base + timedelta(seconds=s), step) for u, s, step in events]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp, step int")
+    got = {
+        r["user_id"]: r["n_matches"]
+        for r in funnel.sequence_count_pairs(
+            df, "user_id", "ts", F.col("step") == 1, F.col("step") == 2
+        ).collect()
+    }
+    assert got == _seq_count_ref(events)

@@ -196,3 +196,120 @@ def retention(
             for i in range(2, len(conds) + 1)
         ],
     )
+
+
+def sequence_match(
+    df: DataFrame,
+    user_col: str,
+    ts_col: str,
+    steps: list[Column],
+    max_gaps: list[int | None] | None = None,
+) -> DataFrame:
+    """ClickHouse ``sequenceMatch('(?1).*(?2)...')``: (user, matched)
+    where matched = 1 iff an event subsequence e1 < e2 < ... < ek (in
+    timestamp order, strictly increasing) satisfies the step
+    conditions in order.  ``max_gaps[i]`` optionally caps the seconds
+    between step i+1 and step i+2 -- the pattern's common
+    ``(?1)(?t<=N)(?2)`` time-constraint form.
+
+    EXACT for any gap combination, not greedy: a backward dynamic
+    program computes e_s(row) = the earliest completion time of steps
+    s..k STARTING at this row, where each transition looks ahead
+    through a bounded RANGE frame ((1, gap_us] -- or unbounded without
+    a constraint) over the same hash(user) exchange.  A user matches
+    iff any row has a finite full-chain completion.  Same single
+    exchange and no per-user arrays, like window_funnel.
+    """
+    k = len(steps)
+    if k == 0:
+        raise ValueError("steps must be non-empty")
+    gaps = list(max_gaps) if max_gaps is not None else [None] * (k - 1)
+    if len(gaps) != k - 1:
+        raise ValueError(f"max_gaps must have {k - 1} entries, got {len(gaps)}")
+    out = df.select(
+        user_col,
+        F.unix_micros(F.col(ts_col).cast("timestamp")).alias("__u"),
+        *[cond.alias(f"__c{i}") for i, cond in enumerate(steps, start=1)],
+    )
+    out = out.withColumn(f"__e{k}", F.when(F.col(f"__c{k}"), F.col("__u")))
+    for s in range(k - 1, 0, -1):
+        gap = gaps[s - 1]
+        hi = int(gap) * 1_000_000 if gap is not None else Window.unboundedFollowing
+        frame = (
+            Window.partitionBy(user_col).orderBy("__u").rangeBetween(1, hi)
+        )
+        out = out.withColumn(
+            f"__e{s}",
+            F.when(F.col(f"__c{s}"), F.min(F.col(f"__e{s + 1}")).over(frame)),
+        )
+    return out.groupBy(user_col).agg(
+        F.max(
+            F.when(F.col("__e1").isNotNull(), F.lit(1)).otherwise(F.lit(0))
+        ).alias("matched")
+    )
+
+
+def sequence_count_pairs(
+    df: DataFrame,
+    user_col: str,
+    ts_col: str,
+    first: Column,
+    second: Column,
+    tiebreak_col: str | None = None,
+) -> DataFrame:
+    """ClickHouse ``sequenceCount('(?1).*(?2)')``: (user, n_matches)
+    counting NON-OVERLAPPING first->second chains greedily in
+    timestamp order (the CH state machine: waiting-for-1 advances on
+    cond1, waiting-for-2 completes on cond2 and resets).
+
+    The scan-order state machine collapses to run-length algebra:
+    restrict to rows matching either condition (``second`` is taken
+    as ``second AND NOT first`` so the conditions are disjoint, which
+    is the CH behavior whenever the pattern's conditions are mutually
+    exclusive -- e.g. event-type equalities), drop consecutive
+    duplicates (extra firsts while waiting for a second, and extra
+    seconds while waiting for a first, are no-ops), drop a leading
+    second, and the remainder alternates 1,2,1,2,...: the count is
+    floor(len / 2).  All steps are LAG/COUNT windows over ONE
+    hash(user) exchange -- never a per-user event array.  Ties at one
+    timestamp break arbitrarily unless ``tiebreak_col`` provides a
+    deterministic secondary order (CH itself depends on block order
+    there, so a stable id column is the reproducible choice).
+    """
+    a = first
+    b = second & ~first
+    tb = [F.col(tiebreak_col).alias("__tb")] if tiebreak_col else []
+    base = df.select(
+        user_col,
+        F.unix_micros(F.col(ts_col).cast("timestamp")).alias("__u"),
+        *tb,
+        F.when(a, F.lit(1)).when(b, F.lit(2)).alias("__lab"),
+    )
+    order_cols = ["__u", "__tb"] if tiebreak_col else ["__u"]
+    w = Window.partitionBy(user_col).orderBy(*order_cols)
+    # running last non-null label strictly before this row: unlabeled
+    # rows are transparent, so no pre-filter (and no second frame of
+    # distinct users to join back) is needed -- every user keeps >= 1
+    # row into the single groupBy below.
+    prev = F.last("__lab", ignorenulls=True).over(
+        w.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    keep = F.col("__lab").isNotNull() & (
+        prev.isNull() | (prev != F.col("__lab"))
+    )
+    counted = (
+        base.withColumn("__keep", keep)
+        .groupBy(user_col)
+        .agg(
+            F.sum(F.when(F.col("__keep"), 1).otherwise(0)).alias("__m"),
+            F.min_by(
+                F.when(F.col("__keep"), F.col("__lab")),
+                F.when(F.col("__keep"), F.struct(*order_cols)),
+            ).alias("__lab0"),
+        )
+    )
+    # after compaction labels alternate; drop at most one leading 2
+    n = F.floor(
+        (F.col("__m") - F.when(F.col("__lab0") == 2, 1).otherwise(0)) / 2
+    ).cast("long")
+    return counted.select(user_col, n.alias("n_matches"))

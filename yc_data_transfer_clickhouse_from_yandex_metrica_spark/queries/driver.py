@@ -1014,6 +1014,92 @@ SELECT depth, CAST(count(*) AS BIGINT) AS users FROM d GROUP BY depth
 """
 
 
+def q_sequence_match_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse sequenceMatch('(?1)(?t<=2d)(?2)(?t<=2d)(?3)'):
+    does view -> click -> purchase occur as a timestamp-ordered
+    subsequence with each adjacent gap <= 2 days?  Exact backward DP
+    over bounded RANGE frames (operators/funnel.py sequence_match);
+    the oracle is the direct EXISTS-triple definition, so green means
+    semantic parity, not self-consistency."""
+    _prep(spark)
+    ev = t(spark, sf_dir, "events")
+    m = funnel.sequence_match(
+        ev,
+        "user_id",
+        "ts",
+        [
+            F.col("event_type") == "view",
+            F.col("event_type") == "click",
+            F.col("event_type") == "purchase",
+        ],
+        max_gaps=[2 * 86400, 2 * 86400],
+    )
+    return m.orderBy("user_id")
+
+
+_SEQ_GAP_US = 2 * 86400 * 1_000_000
+_ORACLE_SEQ_MATCH = f"""
+SELECT u.user_id,
+  CAST(CASE WHEN EXISTS (
+    SELECT 1 FROM events e1, events e2, events e3
+    WHERE e1.user_id = u.user_id AND e2.user_id = u.user_id
+      AND e3.user_id = u.user_id
+      AND e1.event_type = 'view' AND e2.event_type = 'click'
+      AND e3.event_type = 'purchase'
+      AND e2.ts > e1.ts AND epoch_us(e2.ts) <= epoch_us(e1.ts) + {_SEQ_GAP_US}
+      AND e3.ts > e2.ts AND epoch_us(e3.ts) <= epoch_us(e2.ts) + {_SEQ_GAP_US}
+  ) THEN 1 ELSE 0 END AS INT) AS matched
+FROM (SELECT DISTINCT user_id FROM events) u
+"""
+
+
+def q_sequence_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse sequenceCount('(?1).*(?2)'): non-overlapping
+    view -> purchase chains per user, counted greedily in (ts,
+    event_id) order.  The scan-order state machine collapses to
+    run-length algebra over one hash(user) exchange (operators/
+    funnel.py sequence_count_pairs); oracle = the same algebra in
+    DuckDB window SQL; the CH-parity state machine itself is pinned by
+    a pure-python property reference in tests."""
+    _prep(spark)
+    ev = t(spark, sf_dir, "events")
+    return funnel.sequence_count_pairs(
+        ev,
+        "user_id",
+        "ts",
+        F.col("event_type") == "view",
+        F.col("event_type") == "purchase",
+        tiebreak_col="event_id",
+    ).orderBy("user_id")
+
+
+_ORACLE_SEQ_COUNT = """
+WITH lab AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN event_type = 'view' THEN 1 ELSE 2 END AS lab
+  FROM events WHERE event_type IN ('view', 'purchase')
+),
+c AS (
+  SELECT user_id, ts, event_id, lab,
+         lag(lab) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+  FROM lab
+),
+k AS (SELECT user_id, ts, event_id, lab FROM c WHERE prev IS NULL OR prev != lab),
+agg AS (
+  -- composite arg_min key folded to one HUGEINT: micros then event_id
+  SELECT user_id, count(*) AS m,
+         arg_min(lab, CAST(epoch_us(ts) AS HUGEINT) * 10000000000
+                      + event_id) AS lab0
+  FROM k GROUP BY user_id
+)
+SELECT u.user_id,
+  CAST(COALESCE((m - CASE WHEN lab0 = 2 THEN 1 ELSE 0 END) // 2, 0) AS BIGINT)
+    AS n_matches
+FROM (SELECT DISTINCT user_id FROM events) u
+LEFT JOIN agg ON u.user_id = agg.user_id
+"""
+
+
 def q_retention_cohort(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ClickHouse retention() analog: per user, signup ever happened;
     signup AND click; signup AND purchase (flat max aggregates)."""
@@ -2919,6 +3005,8 @@ QUERIES: dict[str, QuerySpec] = {
     "ch_aggregates": QuerySpec(q_ch_aggregates, _ORACLE_CH_AGGREGATES, "F-ext: argMax/argMin countIf/sumIf/avgIf groupUniqArray"),
     "funnel_depths": QuerySpec(q_funnel_depths, _ORACLE_FUNNEL, "A-ext: windowFunnel (earliest-chain, one-exchange windows)"),
     "funnel_strict": QuerySpec(q_funnel_strict, _ORACLE_FUNNEL_STRICT, "A-ext: windowFunnel strict_order (chain breaks on interleave)"),
+    "sequence_match_gaps": QuerySpec(q_sequence_match_gaps, _ORACLE_SEQ_MATCH, "A-ext: sequenceMatch with (?t<=N) gap constraints (exact range-frame DP)"),
+    "sequence_count": QuerySpec(q_sequence_count, _ORACLE_SEQ_COUNT, "A-ext: sequenceCount non-overlapping greedy chains (run-length algebra)"),
     "retention_cohort": QuerySpec(q_retention_cohort, _ORACLE_RETENTION, "A-ext: retention cohort flags"),
     "quantiles_exact": QuerySpec(q_quantiles_exact, _ORACLE_QUANTILES, "A-ext: quantileExactLow (windowed exact order stats)"),
     "orders_daily_fill": QuerySpec(q_orders_daily_fill, _ORACLE_DAILY_FILL, "O-ext: ORDER BY WITH FILL (dense date axis)"),
