@@ -71,6 +71,7 @@ HEADLINE = [
     "orders_rollup",
     "date_dims",
     "string_funcs",
+    "url_funcs",
     "sum_map_priority",
     "event_transitions",
     "delta_sum_events",

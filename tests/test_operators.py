@@ -2200,6 +2200,36 @@ def test_agg_map_edge_semantics(spark):
     }
 
 
+def test_url_function_family(spark):
+    """CH URL family edges: missing query string, dotless host, and an
+    unparseable URL all yield '' (CH parity), never null; fragments
+    survive cutQueryString."""
+    df = spark.createDataFrame(
+        [
+            ("https://a.example.com/p/q?x=1&y=2#frag",),
+            ("http://localhost/path",),
+            ("not a url",),
+        ],
+        "u string",
+    )
+    rows = df.select(
+        ch.url_protocol("u").alias("proto"),
+        ch.url_domain("u").alias("host"),
+        ch.url_top_level_domain("u").alias("tld"),
+        ch.url_path("u").alias("path"),
+        ch.url_query_string("u").alias("qs"),
+        ch.extract_url_parameter("u", "y").alias("y"),
+        ch.cut_query_string("u").alias("cut"),
+    ).collect()
+    full, bare, bad = rows
+    assert (full["proto"], full["host"], full["tld"]) == ("https", "a.example.com", "com")
+    assert (full["path"], full["qs"], full["y"]) == ("/p/q", "x=1&y=2", "2")
+    assert full["cut"] == "https://a.example.com/p/q#frag"
+    assert (bare["host"], bare["tld"], bare["qs"], bare["y"]) == ("localhost", "", "", "")
+    assert bare["cut"] == "http://localhost/path"
+    assert (bad["proto"], bad["host"], bad["path"]) == ("", "", "")
+
+
 def test_date_function_family(spark):
     df = spark.createDataFrame([(date(2023, 11, 17),)], "d date")
     r = df.select(

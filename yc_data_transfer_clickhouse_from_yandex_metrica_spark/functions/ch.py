@@ -398,3 +398,54 @@ def uniq_up_to(c: ColumnOrName, n: int) -> Column:
     results (the state-size optimization is internal to CH -- on
     Spark the map-side partial distinct already bounds memory)."""
     return F.least(F.countDistinct(_col(c)), F.lit(n + 1))
+
+
+# =========================================================================
+# URL function family (CH URL functions -- the Metrica model's Referer /
+# URL columns, ddl/hits.sql / ddl/visits.sql StartURL+Referer).  All are
+# JVM built-ins (parse_url / regexp) -- no UDFs.  ClickHouse returns ''
+# where a component is absent; Spark's parse_url returns NULL, so every
+# wrapper coalesces to '' for CH parity.
+# =========================================================================
+
+
+def url_protocol(u: ColumnOrName) -> Column:
+    """``protocol(url)``: scheme without '://' ('' when absent)."""
+    return F.coalesce(F.parse_url(_col(u), F.lit("PROTOCOL")), F.lit(""))
+
+
+def url_domain(u: ColumnOrName) -> Column:
+    """``domain(url)``: host part ('' when unparseable -- CH parity)."""
+    return F.coalesce(F.parse_url(_col(u), F.lit("HOST")), F.lit(""))
+
+
+def url_top_level_domain(u: ColumnOrName) -> Column:
+    """``topLevelDomain(url)``: last dot-label of the host ('' when the
+    host has no dot, matching CH's invalid-TLD rule)."""
+    return F.regexp_extract(url_domain(u), r"\.([^.]+)$", 1)
+
+
+def url_path(u: ColumnOrName) -> Column:
+    """``path(url)``: path without query string ('' when absent)."""
+    return F.coalesce(F.parse_url(_col(u), F.lit("PATH")), F.lit(""))
+
+
+def url_query_string(u: ColumnOrName) -> Column:
+    """``queryString(url)``: query without the leading '?' ('' when
+    absent)."""
+    return F.coalesce(F.parse_url(_col(u), F.lit("QUERY")), F.lit(""))
+
+
+def extract_url_parameter(u: ColumnOrName, name: str) -> Column:
+    """``extractURLParameter(url, name)``: value of the named query
+    parameter ('' when absent, CH parity).  The name is treated
+    literally (parse_url's KEY lookup), not as a regex."""
+    return F.coalesce(
+        F.parse_url(_col(u), F.lit("QUERY"), F.lit(name)), F.lit("")
+    )
+
+
+def cut_query_string(u: ColumnOrName) -> Column:
+    """``cutQueryString(url)``: drop '?' and everything after it up to
+    the fragment; the '#fragment' (if any) is preserved, as in CH."""
+    return F.regexp_replace(_col(u), r"\?[^#]*", "")

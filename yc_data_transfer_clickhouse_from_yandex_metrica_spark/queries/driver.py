@@ -1537,6 +1537,61 @@ FROM documents
 """
 
 
+def q_url_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The CH URL-function family (protocol/domain/topLevelDomain/
+    path/queryString/extractURLParameter/cutQueryString) over URLs
+    synthesized deterministically from orders -- the Metrica
+    StartURL/Referer vocabulary (ddl/hits.sql, ddl/visits.sql).  All
+    JVM parse_url/regexp built-ins, map-side only; the oracle parses
+    the same URLs with independent DuckDB regexes."""
+    _prep(spark)
+    o = t(spark, sf_dir, "orders")
+    url = F.concat(
+        F.lit("https://shop"),
+        (F.col("o_custkey") % 5).cast("string"),
+        F.lit(".example.com/cat/"),
+        (F.col("o_orderkey") % 7).cast("string"),
+        F.lit("/item?page="),
+        (F.col("o_orderkey") % 3).cast("string"),
+        F.lit("&src="),
+        # url-safe: priorities contain spaces ('4-NOT SPECIFIED')
+        F.translate(F.col("o_orderpriority"), " ", "-"),
+    )
+    u = o.select("o_orderkey", url.alias("url"))
+    return u.select(
+        "o_orderkey",
+        ch.url_protocol("url").alias("proto"),
+        ch.url_domain("url").alias("host"),
+        ch.url_top_level_domain("url").alias("tld"),
+        ch.url_path("url").alias("path"),
+        ch.url_query_string("url").alias("qs"),
+        ch.extract_url_parameter("url", "page").alias("page"),
+        ch.cut_query_string("url").alias("no_qs"),
+    )
+
+
+_ORACLE_URL_FUNCS = """
+WITH u AS (
+  SELECT o_orderkey,
+         'https://shop' || CAST(o_custkey % 5 AS VARCHAR)
+         || '.example.com/cat/' || CAST(o_orderkey % 7 AS VARCHAR)
+         || '/item?page=' || CAST(o_orderkey % 3 AS VARCHAR)
+         || '&src=' || replace(o_orderpriority, ' ', '-') AS url
+  FROM orders
+)
+SELECT o_orderkey,
+  regexp_extract(url, '^([a-z]+)://', 1) AS proto,
+  regexp_extract(url, '^[a-z]+://([^/?#:]+)', 1) AS host,
+  regexp_extract(regexp_extract(url, '^[a-z]+://([^/?#:]+)', 1),
+                 '\\.([^.]+)$', 1) AS tld,
+  regexp_extract(url, '^[a-z]+://[^/?#]*(/[^?#]*)', 1) AS path,
+  regexp_extract(url, '\\?([^#]*)', 1) AS qs,
+  regexp_extract(url, '[?&]page=([^&#]*)', 1) AS page,
+  regexp_replace(url, '\\?[^#]*', '') AS no_qs
+FROM u
+"""
+
+
 def q_sum_map(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ClickHouse sumMap over Nested-style parallel arrays (the
     Metrica visits Goals.ID/Goals.Revenue shape, ddl/visits.sql): per
@@ -3028,6 +3083,7 @@ QUERIES: dict[str, QuerySpec] = {
     "cohort_matrix": QuerySpec(q_cohort_matrix, _ORACLE_COHORT, "A-ext: weekly cohort-retention matrix"),
     "date_dims": QuerySpec(q_date_dims, _ORACLE_DATE_DIMS, "F-ext: toStartOfMonth/Quarter toYYYYMM addDays/Months dateDiff"),
     "string_funcs": QuerySpec(q_string_funcs, _ORACLE_STRING_FUNCS, "F-ext: splitByChar extractAll position replace[Regexp]All"),
+    "url_funcs": QuerySpec(q_url_funcs, _ORACLE_URL_FUNCS, "F-ext: URL family (protocol domain topLevelDomain path queryString extractURLParameter cutQueryString)"),
     "sum_map_priority": QuerySpec(q_sum_map, _ORACLE_SUM_MAP, "A-ext: sumMap over Nested-style parallel arrays"),
     "quantiles_weighted": QuerySpec(q_quantiles_weighted, _ORACLE_QUANTILES_WEIGHTED, "A-ext: quantileExactWeighted (compressed distribution)"),
     "pii_scrub": QuerySpec(q_pii_scrub, _ORACLE_PII_SCRUB, "text/pii-redaction"),
