@@ -60,6 +60,8 @@ HEADLINE = [
     "sequence_count",
     "retention_cohort",
     "orders_daily_fill",
+    "fill_interpolate",
+    "weighted_aggs",
     "running_diff_events",
     "orders_limit_by",
     "heavy_hitters_custkey",

@@ -2099,6 +2099,32 @@ def test_histogram_degenerate_and_clamped(spark):
     assert got == {0: 2, 1: 2}  # -10 clamps into bin 0, 99 into bin 1
 
 
+def test_fill_series_interpolate(spark):
+    """WITH FILL ... INTERPOLATE: gap rows carry the last seen value
+    forward; rows before the first real value stay null; static fill
+    columns still take their default."""
+    from yc_data_transfer_clickhouse_from_yandex_metrica_spark.operators import series
+
+    agg = spark.createDataFrame(
+        [(date(2023, 10, 3), 5, 100), (date(2023, 10, 6), 2, 40)],
+        "d date, n int, v int",
+    )
+    out = series.fill_series(
+        agg, "d", step="1 day", fill={"n": 0}, interpolate=["v"],
+        bounds=(date(2023, 10, 1), date(2023, 10, 7)),
+    ).orderBy("d")
+    got = [(str(r["d"]), r["n"], r["v"]) for r in out.collect()]
+    assert got == [
+        ("2023-10-01", 0, None),  # before first value: null (CH parity)
+        ("2023-10-02", 0, None),
+        ("2023-10-03", 5, 100),
+        ("2023-10-04", 0, 100),   # carried forward
+        ("2023-10-05", 0, 100),
+        ("2023-10-06", 2, 40),
+        ("2023-10-07", 0, 40),
+    ]
+
+
 def test_moving_agg_frame_semantics(spark):
     from yc_data_transfer_clickhouse_from_yandex_metrica_spark.operators import series
 

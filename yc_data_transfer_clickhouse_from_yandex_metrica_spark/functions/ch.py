@@ -449,3 +449,11 @@ def cut_query_string(u: ColumnOrName) -> Column:
     """``cutQueryString(url)``: drop '?' and everything after it up to
     the fragment; the '#fragment' (if any) is preserved, as in CH."""
     return F.regexp_replace(_col(u), r"\?[^#]*", "")
+
+
+def avg_weighted(v: ColumnOrName, w: ColumnOrName) -> Column:
+    """ClickHouse ``avgWeighted(x, w)``: sum(x*w)/sum(w).  Deviation:
+    an all-zero/empty weight set yields NULL here (Spark division by
+    zero) where ClickHouse yields NaN -- null composes better with
+    outer aggregates and the oracle, same policy as ``avg_if``."""
+    return F.sum(_col(v) * _col(w)) / F.sum(_col(w))

@@ -41,6 +41,7 @@ def fill_series(
     step: str = "1 day",
     fill: dict[str, object] | None = None,
     bounds: tuple[object, object] | None = None,
+    interpolate: Sequence[str] = (),
 ) -> DataFrame:
     """ClickHouse ``ORDER BY <axis> WITH FILL [STEP <step>]`` over an
     ALREADY-AGGREGATED frame: make the axis dense from min to max (or
@@ -53,6 +54,14 @@ def fill_series(
     not the pre-aggregation row count, so it is safe at any fact-table
     scale (guard: CH itself materializes the same number of filled
     rows).
+
+    ``interpolate`` lists columns that carry the LAST SEEN value
+    forward through filled gaps instead of a static default -- the
+    ClickHouse ``WITH FILL ... INTERPOLATE (col)`` clause.  The
+    carry-forward window is a single partition ordered by the axis,
+    which is safe for the same reason the spine is: the frame is
+    |axis values| rows (post-aggregation), never fact-table-sized.
+    Rows before the first real value stay null (CH parity).
 
     When ``bounds`` is None the min/max comes from ``agg`` itself;
     naively that would evaluate the aggregate's lineage twice (two
@@ -86,7 +95,7 @@ def fill_series(
     # so the dense axis never shuffles (agg output is post-reduction,
     # i.e. tiny relative to the fact table it came from)
     out = spine.join(F.broadcast(agg), on=axis_col, how="left")
-    return out.select(
+    out = out.select(
         axis_col,
         *[
             F.coalesce(F.col(c), F.lit(fill[c])).alias(c)
@@ -96,6 +105,21 @@ def fill_series(
             if c != axis_col
         ],
     )
+    if interpolate:
+        w = Window.orderBy(axis_col).rowsBetween(
+            Window.unboundedPreceding, Window.currentRow
+        )
+        out = out.select(
+            axis_col,
+            *[
+                F.last(F.col(c), ignorenulls=True).over(w).alias(c)
+                if c in interpolate
+                else F.col(c)
+                for c in out.columns
+                if c != axis_col
+            ],
+        )
+    return out
 
 
 def _order_cols(order_col: str | Sequence[str]) -> list[str]:

@@ -1170,6 +1170,89 @@ FROM s LEFT JOIN a USING (d)
 """
 
 
+def q_fill_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORDER BY day WITH FILL ... INTERPOLATE (avg_cents): the daily
+    average order value carries its LAST SEEN value through filled gap
+    days while the count fills with 0 -- the CH INTERPOLATE clause.
+    The carry-forward window runs over the dense axis (|days| rows,
+    post-aggregation), never the fact table."""
+    _prep(spark)
+    o = t(spark, sf_dir, "orders")
+    daily = (
+        o.where(
+            (F.col("o_orderpriority") == "1-URGENT")
+            & (F.col("o_orderstatus") == "F")
+        )
+        .groupBy(F.col("o_orderdate").cast("date").alias("d"))
+        .agg(
+            ch.count_one().alias("n"),
+            F.floor(F.avg("o_totalprice") * 100 + F.lit(0.5))
+            .cast("long")
+            .alias("avg_cents"),
+        )
+    )
+    return series.fill_series(
+        daily, "d", step="1 day", fill={"n": 0}, interpolate=["avg_cents"]
+    ).orderBy("d")
+
+
+_ORACLE_FILL_INTERPOLATE = """
+WITH a AS (
+  SELECT CAST(o_orderdate AS DATE) AS d, CAST(count(1) AS BIGINT) AS n,
+         CAST(floor(avg(o_totalprice) * 100 + 0.5) AS BIGINT) AS avg_cents
+  FROM orders
+  WHERE o_orderpriority = '1-URGENT' AND o_orderstatus = 'F'
+  GROUP BY 1
+),
+b AS (SELECT min(d) AS lo, max(d) AS hi FROM a),
+s AS (
+  SELECT CAST(unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS DATE) AS d
+  FROM b
+)
+SELECT s.d, CAST(coalesce(a.n, 0) AS BIGINT) AS n,
+  last_value(a.avg_cents IGNORE NULLS)
+    OVER (ORDER BY s.d ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    AS avg_cents
+FROM s LEFT JOIN a USING (d)
+"""
+
+
+def q_weighted_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """topKWeighted + avgWeighted: suppliers ranked by total shipped
+    quantity (exact weighted heavy hitters -- agg + TakeOrdered, no
+    sketch), each with its quantity-weighted average extended price
+    (CH avgWeighted)."""
+    _prep(spark)
+    li = t(spark, sf_dir, "lineitem")
+    ranked = (
+        li.groupBy("l_suppkey")
+        .agg(
+            F.floor(F.sum("l_quantity")).cast("long").alias("freq"),
+            F.floor(
+                ch.avg_weighted("l_extendedprice", "l_quantity") * 100
+                + F.lit(0.5)
+            )
+            .cast("long")
+            .alias("wavg_price_cents"),
+        )
+        .orderBy(F.col("freq").desc(), "l_suppkey")
+        .limit(5)
+    )
+    return ranked
+
+
+_ORACLE_WEIGHTED_AGGS = """
+SELECT l_suppkey,
+  CAST(floor(sum(l_quantity)) AS BIGINT) AS freq,
+  CAST(floor(sum(l_extendedprice * l_quantity) / sum(l_quantity) * 100
+             + 0.5) AS BIGINT) AS wavg_price_cents
+FROM lineitem
+GROUP BY l_suppkey
+ORDER BY freq DESC, l_suppkey
+LIMIT 5
+"""
+
+
 def q_running_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     """runningDifference(value) per user in (ts, event_id) order --
     the delta between a user's consecutive event values.  One shuffle
@@ -3065,6 +3148,8 @@ QUERIES: dict[str, QuerySpec] = {
     "retention_cohort": QuerySpec(q_retention_cohort, _ORACLE_RETENTION, "A-ext: retention cohort flags"),
     "quantiles_exact": QuerySpec(q_quantiles_exact, _ORACLE_QUANTILES, "A-ext: quantileExactLow (windowed exact order stats)"),
     "orders_daily_fill": QuerySpec(q_orders_daily_fill, _ORACLE_DAILY_FILL, "O-ext: ORDER BY WITH FILL (dense date axis)"),
+    "fill_interpolate": QuerySpec(q_fill_interpolate, _ORACLE_FILL_INTERPOLATE, "O-ext: WITH FILL ... INTERPOLATE (carry last value through gaps)"),
+    "weighted_aggs": QuerySpec(q_weighted_aggs, _ORACLE_WEIGHTED_AGGS, "A-ext: topKWeighted (exact) + avgWeighted"),
     "running_diff_events": QuerySpec(q_running_diff, _ORACLE_RUNNING_DIFF, "F-ext: runningDifference/neighbor per key"),
     "orders_limit_by": QuerySpec(q_orders_limit_by, _ORACLE_LIMIT_BY, "O-ext: LIMIT n BY key (rank-limited window)"),
     "heavy_hitters_custkey": QuerySpec(q_heavy_hitters, _ORACLE_HEAVY_HITTERS, "A-ext: topK exact (agg + TakeOrdered)"),
