@@ -71,6 +71,7 @@ HEADLINE = [
     "orders_semi_join",
     "customers_anti_join",
     "orders_rollup",
+    "orders_cube",
     "date_dims",
     "string_funcs",
     "url_funcs",

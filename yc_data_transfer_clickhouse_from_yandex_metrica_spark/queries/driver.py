@@ -1552,6 +1552,42 @@ GROUP BY ROLLUP (o_orderpriority, o_orderstatus)
 """
 
 
+def q_orders_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUP BY ... WITH CUBE (ClickHouse modifier): all four grouping
+    sets of (priority, status) in ONE expand-based pass -- the ROLLUP
+    entry's full-lattice sibling.  grouping_id disambiguates genuine
+    NULL keys from subtotal markers, exactly as CH's grouping()
+    does."""
+    _prep(spark)
+    o = t(spark, sf_dir, "orders")
+    return (
+        o.cube("o_orderpriority", "o_orderstatus")
+        .agg(
+            ch.count_one().alias("n"),
+            ch.round_to(F.sum("o_totalprice"), 2).alias("rev"),
+            F.grouping_id("o_orderpriority", "o_orderstatus")
+            .cast("int")
+            .alias("gid"),
+        )
+        .orderBy(
+            "gid",
+            F.col("o_orderpriority").asc_nulls_first(),
+            F.col("o_orderstatus").asc_nulls_first(),
+        )
+    )
+
+
+_ORACLE_CUBE = """
+SELECT o_orderpriority, o_orderstatus,
+  CAST(count(1) AS BIGINT) AS n,
+  floor(sum(o_totalprice) * 100.0 + 0.5) / 100.0 AS rev,
+  CAST(grouping(o_orderpriority) * 2 + grouping(o_orderstatus) AS INT)
+    AS gid
+FROM orders
+GROUP BY CUBE (o_orderpriority, o_orderstatus)
+"""
+
+
 def q_date_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The CH date-function family (toStartOfMonth/Quarter, toYYYYMM,
     addDays/addMonths, dateDiff) as one monthly dimension rollup --
@@ -3159,6 +3195,7 @@ QUERIES: dict[str, QuerySpec] = {
     "orders_semi_join": QuerySpec(q_semi_join, _ORACLE_SEMI_JOIN, "J-ext: IN-subquery as LEFT SEMI join"),
     "customers_anti_join": QuerySpec(q_anti_join, _ORACLE_ANTI_JOIN, "J-ext: NOT EXISTS as LEFT ANTI join"),
     "orders_rollup": QuerySpec(q_orders_rollup, _ORACLE_ROLLUP, "A-ext: GROUP BY WITH ROLLUP (single expand pass)"),
+    "orders_cube": QuerySpec(q_orders_cube, _ORACLE_CUBE, "A-ext: GROUP BY WITH CUBE + grouping_id (full lattice, one pass)"),
     "event_transitions": QuerySpec(q_event_transitions, _ORACLE_TRANSITIONS, "A-ext: path analysis (lag-pair transition counts)"),
     "delta_sum_events": QuerySpec(q_delta_sum, _ORACLE_DELTA_SUM, "A-ext: deltaSum + uniqUpTo per key"),
     "stats_moments": QuerySpec(q_stats_moments, _ORACLE_STATS_MOMENTS, "A-ext: corr/covarPop/stddevPop/varPop"),
