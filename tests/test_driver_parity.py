@@ -126,3 +126,8 @@ def test_registry_rotation_contract():
             f"never-verified entries must be in the checked window: "
             f"{[n for n in never if n not in window]}"
         )
+        forced = [n for n in driver.ROTATION_FORCE_FRONT if n in QUERIES]
+        assert all(n in window for n in forced), (
+            f"force-front (changed-semantics) entries must be in the "
+            f"checked window: {[n for n in forced if n not in window]}"
+        )

@@ -3246,6 +3246,24 @@ QUERIES: dict[str, QuerySpec] = {
 
 DRIVER_WINDOW = 50  # driver-checked prefix length (round-5 verdict)
 
+# Entries whose SEMANTICS or implementation changed since their last
+# green driver row: rotated to the front as if never verified, so the
+# next CORRECTNESS file re-proves them.  Maintained per round; clear
+# once the round's CORRECTNESS file shows them green again.
+ROTATION_FORCE_FRONT = frozenset(
+    {
+        # round 6: windowFunnel rewritten to multi-anchor CH parity
+        "funnel_depths",
+        "funnel_strict",
+        # round 6: histogram degenerate/clamp rules changed
+        "price_histogram",
+        # round 6: agg_map empty-group/size-guard semantics changed
+        "sum_map_priority",
+        # round 6: real decoders replaced the stub arithmetic
+        "multimodal_meta",
+    }
+)
+
 
 def _last_green_rounds() -> dict[str, int]:
     """name -> latest round with a green driver row (hash match, or a
@@ -3273,8 +3291,11 @@ def _last_green_rounds() -> dict[str, int]:
 
 
 def registry_order() -> list[str]:
-    """Registry names, least-recently-verified first (stable)."""
+    """Registry names, least-recently-verified first (stable);
+    ROTATION_FORCE_FRONT entries count as never-verified."""
     last = _last_green_rounds()
+    for name in ROTATION_FORCE_FRONT:
+        last.pop(name, None)
     pos = {n: i for i, n in enumerate(QUERIES)}
     return sorted(QUERIES, key=lambda n: (last.get(n, -1), pos[n]))
 
