@@ -72,6 +72,9 @@ HEADLINE = [
     "customers_anti_join",
     "orders_rollup",
     "orders_cube",
+    "geo_distance",
+    "salted_hot_agg",
+    "salted_join_revenue",
     "date_dims",
     "string_funcs",
     "url_funcs",

@@ -2676,3 +2676,26 @@ def test_max_intersections_sweep(spark):
     )
     got = {r["k"]: r["max_open"] for r in series.max_intersections(df, ["k"], "s", "e").collect()}
     assert got == {1: 3, 2: 1}
+
+
+def test_great_circle_distance_sanity(spark):
+    """Haversine sanity on known city pairs (documented 6371 km
+    sphere): Moscow-St.Petersburg ~634 km, antipodal ~ pi*R, zero
+    distance for identical points."""
+    df = spark.createDataFrame(
+        [
+            (37.62, 55.75, 30.31, 59.94),   # Moscow -> SPb
+            (0.0, 0.0, 180.0, 0.0),         # equatorial antipodes
+            (10.0, 10.0, 10.0, 10.0),       # same point
+        ],
+        "lon1 double, lat1 double, lon2 double, lat2 double",
+    )
+    got = [
+        r["d"]
+        for r in df.select(
+            ch.great_circle_distance("lon1", "lat1", "lon2", "lat2").alias("d")
+        ).collect()
+    ]
+    assert abs(got[0] - 634_000) < 5_000
+    assert abs(got[1] - 3.141592653589793 * 6_371_000) < 1.0
+    assert got[2] == 0.0

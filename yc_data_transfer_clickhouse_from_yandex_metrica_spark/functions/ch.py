@@ -457,3 +457,25 @@ def avg_weighted(v: ColumnOrName, w: ColumnOrName) -> Column:
     zero) where ClickHouse yields NaN -- null composes better with
     outer aggregates and the oracle, same policy as ``avg_if``."""
     return F.sum(_col(v) * _col(w)) / F.sum(_col(w))
+
+
+def great_circle_distance(
+    lon1: ColumnOrName | Column,
+    lat1: ColumnOrName | Column,
+    lon2: ColumnOrName | Column,
+    lat2: ColumnOrName | Column,
+) -> Column:
+    """ClickHouse ``greatCircleDistance(lon1, lat1, lon2, lat2)``:
+    meters between two WGS84 points.  Documented formula: haversine on
+    a 6,371,000 m mean-radius sphere, fully in codegen'd JVM trig
+    (CH's own implementation interpolates a slightly different
+    ellipsoidal radius; differences are <0.5% and the formula here is
+    the oracle-reproducible spherical standard)."""
+    rlon1, rlat1 = F.radians(_col(lon1)), F.radians(_col(lat1))
+    rlon2, rlat2 = F.radians(_col(lon2)), F.radians(_col(lat2))
+    dlat, dlon = rlat2 - rlat1, rlon2 - rlon1
+    a = (
+        F.sin(dlat / 2) * F.sin(dlat / 2)
+        + F.cos(rlat1) * F.cos(rlat2) * F.sin(dlon / 2) * F.sin(dlon / 2)
+    )
+    return F.lit(2.0 * 6_371_000.0) * F.asin(F.sqrt(a))

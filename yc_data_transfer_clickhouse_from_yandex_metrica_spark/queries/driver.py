@@ -1552,6 +1552,125 @@ GROUP BY ROLLUP (o_orderpriority, o_orderstatus)
 """
 
 
+def q_geo_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CH greatCircleDistance over points synthesized from the events
+    table (lon/lat derived arithmetically from ids, so the oracle
+    rebuilds them exactly): per-event distance to a fixed reference
+    point, floored to whole km, plus an in-radius flag -- the
+    Metrica geo vocabulary (RegionID radius analytics) as pure JVM
+    trig, map-side only."""
+    _prep(spark)
+    ev = t(spark, sf_dir, "events")
+    lon = (F.col("event_id") % 360) - 180 + 0.25
+    lat = (F.col("user_id") % 160) - 80 + 0.25
+    d = ch.great_circle_distance(lon, lat, F.lit(37.62), F.lit(55.75))
+    return ev.select(
+        "event_id",
+        F.floor(d / 1000 + F.lit(0.5)).cast("long").alias("dist_km"),
+        (d <= F.lit(3_000_000.0)).cast("int").alias("within_3000km"),
+    )
+
+
+_ORACLE_GEO = """
+WITH p AS (
+  SELECT event_id,
+         (event_id % 360) - 180 + 0.25 AS lon,
+         (user_id % 160) - 80 + 0.25 AS lat
+  FROM events
+),
+d AS (
+  -- same operation order as the Spark expression (radians applied
+  -- per coordinate, then subtracted) so both engines walk identical
+  -- IEEE double steps
+  SELECT event_id,
+         2.0 * 6371000.0 * asin(sqrt(
+           sin((radians(55.75) - radians(lat)) / 2)
+             * sin((radians(55.75) - radians(lat)) / 2)
+           + cos(radians(lat)) * cos(radians(55.75))
+             * sin((radians(37.62) - radians(lon)) / 2)
+             * sin((radians(37.62) - radians(lon)) / 2)
+         )) AS dist
+  FROM p
+)
+SELECT event_id,
+  CAST(floor(dist / 1000 + 0.5) AS BIGINT) AS dist_km,
+  CAST(CASE WHEN dist <= 3000000.0 THEN 1 ELSE 0 END AS INT)
+    AS within_3000km
+FROM d
+"""
+
+
+def q_salted_hot_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-safe two-phase aggregate (operators/skew.py salted_agg) on
+    the power-law event_type key: per-salt partials then a tiny merge.
+    The oracle is a PLAIN group-by -- salting must be a pure physical
+    rewrite with identical results."""
+    _prep(spark)
+    from ..operators import skew
+
+    ev = t(spark, sf_dir, "events")
+    out = skew.salted_agg(
+        ev,
+        ["event_type"],
+        {
+            "n": ("count", F.lit(1)),
+            "sum_cents": ("sum", F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")),
+            "max_cents": ("max", F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")),
+            "min_user": ("min", F.col("user_id")),
+        },
+        nsalt=8,
+    )
+    return out.select(
+        "event_type",
+        F.col("n").cast("long").alias("n"),
+        "sum_cents",
+        "max_cents",
+        "min_user",
+    ).orderBy("event_type")
+
+
+_ORACLE_SALTED_AGG = """
+SELECT event_type,
+  CAST(count(1) AS BIGINT) AS n,
+  CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_cents,
+  CAST(max(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS max_cents,
+  min(user_id) AS min_user
+FROM events GROUP BY event_type
+"""
+
+
+def q_salted_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skewed many-to-one join WITHOUT broadcast (operators/skew.py
+    salted_join): orders x customer on the salted key, then revenue
+    per nation.  The oracle is the plain join -- salting replicates
+    the dim nsalt-fold and must not change a single row."""
+    _prep(spark)
+    from ..operators import skew
+
+    o = t(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
+    c = t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("o_custkey"), "c_nationkey"
+    )
+    joined = skew.salted_join(o, c, ["o_custkey"], nsalt=8)
+    return (
+        joined.groupBy("c_nationkey")
+        .agg(
+            ch.count_one().alias("n_orders"),
+            ch.round_to(F.sum("o_totalprice"), 2).alias("revenue"),
+        )
+        .orderBy("c_nationkey")
+    )
+
+
+_ORACLE_SALTED_JOIN = """
+SELECT c_nationkey,
+  CAST(count(1) AS BIGINT) AS n_orders,
+  floor(sum(o_totalprice) * 100.0 + 0.5) / 100.0 AS revenue
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY c_nationkey
+"""
+
+
 def q_orders_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     """GROUP BY ... WITH CUBE (ClickHouse modifier): all four grouping
     sets of (priority, status) in ONE expand-based pass -- the ROLLUP
@@ -3196,6 +3315,9 @@ QUERIES: dict[str, QuerySpec] = {
     "customers_anti_join": QuerySpec(q_anti_join, _ORACLE_ANTI_JOIN, "J-ext: NOT EXISTS as LEFT ANTI join"),
     "orders_rollup": QuerySpec(q_orders_rollup, _ORACLE_ROLLUP, "A-ext: GROUP BY WITH ROLLUP (single expand pass)"),
     "orders_cube": QuerySpec(q_orders_cube, _ORACLE_CUBE, "A-ext: GROUP BY WITH CUBE + grouping_id (full lattice, one pass)"),
+    "geo_distance": QuerySpec(q_geo_distance, _ORACLE_GEO, "F-ext: greatCircleDistance (haversine, documented 6371km sphere)"),
+    "salted_hot_agg": QuerySpec(q_salted_hot_agg, _ORACLE_SALTED_AGG, "skew: two-phase salted aggregate == plain GROUP BY"),
+    "salted_join_revenue": QuerySpec(q_salted_join_revenue, _ORACLE_SALTED_JOIN, "skew: salted many-to-one join == plain join (no broadcast)"),
     "event_transitions": QuerySpec(q_event_transitions, _ORACLE_TRANSITIONS, "A-ext: path analysis (lag-pair transition counts)"),
     "delta_sum_events": QuerySpec(q_delta_sum, _ORACLE_DELTA_SUM, "A-ext: deltaSum + uniqUpTo per key"),
     "stats_moments": QuerySpec(q_stats_moments, _ORACLE_STATS_MOMENTS, "A-ext: corr/covarPop/stddevPop/varPop"),
