@@ -1703,6 +1703,7 @@ def test_ch_type_grid_to_spark():
         "Decimal(18, 4)": (T.DecimalType(18, 4), False),
         "Decimal64(4)": (T.DecimalType(18, 4), False),
         "Enum8('a' = 1, 'b' = 2)": (T.StringType(), False),
+        "Enum16('created' = 1, 'paid, shipped' = 2)": (T.StringType(), False),
         "UUID": (T.StringType(), False),
         "IPv4": (T.StringType(), False),
         "Bool": (T.BooleanType(), False),
@@ -1722,6 +1723,32 @@ def test_ch_type_grid_to_spark():
             ),
             False,
         ),
+        # named Tuple elements (CH named tuples)
+        "Tuple(host String, port UInt16)": (
+            T.StructType(
+                [
+                    T.StructField("host", T.StringType(), False),
+                    T.StructField("port", T.IntegerType(), False),
+                ]
+            ),
+            False,
+        ),
+        # nested composite: Map value is itself composite / nullable
+        "Map(String, Array(UInt32))": (
+            T.MapType(
+                T.StringType(), T.ArrayType(T.LongType(), False), False
+            ),
+            False,
+        ),
+        "Map(String, Nullable(Int64))": (
+            T.MapType(T.StringType(), T.LongType(), True),
+            False,
+        ),
+        # DateTime64 precision scaling: 0..9 all carried as Spark
+        # timestamps; p>6 truncates to micros (documented)
+        "DateTime64(0)": (T.TimestampType(), False),
+        "DateTime64(6)": (T.TimestampType(), False),
+        "DateTime64(9)": (T.TimestampType(), False),
     }
     for ch, want in grid.items():
         assert chtypes.ch_to_spark(ch) == want, ch
@@ -1731,8 +1758,20 @@ def test_ch_type_grid_to_spark():
         T.ArrayType(T.LongType(), False),
         False,
     )
-    with pytest.raises(chtypes.UnsupportedCHType):
-        chtypes.ch_to_spark("AggregateFunction(quantiles(0.5), UInt64)")
+    # documented REFUSALS: types the gateway must never silently
+    # mis-read.  Int128+ overflows Decimal(38,0) into silent NULLs
+    # under non-ANSI mode; AggregateFunction is opaque merge state.
+    for bad, msg in [
+        ("AggregateFunction(quantiles(0.5), UInt64)", "finalizeAggregation"),
+        ("Int128", "Decimal"),
+        ("UInt128", "Decimal"),
+        ("Int256", "Decimal"),
+        ("UInt256", "Decimal"),
+        ("Nullable(Int128)", "Decimal"),
+        ("Array(Int128)", "Decimal"),
+    ]:
+        with pytest.raises(chtypes.UnsupportedCHType, match=msg):
+            chtypes.ch_to_spark(bad)
     with pytest.raises(ValueError):
         chtypes.ch_to_spark("UInt64", uint64="bogus")
 
@@ -2211,7 +2250,12 @@ def test_agg_map_edge_semantics(spark):
         [
             ("empty", [], []),
             ("nulls", None, None),
+            ("halfnull", None, []),
             ("full", ["a"], [7]),
+            (None, ["a", "b"], [1, 2]),
+            (None, ["b"], [10]),
+            ("mixed", [], []),
+            ("mixed", ["x"], [3]),
         ],
         "g string, ks array<string>, vs array<int>",
     )
@@ -2222,7 +2266,12 @@ def test_agg_map_edge_semantics(spark):
     assert got == {
         "empty": ([], []),
         "nulls": ([], []),
+        "halfnull": ([], []),
         "full": (["a"], [7]),
+        # NULL group keys aggregate normally (no restore-join to fall
+        # out of) and empty-array rows inside a real group are no-ops
+        None: (["a", "b"], [1, 12]),
+        "mixed": (["x"], [3]),
     }
 
 

@@ -43,14 +43,24 @@ def agg_map(
     - a row with ``size(keys) != size(vals)`` RAISES, as CH's sumMap
       does on unequal Nested sizes (``arrays_zip`` alone would
       silently null-pad the shorter side into a phantom null-key
-      group); null arrays count as size 0, so (null, []) passes.
+      group); null arrays count as size 0, so (null, []) passes —
+      the size is computed null-first (``when(isNull, 0)``) because
+      legacy ``size(null)`` is -1, not null, so a bare coalesce
+      would never fire.
     - a group whose rows carry only empty/null arrays still appears
       in the output, with ``([], [])`` -- never silently dropped.
+      This holds for NULL group keys too: restoration is join-free
+      (``explode_outer`` filler rows ride the one real aggregation),
+      so there is no equality join for a null key to fall out of.
     """
     if how not in _AGGS:
         raise ValueError(f"how must be one of {sorted(_AGGS)}, got {how!r}")
-    nk = F.coalesce(F.size(keys_col), F.lit(0))
-    nv = F.coalesce(F.size(vals_col), F.lit(0))
+
+    def _sz(c: str):
+        return F.when(F.col(c).isNull(), F.lit(0)).otherwise(F.size(c))
+
+    nk = _sz(keys_col)
+    nv = _sz(vals_col)
     # assert_true yields NULL on success; the filter both forces its
     # evaluation (it cannot be pruned) and keeps every valid row.
     guard = F.assert_true(
@@ -65,40 +75,50 @@ def agg_map(
     checked = df.select(*group_cols, keys_col, vals_col, guard.alias("__chk")).filter(
         F.col("__chk").isNull()
     )
+    # explode_outer keeps a filler row (p = NULL) for empty/null
+    # arrays, so all-empty groups survive the aggregation itself —
+    # no distinct-groups side plan, no restore join (a plain equality
+    # join would also drop NULL group keys; eqNullSafe would block
+    # hash-join null-skew tricks).  The __filler flag rides the
+    # grouping key so a filler row can never merge with a genuine
+    # null-key pair.
     pairs = checked.select(
         *group_cols,
-        F.explode(
+        F.explode_outer(
             F.arrays_zip(
                 F.col(keys_col).alias("k"), F.col(vals_col).alias("v")
             )
         ).alias("p"),
-    ).select(*group_cols, F.col("p.k").alias("k"), F.col("p.v").alias("v"))
-    reduced = pairs.groupBy(*group_cols, "k").agg(
+    ).select(
+        *group_cols,
+        F.col("p.k").alias("k"),
+        F.col("p.v").alias("v"),
+        F.col("p").isNull().alias("__filler"),
+    )
+    reduced = pairs.groupBy(*group_cols, "k", "__filler").agg(
         _AGGS[how]("v").alias("v")
     )
-    packed = reduced.groupBy(*group_cols).agg(
-        F.array_sort(F.collect_list(F.struct("k", "v"))).alias("__kv")
-    )
-    # groups whose pairs all exploded away (empty/null arrays) must
-    # still appear as ([], []); the distinct-groups agg shares the
-    # hash(group) partitioning with `packed`, so this is a cheap
-    # left join, not a second scan-wide shuffle of the pair stream.
-    all_groups = checked.select(*group_cols).distinct()
     key_type = df.schema[keys_col].dataType
     val_type = df.schema[vals_col].dataType
-    return (
-        all_groups.join(packed, on=list(group_cols), how="left")
-        .select(
-            *group_cols,
-            F.coalesce(
-                F.transform("__kv", lambda s: s["k"]),
-                F.array().cast(key_type),
-            ).alias(out_keys),
-            F.coalesce(
-                F.transform("__kv", lambda s: s["v"]),
-                F.array().cast(val_type),
-            ).alias(out_vals),
-        )
+    # collect_list drops NULL elements, so filler rows contribute
+    # nothing and an all-filler group packs to an empty array.
+    packed = reduced.groupBy(*group_cols).agg(
+        F.array_sort(
+            F.collect_list(
+                F.when(~F.col("__filler"), F.struct("k", "v"))
+            )
+        ).alias("__kv")
+    )
+    return packed.select(
+        *group_cols,
+        F.coalesce(
+            F.transform("__kv", lambda s: s["k"]),
+            F.array().cast(key_type),
+        ).alias(out_keys),
+        F.coalesce(
+            F.transform("__kv", lambda s: s["v"]),
+            F.array().cast(val_type),
+        ).alias(out_vals),
     )
 
 

@@ -389,10 +389,13 @@ _MEDIA_SYNTH_SCHEMA = T.StructType(
 
 def synth_media(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """Deterministic mixed-format media table from an id column:
-    id % 4 == 0 -> PNG, 1 -> GIF, 2 -> BMP, 3 -> raw utf-8 text bytes
-    (unknown format).  Dimensions derive from the id so an oracle can
-    recompute them in SQL; payload bytes are REAL format files from
-    the writers above.  Arrow-batched like every other media stage."""
+    id % 4 == 0 -> PNG, 1 -> GIF, 2 -> BMP, 3 -> unknown format
+    (utf-8 text bytes behind a leading NUL byte -- no image probe
+    accepts 0x00, so a text payload that happens to start with "BM"
+    or "GIF8" can never be misclassified as a real format).
+    Dimensions derive from the id so an oracle can recompute them in
+    SQL; payload bytes are REAL format files from the writers above.
+    Arrow-batched like every other media stage."""
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
@@ -408,7 +411,7 @@ def synth_media(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
                 elif sel == 2:
                     payload = bmp_bytes(w, h)
                 else:
-                    payload = str(txt).encode("utf-8")
+                    payload = b"\x00" + str(txt).encode("utf-8")
                 rows.append((mid, "image", payload))
             yield pd.DataFrame(rows, columns=["media_id", "kind", "payload"])
 

@@ -886,7 +886,9 @@ FROM s GROUP BY l_returnflag
 def q_funnel_depths(spark: SparkSession, sf_dir: str) -> DataFrame:
     """view -> click -> purchase funnel within 1 day of ANY view
     (operators/funnel.py multi-anchor max-chain semantics -- ClickHouse
-    windowFunnel parity, every step-1 event anchors its own window),
+    windowFunnel(strict_increase) parity, every step-1 event anchors
+    its own window; CH's default equal-timestamp tie rule is block-
+    order-dependent and deliberately not reproduced, COVERAGE.md),
     reduced to users-per-depth.  One exchange end-to-end: the backward
     -DP windows, the per-user depth, and the depth histogram all reuse
     the hash(user) partitioning.  The oracle enumerates every anchor
@@ -3296,7 +3298,7 @@ QUERIES: dict[str, QuerySpec] = {
     "text_stats": QuerySpec(q_text_stats, _ORACLE_TEXT_STATS, "text/quality+langid+tokens"),
     "repetition_stats": QuerySpec(q_repetition_stats, _ORACLE_REPETITION, "text/repetition (Gopher-style filters)"),
     "ch_aggregates": QuerySpec(q_ch_aggregates, _ORACLE_CH_AGGREGATES, "F-ext: argMax/argMin countIf/sumIf/avgIf groupUniqArray"),
-    "funnel_depths": QuerySpec(q_funnel_depths, _ORACLE_FUNNEL, "A-ext: windowFunnel (earliest-chain, one-exchange windows)"),
+    "funnel_depths": QuerySpec(q_funnel_depths, _ORACLE_FUNNEL, "A-ext: windowFunnel(strict_increase) (earliest-chain, one-exchange windows)"),
     "funnel_strict": QuerySpec(q_funnel_strict, _ORACLE_FUNNEL_STRICT, "A-ext: windowFunnel strict_order (chain breaks on interleave)"),
     "sequence_match_gaps": QuerySpec(q_sequence_match_gaps, _ORACLE_SEQ_MATCH, "A-ext: sequenceMatch with (?t<=N) gap constraints (exact range-frame DP)"),
     "sequence_count": QuerySpec(q_sequence_count, _ORACLE_SEQ_COUNT, "A-ext: sequenceCount non-overlapping greedy chains (run-length algebra)"),
@@ -3374,14 +3376,10 @@ DRIVER_WINDOW = 50  # driver-checked prefix length (round-5 verdict)
 # once the round's CORRECTNESS file shows them green again.
 ROTATION_FORCE_FRONT = frozenset(
     {
-        # round 6: windowFunnel rewritten to multi-anchor CH parity
-        "funnel_depths",
-        "funnel_strict",
-        # round 6: histogram degenerate/clamp rules changed
-        "price_histogram",
-        # round 6: agg_map empty-group/size-guard semantics changed
+        # round 7: agg_map restore rewritten join-free (NULL group
+        # keys + (null,[]) size guard, ADVICE r6)
         "sum_map_priority",
-        # round 6: real decoders replaced the stub arithmetic
+        # round 7: synth_media unknown-format payload now NUL-prefixed
         "multimodal_meta",
     }
 )

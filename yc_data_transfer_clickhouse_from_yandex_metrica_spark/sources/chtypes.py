@@ -50,7 +50,6 @@ _SIMPLE: dict[str, T.DataType] = {
     "UInt16": T.IntegerType(),
     "UInt32": T.LongType(),
     "UInt64": T.DecimalType(20, 0),
-    "Int128": T.DecimalType(38, 0),
     "Float32": T.FloatType(),
     "Float64": T.DoubleType(),
     "String": T.StringType(),
@@ -65,6 +64,24 @@ _SIMPLE: dict[str, T.DataType] = {
 
 # Decimal32/64/128(S) are fixed-precision shorthands (CH docs)
 _DECIMAL_SHORTHAND = {"Decimal32": 9, "Decimal64": 18, "Decimal128": 38}
+
+# Types this gateway REFUSES rather than silently mis-reads:
+# - 128/256-bit integers exceed Spark's Decimal(38,0) range
+#   (Int128 max ~1.70e38 >= 10^38); under non-ANSI mode the overflow
+#   would surface as silent NULLs, breaking the module's "lossless
+#   carriers" contract.  Cast to Decimal/String in the CH query.
+# - AggregateFunction(...) is opaque merge state, not a value; read
+#   it through finalizeAggregation()/-Merge combinators CH-side.
+_REJECT = {
+    "Int128": "exceeds Decimal(38,0); cast to Decimal or String in the CH query",
+    "Int256": "exceeds Decimal(38,0); cast to Decimal or String in the CH query",
+    "UInt128": "exceeds Decimal(38,0); cast to Decimal or String in the CH query",
+    "UInt256": "exceeds Decimal(38,0); cast to Decimal or String in the CH query",
+    "AggregateFunction": (
+        "opaque aggregate state; apply finalizeAggregation()/"
+        "the -Merge combinator in the ClickHouse query instead"
+    ),
+}
 
 
 class UnsupportedCHType(ValueError):
@@ -119,6 +136,8 @@ def ch_to_spark(ch_type: str, uint64: str = "decimal") -> tuple[T.DataType, bool
     if uint64 not in ("decimal", "long"):
         raise ValueError(f"uint64 policy must be 'decimal' or 'long', got {uint64!r}")
     base, args = _parse(ch_type)
+    if base in _REJECT:
+        raise UnsupportedCHType(f"ClickHouse type {ch_type!r}: {_REJECT[base]}")
     if base == "Nullable":
         inner, _ = ch_to_spark(args[0], uint64)
         return inner, True
