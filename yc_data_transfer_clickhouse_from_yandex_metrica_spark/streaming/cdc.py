@@ -27,8 +27,6 @@ Spark mapping:
 
 from __future__ import annotations
 
-import os
-
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
@@ -248,49 +246,42 @@ def start_collapse_stream(
     """ST3 option (b): maintain a collapsed latest-version table via
     foreachBatch merge, idempotent under replay (at-least-once safe).
 
-    With ``date_col`` set (the 100TB path), the materialization is
-    weekly-partitioned and each micro-batch merges ONLY the ``_week``
-    partitions it touches: read is partition-pruned to the dirty
-    weeks, the re-collapse runs over those rows alone, and a dynamic
-    partition overwrite replaces just those directories.  Per-batch
-    cost is O(dirty weeks), not O(table).  Collapse never crosses
-    week boundaries -- exactly VersionedCollapsingMergeTree semantics,
-    where merges are scoped to the ``PARTITION BY toMonday(...)``
-    partition (ddl/visits.sql:229-234); equivalent to a global
-    collapse whenever an entity's date (hence week) is stable across
-    its versions, which is the visits wire contract (a visit's
-    StartDate does not move between updates).
+    ``date_col`` is REQUIRED: the materialization is weekly-
+    partitioned and each micro-batch merges ONLY the ``_week``
+    partitions it touches -- the read is partition-pruned to the
+    dirty weeks, the re-collapse runs over those rows alone, and a
+    dynamic partition overwrite (Spark's committer, atomic per
+    partition on object stores too) replaces just those directories.
+    Per-batch cost is O(dirty weeks), not O(table).  An earlier
+    whole-table fallback (read+rewrite dest per batch via
+    rmtree/os.replace) was removed: it was O(table) per micro-batch
+    and local-FS-only -- there is no safe unpartitioned shape at any
+    scale worth streaming.
 
-    Without ``date_col`` the whole table is re-collapsed and swapped
-    each batch -- acceptable only for small unpartitioned tables.
+    Collapse never crosses week boundaries -- exactly
+    VersionedCollapsingMergeTree semantics, where merges are scoped
+    to the ``PARTITION BY toMonday(...)`` partition
+    (ddl/visits.sql:229-234); equivalent to a global collapse
+    whenever an entity's date (hence week) is stable across its
+    versions, which is the visits wire contract (a visit's StartDate
+    does not move between updates).
+
+    Existence probes go through the Hadoop ``FileSystem`` API for
+    ``dest_dir``'s scheme, so the same code is correct on file://,
+    hdfs:// and s3a:// -- never ``os.path`` (driver-local VFS only).
 
     State is the materialized table itself (not executor memory), so
     size is bounded by live entities, not stream history.
     """
+    if date_col is None:
+        raise ValueError(
+            "start_collapse_stream requires date_col: the merge is "
+            "partition-scoped by design (the whole-table fallback was "
+            "O(table) per micro-batch and object-store-unsafe)"
+        )
 
     def merge(batch: DataFrame, batch_id: int) -> None:
         sp = batch.sparkSession
-        if date_col is None:
-            # full-rewrite fallback: small unpartitioned tables only
-            if os.path.exists(dest_dir):
-                current = sp.read.parquet(dest_dir)
-                merged = collapsed(
-                    current.unionByName(batch.select(*current.columns)),
-                    key=key, version=version, sign=sign,
-                )
-            else:
-                merged = collapsed(batch, key=key, version=version, sign=sign)
-            # write to tmp then swap: the merge reads dest_dir, cannot
-            # overwrite in place
-            tmp = dest_dir.rstrip("/") + "__tmp"
-            merged.write.mode("overwrite").parquet(tmp)
-            import shutil
-
-            if os.path.exists(dest_dir):
-                shutil.rmtree(dest_dir)
-            os.replace(tmp, dest_dir)
-            return
-
         b = batch.withColumn(_WEEK, ch.to_monday(F.col(date_col)))
         weeks = [r[0] for r in b.select(_WEEK).distinct().collect()]
         if not weeks:
@@ -299,11 +290,14 @@ def start_collapse_stream(
         # partition column): file listing is O(dirty weeks), not
         # O(table) -- pruning-after-full-listing still walks every
         # partition directory of a 100TB table each micro-batch
-        dirty_dirs = [
-            p
-            for w in weeks
-            if os.path.isdir(p := os.path.join(dest_dir, f"{_WEEK}={w}"))
-        ]
+        jvm = sp._jvm
+        root = jvm.org.apache.hadoop.fs.Path(dest_dir)
+        fs = root.getFileSystem(sp._jsc.hadoopConfiguration())
+        dirty_dirs = []
+        for w in weeks:
+            p = jvm.org.apache.hadoop.fs.Path(root, f"{_WEEK}={w}")
+            if fs.exists(p):
+                dirty_dirs.append(p.toString())
         scoped_key = [*key, _WEEK]
         if dirty_dirs:
             current = (
