@@ -1177,6 +1177,29 @@ def test_jaccard_default_max_df_prunes_planted_hot_shingle(spark, monkeypatch):
     assert len(uncapped) == 30 * 29 // 2
 
 
+def test_jaccard_grid_salting_is_exact(spark):
+    """Grid-salted hot-shingle expansion must yield EXACTLY the plain
+    bucket-join pair set (scores included).  The corpus plants one
+    boilerplate shingle across 30 docs (df=30 >= salt_df=4, groups=4,
+    so diagonal AND off-diagonal cells all carry pairs) on top of
+    genuine near-dup pairs that overlap on cold shingles too."""
+    base = "alpha beta gamma delta epsilon zeta eta theta"
+    rows = []
+    for i in range(30):
+        rows.append(Row(doc_id=i, text=f"{base} uniq{i} tok{i}a"))
+        if i % 3 == 0:
+            rows.append(Row(doc_id=100 + i, text=f"{base} uniq{i} tok{i}b"))
+    df = spark.createDataFrame(rows)
+    plain = {tuple(r) for r in
+             dedup.ngram_jaccard_pairs(df, threshold=0.3, salt_df=None).collect()}
+    for groups in (1, 4, 7):
+        salted = {tuple(r) for r in
+                  dedup.ngram_jaccard_pairs(
+                      df, threshold=0.3, salt_df=4, salt_groups=groups
+                  ).collect()}
+        assert plain and salted == plain, f"salt_groups={groups}"
+
+
 def test_dedup_exact_keeps_min_id(spark):
     df = spark.createDataFrame(
         [Row(doc_id=5, text="same"), Row(doc_id=2, text="same"),

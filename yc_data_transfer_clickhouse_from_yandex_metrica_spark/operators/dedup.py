@@ -135,6 +135,8 @@ def ngram_jaccard_pairs(
     threshold: float = 0.8,
     max_df: int | None = _UNSET,  # type: ignore[assignment]
     prefix_filter: bool = False,
+    salt_df: int | None = 256,
+    salt_groups: int = 16,
 ) -> DataFrame:
     """All unordered pairs with word-k-gram Jaccard >= threshold.
     EXACT (the prefix filter is lossless; only ``max_df`` trades
@@ -166,6 +168,24 @@ def ngram_jaccard_pairs(
     ``DEFAULT_MAX_DF`` (5000): at web scale an uncapped index is
     bucket-quadratic on boilerplate shingles; ``max_df=None`` restores
     the fully exact index for bounded corpora.
+
+    ``salt_df``/``salt_groups``: EXACT grid-salted pair expansion for
+    hot shingles (default path only).  A shingle bucket of df docs
+    puts all C(df,2) candidate pairs in ONE shuffle task (the bucket
+    is one join key); at the df cap that is a 1.25e7-pair straggler,
+    and even at sf0.1 the top buckets carry 3.4x the mean partition
+    work (measured, round 7).  Shingles with df >= ``salt_df`` are
+    split into ``salt_groups`` id-hash groups; each unordered group
+    pair (i <= j) becomes its own join cell keyed (sh, i, j), so the
+    bucket's quadratic work spreads over C(s+1,2) tasks while every
+    candidate pair still appears EXACTLY once: a doc serves as the
+    left side of cells (g, j>=g) and the right side of cells
+    (i<=g, g); a cross-group pair meets only in cell
+    (min(g_a,g_b), max(g_a,g_b)) with the smaller-group doc on the
+    left, and diagonal cells keep the id_a < id_b half.  Replication
+    cost is (s+1) index rows per hot (id, sh) -- 16-byte rows, paid
+    only above ``salt_df`` where it is far below the C(df,2) task
+    saving.  ``salt_df=None`` disables salting.
     """
     if max_df is _UNSET:
         max_df = DEFAULT_MAX_DF
@@ -177,13 +197,10 @@ def ngram_jaccard_pairs(
     idx = per_doc.select(
         "id", F.size("shset").alias("nsh"), F.explode("shset").alias("sh")
     )
+    if max_df is not None or (salt_df is not None and not prefix_filter):
+        dfreq = idx.groupBy("sh").agg(F.count("*").alias("df"))
     if max_df is not None:
-        hot = (
-            idx.groupBy("sh")
-            .agg(F.count("*").alias("df"))
-            .where(F.col("df") > max_df)
-            .select("sh")
-        )
+        hot = dfreq.where(F.col("df") > max_df).select("sh")
         idx = idx.join(F.broadcast(hot), "sh", "left_anti")
     if prefix_filter:
         dfreq = idx.groupBy("sh").agg(F.count("*").alias("df"))
@@ -222,15 +239,72 @@ def ngram_jaccard_pairs(
                 "id_a", "id_b", ch.round_to(F.col("jaccard"), 4).alias("jaccard")
             )
         )
-    a = idx.hint("shuffle_hash").alias("a")
-    b = idx.hint("shuffle_hash").alias("b")
+    if salt_df is not None:
+        salted = (
+            dfreq.where(F.col("df") >= salt_df)
+            .select("sh", F.lit(True).alias("__hot"))
+        )
+        # one flagged, materialized index (lazy localCheckpoint): the
+        # cold and hot branches below would otherwise each recompute
+        # the shingle-window lineage for their own exchange
+        idx = idx.join(F.broadcast(salted), "sh", "left").localCheckpoint(
+            eager=False
+        )
+        cold = idx.where(F.col("__hot").isNull()).drop("__hot")
+        hot_idx = idx.where(F.col("__hot")).drop("__hot")
+        s = int(salt_groups)
+        g = F.pmod(F.xxhash64("id", F.lit(0x5A17)), F.lit(s)).cast("int")
+        lefts = hot_idx.select(
+            "id", "nsh", "sh",
+            g.alias("ci"),
+            F.explode(F.sequence(g, F.lit(s - 1))).alias("cj"),
+        )
+        rights = hot_idx.select(
+            "id", "nsh", "sh",
+            F.explode(F.sequence(F.lit(0), g)).alias("ci"),
+            g.alias("cj"),
+        )
+        ca = cold.hint("shuffle_hash").alias("a")
+        cb = cold.hint("shuffle_hash").alias("b")
+        cold_pairs = ca.join(
+            cb, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.id") < F.col("b.id"))
+        ).select(
+            F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"),
+            F.col("a.nsh").alias("nsh_a"), F.col("b.nsh").alias("nsh_b"),
+        )
+        ha = lefts.hint("shuffle_hash").alias("a")
+        hb = rights.hint("shuffle_hash").alias("b")
+        a_lt_b = F.col("a.id") < F.col("b.id")
+        hot_pairs = ha.join(
+            hb,
+            (F.col("a.sh") == F.col("b.sh"))
+            & (F.col("a.ci") == F.col("b.ci"))
+            & (F.col("a.cj") == F.col("b.cj"))
+            # off-diagonal cells pair distinct groups (ids disjoint);
+            # diagonal cells keep the ordered half to avoid dup/self
+            & ((F.col("a.ci") != F.col("a.cj")) | a_lt_b),
+        ).select(
+            F.least("a.id", "b.id").alias("id_a"),
+            F.greatest("a.id", "b.id").alias("id_b"),
+            F.when(a_lt_b, F.col("a.nsh")).otherwise(F.col("b.nsh")).alias("nsh_a"),
+            F.when(a_lt_b, F.col("b.nsh")).otherwise(F.col("a.nsh")).alias("nsh_b"),
+        )
+        pair_rows = cold_pairs.unionByName(hot_pairs)
+    else:
+        a = idx.hint("shuffle_hash").alias("a")
+        b = idx.hint("shuffle_hash").alias("b")
+        pair_rows = a.join(
+            b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.id") < F.col("b.id"))
+        ).select(
+            F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"),
+            F.col("a.nsh").alias("nsh_a"), F.col("b.nsh").alias("nsh_b"),
+        )
     return (
-        a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.id") < F.col("b.id")))
-        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        pair_rows.groupBy("id_a", "id_b")
         .agg(
             F.count("*").alias("common"),
-            F.first(F.col("a.nsh")).alias("nsh_a"),
-            F.first(F.col("b.nsh")).alias("nsh_b"),
+            F.first("nsh_a").alias("nsh_a"),
+            F.first("nsh_b").alias("nsh_b"),
         )
         .withColumn(
             "jaccard",

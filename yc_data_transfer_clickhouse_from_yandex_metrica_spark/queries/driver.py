@@ -3428,6 +3428,10 @@ ROTATION_FORCE_FRONT = frozenset(
         # round 7: docstring-only parity qualification (guard is
         # conservative by design: any AST change re-verifies)
         "funnel_depths",
+        # round 7: grid-salted hot-shingle pair expansion in dedup.py
+        # (ngram path changed; dedup_exact rides the same module)
+        "dedup_ngram_jaccard",
+        "dedup_exact",
     }
 )
 
