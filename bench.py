@@ -34,14 +34,20 @@ RUNS = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3")))
 
 # headline set: the reference-parity chart queries, the join/agg
 # benchmarks, and the training-data operators (dedup / similarity /
-# text).  The csv roundtrip demo is excluded (measures tmpfs, not the
-# engine); the STREAMING trio below IS benched -- availableNow drain
+# text).  The STREAMING trio below IS benched -- availableNow drain
 # wall-time is the engine number for ingest -- but listed separately
-# because each run re-feeds and re-drains a stream end-to-end.
+# because each run re-feeds and re-drains a stream end-to-end; the IO
+# list is benched too but its numbers measure tmpfs write+read
+# roundtrips as much as engine compute.  Every registry entry has a
+# bench row (pinned by test_bench_covers_registry).
 HEADLINE = [
     "visits_by_day",
     "traffic_sources",
     "metrica_traffic_chart",
+    "metrica_visits_chart",
+    "where_alias",
+    "union_reconcile",
+    "sample_by",
     "last_significant_source",
     "sum_array_orders",
     "scd2_enrich",
@@ -94,12 +100,15 @@ HEADLINE = [
     "contamination",
     "dedup_embedding",
     "ann_brute_topk",
+    "ann_ivf_topk",
+    "ann_ivf_exhaustive",
     "text_stats",
     "repetition_stats",
     "pii_scrub",
     "doc_fingerprint",
     "multimodal_meta",
     "multimodal_audio",
+    "multimodal_video",
     "scd2_range_join",
     "asof_enrich",
     "sessionize_hits",
@@ -115,6 +124,13 @@ STREAMING = [
     "streaming_roundtrip",
     "streaming_windowed",
     "streaming_dedup",
+]
+
+# tmpfs-bound roundtrips: timed for completeness (registry coverage),
+# but the number includes file write+read, not just engine compute.
+IO = [
+    "csv_export_roundtrip",
+    "partition_probe",
 ]
 
 
@@ -159,7 +175,7 @@ def main() -> None:
 
     import statistics
 
-    bench_set = HEADLINE + STREAMING
+    bench_set = HEADLINE + STREAMING + IO
     runs: dict[str, list[float]] = {name: [] for name in bench_set}
     for _pass in range(RUNS):
         for name in bench_set:

@@ -131,3 +131,17 @@ def test_registry_rotation_contract():
             f"force-front (changed-semantics) entries must be in the "
             f"checked window: {[n for n in forced if n not in window]}"
         )
+
+
+def test_bench_covers_registry():
+    """Every registry entry has a bench row (r6 verdict task 7): the
+    bench set is exactly the registry, no more, no less."""
+    import bench
+
+    bench_set = set(bench.HEADLINE) | set(bench.STREAMING) | set(bench.IO)
+    assert bench_set == set(QUERIES), (
+        f"missing from bench: {sorted(set(QUERIES) - bench_set)}; "
+        f"benched but not registered: {sorted(bench_set - set(QUERIES))}"
+    )
+    all_lists = bench.HEADLINE + bench.STREAMING + bench.IO
+    assert len(all_lists) == len(bench_set), "duplicate bench entries"

@@ -20,7 +20,11 @@ green row and it MUST be forced into the window (add it to
 re-proves it.  Dependency discovery is deliberately conservative
 (whole-module granularity, doc-only edits count as changes): a false
 "changed" costs one re-verification; a false "unchanged" ships an
-unproven operator.
+unproven operator.  The single relaxation: a dep module whose change
+is PURELY ADDITIVE at the top level (every pre-existing statement
+still present verbatim by AST dump) does not flag its importers --
+adding a new function to functions/ch.py must not churn the entire
+registry through the window.
 """
 
 from __future__ import annotations
@@ -64,6 +68,37 @@ def _changed_since(commit: str) -> frozenset[str]:
         _git("ls-files", "--others", "--exclude-standard").splitlines()
     )
     return frozenset(p for p in diff if p)
+
+
+@lru_cache(maxsize=None)
+def _materially_changed(file_rel: str, commit: str) -> bool:
+    """True unless the file's change since ``commit`` is PURELY
+    ADDITIVE at the top level: every old top-level statement (defs,
+    assigns, imports, docstring) still present verbatim (by AST dump)
+    in the new version.  Adding a new function to a shared module
+    (functions/ch.py serves most of the registry) cannot alter
+    existing entries; editing or removing anything existing can, and
+    stays conservative."""
+    try:
+        old_src = _git("show", f"{commit}:{file_rel}")
+    except subprocess.CalledProcessError:
+        return True  # file did not exist at the commit: new dep
+    try:
+        new_src = (REPO / file_rel).read_text()
+    except OSError:
+        return True  # dep deleted
+    if old_src == new_src:
+        return False
+    try:
+        old_body = ast.parse(old_src).body
+        new_body = ast.parse(new_src).body
+    except SyntaxError:
+        return True
+    from collections import Counter
+
+    old_c = Counter(ast.dump(s) for s in old_body)
+    new_c = Counter(ast.dump(s) for s in new_body)
+    return any(n > new_c.get(d, 0) for d, n in old_c.items())
 
 
 # ---------------------------------------------------------------------------
@@ -278,7 +313,11 @@ def test_stale_tail_is_provably_unchanged():
         changed = _changed_since(commit)
         builder = driver.QUERIES[name].build.__name__
         _, files = now.closure(builder)
-        dirty = sorted(_transitive_files(files) & changed)
+        dirty = sorted(
+            f
+            for f in _transitive_files(files) & changed
+            if f != DRIVER_REL and _materially_changed(f, commit)
+        )
         if dirty:
             problems.append(f"{name}: dep modules changed since r{rnd}: {dirty}")
             continue

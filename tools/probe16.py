@@ -1,0 +1,144 @@
+#!/usr/bin/env python
+"""16x scale probe for the round-6 operator additions (PLANS.md
+method): run each operator on its sf0.1 input and on the same input
+unioned 16x with shifted keys, report warm wall time and the exchange
+count of the FINAL adaptive plan at both scales.  A healthy operator
+keeps the exchange count flat while wall time scales in the shuffled
+bytes.
+
+Usage: python tools/probe16.py [op ...]   (default: all)
+"""
+
+from __future__ import annotations
+
+import re
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+from pyspark.sql import DataFrame, functions as F
+
+from yc_data_transfer_clickhouse_from_yandex_metrica_spark.functions import ch
+from yc_data_transfer_clickhouse_from_yandex_metrica_spark.operators import funnel, maps
+from yc_data_transfer_clickhouse_from_yandex_metrica_spark.queries.driver import t
+from yc_data_transfer_clickhouse_from_yandex_metrica_spark.session import get_spark
+
+SF = "/root/testdata/sf0.1"
+
+
+def _steps():
+    return [
+        F.col("event_type") == "view",
+        F.col("event_type") == "click",
+        F.col("event_type") == "purchase",
+    ]
+
+
+def scale16(df: DataFrame, shift_cols: dict[str, int]) -> DataFrame:
+    """Union 16 shifted copies: per-key structure is preserved, key
+    cardinality and row count both grow 16x."""
+    copies = []
+    for i in range(16):
+        c = df
+        for col, step in shift_cols.items():
+            c = c.withColumn(col, F.col(col) + F.lit(i * step))
+        copies.append(c)
+    out = copies[0]
+    for c in copies[1:]:
+        out = out.unionByName(c)
+    return out
+
+
+def build_funnel(ev: DataFrame) -> DataFrame:
+    d = funnel.window_funnel(ev, "user_id", "ts", _steps(), window_seconds=86400)
+    return d.groupBy("depth").agg(ch.count_one().alias("users"))
+
+
+def build_seq(ev: DataFrame) -> DataFrame:
+    return funnel.sequence_match(
+        ev, "user_id", "ts", _steps(), max_gaps=[2 * 86400, 2 * 86400]
+    )
+
+
+def build_aggmap(li: DataFrame, o: DataFrame) -> DataFrame:
+    per_order = (
+        li.groupBy("l_orderkey")
+        .agg(F.collect_list(F.struct("l_returnflag", "l_quantity")).alias("p"))
+        .select(
+            "l_orderkey",
+            F.transform("p", lambda s: s["l_returnflag"]).alias("ks"),
+            F.transform("p", lambda s: s["l_quantity"]).alias("vs"),
+        )
+    )
+    joined = per_order.join(o, per_order["l_orderkey"] == o["o_orderkey"])
+    return maps.sum_map(joined, ["o_orderpriority"], "ks", "vs")
+
+
+def build_url(o: DataFrame) -> DataFrame:
+    url = F.concat(
+        F.lit("https://shop"), (F.col("o_custkey") % 5).cast("string"),
+        F.lit(".example.com/cat/"), (F.col("o_orderkey") % 7).cast("string"),
+        F.lit("/item?page="), (F.col("o_orderkey") % 3).cast("string"),
+        F.lit("&src="), F.translate(F.col("o_orderpriority"), " ", "-"),
+    )
+    u = o.select("o_orderkey", url.alias("url"))
+    return u.select(
+        "o_orderkey",
+        ch.url_protocol("url").alias("proto"),
+        ch.url_domain("url").alias("host"),
+        ch.url_top_level_domain("url").alias("tld"),
+        ch.url_path("url").alias("path"),
+        ch.url_query_string("url").alias("qs"),
+        ch.extract_url_parameter("url", "page").alias("page"),
+        ch.cut_query_string("url").alias("no_qs"),
+    )
+
+
+def measure(name: str, df: DataFrame) -> tuple[float, int, int]:
+    """(warm wall sec, exchange count of final plan, rows)."""
+    df.write.mode("overwrite").format("noop").save()  # warm
+    t0 = time.perf_counter()
+    df.write.mode("overwrite").format("noop").save()
+    wall = time.perf_counter() - t0
+    n = df.count()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    final = plan.split("== Initial Plan ==")[0]
+    ex = len(re.findall(r"\bExchange (hash|range|Single)", final))
+    return wall, ex, n
+
+
+def main(only: set[str]) -> None:
+    spark = get_spark(app_name="probe16", master="local[32]", shuffle_partitions=32)
+    spark.sparkContext.setLogLevel("ERROR")
+    ev = t(spark, SF, "events")
+    li = t(spark, SF, "lineitem")
+    o = t(spark, SF, "orders").select("o_orderkey", "o_custkey", "o_orderpriority")
+    ev16 = scale16(ev, {"user_id": 10_000_000, "event_id": 1_000_000_000})
+    li16 = scale16(li, {"l_orderkey": 1_000_000_000})
+    o16 = scale16(o, {"o_orderkey": 1_000_000_000, "o_custkey": 100_000_000})
+
+    probes = {
+        "window_funnel": (lambda: build_funnel(ev), lambda: build_funnel(ev16)),
+        "sequence_match_gaps": (lambda: build_seq(ev), lambda: build_seq(ev16)),
+        "agg_map": (
+            lambda: build_aggmap(li, o.select("o_orderkey", "o_orderpriority")),
+            lambda: build_aggmap(li16, o16.select("o_orderkey", "o_orderpriority")),
+        ),
+        "url_funcs": (lambda: build_url(o), lambda: build_url(o16)),
+    }
+    for name, (b1, b16) in probes.items():
+        if only and name not in only:
+            continue
+        w1, e1, n1 = measure(name, b1())
+        w16, e16, n16 = measure(name, b16())
+        print(
+            f"PROBE {name}: 1x {w1:.2f}s/{e1}ex/{n1}rows  "
+            f"16x {w16:.2f}s/{e16}ex/{n16}rows  ratio {w16 / w1:.1f}x",
+            flush=True,
+        )
+
+
+if __name__ == "__main__":
+    main(set(sys.argv[1:]))

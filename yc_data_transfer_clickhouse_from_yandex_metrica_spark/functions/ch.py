@@ -451,6 +451,32 @@ def cut_query_string(u: ColumnOrName) -> Column:
     return F.regexp_replace(_col(u), r"\?[^#]*", "")
 
 
+def url_fragment(u: ColumnOrName) -> Column:
+    """``fragment(url)``: the fragment identifier without '#' (''
+    when absent, CH parity)."""
+    return F.coalesce(F.parse_url(_col(u), F.lit("REF")), F.lit(""))
+
+
+def cut_fragment(u: ColumnOrName) -> Column:
+    """``cutFragment(url)``: drop '#' and everything after it (the
+    query string is preserved, as in CH)."""
+    return F.regexp_replace(_col(u), r"#.*$", "")
+
+
+def url_port(u: ColumnOrName, default: int = 0) -> Column:
+    """``port(url)``: the explicit port as an int, ``default`` (CH:
+    0) when absent.  Extracted from parse_url's AUTHORITY with a
+    trailing ``:digits`` match, so bracketed IPv6 hosts
+    (``[2001:db8::1]:8443``) resolve correctly -- the inner colons
+    are never at the end."""
+    p = F.regexp_extract(
+        F.coalesce(F.parse_url(_col(u), F.lit("AUTHORITY")), F.lit("")),
+        r":(\d+)$",
+        1,
+    )
+    return F.when(p != "", p.cast("int")).otherwise(F.lit(default))
+
+
 def avg_weighted(v: ColumnOrName, w: ColumnOrName) -> Column:
     """ClickHouse ``avgWeighted(x, w)``: sum(x*w)/sum(w).  Deviation:
     an all-zero/empty weight set yields NULL here (Spark division by

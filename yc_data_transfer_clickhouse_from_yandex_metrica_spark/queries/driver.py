@@ -1786,16 +1786,24 @@ def q_url_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     the same URLs with independent DuckDB regexes."""
     _prep(spark)
     o = t(spark, sf_dir, "orders")
+    # every-other order carries an explicit port, every 5th a fragment
+    # -- so port()/fragment()/cutFragment() are proven on both the
+    # present and absent branches
     url = F.concat(
         F.lit("https://shop"),
         (F.col("o_custkey") % 5).cast("string"),
-        F.lit(".example.com/cat/"),
+        F.lit(".example.com"),
+        F.when(F.col("o_orderkey") % 2 == 0,
+               F.concat(F.lit(":"), (8000 + F.col("o_orderkey") % 100).cast("string"))
+               ).otherwise(F.lit("")),
+        F.lit("/cat/"),
         (F.col("o_orderkey") % 7).cast("string"),
         F.lit("/item?page="),
         (F.col("o_orderkey") % 3).cast("string"),
         F.lit("&src="),
         # url-safe: priorities contain spaces ('4-NOT SPECIFIED')
         F.translate(F.col("o_orderpriority"), " ", "-"),
+        F.when(F.col("o_orderkey") % 5 == 0, F.lit("#sec")).otherwise(F.lit("")),
     )
     u = o.select("o_orderkey", url.alias("url"))
     return u.select(
@@ -1803,10 +1811,13 @@ def q_url_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         ch.url_protocol("url").alias("proto"),
         ch.url_domain("url").alias("host"),
         ch.url_top_level_domain("url").alias("tld"),
+        ch.url_port("url").alias("port"),
         ch.url_path("url").alias("path"),
         ch.url_query_string("url").alias("qs"),
         ch.extract_url_parameter("url", "page").alias("page"),
+        ch.url_fragment("url").alias("frag"),
         ch.cut_query_string("url").alias("no_qs"),
+        ch.cut_fragment("url").alias("no_frag"),
     )
 
 
@@ -1814,9 +1825,14 @@ _ORACLE_URL_FUNCS = """
 WITH u AS (
   SELECT o_orderkey,
          'https://shop' || CAST(o_custkey % 5 AS VARCHAR)
-         || '.example.com/cat/' || CAST(o_orderkey % 7 AS VARCHAR)
+         || '.example.com'
+         || CASE WHEN o_orderkey % 2 = 0
+                 THEN ':' || CAST(8000 + o_orderkey % 100 AS VARCHAR)
+                 ELSE '' END
+         || '/cat/' || CAST(o_orderkey % 7 AS VARCHAR)
          || '/item?page=' || CAST(o_orderkey % 3 AS VARCHAR)
-         || '&src=' || replace(o_orderpriority, ' ', '-') AS url
+         || '&src=' || replace(o_orderpriority, ' ', '-')
+         || CASE WHEN o_orderkey % 5 = 0 THEN '#sec' ELSE '' END AS url
   FROM orders
 )
 SELECT o_orderkey,
@@ -1824,10 +1840,16 @@ SELECT o_orderkey,
   regexp_extract(url, '^[a-z]+://([^/?#:]+)', 1) AS host,
   regexp_extract(regexp_extract(url, '^[a-z]+://([^/?#:]+)', 1),
                  '\\.([^.]+)$', 1) AS tld,
+  CAST(CASE WHEN regexp_extract(url, '^[a-z]+://[^/?#]*:(\\d+)', 1) = ''
+            THEN 0
+            ELSE CAST(regexp_extract(url, '^[a-z]+://[^/?#]*:(\\d+)', 1) AS INT)
+       END AS INT) AS port,
   regexp_extract(url, '^[a-z]+://[^/?#]*(/[^?#]*)', 1) AS path,
   regexp_extract(url, '\\?([^#]*)', 1) AS qs,
   regexp_extract(url, '[?&]page=([^&#]*)', 1) AS page,
-  regexp_replace(url, '\\?[^#]*', '') AS no_qs
+  regexp_extract(url, '#(.*)$', 1) AS frag,
+  regexp_replace(url, '\\?[^#]*', '') AS no_qs,
+  regexp_replace(url, '#.*$', '') AS no_frag
 FROM u
 """
 
@@ -3432,6 +3454,8 @@ ROTATION_FORCE_FRONT = frozenset(
         # (ngram path changed; dedup_exact rides the same module)
         "dedup_ngram_jaccard",
         "dedup_exact",
+        # round 7: widened with port()/fragment()/cutFragment()
+        "url_funcs",
     }
 )
 
