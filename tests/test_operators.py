@@ -2699,6 +2699,65 @@ def test_compact_partitions_rewrites_only_dirty_weeks(spark):
     shutil.rmtree(base, ignore_errors=True)
 
 
+def test_apply_ttl_tiers_and_expires_aged_weeks(spark):
+    """S9 TTL tiering: weeks strictly older than to_monday(cutoff)
+    move to the cold tier (same _week layout) or are deleted; newer
+    weeks stay byte-identical; the tiered read unions both tiers and
+    degrades to hot-only when the cold tier is empty."""
+    base = tempfile.mkdtemp(prefix="ym_ttl_")
+    hot, cold = f"{base}/hot", f"{base}/cold"
+    layout = warehouse.TableLayout(date_col="d", sort_by=["k"])
+    df = spark.createDataFrame(
+        [(date(2023, 9, 18), 1), (date(2023, 9, 25), 2),
+         (date(2023, 10, 2), 3), (date(2023, 10, 9), 4)],
+        "d date, k int",
+    )
+    warehouse.write_table(df, hot, layout, mode="overwrite")
+    keep_week = "_week=2023-10-02"
+    keep_before = sorted(os.listdir(os.path.join(hot, keep_week)))
+
+    with pytest.raises(ValueError, match="cold_path"):
+        warehouse.apply_ttl(spark, hot, "2023-10-04", action="move")
+    with pytest.raises(ValueError, match="action"):
+        warehouse.apply_ttl(spark, hot, "2023-10-04", action="archive")
+
+    # empty cold tier: tiered read degrades to the hot tier
+    assert warehouse.read_table_tiered(spark, hot, cold).count() == 4
+
+    # cutoff mid-week: to_monday(2023-10-04) = 2023-10-02; the two
+    # September weeks age out, 10-02 itself stays (strictly older)
+    stats = warehouse.apply_ttl(
+        spark, hot, "2023-10-04", action="move", cold_path=cold
+    )
+    assert stats == {
+        "cutoff_week": "2023-10-02",
+        "moved": ["2023-09-18", "2023-09-25"],
+    }
+    assert sorted(os.listdir(os.path.join(hot, keep_week))) == keep_before
+    assert not os.path.exists(os.path.join(hot, "_week=2023-09-18"))
+    assert os.path.isdir(os.path.join(cold, "_week=2023-09-18"))
+    # hot tier alone lost the aged rows; the tiered union restores all
+    assert spark.read.parquet(hot).count() == 2
+    tiered = warehouse.read_table_tiered(spark, hot, cold)
+    assert sorted(r["k"] for r in tiered.collect()) == [1, 2, 3, 4]
+    # pruning predicate on _week still works across tiers
+    assert tiered.where(F.col("_week") == "2023-09-25").count() == 1
+
+    # idempotent: nothing left to move
+    again = warehouse.apply_ttl(
+        spark, hot, "2023-10-04", action="move", cold_path=cold
+    )
+    assert again["moved"] == []
+
+    # DELETE mode on the cold tier (the CH `TTL ... DELETE` analog)
+    gone = warehouse.apply_ttl(spark, cold, "2023-09-20", action="delete")
+    assert gone == {"cutoff_week": "2023-09-18", "deleted": []}
+    gone = warehouse.apply_ttl(spark, cold, "2023-09-27", action="delete")
+    assert gone["deleted"] == ["2023-09-18"]
+    assert not os.path.exists(os.path.join(cold, "_week=2023-09-18"))
+    shutil.rmtree(base, ignore_errors=True)
+
+
 def test_window_funnel_strict_order_hand_cases(spark):
     """CH strict_order semantics: A->B->C consecutive binds depth 3;
     A->X->B->C stops at X (depth 1); A->B->X->C stops at X (depth 2);

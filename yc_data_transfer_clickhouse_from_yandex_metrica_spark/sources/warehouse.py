@@ -154,6 +154,94 @@ def reconcile(src: DataFrame, sink: DataFrame) -> dict:
     return res
 
 
+def apply_ttl(
+    spark: SparkSession,
+    path: str,
+    cutoff_date: str,
+    action: str = "move",
+    cold_path: str | None = None,
+) -> dict:
+    """TTL tiering / expiry for the weekly layout (S9) -- the analog
+    of ClickHouse's ``TTL date + INTERVAL ... TO VOLUME 'cold'`` /
+    ``... DELETE`` clause (/root/reference/README.md:173: hybrid
+    storage moves aged MergeTree parts to object storage; ddl TTL
+    footnote [^6]).
+
+    Week partitions STRICTLY OLDER than ``to_monday(cutoff_date)``
+    are either moved under ``cold_path`` (``action="move"`` -- the
+    hybrid-storage tiering; the cold tree keeps the same
+    ``_week=...`` layout so a tiered read unions the two roots with
+    partition pruning intact) or dropped (``action="delete"``).
+
+    Scale posture: tiering is a METADATA operation -- whole partition
+    directories are renamed through the Hadoop FileSystem API (O(1)
+    per week on HDFS; on S3 the FileSystem's rename is the store's
+    copy+delete, still no Spark job, no rows decoded, no shuffle).
+    Discovery is a driver-side directory listing, O(weeks), same as
+    compact_partitions.  Weeks at or after the cutoff are never
+    touched (byte-identical, test-asserted).
+
+    Returns {"cutoff_week": w, "moved"|"deleted": [weeks...]}.
+    """
+    if action not in ("move", "delete"):
+        raise ValueError(f"action must be 'move' or 'delete', got {action!r}")
+    if action == "move" and not cold_path:
+        raise ValueError("action='move' requires cold_path")
+    cutoff_week = (
+        spark.range(1)
+        .select(ch.to_monday(F.lit(cutoff_date)).cast("string"))
+        .collect()[0][0]
+    )
+    jvm = spark._jvm
+    root = jvm.org.apache.hadoop.fs.Path(path)
+    fs = root.getFileSystem(spark._jsc.hadoopConfiguration())
+    aged = []
+    for st in fs.listStatus(root):
+        name = st.getPath().getName()
+        if not name.startswith(f"{WEEK_COL}="):
+            continue
+        week = name.split("=", 1)[1]
+        if week < cutoff_week:
+            aged.append((week, st.getPath()))
+    aged.sort()
+    out: list[str] = []
+    if action == "delete":
+        for week, p in aged:
+            fs.delete(p, True)
+            out.append(week)
+        return {"cutoff_week": cutoff_week, "deleted": out}
+    cold_root = jvm.org.apache.hadoop.fs.Path(cold_path)
+    cold_fs = cold_root.getFileSystem(spark._jsc.hadoopConfiguration())
+    cold_fs.mkdirs(cold_root)
+    for week, p in aged:
+        dest = jvm.org.apache.hadoop.fs.Path(cold_root, p.getName())
+        if not fs.rename(p, dest):
+            raise IOError(f"TTL move failed for {p} -> {dest}")
+        out.append(week)
+    return {"cutoff_week": cutoff_week, "moved": out}
+
+
+def read_table_tiered(
+    spark: SparkSession, hot_path: str, cold_path: str
+) -> DataFrame:
+    """Union view over the hot and cold tiers produced by
+    ``apply_ttl(action="move")``.  Both tiers keep the ``_week=``
+    Hive layout, so date predicates prune directories in BOTH roots;
+    a missing/empty cold tier degrades to the hot tier alone."""
+    hot = spark.read.parquet(hot_path)
+    jvm = spark._jvm
+    cold_root = jvm.org.apache.hadoop.fs.Path(cold_path)
+    fs = cold_root.getFileSystem(spark._jsc.hadoopConfiguration())
+    if not fs.exists(cold_root):
+        return hot
+    if not any(
+        st.getPath().getName().startswith(f"{WEEK_COL}=")
+        for st in fs.listStatus(cold_root)
+    ):
+        return hot
+    return hot.unionByName(spark.read.parquet(cold_path))
+
+
 def compact_partitions(
     spark: SparkSession,
     path: str,
