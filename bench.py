@@ -109,6 +109,7 @@ HEADLINE = [
     "multimodal_meta",
     "multimodal_audio",
     "multimodal_video",
+    "multimodal_frames",
     "scd2_range_join",
     "asof_enrich",
     "sessionize_hits",

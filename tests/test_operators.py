@@ -1379,6 +1379,68 @@ def test_mp4_probe_golden_boxes():
     assert truncated is None or truncated["timescale"] is None
 
 
+def test_mp4_sample_table_walk():
+    """parse_mp4_samples: pts from stts runs, sizes from stsz,
+    offsets from the general stsc/stco interpretation -- including a
+    hand-built TWO-chunk layout with distinct samples-per-chunk runs
+    (mp4_bytes only writes the single-chunk shape)."""
+    import struct as _s
+
+    b = multimodal.mp4_bytes(
+        1500, 3000, n_samples=8, sample_delta=120,
+        sample_sizes=[100 + i % 7 for i in range(8)],
+    )
+    st = multimodal.parse_mp4_samples(b)
+    assert st["timescale"] == 3000
+    assert st["pts"] == [i * 120 for i in range(8)]
+    assert st["offsets"][:4] == [0, 100, 201, 303]
+    # probe_mp4 is unaffected by the added mdia/stbl boxes
+    assert multimodal.probe_mp4(b)["duration_ms"] == 500
+
+    def box(t, p):
+        return _s.pack(">I", 8 + len(p)) + t + p
+
+    # two chunks at offsets 1000/2000: run1 = 2 samples in chunk 1,
+    # run2 = 3 samples in chunk 2; two stts runs (deltas 10 then 20)
+    stts = box(b"stts", _s.pack(">BxxxI", 0, 2) + _s.pack(">IIII", 2, 10, 3, 20))
+    stsz = box(b"stsz", _s.pack(">BxxxII", 0, 0, 5) + _s.pack(">5I", 7, 8, 9, 10, 11))
+    stsc = box(b"stsc", _s.pack(">BxxxI", 0, 2) + _s.pack(">III", 1, 2, 1) + _s.pack(">III", 2, 3, 1))
+    stco = box(b"stco", _s.pack(">BxxxI", 0, 2) + _s.pack(">II", 1000, 2000))
+    mdhd = box(b"mdhd", _s.pack(">BxxxIIII", 0, 0, 0, 100, 70) + _s.pack(">HH", 0x55C4, 0))
+    trak = box(b"trak", box(b"mdia", mdhd + box(b"minf", box(b"stbl", stts + stsz + stsc + stco))))
+    ftyp = box(b"ftyp", b"isom" + _s.pack(">I", 0) + b"isom")
+    st = multimodal.parse_mp4_samples(ftyp + box(b"moov", trak))
+    assert st["timescale"] == 100
+    assert st["pts"] == [0, 10, 20, 40, 60]  # run1 deltas 10, run2 20
+    assert st["sizes"] == [7, 8, 9, 10, 11]
+    # chunk 1 holds samples 0-1; chunk 2 holds 2-4
+    assert st["offsets"] == [1000, 1007, 2000, 2009, 2019]
+    # rejection
+    assert multimodal.parse_mp4_samples(multimodal.mp4_bytes(100, 1000)) is None
+    assert multimodal.parse_mp4_samples(b"\x00junk") is None
+
+
+def test_extract_video_frames_stride(spark):
+    """extract_video_frames samples every stride-th frame with real
+    pts/size/offset; table-less and non-MP4 payloads emit nothing."""
+    mp4 = multimodal.mp4_bytes(
+        1000, 1000, n_samples=6, sample_delta=40,
+        sample_sizes=[10, 20, 30, 40, 50, 60],
+    )
+    df = spark.createDataFrame(
+        [
+            Row(media_id=1, kind="video", payload=mp4),
+            Row(media_id=2, kind="video", payload=multimodal.mp4_bytes(100, 1000)),
+            Row(media_id=3, kind="video", payload=b"\x00junk"),
+        ]
+    )
+    rows = sorted(
+        (r["media_id"], r["frame_idx"], r["pts_ms"], r["size"], r["byte_offset"])
+        for r in multimodal.extract_video_frames(df, stride=2).collect()
+    )
+    assert rows == [(1, 0, 0, 10, 0), (1, 2, 80, 30, 30), (1, 4, 160, 50, 100)]
+
+
 def test_video_features_real_decode(spark):
     """extract_video_features parses real MP4 boxes through the Arrow
     stage; non-MP4 payloads yield format='unknown' with null fields."""

@@ -394,6 +394,167 @@ def probe_mp4(payload: bytes | None) -> dict | None:
     return out
 
 
+def parse_mp4_samples(payload: bytes | None) -> dict | None:
+    """Parse the first sample-table-bearing track of an MP4: ``mdhd``
+    media timescale plus the ``stbl`` boxes -- ``stts`` (decode
+    deltas), ``stsz`` (sizes), ``stsc`` (sample->chunk runs), ``stco``
+    (chunk offsets) -- into per-sample (pts_units, size, byte_offset)
+    arrays, the exact walk a codec-free frame extractor (or ffprobe
+    -show_frames) performs.  General stsc interpretation: each run
+    applies from its first_chunk until the next run's; a sample's
+    offset is its chunk's stco offset plus the sizes of the samples
+    before it in that chunk.  None when the payload is not MP4 or the
+    track carries no sample table."""
+    b = bytes(payload or b"")
+    boxes = list(_iter_boxes(b, 0, len(b)))
+    if not boxes or boxes[0][0] != b"ftyp":
+        return None
+
+    def child(btype: bytes, s: int, e: int):
+        for t, cs, ce in _iter_boxes(b, s, e):
+            if t == btype:
+                return cs, ce
+        return None
+
+    for btype, s, e in boxes:
+        if btype != b"moov":
+            continue
+        for ctype, cs, ce in _iter_boxes(b, s, e):
+            if ctype != b"trak":
+                continue
+            mdia = child(b"mdia", cs, ce)
+            if not mdia:
+                continue
+            mdhd = child(b"mdhd", *mdia)
+            minf = child(b"minf", *mdia)
+            if not minf:
+                continue
+            stbl = child(b"stbl", *minf)
+            if not stbl:
+                continue
+            stts = child(b"stts", *stbl)
+            stsz = child(b"stsz", *stbl)
+            stsc = child(b"stsc", *stbl)
+            stco = child(b"stco", *stbl)
+            if not (stts and stsz and stsc and stco):
+                continue
+            timescale = None
+            if mdhd and mdhd[1] - mdhd[0] >= 16:
+                ms = mdhd[0]
+                if b[ms] == 1:
+                    timescale = struct.unpack(">I", b[ms + 20 : ms + 24])[0]
+                else:
+                    timescale = struct.unpack(">I", b[ms + 12 : ms + 16])[0]
+            # stts -> per-sample pts (cumulative deltas)
+            ts_s = stts[0]
+            (n_runs,) = struct.unpack(">I", b[ts_s + 4 : ts_s + 8])
+            pts, t = [], 0
+            p = ts_s + 8
+            for _ in range(n_runs):
+                cnt, delta = struct.unpack(">II", b[p : p + 8])
+                for _ in range(cnt):
+                    pts.append(t)
+                    t += delta
+                p += 8
+            # stsz -> sizes
+            sz_s = stsz[0]
+            fixed, n_samples = struct.unpack(">II", b[sz_s + 4 : sz_s + 12])
+            if fixed:
+                sizes = [fixed] * n_samples
+            else:
+                sizes = list(
+                    struct.unpack(
+                        f">{n_samples}I", b[sz_s + 12 : sz_s + 12 + 4 * n_samples]
+                    )
+                )
+            # stco -> chunk offsets
+            co_s = stco[0]
+            (n_chunks,) = struct.unpack(">I", b[co_s + 4 : co_s + 8])
+            chunk_off = list(
+                struct.unpack(f">{n_chunks}I", b[co_s + 8 : co_s + 8 + 4 * n_chunks])
+            )
+            # stsc runs -> samples per chunk
+            sc_s = stsc[0]
+            (n_sc,) = struct.unpack(">I", b[sc_s + 4 : sc_s + 8])
+            runs = [
+                struct.unpack(">III", b[sc_s + 8 + 12 * i : sc_s + 20 + 12 * i])
+                for i in range(n_sc)
+            ]
+            per_chunk = []
+            for i, (first, spc, _desc) in enumerate(runs):
+                last = runs[i + 1][0] - 1 if i + 1 < len(runs) else n_chunks
+                per_chunk.extend([spc] * (last - first + 1))
+            offsets, si = [], 0
+            for ci, spc in enumerate(per_chunk):
+                if ci >= len(chunk_off):
+                    break
+                base = chunk_off[ci]
+                within = 0
+                for _ in range(spc):
+                    if si >= n_samples:
+                        break
+                    offsets.append(base + within)
+                    within += sizes[si]
+                    si += 1
+            n = min(n_samples, len(pts), len(offsets))
+            return {
+                "timescale": timescale,
+                "pts": pts[:n],
+                "sizes": sizes[:n],
+                "offsets": offsets[:n],
+            }
+        return None
+    return None
+
+
+VIDEO_FRAMES_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("frame_idx", T.IntegerType(), False),
+        T.StructField("pts_ms", T.LongType(), True),
+        T.StructField("size", T.LongType(), True),
+        T.StructField("byte_offset", T.LongType(), True),
+    ]
+)
+
+
+def extract_video_frames(media: DataFrame, stride: int = 1) -> DataFrame:
+    """REAL frame sampling from MP4 sample tables (Arrow mapInPandas):
+    every ``stride``-th sample of the first sample-table track, with
+    its presentation time (mdhd-timescale-exact ms), byte size and
+    file offset from the stts/stsz/stsc/stco walk -- what a decode
+    stage would seek to, without the codec.  Non-MP4 / table-less
+    payloads emit no rows (same contract as the image probes' unknown
+    fallback, but frame rows are inherently per-sample)."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                st = parse_mp4_samples(payload)
+                if st is None:
+                    continue
+                ts = st["timescale"]
+                for i in range(0, len(st["pts"]), stride):
+                    pts_ms = st["pts"][i] * 1000 // ts if ts else None
+                    rows.append(
+                        (mid, i, pts_ms, st["sizes"][i], st["offsets"][i])
+                    )
+            out = pd.DataFrame(
+                rows,
+                columns=["media_id", "frame_idx", "pts_ms", "size", "byte_offset"],
+            )
+            out["media_id"] = out["media_id"].astype("int64")
+            out["frame_idx"] = out["frame_idx"].astype("int32")
+            for c in ("pts_ms", "size", "byte_offset"):
+                out[c] = out[c].astype("Int64")
+            yield out
+
+    return media.select("media_id", "payload").mapInPandas(
+        batches, schema=VIDEO_FRAMES_SCHEMA
+    )
+
+
 def extract_video_features(media: DataFrame) -> DataFrame:
     """Arrow-batched MP4 container probing over binary payloads
     (mapInPandas, same contract as extract_image_features): real
@@ -534,13 +695,23 @@ def mp4_bytes(
     width: int = 0,
     height: int = 0,
     mdat_len: int = 16,
+    n_samples: int = 0,
+    sample_delta: int = 0,
+    sample_sizes: list[int] | None = None,
 ) -> bytes:
     """Minimal VALID ISO BMFF container (ISO/IEC 14496-12 box
     layouts): ``ftyp`` (isom) + ``moov`` holding a version-0 ``mvhd``
     (timescale, duration) and ``n_tracks`` ``trak``/``tkhd`` boxes
     (track 1 carries the 16.16 fixed-point presentation size) + an
-    ``mdat`` of zero bytes.  Codec-free but structurally real: any
-    box-walking parser (ffprobe, mp4box, probe_mp4) reads it."""
+    ``mdat``.  With ``n_samples`` > 0, track 1 additionally carries a
+    REAL sample table -- ``mdia/mdhd`` (media timescale = movie
+    timescale) and ``minf/stbl`` with ``stts`` (one run of
+    ``sample_delta``), ``stsz`` (per-sample sizes), ``stsc`` (one
+    chunk holding all samples) and ``stco`` (chunk offset 0 --
+    readers of this synthetic container treat offsets as
+    mdat-payload-relative; extract_video_frames normalizes against
+    stco[0] so absolute-offset files parse identically).  Codec-free
+    but structurally real: any box-walking parser reads it."""
     ftyp = _box(b"ftyp", b"isom" + struct.pack(">I", 0x200) + b"isomiso2mp41")
     mvhd = _box(
         b"mvhd",
@@ -562,7 +733,30 @@ def mp4_bytes(
             + struct.pack(">9I", 0x10000, 0, 0, 0, 0x10000, 0, 0, 0, 0x40000000)
             + struct.pack(">II", w16, h16),
         )
-        traks += _box(b"trak", tkhd)
+        mdia = b""
+        if track_id == 1 and n_samples > 0:
+            sizes = sample_sizes or [0] * n_samples
+            mdhd = _box(
+                b"mdhd",
+                struct.pack(">BxxxIIII", 0, 0, 0, timescale, duration_units)
+                + struct.pack(">HH", 0x55C4, 0),  # language 'und', pre_defined
+            )
+            stts = _box(
+                b"stts",
+                struct.pack(">BxxxI", 0, 1)
+                + struct.pack(">II", n_samples, sample_delta),
+            )
+            stsz = _box(
+                b"stsz",
+                struct.pack(">BxxxII", 0, 0, n_samples)
+                + b"".join(struct.pack(">I", s) for s in sizes),
+            )
+            stsc = _box(b"stsc", struct.pack(">BxxxIIII", 0, 1, 1, n_samples, 1))
+            stco = _box(b"stco", struct.pack(">BxxxII", 0, 1, 0))
+            stbl = _box(b"stbl", stts + stsz + stsc + stco)
+            minf = _box(b"minf", stbl)
+            mdia = _box(b"mdia", mdhd + minf)
+        traks += _box(b"trak", tkhd + mdia)
     moov = _box(b"moov", mvhd + traks)
     return ftyp + moov + _box(b"mdat", bytes(mdat_len))
 
@@ -612,9 +806,13 @@ def synth_video_media(df: DataFrame, id_col: str) -> DataFrame:
     exact integer function of the id so an oracle recomputes them in
     SQL: timescale = 1000*(1 + id%3); duration_units chosen so
     duration_ms = 500 + id%100 exactly; n_tracks = 1 + id%2;
-    width/height = 16*(id%8+1) x 16*(id%6+1).  id%5==4 rows carry a
-    NUL-prefixed non-MP4 payload for the unknown path (no box parser
-    accepts 0x00 as a leading size byte of a valid ftyp)."""
+    width/height = 16*(id%8+1) x 16*(id%6+1); track 1 carries a real
+    sample table with 5 + id%10 samples at 25 fps (delta = 40*k
+    media units -> pts_ms = 40*i exactly) and sizes 100 + i%7 (so
+    offsets have the closed form 100*i + 21*(i div 7) + r*(r-1)/2,
+    r = i%7).  id%5==4 rows carry a NUL-prefixed non-MP4 payload for
+    the unknown path (no box parser accepts 0x00 as a leading size
+    byte of a valid ftyp)."""
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
@@ -625,12 +823,16 @@ def synth_video_media(df: DataFrame, id_col: str) -> DataFrame:
                     payload = b"\x00notavideo" + str(mid).encode()
                 else:
                     scale_k = 1 + mid % 3
+                    ns = 5 + mid % 10
                     payload = mp4_bytes(
                         duration_units=(500 + mid % 100) * scale_k,
                         timescale=1000 * scale_k,
                         n_tracks=1 + mid % 2,
                         width=16 * (mid % 8 + 1),
                         height=16 * (mid % 6 + 1),
+                        n_samples=ns,
+                        sample_delta=40 * scale_k,
+                        sample_sizes=[100 + i % 7 for i in range(ns)],
                     )
                 rows.append((mid, "video", payload))
             yield pd.DataFrame(rows, columns=["media_id", "kind", "payload"])

@@ -2503,6 +2503,37 @@ FROM documents
 """
 
 
+def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL MP4 frame sampling: every 2nd sample of each synthesized
+    container's sample-table track, with presentation time, size and
+    byte offset computed from the actual stts/stsz/stsc/stco boxes
+    (operators/multimodal.py parse_mp4_samples).  The oracle derives
+    the same rows in closed form (pts = 40ms cadence; sizes 100+i%7;
+    offsets 100*i + 21*(i div 7) + r*(r-1)/2) via generate_series, so
+    a green row proves the sample-table walk, not an echo.  Replaces
+    the r5 byte-offset stub as the frame-sampling story."""
+    _prep(spark)
+    media = multimodal.synth_video_media(t(spark, sf_dir, "documents"), "doc_id")
+    return multimodal.extract_video_frames(media, stride=2)
+
+
+_ORACLE_MULTIMODAL_FRAMES = """
+WITH f AS (
+  SELECT doc_id, UNNEST(range(0, 5 + doc_id % 10)) AS i
+  FROM documents
+  WHERE doc_id % 5 <> 4
+)
+SELECT doc_id AS media_id,
+  CAST(i AS INT) AS frame_idx,
+  CAST(i * 40 AS BIGINT) AS pts_ms,
+  CAST(100 + i % 7 AS BIGINT) AS size,
+  CAST(100 * i + 21 * (i // 7)
+       + (i % 7) * ((i % 7) - 1) // 2 AS BIGINT) AS byte_offset
+FROM f
+WHERE i % 2 = 0
+"""
+
+
 def q_streaming_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tumbling-window streaming aggregation (ST-ext): per-day counts
     per event type computed ON the watermarked stream (cdc.
@@ -3394,6 +3425,7 @@ QUERIES: dict[str, QuerySpec] = {
     "multimodal_meta": QuerySpec(q_multimodal_meta, _ORACLE_MULTIMODAL, "multimodal/real PNG-GIF-BMP header decode + unknown fallback"),
     "multimodal_audio": QuerySpec(q_multimodal_audio, _ORACLE_MULTIMODAL_AUDIO, "multimodal/real RIFF-WAVE decode + PCM16 energy fingerprint"),
     "multimodal_video": QuerySpec(q_multimodal_video, _ORACLE_MULTIMODAL_VIDEO, "multimodal/real MP4 ISO-BMFF box parse (ftyp/mvhd/trak/tkhd)"),
+    "multimodal_frames": QuerySpec(q_multimodal_frames, _ORACLE_MULTIMODAL_FRAMES, "multimodal/real MP4 frame sampling (stts/stsz/stsc/stco walk)"),
     "streaming_roundtrip": QuerySpec(q_streaming_roundtrip, _ORACLE_STREAMING, "ST1 ST4 ST7"),
     "streaming_windowed": QuerySpec(q_streaming_windowed, _ORACLE_STREAMING_WINDOWED, "ST-ext: watermarked tumbling-window stream aggregation"),
     "streaming_dedup": QuerySpec(q_streaming_dedup, _ORACLE_STREAMING_DEDUP, "ST-ext: stateful streaming exact dedup (dedup/exact at ingest)"),
