@@ -390,7 +390,9 @@ def test_heavy_hitters_matches_python_model(spark, values, k):
 @given(
     st.lists(
         st.tuples(
-            st.integers(min_value=0, max_value=2),  # group
+            # group key, INCLUDING None (the r7 restore-join bug class:
+            # a NULL group must aggregate normally, never reset to [])
+            st.one_of(st.none(), st.integers(min_value=0, max_value=2)),
             st.lists(
                 st.tuples(
                     st.sampled_from(["x", "y", "z"]),  # map key
@@ -406,7 +408,8 @@ def test_heavy_hitters_matches_python_model(spark, values, k):
 )
 def test_sum_map_matches_python_model(spark, rows):
     """sum_map == per-group dict-merge with sorted keys, any input
-    (including rows with empty arrays, which contribute nothing)."""
+    (including rows with empty arrays, which contribute nothing, and
+    NULL group keys, which aggregate like any other group)."""
     from yc_data_transfer_clickhouse_from_yandex_metrica_spark.operators import maps
 
     data = [
