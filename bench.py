@@ -94,6 +94,7 @@ HEADLINE = [
     "cohort_matrix",
     "dedup_exact",
     "dedup_ngram_jaccard",
+    "paragraph_dedup",
     "dedup_minhash_lsh",
     "dedup_simhash",
     "dedup_clusters",

@@ -1200,6 +1200,30 @@ def test_jaccard_grid_salting_is_exact(spark):
         assert plain and salted == plain, f"salt_groups={groups}"
 
 
+def test_paragraph_dedup_first_occurrence(spark):
+    """Corpus-global paragraph dedup: later occurrences removed
+    (across AND within documents), first (id, pos) wins, docs
+    reassembled in order, fully-deduped docs come back as ''."""
+    df = spark.createDataFrame(
+        [
+            Row(doc_id=1, text="alpha\n\nbeta\n\nalpha"),   # intra-doc dup
+            Row(doc_id=2, text="beta\n\ngamma"),             # beta seen in doc 1
+            Row(doc_id=3, text="alpha\n\nbeta"),             # nothing new
+            Row(doc_id=4, text="delta"),
+        ]
+    )
+    got = {
+        r["doc_id"]: r["text"]
+        for r in dedup.paragraph_dedup(df, "doc_id", "text").collect()
+    }
+    assert got == {
+        1: "alpha\n\nbeta",
+        2: "gamma",
+        3: "",
+        4: "delta",
+    }
+
+
 def test_dedup_exact_keeps_min_id(spark):
     df = spark.createDataFrame(
         [Row(doc_id=5, text="same"), Row(doc_id=2, text="same"),

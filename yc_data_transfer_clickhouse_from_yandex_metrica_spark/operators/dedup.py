@@ -67,6 +67,72 @@ def dedup_exact(
     )
 
 
+def paragraph_dedup(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    sep: str = "\n\n",
+) -> DataFrame:
+    """Corpus-GLOBAL paragraph-level dedup (the C4 three-sentence-span
+    / Dolma paragraph-dedup shape): split every document on ``sep``;
+    a paragraph occurring anywhere else in the corpus survives only at
+    its FIRST occurrence (smallest (id, position)); later occurrences
+    are removed and each document is reassembled from its surviving
+    paragraphs in original order.  Documents left with no paragraphs
+    come back as empty strings (kept, so pipeline bookkeeping never
+    loses rows).
+
+    Shuffle discipline: the first-occurrence decision shuffles ONLY
+    (xxhash64(paragraph), id, pos) triples -- ~20-byte rows, one
+    window over hash(paragraph-hash); the paragraph TEXT is shuffled
+    once, by the (id, pos) join that attaches the keep decision back
+    to the exploded paragraphs, then once more into the per-document
+    reassembly group.  A 64-bit paragraph-hash collision wrongly
+    removes a paragraph with probability ~n^2/2^65 (same accepted
+    epsilon as dedup_exact's bucket key; the keep-join compares only
+    positions, so a collision never mixes text between documents).
+
+    Empty paragraphs (consecutive separators) participate like any
+    other: the corpus keeps exactly one.  That matches the SQL-window
+    oracle's ``string_split`` semantics.
+    """
+    import re as _re
+
+    # literal separator (split() takes a regex): parity with the SQL
+    # oracle's string_split
+    paras = df.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(F.split(F.col(text_col), _re.escape(sep))).alias(
+            "pos", "para"
+        ),
+    )
+    idx = paras.select("id", "pos", F.xxhash64("para").alias("__h"))
+    w = Window.partitionBy("__h").orderBy("id", "pos")
+    keep = (
+        idx.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .select("id", "pos")
+    )
+    kept = paras.join(keep, ["id", "pos"])
+    rebuilt = kept.groupBy("id").agg(
+        F.concat_ws(
+            sep,
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "para"))),
+                lambda s: s["para"],
+            ),
+        ).alias("__text")
+    )
+    return (
+        df.select(F.col(id_col).alias("id"))
+        .join(rebuilt, "id", "left")
+        .select(
+            F.col("id").alias(id_col),
+            F.coalesce("__text", F.lit("")).alias(text_col),
+        )
+    )
+
+
 # --------------------------------------------------------------------------
 # shingles
 # --------------------------------------------------------------------------

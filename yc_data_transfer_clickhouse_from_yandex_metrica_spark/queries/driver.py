@@ -638,6 +638,49 @@ FROM pairs WHERE j >= 0.6
 """
 
 
+def q_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-global paragraph dedup (C4/Dolma shape) over the
+    dup-laden corpus, splitting on the literal token ' a ': later
+    occurrences of any paragraph are removed, docs reassembled in
+    order, empty docs kept.  The oracle recomputes the identical
+    first-occurrence rule with a window over the raw paragraph text
+    (no hashing), so a green row proves the hash-keyed Spark plan
+    implements exact first-occurrence semantics."""
+    _prep(spark)
+    docs = _docs_with_dups(spark, sf_dir)
+    out = dedup.paragraph_dedup(docs, "doc_id", "text", sep=" a ")
+    return out.select(
+        "doc_id", F.length("text").alias("n_chars"), "text"
+    )
+
+
+_ORACLE_PARAGRAPH_DEDUP = f"""
+WITH {_DOCS_DUP_SQL},
+p AS (
+  SELECT doc_id,
+         UNNEST(list_zip(string_split(text, ' a '),
+                         range(1, len(string_split(text, ' a ')) + 1))) AS z
+  FROM docs
+),
+q AS (
+  SELECT doc_id, z[1] AS para, CAST(z[2] AS INT) AS pos FROM p
+),
+k AS (
+  SELECT doc_id, pos, para,
+         row_number() OVER (PARTITION BY para ORDER BY doc_id, pos) AS rn
+  FROM q
+),
+r AS (
+  SELECT doc_id, string_agg(para, ' a ' ORDER BY pos) AS text
+  FROM k WHERE rn = 1 GROUP BY doc_id
+)
+SELECT d.doc_id,
+       CAST(length(coalesce(r.text, '')) AS INT) AS n_chars,
+       coalesce(r.text, '') AS text
+FROM docs d LEFT JOIN r ON d.doc_id = r.doc_id
+"""
+
+
 def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash-LSH candidates verified with exact Jaccard.  Oracle is
     brute-force Jaccard: valid because verification makes precision
@@ -3375,6 +3418,7 @@ QUERIES: dict[str, QuerySpec] = {
     "partition_probe": QuerySpec(q_partition_probe, _ORACLE_PARTITION_PROBE, "O5 per-branch limit + S8 _file probe (README.md:150-154)"),
     "dedup_exact": QuerySpec(q_dedup_exact, _ORACLE_DEDUP_EXACT, "dedup/exact"),
     "dedup_ngram_jaccard": QuerySpec(q_dedup_ngram, _ORACLE_DEDUP_NGRAM, "dedup/ngram-jaccard"),
+    "paragraph_dedup": QuerySpec(q_paragraph_dedup, _ORACLE_PARAGRAPH_DEDUP, "dedup/corpus-global paragraph dedup (C4/Dolma shape)"),
     "dedup_minhash_lsh": QuerySpec(q_dedup_minhash, _ORACLE_DEDUP_MINHASH, "dedup/minhash-lsh"),
     "dedup_simhash": QuerySpec(q_dedup_simhash, _ORACLE_DEDUP_SIMHASH, "dedup/simhash (md5 variant, oracle=brute-force hamming)"),
     "dedup_clusters": QuerySpec(q_dedup_clusters, _ORACLE_DEDUP_CLUSTERS, "dedup/connected-components"),
