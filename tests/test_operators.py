@@ -2478,6 +2478,23 @@ def test_url_function_family(spark):
     assert (bad["proto"], bad["host"], bad["path"]) == ("", "", "")
 
 
+def test_uniq_approx_within_rsd(spark):
+    """uniq/uniqHLL12/uniqCombined: HLL++ estimates land within 5x
+    their declared rsd of the exact cardinality (documented deviation:
+    estimates differ from CH's sketches but share the accuracy
+    class)."""
+    df = spark.range(20_000).select((F.col("id") % 7919).alias("v"))
+    r = df.agg(
+        ch.uniq("v").alias("u"),
+        ch.uniq_hll12("v").alias("h"),
+        ch.uniq_combined("v").alias("c"),
+        F.countDistinct("v").alias("exact"),
+    ).collect()[0]
+    assert r["exact"] == 7919
+    for col, rsd in (("u", 0.05), ("h", 0.016), ("c", 0.005)):
+        assert abs(r[col] - 7919) <= 5 * rsd * 7919, (col, r[col])
+
+
 def test_url_family_edge_corpus(spark):
     """CH-margin edge corpus (r6 verdict #8): ports, userinfo, IPv6
     hosts, fragments, %-encoding, scheme-relative and scheme-less

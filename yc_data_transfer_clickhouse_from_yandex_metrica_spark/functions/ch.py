@@ -400,6 +400,24 @@ def uniq_up_to(c: ColumnOrName, n: int) -> Column:
     return F.least(F.countDistinct(_col(c)), F.lit(n + 1))
 
 
+def uniq_hll12(c: ColumnOrName) -> Column:
+    """ClickHouse ``uniqHLL12`` (HyperLogLog, 2^12 registers, rsd
+    ~1.6%): Spark HLL++ at the same accuracy class.  Documented
+    deviation (whole approx family, incl. :func:`uniq` above): CH's
+    sketches and Spark's HLL++ estimate the same cardinality
+    differently; both stay within their rsd, and no hash-compared
+    oracle entry may use them -- ``uniq_exact`` is the value-stable
+    form."""
+    return F.approx_count_distinct(_col(c), 0.016)
+
+
+def uniq_combined(c: ColumnOrName) -> Column:
+    """ClickHouse ``uniqCombined`` default accuracy (HLL K=17 tier,
+    rsd ~0.5%): Spark HLL++ at rsd 0.005 -- more registers, tighter
+    estimate, bigger (still fixed-size) sketch state."""
+    return F.approx_count_distinct(_col(c), 0.005)
+
+
 # =========================================================================
 # URL function family (CH URL functions -- the Metrica model's Referer /
 # URL columns, ddl/hits.sql / ddl/visits.sql StartURL+Referer).  All are
