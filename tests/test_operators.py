@@ -2587,6 +2587,67 @@ def test_url_family_edge_corpus(spark):
     assert (r["sp"], r["encname"], r["first"]) == ("", "v%26al", "1")
 
 
+def test_url_www_path_cutparam_family(spark):
+    """cutWWW / domainWithoutWWW / pathFull / cutURLParameter over
+    representative shapes, incl. userinfo hosts, www-less hosts, and
+    parameter removal at first/middle/last/only positions."""
+    rows = {
+        "https://www.example.com/a?x=1&y=2&z=3": dict(
+            nowww="https://example.com/a?x=1&y=2&z=3",
+            dom="example.com", pf="/a?x=1&y=2&z=3",
+            cut_y="https://www.example.com/a?x=1&z=3",
+        ),
+        "https://u:p@www.example.com/b": dict(
+            nowww="https://u:p@example.com/b",
+            dom="example.com", pf="/b",
+            cut_y="https://u:p@www.example.com/b",
+        ),
+        "https://example.com/c?y=2": dict(
+            nowww="https://example.com/c?y=2",
+            dom="example.com", pf="/c?y=2",
+            cut_y="https://example.com/c",
+        ),
+        "https://example.com/d?y=2&x=1": dict(
+            nowww="https://example.com/d?y=2&x=1",
+            dom="example.com", pf="/d?y=2&x=1",
+            cut_y="https://example.com/d?x=1",
+        ),
+        # wwwextra is a genuine label, not a www. prefix
+        "https://wwwextra.example.com/e": dict(
+            nowww="https://wwwextra.example.com/e",
+            dom="wwwextra.example.com", pf="/e",
+            cut_y="https://wwwextra.example.com/e",
+        ),
+        "not a url": dict(nowww="not a url", dom="", pf="", cut_y="not a url"),
+    }
+    df = spark.createDataFrame([(u,) for u in rows], "u string")
+    got = {
+        r["u"]: r
+        for r in df.select(
+            "u",
+            ch.cut_www("u").alias("nowww"),
+            ch.domain_without_www("u").alias("dom"),
+            ch.path_full("u").alias("pf"),
+            ch.cut_url_parameter("u", "y").alias("cut_y"),
+        ).collect()
+    }
+    for u, want in rows.items():
+        assert {k: got[u][k] for k in want} == want, u
+
+
+def test_quantile_approx_within_rank_error(spark):
+    """quantile_approx (GK sketch) lands within the rank-accuracy
+    bound of the exact quantile on a uniform column."""
+    df = spark.range(100_000).select(F.col("id").cast("double").alias("v"))
+    r = df.agg(
+        ch.quantile_approx("v", 0.5).alias("med"),
+        ch.quantile_approx("v", [0.1, 0.99]).alias("qs"),
+    ).collect()[0]
+    assert abs(r["med"] - 50_000) <= 100_000 / 10_000 * 2
+    assert abs(r["qs"][0] - 10_000) <= 100_000 / 10_000 * 2
+    assert abs(r["qs"][1] - 99_000) <= 100_000 / 10_000 * 2
+
+
 def test_date_function_family(spark):
     df = spark.createDataFrame([(date(2023, 11, 17),)], "d date")
     r = df.select(

@@ -495,6 +495,54 @@ def url_port(u: ColumnOrName, default: int = 0) -> Column:
     return F.when(p != "", p.cast("int")).otherwise(F.lit(default))
 
 
+def domain_without_www(u: ColumnOrName) -> Column:
+    """``domainWithoutWWW(url)``: host with one leading 'www.'
+    stripped ('' when unparseable, CH parity)."""
+    return F.regexp_replace(url_domain(u), r"^www\.", "")
+
+
+def cut_www(u: ColumnOrName) -> Column:
+    """``cutWWW(url)``: the URL with the host's leading 'www.'
+    removed (scheme/path/query untouched; non-URL strings pass
+    through unchanged, as in CH)."""
+    return F.regexp_replace(_col(u), r"^([a-z][a-z0-9+.-]*://(?:[^/?#@]*@)?)www\.", r"$1")
+
+
+def path_full(u: ColumnOrName) -> Column:
+    """``pathFull(url)``: path INCLUDING the query string ('' when
+    absent) -- CH's path-with-query variant."""
+    qs = url_query_string(u)
+    return F.when(
+        qs != "", F.concat(url_path(u), F.lit("?"), qs)
+    ).otherwise(url_path(u))
+
+
+def cut_url_parameter(u: ColumnOrName, name: str) -> Column:
+    """``cutURLParameter(url, name)``: the URL with the named query
+    parameter (and its value) removed; the name matches literally at
+    a parameter boundary, remaining separators are kept consistent
+    (leading '?'/'&' reattached correctly), as CH does."""
+    import re as _re
+
+    n = _re.escape(name)
+    # drop "name=..." plus ONE adjacent separator: "&name=v" or
+    # "name=v&" or a lone "?name=v"
+    out = F.regexp_replace(_col(u), rf"([?&]){n}=[^&#]*&", r"$1")
+    return F.regexp_replace(out, rf"[?&]{n}=[^&#]*", "")
+
+
+def quantile_approx(
+    c: ColumnOrName, q: float | list[float], accuracy: int = 10000
+) -> Column:
+    """ClickHouse ``quantileTDigest``-class APPROXIMATE quantile:
+    Spark's ``percentile_approx`` (Greenwald-Khanna) at the given
+    accuracy.  Documented deviation: different sketch than CH's
+    t-digest, same fixed-memory approximate class; error <=
+    1/accuracy in rank.  Use operators.stats exact quantiles when a
+    hash-compared oracle needs the value."""
+    return F.percentile_approx(_col(c), q, accuracy)
+
+
 def avg_weighted(v: ColumnOrName, w: ColumnOrName) -> Column:
     """ClickHouse ``avgWeighted(x, w)``: sum(x*w)/sum(w).  Deviation:
     an all-zero/empty weight set yields NULL here (Spark division by
