@@ -45,6 +45,8 @@ HEADLINE = [
     "traffic_sources",
     "metrica_traffic_chart",
     "metrica_visits_chart",
+    "chsql_visits_chart",
+    "chsql_traffic_chart",
     "where_alias",
     "union_reconcile",
     "sample_by",

@@ -2648,6 +2648,65 @@ def test_quantile_approx_within_rank_error(spark):
     assert abs(r["qs"][1] - 99_000) <= 100_000 / 10_000 * 2
 
 
+def test_chsql_front_end_pieces(spark):
+    """plans/chsql building blocks: comment stripping keeps string
+    literals; trailing-dot literals become doubles; nested CH calls
+    rewrite with argument order fixed; LIMIT o,n with a nonzero
+    offset; unknown-column indexing keeps Spark semantics."""
+    from yc_data_transfer_clickhouse_from_yandex_metrica_spark.plans import chsql
+
+    s = chsql.strip_comments(
+        "SELECT '--not a comment' AS a -- real\n/* block\n*/ FROM t"
+    )
+    assert "'--not a comment'" in s and "real" not in s and "block" not in s
+
+    lit = chsql._rewrite_literals("100. * x > 0. AND y = 0.5 AND '1.'")
+    assert lit == "100.0D * x > 0.0D AND y = 0.5 AND '1.'"
+
+    calls = chsql._rewrite_calls(
+        "sumArray(arrayMap(x -> toInt64(notEmpty(x)), arr))"
+    )
+    assert calls.startswith("sum(aggregate(transform(arr, x -> CAST(CAST(")
+
+    df = spark.createDataFrame([(1, ["a", "b"])], "k int, arr array<string>")
+    out = chsql.run_sql(
+        spark,
+        "SELECT k FROM tbl ORDER BY k LIMIT 1, 2",
+        {"tbl": df.unionByName(
+            spark.createDataFrame([(2, ["c"]), (3, [])], "k int, arr array<string>")
+        )},
+    )
+    assert [r["k"] for r in out.collect()] == [2, 3]
+
+    # CH 1-based default-on-miss indexing for known array columns
+    idx = chsql.run_sql(
+        spark,
+        "SELECT k, arr[indexOf(arr, 'b')] AS hit, arr[9] AS miss FROM tbl",
+        {"tbl": df},
+    ).collect()[0]
+    assert (idx["hit"], idx["miss"]) == ("b", "")
+
+
+def test_chsql_totals_matches_plans_totals(spark):
+    """chsql's WITH TOTALS branch: totals row computed over ALL
+    pre-HAVING rows with NULL group keys, appended after the
+    ordered+limited detail -- plans/totals semantics."""
+    from yc_data_transfer_clickhouse_from_yandex_metrica_spark.plans import chsql
+
+    df = spark.createDataFrame(
+        [("a", 1), ("a", -1), ("b", 1), ("c", 1)], "g string, s int"
+    )
+    out = chsql.run_sql(
+        spark,
+        "SELECT g AS grp, sum(s) AS n FROM t GROUP BY grp WITH TOTALS "
+        "HAVING n > 0 ORDER BY grp LIMIT 0,10",
+        {"t": df},
+    ).collect()
+    rows = [(r["grp"], r["n"]) for r in out]
+    # 'a' nets 0 -> HAVING removes the group row, totals still count it
+    assert rows == [("b", 1), ("c", 1), (None, 2)]
+
+
 def test_date_function_family(spark):
     df = spark.createDataFrame([(date(2023, 11, 17),)], "d date")
     r = df.select(

@@ -1,0 +1,371 @@
+"""ClickHouse-dialect SQL front-end: run the reference's chart SQL
+VERBATIM on this engine.
+
+A user of the reference writes ClickHouse SQL (the two DataLens chart
+queries, /root/reference/README.md:75-86 and :96-119).  ``run_sql``
+accepts that text unchanged -- comments, ``{{param}}`` placeholders,
+backtick aliases referenced from WHERE/GROUP BY/HAVING, ``WITH
+TOTALS``, ``LIMIT offset,n``, CH function names and CH 1-based
+type-default array indexing -- and compiles it to ONE Spark SQL query
+(plus the totals branch), so Catalyst sees a plain declarative plan.
+
+This is a string-level dialect rewriter, not a SQL parser: every
+transformation is scoped by a string-literal mask and top-level
+paren/bracket scanning, and each rewrite maps a CH construct to the
+engine's already-oracle-proven formulation (functions/ch.py is the
+source of truth for each mapping; the chsql registry entries reuse
+the SAME DuckDB oracles as the DataFrame chart implementations, so a
+green row proves the front-end end-to-end).
+
+Supported dialect surface (the reference's queries + the engine's CH
+vocabulary):
+
+- ``--`` and ``/* */`` comments; ``{{name}}`` parameter substitution
+  (values are SQL fragments, e.g. ``DATE '2024-01-01'``).
+- table mapping: caller provides {name-as-written: DataFrame}; each
+  is registered as a temp view and the reference's
+  ``db.table_<transfer id>`` spelling is replaced.
+- SELECT-list aliases (backticked or bare) referenced from other
+  select items, WHERE, GROUP BY and HAVING -- inlined via
+  plans.alias.inline_aliases (P7 semantics).  ORDER BY resolves
+  output aliases natively in Spark.
+- ``GROUP BY ... WITH TOTALS``: totals row computed over ALL
+  pre-HAVING rows (ClickHouse default totals_mode), emitted in-band
+  with NULL group keys after the ordered+limited detail rows --
+  byte-identical semantics to plans/totals.py.
+- ``LIMIT o, n`` -> ``LIMIT n [OFFSET o]``.
+- function mapping (argument order fixed where CH differs):
+  arrayMap/arrayFilter (lambda first in CH), indexOf, uniqExact,
+  notEmpty, toInt64, isFinite, sumArray, toMonday, least/greatest
+  (pass through), if (native).
+- CH numeric literals ``100.`` / ``0.`` -> ``100.0D`` (Spark would
+  parse a trailing-dot literal as DECIMAL and poison downstream
+  float arithmetic).
+- ``col[idx]``: 1-based access returning the ELEMENT TYPE DEFAULT
+  ('' / 0) out of range, for any column whose array element type is
+  known from the provided tables (ch.array_at semantics); unknown
+  columns keep Spark semantics untouched.
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+from .alias import inline_aliases
+
+# ---------------------------------------------------------------------------
+# scanning helpers (string-literal-safe)
+# ---------------------------------------------------------------------------
+
+
+def _mask(sql: str) -> str:
+    """Blank string literals and backticked identifiers' CONTENTS stay
+    visible (aliases live there); only '...' literals are masked."""
+    return re.sub(r"'(?:[^'\\]|\\.)*'", lambda m: " " * len(m.group(0)), sql)
+
+
+def strip_comments(sql: str) -> str:
+    masked = _mask(sql)
+    out, i = [], 0
+    while i < len(sql):
+        if masked.startswith("--", i):
+            j = sql.find("\n", i)
+            i = len(sql) if j < 0 else j
+        elif masked.startswith("/*", i):
+            j = sql.find("*/", i)
+            i = len(sql) if j < 0 else j + 2
+        else:
+            out.append(sql[i])
+            i += 1
+    return "".join(out)
+
+
+def _match_paren(s: str, open_idx: int) -> int:
+    """Index of the ')'/']' closing the bracket at ``open_idx`` (on a
+    masked string)."""
+    pairs = {"(": ")", "[": "]"}
+    close = pairs[s[open_idx]]
+    depth = 0
+    for i in range(open_idx, len(s)):
+        if s[i] in pairs:
+            depth += 1
+        elif s[i] in pairs.values():
+            depth -= 1
+            if depth == 0 and s[i] == close:
+                return i
+    raise ValueError(f"unbalanced bracket at {open_idx}")
+
+
+def _split_top(s: str) -> list[str]:
+    """Split on top-level commas (masked-scan, returns original text)."""
+    masked = _mask(s)
+    parts, depth, last = [], 0, 0
+    for i, c in enumerate(masked):
+        if c in "([":
+            depth += 1
+        elif c in ")]":
+            depth -= 1
+        elif c == "," and depth == 0:
+            parts.append(s[last:i])
+            last = i + 1
+    parts.append(s[last:])
+    return [p.strip() for p in parts]
+
+
+def _find_clause(sql: str, *keywords: str) -> re.Match | None:
+    """First top-level (depth-0, outside strings) occurrence of the
+    keyword sequence, case-insensitive."""
+    masked = _mask(sql)
+    pat = re.compile(
+        r"\b" + r"\s+".join(re.escape(k) for k in keywords) + r"\b", re.I
+    )
+    for m in pat.finditer(masked):
+        depth = masked.count("(", 0, m.start()) - masked.count(")", 0, m.start())
+        if depth == 0:
+            return m
+    return None
+
+
+# ---------------------------------------------------------------------------
+# dialect rewrites
+# ---------------------------------------------------------------------------
+
+# each: fn(args: list[str]) -> replacement SQL.  Mappings mirror
+# functions/ch.py exactly (that module is oracle-proven).
+_CALL_REWRITES: dict[str, object] = {
+    "arrayMap": lambda a: f"transform({a[1]}, {a[0]})",
+    "arrayFilter": lambda a: f"filter({a[1]}, {a[0]})",
+    "indexOf": lambda a: f"array_position({a[0]}, {a[1]})",
+    "uniqExact": lambda a: f"count(DISTINCT {', '.join(a)})",
+    "notEmpty": lambda a: f"CAST(length(coalesce({a[0]}, '')) > 0 AS INT)",
+    "toInt64": lambda a: f"CAST({a[0]} AS BIGINT)",
+    "isFinite": lambda a: (
+        f"(NOT isnan(CAST({a[0]} AS DOUBLE)) "
+        f"AND CAST({a[0]} AS DOUBLE) != CAST('Infinity' AS DOUBLE) "
+        f"AND CAST({a[0]} AS DOUBLE) != CAST('-Infinity' AS DOUBLE))"
+    ),
+    "sumArray": lambda a: (
+        f"sum(aggregate({a[0]}, CAST(0 AS BIGINT), (__acc, __x) -> __acc + __x))"
+    ),
+    "toMonday": lambda a: f"CAST(date_trunc('week', {a[0]}) AS DATE)",
+    "toDate": lambda a: f"CAST({a[0]} AS DATE)",
+}
+
+
+def _rewrite_calls(sql: str) -> str:
+    changed = True
+    while changed:
+        changed = False
+        masked = _mask(sql)
+        for name, fn in _CALL_REWRITES.items():
+            for m in re.finditer(rf"\b{name}\s*\(", masked):
+                close = _match_paren(masked, m.end() - 1)
+                args = _split_top(sql[m.end() : close])
+                sql = sql[: m.start()] + fn(args) + sql[close + 1 :]
+                changed = True
+                break  # positions moved: rescan
+            if changed:
+                break
+    return sql
+
+
+_NUM_TRAILING_DOT = re.compile(r"(?<![\w.])(\d+)\.(?![\d\w.])")
+
+
+def _rewrite_literals(sql: str) -> str:
+    """``100.`` / ``0.`` -> double literals (Spark parses a bare
+    trailing-dot number as DECIMAL, which poisons float arithmetic
+    and cross-engine hashes)."""
+    masked = _mask(sql)
+    out, last = [], 0
+    for m in _NUM_TRAILING_DOT.finditer(masked):
+        out.append(sql[last : m.start()])
+        out.append(m.group(1) + ".0D")
+        last = m.end()
+    out.append(sql[last:])
+    return "".join(out)
+
+
+_IDENT_BRACKET = re.compile(r"(`[^`]+`|[A-Za-z_][\w]*(?:\.[\w]+)*)\s*\[")
+
+
+def _elem_defaults(tables: dict[str, DataFrame]) -> dict[str, str]:
+    out: dict[str, str] = {}
+    for df in tables.values():
+        for f in df.schema.fields:
+            if not isinstance(f.dataType, T.ArrayType):
+                continue
+            et = f.dataType.elementType
+            if isinstance(et, T.StringType):
+                out[f.name] = "''"
+            elif isinstance(et, T.NumericType):
+                out[f.name] = f"CAST(0 AS {et.simpleString()})"
+    return out
+
+
+def _rewrite_indexing(sql: str, defaults: dict[str, str]) -> str:
+    """``col[idx]`` -> CH 1-based type-default access (ch.array_at
+    CASE form) for columns with known array element types."""
+    while True:
+        masked = _mask(sql)
+        for m in _IDENT_BRACKET.finditer(masked):
+            name = m.group(1).strip("`")
+            if name not in defaults:
+                continue
+            open_idx = sql.index("[", m.end(1))
+            close = _match_paren(masked, open_idx)
+            col = m.group(1)
+            idx = sql[open_idx + 1 : close]
+            repl = (
+                f"(CASE WHEN ({idx}) >= 1 AND ({idx}) <= size({col}) "
+                f"THEN element_at({col}, CAST(({idx}) AS INT)) "
+                f"ELSE {defaults[name]} END)"
+            )
+            sql = sql[: m.start()] + repl + sql[close + 1 :]
+            break
+        else:
+            return sql
+
+
+# ---------------------------------------------------------------------------
+# clause surgery
+# ---------------------------------------------------------------------------
+
+_CLAUSE_STARTS = [
+    ("WHERE",), ("GROUP", "BY"), ("HAVING",), ("ORDER", "BY"), ("LIMIT",),
+]
+
+
+def _segment(sql: str) -> dict[str, tuple[int, int]]:
+    """Top-level clause spans: name -> (start of keyword, end of
+    clause body).  SELECT list span stored under 'SELECT'."""
+    spans: dict[str, tuple[int, int]] = {}
+    marks: list[tuple[int, str]] = []
+    sel = _find_clause(sql, "SELECT")
+    frm = _find_clause(sql, "FROM")
+    if not sel or not frm:
+        raise ValueError("chsql: need a top-level SELECT ... FROM")
+    marks.append((sel.start(), "SELECT"))
+    marks.append((frm.start(), "FROM"))
+    for kws in _CLAUSE_STARTS:
+        m = _find_clause(sql, *kws)
+        if m:
+            marks.append((m.start(), " ".join(kws)))
+    marks.sort()
+    for i, (pos, name) in enumerate(marks):
+        end = marks[i + 1][0] if i + 1 < len(marks) else len(sql)
+        spans[name] = (pos, end)
+    return spans
+
+
+def _select_aliases(select_body: str) -> tuple[list[tuple[str, str | None]], dict[str, str]]:
+    """Parse the select list -> ([(expr, alias|None)...], resolved
+    alias->expr with earlier aliases inlined into later defs)."""
+    items = _split_top(select_body)
+    parsed: list[tuple[str, str | None]] = []
+    resolved: dict[str, str] = {}
+    for item in items:
+        m = re.search(r"\s+AS\s+(`[^`]+`|\w+)\s*$", item, re.I)
+        if m:
+            alias = m.group(1).strip("`")
+            expr = item[: m.start()].strip()
+        else:
+            alias, expr = None, item.strip()
+        expr = inline_aliases(expr, resolved)
+        parsed.append((expr, alias))
+        if alias:
+            resolved[alias] = expr
+    return parsed, resolved
+
+
+def run_sql(
+    spark: SparkSession,
+    query: str,
+    tables: dict[str, DataFrame],
+    params: dict[str, str] | None = None,
+) -> DataFrame:
+    """Compile + run a ClickHouse-dialect query (module docstring for
+    the supported surface).  ``tables`` maps each table name AS
+    WRITTEN in the query to its DataFrame; ``params`` maps ``{{name}}``
+    placeholders to SQL fragments."""
+    sql = strip_comments(query)
+    for name, val in (params or {}).items():
+        sql = sql.replace("{{" + name + "}}", val)
+    for i, (name, df) in enumerate(sorted(tables.items(), key=lambda kv: -len(kv[0]))):
+        view = f"__chsql_t{i}"
+        df.createOrReplaceTempView(view)
+        sql = sql.replace(name, view)
+    sql = _rewrite_indexing(sql, _elem_defaults(tables))
+    sql = _rewrite_calls(sql)
+    sql = _rewrite_literals(sql)
+    sql = re.sub(r"\s+", " ", sql).strip().rstrip(";")
+
+    spans = _segment(sql)
+    sel_start, sel_end = spans["SELECT"]
+    select_body = sql[sel_start + len("SELECT") : sel_end]
+    parsed, aliases = _select_aliases(select_body)
+    select_txt = ", ".join(
+        f"{expr} AS `{alias}`" if alias else expr for expr, alias in parsed
+    )
+
+    def clause(name: str) -> str | None:
+        if name not in spans:
+            return None
+        s, e = spans[name]
+        return sql[s:e]
+
+    frm = clause("FROM")
+    where = clause("WHERE")
+    group = clause("GROUP BY")
+    having = clause("HAVING")
+    order = clause("ORDER BY")
+    limit = clause("LIMIT")
+
+    with_totals = False
+    if group:
+        m = re.search(r"\bWITH\s+TOTALS\b", group, re.I)
+        if m:
+            with_totals = True
+            group = group[: m.start()].strip()
+
+    def _inline(c: str | None) -> str | None:
+        if c is None:
+            return None
+        kw_m = re.match(r"(WHERE|GROUP BY|HAVING)\s+", c, re.I)
+        body = c[kw_m.end():] if kw_m else c
+        head = c[: kw_m.end()] if kw_m else ""
+        return head + inline_aliases(body, aliases)
+
+    where, group, having = _inline(where), _inline(group), _inline(having)
+
+    if limit:
+        lm = re.match(r"LIMIT\s+(\d+)\s*,\s*(\d+)\s*$", limit, re.I)
+        if lm:
+            off, n = int(lm.group(1)), int(lm.group(2))
+            limit = f"LIMIT {n}" + (f" OFFSET {off}" if off else "")
+
+    def assemble(parts: list[str | None]) -> str:
+        return " ".join(p for p in parts if p)
+
+    main = assemble(
+        ["SELECT", select_txt, frm, where, group, having, order, limit]
+    )
+    detail = spark.sql(main)
+    if not with_totals:
+        return detail
+
+    # totals: global aggregate over pre-HAVING rows, group keys -> NULL
+    group_exprs = [
+        g.strip().strip("()").strip()
+        for g in _split_top(re.sub(r"^GROUP BY\s+", "", group, flags=re.I))
+    ]
+    totals_items = []
+    for (expr, alias), field in zip(parsed, detail.schema.fields):
+        if expr.strip().strip("()").strip() in group_exprs:
+            expr = f"CAST(NULL AS {field.dataType.simpleString()})"
+        totals_items.append(f"{expr} AS `{field.name}`")
+    totals = spark.sql(assemble(["SELECT", ", ".join(totals_items), frm, where]))
+    return detail.unionAll(totals)

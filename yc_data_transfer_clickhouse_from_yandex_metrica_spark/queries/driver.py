@@ -3306,6 +3306,134 @@ SELECT NULL, CAST(sum(sign) AS BIGINT) FROM in_range
 
 
 # =========================================================================
+# 28b. chsql charts -- the reference's DataLens SQL texts VERBATIM
+#      (README.md:75-86 and :96-119, incl. Russian comments, {{param}}
+#      placeholders, backtick aliases, WITH TOTALS, LIMIT 0,n and the
+#      CH function vocabulary) through the plans/chsql front-end, then
+#      hash-compared against the SAME DuckDB oracles as the DataFrame
+#      chart implementations.  Green rows prove a reference user can
+#      paste their queries unchanged.
+# =========================================================================
+
+_CHSQL_VISITS_SQL = """
+/*
+https://yandex.ru/support/metrica/pro/data-work.html
+
+- не забыть указать корректное имя таблицы в своей БД
+- id счетчика можно убрать
+- на вкладке параметр создать параметр с именем "interval" и типом date-interval
+*/
+
+SELECT StartDate AS `ym:s:date`,
+        sum(Sign) AS `ym:s:visits` -- правильное коллапсирование нескольких версий визита
+from
+metrica_copy.visits_<id трансфера>
+as `default.visits_all`
+WHERE `ym:s:date` >= {{interval_from}}
+        and `ym:s:date` <= {{interval_to}}
+GROUP BY `ym:s:date`
+WITH TOTALS
+HAVING `ym:s:visits` >= 0.0
+ORDER BY `ym:s:date` ASC
+limit 0,10
+"""
+
+_CHSQL_TRAFFIC_SQL = """
+/*
+https://yandex.ru/support/metrica/pro/data-work.html#data-work__utm
+*/
+
+SELECT
+    `TrafficSource.UTMSource`[indexOf(`TrafficSource.Model`, 2)] AS `ym:s:lastSignUTMSource`,
+    sum(Sign) AS `ym:s:visits`,
+    least(uniqExact(CounterUserIDHash), `ym:s:visits`) AS `ym:s:users`,
+    100. * (sum(IsBounce * Sign) / `ym:s:visits`) AS `ym:s:bounceRate`,
+    sum(PageViews * Sign) / `ym:s:visits` AS `ym:s:pageDepth`,
+    sum(Duration * Sign) / `ym:s:visits` AS `ym:s:avgVisitDurationSeconds`,
+    sumArray(arrayMap(x -> (if(isFinite(x), x, 0) * Sign), arrayMap(x_0 -> toInt64(notEmpty(x_0)), `EPurchase.ID`))) AS `ym:s:ecommercePurchases`
+FROM metrica_copy.visits_<id трансфера>
+WHERE (StartDate >= {{interval_from}})
+        AND (StartDate <= {{interval_to}} )
+        AND (`ym:s:lastSignUTMSource` != '')
+GROUP BY `ym:s:lastSignUTMSource`
+HAVING (`ym:s:visits` > 0.) OR (`ym:s:users` > 0.) OR (`ym:s:ecommercePurchases` > 0.)
+ORDER BY
+    `ym:s:visits` DESC,
+    `ym:s:lastSignUTMSource` ASC
+LIMIT 0, 50
+"""
+
+_CHSQL_PARAMS = {
+    "interval_from": "DATE '2024-01-01'",
+    "interval_to": "DATE '2025-12-31'",
+}
+
+
+def q_chsql_visits_chart(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """«Посещаемость» (README.md:75-86) run from the VERBATIM SQL via
+    plans/chsql (comments + {{interval}} params + alias-in-WHERE +
+    WITH TOTALS + limit 0,10 all handled by the front-end) on the same
+    versioned sign ledger as metrica_visits_chart; compared against
+    the SAME oracle."""
+    from ..plans import chsql
+
+    _prep(spark)
+    ev = t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    versioned = ev.select(
+        F.col("user_id").alias("VisitID"),
+        F.col("ts").cast("date").alias("StartDate"),
+        F.row_number().over(w).alias("VisitVersion"),
+    )
+    states = versioned.withColumn("Sign", F.lit(1))
+    wmax = Window.partitionBy("VisitID")
+    cancels = (
+        versioned.withColumn("maxv", F.max("VisitVersion").over(wmax))
+        .where(F.col("VisitVersion") < F.col("maxv"))
+        .drop("maxv")
+        .withColumn("Sign", F.lit(-1))
+    )
+    ledger = states.unionByName(cancels)
+    return chsql.run_sql(
+        spark,
+        _CHSQL_VISITS_SQL,
+        {"metrica_copy.visits_<id трансфера>": ledger},
+        _CHSQL_PARAMS,
+    )
+
+
+def q_chsql_traffic_chart(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """«Источники трафика» (README.md:96-119) run from the VERBATIM
+    SQL via plans/chsql on the dotted-Nested projection of the same
+    visits model as metrica_traffic_chart (ClickHouse's
+    `TrafficSource.Model` parallel-array layout), with the identical
+    cross-engine rounding applied OUTSIDE the verbatim text; compared
+    against the SAME oracle."""
+    from . import metrica
+    from ..plans import chsql
+
+    _prep(spark)
+    visits = metrica.dotted_nested_view(_metrica_visits(spark, sf_dir))
+    out = chsql.run_sql(
+        spark,
+        _CHSQL_TRAFFIC_SQL,
+        {"metrica_copy.visits_<id трансфера>": visits},
+        _CHSQL_PARAMS,
+    )
+    return out.select(
+        "`ym:s:lastSignUTMSource`",
+        "`ym:s:visits`",
+        "`ym:s:users`",
+        ch.round_to(F.col("`ym:s:bounceRate`"), 4).alias("ym:s:bounceRate"),
+        ch.round_to(F.col("`ym:s:pageDepth`"), 4).alias("ym:s:pageDepth"),
+        ch.round_to(F.col("`ym:s:avgVisitDurationSeconds`"), 4).alias(
+            "ym:s:avgVisitDurationSeconds"
+        ),
+        "`ym:s:ecommercePurchases`",
+    )
+
+
+# =========================================================================
 # 29. curation_pipeline -- the training-data flow end-to-end in ONE
 #     declarative plan: quality-score -> stratify -> mix (per-stratum
 #     keep rates) -> token-count -> pack into budget bins.  Every stage
@@ -3485,6 +3613,16 @@ QUERIES: dict[str, QuerySpec] = {
         q_metrica_visits_chart,
         _ORACLE_METRICA_VISITS,
         "B1 B2 A1 A9 A10 A11 P4 P8 O1 O4 ST3 (real ledger + TOTALS)",
+    ),
+    "chsql_visits_chart": QuerySpec(
+        q_chsql_visits_chart,
+        _ORACLE_METRICA_VISITS,
+        "B1 B2 + plans/chsql front-end: the reference's visits SQL verbatim",
+    ),
+    "chsql_traffic_chart": QuerySpec(
+        q_chsql_traffic_chart,
+        _ORACLE_METRICA_TRAFFIC,
+        "B1 B2 + plans/chsql front-end: the reference's traffic SQL verbatim",
     ),
 }
 
