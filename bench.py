@@ -135,6 +135,7 @@ STREAMING = [
 IO = [
     "csv_export_roundtrip",
     "partition_probe",
+    "chsql_s3_export",
 ]
 
 

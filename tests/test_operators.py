@@ -2687,6 +2687,42 @@ def test_chsql_front_end_pieces(spark):
     assert (idx["hit"], idx["miss"]) == ("b", "")
 
 
+def test_chsql_run_script_s3_workflow(spark):
+    """run_script end-to-end on the reference's S3 workflow shape:
+    CREATE ENGINE=S3 registers schema-on-read, each INSERT lands one
+    csv.gz with the CH naming convention, the _path/_file probe with
+    PER-BRANCH limits returns one row per day mapped to its insert's
+    file, and the reconcile counts match."""
+    from yc_data_transfer_clickhouse_from_yandex_metrica_spark.plans import chsql
+
+    src = spark.createDataFrame(
+        [(i, date(2023, 11, 1 + i % 3)) for i in range(30)],
+        "id long, EventDate date",
+    )
+    base = tempfile.mkdtemp(prefix="ym_chsql_script_")
+    url = "https://storage.example.net/bucket/metrica/hits/hits.csv.gz"
+    script = f"""
+/* S3-таблица: комментарий с апострофом bucket'а не ломает лексер */
+create table metrica.hits_s3 on cluster prod as src_tbl
+ENGINE = S3('{url}', 'CSVWithNames', 'gzip')
+SETTINGS input_format_with_names_use_header = 1;
+insert into hits_s3 settings s3_create_new_file_on_insert=1 select * from src_tbl where EventDate=cast('2023-11-01' as date);
+insert into hits_s3 settings s3_create_new_file_on_insert=1 select * from src_tbl where EventDate=cast('2023-11-02' as date);
+select _file, EventDate from hits_s3 where EventDate=cast('2023-11-01' as date) limit 1
+union all
+select _file, EventDate from hits_s3 where EventDate=cast('2023-11-02' as date) limit 1
+"""
+    out = chsql.run_script(spark, script, {"src_tbl": src}, {url: base})
+    rows = sorted((r["_file"], str(r["EventDate"])) for r in out.collect())
+    # each day lives only in its own insert's object (file-per-insert)
+    assert rows == [
+        ("hits.1.csv.gz", "2023-11-02"),
+        ("hits.csv.gz", "2023-11-01"),
+    ]
+    assert sorted(os.listdir(base)) == ["hits.1.csv.gz", "hits.csv.gz"]
+    shutil.rmtree(base, ignore_errors=True)
+
+
 def test_chsql_totals_matches_plans_totals(spark):
     """chsql's WITH TOTALS branch: totals row computed over ALL
     pre-HAVING rows with NULL group keys, appended after the

@@ -52,6 +52,7 @@ from __future__ import annotations
 import re
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from .alias import inline_aliases
@@ -68,17 +69,33 @@ def _mask(sql: str) -> str:
 
 
 def strip_comments(sql: str) -> str:
-    masked = _mask(sql)
-    out, i = [], 0
-    while i < len(sql):
-        if masked.startswith("--", i):
+    """Left-to-right lexer (NOT a global quote mask): comments may
+    contain unbalanced apostrophes -- the reference's own script has
+    ``bucket'а`` inside a block comment -- so string-vs-comment state
+    must be decided in reading order."""
+    out, i, n = [], 0, len(sql)
+    while i < n:
+        c = sql[i]
+        if c == "'":
+            j = i + 1
+            while j < n:
+                if sql[j] == "\\":
+                    j += 2
+                    continue
+                if sql[j] == "'":
+                    j += 1
+                    break
+                j += 1
+            out.append(sql[i:j])
+            i = j
+        elif sql.startswith("--", i):
             j = sql.find("\n", i)
-            i = len(sql) if j < 0 else j
-        elif masked.startswith("/*", i):
+            i = n if j < 0 else j
+        elif sql.startswith("/*", i):
             j = sql.find("*/", i)
-            i = len(sql) if j < 0 else j + 2
+            i = n if j < 0 else j + 2
         else:
-            out.append(sql[i])
+            out.append(c)
             i += 1
     return "".join(out)
 
@@ -369,3 +386,149 @@ def run_sql(
         totals_items.append(f"{expr} AS `{field.name}`")
     totals = spark.sql(assemble(["SELECT", ", ".join(totals_items), frm, where]))
     return detail.unionAll(totals)
+
+
+# ---------------------------------------------------------------------------
+# multi-statement scripts (the reference's S3 workflow, README.md:135-167)
+# ---------------------------------------------------------------------------
+
+_CREATE_S3 = re.compile(
+    r"^\s*create\s+table\s+(\S+?)(?:\s+on\s+cluster\s+.+?)?\s+as\s+(\S+)\s+"
+    r"ENGINE\s*=\s*S3\(\s*'([^']+)'\s*,\s*'([^']+)'\s*,\s*'([^']+)'\s*\)",
+    re.I | re.S,
+)
+_INSERT = re.compile(
+    r"^\s*insert\s+into\s+(\S+)\s+(?:settings\s+[^\s,]+(?:\s*,\s*\S+)*\s+)?"
+    r"(select\b.*)$",
+    re.I | re.S,
+)
+
+
+def _split_statements(script: str) -> list[str]:
+    masked = _mask(script)
+    parts, last = [], 0
+    for i, c in enumerate(masked):
+        if c == ";":
+            parts.append(script[last:i])
+            last = i + 1
+    parts.append(script[last:])
+    return [p.strip() for p in parts if p.strip()]
+
+
+def _split_union_all(sql: str) -> list[str]:
+    masked = _mask(sql)
+    parts, last = [], 0
+    for m in re.finditer(r"\bUNION\s+ALL\b", masked, re.I):
+        depth = masked.count("(", 0, m.start()) - masked.count(")", 0, m.start())
+        if depth == 0:
+            parts.append(sql[last : m.start()])
+            last = m.end()
+    parts.append(sql[last:])
+    return [p.strip() for p in parts]
+
+
+def run_script(
+    spark: SparkSession,
+    script: str,
+    tables: dict[str, DataFrame],
+    url_map: dict[str, str],
+    params: dict[str, str] | None = None,
+) -> DataFrame | None:
+    """Execute a multi-statement ClickHouse script covering the
+    reference's S3 export workflow VERBATIM (README.md:135-167):
+
+    - ``CREATE TABLE x [ON CLUSTER ...] AS src ENGINE = S3(url,
+      'CSVWithNames', 'gzip') [SETTINGS ...]`` -- registers an
+      S3-backed CSV-gz table: schema comes from ``src``
+      (schema-on-read, never inferred), the object URL maps to a
+      local/object-store directory through ``url_map``.
+    - ``INSERT INTO x [SETTINGS s3_create_new_file_on_insert=1]
+      SELECT ...`` -- one new csv.gz object per insert with the
+      ClickHouse naming convention (sources/csvgz.insert_csv).
+    - ``SELECT``s over both regular and S3 tables, with ClickHouse's
+      virtual ``_path``/``_file`` columns and PER-BRANCH ``LIMIT``
+      inside top-level ``UNION ALL`` (CH binds LIMIT to each SELECT;
+      ANSI would bind it to the union -- branches are compiled
+      separately and unioned).
+
+    Returns the LAST select's DataFrame (None if the script ends
+    with DDL/DML).  Each statement flows through the same dialect
+    pipeline as :func:`run_sql`.
+    """
+    from ..sources import csvgz
+
+    text = strip_comments(script)
+    for name, val in (params or {}).items():
+        text = text.replace("{{" + name + "}}", val)
+    repl: dict[str, str] = {}
+    for i, (name, df) in enumerate(sorted(tables.items(), key=lambda kv: -len(kv[0]))):
+        view = f"__chsql_s{i}"
+        df.createOrReplaceTempView(view)
+        repl[name] = view
+
+    def _apply_repl(stmt: str) -> str:
+        for name in sorted(repl, key=len, reverse=True):
+            stmt = stmt.replace(name, repl[name])
+        return stmt
+
+    s3_meta: dict[str, dict] = {}  # view name -> {dir, basename, schema}
+    last_df: DataFrame | None = None
+
+    def _refresh_s3_views() -> None:
+        # re-list the object dirs so SELECTs observe objects written
+        # by earlier inserts in this script; a not-yet-written table
+        # reads as empty (CH's S3 table over zero objects)
+        import glob as _glob
+
+        for view, meta in s3_meta.items():
+            if _glob.glob(meta["dir"] + "/*.csv.gz"):
+                df = csvgz.read_csv(
+                    spark, meta["dir"] + "/*.csv.gz", meta["schema"]
+                )
+            else:
+                df = (
+                    spark.createDataFrame([], meta["schema"])
+                    .withColumn("_path", F.lit(None).cast("string"))
+                    .withColumn("_file", F.lit(None).cast("string"))
+                )
+            df.createOrReplaceTempView(view)
+
+    for stmt in _split_statements(text):
+        stmt = _apply_repl(stmt)
+        m = _CREATE_S3.match(stmt)
+        if m:
+            name, src_view, url, fmt, codec = m.groups()
+            if fmt.lower() != "csvwithnames" or codec.lower() != "gzip":
+                raise ValueError(f"chsql: unsupported S3 format {fmt!r}/{codec!r}")
+            if url not in url_map:
+                raise ValueError(f"chsql: no url_map entry for {url!r}")
+            base = url.rsplit("/", 1)[-1].split(".")[0]
+            view = f"__chsql_s3_{len(s3_meta)}"
+            s3_meta[view] = {
+                "dir": url_map[url],
+                "basename": base,
+                "schema": spark.table(src_view).schema,
+            }
+            # the script may name it db-qualified and refer to it bare
+            repl[name] = view
+            if "." in name:
+                repl[name.split(".", 1)[1]] = view
+            continue
+        m = _INSERT.match(stmt)
+        if m:
+            target, select_sql = m.groups()
+            if target not in s3_meta:
+                raise ValueError(f"chsql: INSERT into unknown S3 table {target!r}")
+            _refresh_s3_views()
+            df = run_sql(spark, select_sql, {})
+            meta = s3_meta[target]
+            csvgz.insert_csv(df, meta["dir"], meta["basename"])
+            continue
+        # a SELECT: compile each top-level UNION ALL branch separately
+        # (CH binds LIMIT per branch; ANSI would bind it to the union)
+        _refresh_s3_views()
+        branches = [run_sql(spark, b, {}) for b in _split_union_all(stmt)]
+        last_df = branches[0]
+        for b in branches[1:]:
+            last_df = last_df.unionAll(b)
+    return last_df

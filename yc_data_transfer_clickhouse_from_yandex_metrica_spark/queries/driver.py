@@ -3433,6 +3433,72 @@ def q_chsql_traffic_chart(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_CHSQL_S3_SCRIPT = """
+/* создание S3-таблицы. подставтье свои значения для id кластера, id трансфера и имя S3 bucket'а */
+
+create table metrica.hits_s3 on cluster <id кластера> as hits_<id трансфера>
+ENGINE = S3('https://storage.yandexcloud.net/<имя s3 bucket-а>/metrica/hits/hits.csv.gz',
+ 'CSVWithNames', 'gzip')
+SETTINGS input_format_with_names_use_header = 1;
+
+
+/* вставка данных в s3-таблицу */
+insert into hits_s3 settings s3_create_new_file_on_insert=1 select * from hits_<id трансфера> where EventDate=cast('2023-11-01' as date);
+insert into hits_s3 settings s3_create_new_file_on_insert=1 select * from hits_<id трансфера> where EventDate=cast('2023-11-02' as date);
+insert into hits_s3 settings s3_create_new_file_on_insert=1 select * from hits_<id трансфера> where EventDate=cast('2023-11-03' as date);
+
+/* сравним исходную и S3-таблицу */
+select 's3' as storage, count(1) as cnt from hits_s3
+union all
+select 'ch' as storage, count(1) as cnt from hits_<id трансфера> where EventDate between cast('2023-11-01' as date) and cast('2023-11-03' as date)
+"""
+
+_CHSQL_S3_URL = (
+    "https://storage.yandexcloud.net/<имя s3 bucket-а>/metrica/hits/hits.csv.gz"
+)
+
+
+def _chsql_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Narrow hits projection whose EventDate lands on the reference
+    script's verbatim dates (2023-11-01..03): derived as
+    2023-11-01 + event_id%3 so every insert slice is non-empty."""
+    ev = t(spark, sf_dir, "events")
+    return ev.select(
+        F.col("event_id").alias("WatchID"),
+        F.date_add(
+            F.lit("2023-11-01").cast("date"), (F.col("event_id") % 3).cast("int")
+        ).alias("EventDate"),
+        F.col("event_type").alias("Title"),
+    )
+
+
+def q_chsql_s3_export(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's S3 export workflow SQL VERBATIM
+    (README.md:135-167) through plans/chsql.run_script: CREATE TABLE
+    ENGINE=S3 (schema from the source table, URL mapped to a scratch
+    dir), three file-per-insert INSERTs, and the count-reconciliation
+    UNION -- the s3-vs-ch counts only match if every insert landed
+    exactly its day slice and the CSV-gz glob read recovers every
+    row."""
+    from ..plans import chsql
+
+    _prep(spark)
+    base = tempfile.mkdtemp(prefix="ym_chsql_s3_")
+    return chsql.run_script(
+        spark,
+        _CHSQL_S3_SCRIPT,
+        {"hits_<id трансфера>": _chsql_hits(spark, sf_dir)},
+        {_CHSQL_S3_URL: base},
+    )
+
+
+_ORACLE_CHSQL_S3 = """
+SELECT 's3' AS storage, CAST(count(*) AS BIGINT) AS cnt FROM events
+UNION ALL
+SELECT 'ch' AS storage, CAST(count(*) AS BIGINT) AS cnt FROM events
+"""
+
+
 # =========================================================================
 # 29. curation_pipeline -- the training-data flow end-to-end in ONE
 #     declarative plan: quality-score -> stratify -> mix (per-stratum
@@ -3623,6 +3689,11 @@ QUERIES: dict[str, QuerySpec] = {
         q_chsql_traffic_chart,
         _ORACLE_METRICA_TRAFFIC,
         "B1 B2 + plans/chsql front-end: the reference's traffic SQL verbatim",
+    ),
+    "chsql_s3_export": QuerySpec(
+        q_chsql_s3_export,
+        _ORACLE_CHSQL_S3,
+        "S3 S7 S8 U1 + chsql run_script: the reference's S3 workflow SQL verbatim",
     ),
 }
 
