@@ -136,6 +136,7 @@ IO = [
     "csv_export_roundtrip",
     "partition_probe",
     "chsql_s3_export",
+    "chsql_federated_enrich",
 ]
 
 

@@ -2723,6 +2723,68 @@ select _file, EventDate from hits_s3 where EventDate=cast('2023-11-02' as date) 
     shutil.rmtree(base, ignore_errors=True)
 
 
+def test_chsql_yq_schema_and_with_read(spark):
+    """YQ dialect pieces: the reference's verbatim 12-column
+    ``Schema = (...)`` text parses onto the chtypes grid (UInt64 ->
+    lossless DECIMAL(20,0), not-null honored), and a
+    ``FROM `conn`.`glob` WITH (format=csv_with_names,
+    compression=gzip, Schema=(...))`` read resolves through url_map
+    with schema-on-read."""
+    from pyspark.sql import types as T
+
+    from yc_data_transfer_clickhouse_from_yandex_metrica_spark.plans import chsql
+    from yc_data_transfer_clickhouse_from_yandex_metrica_spark.sources import csvgz
+
+    # verbatim from /root/reference/README.md:244-258
+    schema = chsql.parse_yq_schema(
+        """
+            CounterID UInt32 Not null,
+            EventDate date not null,
+            CounterUserIDHash uint64 not null,
+            UTCEventTime datetime not null,
+            WatchID uint64,
+            AdvEngineID uint16,
+            AdvEngineStrID string,
+            BrowserCountry string,
+            BrowserEngineID uint16,
+            BrowserEngineStrID string,
+            BrowserEngineVersion1 uint16,
+            URL string
+        """
+    )
+    assert len(schema.fields) == 12
+    assert schema["CounterID"].dataType == T.LongType() and not schema["CounterID"].nullable
+    assert schema["CounterUserIDHash"].dataType == T.DecimalType(20, 0)
+    assert schema["EventDate"].dataType == T.DateType()
+    assert schema["WatchID"].nullable
+
+    base = tempfile.mkdtemp(prefix="ym_chsql_yq_")
+    src = spark.createDataFrame([(1, "a"), (2, "b")], "k long, v string")
+    csvgz.insert_csv(src, base, "hits")  # -> hits.csv.gz
+    out = chsql.run_script(
+        spark,
+        """
+        SELECT `k`, `v`
+        FROM `<conn id>`.`/metrica/hits/hits*.csv.gz`
+            WITH
+            (
+                format = csv_with_names,
+                compression = gzip,
+                Schema =
+                (
+                    k int64 not null,
+                    v string
+                )
+            )
+        LIMIT 10
+        """,
+        {},
+        {"`<conn id>`.`/metrica/hits/hits*.csv.gz`": f"{base}/hits*.csv.gz"},
+    )
+    assert sorted((r["k"], r["v"]) for r in out.collect()) == [(1, "a"), (2, "b")]
+    shutil.rmtree(base, ignore_errors=True)
+
+
 def test_chsql_totals_matches_plans_totals(spark):
     """chsql's WITH TOTALS branch: totals row computed over ALL
     pre-HAVING rows with NULL group keys, appended after the

@@ -389,6 +389,67 @@ def run_sql(
 
 
 # ---------------------------------------------------------------------------
+# Yandex Query dialect pieces (README.md:190-301): `conn`.`path` WITH
+# (format, compression, Schema=(...)) reads, binding inserts
+# ---------------------------------------------------------------------------
+
+# YQ spells types case-insensitively (uint64, string, datetime...);
+# normalize onto the ClickHouse grid and reuse sources/chtypes.
+_YQ_TYPES = {
+    "uint8": "UInt8", "uint16": "UInt16", "uint32": "UInt32",
+    "uint64": "UInt64", "int8": "Int8", "int16": "Int16",
+    "int32": "Int32", "int64": "Int64", "float": "Float32",
+    "double": "Float64", "string": "String", "utf8": "String",
+    "date": "Date", "datetime": "DateTime", "timestamp": "DateTime",
+    "bool": "Bool",
+}
+
+
+def parse_yq_schema(body: str) -> T.StructType:
+    """``Schema = (Name Type [not null], ...)`` -> StructType via the
+    chtypes CH grid (YQ's UInt64 rides the same lossless DECIMAL(20,0)
+    policy)."""
+    from ..sources import chtypes
+
+    fields = []
+    for item in _split_top(body):
+        m = re.match(r"\s*(\w+)\s+(\w+)(\s+not\s+null)?\s*$", item, re.I)
+        if not m:
+            raise ValueError(f"chsql: unsupported YQ schema item {item!r}")
+        name, typ, notnull = m.group(1), m.group(2), bool(m.group(3))
+        ch_name = _YQ_TYPES.get(typ.lower())
+        if ch_name is None:
+            raise ValueError(f"chsql: unsupported YQ type {typ!r}")
+        dt, _ = chtypes.ch_to_spark(ch_name)
+        fields.append(T.StructField(name, dt, not notnull))
+    return T.StructType(fields)
+
+
+_WITH_OPTS = re.compile(r"(\w+)\s*=\s*(?:'([^']*)'|(\w+))")
+
+
+def _parse_with_block(body: str) -> tuple[dict[str, str], str | None]:
+    """(options, schema body) from a YQ ``WITH (...)`` block."""
+    schema_body = None
+    m = re.search(r"\bSchema\s*=\s*\(", body, re.I)
+    if m:
+        close = _match_paren(_mask(body), m.end() - 1)
+        schema_body = body[m.end() : close]
+        body = body[: m.start()] + body[close + 1 :]
+    # findall yields '' (not None) for the non-participating alternative
+    opts = {k.lower(): (v1 or v2) for k, v1, v2 in _WITH_OPTS.findall(body)}
+    return opts, schema_body
+
+
+_FROM_BINDING = re.compile(
+    r"\bFROM\s+(`[^`]+`\s*\.\s*`[^`]+`)\s+WITH\s*\(", re.I
+)
+_INSERT_BINDING = re.compile(
+    r"^\s*insert\s+into\s+(`[^`]+`\s*\.\s*`[^`]+`)\s+WITH\s*\(", re.I
+)
+
+
+# ---------------------------------------------------------------------------
 # multi-statement scripts (the reference's S3 workflow, README.md:135-167)
 # ---------------------------------------------------------------------------
 
@@ -493,8 +554,60 @@ def run_script(
                 )
             df.createOrReplaceTempView(view)
 
+    binding_n = [0]
+
+    def _rewrite_from_bindings(stmt: str) -> str:
+        # `conn`.`path` WITH (format=..., compression=..., Schema=(...))
+        # -> a registered schema-on-read view over url_map[spelling]
+        while True:
+            masked = _mask(stmt)
+            m = _FROM_BINDING.search(masked)
+            if not m:
+                return stmt
+            close = _match_paren(masked, m.end() - 1)
+            spelling = re.sub(r"\s*\.\s*", ".", m.group(1).strip())
+            if spelling not in url_map:
+                raise ValueError(f"chsql: no url_map entry for {spelling!r}")
+            opts, schema_body = _parse_with_block(stmt[m.end() : close])
+            if opts.get("format", "").lower() != "csv_with_names":
+                raise ValueError(
+                    f"chsql: unsupported binding format {opts.get('format')!r}"
+                )
+            if schema_body is None:
+                raise ValueError("chsql: binding read requires Schema=(...)")
+            view = f"__chsql_b{binding_n[0]}"
+            binding_n[0] += 1
+            csvgz.read_csv(
+                spark, url_map[spelling], parse_yq_schema(schema_body)
+            ).createOrReplaceTempView(view)
+            stmt = stmt[: m.start()] + f"FROM {view} " + stmt[close + 1 :]
+
     for stmt in _split_statements(text):
         stmt = _apply_repl(stmt)
+        mb = _INSERT_BINDING.match(stmt)
+        if mb:
+            spelling = re.sub(r"\s*\.\s*", ".", mb.group(1).strip())
+            if spelling not in url_map:
+                raise ValueError(f"chsql: no url_map entry for {spelling!r}")
+            masked = _mask(stmt)
+            close = _match_paren(masked, mb.end() - 1)
+            opts, _ = _parse_with_block(stmt[mb.end() : close])
+            if opts.get("format", "").lower() != "csv_with_names":
+                raise ValueError(
+                    f"chsql: unsupported insert format {opts.get('format')!r}"
+                )
+            select_sql = _rewrite_from_bindings(stmt[close + 1 :].strip())
+            _refresh_s3_views()
+            df = run_sql(spark, select_sql, {})
+            path_part = spelling.rsplit(".`", 1)[-1].strip("`")
+            base = [s for s in path_part.split("/") if s][-1] if path_part.strip("/") else "out"
+            csvgz.insert_csv(
+                df, url_map[spelling], base,
+                compression=opts.get("compression", "none"),
+            )
+            last_df = None
+            continue
+        stmt = _rewrite_from_bindings(stmt)
         m = _CREATE_S3.match(stmt)
         if m:
             name, src_view, url, fmt, codec = m.groups()

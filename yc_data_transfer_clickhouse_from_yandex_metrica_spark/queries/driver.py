@@ -3499,6 +3499,116 @@ SELECT 'ch' AS storage, CAST(count(*) AS BIGINT) AS cnt FROM events
 """
 
 
+# the reference's versioned browser-country dim, VERBATIM CSV
+# (README.md:272-276) -- deliberately overlapping validity intervals
+_CHSQL_DIM_CSV = '''"BrowserCountry","BrowserCountryDesc","FromDT","ToDT"
+"ru","Russian Fed.","2023-01-01","2023-11-01"
+"ru","Russian Federation","2023-01-02","2099-12-31"
+'''
+
+# the reference's federated SCD-2 enrichment insert, VERBATIM
+# (README.md:280-301): S3 fact x versioned dim with interval
+# predicates, YQ `==` equality, binding-path insert
+_CHSQL_FEDERATED_SQL = """
+/* Вставка в файл выборки федеративным запросом */
+insert into `<имя привязки>`.`/metrica/yq/`
+    WITH
+    (
+        format='csv_with_names'
+    )
+SELECT
+    f.`BrowserCountry`,
+    f.`EventDate`,
+    d.`BrowserCountryDesc`,
+    count(1) as cnt
+FROM `metrica-hits-s3` f
+join   `dim_browser_country` d
+on f.`BrowserCountry` == d.`BrowserCountry`
+where f.`BrowserCountry`='ru'
+and f.`EventDate` >= d.`FromDT` and f.`EventDate` <= d.`ToDT`
+group by
+    f.`BrowserCountry`,
+    f.`EventDate`,
+    d.`BrowserCountryDesc`
+order by f.`EventDate`
+"""
+
+
+def q_chsql_federated_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's YQ federated enrichment VERBATIM
+    (README.md:280-301): the S3 hits binding joined to the verbatim
+    versioned dim CSV (overlapping SCD-2 validity intervals -- the
+    2023-11-01 boundary date matches BOTH versions) with YQ ``==``
+    equality and a binding-path csv_with_names INSERT, via
+    chsql.run_script; the written file is read back schema-on-read
+    so the green row proves the whole write+read path, not just the
+    join."""
+    from ..plans import chsql
+    from ..sources import csvgz
+
+    _prep(spark)
+    ev = t(spark, sf_dir, "events")
+    hits = ev.select(
+        F.when(F.col("event_id") % 4 == 0, "en").otherwise("ru").alias(
+            "BrowserCountry"
+        ),
+        F.date_add(
+            F.lit("2023-10-30").cast("date"), (F.col("event_id") % 4).cast("int")
+        ).alias("EventDate"),
+    )
+    base = tempfile.mkdtemp(prefix="ym_chsql_fed_")
+    dim_path = f"{base}/dim_browser_country.csv"
+    with open(dim_path, "w") as f:
+        f.write(_CHSQL_DIM_CSV)
+    dim_schema = T.StructType(
+        [
+            T.StructField("BrowserCountry", T.StringType()),
+            T.StructField("BrowserCountryDesc", T.StringType()),
+            T.StructField("FromDT", T.DateType()),
+            T.StructField("ToDT", T.DateType()),
+        ]
+    )
+    dim = csvgz.read_csv(spark, dim_path, dim_schema, with_virtual=False)
+    out_dir = f"{base}/yq_out"
+    chsql.run_script(
+        spark,
+        _CHSQL_FEDERATED_SQL,
+        {"`metrica-hits-s3`": hits, "`dim_browser_country`": dim},
+        {"`<имя привязки>`.`/metrica/yq/`": out_dir},
+    )
+    result_schema = T.StructType(
+        [
+            T.StructField("BrowserCountry", T.StringType()),
+            T.StructField("EventDate", T.DateType()),
+            T.StructField("BrowserCountryDesc", T.StringType()),
+            T.StructField("cnt", T.LongType()),
+        ]
+    )
+    return csvgz.read_csv(
+        spark, f"{out_dir}/*.csv", result_schema, with_virtual=False
+    )
+
+
+_ORACLE_CHSQL_FEDERATED = """
+WITH h AS (
+  SELECT CASE WHEN event_id % 4 = 0 THEN 'en' ELSE 'ru' END AS bc,
+         DATE '2023-10-30' + CAST(event_id % 4 AS INT) AS ed
+  FROM events
+),
+d(bc, dsc, f, t) AS (
+  VALUES ('ru', 'Russian Fed.', DATE '2023-01-01', DATE '2023-11-01'),
+         ('ru', 'Russian Federation', DATE '2023-01-02', DATE '2099-12-31')
+)
+SELECT h.bc AS "BrowserCountry",
+       h.ed AS "EventDate",
+       d.dsc AS "BrowserCountryDesc",
+       CAST(count(*) AS BIGINT) AS cnt
+FROM h JOIN d ON h.bc = d.bc
+WHERE h.bc = 'ru' AND h.ed >= d.f AND h.ed <= d.t
+GROUP BY h.bc, h.ed, d.dsc
+"""
+
+
 # =========================================================================
 # 29. curation_pipeline -- the training-data flow end-to-end in ONE
 #     declarative plan: quality-score -> stratify -> mix (per-stratum
@@ -3694,6 +3804,11 @@ QUERIES: dict[str, QuerySpec] = {
         q_chsql_s3_export,
         _ORACLE_CHSQL_S3,
         "S3 S7 S8 U1 + chsql run_script: the reference's S3 workflow SQL verbatim",
+    ),
+    "chsql_federated_enrich": QuerySpec(
+        q_chsql_federated_enrich,
+        _ORACLE_CHSQL_FEDERATED,
+        "J2 J3 S5 S7 + chsql: the reference's YQ federated SCD-2 insert verbatim",
     ),
 }
 
