@@ -140,6 +140,42 @@ def test_traffic_chart_shape_properties(spark):
     assert keys == sorted(keys)
 
 
+def test_chsql_charts_match_dataframe_charts_on_real_model(ledger, spark):
+    """The verbatim-SQL front-end == the DataFrame implementations on
+    the REAL VISITS_SCHEMA ledger (multi-version collapse, model-2
+    source lookup with '' default, TOTALS channel): both reference
+    chart texts produce byte-identical result sets."""
+    from yc_data_transfer_clickhouse_from_yandex_metrica_spark.plans import chsql
+    from yc_data_transfer_clickhouse_from_yandex_metrica_spark.queries.driver import (
+        _CHSQL_PARAMS,
+        _CHSQL_TRAFFIC_SQL,
+        _CHSQL_VISITS_SQL,
+    )
+
+    params = dict(_CHSQL_PARAMS)
+    params["interval_from"] = "DATE '2023-11-01'"
+    params["interval_to"] = "DATE '2023-11-02'"
+    tbl = {"metrica_copy.visits_<id трансфера>": ledger}
+
+    sql_visits = chsql.run_sql(spark, _CHSQL_VISITS_SQL, tbl, params).collect()
+    df_visits = metrica.visits_by_day(ledger, D1, D2).collect()
+    assert sorted(map(tuple, sql_visits), key=str) == sorted(
+        map(tuple, df_visits), key=str
+    )
+
+    dotted = metrica.dotted_nested_view(ledger)
+    sql_traffic = chsql.run_sql(
+        spark,
+        _CHSQL_TRAFFIC_SQL,
+        {"metrica_copy.visits_<id трансфера>": dotted},
+        params,
+    ).collect()
+    df_traffic = metrica.traffic_sources(ledger, D1, D2).collect()
+    assert sorted(map(tuple, sql_traffic), key=str) == sorted(
+        map(tuple, df_traffic), key=str
+    )
+
+
 def test_dotted_nested_view_matches_reference_layout(ledger):
     dotted = metrica.dotted_nested_view(ledger)
     assert "TrafficSource.Model" in dotted.columns
