@@ -2785,6 +2785,55 @@ def test_chsql_yq_schema_and_with_read(spark):
     shutil.rmtree(base, ignore_errors=True)
 
 
+def test_chsql_combinator_vocabulary(spark):
+    """The wider CH vocabulary through the front-end: -If combinators
+    with their 0-not-null empty-set contract, argMax/groupUniqArray,
+    array higher-order functions with CH's lambda-first order, and
+    literal splitByChar."""
+    from yc_data_transfer_clickhouse_from_yandex_metrica_spark.plans import chsql
+
+    df = spark.createDataFrame(
+        [("a", 1, 10), ("a", 2, 20), ("b", 3, 30)], "g string, k int, v int"
+    )
+    out = chsql.run_sql(
+        spark,
+        """
+        SELECT g,
+               countIf(v > 15) AS n_big,
+               sumIf(v, k % 2 = 1) AS odd_sum,
+               countIf(v > 999) AS n_none,
+               sumIf(v, v > 999) AS s_none,
+               argMax(k, v) AS k_at_max,
+               groupUniqArray(k) AS ks
+        FROM t GROUP BY g ORDER BY g
+        """,
+        {"t": df},
+    ).collect()
+    a, b = out
+    assert (a["n_big"], a["odd_sum"], a["n_none"], a["s_none"]) == (1, 10, 0, 0)
+    assert (a["k_at_max"], a["ks"]) == (2, [1, 2])
+    assert (b["n_big"], b["k_at_max"], b["ks"]) == (1, 3, [3])
+
+    arr = spark.createDataFrame([([1, 5, 7], "x.y.z")], "xs array<int>, s string")
+    r = chsql.run_sql(
+        spark,
+        """
+        SELECT arrayExists(x -> x > 6, xs) AS ex,
+               arrayAll(x -> x > 0, xs) AS al,
+               arrayCount(x -> x > 1, xs) AS cnt,
+               has(xs, 5) AS h,
+               arrayStringConcat(arrayMap(x -> CAST(x AS STRING), xs), '-') AS joined,
+               splitByChar('.', s) AS parts
+        FROM t
+        """,
+        {"t": arr},
+    ).collect()[0]
+    assert (r["ex"], r["al"], r["cnt"], r["h"]) == (True, True, 2, True)
+    assert r["joined"] == "1-5-7"
+    # '.' split literally, never as a regex wildcard
+    assert r["parts"] == ["x", "y", "z"]
+
+
 def test_chsql_totals_matches_plans_totals(spark):
     """chsql's WITH TOTALS branch: totals row computed over ALL
     pre-HAVING rows with NULL group keys, appended after the

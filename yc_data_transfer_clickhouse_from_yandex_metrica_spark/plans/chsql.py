@@ -132,6 +132,16 @@ def _split_top(s: str) -> list[str]:
     return [p.strip() for p in parts]
 
 
+def _replace_name(sql: str, name: str, repl: str) -> str:
+    """Replace a table name: word-boundary-anchored when the name is a
+    plain identifier (a table named ``t`` must not rewrite the ``t``
+    inside ``countIf``), literal otherwise (backticked / dotted /
+    placeholder spellings can't collide with identifiers)."""
+    if re.fullmatch(r"\w+", name):
+        return re.sub(rf"(?<![\w`]){re.escape(name)}(?![\w`])", repl, sql)
+    return sql.replace(name, repl)
+
+
 def _find_clause(sql: str, *keywords: str) -> re.Match | None:
     """First top-level (depth-0, outside strings) occurrence of the
     keyword sequence, case-insensitive."""
@@ -169,6 +179,29 @@ _CALL_REWRITES: dict[str, object] = {
     ),
     "toMonday": lambda a: f"CAST(date_trunc('week', {a[0]}) AS DATE)",
     "toDate": lambda a: f"CAST({a[0]} AS DATE)",
+    # aggregate combinators (each mirrors functions/ch.py exactly,
+    # incl. the 0-not-null empty-set contract of countIf/sumIf)
+    "countIf": lambda a: (
+        f"CAST(sum(CASE WHEN {a[0]} THEN 1 ELSE 0 END) AS BIGINT)"
+    ),
+    "sumIf": lambda a: f"sum(CASE WHEN {a[1]} THEN {a[0]} ELSE 0 END)",
+    "avgIf": lambda a: f"avg(CASE WHEN {a[1]} THEN {a[0]} END)",
+    "argMax": lambda a: f"max_by({a[0]}, {a[1]})",
+    "argMin": lambda a: f"min_by({a[0]}, {a[1]})",
+    "groupUniqArray": lambda a: f"array_sort(collect_set({a[0]}))",
+    "arrayStringConcat": lambda a: (
+        f"array_join({a[0]}, {a[1] if len(a) > 1 else chr(39) * 2})"
+    ),
+    # \Q...\E quoting keeps the separator LITERAL (Spark split takes
+    # a Java regex; CH splits on the literal char)
+    "splitByChar": lambda a: f"split({a[1]}, concat('\\\\Q', {a[0]}, '\\\\E'))",
+    "arrayExists": lambda a: f"exists({a[1]}, {a[0]})",
+    "arrayAll": lambda a: f"forall({a[1]}, {a[0]})",
+    "arrayCount": lambda a: (
+        f"size(filter({a[1]}, {a[0]}))" if len(a) > 1 else f"size(filter({a[0]}, __x -> __x))"
+    ),
+    "has": lambda a: f"array_contains({a[0]}, {a[1]})",
+    "empty": lambda a: f"CAST(length(coalesce({a[0]}, '')) = 0 AS INT)",
 }
 
 
@@ -314,7 +347,7 @@ def run_sql(
     for i, (name, df) in enumerate(sorted(tables.items(), key=lambda kv: -len(kv[0]))):
         view = f"__chsql_t{i}"
         df.createOrReplaceTempView(view)
-        sql = sql.replace(name, view)
+        sql = _replace_name(sql, name, view)
     sql = _rewrite_indexing(sql, _elem_defaults(tables))
     sql = _rewrite_calls(sql)
     sql = _rewrite_literals(sql)
@@ -529,7 +562,7 @@ def run_script(
 
     def _apply_repl(stmt: str) -> str:
         for name in sorted(repl, key=len, reverse=True):
-            stmt = stmt.replace(name, repl[name])
+            stmt = _replace_name(stmt, name, repl[name])
         return stmt
 
     s3_meta: dict[str, dict] = {}  # view name -> {dir, basename, schema}
