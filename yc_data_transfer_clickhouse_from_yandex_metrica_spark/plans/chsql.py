@@ -353,6 +353,21 @@ def run_sql(
     sql = _rewrite_literals(sql)
     sql = re.sub(r"\s+", " ", sql).strip().rstrip(";")
 
+    # CH binds LIMIT (and ORDER BY) to EACH branch of a top-level
+    # UNION ALL; ANSI binds them to the union.  Compile branches
+    # separately (tables/rewrites already applied above).
+    branches = _split_union_all(sql)
+    if len(branches) > 1:
+        out = _compile_single(spark, branches[0])
+        for b in branches[1:]:
+            out = out.unionAll(_compile_single(spark, b))
+        return out
+    return _compile_single(spark, sql)
+
+
+def _compile_single(spark: SparkSession, sql: str) -> DataFrame:
+    """Clause surgery + alias inlining + WITH TOTALS for ONE already
+    pre-rewritten SELECT (no comments/params/table names/unions)."""
     spans = _segment(sql)
     sel_start, sel_end = spans["SELECT"]
     select_body = sql[sel_start + len("SELECT") : sel_end]
@@ -670,11 +685,8 @@ def run_script(
             meta = s3_meta[target]
             csvgz.insert_csv(df, meta["dir"], meta["basename"])
             continue
-        # a SELECT: compile each top-level UNION ALL branch separately
-        # (CH binds LIMIT per branch; ANSI would bind it to the union)
+        # a SELECT (run_sql itself applies CH's per-branch LIMIT
+        # binding for top-level UNION ALL)
         _refresh_s3_views()
-        branches = [run_sql(spark, b, {}) for b in _split_union_all(stmt)]
-        last_df = branches[0]
-        for b in branches[1:]:
-            last_df = last_df.unionAll(b)
+        last_df = run_sql(spark, stmt, {})
     return last_df
