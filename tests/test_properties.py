@@ -680,3 +680,52 @@ def test_sequence_count_any_stream(spark, events):
         ).collect()
     }
     assert got == _seq_count_ref(events)
+
+
+# --------------------------------------------------------------------------
+# chsql scanning primitives (round 7): structural invariants on
+# arbitrary inputs -- these underpin every verbatim-SQL rewrite
+# --------------------------------------------------------------------------
+_sql_atoms = st.text(
+    alphabet="ab,()'- \n*/x0", min_size=0, max_size=60
+)
+
+
+@settings(max_examples=200, deadline=None)
+@given(_sql_atoms)
+def test_chsql_strip_comments_never_grows_and_is_idempotent(s):
+    from yc_data_transfer_clickhouse_from_yandex_metrica_spark.plans import chsql
+
+    out = chsql.strip_comments(s)
+    assert len(out) <= len(s)
+    assert chsql.strip_comments(out) == out  # idempotent
+    # complete string literals survive verbatim (comments may swallow
+    # an apostrophe, so only check literals that start OUTSIDE any
+    # comment in a comment-free input)
+    if "--" not in s and "/*" not in s:
+        assert out == s
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.lists(st.text(alphabet="ab('g)x d", min_size=0, max_size=12), max_size=6))
+def test_chsql_split_top_round_trips_balanced_parts(parts):
+    """Joining balanced, quote-free parts with top-level commas and
+    splitting again recovers them (modulo outer whitespace)."""
+    from yc_data_transfer_clickhouse_from_yandex_metrica_spark.plans import chsql
+
+    def balanced(p):
+        depth = 0
+        for c in p:
+            if c == "(":
+                depth += 1
+            elif c == ")":
+                depth -= 1
+                if depth < 0:
+                    return False
+        return depth == 0 and p.count("'") % 2 == 0
+
+    parts = [p for p in parts if balanced(p)]
+    if not parts:
+        return
+    joined = ",".join(parts)
+    assert chsql._split_top(joined) == [p.strip() for p in parts]
