@@ -2,10 +2,13 @@
 """Engine benchmark: headline queries at $SPARK_GRAFT_SF_DIR (default
 /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
 
-Prints ONE JSON line:
+Prints ONE compact JSON line on stdout:
   {"metric": "...", "value": <total_sec>, "unit": "sec",
-   "queries": {"<name>": median_sec, ...},
-   "queries_runs": {"<name>": [sec, ...]}, "runs": N, "sf": <sf>}
+   "queries": {"<name>": median_sec, ...}, "runs": N, "sf": <sf>}
+Per-run arrays ({"queries_runs": ...}) go to STDERR: the round
+driver keeps only a bounded tail of stdout, and r6's full line was
+truncated past parseability -- medians are the comparable numbers,
+the raw runs are diagnostics.
 
 Execution is forced through the noop sink so timings measure engine
 compute (scan -> shuffle -> agg/join), not driver-side row
@@ -199,6 +202,7 @@ def main() -> None:
         sf_val: float | str = float(sf)
     except ValueError:
         sf_val = sf
+    print(json.dumps({"queries_runs": runs}), file=sys.stderr)
     print(
         json.dumps(
             {
@@ -206,7 +210,6 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
-                "queries_runs": runs,
                 "runs": RUNS,
                 "sf": sf_val,
             }

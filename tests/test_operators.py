@@ -2663,6 +2663,13 @@ def test_chsql_front_end_pieces(spark):
     lit = chsql._rewrite_literals("100. * x > 0. AND y = 0.5 AND '1.'")
     assert lit == "100.0D * x > 0.0D AND y = 0.5 AND '1.'"
 
+    # string literals with internal whitespace survive normalization
+    df0 = spark.createDataFrame([("a  b",), ("ab",)], "v string")
+    kept = chsql.run_sql(
+        spark, "SELECT v\n\n FROM   t\n WHERE v = 'a  b'", {"t": df0}
+    ).collect()
+    assert [r["v"] for r in kept] == ["a  b"]
+
     calls = chsql._rewrite_calls(
         "sumArray(arrayMap(x -> toInt64(notEmpty(x)), arr))"
     )

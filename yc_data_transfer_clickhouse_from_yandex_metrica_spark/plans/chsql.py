@@ -132,6 +132,29 @@ def _split_top(s: str) -> list[str]:
     return [p.strip() for p in parts]
 
 
+def _collapse_ws(sql: str) -> str:
+    """Whitespace-normalize OUTSIDE string literals only (a literal
+    'a  b' must stay byte-identical).  NB: the mask cannot be used as
+    the whitespace oracle here -- it blanks literals into spaces,
+    which is exactly the text that must survive."""
+    lit = bytearray(len(sql))
+    for m in re.finditer(r"'(?:[^'\\]|\\.)*'", sql):
+        for k in range(m.start(), m.end()):
+            lit[k] = 1
+    out, i, n = [], 0, len(sql)
+    while i < n:
+        if not lit[i] and sql[i].isspace():
+            j = i
+            while j < n and not lit[j] and sql[j].isspace():
+                j += 1
+            out.append(" ")
+            i = j
+        else:
+            out.append(sql[i])
+            i += 1
+    return "".join(out).strip()
+
+
 def _replace_name(sql: str, name: str, repl: str) -> str:
     """Replace a table name: word-boundary-anchored when the name is a
     plain identifier (a table named ``t`` must not rewrite the ``t``
@@ -351,7 +374,7 @@ def run_sql(
     sql = _rewrite_indexing(sql, _elem_defaults(tables))
     sql = _rewrite_calls(sql)
     sql = _rewrite_literals(sql)
-    sql = re.sub(r"\s+", " ", sql).strip().rstrip(";")
+    sql = _collapse_ws(sql).rstrip(";")
 
     # CH binds LIMIT (and ORDER BY) to EACH branch of a top-level
     # UNION ALL; ANSI binds them to the union.  Compile branches
