@@ -2633,6 +2633,11 @@ def test_url_www_path_cutparam_family(spark):
     }
     for u, want in rows.items():
         assert {k: got[u][k] for k in want} == want, u
+    # documented deviation: duplicate params are ALL removed (CH cuts
+    # only the first occurrence); the fragment survives either way
+    dup = spark.createDataFrame([("https://e.com/a?y=1&x=0&y=2#f",)], "u string")
+    r = dup.select(ch.cut_url_parameter("u", "y").alias("c")).collect()[0]
+    assert r["c"] == "https://e.com/a?x=0#f"
 
 
 def test_quantile_approx_within_rank_error(spark):

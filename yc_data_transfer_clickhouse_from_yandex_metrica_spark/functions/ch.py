@@ -521,7 +521,11 @@ def cut_url_parameter(u: ColumnOrName, name: str) -> Column:
     """``cutURLParameter(url, name)``: the URL with the named query
     parameter (and its value) removed; the name matches literally at
     a parameter boundary, remaining separators are kept consistent
-    (leading '?'/'&' reattached correctly), as CH does."""
+    (leading '?'/'&' reattached correctly).  Documented deviation:
+    DUPLICATE occurrences of the parameter are ALL removed here
+    (regexp_replace is global) where ClickHouse removes only the
+    first -- for the dedup/canonicalization uses this engine serves,
+    removing every occurrence is the safer contract."""
     import re as _re
 
     n = _re.escape(name)
