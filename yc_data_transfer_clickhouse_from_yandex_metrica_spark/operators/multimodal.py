@@ -526,6 +526,8 @@ def extract_video_frames(media: DataFrame, stride: int = 1) -> DataFrame:
     stage would seek to, without the codec.  Non-MP4 / table-less
     payloads emit no rows (same contract as the image probes' unknown
     fallback, but frame rows are inherently per-sample)."""
+    if stride < 1:
+        raise ValueError(f"stride must be >= 1, got {stride}")
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:

@@ -192,6 +192,8 @@ def apply_ttl(
         .select(ch.to_monday(F.lit(cutoff_date)).cast("string"))
         .collect()[0][0]
     )
+    if cutoff_week is None:
+        raise ValueError(f"apply_ttl: unparseable cutoff_date {cutoff_date!r}")
     jvm = spark._jvm
     root = jvm.org.apache.hadoop.fs.Path(path)
     fs = root.getFileSystem(spark._jsc.hadoopConfiguration())
