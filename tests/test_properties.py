@@ -729,3 +729,50 @@ def test_chsql_split_top_round_trips_balanced_parts(parts):
         return
     joined = ",".join(parts)
     assert chsql._split_top(joined) == [p.strip() for p in parts]
+
+
+# --------------------------------------------------------------------------
+# paragraph_dedup == pure-Python first-occurrence model for ANY corpus
+# --------------------------------------------------------------------------
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    st.lists(
+        st.lists(
+            st.sampled_from(["p1", "p2", "p3", "p4", ""]),
+            min_size=1,
+            max_size=5,
+        ),
+        min_size=1,
+        max_size=8,
+    )
+)
+def test_paragraph_dedup_matches_python_model(spark, docs):
+    """Corpus-global first-occurrence retention on random corpora
+    (repeats within AND across docs, empty paragraphs included) must
+    equal the sequential-scan model."""
+    from yc_data_transfer_clickhouse_from_yandex_metrica_spark.operators import dedup
+
+    sep = "\n\n"
+    rows = [(i, sep.join(paras)) for i, paras in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: r["text"]
+        for r in dedup.paragraph_dedup(df, "doc_id", "text", sep=sep).collect()
+    }
+    seen: set[str] = set()
+    expect = {}
+    for i, paras in enumerate(docs):
+        # split/join round trip mirrors the engine's split() view of
+        # the text (consecutive separators yield empty paragraphs)
+        split_view = sep.join(paras).split(sep)
+        kept = []
+        for p in split_view:
+            if p not in seen:
+                seen.add(p)
+                kept.append(p)
+        expect[i] = sep.join(kept)
+    assert got == expect
