@@ -1355,19 +1355,43 @@ SELECT o_orderpriority, d, o_orderkey FROM (
 
 
 def q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """topK(10) made exact: the ten customers placing the most orders,
-    deterministic tie-break (freq desc, key asc).  Map-side partial
-    aggregate collapses to |customers| rows; the top-10 is a global
+    """topK(10) AND topKWeighted(10) made exact, in one labeled
+    union: the ten customers placing the most orders (metric='count')
+    and the ten with the highest summed order value
+    (metric='weighted', CH ``topKWeighted(k)(x, w)``), deterministic
+    tie-break (freq desc, key asc).  Both branches are one map-side
+    partial aggregate to |customers| rows + a global
     TakeOrderedAndProject -- no full sort, no sketch error."""
     _prep(spark)
     o = t(spark, sf_dir, "orders")
-    return stats.heavy_hitters(o, ["o_custkey"], 10)
+    cnt = stats.heavy_hitters(o, ["o_custkey"], 10).select(
+        F.lit("count").alias("metric"),
+        "o_custkey",
+        F.col("freq").cast("double").alias("freq"),
+    )
+    wt = stats.heavy_hitters(
+        o, ["o_custkey"], 10, weight_col="o_totalprice"
+    ).select(
+        F.lit("weighted").alias("metric"),
+        "o_custkey",
+        ch.round_to(F.col("freq"), 2).alias("freq"),
+    )
+    return cnt.unionByName(wt)
 
 
 _ORACLE_HEAVY_HITTERS = """
-SELECT o_custkey, CAST(count(1) AS BIGINT) AS freq
-FROM orders GROUP BY o_custkey
-ORDER BY freq DESC, o_custkey ASC LIMIT 10
+SELECT * FROM (
+  SELECT 'count' AS metric, o_custkey, CAST(count(1) AS DOUBLE) AS freq
+  FROM orders GROUP BY o_custkey
+  ORDER BY count(1) DESC, o_custkey ASC LIMIT 10
+)
+UNION ALL
+SELECT * FROM (
+  SELECT 'weighted' AS metric, o_custkey,
+         floor(CAST(sum(o_totalprice) AS DOUBLE) * 100.0 + 0.5) / 100.0 AS freq
+  FROM orders GROUP BY o_custkey
+  ORDER BY sum(o_totalprice) DESC, o_custkey ASC LIMIT 10
+)
 """
 
 
@@ -3856,6 +3880,8 @@ ROTATION_FORCE_FRONT = frozenset(
         "dedup_exact",
         # round 7: widened with port()/fragment()/cutFragment()
         "url_funcs",
+        # round 7: widened with the topKWeighted branch
+        "heavy_hitters_custkey",
     }
 )
 
