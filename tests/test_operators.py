@@ -1748,6 +1748,36 @@ def test_salted_agg_matches_plain(spark):
     assert got == want
 
 
+def test_salted_ops_null_keys_match_plain(spark):
+    """NULL group/join keys through the salted paths behave exactly
+    like the plain forms (the r7 agg_map restore-join bug class):
+    salted_agg keeps the null group's real aggregates; salted_join
+    drops null keys exactly as an inner equi-join does."""
+    from yc_data_transfer_clickhouse_from_yandex_metrica_spark.operators import skew
+
+    df = spark.createDataFrame(
+        [(None, 1.0), (None, 2.0), ("a", 3.0), ("a", 4.0), ("b", 5.0)],
+        "k string, v double",
+    )
+    plain = {
+        (r["k"], r["s"], r["n"])
+        for r in df.groupBy("k")
+        .agg(F.sum("v").alias("s"), F.count("*").alias("n"))
+        .collect()
+    }
+    salted = {
+        (r["k"], r["s"], r["n"])
+        for r in skew.salted_agg(
+            df, ["k"], {"s": ("sum", "v"), "n": ("count", "v")}
+        ).collect()
+    }
+    assert salted == plain and (None, 3.0, 2) in salted
+    dim = spark.createDataFrame([("a", "A"), (None, "N")], "k string, d string")
+    pj = {tuple(r) for r in df.join(dim, "k").collect()}
+    sj = {tuple(r) for r in skew.salted_join(df, dim, ["k"]).collect()}
+    assert sj == pj
+
+
 def test_salted_agg_rejects_non_algebraic(spark):
     from yc_data_transfer_clickhouse_from_yandex_metrica_spark.operators import skew
 
