@@ -474,6 +474,17 @@ def test_array_at_default_semantics(spark):
         ).collect()
     ]
     assert got == ["a", "", "", ""]
+    # the general signed form adds CH's negative-from-the-back rule
+    signed = spark.createDataFrame(
+        [Row(arr=["a", "b"], i=i) for i in (2, -1, -2, -3, 0)]
+    )
+    got = [
+        r["v"]
+        for r in signed.select(
+            ch.array_at_signed(F.col("arr"), F.col("i"), "").alias("v")
+        ).collect()
+    ]
+    assert got == ["b", "b", "a", "", ""]
 
 
 def test_index_of_semantics(spark):
@@ -2720,13 +2731,17 @@ def test_chsql_front_end_pieces(spark):
     )
     assert [r["k"] for r in out.collect()] == [2, 3]
 
-    # CH 1-based default-on-miss indexing for known array columns
+    # CH indexing rule for known array columns: 1-based from the
+    # front, NEGATIVE from the back, type default on miss / zero
     idx = chsql.run_sql(
         spark,
-        "SELECT k, arr[indexOf(arr, 'b')] AS hit, arr[9] AS miss FROM tbl",
+        "SELECT k, arr[indexOf(arr, 'b')] AS hit, arr[9] AS miss, "
+        "arr[-1] AS last, arr[-9] AS neg_miss, arr[0] AS zero FROM tbl",
         {"tbl": df},
     ).collect()[0]
-    assert (idx["hit"], idx["miss"]) == ("b", "")
+    assert (idx["hit"], idx["miss"], idx["last"], idx["neg_miss"], idx["zero"]) == (
+        "b", "", "b", "", ""
+    )
 
 
 def test_chsql_run_script_s3_workflow(spark):

@@ -52,6 +52,21 @@ def array_at(arr: ColumnOrName, idx: ColumnOrName, default) -> Column:
     return F.when(in_range, F.coalesce(F.element_at(arr, idx), d)).otherwise(d)
 
 
+def array_at_signed(arr: ColumnOrName, idx: ColumnOrName, default) -> Column:
+    """``arr[i]`` with ClickHouse's FULL index rule: 1-based from the
+    front, NEGATIVE from the back (``arr[-1]`` = last element), the
+    element-type default for 0 / out of range either way.
+    :func:`array_at` (used by the reference-parity queries, where the
+    index comes from ``indexOf`` and is never negative) keeps the
+    positive-only contract; this is the general form the chsql
+    front-end compiles ``col[idx]`` to."""
+    arr, idx = _col(arr), _col(idx).cast("int")
+    d = default if isinstance(default, Column) else F.lit(default)
+    n = F.size(arr)
+    in_range = ((idx >= 1) & (idx <= n)) | ((idx <= -1) & (-idx <= n))
+    return F.when(in_range, F.coalesce(F.element_at(arr, idx), d)).otherwise(d)
+
+
 # --- F3: arrayMap -------------------------------------------------------
 def array_map(f: Callable[[Column], Column], arr: ColumnOrName) -> Column:
     """ClickHouse ``arrayMap(x -> e, arr)`` == Spark ``transform`` (README.md:109)."""

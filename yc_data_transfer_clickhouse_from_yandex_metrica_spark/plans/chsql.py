@@ -292,8 +292,11 @@ def _rewrite_indexing(sql: str, defaults: dict[str, str]) -> str:
             close = _match_paren(masked, open_idx)
             col = m.group(1)
             idx = sql[open_idx + 1 : close]
+            # full CH index rule (ch.array_at_signed): 1-based from
+            # the front, negative from the back, default otherwise
             repl = (
-                f"(CASE WHEN ({idx}) >= 1 AND ({idx}) <= size({col}) "
+                f"(CASE WHEN (({idx}) >= 1 AND ({idx}) <= size({col})) "
+                f"OR (({idx}) <= -1 AND -({idx}) <= size({col})) "
                 f"THEN element_at({col}, CAST(({idx}) AS INT)) "
                 f"ELSE {defaults[name]} END)"
             )
