@@ -27,6 +27,9 @@ from yc_data_transfer_clickhouse_from_yandex_metrica_spark.operators import (
     multimodal,
     sampling,
 )
+from yc_data_transfer_clickhouse_from_yandex_metrica_spark.operators import (
+    text as text_ops,
+)
 from yc_data_transfer_clickhouse_from_yandex_metrica_spark.plans.alias import inline_aliases
 from yc_data_transfer_clickhouse_from_yandex_metrica_spark.plans.totals import with_totals
 from yc_data_transfer_clickhouse_from_yandex_metrica_spark.sources import warehouse
@@ -1209,6 +1212,28 @@ def test_jaccard_grid_salting_is_exact(spark):
                       df, threshold=0.3, salt_df=4, salt_groups=groups
                   ).collect()}
         assert plain and salted == plain, f"salt_groups={groups}"
+
+
+def test_text_functions_null_text_behaves_like_empty(spark):
+    """NULL text through the whole text family == '' (the legacy
+    sizeOfNull trap: split(NULL) previously rode the non-empty branch
+    into size() == -1 token counts, and NULL scored as English with
+    nonzero quality)."""
+    df = spark.createDataFrame(
+        [Row(doc_id=1, text=""), Row(doc_id=2, text=None)]
+    )
+    rows = df.select(
+        "doc_id",
+        text_ops.token_count("text").alias("tc"),
+        text_ops.bpe_token_estimate("text").alias("bpe"),
+        text_ops.quality_score("text").alias("q"),
+        text_ops.lang_id("text").alias("lg"),
+    ).collect()
+    empty, null = sorted(rows, key=lambda r: r["doc_id"])
+    assert (null["tc"], null["bpe"], null["q"], null["lg"]) == (
+        empty["tc"], empty["bpe"], empty["q"], empty["lg"],
+    )
+    assert null["tc"] == 0 and null["bpe"] == 0 and null["lg"] == "und"
 
 
 def test_paragraph_dedup_first_occurrence(spark):

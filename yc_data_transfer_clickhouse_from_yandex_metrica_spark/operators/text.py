@@ -40,7 +40,11 @@ def tokens(text: Column | str, lower: bool = True) -> Column:
     c = F.col(text) if isinstance(text, str) else text
     if lower:
         c = F.lower(c)
-    cleaned = F.trim(F.regexp_replace(c, "[^a-z0-9]+", " "))
+    # null-first: NULL text must behave like '' (yield []), not ride
+    # the otherwise-branch into split(NULL) -> size() == -1 (the
+    # legacy sizeOfNull trap -- same bug class the r7 agg_map size
+    # guard fixed)
+    cleaned = F.coalesce(F.trim(F.regexp_replace(c, "[^a-z0-9]+", " ")), F.lit(""))
     return F.when(F.length(cleaned) == 0, F.array().cast("array<string>")).otherwise(
         F.split(cleaned, r"\s+")
     )
@@ -66,6 +70,7 @@ def bpe_token_estimate(text: Column | str) -> Column:
     exact counts, batch shape stays).
     """
     c = F.col(text) if isinstance(text, str) else text
+    c = F.coalesce(c, F.lit(""))  # NULL text counts like '', not NULL
     pieces = F.regexp_count(c, F.lit(_BPE_PIECE))
     # long-piece surcharge: ceil(len/8)-1 summed over pieces equals
     # (total piece chars + continuation) approximated via total

@@ -3882,6 +3882,12 @@ ROTATION_FORCE_FRONT = frozenset(
         "url_funcs",
         # round 7: widened with the topKWeighted branch
         "heavy_hitters_custkey",
+        # round 7: tokens()/bpe null-text fix in text.py
+        # (guard-flagged importers)
+        "pack_sequences",
+        "curation_pipeline",
+        "pii_scrub",
+        "doc_fingerprint",
     }
 )
 
