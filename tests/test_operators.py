@@ -1214,6 +1214,28 @@ def test_jaccard_grid_salting_is_exact(spark):
         assert plain and salted == plain, f"salt_groups={groups}"
 
 
+def test_signlsh_ignores_null_and_zero_vectors(spark):
+    """NULL embeddings and all-zero vectors (cosine undefined) must
+    neither crash sign-LSH mining nor surface in any verified pair."""
+    from yc_data_transfer_clickhouse_from_yandex_metrica_spark.operators import (
+        similarity,
+    )
+
+    emb = spark.createDataFrame(
+        [
+            Row(vec_id=1, embedding=[1.0, 0.0]),
+            Row(vec_id=2, embedding=[1.0, 0.0]),
+            Row(vec_id=3, embedding=None),
+            Row(vec_id=4, embedding=[0.0, 0.0]),
+        ]
+    )
+    pairs = sorted(
+        (r["id_a"], r["id_b"])
+        for r in similarity.signlsh_pairs(emb, threshold=0.9).collect()
+    )
+    assert pairs == [(1, 2)]
+
+
 def test_text_functions_null_text_behaves_like_empty(spark):
     """NULL text through the whole text family == '' (the legacy
     sizeOfNull trap: split(NULL) previously rode the non-empty branch
