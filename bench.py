@@ -89,6 +89,7 @@ HEADLINE = [
     "date_dims",
     "string_funcs",
     "url_funcs",
+    "json_funcs",
     "sum_map_priority",
     "event_transitions",
     "delta_sum_events",

@@ -20,7 +20,7 @@ import pytest
 from pyspark.sql import Row
 from pyspark.sql import functions as F
 
-from yc_data_transfer_clickhouse_from_yandex_metrica_spark.functions import ch
+from yc_data_transfer_clickhouse_from_yandex_metrica_spark.functions import ch, chjson
 from yc_data_transfer_clickhouse_from_yandex_metrica_spark.operators import (
     collapse,
     dedup,
@@ -3460,3 +3460,66 @@ def test_great_circle_distance_sanity(spark):
     assert abs(got[0] - 634_000) < 5_000
     assert abs(got[1] - 3.141592653589793 * 6_371_000) < 1.0
     assert got[2] == 0.0
+
+
+# =========================================================================
+# ClickHouse JSON family (functions/ch.py json_*): pinned CH semantics
+# =========================================================================
+def _json1(spark, col):
+    df = spark.createDataFrame(
+        [('{"s": "hi", "n": 1.9, "m": -1.9, "i": 7, "t": "42", '
+          '"z": null, "b": true, "o": {"k": [10, 20]}}',)],
+        "j string",
+    )
+    return df.select(col.alias("v")).collect()[0]["v"]
+
+
+def test_json_extract_int_truncates_toward_zero(spark):
+    assert _json1(spark, chjson.json_extract_int("j", "n")) == 1
+    assert _json1(spark, chjson.json_extract_int("j", "m")) == -1
+    assert _json1(spark, chjson.json_extract_int("j", "i")) == 7
+
+
+def test_json_extract_strictness(spark):
+    """Strings never coerce to numbers and numbers never coerce to
+    strings (the CH simdjson rule): wrong type -> family default."""
+    assert _json1(spark, chjson.json_extract_int("j", "t")) == 0       # "42"
+    assert _json1(spark, chjson.json_extract_string("j", "n")) == ""   # 1.9
+    assert _json1(spark, chjson.json_extract_string("j", "s")) == "hi"
+    assert _json1(spark, chjson.json_extract_float("j", "i")) == 7.0
+    assert _json1(spark, chjson.json_extract_bool("j", "b")) == 1
+    assert _json1(spark, chjson.json_extract_bool("j", "i")) == 0
+
+
+def test_json_has_counts_json_null(spark):
+    assert _json1(spark, chjson.json_has("j", "z")) == 1     # JSON null present
+    assert _json1(spark, chjson.json_has("j", "nope")) == 0
+    assert _json1(spark, chjson.json_type("j", "z")) == "Null"
+
+
+def test_json_nested_paths_and_one_based_index(spark):
+    assert _json1(spark, chjson.json_extract_int("j", "o", "k", 2)) == 20
+    assert _json1(spark, chjson.json_length("j", "o", "k")) == 2
+    assert _json1(spark, chjson.json_extract_raw("j", "o", "k")) == "[10,20]"
+
+
+def test_json_invalid_documents_yield_defaults(spark):
+    df = spark.createDataFrame([("not json",), (None,)], "j string")
+    rows = df.select(
+        chjson.json_extract_string("j", "s").alias("s"),
+        chjson.json_extract_int("j", "n").alias("n"),
+        chjson.json_has("j", "s").alias("h"),
+        chjson.json_length("j").alias("l"),
+        chjson.json_extract_keys("j").alias("k"),
+        chjson.json_type("j").alias("t"),
+    ).collect()
+    for r in rows:
+        assert (r["s"], r["n"], r["h"], r["l"], r["k"], r["t"]) == ("", 0, 0, 0, [], "")
+
+
+def test_json_path_validation():
+    import pytest as _pytest
+
+    for bad in (0, -1, True, 1.5, "not an ident!"):
+        with _pytest.raises(ValueError):
+            chjson.json_extract_int("j", bad)

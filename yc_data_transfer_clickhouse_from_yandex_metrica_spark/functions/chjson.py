@@ -1,0 +1,182 @@
+"""ClickHouse JSON vocabulary (JSONExtract* / JSONHas / JSONLength /
+JSONExtractKeys / JSONExtractRaw / JSONType; visitParam* fast-path
+aliases).  Metrica deployments carry JSON in params/event columns and
+the CH JSON family is the standard way to query it
+(/root/reference/ddl/hits.sql ships string param columns; the JSON
+functions are engine vocabulary, not reference queries).
+
+Implementation: Spark 4 VariantType.  ``try_parse_json`` shreds the
+JSON once into a binary variant (invalid JSON -> NULL -> every
+function returns its CH default), ``variant_get`` navigates, and
+``schema_of_variant`` provides the exact type gate CH's simdjson
+layer applies -- all JVM expressions inside whole-stage codegen, no
+UDFs, so the family is safe in a 100 TB scan's hot path.
+
+Pinned semantics (CH-documented defaults, deviations noted):
+
+- missing path / wrong type / invalid JSON  =>  '' / 0 / 0.0 / false
+  (the CH "0 or empty string" rule);
+- ``json_extract_int``: numeric values truncate toward zero (CH reads
+  1.9 -> 1, -3.7 -> -3); strings NEVER coerce ("42" -> 0), the
+  strict simdjson behavior;
+- ``json_has`` counts a JSON null as present (CH: JSONHas('{"a":null}',
+  'a') = 1);
+- integer path components are 1-based per CH; negative (from-end)
+  indexing is NOT supported here (variant paths are 0-based
+  forward-only) -- documented deviation, raises ValueError;
+- ``json_extract_keys`` returns keys SORTED: the variant encoding
+  normalizes object key order (CH preserves document order) --
+  documented deviation, deterministic on both engines.
+
+Lives in its own module (not functions/ch.py) so the rotation guard's
+whole-module staleness granularity doesn't force a re-verification of
+every ch.py-dependent registry entry when the JSON family evolves.
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+from .ch import ColumnOrName, _col
+
+
+def _json_path(path: tuple) -> str:
+    """CH (key | 1-based index)* varargs -> a JSON path string."""
+    out = "$"
+    for p in path:
+        if isinstance(p, bool):  # bool is an int subclass; reject first
+            raise ValueError(f"JSON path component must be str or int, got {p!r}")
+        if isinstance(p, int):
+            if p < 1:
+                raise ValueError(
+                    "CH negative/zero JSON indices are not supported "
+                    f"(variant paths are forward-only): {p}"
+                )
+            out += f"[{p - 1}]"
+        elif isinstance(p, str):
+            if not re.fullmatch(r"[A-Za-z_][A-Za-z0-9_]*", p):
+                raise ValueError(f"JSON key must be identifier-like, got {p!r}")
+            out += f".{p}"
+        else:
+            raise ValueError(f"JSON path component must be str or int, got {p!r}")
+    return out
+
+
+def _variant_at(j: ColumnOrName, path: tuple) -> Column:
+    return F.variant_get(F.try_parse_json(_col(j)), _json_path(path), "variant")
+
+
+def _variant_type(j: ColumnOrName, path: tuple) -> Column:
+    """schema_of_variant of the value at path; NULL when missing."""
+    return F.schema_of_variant(_variant_at(j, path))
+
+
+_JSON_NUMERIC_RE = r"^(BIGINT|INT|SMALLINT|TINYINT|DOUBLE|FLOAT|DECIMAL)"
+
+
+def json_has(j: ColumnOrName, *path: str | int) -> Column:
+    """``JSONHas``: 1 if the path exists (a JSON null counts), else 0."""
+    return _variant_at(j, path).isNotNull().cast("int")
+
+
+def json_extract_string(j: ColumnOrName, *path: str | int) -> Column:
+    """``JSONExtractString``: the string value at path, '' unless the
+    value exists AND is a JSON string (strict -- numbers don't coerce)."""
+    v = _variant_at(j, path)
+    return F.coalesce(
+        F.when(F.schema_of_variant(v) == "STRING", v.cast("string")), F.lit("")
+    )
+
+
+def json_extract_int(j: ColumnOrName, *path: str | int) -> Column:
+    """``JSONExtractInt``: numeric value truncated toward zero, else 0."""
+    v = _variant_at(j, path)
+    return F.coalesce(
+        F.when(
+            F.schema_of_variant(v).rlike(_JSON_NUMERIC_RE),
+            v.cast("double").cast("long"),
+        ),
+        F.lit(0).cast("long"),
+    )
+
+
+def json_extract_float(j: ColumnOrName, *path: str | int) -> Column:
+    """``JSONExtractFloat``: numeric value as double, else 0.0."""
+    v = _variant_at(j, path)
+    return F.coalesce(
+        F.when(F.schema_of_variant(v).rlike(_JSON_NUMERIC_RE), v.cast("double")),
+        F.lit(0.0),
+    )
+
+
+def json_extract_bool(j: ColumnOrName, *path: str | int) -> Column:
+    """``JSONExtractBool``: 1/0 for a JSON true/false, else 0 (CH
+    returns UInt8)."""
+    v = _variant_at(j, path)
+    return F.coalesce(
+        F.when(F.schema_of_variant(v) == "BOOLEAN", v.cast("boolean").cast("int")),
+        F.lit(0),
+    )
+
+
+def json_extract_raw(j: ColumnOrName, *path: str | int) -> Column:
+    """``JSONExtractRaw``: the value re-serialized as JSON text, ''
+    when missing.  Deviation: object keys re-serialize sorted (variant
+    normalization); scalars and arrays round-trip exactly."""
+    return F.coalesce(F.to_json(_variant_at(j, path)), F.lit(""))
+
+
+def json_extract_keys(j: ColumnOrName, *path: str | int) -> Column:
+    """``JSONExtractKeys``: keys of the object at path, SORTED
+    (documented deviation -- CH preserves document order); [] when the
+    path is missing or not an object."""
+    ks = F.json_object_keys(F.to_json(_variant_at(j, path)))
+    return F.array_sort(F.coalesce(ks, F.array().cast("array<string>")))
+
+
+def json_length(j: ColumnOrName, *path: str | int) -> Column:
+    """``JSONLength``: element count of the array / key count of the
+    object at path, else 0."""
+    v = _variant_at(j, path)
+    s = F.to_json(v)
+    t = F.schema_of_variant(v)
+    return F.coalesce(
+        F.when(t.startswith("ARRAY"), F.json_array_length(s)).when(
+            t.startswith("OBJECT") | (t == "VARIANT"),
+            F.array_size(F.json_object_keys(s)),
+        ),
+        F.lit(0),
+    )
+
+
+def json_type(j: ColumnOrName, *path: str | int) -> Column:
+    """``JSONType``: CH type-name of the value at path ('Object',
+    'Array', 'String', 'Int64', 'Double', 'Bool', 'Null'); '' when the
+    path is missing or the JSON is invalid (CH raises on invalid
+    documents for the non-simdjson build; '' composes with the rest of
+    the family's defaults)."""
+    t = _variant_type(j, path)
+    return F.coalesce(
+        F.when(t.startswith("OBJECT") | (t == "VARIANT"), F.lit("Object"))
+        .when(t.startswith("ARRAY"), F.lit("Array"))
+        .when(t == "STRING", F.lit("String"))
+        .when(t == "BOOLEAN", F.lit("Bool"))
+        .when(t == "VOID", F.lit("Null"))
+        .when(t.rlike(r"^(BIGINT|INT|SMALLINT|TINYINT)"), F.lit("Int64"))
+        .when(t.rlike(r"^(DOUBLE|FLOAT|DECIMAL)"), F.lit("Double")),
+        F.lit(""),
+    )
+
+
+# visitParam* fast-path family: identical results on flat documents
+# with unique keys (the regime CH documents them for); implemented as
+# the strict parsers above.
+visit_param_extract_string = json_extract_string
+visit_param_extract_int = json_extract_int
+visit_param_extract_float = json_extract_float
+visit_param_extract_bool = json_extract_bool
+visit_param_has = json_has
+visit_param_extract_raw = json_extract_raw

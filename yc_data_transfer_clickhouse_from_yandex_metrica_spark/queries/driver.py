@@ -30,7 +30,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from ..functions import ch
+from ..functions import ch, chjson
 from ..operators import (
     collapse,
     dedup,
@@ -3723,6 +3723,93 @@ FROM s
 
 
 # =========================================================================
+# 30. json_funcs -- the ClickHouse JSON vocabulary (JSONExtract* /
+#     JSONHas / JSONLength / JSONExtractKeys / JSONExtractRaw /
+#     JSONType) over the real events.props JSON column plus a
+#     synthesized edge corpus (type mismatches, nesting, JSON null,
+#     invalid documents, SQL NULL).  Implementation is Spark 4 variant
+#     shredding (functions/ch.py): one try_parse_json per document,
+#     typed gates via schema_of_variant -- all codegen, no UDF, so the
+#     family is a map-side Project at any scale.
+# =========================================================================
+_JSON_EDGE_CASE = """CASE CAST(event_id % 6 AS INT)
+      WHEN 0 THEN '{"s": "hello", "n": 42, "b": true}'
+      WHEN 1 THEN '{"s": 7, "n": "42", "arr": [1, 2.5, "x"]}'
+      WHEN 2 THEN '{"n": -3.7, "o": {"a": {"b": 9}}, "b": false}'
+      WHEN 3 THEN '{"s": null, "arr": []}'
+      WHEN 4 THEN 'not json'
+      ELSE NULL END"""
+
+
+def q_json_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _prep(spark)
+    e = t(spark, sf_dir, "events").withColumn("__j", F.expr(_JSON_EDGE_CASE))
+    return e.select(
+        "event_id",
+        chjson.json_extract_int("props", "k").alias("k_int"),
+        chjson.json_has("props", "k").alias("has_k"),
+        chjson.json_extract_string("__j", "s").alias("s_str"),
+        chjson.json_extract_int("__j", "n").alias("n_int"),
+        F.round(chjson.json_extract_float("__j", "n"), 6).alias("n_flt"),
+        chjson.json_extract_bool("__j", "b").alias("b_int"),
+        chjson.json_has("__j", "s").alias("has_s"),
+        chjson.json_extract_int("__j", "o", "a", "b").alias("oab"),
+        F.round(chjson.json_extract_float("__j", "arr", 2), 6).alias("arr2"),
+        chjson.json_extract_raw("__j", "o").alias("raw_o"),
+        F.array_join(chjson.json_extract_keys("__j"), ",").alias("keys"),
+        chjson.json_length("__j").alias("obj_len"),
+        chjson.json_length("__j", "arr").alias("arr_len"),
+        chjson.json_type("__j", "n").alias("t_n"),
+    ).orderBy("event_id")
+
+
+_ORACLE_JSON_FUNCS = f"""
+WITH e AS (SELECT event_id, props, {_JSON_EDGE_CASE} AS j FROM events)
+SELECT event_id,
+  CASE WHEN json_valid(props)
+            AND json_type(props, '$.k') IN ('BIGINT', 'UBIGINT', 'DOUBLE')
+       THEN CAST(trunc(CAST(props->'$.k' AS DOUBLE)) AS BIGINT) ELSE 0 END AS k_int,
+  CASE WHEN json_valid(props) AND json_type(props, '$.k') IS NOT NULL
+       THEN 1 ELSE 0 END AS has_k,
+  CASE WHEN json_valid(j) AND json_type(j, '$.s') = 'VARCHAR'
+       THEN j->>'$.s' ELSE '' END AS s_str,
+  CASE WHEN json_valid(j) AND json_type(j, '$.n') IN ('BIGINT', 'UBIGINT', 'DOUBLE')
+       THEN CAST(trunc(CAST(j->'$.n' AS DOUBLE)) AS BIGINT) ELSE 0 END AS n_int,
+  CAST(CASE WHEN json_valid(j) AND json_type(j, '$.n') IN ('BIGINT', 'UBIGINT', 'DOUBLE')
+       THEN round(CAST(j->'$.n' AS DOUBLE), 6) ELSE 0.0 END AS DOUBLE) AS n_flt,
+  CASE WHEN json_valid(j) AND json_type(j, '$.b') = 'BOOLEAN'
+            AND CAST(j->'$.b' AS BOOLEAN) THEN 1 ELSE 0 END AS b_int,
+  CASE WHEN json_valid(j) AND json_type(j, '$.s') IS NOT NULL
+       THEN 1 ELSE 0 END AS has_s,
+  CASE WHEN json_valid(j) AND json_type(j, '$.o.a.b') IN ('BIGINT', 'UBIGINT', 'DOUBLE')
+       THEN CAST(trunc(CAST(j->'$.o.a.b' AS DOUBLE)) AS BIGINT) ELSE 0 END AS oab,
+  CAST(CASE WHEN json_valid(j) AND json_type(j, '$.arr[1]') IN ('BIGINT', 'UBIGINT', 'DOUBLE')
+       THEN round(CAST(j->'$.arr[1]' AS DOUBLE), 6) ELSE 0.0 END AS DOUBLE) AS arr2,
+  CASE WHEN json_valid(j) AND json_type(j, '$.o') IS NOT NULL
+       THEN CAST(json_extract(j, '$.o') AS VARCHAR) ELSE '' END AS raw_o,
+  CASE WHEN json_valid(j) AND json_type(j) = 'OBJECT'
+       THEN array_to_string(list_sort(json_keys(j)), ',') ELSE '' END AS keys,
+  CASE WHEN json_valid(j) AND json_type(j) = 'OBJECT' THEN array_length(json_keys(j))
+       WHEN json_valid(j) AND json_type(j) = 'ARRAY' THEN json_array_length(j)
+       ELSE 0 END AS obj_len,
+  CASE WHEN json_valid(j) AND json_type(j, '$.arr') = 'ARRAY'
+       THEN json_array_length(j, '$.arr')
+       WHEN json_valid(j) AND json_type(j, '$.arr') = 'OBJECT'
+       THEN array_length(json_keys(j, '$.arr'))
+       ELSE 0 END AS arr_len,
+  CASE WHEN json_valid(j) THEN
+    CASE json_type(j, '$.n')
+      WHEN 'OBJECT' THEN 'Object' WHEN 'ARRAY' THEN 'Array'
+      WHEN 'VARCHAR' THEN 'String' WHEN 'BOOLEAN' THEN 'Bool'
+      WHEN 'NULL' THEN 'Null'
+      WHEN 'BIGINT' THEN 'Int64' WHEN 'UBIGINT' THEN 'Int64'
+      WHEN 'DOUBLE' THEN 'Double' ELSE '' END
+  ELSE '' END AS t_n
+FROM e ORDER BY event_id
+"""
+
+
+# =========================================================================
 # registry
 # =========================================================================
 QUERIES: dict[str, QuerySpec] = {
@@ -3791,6 +3878,7 @@ QUERIES: dict[str, QuerySpec] = {
     "string_funcs": QuerySpec(q_string_funcs, _ORACLE_STRING_FUNCS, "F-ext: splitByChar extractAll position replace[Regexp]All"),
     "url_funcs": QuerySpec(q_url_funcs, _ORACLE_URL_FUNCS, "F-ext: URL family (protocol domain topLevelDomain path queryString extractURLParameter cutQueryString)"),
     "sum_map_priority": QuerySpec(q_sum_map, _ORACLE_SUM_MAP, "A-ext: sumMap over Nested-style parallel arrays"),
+    "json_funcs": QuerySpec(q_json_funcs, _ORACLE_JSON_FUNCS, "F-ext: JSON family (JSONExtract*/JSONHas/JSONLength/JSONExtractKeys/JSONExtractRaw/JSONType, variant-shredded)"),
     "quantiles_weighted": QuerySpec(q_quantiles_weighted, _ORACLE_QUANTILES_WEIGHTED, "A-ext: quantileExactWeighted (compressed distribution)"),
     "pii_scrub": QuerySpec(q_pii_scrub, _ORACLE_PII_SCRUB, "text/pii-redaction"),
     "doc_fingerprint": QuerySpec(q_doc_fingerprint, _ORACLE_DOC_FINGERPRINT, "text/fingerprint"),
