@@ -90,6 +90,7 @@ HEADLINE = [
     "string_funcs",
     "url_funcs",
     "json_funcs",
+    "chsql_word_count",
     "sum_map_priority",
     "event_transitions",
     "delta_sum_events",

@@ -3523,3 +3523,75 @@ def test_json_path_validation():
     for bad in (0, -1, True, 1.5, "not an ident!"):
         with _pytest.raises(ValueError):
             chjson.json_extract_int("j", bad)
+
+
+# =========================================================================
+# chsql arrayJoin (hoisted explode) + CH UInt8 predicate truthiness
+# =========================================================================
+def _aj_df(spark):
+    return spark.createDataFrame(
+        [(1, ["a", "b", "b"]), (2, []), (3, None), (4, ["a"])],
+        "id int, xs array<string>",
+    )
+
+
+def test_chsql_array_join_drops_empty_and_null_arrays(spark):
+    from yc_data_transfer_clickhouse_from_yandex_metrica_spark.plans import chsql
+
+    rows = chsql.run_sql(
+        spark,
+        "SELECT id, arrayJoin(xs) AS x FROM t ORDER BY id, x",
+        {"t": _aj_df(spark)},
+    ).collect()
+    assert [(r.id, r.x) for r in rows] == [(1, "a"), (1, "b"), (1, "b"), (4, "a")]
+
+
+def test_chsql_array_join_shared_spelling_and_group_by(spark):
+    """Repeated identical arrayJoin spellings share ONE explode (the
+    CH common-subexpression rule) -- including through a GROUP BY
+    alias -- and aggregate post-expansion."""
+    from yc_data_transfer_clickhouse_from_yandex_metrica_spark.plans import chsql
+
+    rows = chsql.run_sql(
+        spark,
+        "SELECT arrayJoin(xs) AS x, count(1) AS n, "
+        "concat(arrayJoin(xs), '!') AS bang "
+        "FROM t GROUP BY x, bang ORDER BY x",
+        {"t": _aj_df(spark)},
+    ).collect()
+    assert [(r.x, r.n, r.bang) for r in rows] == [("a", 2, "a!"), ("b", 2, "b!")]
+
+
+def test_chsql_array_join_rejections(spark):
+    from yc_data_transfer_clickhouse_from_yandex_metrica_spark.plans import chsql
+
+    df = _aj_df(spark)
+    with pytest.raises(ValueError, match="one distinct arrayJoin"):
+        chsql.run_sql(
+            spark, "SELECT arrayJoin(xs), arrayJoin(split(id, ',')) FROM t", {"t": df}
+        )
+    with pytest.raises(ValueError, match="WHERE"):
+        chsql.run_sql(
+            spark, "SELECT id FROM t WHERE arrayJoin(xs) = 'a'", {"t": df}
+        )
+    with pytest.raises(ValueError, match="TOTALS"):
+        chsql.run_sql(
+            spark,
+            "SELECT arrayJoin(xs) AS x, count(1) AS n FROM t GROUP BY x WITH TOTALS",
+            {"t": df},
+        )
+
+
+def test_chsql_uint8_predicate_truthiness(spark):
+    """WHERE/HAVING accept CH UInt8 expressions (nonzero = true)."""
+    from yc_data_transfer_clickhouse_from_yandex_metrica_spark.plans import chsql
+
+    df = spark.createDataFrame([("x",), ("",), (None,)], "s string")
+    rows = chsql.run_sql(spark, "SELECT s FROM t WHERE notEmpty(s)", {"t": df}).collect()
+    assert [r.s for r in rows] == ["x"]
+    rows = chsql.run_sql(
+        spark,
+        "SELECT s, count(1) AS n FROM t GROUP BY s HAVING notEmpty(s)",
+        {"t": df},
+    ).collect()
+    assert [r.s for r in rows] == ["x"]

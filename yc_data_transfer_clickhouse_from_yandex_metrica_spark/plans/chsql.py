@@ -45,6 +45,13 @@ vocabulary):
   ('' / 0) out of range, for any column whose array element type is
   known from the provided tables (ch.array_at semantics); unknown
   columns keep Spark semantics untouched.
+- ``arrayJoin(expr)``: CH's row-expanding function, hoisted into an
+  inner ``explode`` projection (empty/NULL arrays drop the row, the
+  CH rule).  One DISTINCT arrayJoin expression per SELECT (repeated
+  identical spellings share the one explode -- CH's common-
+  subexpression rule); WHERE runs BEFORE the expansion (the CH plan
+  when WHERE doesn't mention arrayJoin; mentioning it there raises),
+  GROUP BY/HAVING/ORDER BY after.  Not combinable with WITH TOTALS.
 """
 
 from __future__ import annotations
@@ -391,6 +398,19 @@ def run_sql(
     return _compile_single(spark, sql)
 
 
+def _array_join_calls(txt: str | None) -> list[tuple[int, int, str]]:
+    """(start, end, arg-text) span of every ``arrayJoin(...)`` call."""
+    if not txt:
+        return []
+    out = []
+    masked = _mask(txt)
+    for m in re.finditer(r"\barrayJoin\s*\(", masked):
+        open_idx = masked.index("(", m.start())
+        close = _match_paren(masked, open_idx)
+        out.append((m.start(), close + 1, txt[open_idx + 1 : close]))
+    return out
+
+
 def _compile_single(spark: SparkSession, sql: str) -> DataFrame:
     """Clause surgery + alias inlining + WITH TOTALS for ONE already
     pre-rewritten SELECT (no comments/params/table names/unions)."""
@@ -431,6 +451,63 @@ def _compile_single(spark: SparkSession, sql: str) -> DataFrame:
         return head + inline_aliases(body, aliases)
 
     where, group, having = _inline(where), _inline(group), _inline(having)
+
+    # CH predicate truthiness: WHERE/HAVING accept UInt8 (nonzero =
+    # true), so `WHERE notEmpty(x)` is idiomatic CH.  Spark requires
+    # BOOLEAN; CAST(int AS BOOLEAN) is exactly the nonzero rule.
+    def _as_predicate(c: str | None) -> str | None:
+        if c is None:
+            return None
+        kw_m = re.match(r"(WHERE|HAVING)\s+", c, re.I)
+        body = c[kw_m.end() :] if kw_m else c
+        head = c[: kw_m.end()] if kw_m else ""
+        return f"{head}CAST(({body}) AS BOOLEAN)"
+
+    where, having = _as_predicate(where), _as_predicate(having)
+
+    # ---- CH arrayJoin: hoist into an exploding inner projection ----
+    aj_found = {
+        k: _array_join_calls(v)
+        for k, v in (
+            ("select", select_txt), ("where", where), ("group", group),
+            ("having", having), ("order", order),
+        )
+    }
+    if any(aj_found.values()):
+        if aj_found["where"]:
+            raise ValueError(
+                "chsql: arrayJoin in WHERE is not supported (WHERE runs "
+                "before the expansion here)"
+            )
+        if with_totals:
+            raise ValueError("chsql: arrayJoin cannot combine with WITH TOTALS")
+        args = {
+            _collapse_ws(a) for calls in aj_found.values() for (_, _, a) in calls
+        }
+        if len(args) > 1:
+            raise ValueError(
+                "chsql: one distinct arrayJoin expression per SELECT, got "
+                + " | ".join(sorted(args))
+            )
+        arg = args.pop()
+        alias = "__aj"  # reuse the select list's explicit alias if bound
+        for expr, al in parsed:
+            c = _array_join_calls(expr)
+            if al and c and expr.strip() == expr[c[0][0] : c[0][1]]:
+                alias = al
+                break
+
+        def _subst_aj(txt: str | None) -> str | None:
+            for s, e, _ in reversed(_array_join_calls(txt)):
+                txt = txt[:s] + f"`{alias}`" + txt[e:]
+            return txt
+
+        select_txt = _subst_aj(select_txt)
+        group, having, order = _subst_aj(group), _subst_aj(having), _subst_aj(order)
+        inner = " ".join(
+            p for p in (f"SELECT *, explode({arg}) AS `{alias}`", frm, where) if p
+        )
+        frm, where = f"FROM ({inner})", None
 
     if limit:
         lm = re.match(r"LIMIT\s+(\d+)\s*,\s*(\d+)\s*$", limit, re.I)

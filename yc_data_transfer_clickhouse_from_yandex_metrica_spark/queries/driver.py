@@ -3810,6 +3810,46 @@ FROM e ORDER BY event_id
 
 
 # =========================================================================
+# 31. chsql_word_count -- ClickHouse's signature row-expansion idiom,
+#     arrayJoin(splitByChar(...)), run VERBATIM through the dialect
+#     front-end: the compiler hoists the arrayJoin into an inner
+#     explode projection (empty arrays drop rows, the CH rule), WHERE
+#     runs pre-expansion with CH UInt8 truthiness (notEmpty), GROUP
+#     BY/HAVING bind to the select alias post-expansion.
+# =========================================================================
+_CHSQL_WORD_COUNT_SQL = """
+-- top terms, the ClickHouse way
+SELECT arrayJoin(splitByChar(' ', lower(text))) AS w, count(1) AS n
+FROM documents
+WHERE notEmpty(text)
+GROUP BY w
+HAVING n >= 10
+ORDER BY n DESC, w
+LIMIT 0,50
+"""
+
+
+def q_chsql_word_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..plans import chsql
+
+    _prep(spark)
+    docs = t(spark, sf_dir, "documents")
+    return chsql.run_sql(spark, _CHSQL_WORD_COUNT_SQL, {"documents": docs})
+
+
+_ORACLE_CHSQL_WORD_COUNT = """
+WITH w AS (
+  SELECT unnest(string_split(lower(text), ' ')) AS w
+  FROM documents
+  WHERE length(coalesce(text, '')) > 0
+)
+SELECT w, CAST(count(1) AS BIGINT) AS n
+FROM w GROUP BY w HAVING count(1) >= 10
+ORDER BY n DESC, w LIMIT 50
+"""
+
+
+# =========================================================================
 # registry
 # =========================================================================
 QUERIES: dict[str, QuerySpec] = {
@@ -3921,6 +3961,11 @@ QUERIES: dict[str, QuerySpec] = {
         q_chsql_federated_enrich,
         _ORACLE_CHSQL_FEDERATED,
         "J2 J3 S5 S7 + chsql: the reference's YQ federated SCD-2 insert verbatim",
+    ),
+    "chsql_word_count": QuerySpec(
+        q_chsql_word_count,
+        _ORACLE_CHSQL_WORD_COUNT,
+        "F-ext + chsql: arrayJoin row expansion (hoisted explode) + UInt8 WHERE truthiness",
     ),
 }
 
