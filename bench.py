@@ -91,6 +91,11 @@ HEADLINE = [
     "url_funcs",
     "json_funcs",
     "chsql_word_count",
+    "tfidf_top_terms",
+    "bigram_lm_score",
+    "shard_assign",
+    "domain_quota",
+    "dedup_keep_best",
     "sum_map_priority",
     "event_transitions",
     "delta_sum_events",

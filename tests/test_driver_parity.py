@@ -112,9 +112,19 @@ def test_registry_rotation_contract():
     last = driver._last_green_rounds()
     if last:  # with committed CORRECTNESS artifacts present
         window = set(order[: driver.DRIVER_WINDOW])
-        worst_in = max(last.get(n, -1) for n in window)
+        # force-front entries count as never-verified (the documented
+        # rotation rule): their TRUE last-green round may be newer than
+        # tail entries', and that's the point -- their code changed, so
+        # they jump the queue.  Tail safety for everything they displace
+        # is enforced by tests/test_rotation_guard.py (provably
+        # unchanged since its green round), not by this recency sort.
+        eff = {
+            n: (-1 if n in driver.ROTATION_FORCE_FRONT else last.get(n, -1))
+            for n in QUERIES
+        }
+        worst_in = max(eff[n] for n in window)
         best_out = min(
-            (last.get(n, -1) for n in order[driver.DRIVER_WINDOW :]),
+            (eff[n] for n in order[driver.DRIVER_WINDOW :]),
             default=10**9,
         )
         assert worst_in <= best_out, (

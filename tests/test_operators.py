@@ -3595,3 +3595,100 @@ def test_chsql_uint8_predicate_truthiness(spark):
         {"t": df},
     ).collect()
     assert [r.s for r in rows] == ["x"]
+
+
+# =========================================================================
+# operators/corpus.py: curation invariants
+# =========================================================================
+def _corpus_docs(spark):
+    return spark.createDataFrame(
+        [
+            (1, "the cat sat on the mat", "a"),
+            (2, "the cat sat on the hat", "a"),
+            (3, "dogs dogs dogs dogs", "a"),
+            (4, "entirely different words here", "b"),
+            (5, "", "b"),
+            (6, None, "b"),
+        ],
+        "doc_id long, text string, source string",
+    )
+
+
+def test_tfidf_top_terms_formula_and_bounds(spark):
+    from yc_data_transfer_clickhouse_from_yandex_metrica_spark.operators import corpus
+    import math
+
+    out = corpus.tfidf_top_terms(_corpus_docs(spark), k=2).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    assert set(by_doc) == {1, 2, 3, 4}  # token-less docs absent
+    assert all(len(v) <= 2 for v in by_doc.values())
+    # doc 3: 'dogs' tf=4, df=1, N=6 -> 4*(ln(7/2)+1)
+    want = round(4 * (math.log(7 / 2) + 1), 6)
+    got = [r for r in by_doc[3] if r.term == "dogs"][0].score
+    assert abs(got - want) < 1e-9
+    # rnk is 1-based contiguous by (score desc, term asc)
+    assert [r.rnk for r in sorted(by_doc[1], key=lambda r: r.rnk)] == [1, 2]
+
+
+def test_bigram_lm_scores_repetition_as_fluent(spark):
+    """A document whose bigrams are corpus-frequent scores LOWER
+    cross-entropy than one made of corpus-unique bigrams."""
+    from yc_data_transfer_clickhouse_from_yandex_metrica_spark.operators import corpus
+
+    out = {r.doc_id: r for r in corpus.bigram_lm_score(_corpus_docs(spark)).collect()}
+    assert set(out) == {1, 2, 3, 4}  # <2-token docs absent
+    assert out[3].n_bigrams == 3
+    # 'the cat sat on the ...' shares 4 of 5 bigrams with doc 2;
+    # doc 4's bigrams are all unique -> strictly worse (higher) xent
+    assert out[1].xent < out[4].xent
+    assert out[3].xent < out[4].xent  # 'dogs dogs' x3 is corpus-frequent
+
+
+def test_shard_assign_deterministic_cover_and_order(spark):
+    from yc_data_transfer_clickhouse_from_yandex_metrica_spark.operators import corpus
+
+    df = spark.range(0, 200).withColumnRenamed("id", "doc_id")
+    a = corpus.shard_assign(df, n_shards=4, seed="s1").collect()
+    b = corpus.shard_assign(df, n_shards=4, seed="s1").collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))  # replayable
+    shards = {}
+    for r in a:
+        shards.setdefault(r.shard, []).append(r)
+    assert set(shards) <= set(range(4)) and len(a) == 200
+    for rows in shards.values():
+        rows.sort(key=lambda r: r.pos)
+        assert [r.pos for r in rows] == list(range(1, len(rows) + 1))
+        assert [r.skey for r in rows] == sorted(r.skey for r in rows)
+    # a different seed deals a different order
+    c = corpus.shard_assign(df, n_shards=4, seed="s2").collect()
+    assert sorted(map(tuple, c)) != sorted(map(tuple, a))
+
+
+def test_domain_quota_caps_best_first(spark):
+    from yc_data_transfer_clickhouse_from_yandex_metrica_spark.operators import corpus
+
+    df = spark.createDataFrame(
+        [(i, "d" + str(i % 2), float(i)) for i in range(10)],
+        "doc_id long, source string, q double",
+    )
+    out = corpus.domain_quota(df, "source", F.col("q"), cap=3).collect()
+    assert len(out) == 6
+    kept = {r.source: sorted(r2.doc_id for r2 in out if r2.source == r.source) for r in out}
+    assert kept["d0"] == [4, 6, 8] and kept["d1"] == [5, 7, 9]  # highest q
+    assert all(1 <= r.rnk <= 3 for r in out)
+
+
+def test_keep_best_one_winner_per_cluster(spark):
+    from yc_data_transfer_clickhouse_from_yandex_metrica_spark.operators import corpus
+
+    docs = spark.createDataFrame(
+        [(1, 0.2), (2, 0.9), (3, 0.9), (4, 0.5)], "doc_id long, q double"
+    )
+    pairs = spark.createDataFrame([(1, 2), (2, 3)], "id_a long, id_b long")
+    out = {r.doc_id: r for r in corpus.keep_best(docs, pairs, F.col("q")).collect()}
+    assert {d: r.component for d, r in out.items()} == {1: 1, 2: 1, 3: 1, 4: 4}
+    # max quality wins; tie 2 vs 3 -> min id
+    assert [d for d, r in out.items() if r.keep] == [2, 4] or \
+           sorted(d for d, r in out.items() if r.keep) == [2, 4]

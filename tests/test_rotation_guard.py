@@ -6,9 +6,12 @@ is only sound if nothing they execute has changed since that round.
 This test makes the invariant mechanical: for every entry in the STALE
 TAIL (positions >= DRIVER_WINDOW of ``registry_order()``), it proves
 
-1. no pkg module file reachable from the entry's builder (transitive
-   static import closure) differs between the worktree and the commit
-   that published the entry's last green CORRECTNESS artifact;
+1. every pkg DEF reachable from the entry's builder (def-granular
+   cross-file closure: ``mod.attr`` uses and from-imports resolved to
+   their defining file, re-exports followed through package __init__
+   binds) has an identical fingerprint -- its local AST-closure
+   statements plus its resolved outgoing edges -- in the commit that
+   published the entry's last green CORRECTNESS artifact;
 2. the builder's driver-local closure (the builder function plus every
    top-level driver.py def it transitively references) has an
    identical AST fingerprint in that commit's driver.py; and
@@ -17,14 +20,17 @@ TAIL (positions >= DRIVER_WINDOW of ``registry_order()``), it proves
 If any check fails, the entry's implementation changed after its last
 green row and it MUST be forced into the window (add it to
 ``ROTATION_FORCE_FRONT`` in queries/driver.py) so the next round
-re-proves it.  Dependency discovery is deliberately conservative
-(whole-module granularity, doc-only edits count as changes): a false
-"changed" costs one re-verification; a false "unchanged" ships an
-unproven operator.  The single relaxation: a dep module whose change
-is PURELY ADDITIVE at the top level (every pre-existing statement
-still present verbatim by AST dump) does not flag its importers --
-adding a new function to functions/ch.py must not churn the entire
-registry through the window.
+re-proves it.  Granularity is def-level but every unresolvable use
+degrades conservatively: a module object used outside a plain
+``mod.attr`` access, or an attribute no index can resolve, falls back
+to whole-module transitive-import granularity (``_transitive_files``
++ the purely-additive top-level relaxation).  Within that: a false
+"changed" costs one re-verification; a false "unchanged" would ship
+an unproven operator, so every shortcut errs toward "changed".
+Def-level granularity exists because the registry shares
+functions/ch.py: one edited docstring there must not force all ~50
+dependent entries through the 50-slot window at once -- only entries
+whose REACHED defs changed re-verify.
 """
 
 from __future__ import annotations
@@ -190,12 +196,42 @@ def _transitive_files(seed: set[str]) -> set[str]:
 # ---------------------------------------------------------------------------
 
 
-class _DriverIndex:
-    """Top-level defs of one driver.py version + per-function import map."""
+def _classify_import_binds(
+    file_rel: str, node: ast.ImportFrom
+) -> tuple[dict[str, str], dict[str, tuple[str, str]]]:
+    """Split an ImportFrom's aliases into (module binds, name binds).
 
-    def __init__(self, src: str):
+    module binds: bound name -> the pkg FILE whose attributes the name
+    exposes (``from ..operators import dedup`` -> dedup.py; a package
+    alias binds its __init__.py, whose re-exports the def-level walk
+    then resolves through).  name binds: bound name -> (pkg file,
+    original def name) for ``from .mod import fn`` imports."""
+    target = _import_target(file_rel, node)
+    if target is None:
+        return {}, {}
+    tfiles = _files_for(target)
+    mod_binds: dict[str, str] = {}
+    name_binds: dict[str, tuple[str, str]] = {}
+    for alias in node.names:
+        bound = alias.asname or alias.name
+        sub = _files_for([*target, alias.name])
+        if sub:  # the alias IS a submodule / subpackage
+            mod = [f for f in sub if not f.endswith("__init__.py")]
+            mod_binds[bound] = mod[0] if mod else sorted(sub)[0]
+        elif tfiles:  # a name defined in the target module
+            mod = [f for f in tfiles if not f.endswith("__init__.py")]
+            name_binds[bound] = (mod[0] if mod else sorted(tfiles)[0], alias.name)
+    return mod_binds, name_binds
+
+
+class _DriverIndex:
+    """Top-level defs of one pkg-module version + per-function import
+    map (named for its original driver.py-only role; now file-generic)."""
+
+    def __init__(self, src: str, file_rel: str = DRIVER_REL):
         self.tree = ast.parse(src)
         self.src = src
+        self.file_rel = file_rel
         self.defs: dict[str, ast.AST] = {}
         for node in self.tree.body:
             if isinstance(node, (ast.FunctionDef, ast.AsyncFunctionDef, ast.ClassDef)):
@@ -208,10 +244,73 @@ class _DriverIndex:
                 self.defs[node.target.id] = node
         # module-level import bindings: name -> pkg files (per alias)
         self.import_binds: dict[str, set[str]] = {}
+        self.module_binds: dict[str, str] = {}
+        self.name_binds: dict[str, tuple[str, str]] = {}
         for node in self.tree.body:
             if isinstance(node, ast.ImportFrom):
-                for bound, files in _resolve_import_binds(DRIVER_REL, node).items():
+                for bound, files in _resolve_import_binds(self.file_rel, node).items():
                     self.import_binds.setdefault(bound, set()).update(files)
+                mb, nb = _classify_import_binds(self.file_rel, node)
+                self.module_binds.update(mb)
+                self.name_binds.update(nb)
+
+    def def_edges(
+        self, root: str
+    ) -> tuple[dict[str, ast.AST], set[tuple[str, str]], set[str]]:
+        """Def-granular closure from ``root`` inside THIS file:
+        (local defs reached, cross-file (pkg_file, def_name) edges for
+        resolvable uses, whole-file fallback edges where only module
+        granularity is safe -- a module object used outside a plain
+        ``mod.attr`` access)."""
+        defs: dict[str, ast.AST] = {}
+        dedges: set[tuple[str, str]] = set()
+        fedges: set[str] = set()
+        todo = [root]
+        while todo:
+            name = todo.pop()
+            if name in defs or name == "QUERIES":
+                continue
+            node = self.defs.get(name)
+            if node is None:
+                continue
+            defs[name] = node
+            mod_binds = dict(self.module_binds)
+            name_binds = dict(self.name_binds)
+            for sub in ast.walk(node):
+                if isinstance(sub, ast.ImportFrom):
+                    mb, nb = _classify_import_binds(self.file_rel, sub)
+                    mod_binds.update(mb)
+                    name_binds.update(nb)
+            attr_value_ids: set[int] = set()
+            for sub in ast.walk(node):
+                if isinstance(sub, ast.Attribute) and isinstance(sub.value, ast.Name):
+                    nm = sub.value.id
+                    if nm in mod_binds and nm not in self.defs:
+                        dedges.add((mod_binds[nm], sub.attr))
+                        attr_value_ids.add(id(sub.value))
+            for sub in ast.walk(node):
+                if not isinstance(sub, ast.Name):
+                    continue
+                nm = sub.id
+                if nm in self.defs:
+                    if nm not in defs:
+                        todo.append(nm)
+                elif nm in name_binds:
+                    dedges.add(name_binds[nm])
+                elif nm in mod_binds and id(sub) not in attr_value_ids:
+                    fedges.add(mod_binds[nm])  # module object used bare
+        return defs, dedges, fedges
+
+    def def_fingerprint(self, root: str) -> tuple:
+        """Comparable identity of root's def-level closure in this
+        file: local statement dumps + resolved outgoing edges (an
+        import retarget changes behavior without touching the def)."""
+        defs, dedges, fedges = self.def_edges(root)
+        return (
+            {n: ast.dump(node) for n, node in defs.items()},
+            sorted(dedges),
+            sorted(fedges),
+        )
 
     def closure(self, root: str) -> tuple[dict[str, ast.AST], set[str]]:
         """(driver-local defs reachable from ``root``, pkg files bound
@@ -248,6 +347,93 @@ def _index_at(commit: str | None) -> _DriverIndex:
     if commit is None:
         return _DriverIndex((REPO / DRIVER_REL).read_text())
     return _DriverIndex(_git("show", f"{commit}:{DRIVER_REL}"))
+
+
+@lru_cache(maxsize=None)
+def _module_index(file_rel: str, commit: str | None) -> _DriverIndex | None:
+    try:
+        if commit is None:
+            src = (REPO / file_rel).read_text()
+        else:
+            src = _git("show", f"{commit}:{file_rel}")
+    except (OSError, subprocess.CalledProcessError):
+        return None
+    try:
+        return _DriverIndex(src, file_rel)
+    except SyntaxError:
+        return None
+
+
+def _def_level_dirty(
+    builder: str, commit: str, changed: frozenset[str]
+) -> list[str]:
+    """Cross-file, def-granular staleness: BFS (pkg_file, def) pairs
+    reachable from the driver builder; a reached def in a materially-
+    changed file is dirty only if ITS def-level fingerprint (local
+    closure statements + resolved outgoing edges) differs from the
+    green commit's.  Whole-file fallback edges (module objects used
+    outside plain attribute access, unresolvable defs) keep the old
+    conservative module granularity via _transitive_files."""
+    now_driver = _index_at(None)
+    _, dedges, fedges = now_driver.def_edges(builder)
+    queue: list[tuple[str, str | None]] = [*dedges, *((f, None) for f in fedges)]
+    seen: set[tuple[str, str | None]] = set()
+    dirty: list[str] = []
+    while queue:
+        f, d = queue.pop()
+        if (f, d) in seen or f == DRIVER_REL:
+            continue
+        seen.add((f, d))
+        file_changed = f in changed and _materially_changed(f, commit)
+        if d is None:
+            for tf in sorted(_transitive_files({f})):
+                if (
+                    tf != DRIVER_REL
+                    and tf in changed
+                    and _materially_changed(tf, commit)
+                ):
+                    dirty.append(f"{tf} (whole-module dep via {f})")
+            continue
+        idx_now = _module_index(f, None)
+        if idx_now is None:
+            dirty.append(f"{f} (unreadable)")
+            continue
+        if d not in idx_now.defs:
+            # re-export (package __init__ / module-level from-import):
+            # follow the bind; if this file changed, the bind itself
+            # must be unchanged or the retarget is a behavior change.
+            nb = idx_now.name_binds.get(d)
+            mb = idx_now.module_binds.get(d)
+            if file_changed:
+                idx_old = _module_index(f, commit)
+                if (
+                    idx_old is None
+                    or (nb is not None and idx_old.name_binds.get(d) != nb)
+                    or (mb is not None and idx_old.module_binds.get(d) != mb)
+                ):
+                    dirty.append(f"{f}:{d} (re-export binding changed)")
+                    continue
+            if nb is not None:
+                queue.append(nb)
+                continue
+            if mb is not None:
+                queue.append((mb, None))
+                continue
+            # genuinely unresolvable (dynamic): whole-file granularity
+            queue.append((f, None))
+            continue
+        if file_changed:
+            idx_old = _module_index(f, commit)
+            if idx_old is None or d not in idx_old.defs:
+                dirty.append(f"{f}:{d} (new since green round)")
+                continue
+            if idx_old.def_fingerprint(d) != idx_now.def_fingerprint(d):
+                dirty.append(f"{f}:{d}")
+                continue
+        _, sub_d, sub_f = idx_now.def_edges(d)
+        queue.extend(sub_d)
+        queue.extend((x, None) for x in sub_f)
+    return sorted(set(dirty))
 
 
 def _oracle_roots(index: _DriverIndex) -> dict[str, str | None]:
@@ -312,14 +498,9 @@ def test_stale_tail_is_provably_unchanged():
             continue
         changed = _changed_since(commit)
         builder = driver.QUERIES[name].build.__name__
-        _, files = now.closure(builder)
-        dirty = sorted(
-            f
-            for f in _transitive_files(files) & changed
-            if f != DRIVER_REL and _materially_changed(f, commit)
-        )
+        dirty = _def_level_dirty(builder, commit, changed)
         if dirty:
-            problems.append(f"{name}: dep modules changed since r{rnd}: {dirty}")
+            problems.append(f"{name}: deps changed since r{rnd}: {dirty}")
             continue
         if DRIVER_REL in changed:
             old = _index_at(commit)
@@ -358,3 +539,68 @@ def test_dependency_discovery_is_not_vacuous():
     # helper closure catches shared driver-local functions
     defs = now.fingerprint(driver.QUERIES["visits_by_day"].build.__name__)
     assert "t" in defs and "_prep" in defs
+
+
+def test_def_level_edges_resolve_attr_and_from_imports():
+    """Def-granular discovery: mod.attr uses and from-imports resolve
+    to (file, def) pairs; module objects used bare degrade to
+    whole-file edges; unrelated defs stay out of the closure."""
+    src = (
+        "from ..functions import ch\n"
+        "from ..operators.dedup import exact_dedup\n"
+        "def used():\n"
+        "    return ch.round_to(exact_dedup(1), 2)\n"
+        "def bare(f):\n"
+        "    return f(ch)\n"
+        "def unrelated():\n"
+        "    return ch.uniq_exact('x')\n"
+    )
+    idx = _DriverIndex(src, f"{PKG}/queries/driver.py")
+    _, dedges, fedges = idx.def_edges("used")
+    assert (f"{PKG}/functions/ch.py", "round_to") in dedges
+    assert (f"{PKG}/operators/dedup.py", "exact_dedup") in dedges
+    assert (f"{PKG}/functions/ch.py", "uniq_exact") not in dedges
+    assert not fedges
+    _, _, fedges = idx.def_edges("bare")
+    assert f"{PKG}/functions/ch.py" in fedges  # module object passed around
+
+
+def test_def_fingerprint_detects_transitive_local_edit():
+    """Editing a helper a def reaches (even a docstring) changes the
+    fingerprint; editing an UNREACHED def does not; retargeting an
+    import changes it with no body edit at all."""
+    base = (
+        "from ..operators.text import tokens\n"
+        "def _helper(x):\n"
+        "    return x + 1\n"
+        "def entry(v):\n"
+        "    return _helper(v)\n"
+        "def other():\n"
+        "    return 99\n"
+    )
+    rel = f"{PKG}/functions/ch.py"
+    f0 = _DriverIndex(base, rel).def_fingerprint("entry")
+    assert f0 == _DriverIndex(base, rel).def_fingerprint("entry")
+    edited_helper = base.replace("return x + 1", "return x + 2")
+    assert _DriverIndex(edited_helper, rel).def_fingerprint("entry") != f0
+    edited_other = base.replace("return 99", "return 98")
+    assert _DriverIndex(edited_other, rel).def_fingerprint("entry") == f0
+    retargeted = base.replace("operators.text", "operators.dedup")
+    src2 = retargeted.replace("def entry(v):\n    return _helper(v)",
+                              "def entry(v):\n    return tokens(_helper(v))")
+    src1 = base.replace("def entry(v):\n    return _helper(v)",
+                        "def entry(v):\n    return tokens(_helper(v))")
+    assert (_DriverIndex(src1, rel).def_fingerprint("entry")
+            != _DriverIndex(src2, rel).def_fingerprint("entry"))
+
+
+def test_def_level_follows_package_reexports():
+    """A name imported from a package __init__ resolves through the
+    init's own from-import bind to the defining module."""
+    idx = _module_index(f"{PKG}/plans/__init__.py", None)
+    if idx is None or not idx.name_binds:
+        pytest.skip("plans/__init__.py has no re-export binds")
+    name, (target_file, orig) = next(iter(idx.name_binds.items()))
+    assert target_file.startswith(f"{PKG}/plans/")
+    tgt = _module_index(target_file, None)
+    assert tgt is not None and orig in tgt.defs

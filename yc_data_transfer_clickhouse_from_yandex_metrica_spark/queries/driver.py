@@ -3850,6 +3850,188 @@ ORDER BY n DESC, w LIMIT 50
 
 
 # =========================================================================
+# 32. corpus curation operators (operators/corpus.py): TF-IDF salient
+#     terms, self-trained bigram-LM cross-entropy (the CCNet
+#     perplexity-filter shape), deterministic shard assignment,
+#     C4-style per-domain quota, keep-best-in-cluster dedup.
+# =========================================================================
+# tokens() mirrored in SQL incl. the NULL/empty -> [] rule
+_TOKS_CTE = r"""tk AS (
+  SELECT doc_id, source,
+         CASE WHEN length(cleaned) = 0 THEN CAST([] AS VARCHAR[])
+              ELSE regexp_split_to_array(cleaned, '\s+') END AS tk
+  FROM (SELECT doc_id, source,
+               trim(lower(regexp_replace(coalesce(text, ''),
+                                         '[^a-z0-9]+', ' ', 'g'))) AS cleaned
+        FROM documents)
+)"""
+
+
+def _quality_scored_sql(src: str, extra_cols: str = "") -> str:
+    """The text.quality_score formula in DuckDB (identical arithmetic
+    to the proven _ORACLE_CURATION fragment), over table/CTE ``src``."""
+    return f"""SELECT doc_id,{extra_cols}
+    floor((least(greatest(
+        0.25 * least(coalesce(sr_en, 0.0) * 5.0, 1.0)
+      + 0.25 * (CASE WHEN coalesce(mlen, 0.0) >= 3.0 AND coalesce(mlen, 0.0) <= 8.0
+                     THEN 1.0 ELSE 0.5 END)
+      + 0.25 * coalesce(alnum, 0.0)
+      + 0.25 * least(CAST(len(qtk) AS DOUBLE) / 20.0, 1.0), 0.0), 1.0))
+      * 10000.0 + 0.5) / 10000.0 AS quality
+  FROM (
+    SELECT doc_id,{extra_cols} qtk,
+      CAST(len(list_filter(qtk, x -> x IN ('the','a','of','and','to','in'))) AS DOUBLE)
+        / nullif(CAST(len(qtk) AS DOUBLE), 0.0) AS sr_en,
+      CAST(list_sum(list_transform(qtk, x -> length(x))) AS DOUBLE)
+        / nullif(CAST(len(qtk) AS DOUBLE), 0.0) AS mlen,
+      CAST(length(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g')) AS DOUBLE)
+        / nullif(CAST(length(text) AS DOUBLE), 0.0) AS alnum
+    FROM (
+      SELECT *,
+             regexp_split_to_array(
+               trim(lower(regexp_replace(text, '[^a-z0-9]+', ' ', 'g'))), '\\s+') AS qtk
+      FROM {src}
+    )
+  )"""
+
+
+def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import corpus
+
+    _prep(spark)
+    return corpus.tfidf_top_terms(t(spark, sf_dir, "documents"), k=5)
+
+
+_ORACLE_TFIDF = f"""
+WITH {_TOKS_CTE},
+toks AS (SELECT doc_id, unnest(tk) AS term FROM tk),
+tf AS (SELECT doc_id, term, CAST(count(1) AS BIGINT) AS tf FROM toks GROUP BY 1, 2),
+dfreq AS (SELECT term, count(1) AS df FROM tf GROUP BY 1),
+n AS (SELECT count(1) AS n FROM documents),
+sc AS (
+  SELECT tf.doc_id, tf.term,
+         CAST(floor(tf.tf * (ln((n.n + 1.0) / (dfreq.df + 1.0)) + 1.0)
+                    * 1000000.0 + 0.5) / 1000000.0 AS DOUBLE) AS score
+  FROM tf JOIN dfreq ON tf.term = dfreq.term CROSS JOIN n
+)
+SELECT doc_id, term, score,
+       CAST(row_number() OVER (PARTITION BY doc_id
+                               ORDER BY score DESC, term) AS BIGINT) AS rnk
+FROM sc QUALIFY rnk <= 5
+"""
+
+
+def q_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import corpus
+
+    _prep(spark)
+    return corpus.bigram_lm_score(t(spark, sf_dir, "documents"))
+
+
+_ORACLE_BIGRAM_LM = f"""
+WITH {_TOKS_CTE},
+toks AS (SELECT doc_id, unnest(tk) AS w, generate_subscripts(tk, 1) AS i FROM tk),
+big AS (
+  SELECT a.doc_id, a.w AS w1, b.w AS w2
+  FROM toks a JOIN toks b ON a.doc_id = b.doc_id AND b.i = a.i + 1
+),
+bd AS (SELECT doc_id, w1, w2, CAST(count(1) AS BIGINT) AS cnt FROM big GROUP BY 1, 2, 3),
+c2 AS (SELECT w1, w2, CAST(sum(cnt) AS BIGINT) AS c2 FROM bd GROUP BY 1, 2),
+c1 AS (SELECT w1, CAST(sum(c2) AS BIGINT) AS c1 FROM c2 GROUP BY 1),
+v AS (SELECT count(DISTINCT w) AS v FROM toks)
+SELECT bd.doc_id,
+       CAST(sum(bd.cnt) AS BIGINT) AS n_bigrams,
+       CAST(floor((sum(bd.cnt * ln((c1.c1 + v.v) * 1.0 / (c2.c2 + 1.0)))
+                   / sum(bd.cnt)) * 1000000.0 + 0.5) / 1000000.0 AS DOUBLE) AS xent
+FROM bd
+JOIN c2 ON bd.w1 = c2.w1 AND bd.w2 = c2.w2
+JOIN c1 ON bd.w1 = c1.w1
+CROSS JOIN v
+GROUP BY bd.doc_id
+"""
+
+
+def q_shard_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import corpus
+
+    _prep(spark)
+    return corpus.shard_assign(t(spark, sf_dir, "documents"), n_shards=8, seed="42")
+
+
+_ORACLE_SHARD_ASSIGN = """
+WITH h AS (
+  SELECT doc_id,
+         md5(concat('42:', CAST(doc_id AS VARCHAR))) AS skey,
+         ('0x' || substr(md5(concat('42:', CAST(doc_id AS VARCHAR))), 1, 15))::BIGINT AS k
+  FROM documents
+)
+SELECT doc_id, skey, CAST(k % 8 AS INT) AS shard,
+       CAST(row_number() OVER (PARTITION BY k % 8
+                               ORDER BY skey, doc_id) AS BIGINT) AS pos
+FROM h
+"""
+
+
+def q_domain_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import corpus
+
+    _prep(spark)
+    return corpus.domain_quota(
+        t(spark, sf_dir, "documents"),
+        "source",
+        ch.round_to(text.quality_score("text"), 4),
+        cap=15,
+    )
+
+
+_ORACLE_DOMAIN_QUOTA = f"""
+WITH scored AS ({_quality_scored_sql('documents', ' source,')})
+SELECT doc_id, source, CAST(quality AS DOUBLE) AS score,
+       CAST(row_number() OVER (PARTITION BY source
+                               ORDER BY quality DESC, doc_id) AS BIGINT) AS rnk
+FROM scored QUALIFY rnk <= 15
+"""
+
+
+def q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import corpus
+
+    _prep(spark)
+    docs = _docs_with_dups(spark, sf_dir)
+    pairs = dedup.ngram_jaccard_pairs(docs, "doc_id", "text", k=3, threshold=0.6)
+    return corpus.keep_best(
+        docs, pairs, ch.round_to(text.quality_score("text"), 4)
+    )
+
+
+_ORACLE_DEDUP_KEEP_BEST = f"""
+WITH RECURSIVE {_DOCS_DUP_SQL},
+{_SHINGLES_SQL},
+{_JACCARD_PAIRS_SQL},
+p AS (SELECT id_a, id_b FROM pairs WHERE j >= 0.6),
+und AS (SELECT id_a AS a, id_b AS b FROM p UNION SELECT id_b, id_a FROM p),
+reach(a, b) AS (
+  SELECT a, b FROM und
+  UNION
+  SELECT r.a, u.b FROM reach r JOIN und u ON r.b = u.a
+),
+comp AS (SELECT a AS id, least(a, min(b)) AS component FROM reach GROUP BY a),
+scored AS ({_quality_scored_sql('docs')}),
+m AS (
+  SELECT d.doc_id, coalesce(c.component, d.doc_id) AS component,
+         CAST(s.quality AS DOUBLE) AS score
+  FROM docs d
+  LEFT JOIN comp c ON c.id = d.doc_id
+  JOIN scored s ON s.doc_id = d.doc_id
+)
+SELECT doc_id, component, score,
+       row_number() OVER (PARTITION BY component
+                          ORDER BY score DESC, doc_id) = 1 AS keep
+FROM m
+"""
+
+
+# =========================================================================
 # registry
 # =========================================================================
 QUERIES: dict[str, QuerySpec] = {
@@ -3967,6 +4149,11 @@ QUERIES: dict[str, QuerySpec] = {
         _ORACLE_CHSQL_WORD_COUNT,
         "F-ext + chsql: arrayJoin row expansion (hoisted explode) + UInt8 WHERE truthiness",
     ),
+    "tfidf_top_terms": QuerySpec(q_tfidf_top_terms, _ORACLE_TFIDF, "training-data: TF-IDF salient terms per doc (smooth idf)"),
+    "bigram_lm_score": QuerySpec(q_bigram_lm_score, _ORACLE_BIGRAM_LM, "training-data: self-trained bigram-LM cross-entropy (CCNet-shape quality signal)"),
+    "shard_assign": QuerySpec(q_shard_assign, _ORACLE_SHARD_ASSIGN, "training-data: deterministic seeded shard deal + in-shard order (portable md5 keys)"),
+    "domain_quota": QuerySpec(q_domain_quota, _ORACLE_DOMAIN_QUOTA, "training-data: C4-style per-domain contribution cap (best-quality-first)"),
+    "dedup_keep_best": QuerySpec(q_dedup_keep_best, _ORACLE_DEDUP_KEEP_BEST, "dedup/cluster resolution keeping the best-quality member (argmax, not min-id)"),
 }
 
 
@@ -3994,32 +4181,25 @@ ROTATION_FORCE_FRONT = frozenset(
         # round 7: agg_map restore rewritten join-free (NULL group
         # keys + (null,[]) size guard, ADVICE r6)
         "sum_map_priority",
-        # round 7: synth_media unknown-format payload now NUL-prefixed;
-        # multimodal_audio rides the same module (caught by
-        # tests/test_rotation_guard.py whole-module granularity)
+        # round 7: synth_media unknown-format payload now NUL-prefixed
+        # (multimodal_audio no longer rides along: the guard is now
+        # def-granular and proves its closure avoids synth_media)
         "multimodal_meta",
-        "multimodal_audio",
-        # round 7: start_collapse_stream now requires date_col +
-        # Hadoop-FS existence probes (cdc.py changed; guard-flagged)
-        "streaming_roundtrip",
-        "streaming_windowed",
-        "streaming_dedup",
         # round 7: docstring-only parity qualification (guard is
         # conservative by design: any AST change re-verifies)
         "funnel_depths",
         # round 7: grid-salted hot-shingle pair expansion in dedup.py
-        # (ngram path changed; dedup_exact rides the same module)
+        # (dedup_exact no longer rides along: def-granular guard)
         "dedup_ngram_jaccard",
-        "dedup_exact",
         # round 7: widened with port()/fragment()/cutFragment()
         "url_funcs",
         # round 7: widened with the topKWeighted branch
         "heavy_hitters_custkey",
         # round 7: tokens()/bpe null-text fix in text.py
-        # (guard-flagged importers)
+        # (def-granular guard: only entries whose closure reaches the
+        # changed defs; pii_scrub's scrub_pii path is untouched)
         "pack_sequences",
         "curation_pipeline",
-        "pii_scrub",
         "doc_fingerprint",
     }
 )
