@@ -20,8 +20,8 @@ sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
 
 from pyspark.sql import DataFrame, functions as F
 
-from yc_data_transfer_clickhouse_from_yandex_metrica_spark.functions import ch
-from yc_data_transfer_clickhouse_from_yandex_metrica_spark.operators import funnel, maps
+from yc_data_transfer_clickhouse_from_yandex_metrica_spark.functions import ch, chjson
+from yc_data_transfer_clickhouse_from_yandex_metrica_spark.operators import corpus, funnel, maps, text
 from yc_data_transfer_clickhouse_from_yandex_metrica_spark.queries.driver import t
 from yc_data_transfer_clickhouse_from_yandex_metrica_spark.session import get_spark
 
@@ -96,6 +96,17 @@ def build_url(o: DataFrame) -> DataFrame:
     )
 
 
+def build_json(ev: DataFrame) -> DataFrame:
+    return ev.select(
+        "event_id",
+        chjson.json_extract_int("props", "k").alias("k_int"),
+        chjson.json_has("props", "k").alias("has_k"),
+        chjson.json_length("props").alias("n_keys"),
+        chjson.json_type("props", "k").alias("t_k"),
+        F.array_join(chjson.json_extract_keys("props"), ",").alias("keys"),
+    )
+
+
 def measure(name: str, df: DataFrame) -> tuple[float, int, int]:
     """(warm wall sec, exchange count of final plan, rows)."""
     df.write.mode("overwrite").format("noop").save()  # warm
@@ -115,6 +126,8 @@ def main(only: set[str]) -> None:
     ev = t(spark, SF, "events")
     li = t(spark, SF, "lineitem")
     o = t(spark, SF, "orders").select("o_orderkey", "o_custkey", "o_orderpriority")
+    docs = t(spark, SF, "documents")
+    docs16 = scale16(docs, {"doc_id": 10_000_000})
     ev16 = scale16(ev, {"user_id": 10_000_000, "event_id": 1_000_000_000})
     li16 = scale16(li, {"l_orderkey": 1_000_000_000})
     o16 = scale16(o, {"o_orderkey": 1_000_000_000, "o_custkey": 100_000_000})
@@ -127,6 +140,27 @@ def main(only: set[str]) -> None:
             lambda: build_aggmap(li16, o16.select("o_orderkey", "o_orderpriority")),
         ),
         "url_funcs": (lambda: build_url(o), lambda: build_url(o16)),
+        "json_funcs": (lambda: build_json(ev), lambda: build_json(ev16)),
+        "tfidf_top_terms": (
+            lambda: corpus.tfidf_top_terms(docs, k=5),
+            lambda: corpus.tfidf_top_terms(docs16, k=5),
+        ),
+        "bigram_lm_score": (
+            lambda: corpus.bigram_lm_score(docs),
+            lambda: corpus.bigram_lm_score(docs16),
+        ),
+        "shard_assign": (
+            lambda: corpus.shard_assign(docs, n_shards=32),
+            lambda: corpus.shard_assign(docs16, n_shards=32),
+        ),
+        "domain_quota": (
+            lambda: corpus.domain_quota(
+                docs, "source", ch.round_to(text.quality_score("text"), 4), cap=15
+            ),
+            lambda: corpus.domain_quota(
+                docs16, "source", ch.round_to(text.quality_score("text"), 4), cap=15
+            ),
+        ),
     }
     for name, (b1, b16) in probes.items():
         if only and name not in only:
