@@ -3692,3 +3692,57 @@ def test_keep_best_one_winner_per_cluster(spark):
     # max quality wins; tie 2 vs 3 -> min id
     assert [d for d, r in out.items() if r.keep] == [2, 4] or \
            sorted(d for d, r in out.items() if r.keep) == [2, 4]
+
+
+def test_chsql_json_matches_chjson(spark):
+    """The dialect's JSONExtract* rewrites compile to EXACTLY the
+    chjson (oracle-proven) semantics on the edge corpus."""
+    from yc_data_transfer_clickhouse_from_yandex_metrica_spark.plans import chsql
+
+    df = spark.createDataFrame(
+        [
+            (0, '{"s": "hello", "n": 42, "b": true}'),
+            (1, '{"s": 7, "n": "42", "arr": [1, 2.5, "x"]}'),
+            (2, '{"n": -3.7, "o": {"a": {"b": 9}}, "b": false}'),
+            (3, '{"s": null, "arr": []}'),
+            (4, "not json"),
+            (5, None),
+        ],
+        "id long, j string",
+    )
+    got = chsql.run_sql(
+        spark,
+        "SELECT id, JSONExtractString(j, 's') AS s, JSONExtractInt(j, 'n') AS n, "
+        "JSONExtractFloat(j, 'n') AS nf, JSONExtractBool(j, 'b') AS b, "
+        "JSONHas(j, 's') AS h, JSONExtractInt(j, 'o', 'a', 'b') AS oab, "
+        "JSONExtractFloat(j, 'arr', 2) AS a2, JSONExtractRaw(j, 'o') AS raw, "
+        "arrayStringConcat(JSONExtractKeys(j), ',') AS ks, "
+        "JSONLength(j) AS len, JSONType(j, 'n') AS t "
+        "FROM t ORDER BY id",
+        {"t": df},
+    ).collect()
+    want = df.select(
+        "id",
+        chjson.json_extract_string("j", "s").alias("s"),
+        chjson.json_extract_int("j", "n").alias("n"),
+        chjson.json_extract_float("j", "n").alias("nf"),
+        chjson.json_extract_bool("j", "b").alias("b"),
+        chjson.json_has("j", "s").alias("h"),
+        chjson.json_extract_int("j", "o", "a", "b").alias("oab"),
+        chjson.json_extract_float("j", "arr", 2).alias("a2"),
+        chjson.json_extract_raw("j", "o").alias("raw"),
+        F.array_join(chjson.json_extract_keys("j"), ",").alias("ks"),
+        chjson.json_length("j").alias("len"),
+        chjson.json_type("j", "n").alias("t"),
+    ).orderBy("id").collect()
+    assert [tuple(r) for r in got] == [tuple(r) for r in want]
+
+
+def test_chsql_json_path_validation(spark):
+    from yc_data_transfer_clickhouse_from_yandex_metrica_spark.plans import chsql
+
+    df = spark.createDataFrame([("{}",)], "j string")
+    for bad in ("JSONExtractInt(j, 0)", "JSONExtractInt(j, j)",
+                "JSONExtractInt(j, 'not an ident!')"):
+        with pytest.raises(ValueError):
+            chsql.run_sql(spark, f"SELECT {bad} FROM t", {"t": df})

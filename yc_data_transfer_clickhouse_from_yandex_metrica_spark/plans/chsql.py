@@ -45,6 +45,10 @@ vocabulary):
   ('' / 0) out of range, for any column whose array element type is
   known from the provided tables (ch.array_at semantics); unknown
   columns keep Spark semantics untouched.
+- the CH JSON family (``JSONExtractString/Int/Float/Bool/Raw/Keys``,
+  ``JSONHas``, ``JSONLength``, ``JSONType``, ``visitParam*``) with
+  literal path components, compiled to the same variant-shredding
+  expressions as functions/chjson.py (equality pinned by test).
 - ``arrayJoin(expr)``: CH's row-expanding function, hoisted into an
   inner ``explode`` projection (empty/NULL arrays drop the row, the
   CH rule).  One DISTINCT arrayJoin expression per SELECT (repeated
@@ -233,6 +237,133 @@ _CALL_REWRITES: dict[str, object] = {
     "has": lambda a: f"array_contains({a[0]}, {a[1]})",
     "empty": lambda a: f"CAST(length(coalesce({a[0]}, '')) = 0 AS INT)",
 }
+
+
+# --- CH JSON family: SQL-text mirrors of functions/chjson.py ------------
+# (chjson is the oracle-proven source of truth; equality of the two
+# surfaces is pinned by test_chsql_json_matches_chjson)
+def _json_path_sql(args: list[str]) -> str:
+    """Literal CH path components ('key' strings, 1-based ints) ->
+    a JSON path literal; non-literal components raise (CH paths are
+    almost always literal, and a dynamic path can't be validated)."""
+    out = "$"
+    for raw in args:
+        p = raw.strip()
+        m = re.fullmatch(r"'([A-Za-z_][A-Za-z0-9_]*)'", p)
+        if m:
+            out += f".{m.group(1)}"
+            continue
+        if re.fullmatch(r"\d+", p):
+            i = int(p)
+            if i < 1:
+                raise ValueError(f"chsql: CH JSON indices are 1-based, got {p}")
+            out += f"[{i - 1}]"
+            continue
+        raise ValueError(
+            f"chsql: JSON path components must be literal identifier "
+            f"strings or 1-based integers, got {raw!r}"
+        )
+    return out
+
+
+def _vat(j: str, path: str) -> str:
+    return f"variant_get(try_parse_json({j}), '{path}', 'variant')"
+
+
+_JSON_NUM_SQL = "'^(BIGINT|INT|SMALLINT|TINYINT|DOUBLE|FLOAT|DECIMAL)'"
+
+
+def _j_string(a):
+    v = _vat(a[0], _json_path_sql(a[1:]))
+    return (
+        f"coalesce(CASE WHEN schema_of_variant({v}) = 'STRING' "
+        f"THEN CAST({v} AS STRING) END, '')"
+    )
+
+
+def _j_int(a):
+    v = _vat(a[0], _json_path_sql(a[1:]))
+    return (
+        f"coalesce(CASE WHEN schema_of_variant({v}) RLIKE {_JSON_NUM_SQL} "
+        f"THEN CAST(CAST({v} AS DOUBLE) AS BIGINT) END, CAST(0 AS BIGINT))"
+    )
+
+
+def _j_float(a):
+    v = _vat(a[0], _json_path_sql(a[1:]))
+    return (
+        f"coalesce(CASE WHEN schema_of_variant({v}) RLIKE {_JSON_NUM_SQL} "
+        f"THEN CAST({v} AS DOUBLE) END, CAST(0.0 AS DOUBLE))"
+    )
+
+
+def _j_bool(a):
+    v = _vat(a[0], _json_path_sql(a[1:]))
+    return (
+        f"coalesce(CASE WHEN schema_of_variant({v}) = 'BOOLEAN' "
+        f"THEN CAST(CAST({v} AS BOOLEAN) AS INT) END, 0)"
+    )
+
+
+def _j_has(a):
+    return f"CAST({_vat(a[0], _json_path_sql(a[1:]))} IS NOT NULL AS INT)"
+
+
+def _j_raw(a):
+    return f"coalesce(to_json({_vat(a[0], _json_path_sql(a[1:]))}), '')"
+
+
+def _j_keys(a):
+    v = _vat(a[0], _json_path_sql(a[1:]))
+    return (
+        f"array_sort(coalesce(json_object_keys(to_json({v})), "
+        f"CAST(array() AS ARRAY<STRING>)))"
+    )
+
+
+def _j_length(a):
+    v = _vat(a[0], _json_path_sql(a[1:]))
+    t = f"schema_of_variant({v})"
+    s = f"to_json({v})"
+    return (
+        f"coalesce(CASE WHEN {t} LIKE 'ARRAY%' THEN json_array_length({s}) "
+        f"WHEN {t} LIKE 'OBJECT%' OR {t} = 'VARIANT' "
+        f"THEN size(json_object_keys({s})) END, 0)"
+    )
+
+
+def _j_type(a):
+    t = f"schema_of_variant({_vat(a[0], _json_path_sql(a[1:]))})"
+    return (
+        f"coalesce(CASE WHEN {t} LIKE 'OBJECT%' OR {t} = 'VARIANT' THEN 'Object' "
+        f"WHEN {t} LIKE 'ARRAY%' THEN 'Array' "
+        f"WHEN {t} = 'STRING' THEN 'String' "
+        f"WHEN {t} = 'BOOLEAN' THEN 'Bool' "
+        f"WHEN {t} = 'VOID' THEN 'Null' "
+        f"WHEN {t} RLIKE '^(BIGINT|INT|SMALLINT|TINYINT)' THEN 'Int64' "
+        f"WHEN {t} RLIKE '^(DOUBLE|FLOAT|DECIMAL)' THEN 'Double' END, '')"
+    )
+
+
+_CALL_REWRITES.update(
+    {
+        "JSONExtractString": _j_string,
+        "JSONExtractInt": _j_int,
+        "JSONExtractFloat": _j_float,
+        "JSONExtractBool": _j_bool,
+        "JSONExtractRaw": _j_raw,
+        "JSONExtractKeys": _j_keys,
+        "JSONHas": _j_has,
+        "JSONLength": _j_length,
+        "JSONType": _j_type,
+        "visitParamExtractString": _j_string,
+        "visitParamExtractInt": _j_int,
+        "visitParamExtractFloat": _j_float,
+        "visitParamExtractBool": _j_bool,
+        "visitParamExtractRaw": _j_raw,
+        "visitParamHas": _j_has,
+    }
+)
 
 
 def _rewrite_calls(sql: str) -> str:
