@@ -776,3 +776,98 @@ def test_paragraph_dedup_matches_python_model(spark, docs):
                 kept.append(p)
         expect[i] = sep.join(kept)
     assert got == expect
+
+
+# --------------------------------------------------------------------------
+# corpus operators vs sequential Python models
+# --------------------------------------------------------------------------
+docs_strategy = st.lists(
+    st.text(alphabet="ab c", min_size=0, max_size=24),
+    min_size=1,
+    max_size=10,
+)
+
+
+def _model_tokens(text: str) -> list[str]:
+    import re as _re
+
+    cleaned = _re.sub(r"[^a-z0-9]+", " ", (text or "").lower()).strip()
+    return cleaned.split() if cleaned else []
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(docs_strategy)
+def test_tfidf_matches_python_model(spark, texts):
+    """tfidf_top_terms == a sequential model of the pinned formula
+    (tf * (ln((N+1)/(df+1))+1), 6dp floor-round, rank by score desc
+    then term asc, top-5) on arbitrary tiny corpora."""
+    import math
+    from collections import Counter
+
+    from yc_data_transfer_clickhouse_from_yandex_metrica_spark.operators import corpus
+
+    docs = [(i, t) for i, t in enumerate(texts)]
+    n = len(docs)
+    tf = {i: Counter(_model_tokens(t)) for i, t in docs}
+    df = Counter(term for c in tf.values() for term in c)
+    want = set()
+    for i, c in tf.items():
+        scored = sorted(
+            (
+                (
+                    math.floor(
+                        cnt * (math.log((n + 1) / (df[t] + 1)) + 1) * 1e6 + 0.5
+                    )
+                    / 1e6,
+                    t,
+                )
+                for t, cnt in c.items()
+            ),
+            key=lambda x: (-x[0], x[1]),
+        )
+        for rnk, (score, term) in enumerate(scored[:5], 1):
+            want.add((i, term, score, rnk))
+    sdf = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        (r.doc_id, r.term, r.score, r.rnk)
+        for r in corpus.tfidf_top_terms(sdf, k=5).collect()
+    }
+    assert got == want
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(st.lists(st.integers(min_value=0, max_value=10**6), min_size=1, max_size=40, unique=True),
+       st.integers(min_value=1, max_value=6))
+def test_shard_assign_matches_python_model(spark, ids, n_shards):
+    """shard_assign == the sequential md5 model: shard from the top
+    60 bits, positions = 1..k within each shard by (skey, id); the
+    deal is a partition of the input."""
+    import hashlib
+
+    from yc_data_transfer_clickhouse_from_yandex_metrica_spark.operators import corpus
+
+    model = []
+    for i in ids:
+        hx = hashlib.md5(f"7:{i}".encode()).hexdigest()
+        model.append((i, hx, int(hx[:15], 16) % n_shards))
+    want = set()
+    by_shard: dict[int, list] = {}
+    for i, hx, sh in model:
+        by_shard.setdefault(sh, []).append((hx, i))
+    for sh, rows in by_shard.items():
+        for pos, (hx, i) in enumerate(sorted(rows), 1):
+            want.add((i, hx, sh, pos))
+    sdf = spark.createDataFrame([(i,) for i in ids], "doc_id long")
+    got = {
+        (r.doc_id, r.skey, r.shard, r.pos)
+        for r in corpus.shard_assign(sdf, n_shards=n_shards, seed="7").collect()
+    }
+    assert got == want
