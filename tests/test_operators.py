@@ -3746,3 +3746,38 @@ def test_chsql_json_path_validation(spark):
                 "JSONExtractInt(j, 'not an ident!')"):
         with pytest.raises(ValueError):
             chsql.run_sql(spark, f"SELECT {bad} FROM t", {"t": df})
+
+
+def test_corpus_and_json_plan_shapes(spark):
+    """Scale-posture assertions for the round-7 additions: the JSON
+    battery is a zero-exchange map-side Project; tfidf holds its
+    aggregate/join exchanges with the corpus scalar BROADCAST (never
+    a shuffled join); bigram mining is generate+aggregate with no
+    cartesian product; shard_assign is a single exchange."""
+    import re as _re
+    from yc_data_transfer_clickhouse_from_yandex_metrica_spark.operators import corpus
+
+    docs = _corpus_docs(spark)
+
+    def plan(df):
+        return df._jdf.queryExecution().executedPlan().toString()
+
+    jp = plan(
+        docs.select(
+            chjson.json_extract_int("text", "k"),
+            chjson.json_length("text"),
+            chjson.json_type("text"),
+        )
+    )
+    assert "Exchange" not in jp and "Scan" in jp
+
+    tp = plan(corpus.tfidf_top_terms(docs, k=3))
+    assert "BroadcastNestedLoopJoin" in tp or "BroadcastExchange" in tp  # N scalar
+    assert "CartesianProduct" not in tp
+
+    bp = plan(corpus.bigram_lm_score(docs))
+    assert "CartesianProduct" not in bp
+    assert "Generate explode" in bp  # map-side slice+zip bigrams
+
+    sp = plan(corpus.shard_assign(docs))
+    assert len(_re.findall(r"\bExchange\b", sp)) == 1  # the shard window
