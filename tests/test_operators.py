@@ -3781,3 +3781,96 @@ def test_corpus_and_json_plan_shapes(spark):
 
     sp = plan(corpus.shard_assign(docs))
     assert len(_re.findall(r"\bExchange\b", sp)) == 1  # the shard window
+
+
+def test_streaming_neardup_across_batches(spark):
+    """start_neardup_stream: near-duplicate docs are flagged against
+    the accumulated signature store (across micro-batches) and within
+    a batch; fresh docs pass; short docs (<k tokens) never flag; the
+    store keeps only the winners' signatures."""
+    base = (
+        "the quick brown fox jumps over the lazy dog and then runs far away "
+        "to the deep green forest near the old stone bridge by the river"
+    )
+    other = (
+        "completely different content about spark shuffle partitions and "
+        "columnar storage formats for large scale analytics workloads today"
+    )
+    tmp = tempfile.mkdtemp(prefix="ym_neardup_")
+    src, dest, ckpt, state = f"{tmp}/src", f"{tmp}/dest", f"{tmp}/ckpt", f"{tmp}/state"
+    schema = "doc_id long, text string"
+    b1 = spark.createDataFrame(
+        [(1, base), (2, base + " zz tail"), (3, other), (4, "too short")], schema
+    )
+    b2 = spark.createDataFrame(
+        [(5, base + " yy coda"), (6, "fresh unrelated text " * 8), (7, "too short")],
+        schema,
+    )
+    try:
+        _feed_files(spark, b1, src, "b1")
+        q = cdc.start_neardup_stream(
+            spark, src, b1.schema, dest, ckpt, state, threshold=0.7
+        )
+        assert q.awaitTermination(180), "first drain did not terminate"
+        r1 = {r.doc_id: r for r in spark.read.parquet(dest).collect()}
+        assert [d for d in sorted(r1) if r1[d].is_dup] == [2]  # batch-internal
+        assert r1[2].dup_of == 1
+        assert not r1[4].is_dup  # shingle-less doc never flags
+
+        _feed_files(spark, b2, src, "b2")
+        q = cdc.start_neardup_stream(
+            spark, src, b1.schema, dest, ckpt, state, threshold=0.7
+        )
+        assert q.awaitTermination(180), "second drain did not terminate"
+        r2 = {r.doc_id: r for r in spark.read.parquet(dest).collect()}
+        assert r2[5].is_dup and r2[5].dup_of == 1  # vs the STORE winner
+        assert not r2[6].is_dup and not r2[7].is_dup
+        # store holds only winners (1, 3, 6): dup 2/5 and shingle-less
+        # 4/7 contribute no signatures
+        sig_ids = sorted(
+            r.id for r in spark.read.parquet(f"{state}/sigs").select("id").collect()
+        )
+        assert sig_ids == [1, 3, 6]
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_streaming_neardup_replay_idempotent(spark):
+    """Checkpoint loss => every batch replays against a store that
+    already contains its own kept signatures.  The self-match guard +
+    per-_batch dynamic partition overwrite must reproduce identical
+    verdicts and an identical store, not duplicates."""
+    base = (
+        "the quick brown fox jumps over the lazy dog and then runs far away "
+        "to the deep green forest near the old stone bridge by the river"
+    )
+    tmp = tempfile.mkdtemp(prefix="ym_neardup_rp_")
+    src, dest, ckpt, state = f"{tmp}/src", f"{tmp}/dest", f"{tmp}/ckpt", f"{tmp}/state"
+    schema = "doc_id long, text string"
+    b1 = spark.createDataFrame([(1, base), (2, base + " zz tail")], schema)
+    try:
+        _feed_files(spark, b1, src, "b1")
+        q = cdc.start_neardup_stream(
+            spark, src, b1.schema, dest, ckpt, state, threshold=0.7
+        )
+        assert q.awaitTermination(180)
+        first = sorted(
+            (r.doc_id, r.is_dup, r.dup_of)
+            for r in spark.read.parquet(dest).collect()
+        )
+        shutil.rmtree(ckpt)  # lose the checkpoint: full replay
+        q = cdc.start_neardup_stream(
+            spark, src, b1.schema, dest, ckpt, state, threshold=0.7
+        )
+        assert q.awaitTermination(180)
+        second = sorted(
+            (r.doc_id, r.is_dup, r.dup_of)
+            for r in spark.read.parquet(dest).collect()
+        )
+        assert second == first == [(1, False, None), (2, True, 1)]
+        sig_ids = sorted(
+            r.id for r in spark.read.parquet(f"{state}/sigs").select("id").collect()
+        )
+        assert sig_ids == [1]
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)

@@ -408,6 +408,34 @@ def minhash_mins(
     )
 
 
+def minhash_bands(
+    mins: DataFrame, num_hashes: int = 64, bands: int = 16
+) -> DataFrame:
+    """(id, band, bh) LSH band rows from a ``minhash_mins`` frame:
+    band hash = xxhash64 over that band's r = num_hashes/bands
+    min-columns.  Rows carry ONLY 24 bytes -- the join key material,
+    never signatures or text.  Shared by the batch pair miner and the
+    streaming near-dup ingest path (same banding => same collision
+    probability math)."""
+    r = num_hashes // bands
+    return mins.select(
+        "id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).alias("band"),
+                        F.xxhash64(
+                            *[F.col(f"m{j * r + i}") for i in range(r)]
+                        ).alias("bh"),
+                    )
+                    for j in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("id", F.col("bb.band").alias("band"), F.col("bb.bh").alias("bh"))
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -424,7 +452,6 @@ def minhash_lsh_pairs(
     above the default threshold, and every candidate is verified with
     true Jaccard, so precision IS exact.
     """
-    r = num_hashes // bands
     # shingle strings are hashed to 64-bit longs ONCE; everything
     # downstream (signature, banding, verify-intersect) works on longs.
     # The raw (non-distinct) index feeds the MIN aggregates directly --
@@ -432,27 +459,11 @@ def minhash_lsh_pairs(
     idx = _shingle_index(df, id_col, text_col, k)
     docs = _shingle_sets(idx)
     mins = minhash_mins(idx, num_hashes)
-    # band hash = xxhash64 over that band's r min-columns; banded rows
-    # carry ONLY (id, band, band-hash): the LSH join shuffles 24
-    # bytes/row, and the shingle sets are attached per-side AFTER
-    # candidate pairs exist (|candidates| << |docs| x bands at any
-    # realistic dup rate)
-    banded = mins.select(
-        "id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(j).alias("band"),
-                        F.xxhash64(
-                            *[F.col(f"m{j * r + i}") for i in range(r)]
-                        ).alias("bh"),
-                    )
-                    for j in range(bands)
-                ]
-            )
-        ).alias("bb"),
-    ).select("id", F.col("bb.band").alias("band"), F.col("bb.bh").alias("bh"))
+    # banded rows carry ONLY (id, band, band-hash): the LSH join
+    # shuffles 24 bytes/row, and the shingle sets are attached per-side
+    # AFTER candidate pairs exist (|candidates| << |docs| x bands at
+    # any realistic dup rate)
+    banded = minhash_bands(mins, num_hashes, bands)
     # shuffle_hash both sides: one materialized band exchange, reused,
     # instead of broadcast's double computation of the signature lineage
     a = banded.hint("shuffle_hash").alias("a")

@@ -385,3 +385,163 @@ def start_windowed_counts_stream(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def start_neardup_stream(
+    spark: SparkSession,
+    source_dir: str,
+    schema: T.StructType,
+    dest_dir: str,
+    checkpoint_dir: str,
+    state_dir: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    num_hashes: int = 64,
+    bands: int = 16,
+    threshold: float = 0.8,
+    fmt: str = "parquet",
+    available_now: bool = True,
+) -> StreamingQuery:
+    """Streaming NEAR-duplicate dedup at ingest: MinHash signatures
+    against a bounded signature store -- the fuzzy counterpart of
+    :func:`start_dedup_stream` (which drops only byte-identical
+    content).
+
+    Per micro-batch: (1) MinHash signatures + LSH band hashes for the
+    batch docs (operators/dedup machinery -- identical banding math to
+    the batch miner, so collision probabilities carry over); (2) LSH
+    bucket join against the accumulated store AND within the batch;
+    (3) candidates filtered by ESTIMATED Jaccard -- the fraction of
+    agreeing signature components (Broder's unbiased estimator, std
+    err ~ sqrt(s(1-s)/num_hashes)) -- the store keeps signatures,
+    never shingle sets or text, so exact-Jaccard verification is
+    deliberately traded for bounded state: 8*num_hashes bytes per
+    retained doc; (4) the batch lands in ``dest_dir`` annotated
+    (is_dup, dup_of), and ONLY non-dup docs' signatures join the
+    store (canonical-per-cluster state, like dedup keeps the first
+    occurrence).
+
+    Pinned rules: the earliest doc wins -- store docs beat batch
+    docs, and within a batch the smaller id wins; ``dup_of`` is the
+    smallest matching winner.  Batch-internal chains resolve greedily
+    (c matching only b gets dup_of=b even though b itself is a dup) --
+    at-ingest triage, not full clustering; run dedup_clusters /
+    keep_best on the landed corpus when transitive clusters matter.
+    Docs with fewer than ``k`` tokens have no shingles and are never
+    flagged.
+
+    Replay-safe without a transactional sink: both the landing zone
+    and the signature store are partitioned by ``_batch`` and written
+    with dynamic partition overwrite, so a re-delivered micro-batch
+    (at-least-once foreachBatch) replaces ITS OWN partition
+    idempotently -- the committer is per-partition-atomic on object
+    stores, same pattern as start_collapse_stream.
+
+    Scale: the bucket join shuffles 24-byte band rows; the estimate
+    join moves one 8*num_hashes-byte signature row per CANDIDATE, not
+    per doc; store reads are a parquet scan of signatures only.
+    """
+    from ..operators import dedup as _dedup
+
+    sig_dir = f"{state_dir}/sigs"
+    mcols = [f"m{i}" for i in range(num_hashes)]
+
+    def process(batch: DataFrame, batch_id: int) -> None:
+        sp = batch.sparkSession
+        idx = _dedup._shingle_index(batch, id_col, text_col, k)
+        # computed once, reused by banding + estimate + store append
+        mins = _dedup.minhash_mins(idx, num_hashes).localCheckpoint()
+        bnd = _dedup.minhash_bands(mins, num_hashes, bands)
+
+        jvm = sp._jvm
+        sig_root = jvm.org.apache.hadoop.fs.Path(sig_dir)
+        fs = sig_root.getFileSystem(sp._jsc.hadoopConfiguration())
+
+        # candidates: (id_a = winner-side, id_b = batch doc)
+        new_b = bnd.select(
+            F.col("id").alias("id_b"), "band", "bh"
+        ).hint("shuffle_hash")
+        cands = (
+            bnd.select(F.col("id").alias("id_a"), "band", "bh")
+            .hint("shuffle_hash")
+            .join(new_b, ["band", "bh"])
+            .where(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b")
+        )
+        store_sigs = None
+        if fs.exists(sig_root):
+            store_sigs = sp.read.option("basePath", sig_dir).parquet(sig_dir)
+            store_bnd = _dedup.minhash_bands(
+                store_sigs.select("id", *mcols), num_hashes, bands
+            )
+            cands = cands.unionByName(
+                store_bnd.select(F.col("id").alias("id_a"), "band", "bh")
+                .join(new_b, ["band", "bh"])
+                # a replayed batch finds its own kept sigs in the store
+                # (_batch partition written by the failed attempt):
+                # never self-match, so replay stays idempotent
+                .where(F.col("id_a") != F.col("id_b"))
+                .select("id_a", "id_b")
+            )
+        cands = cands.dropDuplicates(["id_a", "id_b"])
+
+        # estimated Jaccard = fraction of agreeing signature components
+        all_sigs = (
+            mins.select("id", *mcols).unionByName(
+                store_sigs.select("id", *mcols)
+            )
+            if store_sigs is not None
+            else mins.select("id", *mcols)
+        )
+        sig_a = all_sigs.select(
+            F.col("id").alias("id_a"), *[F.col(m).alias(f"a_{m}") for m in mcols]
+        )
+        sig_b = mins.select(
+            F.col("id").alias("id_b"), *[F.col(m).alias(f"b_{m}") for m in mcols]
+        )
+        agree = sum(
+            F.when(F.col(f"a_{m}") == F.col(f"b_{m}"), 1).otherwise(0)
+            for m in mcols
+        )
+        dups = (
+            cands.join(sig_a, "id_a")
+            .join(sig_b, "id_b")
+            .where(agree / F.lit(float(num_hashes)) >= F.lit(threshold))
+            .groupBy("id_b")
+            .agg(F.min("id_a").alias("dup_of"))
+        )
+
+        out = (
+            batch.join(
+                dups.withColumnRenamed("id_b", id_col), id_col, "left"
+            )
+            .withColumn("is_dup", F.col("dup_of").isNotNull())
+            .withColumn("_batch", F.lit(batch_id))
+        )
+        out = out.localCheckpoint()  # landing read below must not re-run the joins
+        (
+            out.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("_batch")
+            .parquet(dest_dir)
+        )
+        kept = out.where(~F.col("is_dup")).select(F.col(id_col).alias("id"))
+        (
+            mins.join(kept, "id")
+            .select("id", *mcols)
+            .withColumn("_batch", F.lit(batch_id))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("_batch")
+            .parquet(sig_dir)
+        )
+
+    stream = spark.readStream.format(fmt).schema(schema).load(source_dir)
+    writer = stream.writeStream.foreachBatch(process).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    trigger = (
+        {"availableNow": True} if available_now else {"processingTime": "10 seconds"}
+    )
+    return writer.trigger(**trigger).start()
