@@ -3874,3 +3874,84 @@ def test_streaming_neardup_replay_idempotent(spark):
         assert sig_ids == [1]
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_chsql_prewhere_format_settings_clock(spark):
+    from yc_data_transfer_clickhouse_from_yandex_metrica_spark.plans import chsql
+
+    df = spark.createDataFrame(
+        [(1, "a", 10), (2, "b", 20), (3, "a", 30)], "id long, k string, v long"
+    )
+    rows = chsql.run_sql(
+        spark,
+        "SELECT id FROM t PREWHERE k = 'a' WHERE v > 15 "
+        "ORDER BY id FORMAT TabSeparated",
+        {"t": df},
+    ).collect()
+    assert [r.id for r in rows] == [3]
+    rows = chsql.run_sql(
+        spark,
+        "SELECT id, 'keep FORMAT CSV' AS s FROM t PREWHERE v >= 20 "
+        "ORDER BY id SETTINGS max_threads = 8, max_memory_usage = 1000",
+        {"t": df},
+    ).collect()
+    assert [(r.id, r.s) for r in rows] == [(2, "keep FORMAT CSV"), (3, "keep FORMAT CSV")]
+    r = chsql.run_sql(
+        spark, "SELECT now() AS ts, today() AS d, yesterday() AS y FROM t LIMIT 1",
+        {"t": df},
+    ).collect()[0]
+    from datetime import date, datetime, timedelta
+    assert isinstance(r.ts, datetime) and isinstance(r.d, date)
+    assert r.y == r.d - timedelta(days=1)
+
+
+def test_chsql_limit_by(spark):
+    from yc_data_transfer_clickhouse_from_yandex_metrica_spark.plans import chsql
+
+    df = spark.createDataFrame(
+        [(k, i, (i * 7) % 10) for k in ("a", "b") for i in range(5)],
+        "k string, i long, v long",
+    )
+    rows = chsql.run_sql(
+        spark,
+        "SELECT k, i, v FROM t ORDER BY v DESC, i LIMIT 2 BY k",
+        {"t": df},
+    ).collect()
+    by_k = {}
+    for r in rows:
+        by_k.setdefault(r.k, []).append(r.v)
+    assert all(len(v) == 2 for v in by_k.values())
+    assert by_k["a"] == sorted(by_k["a"], reverse=True) == by_k["b"]
+    # offset form + trailing global LIMIT
+    rows = chsql.run_sql(
+        spark,
+        "SELECT k, i, v FROM t ORDER BY v DESC, i LIMIT 1,2 BY k LIMIT 3",
+        {"t": df},
+    ).collect()
+    assert len(rows) == 3  # 2 per key after skipping the top row, capped at 3
+    with pytest.raises(ValueError, match="ORDER BY"):
+        chsql.run_sql(spark, "SELECT k, i FROM t LIMIT 2 BY k", {"t": df})
+
+
+def test_chsql_join_and_subquery_passthrough(spark):
+    """ANSI shapes the dialect doesn't rewrite (JOIN, FROM-subquery)
+    pass through to Spark SQL with CH functions rewritten in place."""
+    from yc_data_transfer_clickhouse_from_yandex_metrica_spark.plans import chsql
+
+    a = spark.createDataFrame([(1, "x y"), (2, "z")], "id long, s string")
+    b = spark.createDataFrame([(1, 10), (2, 20)], "id long, w long")
+    rows = chsql.run_sql(
+        spark,
+        "SELECT a.id AS id, arrayStringConcat(splitByChar(' ', a.s), '-') AS s2, b.w AS w "
+        "FROM a JOIN b ON a.id = b.id WHERE notEmpty(a.s) ORDER BY id",
+        {"a": a, "b": b},
+    ).collect()
+    assert [(r.id, r.s2, r.w) for r in rows] == [(1, "x-y", 10), (2, "z", 20)]
+    # inside a subquery the UInt8-truthiness coercion does not apply
+    # (top-level WHERE/HAVING only, documented) -- explicit comparison
+    rows = chsql.run_sql(
+        spark,
+        "SELECT uniqExact(id) AS n FROM (SELECT id FROM a WHERE notEmpty(s) = 1) ",
+        {"a": a},
+    ).collect()
+    assert rows[0].n == 2

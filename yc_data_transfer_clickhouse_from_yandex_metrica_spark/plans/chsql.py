@@ -45,6 +45,20 @@ vocabulary):
   ('' / 0) out of range, for any column whose array element type is
   known from the provided tables (ch.array_at semantics); unknown
   columns keep Spark semantics untouched.
+- ``PREWHERE`` (CH's scan-stage filter hint) merged into WHERE --
+  Catalyst pushes filters to the scan on its own, so the hint costs
+  nothing and the semantics (one more conjunct) are identical.
+- trailing ``FORMAT <name>`` and ``SETTINGS k=v, ...`` stripped: the
+  first picks a CLI wire format (the DataFrame IS the result set) and
+  the second tunes CH-internal knobs.
+- ``LIMIT [off,] n BY keys [LIMIT ...]``: per-key-group rank limit in
+  the query's ORDER BY order (requires ORDER BY -- CH's block order
+  is not reproducible), applied before the trailing global LIMIT.
+- clock functions ``now()`` / ``today()`` / ``yesterday()`` (query-
+  constant in both engines).
+- plain ANSI the compiler does NOT touch passes through to Spark SQL:
+  JOINs in FROM, subqueries, CASE, IN lists -- with the CH function
+  vocabulary rewritten wherever it appears.
 - the CH JSON family (``JSONExtractString/Int/Float/Bool/Raw/Keys``,
   ``JSONHas``, ``JSONLength``, ``JSONType``, ``visitParam*``) with
   literal path components, compiled to the same variant-shredding
@@ -236,6 +250,11 @@ _CALL_REWRITES: dict[str, object] = {
     ),
     "has": lambda a: f"array_contains({a[0]}, {a[1]})",
     "empty": lambda a: f"CAST(length(coalesce({a[0]}, '')) = 0 AS INT)",
+    # zero-arg clock functions (CH evaluates once per query; so does
+    # Spark -- current_timestamp/current_date are query-constant)
+    "now": lambda a: "current_timestamp()",
+    "today": lambda a: "current_date()",
+    "yesterday": lambda a: "date_sub(current_date(), 1)",
 }
 
 
@@ -449,7 +468,8 @@ def _rewrite_indexing(sql: str, defaults: dict[str, str]) -> str:
 # ---------------------------------------------------------------------------
 
 _CLAUSE_STARTS = [
-    ("WHERE",), ("GROUP", "BY"), ("HAVING",), ("ORDER", "BY"), ("LIMIT",),
+    ("PREWHERE",), ("WHERE",), ("GROUP", "BY"), ("HAVING",), ("ORDER", "BY"),
+    ("LIMIT",),
 ]
 
 
@@ -515,7 +535,19 @@ def run_sql(
     sql = _rewrite_indexing(sql, _elem_defaults(tables))
     sql = _rewrite_calls(sql)
     sql = _rewrite_literals(sql)
-    sql = _collapse_ws(sql).rstrip(";")
+    sql = _collapse_ws(sql).rstrip(";").rstrip()
+    # trailing CH decorations with no Spark counterpart: FORMAT picks
+    # a CLI wire format (the DataFrame IS the result set here) and
+    # SETTINGS tunes CH execution knobs -- both stripped, masked-scan
+    # so string literals can't fake a match
+    masked = _mask(sql)
+    m = re.search(r"\sFORMAT\s+\w+\s*$", masked, re.I)
+    if m:
+        sql = sql[: m.start()].rstrip()
+        masked = masked[: m.start()].rstrip()
+    m = re.search(r"\sSETTINGS\s+\w+\s*=[^;]*$", masked, re.I)
+    if m:
+        sql = sql[: m.start()].rstrip()
 
     # CH binds LIMIT (and ORDER BY) to EACH branch of a top-level
     # UNION ALL; ANSI binds them to the union.  Compile branches
@@ -566,6 +598,17 @@ def _compile_single(spark: SparkSession, sql: str) -> DataFrame:
     order = clause("ORDER BY")
     limit = clause("LIMIT")
 
+    # PREWHERE is CH's scan-stage filter hint; semantics == one more
+    # WHERE conjunct (Catalyst pushes filters to the scan on its own)
+    prewhere = clause("PREWHERE")
+    if prewhere:
+        pw_body = re.sub(r"^PREWHERE\s+", "", prewhere, flags=re.I)
+        if where:
+            w_body = re.sub(r"^WHERE\s+", "", where, flags=re.I)
+            where = f"WHERE ({pw_body}) AND ({w_body})"
+        else:
+            where = f"WHERE {pw_body}"
+
     with_totals = False
     if group:
         m = re.search(r"\bWITH\s+TOTALS\b", group, re.I)
@@ -586,6 +629,9 @@ def _compile_single(spark: SparkSession, sql: str) -> DataFrame:
     # CH predicate truthiness: WHERE/HAVING accept UInt8 (nonzero =
     # true), so `WHERE notEmpty(x)` is idiomatic CH.  Spark requires
     # BOOLEAN; CAST(int AS BOOLEAN) is exactly the nonzero rule.
+    # Applies to the TOP-LEVEL WHERE/HAVING only -- inside a
+    # pass-through subquery write the comparison explicitly
+    # (notEmpty(x) = 1).
     def _as_predicate(c: str | None) -> str | None:
         if c is None:
             return None
@@ -640,6 +686,26 @@ def _compile_single(spark: SparkSession, sql: str) -> DataFrame:
         )
         frm, where = f"FROM ({inner})", None
 
+    # CH `LIMIT [off,] n BY keys [LIMIT ...]`: first n rows (after
+    # off) of each key group in the query's ORDER BY order, applied
+    # BEFORE the trailing global LIMIT (operators/series.limit_by
+    # semantics, compiled as a rank window over the aggregated frame)
+    limit_by = None
+    if limit:
+        bm = re.match(
+            r"LIMIT\s+(?:(\d+)\s*,\s*)?(\d+)\s+BY\s+(.+?)(?:\s+LIMIT\s+(.+))?$",
+            limit, re.I | re.S,
+        )
+        if bm:
+            if not order:
+                raise ValueError(
+                    "chsql: LIMIT BY requires an ORDER BY (the per-key "
+                    "rank is otherwise nondeterministic)"
+                )
+            if with_totals:
+                raise ValueError("chsql: LIMIT BY cannot combine with WITH TOTALS")
+            limit_by = (int(bm.group(1) or 0), int(bm.group(2)), bm.group(3).strip())
+            limit = f"LIMIT {bm.group(4)}" if bm.group(4) else None
     if limit:
         lm = re.match(r"LIMIT\s+(\d+)\s*,\s*(\d+)\s*$", limit, re.I)
         if lm:
@@ -648,6 +714,20 @@ def _compile_single(spark: SparkSession, sql: str) -> DataFrame:
 
     def assemble(parts: list[str | None]) -> str:
         return " ".join(p for p in parts if p)
+
+    if limit_by:
+        off, nby, keys = limit_by
+        order_body = re.sub(r"^ORDER\s+BY\s+", "", order, flags=re.I)
+        sub = assemble(["SELECT", select_txt, frm, where, group, having])
+        rn = (
+            f"SELECT * FROM (SELECT *, row_number() OVER (PARTITION BY {keys} "
+            f"ORDER BY {order_body}) AS __rn FROM ({sub})) "
+            f"WHERE __rn > {off} AND __rn <= {off + nby}"
+        )
+        kept = spark.sql(rn).drop("__rn")
+        view = "__chsql_limit_by"
+        kept.createOrReplaceTempView(view)
+        return spark.sql(assemble([f"SELECT * FROM {view}", order, limit]))
 
     main = assemble(
         ["SELECT", select_txt, frm, where, group, having, order, limit]
