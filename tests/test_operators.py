@@ -3955,3 +3955,63 @@ def test_chsql_join_and_subquery_passthrough(spark):
         {"a": a},
     ).collect()
     assert rows[0].n == 2
+
+
+def test_chsql_parameterized_aggregates(spark):
+    from yc_data_transfer_clickhouse_from_yandex_metrica_spark.plans import chsql
+
+    df = spark.createDataFrame(
+        [(float(i), "k" + str(i % 5)) for i in range(1, 101)], "v double, k string"
+    )
+    r = chsql.run_sql(
+        spark,
+        "SELECT quantile(0.5)(v) AS med, quantiles(0.25, 0.75)(v) AS qs, "
+        "quantileExact(0.5)(v) AS medx, uniqUpTo(3)(k) AS u FROM t",
+        {"t": df},
+    ).collect()[0]
+    assert 49.0 <= r.med <= 52.0
+    assert len(r.qs) == 2 and r.qs[0] < r.qs[1]
+    assert r.medx in (50.0, 51.0)  # an actual element, nearest-rank
+    assert r.u == 4  # more than 3 distinct -> N+1
+    with pytest.raises(ValueError, match="parameterized aggregate"):
+        chsql.run_sql(spark, "SELECT topK(3)(k) FROM t", {"t": df})
+
+
+def test_chsql_string_regex_family(spark):
+    from yc_data_transfer_clickhouse_from_yandex_metrica_spark.plans import chsql
+
+    df = spark.createDataFrame(
+        [("abc123", ), ("xyz", ), (None, )], "s string"
+    )
+    rows = chsql.run_sql(
+        spark,
+        r"SELECT match(s, '[0-9]+') AS m, countMatches(s, '[a-z]') AS c, "
+        r"startsWith(s, 'ab') AS sw, endsWith(s, 'yz') AS ew, "
+        r"extract(s, '([0-9]+)') AS g1, extract(s, '[a-z]+') AS g0, "
+        r"leftPad(s, 8, '.') AS lp, trimBoth(concat(' ', s, ' ')) AS tb "
+        "FROM t",
+        {"t": df},
+    ).collect()
+    a, b, c = rows
+    assert (a.m, a.c, a.sw, a.ew, a.g1, a.g0) == (1, 3, 1, 0, "123", "abc")
+    assert (b.m, b.sw, b.ew, b.g1, b.g0) == (0, 0, 1, "", "xyz")
+    assert (c.m, c.c, c.sw, c.ew, c.g1) == (0, 0, 0, 0, "")
+    assert a.lp == "..abc123" and a.tb == "abc123"
+
+
+def test_ch_string_family_functions(spark):
+    df = spark.createDataFrame([("foo42bar",), (None,)], "s string")
+    r = df.select(
+        ch.match("s", r"\d+").alias("m"),
+        ch.extract("s", r"(\d+)").alias("g1"),
+        ch.extract("s", r"\d+").alias("g0"),
+        ch.count_matches("s", "[a-z]+").alias("c"),
+        ch.starts_with("s", "foo").alias("sw"),
+        ch.ends_with("s", "bar").alias("ew"),
+        ch.left_pad("s", 10, "*").alias("lp"),
+        ch.trim_both(F.concat(F.lit("  "), "s")).alias("tb"),
+    ).collect()
+    a, n = r
+    assert (a.m, a.g1, a.g0, a.c, a.sw, a.ew) == (1, "42", "42", 2, 1, 1)
+    assert a.lp == "**foo42bar" and a.tb == "foo42bar"
+    assert (n.m, n.g1, n.c, n.sw, n.ew) == (0, "", 0, 0, 0)

@@ -15,6 +15,7 @@ Query code must always use :func:`array_at` -- never raw ``element_at``.
 
 from __future__ import annotations
 
+import re
 from typing import Callable, Union
 
 from pyspark.sql import Column
@@ -590,3 +591,59 @@ def great_circle_distance(
         + F.cos(rlat1) * F.cos(rlat2) * F.sin(dlon / 2) * F.sin(dlon / 2)
     )
     return F.lit(2.0 * 6_371_000.0) * F.asin(F.sqrt(a))
+
+
+# --- string/regex vocabulary (round 7): match / extract / countMatches /
+# startsWith / endsWith / pads / trims -- the CH functions a dashboard
+# port hits right after the URL family.  All JVM built-ins.
+def match(s: ColumnOrName, pattern: str) -> Column:
+    """CH ``match(haystack, pattern)`` -> UInt8 0/1 (re2 in CH, Java
+    regex here -- the common subset is identical; null haystack -> 0)."""
+    return F.coalesce(_col(s).rlike(pattern).cast("int"), F.lit(0))
+
+
+def extract(s: ColumnOrName, pattern: str) -> Column:
+    """CH ``extract(haystack, pattern)``: first capture group if the
+    pattern has one, else the whole match; '' when no match (CH rule).
+    The group choice is decided from the LITERAL pattern (an
+    unescaped ``(`` not starting ``(?:``)."""
+    group = 1 if re.search(r"(?<!\\)\((?!\?)", pattern) else 0
+    return F.regexp_extract(F.coalesce(_col(s), F.lit("")), pattern, group)
+
+
+def count_matches(s: ColumnOrName, pattern: str) -> Column:
+    """CH ``countMatches`` == regexp_count; null haystack -> 0."""
+    return F.coalesce(
+        F.regexp_count(_col(s), F.lit(pattern)), F.lit(0)
+    ).cast("long")
+
+
+def starts_with(s: ColumnOrName, prefix) -> Column:
+    """CH ``startsWith`` -> UInt8 0/1 (null -> 0)."""
+    return F.coalesce(F.startswith(_col(s), F.lit(prefix)).cast("int"), F.lit(0))
+
+
+def ends_with(s: ColumnOrName, suffix) -> Column:
+    """CH ``endsWith`` -> UInt8 0/1 (null -> 0)."""
+    return F.coalesce(F.endswith(_col(s), F.lit(suffix)).cast("int"), F.lit(0))
+
+
+def left_pad(s: ColumnOrName, length: int, pad: str = " ") -> Column:
+    """CH ``leftPad`` == lpad (truncates to ``length`` when longer,
+    both engines)."""
+    return F.lpad(_col(s), length, pad)
+
+
+def right_pad(s: ColumnOrName, length: int, pad: str = " ") -> Column:
+    return F.rpad(_col(s), length, pad)
+
+
+def trim_both(s: ColumnOrName) -> Column:
+    """CH ``trimBoth`` / ``trim(BOTH ...)`` for whitespace."""
+    return F.trim(_col(s))
+
+
+def uniq_up_to_expr(c: ColumnOrName, n: int) -> Column:
+    """Alias kept next to the string family for chsql's parameterized
+    ``uniqUpTo(N)(x)`` spelling; same contract as :func:`uniq_up_to`."""
+    return uniq_up_to(c, n)

@@ -56,6 +56,17 @@ vocabulary):
   is not reproducible), applied before the trailing global LIMIT.
 - clock functions ``now()`` / ``today()`` / ``yesterday()`` (query-
   constant in both engines).
+- string/regex family: ``match`` / ``extract`` (capture-group rule
+  decided from the literal pattern) / ``countMatches`` /
+  ``startsWith`` / ``endsWith`` / ``leftPad`` / ``rightPad`` /
+  ``trimBoth`` / ``lengthUTF8`` -- UInt8 results and null->0 per CH.
+- parameterized aggregates ``agg(params)(args)``: ``quantile`` /
+  ``quantileTDigest`` -> percentile_approx (same fixed-memory
+  approximate class), ``quantileExact[Low]`` -> GK at accuracy 1e6
+  (an actual element at the rank, CH's nearest-rank semantics),
+  ``quantiles*`` -> the array form, ``uniqUpTo(N)`` -> the exact
+  least(count distinct, N+1) contract; unmappable ones (``topK``,
+  ``groupArrayMoving*``) raise and point to operators/.
 - plain ANSI the compiler does NOT touch passes through to Spark SQL:
   JOINs in FROM, subqueries, CASE, IN lists -- with the CH function
   vocabulary rewritten wherever it appears.
@@ -255,7 +266,100 @@ _CALL_REWRITES: dict[str, object] = {
     "now": lambda a: "current_timestamp()",
     "today": lambda a: "current_date()",
     "yesterday": lambda a: "date_sub(current_date(), 1)",
+    # string/regex family (UInt8 results per CH; null haystack -> 0)
+    "match": lambda a: f"CAST(coalesce({a[0]} RLIKE {a[1]}, false) AS INT)",
+    "countMatches": lambda a: (
+        f"CAST(coalesce(regexp_count({a[0]}, {a[1]}), 0) AS BIGINT)"
+    ),
+    "startsWith": lambda a: (
+        f"CAST(coalesce(startswith({a[0]}, {a[1]}), false) AS INT)"
+    ),
+    "endsWith": lambda a: (
+        f"CAST(coalesce(endswith({a[0]}, {a[1]}), false) AS INT)"
+    ),
+    "leftPad": lambda a: (
+        f"lpad({a[0]}, {a[1]}, {a[2] if len(a) > 2 else chr(39) + ' ' + chr(39)})"
+    ),
+    "rightPad": lambda a: (
+        f"rpad({a[0]}, {a[1]}, {a[2] if len(a) > 2 else chr(39) + ' ' + chr(39)})"
+    ),
+    "trimBoth": lambda a: f"trim({a[0]})",
+    "lengthUTF8": lambda a: f"length({a[0]})",  # Spark length is char-based
+    "extract": lambda a: _extract_sql(a),
 }
+
+
+def _extract_sql(a: list[str]) -> str:
+    """CH ``extract(haystack, 'pattern')``: first capture group when
+    the LITERAL pattern has one (an unescaped ``(`` not starting
+    ``(?``), else the whole match; '' on no match (regexp_extract's
+    own rule).  Dynamic patterns raise: the group choice must be
+    decidable at compile time."""
+    pat = a[1].strip()
+    if not (pat.startswith("'") and pat.endswith("'")):
+        raise ValueError(
+            f"chsql: extract() needs a literal pattern, got {a[1]!r}"
+        )
+    group = 1 if re.search(r"(?<!\\)\((?!\?)", pat[1:-1]) else 0
+    return f"regexp_extract(coalesce({a[0]}, ''), {a[1]}, {group})"
+
+
+# --- CH parameterized aggregates: name(params)(args) --------------------
+def _param_agg_sql(name: str, params: str, args: str) -> str:
+    if name == "uniqUpTo":
+        m = re.fullmatch(r"\s*(\d+)\s*", params)
+        if not m:
+            raise ValueError(
+                f"chsql: uniqUpTo needs a literal integer parameter, got {params!r}"
+            )
+        return f"least(count(DISTINCT {args}), {int(m.group(1)) + 1})"
+    if name in ("quantile", "quantileTDigest"):
+        return f"percentile_approx({args}, {params}, 10000)"
+    if name in ("quantileExact", "quantileExactLow"):
+        # GK at huge accuracy returns an actual element at the rank --
+        # the nearest-element (not interpolated) semantics CH's exact
+        # quantiles have; operators/stats.quantile_exact is the
+        # windowed oracle-checked form
+        return f"percentile_approx({args}, {params}, 1000000)"
+    if name in ("quantiles", "quantilesTDigest"):
+        return f"percentile_approx({args}, array({params}), 10000)"
+    raise ValueError(
+        f"chsql: parameterized aggregate {name!r} has no single-expression "
+        "Spark mapping (topK/groupArrayMoving* live in operators/)"
+    )
+
+
+_PARAM_AGG_RE = re.compile(
+    r"\b(quantilesTDigest|quantileTDigest|quantileExactLow|quantileExact|"
+    r"quantiles|quantile|uniqUpTo|topK|groupArrayMovingAvg|groupArrayMovingSum)"
+    r"\s*\("
+)
+
+
+def _rewrite_parametrized(sql: str) -> str:
+    """``agg(params)(args)`` -> the mapped Spark aggregate.  A match
+    without a second argument list is left alone (plain ``quantile(x)``
+    is not CH syntax, but don't mangle lookalikes)."""
+    changed = True
+    while changed:
+        changed = False
+        masked = _mask(sql)
+        for m in _PARAM_AGG_RE.finditer(masked):
+            p_open = masked.index("(", m.end(1))
+            p_close = _match_paren(masked, p_open)
+            k = p_close + 1
+            while k < len(masked) and masked[k].isspace():
+                k += 1
+            if k >= len(masked) or masked[k] != "(":
+                continue
+            a_close = _match_paren(masked, k)
+            repl = _param_agg_sql(
+                m.group(1), sql[p_open + 1 : p_close], sql[k + 1 : a_close]
+            )
+            sql = sql[: m.start()] + repl + sql[a_close + 1 :]
+            changed = True
+            break
+    return sql
 
 
 # --- CH JSON family: SQL-text mirrors of functions/chjson.py ------------
@@ -533,6 +637,7 @@ def run_sql(
         df.createOrReplaceTempView(view)
         sql = _replace_name(sql, name, view)
     sql = _rewrite_indexing(sql, _elem_defaults(tables))
+    sql = _rewrite_parametrized(sql)
     sql = _rewrite_calls(sql)
     sql = _rewrite_literals(sql)
     sql = _collapse_ws(sql).rstrip(";").rstrip()
