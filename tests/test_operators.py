@@ -4015,3 +4015,36 @@ def test_ch_string_family_functions(spark):
     assert (a.m, a.g1, a.g0, a.c, a.sw, a.ew) == (1, "42", "42", 2, 1, 1)
     assert a.lp == "**foo42bar" and a.tb == "foo42bar"
     assert (n.m, n.g1, n.c, n.sw, n.ew) == (0, "", 0, 0, 0)
+
+
+def test_chsql_with_scalar_and_cte(spark):
+    """CH WITH: scalar `expr AS name` substitutes textually; `name AS
+    (subquery)` rides as a Spark CTE -- including into the TOTALS
+    branch."""
+    from yc_data_transfer_clickhouse_from_yandex_metrica_spark.plans import chsql
+
+    df = spark.createDataFrame(
+        [(i, "k" + str(i % 2), float(i)) for i in range(10)],
+        "id long, k string, v double",
+    )
+    rows = chsql.run_sql(
+        spark,
+        "WITH 5 AS floor_v SELECT id FROM t WHERE v >= floor_v ORDER BY id",
+        {"t": df},
+    ).collect()
+    assert [r.id for r in rows] == [5, 6, 7, 8, 9]
+    rows = chsql.run_sql(
+        spark,
+        "WITH big AS (SELECT * FROM t WHERE v >= 4) "
+        "SELECT k, count(1) AS n FROM big GROUP BY k WITH TOTALS ORDER BY k",
+        {"t": df},
+    ).collect()
+    assert [(r.k, r.n) for r in rows] == [("k0", 3), ("k1", 3), (None, 6)]
+    rows = chsql.run_sql(
+        spark,
+        "WITH 2 AS cap, keep AS (SELECT id, k FROM t WHERE id < 8) "
+        "SELECT k, uniqExact(id) AS u FROM keep GROUP BY k "
+        "HAVING u > cap ORDER BY k",
+        {"t": df},
+    ).collect()
+    assert [(r.k, r.u) for r in rows] == [("k0", 4), ("k1", 4)]

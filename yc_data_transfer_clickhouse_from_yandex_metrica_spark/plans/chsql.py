@@ -67,6 +67,10 @@ vocabulary):
   ``quantiles*`` -> the array form, ``uniqUpTo(N)`` -> the exact
   least(count distinct, N+1) contract; unmappable ones (``topK``,
   ``groupArrayMoving*``) raise and point to operators/.
+- leading ``WITH``: ``name AS (subquery)`` CTEs pass through to
+  Spark (prefixed onto every compiled statement, incl. the TOTALS
+  branch); CH's SCALAR form ``expr AS name`` -- which Spark lacks --
+  is substituted textually as ``(expr)`` throughout the query.
 - plain ANSI the compiler does NOT touch passes through to Spark SQL:
   JOINs in FROM, subqueries, CASE, IN lists -- with the CH function
   vocabulary rewritten wherever it appears.
@@ -654,16 +658,55 @@ def run_sql(
     if m:
         sql = sql[: m.start()].rstrip()
 
+    # CH WITH prefix: scalar aliases substituted textually (the CH
+    # `WITH expr AS name` form), subquery CTEs carried as a Spark
+    # WITH prefix into every compiled statement
+    cte_prefix, sql = _extract_with(sql)
+
     # CH binds LIMIT (and ORDER BY) to EACH branch of a top-level
     # UNION ALL; ANSI binds them to the union.  Compile branches
     # separately (tables/rewrites already applied above).
     branches = _split_union_all(sql)
     if len(branches) > 1:
-        out = _compile_single(spark, branches[0])
+        out = _compile_single(spark, branches[0], cte_prefix)
         for b in branches[1:]:
-            out = out.unionAll(_compile_single(spark, b))
+            out = out.unionAll(_compile_single(spark, b, cte_prefix))
         return out
-    return _compile_single(spark, sql)
+    return _compile_single(spark, sql, cte_prefix)
+
+
+def _extract_with(sql: str) -> tuple[str, str]:
+    """Split a leading CH ``WITH`` into (spark CTE prefix, remaining
+    query).  Two CH item shapes: ``name AS (subquery)`` stays a CTE
+    (ANSI, Spark-native); ``expr AS name`` is CH's SCALAR alias --
+    substituted textually as ``(expr)`` into the rest of the query
+    (Spark has no scalar WITH).  Scalar aliases may not reference each
+    other (CH allows it; not reproduced -- raises via the final
+    unresolved-name error)."""
+    if not re.match(r"\s*WITH\b", sql, re.I):
+        return "", sql
+    sel = _find_clause(sql, "SELECT")
+    if not sel:
+        raise ValueError("chsql: WITH without a top-level SELECT")
+    head = sql[re.match(r"\s*WITH\b", sql, re.I).end() : sel.start()]
+    ctes: list[str] = []
+    scalars: list[tuple[str, str]] = []
+    for item in _split_top(head):
+        it = item.strip()
+        if not it:
+            continue
+        if re.match(r"^(`[^`]+`|\w+)\s+AS\s*\(", it, re.I) and it.endswith(")"):
+            ctes.append(it)
+            continue
+        m3 = re.search(r"\s+AS\s+(`[^`]+`|\w+)\s*$", it, re.I)
+        if m3:
+            scalars.append((m3.group(1).strip("`"), it[: m3.start()].strip()))
+            continue
+        raise ValueError(f"chsql: unsupported WITH item {it!r}")
+    rest = sql[sel.start() :]
+    for name, expr in scalars:
+        rest = _replace_name(rest, name, f"({expr})")
+    return ("WITH " + ", ".join(ctes)) if ctes else "", rest
 
 
 def _array_join_calls(txt: str | None) -> list[tuple[int, int, str]]:
@@ -679,9 +722,16 @@ def _array_join_calls(txt: str | None) -> list[tuple[int, int, str]]:
     return out
 
 
-def _compile_single(spark: SparkSession, sql: str) -> DataFrame:
+def _compile_single(
+    spark: SparkSession, sql: str, cte_prefix: str = ""
+) -> DataFrame:
     """Clause surgery + alias inlining + WITH TOTALS for ONE already
-    pre-rewritten SELECT (no comments/params/table names/unions)."""
+    pre-rewritten SELECT (no comments/params/table names/unions).
+    ``cte_prefix`` (a Spark ``WITH name AS (...)`` chain from
+    _extract_with) is prepended to every statement compiled here."""
+
+    def _sql(text: str) -> DataFrame:
+        return spark.sql(f"{cte_prefix} {text}" if cte_prefix else text)
     spans = _segment(sql)
     sel_start, sel_end = spans["SELECT"]
     select_body = sql[sel_start + len("SELECT") : sel_end]
@@ -829,7 +879,7 @@ def _compile_single(spark: SparkSession, sql: str) -> DataFrame:
             f"ORDER BY {order_body}) AS __rn FROM ({sub})) "
             f"WHERE __rn > {off} AND __rn <= {off + nby}"
         )
-        kept = spark.sql(rn).drop("__rn")
+        kept = _sql(rn).drop("__rn")
         view = "__chsql_limit_by"
         kept.createOrReplaceTempView(view)
         return spark.sql(assemble([f"SELECT * FROM {view}", order, limit]))
@@ -837,7 +887,7 @@ def _compile_single(spark: SparkSession, sql: str) -> DataFrame:
     main = assemble(
         ["SELECT", select_txt, frm, where, group, having, order, limit]
     )
-    detail = spark.sql(main)
+    detail = _sql(main)
     if not with_totals:
         return detail
 
@@ -851,7 +901,7 @@ def _compile_single(spark: SparkSession, sql: str) -> DataFrame:
         if expr.strip().strip("()").strip() in group_exprs:
             expr = f"CAST(NULL AS {field.dataType.simpleString()})"
         totals_items.append(f"{expr} AS `{field.name}`")
-    totals = spark.sql(assemble(["SELECT", ", ".join(totals_items), frm, where]))
+    totals = _sql(assemble(["SELECT", ", ".join(totals_items), frm, where]))
     return detail.unionAll(totals)
 
 
