@@ -4048,3 +4048,38 @@ def test_chsql_with_scalar_and_cte(spark):
         {"t": df},
     ).collect()
     assert [(r.k, r.u) for r in rows] == [("k0", 4), ("k1", 4)]
+
+
+def test_chsql_with_fill(spark):
+    from datetime import date
+    from yc_data_transfer_clickhouse_from_yandex_metrica_spark.plans import chsql
+
+    df = spark.createDataFrame(
+        [(date(2024, 1, 1), 5.0, "a"), (date(2024, 1, 4), 7.0, "b")],
+        "d date, v double, s string",
+    )
+    rows = chsql.run_sql(
+        spark,
+        "SELECT d, sum(v) AS total, argMax(s, v) AS tops FROM t "
+        "GROUP BY d ORDER BY d WITH FILL STEP INTERVAL 1 DAY",
+        {"t": df},
+    ).collect()
+    assert [r.d.day for r in rows] == [1, 2, 3, 4]
+    assert [r.total for r in rows] == [5.0, 0.0, 0.0, 7.0]  # type default
+    assert [r.tops for r in rows] == ["a", "", "", "b"]
+    # INTERPOLATE carries the last value; numeric axis; LIMIT after fill
+    df2 = spark.createDataFrame([(1, 10.0), (4, 40.0)], "i long, v double")
+    rows = chsql.run_sql(
+        spark,
+        "SELECT i, sum(v) AS total FROM t GROUP BY i "
+        "ORDER BY i WITH FILL INTERPOLATE (total) LIMIT 3",
+        {"t": df2},
+    ).collect()
+    assert [(r.i, r.total) for r in rows] == [(1, 10.0), (2, 10.0), (3, 10.0)]
+    with pytest.raises(ValueError, match="WITH TOTALS"):
+        chsql.run_sql(
+            spark,
+            "SELECT i, sum(v) AS total FROM t GROUP BY i WITH TOTALS "
+            "ORDER BY i WITH FILL",
+            {"t": df2},
+        )

@@ -54,6 +54,13 @@ vocabulary):
 - ``LIMIT [off,] n BY keys [LIMIT ...]``: per-key-group rank limit in
   the query's ORDER BY order (requires ORDER BY -- CH's block order
   is not reproducible), applied before the trailing global LIMIT.
+- ``ORDER BY axis WITH FILL [STEP s] [INTERPOLATE (cols)]``: the
+  aggregated axis densified via operators/series.fill_series -- one
+  sort column, non-axis columns filled with their TYPE DEFAULTS
+  (0 / '' / false, the CH rule) or carried forward when listed in
+  INTERPOLATE; STEP takes ``N`` or ``INTERVAL N unit``; the global
+  LIMIT applies after the fill (CH order of operations).  FROM/TO
+  bounds and ``INTERPOLATE (col AS expr)`` stay operator-API-only.
 - clock functions ``now()`` / ``today()`` / ``yesterday()`` (query-
   constant in both engines).
 - string/regex family: ``match`` / ``extract`` (capture-group rule
@@ -841,6 +848,49 @@ def _compile_single(
         )
         frm, where = f"FROM ({inner})", None
 
+    # CH `ORDER BY axis WITH FILL [STEP s] [INTERPOLATE (cols)]`:
+    # densify the aggregated axis via operators/series.fill_series.
+    # Dialect scope: ONE sort column when FILL is present; non-axis
+    # columns fill with their TYPE DEFAULTS (0 / '' / false), the CH
+    # rule; INTERPOLATE columns carry the last seen value instead.
+    # FROM/TO bounds are not supported (use the operator API).
+    fill_spec = None
+    if order and re.search(r"\bWITH\s+FILL\b", order, re.I):
+        if with_totals:
+            raise ValueError("chsql: WITH FILL cannot combine with WITH TOTALS")
+        body = re.sub(r"^ORDER\s+BY\s+", "", order, flags=re.I)
+        if len(_split_top(body)) != 1:
+            raise ValueError("chsql: WITH FILL supports a single sort column")
+        fm = re.match(
+            r"^\s*(\S+)\s*(ASC|DESC)?\s*WITH\s+FILL"
+            r"(?:\s+STEP\s+(INTERVAL\s+\d+\s+\w+|\d+))?"
+            r"(?:\s+INTERPOLATE\s*\(([^)]*)\))?\s*$",
+            body, re.I,
+        )
+        if not fm:
+            raise ValueError(
+                f"chsql: unsupported WITH FILL spelling {body!r} "
+                "(FROM/TO bounds live in the operator API)"
+            )
+        axis = fm.group(1).strip("`")
+        desc = bool(fm.group(2)) and fm.group(2).upper() == "DESC"
+        step_txt = fm.group(3)
+        interp = [
+            c.strip().strip("`") for c in (fm.group(4) or "").split(",") if c.strip()
+        ]
+        if any(re.search(r"\sAS\s", c, re.I) for c in interp):
+            raise ValueError(
+                "chsql: INTERPOLATE (col AS expr) is not supported; "
+                "carry-forward only"
+            )
+        if step_txt:
+            im = re.match(r"INTERVAL\s+(\d+)\s+(\w+)", step_txt, re.I)
+            step = f"{im.group(1)} {im.group(2).lower()}" if im else step_txt
+        else:
+            step = None  # decided from the axis dtype below
+        fill_spec = (axis, desc, step, interp)
+        order = None
+
     # CH `LIMIT [off,] n BY keys [LIMIT ...]`: first n rows (after
     # off) of each key group in the query's ORDER BY order, applied
     # BEFORE the trailing global LIMIT (operators/series.limit_by
@@ -885,9 +935,44 @@ def _compile_single(
         return spark.sql(assemble([f"SELECT * FROM {view}", order, limit]))
 
     main = assemble(
-        ["SELECT", select_txt, frm, where, group, having, order, limit]
+        ["SELECT", select_txt, frm, where, group, having, order,
+         None if fill_spec else limit]
     )
     detail = _sql(main)
+
+    if fill_spec:
+        from ..operators.series import fill_series
+
+        axis, desc, step, interp = fill_spec
+        dtypes = {f.name: f.dataType for f in detail.schema.fields}
+        if axis not in dtypes:
+            raise ValueError(f"chsql: WITH FILL axis {axis!r} not in the output")
+        if step is None:
+            step = (
+                "1 day"
+                if isinstance(dtypes[axis], (T.DateType, T.TimestampType))
+                else "1"
+            )
+        fills: dict[str, object] = {}
+        for f in detail.schema.fields:
+            if f.name == axis or f.name in interp:
+                continue
+            if isinstance(f.dataType, T.NumericType):
+                fills[f.name] = 0
+            elif isinstance(f.dataType, T.StringType):
+                fills[f.name] = ""
+            elif isinstance(f.dataType, T.BooleanType):
+                fills[f.name] = False
+        filled = fill_series(detail, axis, step=step, fill=fills, interpolate=interp)
+        filled = filled.orderBy(F.col(axis).desc() if desc else F.col(axis))
+        if limit:
+            lm2 = re.match(r"LIMIT\s+(\d+)(?:\s+OFFSET\s+(\d+))?\s*$", limit, re.I)
+            if lm2:
+                n2, off2 = int(lm2.group(1)), int(lm2.group(2) or 0)
+                if off2:
+                    filled = filled.offset(off2)
+                filled = filled.limit(n2)
+        return filled
     if not with_totals:
         return detail
 
