@@ -714,15 +714,19 @@ def test_chsql_split_top_round_trips_balanced_parts(parts):
     from yc_data_transfer_clickhouse_from_yandex_metrica_spark.plans import chsql
 
     def balanced(p):
+        # the model must mask string literals exactly like _split_top
+        # does: a paren INSIDE '...' is text, not structure (hypothesis
+        # found ["(')'"] -- balanced by raw count, unbalanced masked)
+        masked = chsql._mask(p)
         depth = 0
-        for c in p:
+        for c in masked:
             if c == "(":
                 depth += 1
             elif c == ")":
                 depth -= 1
                 if depth < 0:
                     return False
-        return depth == 0 and p.count("'") % 2 == 0
+        return depth == 0 and masked.count("'") % 2 == 0
 
     parts = [p for p in parts if balanced(p)]
     if not parts:
