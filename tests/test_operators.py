@@ -4083,3 +4083,22 @@ def test_chsql_with_fill(spark):
             "ORDER BY i WITH FILL",
             {"t": df2},
         )
+
+
+def test_chsql_join_modifiers(spark):
+    from yc_data_transfer_clickhouse_from_yandex_metrica_spark.plans import chsql
+
+    a = spark.createDataFrame([(1, 5)], "id long, v long")
+    b = spark.createDataFrame([(1, 9)], "id long, w long")
+    rows = chsql.run_sql(
+        spark,
+        "SELECT a.id AS id, b.w AS w FROM a GLOBAL JOIN b ON a.id = b.id",
+        {"a": a, "b": b},
+    ).collect()
+    assert [(r.id, r.w) for r in rows] == [(1, 9)]
+    for bad in ("ANY LEFT JOIN", "ASOF JOIN"):
+        with pytest.raises(ValueError, match="row multiplicity"):
+            chsql.run_sql(
+                spark, f"SELECT a.id FROM a {bad} b ON a.id = b.id",
+                {"a": a, "b": b},
+            )

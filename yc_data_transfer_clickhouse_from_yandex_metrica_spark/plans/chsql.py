@@ -80,7 +80,10 @@ vocabulary):
   is substituted textually as ``(expr)`` throughout the query.
 - plain ANSI the compiler does NOT touch passes through to Spark SQL:
   JOINs in FROM, subqueries, CASE, IN lists -- with the CH function
-  vocabulary rewritten wherever it appears.
+  vocabulary rewritten wherever it appears.  ``GLOBAL JOIN`` drops its
+  modifier (a CH-cluster distribution hint; Spark/AQE picks the
+  strategy); ``ANY``/``ASOF`` JOIN change row multiplicity and raise
+  with a pointer to the dedicated operators.
 - the CH JSON family (``JSONExtractString/Int/Float/Bool/Raw/Keys``,
   ``JSONHas``, ``JSONLength``, ``JSONType``, ``visitParam*``) with
   literal path components, compiled to the same variant-shredding
@@ -668,6 +671,22 @@ def run_sql(
     # CH WITH prefix: scalar aliases substituted textually (the CH
     # `WITH expr AS name` form), subquery CTEs carried as a Spark
     # WITH prefix into every compiled statement
+    # CH JOIN modifiers: GLOBAL is a pure distribution hint on a CH
+    # cluster (Spark/AQE picks the strategy itself) -- stripped; ANY
+    # (at-most-one match) and ASOF (nearest-key) CHANGE semantics and
+    # have dedicated operators -- refuse rather than silently join-all
+    masked = _mask(sql)
+    for bad, hint in (
+        ("ANY", "dedupe the build side or use argMax per key"),
+        ("ASOF", "operators/rangejoin.asof_join is the engine's form"),
+    ):
+        if re.search(rf"\b{bad}\s+(LEFT\s+|RIGHT\s+|INNER\s+)?JOIN\b", masked, re.I):
+            raise ValueError(
+                f"chsql: CH {bad} JOIN changes row multiplicity and is not "
+                f"mapped; {hint}"
+            )
+    sql = re.sub(r"\bGLOBAL\s+(?=(LEFT|RIGHT|INNER|FULL|CROSS|JOIN)\b)", "", sql, flags=re.I)
+
     cte_prefix, sql = _extract_with(sql)
 
     # CH binds LIMIT (and ORDER BY) to EACH branch of a top-level
