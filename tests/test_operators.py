@@ -4102,3 +4102,21 @@ def test_chsql_join_modifiers(spark):
                 spark, f"SELECT a.id FROM a {bad} b ON a.id = b.id",
                 {"a": a, "b": b},
             )
+
+
+def test_chsql_numbers_and_uniq_family(spark):
+    from yc_data_transfer_clickhouse_from_yandex_metrica_spark.plans import chsql
+
+    rows = chsql.run_sql(
+        spark,
+        "SELECT number, number * 2 AS dbl FROM numbers(5) ORDER BY number",
+        {},
+    ).collect()
+    assert [(r.number, r.dbl) for r in rows] == [(i, 2 * i) for i in range(5)]
+    df = spark.createDataFrame([(i % 7,) for i in range(100)], "k long")
+    r = chsql.run_sql(
+        spark,
+        "SELECT uniq(k) AS u, uniqHLL12(k) AS h, uniqCombined(k) AS c FROM t",
+        {"t": df},
+    ).collect()[0]
+    assert r.u == r.h == r.c == 7  # tiny cardinality: sketches exact

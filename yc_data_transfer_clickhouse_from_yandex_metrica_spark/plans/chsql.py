@@ -62,7 +62,11 @@ vocabulary):
   LIMIT applies after the fill (CH order of operations).  FROM/TO
   bounds and ``INTERPOLATE (col AS expr)`` stay operator-API-only.
 - clock functions ``now()`` / ``today()`` / ``yesterday()`` (query-
-  constant in both engines).
+  constant in both engines); ``numbers(N)`` -> Spark ``range`` with
+  CH's ``number`` column; the approximate ``uniq`` /
+  ``uniqHLL12`` / ``uniqCombined`` family at the same rsd classes as
+  functions/ch.py (sketch outputs are engine-specific: unit-gated,
+  never oracle-hashed).
 - string/regex family: ``match`` / ``extract`` (capture-group rule
   decided from the literal pattern) / ``countMatches`` /
   ``startsWith`` / ``endsWith`` / ``leftPad`` / ``rightPad`` /
@@ -299,6 +303,15 @@ _CALL_REWRITES: dict[str, object] = {
     ),
     "trimBoth": lambda a: f"trim({a[0]})",
     "lengthUTF8": lambda a: f"length({a[0]})",  # Spark length is char-based
+    # approximate distinct family (same rsd classes as functions/ch.py;
+    # sketch OUTPUTS are engine-specific -- unit-gated, never
+    # hash-compared against an oracle)
+    "uniq": lambda a: f"approx_count_distinct({', '.join(a)}, 0.05)",
+    "uniqHLL12": lambda a: f"approx_count_distinct({a[0]}, 0.016)",
+    "uniqCombined": lambda a: f"approx_count_distinct({a[0]}, 0.005)",
+    # numbers(N): CH's system-numbers table function -> Spark range()
+    # (column renamed to CH's `number`)
+    "numbers": lambda a: f"(SELECT id AS number FROM range({a[0]}))",
     "extract": lambda a: _extract_sql(a),
 }
 
