@@ -1829,6 +1829,18 @@ def q_string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.length(ch.replace_all("text", "the", "THE*")).alias(
             "replaced_len"
         ),
+        # round-7 widening: match/extract/countMatches/startsWith/
+        # endsWith/leftPad/trimBoth (still scalar map-side only)
+        ch.match("text", "sca[nl]").alias("m_scan"),
+        ch.extract("text", "(s[a-z]+k)").alias("x_g1"),
+        ch.extract("text", "jo[a-z]+").alias("x_g0"),
+        ch.count_matches("text", "the").alias("n_the"),
+        ch.starts_with("text", "the ").alias("sw_the"),
+        ch.ends_with("text", "dup").alias("ew_dup"),
+        F.length(ch.left_pad("text", 150, ".")).alias("lp_len"),
+        F.length(ch.trim_both(F.concat(F.lit("  "), "text", F.lit(" ")))).alias(
+            "trim_len"
+        ),
     )
 
 
@@ -1839,7 +1851,15 @@ SELECT doc_id,
   CAST(strpos(text, 'e') AS INT) AS pos_e,
   CAST(length(regexp_replace(text, '[aeiou]', '', 'g')) AS INT)
     AS devoweled_len,
-  CAST(length(replace(text, 'the', 'THE*')) AS INT) AS replaced_len
+  CAST(length(replace(text, 'the', 'THE*')) AS INT) AS replaced_len,
+  CAST(CASE WHEN regexp_matches(text, 'sca[nl]') THEN 1 ELSE 0 END AS INT) AS m_scan,
+  coalesce(regexp_extract(text, '(s[a-z]+k)', 1), '') AS x_g1,
+  coalesce(regexp_extract(text, 'jo[a-z]+', 0), '') AS x_g0,
+  CAST(len(regexp_extract_all(text, 'the')) AS BIGINT) AS n_the,
+  CAST(CASE WHEN starts_with(text, 'the ') THEN 1 ELSE 0 END AS INT) AS sw_the,
+  CAST(CASE WHEN ends_with(text, 'dup') THEN 1 ELSE 0 END AS INT) AS ew_dup,
+  CAST(length(lpad(text, 150, '.')) AS INT) AS lp_len,
+  CAST(length(trim('  ' || text || ' ')) AS INT) AS trim_len
 FROM documents
 """
 
@@ -4193,6 +4213,9 @@ ROTATION_FORCE_FRONT = frozenset(
         "dedup_ngram_jaccard",
         # round 7: widened with port()/fragment()/cutFragment()
         "url_funcs",
+        # round 7 (late): widened with the match/extract/countMatches/
+        # startsWith/endsWith/pad/trim family
+        "string_funcs",
         # round 7: widened with the topKWeighted branch
         "heavy_hitters_custkey",
         # round 7: tokens()/bpe null-text fix in text.py
