@@ -4120,3 +4120,17 @@ def test_chsql_numbers_and_uniq_family(spark):
         {"t": df},
     ).collect()[0]
     assert r.u == r.h == r.c == 7  # tiny cardinality: sketches exact
+
+
+def test_chsql_literal_safety_of_with_and_global(spark):
+    """Scalar WITH substitution and the GLOBAL-JOIN strip must never
+    rewrite text inside string literals."""
+    from yc_data_transfer_clickhouse_from_yandex_metrica_spark.plans import chsql
+
+    df = spark.createDataFrame([(7,)], "v long")
+    r = chsql.run_sql(
+        spark,
+        "WITH 5 AS k SELECT v + k AS s, 'k GLOBAL JOIN k' AS lit FROM t",
+        {"t": df},
+    ).collect()[0]
+    assert (r.s, r.lit) == (12, "k GLOBAL JOIN k")

@@ -209,6 +209,20 @@ def _collapse_ws(sql: str) -> str:
     return "".join(out).strip()
 
 
+def _sub_outside_literals(pattern: str, repl: str, sql: str) -> str:
+    """re.sub that never fires inside '...' string literals: match
+    positions come from the masked text, replacements slice the
+    original (mask is position-preserving)."""
+    masked = _mask(sql)
+    out, last = [], 0
+    for m in re.finditer(pattern, masked, re.I):
+        out.append(sql[last : m.start()])
+        out.append(repl)
+        last = m.end()
+    out.append(sql[last:])
+    return "".join(out)
+
+
 def _replace_name(sql: str, name: str, repl: str) -> str:
     """Replace a table name: word-boundary-anchored when the name is a
     plain identifier (a table named ``t`` must not rewrite the ``t``
@@ -698,7 +712,9 @@ def run_sql(
                 f"chsql: CH {bad} JOIN changes row multiplicity and is not "
                 f"mapped; {hint}"
             )
-    sql = re.sub(r"\bGLOBAL\s+(?=(LEFT|RIGHT|INNER|FULL|CROSS|JOIN)\b)", "", sql, flags=re.I)
+    sql = _sub_outside_literals(
+        r"\bGLOBAL\s+(?=(LEFT|RIGHT|INNER|FULL|CROSS|JOIN)\b)", "", sql
+    )
 
     cte_prefix, sql = _extract_with(sql)
 
@@ -744,7 +760,11 @@ def _extract_with(sql: str) -> tuple[str, str]:
         raise ValueError(f"chsql: unsupported WITH item {it!r}")
     rest = sql[sel.start() :]
     for name, expr in scalars:
-        rest = _replace_name(rest, name, f"({expr})")
+        # literal-safe: a scalar alias named inside a '...' string
+        # must stay text
+        rest = _sub_outside_literals(
+            rf"(?<![\w`]){re.escape(name)}(?![\w`])", f"({expr})", rest
+        )
     return ("WITH " + ", ".join(ctes)) if ctes else "", rest
 
 
