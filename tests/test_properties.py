@@ -875,3 +875,87 @@ def test_shard_assign_matches_python_model(spark, ids, n_shards):
         for r in corpus.shard_assign(sdf, n_shards=n_shards, seed="7").collect()
     }
     assert got == want
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(docs_strategy)
+def test_bigram_lm_matches_python_model(spark, texts):
+    """bigram_lm_score == a sequential model of the pinned add-one
+    LM (P = (C2+1)/(C1+|V|), instance-weighted mean -ln P, 6dp
+    floor-round; docs with <2 tokens absent)."""
+    import math
+    from collections import Counter
+
+    from yc_data_transfer_clickhouse_from_yandex_metrica_spark.operators import corpus
+
+    docs = [(i, t) for i, t in enumerate(texts)]
+    toks = {i: _model_tokens(t) for i, t in docs}
+    vocab = {w for ts in toks.values() for w in ts}
+    c2: Counter = Counter()
+    for ts in toks.values():
+        c2.update(zip(ts, ts[1:]))
+    c1: Counter = Counter()
+    for (w1, _), n in c2.items():
+        c1[w1] += n
+    want = {}
+    for i, ts in toks.items():
+        bigs = list(zip(ts, ts[1:]))
+        if not bigs:
+            continue
+        nll = [
+            math.log((c1[w1] + len(vocab)) / (c2[(w1, w2)] + 1.0))
+            for w1, w2 in bigs
+        ]
+        want[i] = (
+            len(bigs),
+            math.floor(sum(nll) / len(nll) * 1e6 + 0.5) / 1e6,
+        )
+    sdf = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        r.doc_id: (r.n_bigrams, r.xent)
+        for r in corpus.bigram_lm_score(sdf).collect()
+    }
+    assert got == want
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 30), st.sampled_from("pqr"), st.integers(0, 9)),
+        min_size=1, max_size=25, unique_by=lambda t: t[0],
+    ),
+    st.integers(min_value=1, max_value=4),
+)
+def test_domain_quota_matches_python_model(spark, rows, cap):
+    """domain_quota == per-domain sort by (score desc, id asc) cut at
+    cap, for arbitrary score ties and domain histograms."""
+    from pyspark.sql import functions as F
+
+    from yc_data_transfer_clickhouse_from_yandex_metrica_spark.operators import corpus
+
+    by_dom: dict[str, list] = {}
+    for i, d, q in rows:
+        by_dom.setdefault(d, []).append((i, float(q)))
+    want = set()
+    for d, items in by_dom.items():
+        for rnk, (i, q) in enumerate(
+            sorted(items, key=lambda t: (-t[1], t[0]))[:cap], 1
+        ):
+            want.add((i, d, q, rnk))
+    sdf = spark.createDataFrame(
+        [(i, d, float(q)) for i, d, q in rows],
+        "doc_id long, source string, q double",
+    )
+    got = {
+        (r.doc_id, r.source, r.score, r.rnk)
+        for r in corpus.domain_quota(sdf, "source", F.col("q"), cap=cap).collect()
+    }
+    assert got == want
