@@ -91,6 +91,7 @@ HEADLINE = [
     "url_funcs",
     "json_funcs",
     "chsql_word_count",
+    "chsql_daily_fill",
     "tfidf_top_terms",
     "bigram_lm_score",
     "shard_assign",

@@ -3870,6 +3870,30 @@ ORDER BY n DESC, w LIMIT 50
 
 
 # =========================================================================
+# 31b. chsql_daily_fill -- the WITH FILL clause run VERBATIM through
+#      the dialect (compiled onto operators/series.fill_series) and
+#      hash-matched against the same generate_series oracle as the
+#      DataFrame twin (orders_daily_fill).
+# =========================================================================
+_CHSQL_DAILY_FILL_SQL = """
+SELECT toDate(o_orderdate) AS d, count(1) AS n
+FROM orders
+WHERE o_orderpriority = '1-URGENT' AND o_orderstatus = 'F'
+GROUP BY d
+ORDER BY d WITH FILL STEP INTERVAL 1 DAY
+"""
+
+
+def q_chsql_daily_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..plans import chsql
+
+    _prep(spark)
+    return chsql.run_sql(
+        spark, _CHSQL_DAILY_FILL_SQL, {"orders": t(spark, sf_dir, "orders")}
+    )
+
+
+# =========================================================================
 # 32. corpus curation operators (operators/corpus.py): TF-IDF salient
 #     terms, self-trained bigram-LM cross-entropy (the CCNet
 #     perplexity-filter shape), deterministic shard assignment,
@@ -4168,6 +4192,11 @@ QUERIES: dict[str, QuerySpec] = {
         q_chsql_word_count,
         _ORACLE_CHSQL_WORD_COUNT,
         "F-ext + chsql: arrayJoin row expansion (hoisted explode) + UInt8 WHERE truthiness",
+    ),
+    "chsql_daily_fill": QuerySpec(
+        q_chsql_daily_fill,
+        _ORACLE_DAILY_FILL,
+        "O-ext + chsql: ORDER BY ... WITH FILL verbatim (compiled onto series.fill_series)",
     ),
     "tfidf_top_terms": QuerySpec(q_tfidf_top_terms, _ORACLE_TFIDF, "training-data: TF-IDF salient terms per doc (smooth idf)"),
     "bigram_lm_score": QuerySpec(q_bigram_lm_score, _ORACLE_BIGRAM_LM, "training-data: self-trained bigram-LM cross-entropy (CCNet-shape quality signal)"),
