@@ -92,6 +92,7 @@ HEADLINE = [
     "json_funcs",
     "chsql_word_count",
     "chsql_daily_fill",
+    "chsql_fill_interpolate",
     "tfidf_top_terms",
     "bigram_lm_score",
     "shard_assign",

@@ -3893,6 +3893,28 @@ def q_chsql_daily_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_CHSQL_FILL_INTERP_SQL = """
+SELECT toDate(o_orderdate) AS d, count(1) AS n,
+       toInt64(floor(avg(o_totalprice) * 100 + 0.5)) AS avg_cents
+FROM orders
+WHERE o_orderpriority = '1-URGENT' AND o_orderstatus = 'F'
+GROUP BY d
+ORDER BY d WITH FILL STEP INTERVAL 1 DAY INTERPOLATE (avg_cents)
+"""
+
+
+def q_chsql_fill_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The INTERPOLATE branch of the dialect's WITH FILL, proven
+    against the same last_value-IGNORE-NULLS oracle as the DataFrame
+    twin (fill_interpolate)."""
+    from ..plans import chsql
+
+    _prep(spark)
+    return chsql.run_sql(
+        spark, _CHSQL_FILL_INTERP_SQL, {"orders": t(spark, sf_dir, "orders")}
+    )
+
+
 # =========================================================================
 # 32. corpus curation operators (operators/corpus.py): TF-IDF salient
 #     terms, self-trained bigram-LM cross-entropy (the CCNet
@@ -4197,6 +4219,11 @@ QUERIES: dict[str, QuerySpec] = {
         q_chsql_daily_fill,
         _ORACLE_DAILY_FILL,
         "O-ext + chsql: ORDER BY ... WITH FILL verbatim (compiled onto series.fill_series)",
+    ),
+    "chsql_fill_interpolate": QuerySpec(
+        q_chsql_fill_interpolate,
+        _ORACLE_FILL_INTERPOLATE,
+        "O-ext + chsql: WITH FILL ... INTERPOLATE verbatim (carry-forward branch)",
     ),
     "tfidf_top_terms": QuerySpec(q_tfidf_top_terms, _ORACLE_TFIDF, "training-data: TF-IDF salient terms per doc (smooth idf)"),
     "bigram_lm_score": QuerySpec(q_bigram_lm_score, _ORACLE_BIGRAM_LM, "training-data: self-trained bigram-LM cross-entropy (CCNet-shape quality signal)"),
