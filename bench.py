@@ -93,6 +93,7 @@ HEADLINE = [
     "chsql_word_count",
     "chsql_daily_fill",
     "chsql_fill_interpolate",
+    "chsql_limit_by",
     "tfidf_top_terms",
     "bigram_lm_score",
     "shard_assign",

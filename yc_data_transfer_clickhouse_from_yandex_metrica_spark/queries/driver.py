@@ -3915,6 +3915,27 @@ def q_chsql_fill_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_CHSQL_LIMIT_BY_SQL = """
+SELECT o_orderpriority, toDate(o_orderdate) AS d, o_orderkey
+FROM orders
+WHERE o_orderstatus = 'F'
+ORDER BY o_orderpriority, d, o_orderkey
+LIMIT 2 BY o_orderpriority
+"""
+
+
+def q_chsql_limit_by(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CH's LIMIT n BY key clause run verbatim through the dialect
+    (compiled to the rank window that orders_limit_by's operator
+    uses, WindowGroupLimit-pruned), same oracle."""
+    from ..plans import chsql
+
+    _prep(spark)
+    return chsql.run_sql(
+        spark, _CHSQL_LIMIT_BY_SQL, {"orders": t(spark, sf_dir, "orders")}
+    )
+
+
 # =========================================================================
 # 32. corpus curation operators (operators/corpus.py): TF-IDF salient
 #     terms, self-trained bigram-LM cross-entropy (the CCNet
@@ -4224,6 +4245,11 @@ QUERIES: dict[str, QuerySpec] = {
         q_chsql_fill_interpolate,
         _ORACLE_FILL_INTERPOLATE,
         "O-ext + chsql: WITH FILL ... INTERPOLATE verbatim (carry-forward branch)",
+    ),
+    "chsql_limit_by": QuerySpec(
+        q_chsql_limit_by,
+        _ORACLE_LIMIT_BY,
+        "O-ext + chsql: LIMIT n BY key verbatim (WindowGroupLimit rank window)",
     ),
     "tfidf_top_terms": QuerySpec(q_tfidf_top_terms, _ORACLE_TFIDF, "training-data: TF-IDF salient terms per doc (smooth idf)"),
     "bigram_lm_score": QuerySpec(q_bigram_lm_score, _ORACLE_BIGRAM_LM, "training-data: self-trained bigram-LM cross-entropy (CCNet-shape quality signal)"),
