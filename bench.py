@@ -10,6 +10,15 @@ driver keeps only a bounded tail of stdout, and r6's full line was
 truncated past parseability -- medians are the comparable numbers,
 the raw runs are diagnostics.
 
+The FULL result (medians + per-run arrays) is also written to
+``BENCH_LOCAL_r{N}.json`` at the repo root (N = newest BENCH_r*.json
+round + 1, i.e. the round this run belongs to), committed at the next
+round start alongside the driver artifacts: every pre-r7 BENCH_r*.json
+lost most per-query data to stdout-tail truncation, so round-over-
+round comparison needs a self-contained on-disk artifact (round-7
+verdict #5).  Override the path with $SPARK_GRAFT_BENCH_OUT; set it
+empty to skip the file.
+
 Execution is forced through the noop sink so timings measure engine
 compute (scan -> shuffle -> agg/join), not driver-side row
 serialization.  Per-query time includes plan + execute.
@@ -212,19 +221,32 @@ def main() -> None:
         sf_val: float | str = float(sf)
     except ValueError:
         sf_val = sf
+    result = {
+        "metric": "headline_queries_total_wall_sec",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "runs": RUNS,
+        "sf": sf_val,
+    }
+    out_path = os.environ.get("SPARK_GRAFT_BENCH_OUT")
+    if out_path is None:
+        import glob
+        import re as _re
+
+        here = os.path.dirname(os.path.abspath(__file__))
+        rounds = [
+            int(m.group(1))
+            for p in glob.glob(os.path.join(here, "BENCH_r*.json"))
+            if (m := _re.search(r"BENCH_r(\d+)\.json$", p))
+        ]
+        nxt = (max(rounds) + 1) if rounds else 1
+        out_path = os.path.join(here, f"BENCH_LOCAL_r{nxt:02d}.json")
+    if out_path:
+        with open(out_path, "w") as fh:
+            json.dump({**result, "queries_runs": runs}, fh, indent=1, sort_keys=True)
     print(json.dumps({"queries_runs": runs}), file=sys.stderr)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total_wall_sec",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "runs": RUNS,
-                "sf": sf_val,
-            }
-        )
-    )
+    print(json.dumps(result))
 
 
 if __name__ == "__main__":

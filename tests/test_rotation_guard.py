@@ -36,6 +36,8 @@ whose REACHED defs changed re-verify.
 from __future__ import annotations
 
 import ast
+import json
+import re
 import subprocess
 from functools import lru_cache
 from pathlib import Path
@@ -63,6 +65,42 @@ def _artifact_commit(rnd: int) -> str | None:
         f"CORRECTNESS_r{rnd:02d}.json",
     ).split()
     return out[0] if out else None
+
+
+def _newest_artifact_round() -> int | None:
+    """Highest round number among CORRECTNESS_r*.json files ON DISK
+    (committed or not)."""
+    rounds = [
+        int(m.group(1))
+        for p in REPO.glob("CORRECTNESS_r*.json")
+        if (m := re.search(r"CORRECTNESS_r(\d+)\.json$", p.name))
+    ]
+    return max(rounds) if rounds else None
+
+
+def _green_commit(rnd: int) -> str | None:
+    """Commit whose worktree the driver verified for round ``rnd``.
+
+    Normally the commit that added the round's CORRECTNESS artifact.
+    Artifact-lifecycle race (round-7 verdict #1): the driver writes
+    CORRECTNESS_r{N}.json AFTER the builder's final commit of round N,
+    so at judge time the NEWEST artifact sits untracked in the
+    worktree with no adding commit.  The driver verified exactly the
+    worktree at that moment — which the driver guarantees equals HEAD
+    (it commits any uncommitted work before running verify) — so the
+    sound fallback is to prove the entry's closure identical between
+    HEAD and the current worktree.  Only the newest on-disk round may
+    use the fallback: an uncommitted OLDER artifact would leave HEAD
+    unrelated to the code that round verified."""
+    commit = _artifact_commit(rnd)
+    if commit is not None:
+        return commit
+    if (
+        rnd == _newest_artifact_round()
+        and (REPO / f"CORRECTNESS_r{rnd:02d}.json").is_file()
+    ):
+        return "HEAD"
+    return None
 
 
 @lru_cache(maxsize=None)
@@ -480,7 +518,7 @@ def test_force_front_entries_are_inside_window():
     assert not unknown, f"ROTATION_FORCE_FRONT names not in registry: {sorted(unknown)}"
 
 
-def test_stale_tail_is_provably_unchanged():
+def _stale_tail_problems() -> list[str]:
     order, window, tail = _order()
     last = driver._last_green_rounds()
     now = _index_at(None)
@@ -490,7 +528,7 @@ def test_stale_tail_is_provably_unchanged():
         if rnd is None:
             problems.append(f"{name}: never verified yet outside window")
             continue
-        commit = _artifact_commit(rnd)
+        commit = _green_commit(rnd)
         if commit is None:
             problems.append(
                 f"{name}: last green r{rnd} but no committed CORRECTNESS_r{rnd:02d}.json"
@@ -515,11 +553,62 @@ def test_stale_tail_is_provably_unchanged():
                 problems.append(f"{name}: oracle binding changed since r{rnd}")
             elif ovar and old.fingerprint(ovar) != now.fingerprint(ovar):
                 problems.append(f"{name}: oracle SQL changed since r{rnd}")
+    return problems
+
+
+def test_stale_tail_is_provably_unchanged():
+    problems = _stale_tail_problems()
     assert not problems, (
         "stale-tail entries changed since their last green round — add "
         "them to ROTATION_FORCE_FRONT in queries/driver.py:\n  "
         + "\n  ".join(problems)
     )
+
+
+def test_uncommitted_latest_artifact_uses_worktree_fallback():
+    """Simulate the judge-time state the round-7 verdict flagged: the
+    driver has just written the newest CORRECTNESS artifact and it is
+    NOT yet committed.  The guard must fall back to HEAD-vs-worktree
+    closure comparison for entries whose last green is that round —
+    never emit 'no committed CORRECTNESS' errors for it."""
+    rnd = 99
+    art = REPO / f"CORRECTNESS_r{rnd:02d}.json"
+    assert not art.exists(), "simulation round collides with a real artifact"
+    rows = {
+        name: {
+            "rows_match": True, "schema_match": True, "hash_match": True,
+            "spark_rows": 1, "oracle_rows": 1, "err": None,
+        }
+        for name in driver.QUERIES
+    }
+    art.write_text(json.dumps(rows))
+    try:
+        _artifact_commit.cache_clear()
+        _changed_since.cache_clear()
+        assert _artifact_commit(rnd) is None  # truly uncommitted
+        assert _green_commit(rnd) == "HEAD"  # fallback engages
+        problems = _stale_tail_problems()
+        # the artifact-lifecycle failure class must be gone entirely;
+        # genuine dep-level problems (uncommitted pkg edits during
+        # development) are the same ones the committed-artifact path
+        # reports and are allowed to surface here identically.
+        lifecycle = [p for p in problems if "no committed CORRECTNESS" in p]
+        assert not lifecycle, lifecycle
+    finally:
+        art.unlink()
+        _artifact_commit.cache_clear()
+        _changed_since.cache_clear()
+
+
+def test_uncommitted_older_artifact_does_not_use_fallback():
+    """Only the NEWEST on-disk round may use the HEAD-vs-worktree
+    fallback: HEAD is unrelated to what an older round verified."""
+    newest = _newest_artifact_round()
+    assert newest is not None
+    for rnd in range(1, newest):
+        if _artifact_commit(rnd) is None:
+            # hypothetical uncommitted older artifact: no fallback
+            assert _green_commit(rnd) is None
 
 
 def test_dependency_discovery_is_not_vacuous():

@@ -806,18 +806,82 @@ QUALIFY rank <= 10
 """
 
 
+def _ivf_pinned_centroids(nlist: int = 8, dim: int = 64) -> list[list[float]]:
+    """Fixed deterministic centroids for the oracle-checked IVF entry.
+
+    Values come from a closed-form integer-hash sequence (no RNG
+    library), rounded to 4 decimals.  BOTH the Spark builder and the
+    DuckDB oracle consume these exact literals, which makes the whole
+    IVF computation closed-form: argmax-cosine assignment, top-nprobe
+    probe, and cosine rank are all deterministic functions of the data
+    plus this list — exactly SQL-expressible (round-7 verdict #3).
+    The TRAINING path (bounded-sample spherical k-means) is covered by
+    ann_ivf_exhaustive, whose nprobe==nlist result must equal brute."""
+    return [
+        [
+            round(((i * 1315423911 + j * 2654435761 + 12345) % 20011) / 10005.5 - 1.0, 4)
+            for j in range(dim)
+        ]
+        for i in range(nlist)
+    ]
+
+
+_IVF_CENTROIDS = _ivf_pinned_centroids()
+_IVF_CENT_ROWS = ",\n".join(
+    "({}, [{}])".format(i, ",".join(repr(x) for x in row))
+    for i, row in enumerate(_IVF_CENTROIDS)
+)
+
+
 def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF ANN (approximate by construction -> rows-only check; exact
-    baseline is ann_brute_topk)."""
+    """IVF ANN over PINNED literal centroids (nprobe=4 of 8 lists):
+    deterministic and closed-form, so it carries an exact DuckDB
+    oracle — assignment, probing, and ranking replayed as list
+    arithmetic over the same centroid literals."""
     _prep(spark)
     emb = t(spark, sf_dir, "embeddings")
     queries_df = emb.where(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
     return similarity.ivf_topk(
-        emb, queries_df, k=10, nlist=16, nprobe=4,
+        emb, queries_df, k=10, nprobe=4,
         id_col="vec_id", vec_col="embedding",
+        centroids=_IVF_CENTROIDS,
     )
+
+
+_ORACLE_ANN_IVF = f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
+cn AS (
+  SELECT cid, CAST(cv AS DOUBLE[]) AS cv,
+         sqrt(list_dot_product(CAST(cv AS DOUBLE[]), CAST(cv AS DOUBLE[]))) AS cnrm
+  FROM (VALUES {_IVF_CENT_ROWS}) t(cid, cv)
+),
+assign AS (
+  SELECT vec_id, v, nrm, cid,
+         row_number() OVER (PARTITION BY vec_id ORDER BY
+           list_dot_product(v, cv) / nullif(nrm * cnrm, 0.0) DESC, cid ASC) AS r
+  FROM n, cn QUALIFY r = 1
+),
+q AS (SELECT vec_id AS query_id, v AS qv, nrm AS qnrm FROM n WHERE vec_id < 5),
+probe AS (
+  SELECT query_id, qv, qnrm, cid,
+         row_number() OVER (PARTITION BY query_id ORDER BY
+           list_dot_product(qv, cv) / nullif(qnrm * cnrm, 0.0) DESC, cid ASC) AS r
+  FROM q, cn QUALIFY r <= 4
+),
+scored AS (
+  SELECT p.query_id, a.vec_id AS neighbor_id,
+         list_dot_product(a.v, p.qv) / nullif(a.nrm * p.qnrm, 0.0) AS c
+  FROM probe p JOIN assign a USING (cid)
+  WHERE a.vec_id <> p.query_id
+)
+SELECT query_id, neighbor_id, floor((c) * 10000.0 + 0.5) / 10000.0 AS cos,
+       CAST(row_number() OVER (PARTITION BY query_id ORDER BY c DESC, neighbor_id ASC) AS INT) AS rank
+FROM scored
+QUALIFY rank <= 10
+"""
 
 
 def q_ann_ivf_exhaustive(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3809,14 +3873,14 @@ SELECT event_id,
        THEN CAST(json_extract(j, '$.o') AS VARCHAR) ELSE '' END AS raw_o,
   CASE WHEN json_valid(j) AND json_type(j) = 'OBJECT'
        THEN array_to_string(list_sort(json_keys(j)), ',') ELSE '' END AS keys,
-  CASE WHEN json_valid(j) AND json_type(j) = 'OBJECT' THEN array_length(json_keys(j))
+  CAST(CASE WHEN json_valid(j) AND json_type(j) = 'OBJECT' THEN array_length(json_keys(j))
        WHEN json_valid(j) AND json_type(j) = 'ARRAY' THEN json_array_length(j)
-       ELSE 0 END AS obj_len,
-  CASE WHEN json_valid(j) AND json_type(j, '$.arr') = 'ARRAY'
+       ELSE 0 END AS BIGINT) AS obj_len,
+  CAST(CASE WHEN json_valid(j) AND json_type(j, '$.arr') = 'ARRAY'
        THEN json_array_length(j, '$.arr')
        WHEN json_valid(j) AND json_type(j, '$.arr') = 'OBJECT'
        THEN array_length(json_keys(j, '$.arr'))
-       ELSE 0 END AS arr_len,
+       ELSE 0 END AS BIGINT) AS arr_len,
   CASE WHEN json_valid(j) THEN
     CASE json_type(j, '$.n')
       WHEN 'OBJECT' THEN 'Object' WHEN 'ARRAY' THEN 'Array'
@@ -4149,7 +4213,7 @@ QUERIES: dict[str, QuerySpec] = {
     "contamination": QuerySpec(q_contamination, _ORACLE_CONTAMINATION, "dedup/train-bench-contamination"),
     "dedup_embedding": QuerySpec(q_dedup_embedding, _ORACLE_DEDUP_EMBEDDING, "dedup/embedding-cosine"),
     "ann_brute_topk": QuerySpec(q_ann_brute, _ORACLE_ANN_BRUTE, "similarity/brute-cosine-topk"),
-    "ann_ivf_topk": QuerySpec(q_ann_ivf, None, "similarity/ivf (approximate: rows-only)"),
+    "ann_ivf_topk": QuerySpec(q_ann_ivf, _ORACLE_ANN_IVF, "similarity/ivf, pinned centroids -> closed-form oracle"),
     "ann_ivf_exhaustive": QuerySpec(q_ann_ivf_exhaustive, _ORACLE_ANN_BRUTE, "similarity/ivf nprobe==nlist == exact brute top-k"),
     "text_stats": QuerySpec(q_text_stats, _ORACLE_TEXT_STATS, "text/quality+langid+tokens"),
     "repetition_stats": QuerySpec(q_repetition_stats, _ORACLE_REPETITION, "text/repetition (Gopher-style filters)"),
@@ -4280,32 +4344,13 @@ DRIVER_WINDOW = 50  # driver-checked prefix length (round-5 verdict)
 # once the round's CORRECTNESS file shows them green again.
 ROTATION_FORCE_FRONT = frozenset(
     {
-        # round 7: agg_map restore rewritten join-free (NULL group
-        # keys + (null,[]) size guard, ADVICE r6)
-        "sum_map_priority",
-        # round 7: synth_media unknown-format payload now NUL-prefixed
-        # (multimodal_audio no longer rides along: the guard is now
-        # def-granular and proves its closure avoids synth_media)
-        "multimodal_meta",
-        # round 7: docstring-only parity qualification (guard is
-        # conservative by design: any AST change re-verifies)
-        "funnel_depths",
-        # round 7: grid-salted hot-shingle pair expansion in dedup.py
-        # (dedup_exact no longer rides along: def-granular guard)
-        "dedup_ngram_jaccard",
-        # round 7: widened with port()/fragment()/cutFragment()
-        "url_funcs",
-        # round 7 (late): widened with the match/extract/countMatches/
-        # startsWith/endsWith/pad/trim family
-        "string_funcs",
-        # round 7: widened with the topKWeighted branch
-        "heavy_hitters_custkey",
-        # round 7: tokens()/bpe null-text fix in text.py
-        # (def-granular guard: only entries whose closure reaches the
-        # changed defs; pii_scrub's scrub_pii path is untouched)
-        "pack_sequences",
-        "curation_pipeline",
-        "doc_fingerprint",
+        # round 8: oracle re-typed (CAST obj_len/arr_len AS BIGINT —
+        # r7 red row was DuckDB HUGEINT->float typing, values equal)
+        "json_funcs",
+        # round 8: first-ever exact oracle — builder now passes PINNED
+        # literal centroids (_IVF_CENTROIDS) and the closed-form
+        # DuckDB replay; the r7 no_oracle row no longer represents it
+        "ann_ivf_topk",
     }
 )
 
