@@ -1,0 +1,252 @@
+"""chsql robustness fuzz (round-7 verdict #7 + ADVICE fixes).
+
+The front-end is an honest string-level rewriter (plans/chsql.py:13-19)
+proven on the reference's exact texts; its failure mode is silent
+mis-rewrite of LEGAL but UNUSUAL ClickHouse SQL.  This suite pins the
+refusal-or-correct contract on a mutation battery over that risk
+surface: every case either
+
+- raises CLEANLY (the dialect's own ``ValueError`` refusal, or a Spark
+  analysis/parse error -- an error is never silent-wrong), or
+- hash-matches an independent DuckDB oracle over the same rows.
+
+Covered mutation classes (verdict list): comment injection (line,
+block, apostrophes inside comments, nesting), apostrophes in string
+literals (backslash AND doubled-quote escapes), alias shadowing a real
+column (CH prefers the alias), scalar-WITH alias case sensitivity,
+``LIMIT BY`` + ``WITH FILL`` combinations, ANY/ASOF join word order,
+ANSI ``extract`` pass-through, multi-column ``uniq`` -- plus a
+hypothesis property that semantically NEUTRAL mutations (comments /
+whitespace at top-level positions) never change a proven query's
+result.
+"""
+
+from __future__ import annotations
+
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from yc_data_transfer_clickhouse_from_yandex_metrica_spark.plans import chsql
+
+# Spark analysis/parse errors count as CLEAN refusals: the forbidden
+# outcome is a silently wrong result set, not an error.
+_CLEAN = (ValueError, Exception)
+
+
+@pytest.fixture(scope="module")
+def tbl(spark):
+    """Small table whose values make CH-vs-ANSI semantic differences
+    VISIBLE: a column literally named like aliases people shadow,
+    apostrophes in strings, duplicate keys."""
+    return spark.createDataFrame(
+        [
+            (1, "O'Brien", 10.0, "2024-01-01"),
+            (2, "x", 3.0, "2024-01-02"),
+            (2, "O'Brien", 4.0, "2024-01-04"),
+            (3, "", 7.0, "2024-01-04"),
+            (3, "y", 100.0, "2024-01-05"),
+        ],
+        "k int, s string, v double, d string",
+    ).selectExpr("k", "s", "v", "CAST(d AS DATE) AS d")
+
+
+@pytest.fixture(scope="module")
+def duck_tbl():
+    import duckdb
+
+    con = duckdb.connect()
+    con.sql(
+        """CREATE TABLE t AS SELECT * FROM (VALUES
+           (1, 'O''Brien', 10.0::DOUBLE, DATE '2024-01-01'),
+           (2, 'x',        3.0::DOUBLE,  DATE '2024-01-02'),
+           (2, 'O''Brien', 4.0::DOUBLE,  DATE '2024-01-04'),
+           (3, '',         7.0::DOUBLE,  DATE '2024-01-04'),
+           (3, 'y',        100.0::DOUBLE, DATE '2024-01-05')
+        ) v(k, s, v, d)"""
+    )
+    yield con
+    con.close()
+
+
+def _rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+def _orows(con, sql):
+    return sorted(tuple(r) for r in con.sql(sql).fetchall())
+
+
+def _refusal_or_match(spark, tbl, con, ch_sql, duck_sql):
+    """The contract: clean raise, or oracle hash-match.  Returns which
+    outcome happened so callers can pin one when they require it."""
+    try:
+        got = _rows(chsql.run_sql(spark, ch_sql, {"t": tbl}))
+    except _CLEAN:
+        return "refused"
+    assert got == _orows(con, duck_sql), f"SILENT MISMATCH for {ch_sql!r}"
+    return "matched"
+
+
+# ---------------------------------------------------------------------------
+# deterministic battery
+# ---------------------------------------------------------------------------
+
+# (ch_sql, duckdb_oracle, required_outcome or None for either)
+_CASES = [
+    # ANSI extract(unit FROM x) passes through untouched, any case
+    (
+        "SELECT k, extract(YEAR FROM d) AS y FROM t",
+        "SELECT k, CAST(extract(YEAR FROM d) AS INT) AS y FROM t",
+        "matched",
+    ),
+    (
+        "SELECT k, EXTRACT(month FROM d) AS mo FROM t",
+        "SELECT k, CAST(extract(month FROM d) AS INT) AS mo FROM t",
+        "matched",
+    ),
+    # CH extract(haystack, pattern): capture group / whole match
+    (
+        r"SELECT extract(s, '([A-Z])') AS c FROM t",
+        "SELECT coalesce(regexp_extract(s, '([A-Z])', 1), '') AS c FROM t",
+        "matched",
+    ),
+    # multi-column uniq counts distinct TUPLES (tiny cardinality: HLL
+    # at rsd 0.05 is exact here)
+    (
+        "SELECT uniq(k, s) AS u FROM t",
+        "SELECT CAST(count(DISTINCT (k, s)) AS BIGINT) AS u FROM t",
+        "matched",
+    ),
+    # scalar WITH alias is case-SENSITIVE: S substitutes, column s
+    # survives (the old re.I sub rewrote s into (sum(v)) -- silent
+    # wrong)
+    (
+        "WITH sum(v) AS S SELECT s, S AS tot FROM t GROUP BY s",
+        "SELECT s, sum(v) AS tot FROM t GROUP BY s",
+        "matched",
+    ),
+    # alias shadowing a real column: CH prefers the alias everywhere
+    # (v alias = k*10 shadows double column v in WHERE and GROUP BY;
+    # with column-v semantics WHERE v > 9 would keep the 10.0/100.0
+    # rows instead)
+    (
+        "SELECT k*10 AS v, count(1) AS n FROM t WHERE v > 9 GROUP BY v",
+        "SELECT k*10 AS v, CAST(count(1) AS BIGINT) AS n FROM t "
+        "WHERE k*10 > 9 GROUP BY k*10",
+        "matched",
+    ),
+    # apostrophe escapes: backslash form and SQL doubled form must
+    # both either parse to O'Brien or refuse -- never mis-mask
+    (
+        r"SELECT k FROM t WHERE s = 'O\'Brien'",
+        "SELECT k FROM t WHERE s = 'O''Brien'",
+        None,
+    ),
+    (
+        "SELECT k FROM t WHERE s = 'O''Brien'",
+        "SELECT k FROM t WHERE s = 'O''Brien'",
+        None,
+    ),
+    # comment injection: line + block + apostrophe inside comment
+    # (the reference's own script has one) are all neutral
+    (
+        "SELECT /* bucket'а */ k, -- trailing 'quote\n"
+        "  sum(v) AS sv FROM t GROUP BY k -- tail\n",
+        "SELECT k, sum(v) AS sv FROM t GROUP BY k",
+        "matched",
+    ),
+    # nested block comment: SQL comments don't nest; either the whole
+    # thing refuses or the query is compiled correctly -- never a
+    # silently different result set
+    (
+        "SELECT k /* a /* b */ , sum(v) AS sv FROM t GROUP BY k",
+        "SELECT k, sum(v) AS sv FROM t GROUP BY k",
+        None,
+    ),
+    # LIMIT BY + WITH FILL combination (and each alone)
+    (
+        "SELECT k, count(1) AS n FROM t GROUP BY k ORDER BY k "
+        "WITH FILL LIMIT 1 BY k",
+        "SELECT 1",  # oracle unused when the engine refuses
+        "refused",
+    ),
+    (
+        "SELECT k, d, v FROM t ORDER BY v DESC LIMIT 1 BY k",
+        "SELECT k, d, v FROM t QUALIFY "
+        "row_number() OVER (PARTITION BY k ORDER BY v DESC) <= 1",
+        "matched",
+    ),
+    # ANY/ASOF in BOTH word orders refuse with the semantic message
+    ("SELECT 1 FROM t a ANY LEFT JOIN t b ON a.k = b.k", "SELECT 1", "refused"),
+    ("SELECT 1 FROM t a LEFT ANY JOIN t b ON a.k = b.k", "SELECT 1", "refused"),
+    ("SELECT 1 FROM t a ASOF JOIN t b ON a.k = b.k", "SELECT 1", "refused"),
+    ("SELECT 1 FROM t a LEFT ASOF JOIN t b ON a.k = b.k", "SELECT 1", "refused"),
+    ("SELECT 1 FROM t a FULL ANY JOIN t b ON a.k = b.k", "SELECT 1", "refused"),
+    # GLOBAL is a distribution hint: stripped, any case
+    (
+        "SELECT a.k, b.v FROM t a global inner JOIN t b ON a.k = b.k "
+        "WHERE b.s = 'x'",
+        "SELECT a.k, b.v FROM t a JOIN t b ON a.k = b.k WHERE b.s = 'x'",
+        "matched",
+    ),
+]
+
+
+@pytest.mark.parametrize("ch_sql,duck_sql,want", _CASES)
+def test_refusal_or_correct(spark, tbl, duck_tbl, ch_sql, duck_sql, want):
+    got = _refusal_or_match(spark, tbl, duck_tbl, ch_sql, duck_sql)
+    if want is not None:
+        assert got == want, f"{ch_sql!r}: expected {want}, got {got}"
+
+
+def test_any_asof_refusals_name_the_operator(spark, tbl):
+    """The refusal must be the dialect's SEMANTIC message (pointing at
+    the engine operator), not an opaque Spark parse error."""
+    for sql, word in [
+        ("SELECT 1 FROM t a LEFT ANY JOIN t b ON a.k = b.k", "ANY"),
+        ("SELECT 1 FROM t a LEFT ASOF JOIN t b ON a.k = b.k", "ASOF"),
+        ("SELECT 1 FROM t a ANY LEFT JOIN t b ON a.k = b.k", "ANY"),
+    ]:
+        with pytest.raises(ValueError, match=f"CH {word} JOIN"):
+            chsql.run_sql(spark, sql, {"t": tbl})
+
+
+# ---------------------------------------------------------------------------
+# hypothesis: neutral mutations never change a proven query's result
+# ---------------------------------------------------------------------------
+
+# non-aggregate alias q referenced from GROUP BY/ORDER BY; aggregate
+# alias n referenced from HAVING; WHERE uses CH UInt8 truthiness.
+# No whitespace inside identifiers: the mutator splits on spaces.
+_BASE = (
+    "SELECT k, k*2 AS q, count(1) AS n FROM t "
+    "WHERE notEmpty(s) GROUP BY k, q HAVING n >= 1 ORDER BY k, q"
+)
+
+_COMMENTS = st.sampled_from(
+    ["/* x */", "-- tail\n", "/* don't */", "  ", "\n\t", "/* 100. */"]
+)
+
+
+@settings(
+    max_examples=20,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(st.lists(st.tuples(st.integers(0, 10), _COMMENTS), max_size=4))
+def test_neutral_mutations_preserve_result(spark, tbl, injections):
+    """Comments/whitespace injected at keyword boundaries (top level,
+    outside literals) must never change the compiled result."""
+    base = _BASE
+    # inject only at spaces OUTSIDE backticks/quotes: splitting on
+    # single spaces of the canonical text guarantees top-level slots
+    parts = base.split(" ")
+    mutated = parts[:]
+    for slot, comment in injections:
+        mutated[slot % len(parts)] += " " + comment.rstrip("\n") + (
+            "\n" if comment.endswith("\n") else ""
+        )
+    expect = _rows(chsql.run_sql(spark, base, {"t": tbl}))
+    got = _rows(chsql.run_sql(spark, " ".join(mutated), {"t": tbl}))
+    assert got == expect

@@ -92,13 +92,17 @@ def json_extract_string(j: ColumnOrName, *path: str | int) -> Column:
 
 
 def json_extract_int(j: ColumnOrName, *path: str | int) -> Column:
-    """``JSONExtractInt``: numeric value truncated toward zero, else 0."""
+    """``JSONExtractInt``: numeric value truncated toward zero, else 0.
+
+    Integer-typed variants cast DIRECTLY to long (exact over the full
+    Int64 range, matching CH's exact Int64 return — ADVICE r7: the old
+    route through DOUBLE lost precision for |n| > 2^53); only
+    floating/decimal values take the double-truncation path."""
     v = _variant_at(j, path)
+    st = F.schema_of_variant(v)
     return F.coalesce(
-        F.when(
-            F.schema_of_variant(v).rlike(_JSON_NUMERIC_RE),
-            v.cast("double").cast("long"),
-        ),
+        F.when(st.rlike(r"^(BIGINT|INT|SMALLINT|TINYINT)"), v.cast("long")),
+        F.when(st.rlike(r"^(DOUBLE|FLOAT|DECIMAL)"), v.cast("double").cast("long")),
         F.lit(0).cast("long"),
     )
 

@@ -209,13 +209,18 @@ def _collapse_ws(sql: str) -> str:
     return "".join(out).strip()
 
 
-def _sub_outside_literals(pattern: str, repl: str, sql: str) -> str:
+def _sub_outside_literals(
+    pattern: str, repl: str, sql: str, flags: int = 0
+) -> str:
     """re.sub that never fires inside '...' string literals: match
     positions come from the masked text, replacements slice the
-    original (mask is position-preserving)."""
+    original (mask is position-preserving).  Case-SENSITIVE by
+    default: CH identifiers are case-sensitive, so a scalar-WITH
+    alias ``S`` must not rewrite a distinct column ``s`` (ADVICE r7);
+    keyword call sites pass ``re.I`` explicitly."""
     masked = _mask(sql)
     out, last = [], 0
-    for m in re.finditer(pattern, masked, re.I):
+    for m in re.finditer(pattern, masked, flags):
         out.append(sql[last : m.start()])
         out.append(repl)
         last = m.end()
@@ -320,7 +325,11 @@ _CALL_REWRITES: dict[str, object] = {
     # approximate distinct family (same rsd classes as functions/ch.py;
     # sketch OUTPUTS are engine-specific -- unit-gated, never
     # hash-compared against an oracle)
-    "uniq": lambda a: f"approx_count_distinct({', '.join(a)}, 0.05)",
+    # multi-column uniq(x, y) counts distinct TUPLES: wrap in struct
+    # (Spark's approx_count_distinct signature is one column + rsd)
+    "uniq": lambda a: (
+        f"approx_count_distinct({a[0] if len(a) == 1 else 'struct(' + ', '.join(a) + ')'}, 0.05)"
+    ),
     "uniqHLL12": lambda a: f"approx_count_distinct({a[0]}, 0.016)",
     "uniqCombined": lambda a: f"approx_count_distinct({a[0]}, 0.005)",
     # numbers(N): CH's system-numbers table function -> Spark range()
@@ -335,7 +344,15 @@ def _extract_sql(a: list[str]) -> str:
     the LITERAL pattern has one (an unescaped ``(`` not starting
     ``(?``), else the whole match; '' on no match (regexp_extract's
     own rule).  Dynamic patterns raise: the group choice must be
-    decidable at compile time."""
+    decidable at compile time.
+
+    ANSI ``extract(unit FROM col)`` has ONE comma-free argument and
+    passes through untouched (the module contract: plain ANSI SQL is
+    never rewritten).  Emitted as uppercase ``EXTRACT`` so the
+    case-sensitive rewrite scan does not re-match it (identical to
+    Spark, which resolves function names case-insensitively)."""
+    if len(a) == 1:
+        return f"EXTRACT({a[0]})"
     pat = a[1].strip()
     if not (pat.startswith("'") and pat.endswith("'")):
         raise ValueError(
@@ -707,13 +724,19 @@ def run_sql(
         ("ANY", "dedupe the build side or use argMax per key"),
         ("ASOF", "operators/rangejoin.asof_join is the engine's form"),
     ):
-        if re.search(rf"\b{bad}\s+(LEFT\s+|RIGHT\s+|INNER\s+)?JOIN\b", masked, re.I):
+        # CH accepts the modifier BEFORE or AFTER the direction word
+        # (`ANY LEFT JOIN` == `LEFT ANY JOIN`): refuse both spellings
+        if re.search(
+            rf"\b{bad}\s+(LEFT\s+|RIGHT\s+|INNER\s+|FULL\s+)?JOIN\b", masked, re.I
+        ) or re.search(
+            rf"\b(LEFT|RIGHT|INNER|FULL)\s+{bad}\s+JOIN\b", masked, re.I
+        ):
             raise ValueError(
                 f"chsql: CH {bad} JOIN changes row multiplicity and is not "
                 f"mapped; {hint}"
             )
     sql = _sub_outside_literals(
-        r"\bGLOBAL\s+(?=(LEFT|RIGHT|INNER|FULL|CROSS|JOIN)\b)", "", sql
+        r"\bGLOBAL\s+(?=(LEFT|RIGHT|INNER|FULL|CROSS|JOIN)\b)", "", sql, re.I
     )
 
     cte_prefix, sql = _extract_with(sql)

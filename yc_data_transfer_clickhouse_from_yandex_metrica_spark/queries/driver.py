@@ -4351,6 +4351,18 @@ ROTATION_FORCE_FRONT = frozenset(
         # literal centroids (_IVF_CENTROIDS) and the closed-form
         # DuckDB replay; the r7 no_oracle row no longer represents it
         "ann_ivf_topk",
+        # round 8: chsql front-end hardening (ADVICE r7 — ANSI extract
+        # pass-through, multi-column uniq, LEFT ANY/ASOF word order,
+        # case-sensitive scalar-WITH substitution): every entry whose
+        # closure reaches the compile pipeline re-proves
+        "chsql_visits_chart",
+        "chsql_traffic_chart",
+        "chsql_s3_export",
+        "chsql_federated_enrich",
+        "chsql_word_count",
+        "chsql_daily_fill",
+        "chsql_fill_interpolate",
+        "chsql_limit_by",
     }
 )
 
