@@ -200,6 +200,19 @@ def test_refusal_or_correct(spark, tbl, duck_tbl, ch_sql, duck_sql, want):
         assert got == want, f"{ch_sql!r}: expected {want}, got {got}"
 
 
+def test_limit_by_with_fill_refusal_names_the_conflict(spark, tbl):
+    """WITH FILL consumes the ORDER BY internally; the LIMIT BY
+    refusal must name the actual conflict, not claim the user's
+    ORDER BY is missing."""
+    with pytest.raises(ValueError, match="LIMIT BY cannot combine with WITH FILL"):
+        chsql.run_sql(
+            spark,
+            "SELECT k, count(1) AS n FROM t GROUP BY k ORDER BY k "
+            "WITH FILL LIMIT 1 BY k",
+            {"t": tbl},
+        )
+
+
 def test_any_asof_refusals_name_the_operator(spark, tbl):
     """The refusal must be the dialect's SEMANTIC message (pointing at
     the engine operator), not an opaque Spark parse error."""

@@ -977,6 +977,14 @@ def _compile_single(
             limit, re.I | re.S,
         )
         if bm:
+            if fill_spec:
+                # WITH FILL consumed the ORDER BY above; name the real
+                # conflict instead of claiming the ORDER BY is missing
+                raise ValueError(
+                    "chsql: LIMIT BY cannot combine with WITH FILL "
+                    "(compose operators/series.limit_by + fill_series "
+                    "via the operator API instead)"
+                )
             if not order:
                 raise ValueError(
                     "chsql: LIMIT BY requires an ORDER BY (the per-key "

@@ -3816,12 +3816,13 @@ FROM s
 #     typed gates via schema_of_variant -- all codegen, no UDF, so the
 #     family is a map-side Project at any scale.
 # =========================================================================
-_JSON_EDGE_CASE = """CASE CAST(event_id % 6 AS INT)
+_JSON_EDGE_CASE = """CASE CAST(event_id % 7 AS INT)
       WHEN 0 THEN '{"s": "hello", "n": 42, "b": true}'
       WHEN 1 THEN '{"s": 7, "n": "42", "arr": [1, 2.5, "x"]}'
       WHEN 2 THEN '{"n": -3.7, "o": {"a": {"b": 9}}, "b": false}'
       WHEN 3 THEN '{"s": null, "arr": []}'
       WHEN 4 THEN 'not json'
+      WHEN 5 THEN '{"n": 9007199254740993, "big": -9007199254740995}'
       ELSE NULL END"""
 
 
@@ -3837,6 +3838,9 @@ def q_json_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(chjson.json_extract_float("__j", "n"), 6).alias("n_flt"),
         chjson.json_extract_bool("__j", "b").alias("b_int"),
         chjson.json_has("__j", "s").alias("has_s"),
+        # |n| > 2^53: exercises the exact integer path (ADVICE r7 —
+        # the old double route would return ...992/-...994 here)
+        chjson.json_extract_int("__j", "big").alias("big_int"),
         chjson.json_extract_int("__j", "o", "a", "b").alias("oab"),
         F.round(chjson.json_extract_float("__j", "arr", 2), 6).alias("arr2"),
         chjson.json_extract_raw("__j", "o").alias("raw_o"),
@@ -3850,14 +3854,17 @@ def q_json_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
 _ORACLE_JSON_FUNCS = f"""
 WITH e AS (SELECT event_id, props, {_JSON_EDGE_CASE} AS j FROM events)
 SELECT event_id,
-  CASE WHEN json_valid(props)
-            AND json_type(props, '$.k') IN ('BIGINT', 'UBIGINT', 'DOUBLE')
+  CASE WHEN json_valid(props) AND json_type(props, '$.k') IN ('BIGINT', 'UBIGINT')
+       THEN CAST(props->'$.k' AS BIGINT)
+       WHEN json_valid(props) AND json_type(props, '$.k') = 'DOUBLE'
        THEN CAST(trunc(CAST(props->'$.k' AS DOUBLE)) AS BIGINT) ELSE 0 END AS k_int,
   CASE WHEN json_valid(props) AND json_type(props, '$.k') IS NOT NULL
        THEN 1 ELSE 0 END AS has_k,
   CASE WHEN json_valid(j) AND json_type(j, '$.s') = 'VARCHAR'
        THEN j->>'$.s' ELSE '' END AS s_str,
-  CASE WHEN json_valid(j) AND json_type(j, '$.n') IN ('BIGINT', 'UBIGINT', 'DOUBLE')
+  CASE WHEN json_valid(j) AND json_type(j, '$.n') IN ('BIGINT', 'UBIGINT')
+       THEN CAST(j->'$.n' AS BIGINT)
+       WHEN json_valid(j) AND json_type(j, '$.n') = 'DOUBLE'
        THEN CAST(trunc(CAST(j->'$.n' AS DOUBLE)) AS BIGINT) ELSE 0 END AS n_int,
   CAST(CASE WHEN json_valid(j) AND json_type(j, '$.n') IN ('BIGINT', 'UBIGINT', 'DOUBLE')
        THEN round(CAST(j->'$.n' AS DOUBLE), 6) ELSE 0.0 END AS DOUBLE) AS n_flt,
@@ -3865,7 +3872,13 @@ SELECT event_id,
             AND CAST(j->'$.b' AS BOOLEAN) THEN 1 ELSE 0 END AS b_int,
   CASE WHEN json_valid(j) AND json_type(j, '$.s') IS NOT NULL
        THEN 1 ELSE 0 END AS has_s,
-  CASE WHEN json_valid(j) AND json_type(j, '$.o.a.b') IN ('BIGINT', 'UBIGINT', 'DOUBLE')
+  CASE WHEN json_valid(j) AND json_type(j, '$.big') IN ('BIGINT', 'UBIGINT')
+       THEN CAST(j->'$.big' AS BIGINT)
+       WHEN json_valid(j) AND json_type(j, '$.big') = 'DOUBLE'
+       THEN CAST(trunc(CAST(j->'$.big' AS DOUBLE)) AS BIGINT) ELSE 0 END AS big_int,
+  CASE WHEN json_valid(j) AND json_type(j, '$.o.a.b') IN ('BIGINT', 'UBIGINT')
+       THEN CAST(j->'$.o.a.b' AS BIGINT)
+       WHEN json_valid(j) AND json_type(j, '$.o.a.b') = 'DOUBLE'
        THEN CAST(trunc(CAST(j->'$.o.a.b' AS DOUBLE)) AS BIGINT) ELSE 0 END AS oab,
   CAST(CASE WHEN json_valid(j) AND json_type(j, '$.arr[1]') IN ('BIGINT', 'UBIGINT', 'DOUBLE')
        THEN round(CAST(j->'$.arr[1]' AS DOUBLE), 6) ELSE 0.0 END AS DOUBLE) AS arr2,
