@@ -3321,6 +3321,43 @@ def test_sequence_ops_single_exchange(spark):
         assert len(re.findall(r"Exchange hashpartitioning", final)) == 1
 
 
+def test_ch_date_family_r8_widening(spark):
+    """toQuarter/toDayOfWeek/toDayOfYear/toISOWeek/toLastDayOfMonth/
+    toUnixTimestamp: CH parity on the documented edge dates -- ISO
+    week 53 spillover both directions, Monday=1..Sunday=7, leap day."""
+    from pyspark.sql import functions as F
+
+    from yc_data_transfer_clickhouse_from_yandex_metrica_spark.functions import ch
+    from yc_data_transfer_clickhouse_from_yandex_metrica_spark.session import tune
+
+    tune(spark)
+    df = spark.createDataFrame(
+        [("2024-01-01",), ("2021-01-03",), ("2026-12-28",), ("2024-02-29",)],
+        "d string",
+    ).select(F.col("d").cast("date").alias("d"))
+    rows = {
+        str(r["d"]): r
+        for r in df.select(
+            "d",
+            ch.to_quarter("d").alias("q"),
+            ch.to_day_of_week("d").alias("dow"),
+            ch.to_day_of_year("d").alias("doy"),
+            ch.to_iso_week("d").alias("iw"),
+            ch.to_last_day_of_month("d").alias("eom"),
+            ch.to_unix_timestamp("d").alias("ux"),
+        ).collect()
+    }
+    r = rows["2024-01-01"]  # a Monday, ISO week 1
+    assert (r["q"], r["dow"], r["doy"], r["iw"]) == (1, 1, 1, 1)
+    assert r["ux"] == 1704067200
+    r = rows["2021-01-03"]  # Sunday=7, belongs to PREVIOUS iso year w53
+    assert (r["dow"], r["iw"]) == (7, 53)
+    r = rows["2026-12-28"]  # Monday of w53 spilling into 2027
+    assert (r["dow"], r["iw"]) == (1, 53)
+    r = rows["2024-02-29"]  # leap day is its own month end
+    assert (r["doy"], str(r["eom"])) == (60, "2024-02-29")
+
+
 def test_delta_sum_and_uniq_up_to(spark):
     from yc_data_transfer_clickhouse_from_yandex_metrica_spark.operators import series
 

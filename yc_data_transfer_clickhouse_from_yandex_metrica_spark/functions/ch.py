@@ -361,6 +361,39 @@ def add_months(d: ColumnOrName, n: int) -> Column:
     return F.add_months(F.to_date(_col(d)), n)
 
 
+def to_quarter(d: ColumnOrName) -> Column:
+    """``toQuarter`` -> 1..4."""
+    return F.quarter(F.to_date(_col(d)))
+
+
+def to_day_of_week(d: ColumnOrName) -> Column:
+    """``toDayOfWeek`` (default mode): Monday=1 .. Sunday=7.  Spark's
+    ``dayofweek`` is Sunday=1, hence the +5 mod-7 rotation."""
+    return ((F.dayofweek(F.to_date(_col(d))) + F.lit(5)) % 7 + F.lit(1)).cast("int")
+
+
+def to_day_of_year(d: ColumnOrName) -> Column:
+    """``toDayOfYear`` -> 1..366."""
+    return F.dayofyear(F.to_date(_col(d)))
+
+
+def to_iso_week(d: ColumnOrName) -> Column:
+    """``toISOWeek`` -> ISO-8601 week number (Spark's ``weekofyear``
+    IS ISO: week containing the year's first Thursday is week 1)."""
+    return F.weekofyear(F.to_date(_col(d)))
+
+
+def to_last_day_of_month(d: ColumnOrName) -> Column:
+    """``toLastDayOfMonth``."""
+    return F.last_day(F.to_date(_col(d)))
+
+
+def to_unix_timestamp(d: ColumnOrName) -> Column:
+    """``toUnixTimestamp``: seconds since epoch.  Dates resolve to
+    their UTC midnight under the engine's pinned UTC session tz."""
+    return F.unix_timestamp(F.to_date(_col(d)).cast("timestamp"))
+
+
 # -- string function family ------------------------------------------
 
 

@@ -1842,12 +1842,19 @@ GROUP BY CUBE (o_orderpriority, o_orderstatus)
 
 def q_date_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The CH date-function family (toStartOfMonth/Quarter, toYYYYMM,
-    addDays/addMonths, dateDiff) as one monthly dimension rollup --
-    all built-ins, one aggregate exchange."""
+    addDays/addMonths, dateDiff; r8 widening: toQuarter, toDayOfWeek
+    Monday=1, toDayOfYear, toISOWeek, toLastDayOfMonth,
+    toUnixTimestamp) as one monthly dimension rollup -- all built-ins,
+    one aggregate exchange.  The dow/doy/isoweek columns run on the
+    per-month MIN order date (an arbitrary in-month day, so the
+    weekday/ISO edges actually vary)."""
     _prep(spark)
     o = t(spark, sf_dir, "orders")
     m = ch.to_start_of_month("o_orderdate")
-    out = o.groupBy(m.alias("m")).agg(ch.count_one().alias("n"))
+    out = o.groupBy(m.alias("m")).agg(
+        ch.count_one().alias("n"),
+        F.min("o_orderdate").alias("d0"),
+    )
     return out.select(
         "m",
         "n",
@@ -1856,13 +1863,20 @@ def q_date_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
         ch.add_days("m", 7).alias("d7"),
         ch.add_months("m", 3).alias("m3"),
         ch.date_diff_days("m", ch.add_months("m", 1)).alias("mdays"),
+        ch.to_quarter("m").alias("qn"),
+        ch.to_day_of_week("d0").alias("dow"),
+        ch.to_day_of_year("d0").alias("doy"),
+        ch.to_iso_week("d0").alias("isoweek"),
+        ch.to_last_day_of_month("m").alias("eom"),
+        ch.to_unix_timestamp("m").alias("ux"),
     ).orderBy("m")
 
 
 _ORACLE_DATE_DIMS = """
 WITH a AS (
   SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS m,
-         CAST(count(1) AS BIGINT) AS n
+         CAST(count(1) AS BIGINT) AS n,
+         min(o_orderdate) AS d0
   FROM orders GROUP BY 1
 )
 SELECT m, n,
@@ -1871,7 +1885,13 @@ SELECT m, n,
   CAST(m + INTERVAL 7 DAY AS DATE) AS d7,
   CAST(m + INTERVAL 3 MONTH AS DATE) AS m3,
   CAST(date_diff('day', m, CAST(m + INTERVAL 1 MONTH AS DATE)) AS INT)
-    AS mdays
+    AS mdays,
+  CAST(quarter(m) AS INT) AS qn,
+  CAST(isodow(d0) AS INT) AS dow,
+  CAST(dayofyear(d0) AS INT) AS doy,
+  CAST(date_part('week', d0) AS INT) AS isoweek,
+  last_day(m) AS eom,
+  CAST(epoch(CAST(m AS TIMESTAMP)) AS BIGINT) AS ux
 FROM a
 """
 
@@ -2264,21 +2284,50 @@ def q_stats_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "price_stddev"
             ),
             ch.round_to(F.var_pop("l_quantity"), 4).alias("qty_var"),
+            # r8 widening: CH skewPop / kurtPop.  Spark's skewness IS
+            # the population formula m3/m2^1.5; Spark's kurtosis is
+            # population EXCESS, CH kurtPop is not -- hence the +3.
+            ch.round_to(F.skewness("l_quantity"), 4).alias("qty_skew"),
+            ch.round_to(F.kurtosis("l_quantity") + F.lit(3.0), 4).alias(
+                "qty_kurt"
+            ),
         )
         .orderBy("l_returnflag")
     )
 
 
+# skew/kurt oracle: DuckDB's skewness/kurtosis are SAMPLE-corrected,
+# so the population moments are computed explicitly -- two-pass
+# (mu first, then central powers) to avoid the cancellation a naive
+# E[x^4] expansion would hit at these magnitudes.
 _ORACLE_STATS_MOMENTS = """
-SELECT l_returnflag,
-  floor(corr(l_quantity, l_extendedprice) * 10000.0 + 0.5) / 10000.0
-    AS qty_price_corr,
-  floor(covar_pop(l_quantity, l_extendedprice) * 100.0 + 0.5) / 100.0
-    AS qty_price_covar,
-  floor(stddev_pop(l_extendedprice) * 100.0 + 0.5) / 100.0
-    AS price_stddev,
-  floor(var_pop(l_quantity) * 10000.0 + 0.5) / 10000.0 AS qty_var
-FROM lineitem GROUP BY l_returnflag
+WITH mu AS (
+  SELECT l_returnflag, avg(CAST(l_quantity AS DOUBLE)) AS mu
+  FROM lineitem GROUP BY l_returnflag
+),
+cm AS (
+  SELECT l.l_returnflag,
+         avg(pow(CAST(l.l_quantity AS DOUBLE) - mu.mu, 2)) AS m2,
+         avg(pow(CAST(l.l_quantity AS DOUBLE) - mu.mu, 3)) AS m3,
+         avg(pow(CAST(l.l_quantity AS DOUBLE) - mu.mu, 4)) AS m4
+  FROM lineitem l JOIN mu ON l.l_returnflag = mu.l_returnflag
+  GROUP BY l.l_returnflag
+),
+base AS (
+  SELECT l_returnflag,
+    floor(corr(l_quantity, l_extendedprice) * 10000.0 + 0.5) / 10000.0
+      AS qty_price_corr,
+    floor(covar_pop(l_quantity, l_extendedprice) * 100.0 + 0.5) / 100.0
+      AS qty_price_covar,
+    floor(stddev_pop(l_extendedprice) * 100.0 + 0.5) / 100.0
+      AS price_stddev,
+    floor(var_pop(l_quantity) * 10000.0 + 0.5) / 10000.0 AS qty_var
+  FROM lineitem GROUP BY l_returnflag
+)
+SELECT base.*,
+  floor(cm.m3 / pow(cm.m2, 1.5) * 10000.0 + 0.5) / 10000.0 AS qty_skew,
+  floor(cm.m4 / pow(cm.m2, 2.0) * 10000.0 + 0.5) / 10000.0 AS qty_kurt
+FROM base JOIN cm ON base.l_returnflag = cm.l_returnflag
 """
 
 
