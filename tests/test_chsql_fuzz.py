@@ -29,9 +29,15 @@ from hypothesis import strategies as st
 
 from yc_data_transfer_clickhouse_from_yandex_metrica_spark.plans import chsql
 
-# Spark analysis/parse errors count as CLEAN refusals: the forbidden
-# outcome is a silently wrong result set, not an error.
-_CLEAN = (ValueError, Exception)
+# Clean refusal = the dialect's own ValueError, or a Spark
+# analysis/parse/runtime error.  Python-level crashes from the
+# rewriter itself (IndexError, KeyError, ...) are NOT clean -- the
+# r7-advised ANSI-extract IndexError is exactly the bug class this
+# excludes.
+from py4j.protocol import Py4JJavaError  # noqa: E402
+from pyspark.errors.exceptions.base import PySparkException  # noqa: E402
+
+_CLEAN = (ValueError, PySparkException, Py4JJavaError)
 
 
 @pytest.fixture(scope="module")
