@@ -1679,6 +1679,33 @@ def test_scrub_pii_counts_and_redacts(spark):
     assert rows[3]["text_clean"] == "nothing sensitive here"
 
 
+def test_scrub_pii_r8_pattern_classes(spark):
+    """r8 widening: 4x4 card numbers (separator-required), SSNs, and
+    full-form IPv6 redact; near-misses survive -- bare 16-digit runs,
+    clock times, 4-digit years, and compressed '::' IPv6 (documented
+    out of scope) are NOT redacted."""
+    from yc_data_transfer_clickhouse_from_yandex_metrica_spark.operators import text as tx
+
+    df = spark.createDataFrame(
+        [
+            Row(doc_id=1, text="pay 4111 1111 1111 1111 or 4111-1111-1111-1111"),
+            Row(doc_id=2, text="ssn 078-05-1120 filed in 2024"),
+            Row(doc_id=3, text="host 2001:0db8:85a3:0000:0000:8a2e:0370:7334 up"),
+            Row(doc_id=4, text="id 4111111111111111 at 12:30 on 2024-01-02"),
+            Row(doc_id=5, text="short ::1 and fe80::1 compressed"),
+        ]
+    )
+    rows = {r["doc_id"]: r for r in tx.scrub_pii(df).collect()}
+    assert rows[1]["n_pii"] == 2
+    assert rows[1]["text_clean"] == "pay [REDACTED] or [REDACTED]"
+    assert rows[2]["n_pii"] == 1
+    assert rows[2]["text_clean"] == "ssn [REDACTED] filed in 2024"
+    assert rows[3]["n_pii"] == 1
+    assert rows[3]["text_clean"] == "host [REDACTED] up"
+    assert rows[4]["n_pii"] == 0  # bare digit run / time / ISO date survive
+    assert rows[5]["n_pii"] == 0  # compressed IPv6 out of scope by design
+
+
 # --------------------------------------------------------------------------
 # Skew mitigation (salting)
 # --------------------------------------------------------------------------

@@ -259,8 +259,17 @@ def repetition_stats(
 # their digit/dot substrings are gone before phone/IPv4 matching).
 PII_PATTERNS: tuple[tuple[str, str], ...] = (
     ("email", r"[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}"),
+    # separator-required 4x4 card numbers only: a bare 16-digit run is
+    # as likely a legit identifier, and false redaction destroys data
+    ("card", r"\b[0-9]{4}[- ][0-9]{4}[- ][0-9]{4}[- ][0-9]{4}\b"),
+    # SSN (3-2-4) before phone (3-3-4): the shapes are disjoint, the
+    # order just keeps the counting stages stable
+    ("ssn", r"\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b"),
     ("phone", r"\b[0-9]{3}[-. ][0-9]{3}[-. ][0-9]{4}\b"),
     ("ipv4", r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b"),
+    # full-form IPv6 only (8 colon groups); compressed '::' forms need
+    # lookaround to avoid eating times like 12:30 and are out of scope
+    ("ipv6", r"\b[0-9a-fA-F]{1,4}(:[0-9a-fA-F]{1,4}){7}\b"),
 )
 
 

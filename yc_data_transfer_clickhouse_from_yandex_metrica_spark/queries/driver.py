@@ -2469,35 +2469,48 @@ LEFT JOIN s3 USING (doc_id)
 
 
 def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """PII redaction over docs with synthesized PII tails (every 7th doc
-    gets an email + phone + IPv4 appended; the corpus itself is clean,
-    so the planted rows prove the scrub actually fires)."""
+    """PII redaction over docs with synthesized PII tails (every 7th
+    doc gets an email + phone + IPv4; every 11th a 4x4 card + SSN +
+    full-form IPv6 — the r8-widened pattern classes; the corpus itself
+    is clean, so the planted rows prove each pattern actually fires)."""
     _prep(spark)
     docs = t(spark, sf_dir, "documents").select(
         "doc_id",
-        F.when(
-            F.col("doc_id") % 7 == 0,
-            F.concat(
-                F.col("text"),
+        F.concat(
+            F.col("text"),
+            F.when(
+                F.col("doc_id") % 7 == 0,
                 F.lit(" contact john.doe@example.com or 555-123-4567 at 192.168.0.1"),
-            ),
-        )
-        .otherwise(F.col("text"))
-        .alias("text"),
+            ).otherwise(F.lit("")),
+            F.when(
+                F.col("doc_id") % 11 == 0,
+                F.lit(
+                    " card 4111 1111 1111 1111 ssn 078-05-1120"
+                    " via 2001:0db8:85a3:0000:0000:8a2e:0370:7334"
+                ),
+            ).otherwise(F.lit("")),
+        ).alias("text"),
     )
     return text.scrub_pii(docs).select("doc_id", "n_pii", "text_clean")
 
 
 _PII_EMAIL = "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}"
+_PII_CARD = "\\b[0-9]{4}[- ][0-9]{4}[- ][0-9]{4}[- ][0-9]{4}\\b"
+_PII_SSN = "\\b[0-9]{3}-[0-9]{2}-[0-9]{4}\\b"
 _PII_PHONE = "\\b[0-9]{3}[-. ][0-9]{3}[-. ][0-9]{4}\\b"
 _PII_IPV4 = "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"
+_PII_IPV6 = "\\b[0-9a-fA-F]{1,4}(:[0-9a-fA-F]{1,4}){7}\\b"
 
 _ORACLE_PII_SCRUB = f"""
 WITH pii AS (
   SELECT doc_id,
-         CASE WHEN doc_id % 7 = 0
-              THEN text || ' contact john.doe@example.com or 555-123-4567 at 192.168.0.1'
-              ELSE text END AS text
+         text
+         || CASE WHEN doc_id % 7 = 0
+              THEN ' contact john.doe@example.com or 555-123-4567 at 192.168.0.1'
+              ELSE '' END
+         || CASE WHEN doc_id % 11 = 0
+              THEN ' card 4111 1111 1111 1111 ssn 078-05-1120 via 2001:0db8:85a3:0000:0000:8a2e:0370:7334'
+              ELSE '' END AS text
   FROM documents
 ),
 s1 AS (
@@ -2508,17 +2521,37 @@ s1 AS (
 ),
 s2 AS (
   SELECT doc_id, c1,
-         len(regexp_extract_all(t1, '{_PII_PHONE}')) AS c2,
-         regexp_replace(t1, '{_PII_PHONE}', '[REDACTED]', 'g') AS t2
+         len(regexp_extract_all(t1, '{_PII_CARD}')) AS c2,
+         regexp_replace(t1, '{_PII_CARD}', '[REDACTED]', 'g') AS t2
   FROM s1
 ),
 s3 AS (
   SELECT doc_id, c1, c2,
-         len(regexp_extract_all(t2, '{_PII_IPV4}')) AS c3,
-         regexp_replace(t2, '{_PII_IPV4}', '[REDACTED]', 'g') AS t3
+         len(regexp_extract_all(t2, '{_PII_SSN}')) AS c3,
+         regexp_replace(t2, '{_PII_SSN}', '[REDACTED]', 'g') AS t3
   FROM s2
+),
+s4 AS (
+  SELECT doc_id, c1, c2, c3,
+         len(regexp_extract_all(t3, '{_PII_PHONE}')) AS c4,
+         regexp_replace(t3, '{_PII_PHONE}', '[REDACTED]', 'g') AS t4
+  FROM s3
+),
+s5 AS (
+  SELECT doc_id, c1, c2, c3, c4,
+         len(regexp_extract_all(t4, '{_PII_IPV4}')) AS c5,
+         regexp_replace(t4, '{_PII_IPV4}', '[REDACTED]', 'g') AS t5
+  FROM s4
+),
+s6 AS (
+  SELECT doc_id, c1, c2, c3, c4, c5,
+         len(regexp_extract_all(t5, '{_PII_IPV6}')) AS c6,
+         regexp_replace(t5, '{_PII_IPV6}', '[REDACTED]', 'g') AS t6
+  FROM s5
 )
-SELECT doc_id, CAST(c1 + c2 + c3 AS BIGINT) AS n_pii, t3 AS text_clean FROM s3
+SELECT doc_id, CAST(c1 + c2 + c3 + c4 + c5 + c6 AS BIGINT) AS n_pii,
+       t6 AS text_clean
+FROM s6
 """
 _ORACLE_TEXT_STATS = f"""
 WITH base AS (
