@@ -198,6 +198,77 @@ _CASES = [
     ),
 ]
 
+# ARRAY JOIN clause cases live on their own table (needs an array col)
+_AJ_CASES = [
+    # aliased: element exposed, original column still available
+    (
+        "SELECT k, w, size(words) AS n FROM t ARRAY JOIN words AS w "
+        "ORDER BY k, w",
+        "SELECT k, u.w AS w, CAST(len(words) AS INT) AS n FROM t, "
+        "unnest(words) u(w) ORDER BY k, w",
+        "matched",
+    ),
+    # no AS: the element REPLACES the column (CH rule); empty arrays
+    # drop their rows
+    (
+        "SELECT k, words FROM t ARRAY JOIN words ORDER BY k, words",
+        "SELECT k, u.w AS words FROM t, unnest(words) u(w) "
+        "ORDER BY k, words",
+        "matched",
+    ),
+    # LEFT: empty array keeps one row with the element-type default
+    (
+        "SELECT k, w FROM t LEFT ARRAY JOIN words AS w ORDER BY k, w",
+        "SELECT k, coalesce(u.w, '') AS w FROM t LEFT JOIN "
+        "unnest(words) u(w) ON true ORDER BY k, w",
+        "matched",
+    ),
+    # WHERE runs POST-expansion for the clause form (can see the alias)
+    (
+        "SELECT k, w FROM t ARRAY JOIN words AS w WHERE w != 'b' "
+        "ORDER BY k, w",
+        "SELECT k, u.w AS w FROM t, unnest(words) u(w) WHERE u.w != 'b' "
+        "ORDER BY k, w",
+        "matched",
+    ),
+    # zipped multi-array form refuses with the semantic message
+    ("SELECT k FROM t ARRAY JOIN words AS w, words AS v", "SELECT 1", "refused"),
+    # LEFT over an expression: element type unknown -> refuse
+    (
+        "SELECT k, w FROM t LEFT ARRAY JOIN arrayMap(x -> x, words) AS w",
+        "SELECT 1",
+        "refused",
+    ),
+]
+
+
+@pytest.fixture(scope="module")
+def aj_tbl(spark):
+    return spark.createDataFrame(
+        [(1, ["a", "b"]), (2, ["c"]), (3, [])],
+        "k int, words array<string>",
+    )
+
+
+@pytest.fixture(scope="module")
+def aj_duck():
+    import duckdb
+
+    con = duckdb.connect()
+    con.sql(
+        "CREATE TABLE t AS SELECT * FROM (VALUES "
+        "(1, ['a','b']), (2, ['c']), (3, CAST([] AS VARCHAR[]))"
+        ") v(k, words)"
+    )
+    yield con
+    con.close()
+
+
+@pytest.mark.parametrize("ch_sql,duck_sql,want", _AJ_CASES)
+def test_array_join_clause(spark, aj_tbl, aj_duck, ch_sql, duck_sql, want):
+    got = _refusal_or_match(spark, aj_tbl, aj_duck, ch_sql, duck_sql)
+    assert got == want, f"{ch_sql!r}: expected {want}, got {got}"
+
 
 @pytest.mark.parametrize("ch_sql,duck_sql,want", _CASES)
 def test_refusal_or_correct(spark, tbl, duck_tbl, ch_sql, duck_sql, want):

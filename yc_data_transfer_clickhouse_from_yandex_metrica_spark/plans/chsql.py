@@ -45,6 +45,12 @@ vocabulary):
   ('' / 0) out of range, for any column whose array element type is
   known from the provided tables (ch.array_at semantics); unknown
   columns keep Spark semantics untouched.
+- ``[LEFT] ARRAY JOIN <expr> [AS alias]`` CLAUSE (r8): hoisted into
+  an inner explode projection, WHERE/GROUP BY post-expansion (CH's
+  clause rule; the arrayJoin() FUNCTION keeps its pre-expansion
+  WHERE).  One array item; no-AS replaces the plain column with its
+  element; LEFT fills the CH element-type default ('' / 0) and needs
+  a known array column.  Multiple (zipped) arrays refuse.
 - ``PREWHERE`` (CH's scan-stage filter hint) merged into WHERE --
   Catalyst pushes filters to the scan on its own, so the hint costs
   nothing and the semantics (one more conjunct) are identical.
@@ -598,6 +604,108 @@ def _elem_defaults(tables: dict[str, DataFrame]) -> dict[str, str]:
     return out
 
 
+_AJ_CLAUSE = re.compile(r"\b(LEFT\s+)?ARRAY\s+JOIN\b", re.I)
+_AJ_END = re.compile(
+    r"\b(WHERE|GROUP\s+BY|HAVING|ORDER\s+BY|LIMIT|UNION|SETTINGS|FORMAT)\b",
+    re.I,
+)
+
+
+def _rewrite_array_join(sql: str, defaults: dict[str, str]) -> str:
+    """CH ``[LEFT] ARRAY JOIN <expr> [AS alias]`` CLAUSE (the dialect
+    already supports the arrayJoin() function): hoisted into an inner
+    explode projection over the whole FROM target, so WHERE/GROUP
+    BY/HAVING run post-expansion — the CH rule for the clause form
+    (the FUNCTION form's WHERE runs pre-expansion, also CH parity).
+
+    Scope (refusals are explicit): exactly ONE array item; without
+    ``AS`` the item must be a plain column (CH replaces the column
+    with its element — compiled as ``* EXCEPT (col)``); ``LEFT``
+    (empty arrays keep one row with the ELEMENT TYPE DEFAULT, '' / 0)
+    needs the element type, i.e. a plain array column of a provided
+    table.  Multiple arrays zip in CH — not mapped, refuse."""
+    while True:
+        masked = _mask(sql)
+        m = _AJ_CLAUSE.search(masked)
+        if m is None:
+            return sql
+        depth: list[int] = []
+        d = 0
+        for c in masked:
+            depth.append(d)
+            if c in "([":
+                d += 1
+            elif c in ")]":
+                d -= 1
+        d0 = depth[m.start()]
+        froms = [
+            fm
+            for fm in re.finditer(r"\bFROM\b", masked[: m.start()], re.I)
+            if depth[fm.start()] == d0
+        ]
+        if not froms:
+            raise ValueError("chsql: ARRAY JOIN without a governing FROM")
+        fm = froms[-1]
+        target = sql[fm.end() : m.start()].strip()
+        end = len(sql)
+        for km in _AJ_END.finditer(masked, m.end()):
+            if depth[km.start()] == d0:
+                end = km.start()
+                break
+        for i in range(m.end(), end):
+            if masked[i] in ")]" and depth[i] == d0:
+                end = i  # enclosing subquery closes before any clause
+                break
+        items = _split_top(sql[m.end() : end])
+        if len(items) != 1 or not items[0].strip():
+            raise ValueError(
+                "chsql: ARRAY JOIN maps exactly one array; CH zips "
+                "multiple arrays — zip explicitly (arrays_zip) or use "
+                "the operator API"
+            )
+        item = items[0].strip()
+        am = re.search(r"\s+AS\s+(`[^`]+`|\w+)\s*$", item, re.I)
+        left = bool(m.group(1))
+        if am:
+            alias = am.group(1)
+            expr = item[: am.start()].strip()
+            replace_col = False
+        else:
+            expr = item
+            if not re.fullmatch(r"`[^`]+`|\w+", expr):
+                raise ValueError(
+                    "chsql: ARRAY JOIN without AS replaces a COLUMN "
+                    "with its element — alias expressions with AS"
+                )
+            alias = expr
+            replace_col = True
+        if left:
+            dflt = defaults.get(expr.strip("`"))
+            if dflt is None:
+                raise ValueError(
+                    "chsql: LEFT ARRAY JOIN fills CH element-type "
+                    "defaults, so it needs a plain array column of a "
+                    "provided table (element type unknown for "
+                    f"{expr!r})"
+                )
+            gen = (
+                f"explode(CASE WHEN {expr} IS NULL OR size({expr}) = 0 "
+                f"THEN array({dflt}) ELSE {expr} END)"
+            )
+        else:
+            gen = f"explode({expr})"
+        proj = (
+            f"* EXCEPT ({expr}), {gen} AS {alias}"
+            if replace_col
+            else f"*, {gen} AS {alias}"
+        )
+        sql = (
+            sql[: fm.end()]
+            + f" (SELECT {proj} FROM {target}) "
+            + sql[end:]
+        )
+
+
 def _rewrite_indexing(sql: str, defaults: dict[str, str]) -> str:
     """``col[idx]`` -> CH 1-based type-default access (ch.array_at
     CASE form) for columns with known array element types."""
@@ -695,6 +803,7 @@ def run_sql(
         df.createOrReplaceTempView(view)
         sql = _replace_name(sql, name, view)
     sql = _rewrite_indexing(sql, _elem_defaults(tables))
+    sql = _rewrite_array_join(sql, _elem_defaults(tables))
     sql = _rewrite_parametrized(sql)
     sql = _rewrite_calls(sql)
     sql = _rewrite_literals(sql)
