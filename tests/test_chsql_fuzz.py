@@ -76,11 +76,13 @@ def duck_tbl():
 
 
 def _rows(df):
-    return sorted(tuple(r) for r in df.collect())
+    # key=repr: NULL super-aggregate keys (ROLLUP/CUBE) don't compare
+    # with ints under plain tuple ordering
+    return sorted((tuple(r) for r in df.collect()), key=repr)
 
 
 def _orows(con, sql):
-    return sorted(tuple(r) for r in con.sql(sql).fetchall())
+    return sorted((tuple(r) for r in con.sql(sql).fetchall()), key=repr)
 
 
 def _refusal_or_match(spark, tbl, con, ch_sql, duck_sql):
@@ -196,6 +198,33 @@ _CASES = [
         "SELECT a.k, b.v FROM t a JOIN t b ON a.k = b.k WHERE b.s = 'x'",
         "matched",
     ),
+    # GROUP BY ... WITH ROLLUP / WITH CUBE: ANSI-shared syntax must
+    # pass through untouched (NULL super-aggregate keys included)
+    (
+        "SELECT k, count(1) AS n FROM t GROUP BY k WITH ROLLUP",
+        "SELECT k, CAST(count(1) AS BIGINT) AS n FROM t GROUP BY ROLLUP (k)",
+        "matched",
+    ),
+    (
+        "SELECT k, s, count(1) AS n FROM t GROUP BY k, s WITH CUBE",
+        "SELECT k, s, CAST(count(1) AS BIGINT) AS n FROM t GROUP BY CUBE (k, s)",
+        "matched",
+    ),
+    # INTERSECT / EXCEPT pass through (CH and ANSI agree: distinct)
+    (
+        "SELECT k FROM t INTERSECT SELECT k FROM t WHERE v > 3",
+        "SELECT k FROM t INTERSECT SELECT k FROM t WHERE v > 3",
+        "matched",
+    ),
+    (
+        "SELECT k FROM t EXCEPT SELECT k FROM t WHERE v > 3",
+        "SELECT k FROM t EXCEPT SELECT k FROM t WHERE v > 3",
+        "matched",
+    ),
+    # SAMPLE needs a declared SAMPLE BY key: semantic refusal, not a
+    # Spark parse error
+    ("SELECT k FROM t SAMPLE 0.5", "SELECT 1", "refused"),
+    ("SELECT k FROM t SAMPLE 1/2 OFFSET 1/2", "SELECT 1", "refused"),
 ]
 
 # ARRAY JOIN clause cases live on their own table (needs an array col)

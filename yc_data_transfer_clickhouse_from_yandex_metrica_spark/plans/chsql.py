@@ -829,6 +829,16 @@ def run_sql(
     # (at-most-one match) and ASOF (nearest-key) CHANGE semantics and
     # have dedicated operators -- refuse rather than silently join-all
     masked = _mask(sql)
+    # CH `SAMPLE k` reads a deterministic slice of a table's declared
+    # SAMPLE BY key; a bare DataFrame has no such key, so the clause
+    # cannot be honored faithfully -- refuse with the operator pointer
+    # instead of Spark's opaque parse error
+    if re.search(r"\bSAMPLE\s+[\d./]", masked, re.I):
+        raise ValueError(
+            "chsql: SAMPLE needs the table's SAMPLE BY key; use "
+            "operators/sampling.sample_by (deterministic hash sample) "
+            "or sources/warehouse's SAMPLE BY layout"
+        )
     for bad, hint in (
         ("ANY", "dedupe the build side or use argMax per key"),
         ("ASOF", "operators/rangejoin.asof_join is the engine's form"),
