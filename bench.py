@@ -100,6 +100,7 @@ HEADLINE = [
     "url_funcs",
     "json_funcs",
     "chsql_word_count",
+    "chsql_array_join",
     "chsql_daily_fill",
     "chsql_fill_interpolate",
     "chsql_limit_by",

@@ -4029,6 +4029,41 @@ ORDER BY n DESC, w LIMIT 50
 
 
 # =========================================================================
+# 31a2. chsql_array_join -- the CH ARRAY JOIN *clause* (r8 dialect
+#       addition; the arrayJoin() FUNCTION is 31a above) run verbatim:
+#       the clause form expands rows FIRST, so WHERE sees the element
+#       alias -- the opposite evaluation order from the function form.
+# =========================================================================
+_CHSQL_ARRAY_JOIN_SQL = """
+-- token histogram, ARRAY JOIN clause form
+SELECT w AS word, count(1) AS n
+FROM documents ARRAY JOIN splitByChar(' ', lower(text)) AS w
+WHERE w != ''
+GROUP BY word
+ORDER BY n DESC, word
+LIMIT 20
+"""
+
+
+def q_chsql_array_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..plans import chsql
+
+    _prep(spark)
+    docs = t(spark, sf_dir, "documents")
+    return chsql.run_sql(spark, _CHSQL_ARRAY_JOIN_SQL, {"documents": docs})
+
+
+_ORACLE_CHSQL_ARRAY_JOIN = """
+WITH ex AS (
+  SELECT unnest(string_split(lower(text), ' ')) AS w FROM documents
+)
+SELECT w AS word, CAST(count(1) AS BIGINT) AS n
+FROM ex WHERE w != ''
+GROUP BY w ORDER BY n DESC, word LIMIT 20
+"""
+
+
+# =========================================================================
 # 31b. chsql_daily_fill -- the WITH FILL clause run VERBATIM through
 #      the dialect (compiled onto operators/series.fill_series) and
 #      hash-matched against the same generate_series oracle as the
@@ -4394,6 +4429,11 @@ QUERIES: dict[str, QuerySpec] = {
         q_chsql_word_count,
         _ORACLE_CHSQL_WORD_COUNT,
         "F-ext + chsql: arrayJoin row expansion (hoisted explode) + UInt8 WHERE truthiness",
+    ),
+    "chsql_array_join": QuerySpec(
+        q_chsql_array_join,
+        _ORACLE_CHSQL_ARRAY_JOIN,
+        "F-ext + chsql r8: ARRAY JOIN clause (post-expansion WHERE, alias in GROUP BY)",
     ),
     "chsql_daily_fill": QuerySpec(
         q_chsql_daily_fill,
