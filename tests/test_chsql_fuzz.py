@@ -225,6 +225,21 @@ _CASES = [
     # Spark parse error
     ("SELECT k FROM t SAMPLE 0.5", "SELECT 1", "refused"),
     ("SELECT k FROM t SAMPLE 1/2 OFFSET 1/2", "SELECT 1", "refused"),
+    # FINAL collapses on read in CH; Spark would silently read it as a
+    # table ALIAS and skip the collapse — must refuse, both positions
+    ("SELECT k FROM t FINAL", "SELECT 1", "refused"),
+    ("SELECT k FROM t FINAL WHERE k > 0", "SELECT 1", "refused"),
+    (
+        "SELECT a.k FROM t a JOIN t FINAL ON a.k = FINAL.k",
+        "SELECT 1",
+        "refused",
+    ),
+    # GROUP BY ALL: CH and Spark agree (all non-aggregate select cols)
+    (
+        "SELECT k, count(1) AS n FROM t GROUP BY ALL",
+        "SELECT k, CAST(count(1) AS BIGINT) AS n FROM t GROUP BY ALL",
+        "matched",
+    ),
 ]
 
 # ARRAY JOIN clause cases live on their own table (needs an array col)

@@ -839,6 +839,17 @@ def run_sql(
             "operators/sampling.sample_by (deterministic hash sample) "
             "or sources/warehouse's SAMPLE BY layout"
         )
+    # CH `FROM t FINAL` collapses/deduplicates ON READ per the table
+    # engine's version key; Spark would silently parse FINAL as a
+    # table ALIAS and skip the collapse — the worst silent-wrong
+    # class, so refuse (rename the alias if FINAL was meant as one)
+    if re.search(r"\b(FROM|JOIN)\s+(`[^`]+`|\w+)\s+FINAL\b", masked, re.I):
+        raise ValueError(
+            "chsql: FINAL collapses rows by the table engine's version "
+            "key on read and is not mapped; pre-collapse with "
+            "operators/collapse.collapse_latest (A11) — or rename the "
+            "alias if FINAL was meant as a table alias"
+        )
     for bad, hint in (
         ("ANY", "dedupe the build side or use argMax per key"),
         ("ASOF", "operators/rangejoin.asof_join is the engine's form"),
