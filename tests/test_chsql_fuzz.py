@@ -353,10 +353,16 @@ def test_any_asof_refusals_name_the_operator(spark, tbl):
 # non-aggregate alias q referenced from GROUP BY/ORDER BY; aggregate
 # alias n referenced from HAVING; WHERE uses CH UInt8 truthiness.
 # No whitespace inside identifiers: the mutator splits on spaces.
-_BASE = (
+# The other bases walk the bigger rewrite machines: the ARRAY JOIN
+# clause hoist and the WITH TOTALS split.
+_BASES = [
     "SELECT k, k*2 AS q, count(1) AS n FROM t "
-    "WHERE notEmpty(s) GROUP BY k, q HAVING n >= 1 ORDER BY k, q"
-)
+    "WHERE notEmpty(s) GROUP BY k, q HAVING n >= 1 ORDER BY k, q",
+    "SELECT k, w, count(1) AS n FROM t ARRAY JOIN splitByChar('B', s) "
+    "AS w WHERE w != '' GROUP BY k, w ORDER BY k, w",
+    "SELECT k, sum(v) AS sv FROM t GROUP BY k WITH TOTALS "
+    "ORDER BY k LIMIT 3",
+]
 
 _COMMENTS = st.sampled_from(
     ["/* x */", "-- tail\n", "/* don't */", "  ", "\n\t", "/* 100. */"]
@@ -368,13 +374,18 @@ _COMMENTS = st.sampled_from(
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
-@given(st.lists(st.tuples(st.integers(0, 10), _COMMENTS), max_size=4))
-def test_neutral_mutations_preserve_result(spark, tbl, injections):
+@given(
+    st.integers(0, len(_BASES) - 1),
+    st.lists(st.tuples(st.integers(0, 10), _COMMENTS), max_size=4),
+)
+def test_neutral_mutations_preserve_result(spark, tbl, base_i, injections):
     """Comments/whitespace injected at keyword boundaries (top level,
-    outside literals) must never change the compiled result."""
-    base = _BASE
+    outside literals) must never change the compiled result — for the
+    plain-agg, ARRAY-JOIN-clause, and WITH TOTALS compile paths."""
+    base = _BASES[base_i]
     # inject only at spaces OUTSIDE backticks/quotes: splitting on
     # single spaces of the canonical text guarantees top-level slots
+    # (the literal 'B' in base 1 contains no space)
     parts = base.split(" ")
     mutated = parts[:]
     for slot, comment in injections:
