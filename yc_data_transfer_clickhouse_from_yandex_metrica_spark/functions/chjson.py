@@ -133,6 +133,19 @@ def json_extract_raw(j: ColumnOrName, *path: str | int) -> Column:
     return F.coalesce(F.to_json(_variant_at(j, path)), F.lit(""))
 
 
+def json_extract_array_raw(j: ColumnOrName, *path: str | int) -> Column:
+    """``JSONExtractArrayRaw``: each element of the array at path
+    re-serialized as JSON text; [] when the path is missing or not an
+    array.  Deviation (same as json_extract_raw): OBJECT elements
+    re-serialize with variant-normalized (sorted) keys; scalars and
+    nested arrays round-trip exactly."""
+    arr = F.try_variant_get(_variant_at(j, path), "$", "array<variant>")
+    return F.coalesce(
+        F.transform(arr, lambda x: F.to_json(x)),
+        F.array().cast("array<string>"),
+    )
+
+
 def json_extract_keys(j: ColumnOrName, *path: str | int) -> Column:
     """``JSONExtractKeys``: keys of the object at path, SORTED
     (documented deviation -- CH preserves document order); [] when the

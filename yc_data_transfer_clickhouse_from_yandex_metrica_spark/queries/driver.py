@@ -3926,6 +3926,9 @@ def q_json_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         chjson.json_extract_int("__j", "o", "a", "b").alias("oab"),
         F.round(chjson.json_extract_float("__j", "arr", 2), 6).alias("arr2"),
         chjson.json_extract_raw("__j", "o").alias("raw_o"),
+        F.array_join(
+            chjson.json_extract_array_raw("__j", "arr"), "|"
+        ).alias("arr_raw"),
         F.array_join(chjson.json_extract_keys("__j"), ",").alias("keys"),
         chjson.json_length("__j").alias("obj_len"),
         chjson.json_length("__j", "arr").alias("arr_len"),
@@ -3966,6 +3969,10 @@ SELECT event_id,
        THEN round(CAST(j->'$.arr[1]' AS DOUBLE), 6) ELSE 0.0 END AS DOUBLE) AS arr2,
   CASE WHEN json_valid(j) AND json_type(j, '$.o') IS NOT NULL
        THEN CAST(json_extract(j, '$.o') AS VARCHAR) ELSE '' END AS raw_o,
+  CASE WHEN json_valid(j) AND json_type(j, '$.arr') = 'ARRAY'
+       THEN coalesce(
+         array_to_string(CAST(json_extract(j, '$.arr[*]') AS VARCHAR[]), '|'), '')
+       ELSE '' END AS arr_raw,
   CASE WHEN json_valid(j) AND json_type(j) = 'OBJECT'
        THEN array_to_string(list_sort(json_keys(j)), ',') ELSE '' END AS keys,
   CAST(CASE WHEN json_valid(j) AND json_type(j) = 'OBJECT' THEN array_length(json_keys(j))
