@@ -240,6 +240,16 @@ _CASES = [
         "SELECT k, CAST(count(1) AS BIGINT) AS n FROM t GROUP BY ALL",
         "matched",
     ),
+    # r8 date-family rewrites (Monday=1 dow, ISO week, epoch seconds)
+    (
+        "SELECT k, toQuarter(d) AS q2, toDayOfWeek(d) AS dw, "
+        "toDayOfYear(d) AS doy, toISOWeek(d) AS iw, "
+        "toLastDayOfMonth(d) AS eom, toUnixTimestamp(d) AS ux FROM t",
+        "SELECT k, CAST(quarter(d) AS INT) AS q2, CAST(isodow(d) AS INT) AS dw, "
+        "CAST(dayofyear(d) AS INT) AS doy, CAST(date_part('week', d) AS INT) AS iw, "
+        "last_day(d) AS eom, CAST(epoch(CAST(d AS TIMESTAMP)) AS BIGINT) AS ux FROM t",
+        "matched",
+    ),
 ]
 
 # ARRAY JOIN clause cases live on their own table (needs an array col)

@@ -389,9 +389,10 @@ def to_last_day_of_month(d: ColumnOrName) -> Column:
 
 
 def to_unix_timestamp(d: ColumnOrName) -> Column:
-    """``toUnixTimestamp``: seconds since epoch.  Dates resolve to
-    their UTC midnight under the engine's pinned UTC session tz."""
-    return F.unix_timestamp(F.to_date(_col(d)).cast("timestamp"))
+    """``toUnixTimestamp``: seconds since epoch.  Timestamps keep
+    their time-of-day (CH parity); dates resolve to their UTC
+    midnight under the engine's pinned UTC session tz."""
+    return F.unix_timestamp(_col(d).cast("timestamp"))
 
 
 # -- string function family ------------------------------------------

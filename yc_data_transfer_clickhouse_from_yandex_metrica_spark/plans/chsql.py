@@ -281,6 +281,25 @@ _CALL_REWRITES: dict[str, object] = {
     ),
     "toMonday": lambda a: f"CAST(date_trunc('week', {a[0]}) AS DATE)",
     "toDate": lambda a: f"CAST({a[0]} AS DATE)",
+    # r8 date-family widening (each mirrors functions/ch.py exactly)
+    "toQuarter": lambda a: f"quarter(CAST({a[0]} AS DATE))",
+    "toDayOfWeek": lambda a: (
+        f"CAST((dayofweek(CAST({a[0]} AS DATE)) + 5) % 7 + 1 AS INT)"
+    ),
+    "toDayOfYear": lambda a: f"dayofyear(CAST({a[0]} AS DATE))",
+    "toISOWeek": lambda a: f"weekofyear(CAST({a[0]} AS DATE))",
+    "toLastDayOfMonth": lambda a: f"last_day(CAST({a[0]} AS DATE))",
+    "toUnixTimestamp": lambda a: (
+        f"unix_timestamp(CAST({a[0]} AS TIMESTAMP))"
+    ),
+    "toStartOfQuarter": lambda a: (
+        f"CAST(date_trunc('quarter', {a[0]}) AS DATE)"
+    ),
+    "toStartOfMonth": lambda a: f"CAST(date_trunc('month', {a[0]}) AS DATE)",
+    "toStartOfYear": lambda a: f"CAST(date_trunc('year', {a[0]}) AS DATE)",
+    "toYYYYMM": lambda a: (
+        f"CAST(year(CAST({a[0]} AS DATE)) * 100 + month(CAST({a[0]} AS DATE)) AS INT)"
+    ),
     # aggregate combinators (each mirrors functions/ch.py exactly,
     # incl. the 0-not-null empty-set contract of countIf/sumIf)
     "countIf": lambda a: (
