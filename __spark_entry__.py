@@ -32,6 +32,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    """DuckDB-runnable ANSI oracles; the one approximate-by-design
-    operator (IVF probing) is intentionally absent -> rows-only check."""
+    """DuckDB-runnable ANSI oracles — as of round 8 EVERY registry
+    entry has one (ann_ivf_topk gained a pinned-centroid closed-form
+    oracle, so no rows-only entries remain)."""
     return _driver.oracle_sql()
