@@ -600,6 +600,37 @@ def test_uncommitted_latest_artifact_uses_worktree_fallback():
         _changed_since.cache_clear()
 
 
+def test_uncommitted_window_only_artifact_is_handled():
+    """The realistic judge-time artifact shape: the driver writes rows
+    ONLY for the checked 50-entry window.  Those entries then sort to
+    the back (newest green) — i.e. the uncommitted round IS the tail's
+    last-green round — and must resolve through the HEAD-vs-worktree
+    fallback without lifecycle errors."""
+    rnd = 98
+    art = REPO / f"CORRECTNESS_r{rnd:02d}.json"
+    assert not art.exists(), "simulation round collides with a real artifact"
+    window = driver.registry_order()[: driver.DRIVER_WINDOW]
+    rows = {
+        name: {
+            "rows_match": True, "schema_match": True, "hash_match": True,
+            "spark_rows": 1, "oracle_rows": 1, "err": None,
+        }
+        for name in window
+    }
+    art.write_text(json.dumps(rows))
+    try:
+        _artifact_commit.cache_clear()
+        _changed_since.cache_clear()
+        assert _green_commit(rnd) == "HEAD"
+        problems = _stale_tail_problems()
+        lifecycle = [p for p in problems if "no committed CORRECTNESS" in p]
+        assert not lifecycle, lifecycle
+    finally:
+        art.unlink()
+        _artifact_commit.cache_clear()
+        _changed_since.cache_clear()
+
+
 def test_uncommitted_older_artifact_does_not_use_fallback():
     """Only the NEWEST on-disk round may use the HEAD-vs-worktree
     fallback: HEAD is unrelated to what an older round verified."""
