@@ -3385,6 +3385,31 @@ def test_ch_date_family_r8_widening(spark):
     assert (r["doy"], str(r["eom"])) == (60, "2024-02-29")
 
 
+def test_geohash_encode_known_values(spark):
+    """geohashEncode against the canonical published examples
+    (Niemeyer geohash): (57.64911N, 10.40744E) -> u4pruydqqvj and
+    (42.605N, 5.603W) -> ezs42, at several precisions."""
+    from pyspark.sql import functions as F
+
+    from yc_data_transfer_clickhouse_from_yandex_metrica_spark.functions import ch
+
+    df = spark.createDataFrame(
+        [(10.40744, 57.64911), (-5.603, 42.605)], "lon double, lat double"
+    )
+    rows = df.select(
+        ch.geohash_encode("lon", "lat", 5).alias("g5"),
+        ch.geohash_encode("lon", "lat", 6).alias("g6"),
+        ch.geohash_encode("lon", "lat", 11).alias("g11"),
+        ch.geohash_encode(F.col("lon"), F.col("lat"), 1).alias("g1"),
+    ).collect()
+    assert (rows[0]["g11"], rows[0]["g6"], rows[0]["g1"]) == (
+        "u4pruydqqvj", "u4pruy", "u",
+    )
+    assert rows[1]["g5"] == "ezs42"
+    with pytest.raises(ValueError):
+        ch.geohash_encode("lon", "lat", 0)
+
+
 def test_delta_sum_and_uniq_up_to(spark):
     from yc_data_transfer_clickhouse_from_yandex_metrica_spark.operators import series
 

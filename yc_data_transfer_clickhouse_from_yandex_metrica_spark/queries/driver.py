@@ -1701,6 +1701,10 @@ def q_geo_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id",
         F.floor(d / 1000 + F.lit(0.5)).cast("long").alias("dist_km"),
         (d <= F.lit(3_000_000.0)).cast("int").alias("within_3000km"),
+        # r8 widening: CH geohashEncode (closed-form bit interleave;
+        # the oracle rebuilds it with a runtime-lambda formulation, so
+        # the two implementations are structurally independent)
+        ch.geohash_encode(lon, lat, 6).alias("gh6"),
     )
 
 
@@ -1725,11 +1729,46 @@ d AS (
          )) AS dist
   FROM p
 )
-SELECT event_id,
+SELECT d.event_id,
   CAST(floor(dist / 1000 + 0.5) AS BIGINT) AS dist_km,
   CAST(CASE WHEN dist <= 3000000.0 THEN 1 ELSE 0 END AS INT)
-    AS within_3000km
+    AS within_3000km,
+  g.gh6
 FROM d
+JOIN (
+  -- geohash p=6: nlon=nlat=15 bits; even global bits from lon, odd
+  -- from lat, 5 bits per base32 char.  Runtime-lambda formulation
+  -- (list_transform over the char index) -- deliberately a different
+  -- shape from the Spark side's per-char constant expressions.
+  SELECT event_id,
+    array_to_string(list_transform(range(0, 6), c ->
+      substring('0123456789bcdefghjkmnpqrstuvwxyz',
+        CAST(
+            ((CASE WHEN (5*c + 0) % 2 = 0
+                   THEN (lon_q >> (14 - (5*c + 0) // 2)) & 1
+                   ELSE (lat_q >> (14 - (5*c - 1) // 2)) & 1 END) * 16)
+          + ((CASE WHEN (5*c + 1) % 2 = 0
+                   THEN (lon_q >> (14 - (5*c + 1) // 2)) & 1
+                   ELSE (lat_q >> (14 - (5*c + 0) // 2)) & 1 END) * 8)
+          + ((CASE WHEN (5*c + 2) % 2 = 0
+                   THEN (lon_q >> (14 - (5*c + 2) // 2)) & 1
+                   ELSE (lat_q >> (14 - (5*c + 1) // 2)) & 1 END) * 4)
+          + ((CASE WHEN (5*c + 3) % 2 = 0
+                   THEN (lon_q >> (14 - (5*c + 3) // 2)) & 1
+                   ELSE (lat_q >> (14 - (5*c + 2) // 2)) & 1 END) * 2)
+          + ((CASE WHEN (5*c + 4) % 2 = 0
+                   THEN (lon_q >> (14 - (5*c + 4) // 2)) & 1
+                   ELSE (lat_q >> (14 - (5*c + 3) // 2)) & 1 END))
+          + 1 AS INT), 1)), '') AS gh6
+  FROM (
+    SELECT event_id,
+      CAST(least(floor((lon + 180.0) / 360.0 * 32768.0), 32767.0) AS BIGINT)
+        AS lon_q,
+      CAST(least(floor((lat + 90.0) / 180.0 * 32768.0), 32767.0) AS BIGINT)
+        AS lat_q
+    FROM p
+  )
+) g ON d.event_id = g.event_id
 """
 
 
