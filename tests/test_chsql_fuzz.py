@@ -285,6 +285,16 @@ _AJ_CASES = [
         "ORDER BY k, w",
         "matched",
     ),
+    # clause + function combined: both expand (cross product per row,
+    # the CH rule) — the clause hoists an inner subquery, the function
+    # hoists over it
+    (
+        "SELECT k, w, arrayJoin(words) AS v FROM t ARRAY JOIN words AS w "
+        "ORDER BY k, w, v",
+        "SELECT k, a.w AS w, b.v AS v FROM t, unnest(words) a(w), "
+        "unnest(words) b(v) ORDER BY k, w, v",
+        "matched",
+    ),
     # zipped multi-array form refuses with the semantic message
     ("SELECT k FROM t ARRAY JOIN words AS w, words AS v", "SELECT 1", "refused"),
     # LEFT over an expression: element type unknown -> refuse
