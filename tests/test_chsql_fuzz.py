@@ -306,11 +306,24 @@ _AJ_CASES = [
 ]
 
 
+_AJ_CASES.append(
+    # CH's multi-array zip via explicit arrayZip: pairwise expansion
+    # (the refusal message's suggested form actually compiles)
+    (
+        "SELECT k, z.words AS s, z.lens AS n FROM t "
+        "ARRAY JOIN arrayZip(words, lens) AS z ORDER BY k, s",
+        "SELECT k, words[CAST(i AS INT)] AS s, lens[CAST(i AS INT)] AS n "
+        "FROM t, unnest(range(1, len(words) + 1)) u(i) ORDER BY k, s",
+        "matched",
+    )
+)
+
+
 @pytest.fixture(scope="module")
 def aj_tbl(spark):
     return spark.createDataFrame(
-        [(1, ["a", "b"]), (2, ["c"]), (3, [])],
-        "k int, words array<string>",
+        [(1, ["a", "b"], [10, 20]), (2, ["c"], [30]), (3, [], [])],
+        "k int, words array<string>, lens array<int>",
     )
 
 
@@ -321,8 +334,9 @@ def aj_duck():
     con = duckdb.connect()
     con.sql(
         "CREATE TABLE t AS SELECT * FROM (VALUES "
-        "(1, ['a','b']), (2, ['c']), (3, CAST([] AS VARCHAR[]))"
-        ") v(k, words)"
+        "(1, ['a','b'], [10, 20]), (2, ['c'], [30]), "
+        "(3, CAST([] AS VARCHAR[]), CAST([] AS INT[]))"
+        ") v(k, words, lens)"
     )
     yield con
     con.close()

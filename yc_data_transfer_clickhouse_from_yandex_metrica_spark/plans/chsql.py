@@ -316,6 +316,10 @@ _CALL_REWRITES: dict[str, object] = {
     # \Q...\E quoting keeps the separator LITERAL (Spark split takes
     # a Java regex; CH splits on the literal char)
     "splitByChar": lambda a: f"split({a[1]}, concat('\\\\Q', {a[0]}, '\\\\E'))",
+    # CH arrayZip -> array of structs (Spark names fields after the
+    # source columns where CH numbers tuple elements 1..n; access via
+    # the field name).  Pairs with the ARRAY JOIN single-array scope.
+    "arrayZip": lambda a: f"arrays_zip({', '.join(a)})",
     "arrayExists": lambda a: f"exists({a[1]}, {a[0]})",
     "arrayAll": lambda a: f"forall({a[1]}, {a[0]})",
     "arrayCount": lambda a: (
@@ -679,8 +683,8 @@ def _rewrite_array_join(sql: str, defaults: dict[str, str]) -> str:
         if len(items) != 1 or not items[0].strip():
             raise ValueError(
                 "chsql: ARRAY JOIN maps exactly one array; CH zips "
-                "multiple arrays — zip explicitly (arrays_zip) or use "
-                "the operator API"
+                "multiple arrays — zip explicitly (arrayZip(a, b) AS "
+                "z, fields z.a / z.b) or use the operator API"
             )
         item = items[0].strip()
         am = re.search(r"\s+AS\s+(`[^`]+`|\w+)\s*$", item, re.I)
