@@ -3408,6 +3408,18 @@ def test_geohash_encode_known_values(spark):
     assert rows[1]["g5"] == "ezs42"
     with pytest.raises(ValueError):
         ch.geohash_encode("lon", "lat", 0)
+    # decode returns the cell CENTER; re-encoding the center must give
+    # back the identical geohash (the center is inside its own cell)
+    glon, glat = ch.geohash_decode(ch.geohash_encode("lon", "lat", 6), 6)
+    rt = df.select(
+        ch.geohash_encode("lon", "lat", 6).alias("g"),
+        ch.geohash_encode(glon, glat, 6).alias("rt"),
+        glon.alias("lon2"), glat.alias("lat2"), "lon", "lat",
+    ).collect()
+    for r in rt:
+        assert r["rt"] == r["g"]
+        assert abs(r["lon2"] - r["lon"]) < 0.011  # p=6 lon cell ~0.011°
+        assert abs(r["lat2"] - r["lat"]) < 0.0055
 
 
 def test_delta_sum_and_uniq_up_to(spark):

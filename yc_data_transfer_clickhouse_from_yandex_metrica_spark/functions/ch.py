@@ -671,6 +671,44 @@ def geohash_encode(
     return F.concat(*chars)
 
 
+def geohash_decode(
+    gh: ColumnOrName | Column, precision: int = 6
+) -> tuple[Column, Column]:
+    """ClickHouse ``geohashDecode(s)``: (longitude, latitude) of the
+    CELL CENTER.  Closed-form inverse of :func:`geohash_encode` for a
+    FIXED-width input (the common stored-column case): per character,
+    recover the base32 value via a position scan, de-interleave the 5
+    bits back into the lon/lat quantizers, then map each quantizer to
+    its cell midpoint.  Returns a (lon, lat) Column pair."""
+    if not 1 <= precision <= 12:
+        raise ValueError(f"geohash precision must be 1..12, got {precision}")
+    g = _col(gh)
+    nbits = 5 * precision
+    nlon = (nbits + 1) // 2
+    nlat = nbits // 2
+    lon_q: Column = F.lit(0).cast("long")
+    lat_q: Column = F.lit(0).cast("long")
+    for c in range(precision):
+        # 0-based alphabet index of character c (instr is 1-based)
+        val = (F.instr(F.lit(_GEOHASH_B32), F.substring(g, c + 1, 1)) - F.lit(1)).cast(
+            "long"
+        )
+        for b in range(5):
+            i = 5 * c + b
+            bit = F.shiftright(val, 4 - b) % 2
+            if i % 2 == 0:
+                lon_q = lon_q + F.shiftleft(bit, nlon - 1 - i // 2)
+            else:
+                lat_q = lat_q + F.shiftleft(bit, nlat - 1 - (i - 1) // 2)
+    lon = (lon_q.cast("double") + F.lit(0.5)) / F.lit(float(2**nlon)) * F.lit(
+        360.0
+    ) - F.lit(180.0)
+    lat = (lat_q.cast("double") + F.lit(0.5)) / F.lit(float(2**nlat)) * F.lit(
+        180.0
+    ) - F.lit(90.0)
+    return lon, lat
+
+
 # --- string/regex vocabulary (round 7): match / extract / countMatches /
 # startsWith / endsWith / pads / trims -- the CH functions a dashboard
 # port hits right after the URL family.  All JVM built-ins.

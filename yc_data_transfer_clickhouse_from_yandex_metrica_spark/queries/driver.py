@@ -1705,6 +1705,17 @@ def q_geo_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
         # the oracle rebuilds it with a runtime-lambda formulation, so
         # the two implementations are structurally independent)
         ch.geohash_encode(lon, lat, 6).alias("gh6"),
+        # geohashDecode through the ENCODED STRING (exercises the
+        # base32 parse); the oracle computes the same cell centers
+        # directly from its quantizers — decode∘encode must equal the
+        # quantizer midpoint
+        *(
+            ch.round_to(col, 4).alias(name)
+            for name, col in zip(
+                ("gh6_lon", "gh6_lat"),
+                ch.geohash_decode(ch.geohash_encode(lon, lat, 6), 6),
+            )
+        ),
     )
 
 
@@ -1733,7 +1744,9 @@ SELECT d.event_id,
   CAST(floor(dist / 1000 + 0.5) AS BIGINT) AS dist_km,
   CAST(CASE WHEN dist <= 3000000.0 THEN 1 ELSE 0 END AS INT)
     AS within_3000km,
-  g.gh6
+  g.gh6,
+  floor(g.glon * 10000.0 + 0.5) / 10000.0 AS gh6_lon,
+  floor(g.glat * 10000.0 + 0.5) / 10000.0 AS gh6_lat
 FROM d
 JOIN (
   -- geohash p=6: nlon=nlat=15 bits; even global bits from lon, odd
@@ -1759,7 +1772,9 @@ JOIN (
           + ((CASE WHEN (5*c + 4) % 2 = 0
                    THEN (lon_q >> (14 - (5*c + 4) // 2)) & 1
                    ELSE (lat_q >> (14 - (5*c + 3) // 2)) & 1 END))
-          + 1 AS INT), 1)), '') AS gh6
+          + 1 AS INT), 1)), '') AS gh6,
+    (CAST(lon_q AS DOUBLE) + 0.5) / 32768.0 * 360.0 - 180.0 AS glon,
+    (CAST(lat_q AS DOUBLE) + 0.5) / 32768.0 * 180.0 - 90.0 AS glat
   FROM (
     SELECT event_id,
       CAST(least(floor((lon + 180.0) / 360.0 * 32768.0), 32767.0) AS BIGINT)
