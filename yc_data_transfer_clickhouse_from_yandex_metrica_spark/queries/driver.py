@@ -1708,7 +1708,11 @@ def q_geo_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
         # geohashDecode through the ENCODED STRING (exercises the
         # base32 parse); the oracle computes the same cell centers
         # directly from its quantizers — decode∘encode must equal the
-        # quantizer midpoint
+        # quantizer midpoint.  NB the nested encode-inside-decode tree
+        # is the PROOF form, not the production pattern (decoding a
+        # STORED geohash column costs 6 instr ops/row); it dominates
+        # this entry's wall time (~3 s at sf0.1) while staying a
+        # 0-exchange linear map-side Project.
         *(
             ch.round_to(col, 4).alias(name)
             for name, col in zip(
