@@ -240,6 +240,21 @@ _CASES = [
         "SELECT k, CAST(count(1) AS BIGINT) AS n FROM t GROUP BY ALL",
         "matched",
     ),
+    # r8 cast family (unsigned -> next-wider signed, the chtypes grid
+    # policy)
+    (
+        "SELECT toInt8(k) AS i8, toInt16(k) AS i16, toInt32(k) AS i32, "
+        "toUInt8(k) AS u8, toUInt16(k) AS u16, toUInt32(k) AS u32, "
+        "toUInt64(k) AS u64, toFloat32(v) AS f32, toFloat64(k) AS f64, "
+        "toString(k) AS s1, toString(v) AS s2 FROM t",
+        "SELECT CAST(k AS TINYINT) AS i8, CAST(k AS SMALLINT) AS i16, "
+        "CAST(k AS INT) AS i32, CAST(k AS SMALLINT) AS u8, "
+        "CAST(k AS INT) AS u16, CAST(k AS BIGINT) AS u32, "
+        "CAST(k AS BIGINT) AS u64, CAST(v AS FLOAT) AS f32, "
+        "CAST(k AS DOUBLE) AS f64, CAST(k AS VARCHAR) AS s1, "
+        "CAST(v AS VARCHAR) AS s2 FROM t",
+        "matched",
+    ),
     # r8 date-family rewrites (Monday=1 dow, ISO week, epoch seconds)
     (
         "SELECT k, toQuarter(d) AS q2, toDayOfWeek(d) AS dw, "

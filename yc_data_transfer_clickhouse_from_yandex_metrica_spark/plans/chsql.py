@@ -271,6 +271,23 @@ _CALL_REWRITES: dict[str, object] = {
     "uniqExact": lambda a: f"count(DISTINCT {', '.join(a)})",
     "notEmpty": lambda a: f"CAST(length(coalesce({a[0]}, '')) > 0 AS INT)",
     "toInt64": lambda a: f"CAST({a[0]} AS BIGINT)",
+    # CH numeric-cast family (r8).  Unsigned types map to the
+    # next-wider SIGNED Spark type, the same policy sources/chtypes.py
+    # pins for the JDBC grid (Spark has no unsigned integers); the
+    # UInt64 full range needs DECIMAL(20,0) and is refused by that
+    # grid, so toUInt64 maps to BIGINT with the documented wrap risk
+    # only above 2^63-1.
+    "toInt8": lambda a: f"CAST({a[0]} AS TINYINT)",
+    "toInt16": lambda a: f"CAST({a[0]} AS SMALLINT)",
+    "toInt32": lambda a: f"CAST({a[0]} AS INT)",
+    "toUInt8": lambda a: f"CAST({a[0]} AS SMALLINT)",
+    "toUInt16": lambda a: f"CAST({a[0]} AS INT)",
+    "toUInt32": lambda a: f"CAST({a[0]} AS BIGINT)",
+    "toUInt64": lambda a: f"CAST({a[0]} AS BIGINT)",
+    "toFloat32": lambda a: f"CAST({a[0]} AS FLOAT)",
+    "toFloat64": lambda a: f"CAST({a[0]} AS DOUBLE)",
+    "toString": lambda a: f"CAST({a[0]} AS STRING)",
+    "toDateTime": lambda a: f"CAST({a[0]} AS TIMESTAMP)",
     "isFinite": lambda a: (
         f"(NOT isnan(CAST({a[0]} AS DOUBLE)) "
         f"AND CAST({a[0]} AS DOUBLE) != CAST('Infinity' AS DOUBLE) "
