@@ -255,6 +255,20 @@ _CASES = [
         "CAST(v AS VARCHAR) AS s2 FROM t",
         "matched",
     ),
+    # r8 conditional/null vocabulary
+    (
+        "SELECT k, multiIf(v > 9, 'big', v > 3, 'mid', 'small') AS sz, "
+        "ifNull(s, 'none') AS s2, assumeNotNull(v) AS v2 FROM t",
+        "SELECT k, CASE WHEN v > 9 THEN 'big' WHEN v > 3 THEN 'mid' "
+        "ELSE 'small' END AS sz, coalesce(s, 'none') AS s2, v AS v2 FROM t",
+        "matched",
+    ),
+    # multiIf with an even arg count refuses with the arity message
+    (
+        "SELECT multiIf(v > 9, 'big', 'mid', 'x') AS sz FROM t",
+        "SELECT 1",
+        "refused",
+    ),
     # r8 date-family rewrites (Monday=1 dow, ISO week, epoch seconds)
     (
         "SELECT k, toQuarter(d) AS q2, toDayOfWeek(d) AS dw, "

@@ -343,6 +343,26 @@ _CALL_REWRITES: dict[str, object] = {
         f"size(filter({a[1]}, {a[0]}))" if len(a) > 1 else f"size(filter({a[0]}, __x -> __x))"
     ),
     "has": lambda a: f"array_contains({a[0]}, {a[1]})",
+    # CH conditional/null vocabulary (r8): multiIf is CH's CASE chain
+    # (odd arg count: cond/val pairs + else); ifNull is 2-arg
+    # coalesce; assumeNotNull is a CH type-system no-op here (Spark
+    # nullability is inferred, the value passes through)
+    "multiIf": lambda a: (
+        "(CASE "
+        + " ".join(
+            f"WHEN {a[i]} THEN {a[i + 1]}" for i in range(0, len(a) - 1, 2)
+        )
+        + f" ELSE {a[-1]} END)"
+        if len(a) >= 3 and len(a) % 2 == 1
+        else (_ for _ in ()).throw(
+            ValueError(
+                "chsql: multiIf needs cond/value pairs plus an else "
+                f"(odd argument count >= 3), got {len(a)} args"
+            )
+        )
+    ),
+    "ifNull": lambda a: f"coalesce({a[0]}, {a[1]})",
+    "assumeNotNull": lambda a: f"({a[0]})",
     "empty": lambda a: f"CAST(length(coalesce({a[0]}, '')) = 0 AS INT)",
     # zero-arg clock functions (CH evaluates once per query; so does
     # Spark -- current_timestamp/current_date are query-constant)
