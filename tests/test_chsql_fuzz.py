@@ -269,6 +269,20 @@ _CASES = [
         "SELECT 1",
         "refused",
     ),
+    # r8 date-part extractors + arithmetic function spellings
+    (
+        "SELECT k, toYear(d) AS y, toMonth(d) AS mo, toDayOfMonth(d) AS dd, "
+        "toHour(d) AS hh, intDiv(k, 2) AS q1, intDivOrZero(k, k - k) AS q0, "
+        "modulo(k, 2) AS m1, moduloOrZero(k, k - k) AS m0, "
+        "plus(k, 1) AS p, minus(k, 1) AS mn, multiply(k, 3) AS mu, "
+        "divide(k, 2) AS dv, negate(k) AS ng FROM t",
+        "SELECT k, CAST(year(d) AS INT) AS y, CAST(month(d) AS INT) AS mo, "
+        "CAST(day(d) AS INT) AS dd, CAST(hour(CAST(d AS TIMESTAMP)) AS INT) AS hh, "
+        "(k // 2) AS q1, 0 AS q0, (k % 2) AS m1, 0 AS m0, "
+        "(k + 1) AS p, (k - 1) AS mn, (k * 3) AS mu, "
+        "(CAST(k AS DOUBLE) / 2) AS dv, (-k) AS ng FROM t",
+        "matched",
+    ),
     # r8 date-family rewrites (Monday=1 dow, ISO week, epoch seconds)
     (
         "SELECT k, toQuarter(d) AS q2, toDayOfWeek(d) AS dw, "

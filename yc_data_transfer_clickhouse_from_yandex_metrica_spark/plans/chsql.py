@@ -314,6 +314,26 @@ _CALL_REWRITES: dict[str, object] = {
     ),
     "toStartOfMonth": lambda a: f"CAST(date_trunc('month', {a[0]}) AS DATE)",
     "toStartOfYear": lambda a: f"CAST(date_trunc('year', {a[0]}) AS DATE)",
+    # CH date-part extractors (r8): UInt16/UInt8 in CH -> plain Spark
+    # ints; time parts cast through TIMESTAMP so DateTime strings work
+    "toYear": lambda a: f"year(CAST({a[0]} AS DATE))",
+    "toMonth": lambda a: f"month(CAST({a[0]} AS DATE))",
+    "toDayOfMonth": lambda a: f"day(CAST({a[0]} AS DATE))",
+    "toHour": lambda a: f"hour(CAST({a[0]} AS TIMESTAMP))",
+    "toMinute": lambda a: f"minute(CAST({a[0]} AS TIMESTAMP))",
+    "toSecond": lambda a: f"second(CAST({a[0]} AS TIMESTAMP))",
+    # CH arithmetic function spellings (r8): intDiv truncates toward
+    # zero on ints (Spark's div); the OrZero variants absorb the
+    # divide-by-zero instead of erroring
+    "intDiv": lambda a: f"({a[0]} div {a[1]})",
+    "intDivOrZero": lambda a: f"coalesce(({a[0]} div nullif({a[1]}, 0)), 0)",
+    "modulo": lambda a: f"({a[0]} % {a[1]})",
+    "moduloOrZero": lambda a: f"coalesce(({a[0]} % nullif({a[1]}, 0)), 0)",
+    "plus": lambda a: f"({a[0]} + {a[1]})",
+    "minus": lambda a: f"({a[0]} - {a[1]})",
+    "multiply": lambda a: f"({a[0]} * {a[1]})",
+    "divide": lambda a: f"(CAST({a[0]} AS DOUBLE) / {a[1]})",
+    "negate": lambda a: f"(-({a[0]}))",
     "toYYYYMM": lambda a: (
         f"CAST(year(CAST({a[0]} AS DATE)) * 100 + month(CAST({a[0]} AS DATE)) AS INT)"
     ),
