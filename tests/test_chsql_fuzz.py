@@ -283,6 +283,17 @@ _CASES = [
         "(CAST(k AS DOUBLE) / 2) AS dv, (-k) AS ng FROM t",
         "matched",
     ),
+    # formatDateTime: MySQL-style specifiers -> Java pattern; literal
+    # letters quoted; ambiguous %M refused
+    (
+        "SELECT k, formatDateTime(d, '%Y-%m-%d') AS iso, "
+        "formatDateTime(d, 'wk %Y w%i') AS w FROM t",
+        "SELECT k, strftime(d, '%Y-%m-%d') AS iso, "
+        "'wk ' || strftime(d, '%Y') || ' w' || strftime(d, '%M') AS w FROM t",
+        "matched",
+    ),
+    ("SELECT formatDateTime(d, '%M') AS x FROM t", "SELECT 1", "refused"),
+    ("SELECT formatDateTime(d, s) AS x FROM t", "SELECT 1", "refused"),
     # r8 date-family rewrites (Monday=1 dow, ISO week, epoch seconds)
     (
         "SELECT k, toQuarter(d) AS q2, toDayOfWeek(d) AS dw, "

@@ -334,6 +334,7 @@ _CALL_REWRITES: dict[str, object] = {
     "multiply": lambda a: f"({a[0]} * {a[1]})",
     "divide": lambda a: f"(CAST({a[0]} AS DOUBLE) / {a[1]})",
     "negate": lambda a: f"(-({a[0]}))",
+    "formatDateTime": lambda a: _format_datetime_sql(a),
     "toYYYYMM": lambda a: (
         f"CAST(year(CAST({a[0]} AS DATE)) * 100 + month(CAST({a[0]} AS DATE)) AS INT)"
     ),
@@ -423,6 +424,70 @@ _CALL_REWRITES: dict[str, object] = {
     "numbers": lambda a: f"(SELECT id AS number FROM range({a[0]}))",
     "extract": lambda a: _extract_sql(a),
 }
+
+
+_FDT_MAP = {
+    "Y": "yyyy", "y": "yy", "m": "MM", "d": "dd", "H": "HH",
+    "i": "mm", "S": "ss", "s": "ss", "j": "DDD", "Q": "q",
+    "F": "yyyy-MM-dd", "T": "HH:mm:ss", "R": "HH:mm",
+}
+
+
+def _format_datetime_sql(a: list[str]) -> str:
+    """CH ``formatDateTime(dt, '%Y-%m-%d')`` (MySQL-style specifiers)
+    -> Spark ``date_format`` with a translated Java pattern.  Literal
+    format only; the supported subset is the unambiguous one — %M is
+    REFUSED because CH switched its meaning (minute vs month name)
+    across versions/settings, and %e (space-padded day) has no Java
+    counterpart.  Literal letters in the format are single-quoted for
+    Java; everything else passes through."""
+    if len(a) != 2:
+        raise ValueError("chsql: formatDateTime takes (datetime, 'format')")
+    pat = a[1].strip()
+    if not (pat.startswith("'") and pat.endswith("'")):
+        raise ValueError(
+            f"chsql: formatDateTime needs a LITERAL format, got {a[1]!r}"
+        )
+    fmt = pat[1:-1]
+    out: list[str] = []
+    i = 0
+    while i < len(fmt):
+        c = fmt[i]
+        if c == "%":
+            if i + 1 >= len(fmt):
+                raise ValueError("chsql: formatDateTime format ends mid-specifier")
+            s = fmt[i + 1]
+            if s == "%":
+                out.append("%")
+            elif s in _FDT_MAP:
+                out.append(_FDT_MAP[s])
+            else:
+                raise ValueError(
+                    f"chsql: formatDateTime specifier %{s} is not mapped "
+                    f"(supported: %{', %'.join(sorted(_FDT_MAP))}, %%)"
+                )
+            i += 2
+            continue
+        if c.isalpha():
+            # Java reserves ASCII letters: quote the whole literal RUN
+            # (per-char quoting would emit '' between letters, which
+            # Java reads as an escaped apostrophe)
+            j = i
+            while j < len(fmt) and fmt[j].isalpha():
+                j += 1
+            out.append(f"'{fmt[i:j]}'")
+            i = j
+            continue
+        if c == "'":
+            out.append("''")
+        else:
+            out.append(c)
+        i += 1
+    java = "".join(out)
+    # the Java pattern itself contains quote characters: escape them
+    # for the surrounding SQL string literal
+    sql_lit = java.replace("'", "''")
+    return f"date_format(CAST({a[0]} AS TIMESTAMP), '{sql_lit}')"
 
 
 def _extract_sql(a: list[str]) -> str:
