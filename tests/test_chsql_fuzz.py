@@ -409,6 +409,21 @@ def test_refusal_or_correct(spark, tbl, duck_tbl, ch_sql, duck_sql, want):
         assert got == want, f"{ch_sql!r}: expected {want}, got {got}"
 
 
+def test_wrong_arity_calls_refuse_cleanly(spark, tbl):
+    """Every mapped rewrite must refuse wrong arity as a dialect
+    ValueError, never a Python IndexError (the r7-advised extract()
+    bug class, closed at the _rewrite_calls dispatch point)."""
+    for sql in [
+        "SELECT arrayMap(arr) AS x FROM t",         # needs (lambda, arr)
+        "SELECT indexOf(arr) AS x FROM t",           # needs (arr, needle)
+        "SELECT ifNull(s) AS x FROM t",              # needs 2 args
+        "SELECT intDiv(k) AS x FROM t",              # needs 2 args
+        "SELECT formatDateTime(d) AS x FROM t",      # needs 2 args
+    ]:
+        with pytest.raises(ValueError, match="chsql"):
+            chsql.run_sql(spark, sql, {"t": tbl})
+
+
 def test_limit_by_with_fill_refusal_names_the_conflict(spark, tbl):
     """WITH FILL consumes the ORDER BY internally; the LIMIT BY
     refusal must name the actual conflict, not claim the user's

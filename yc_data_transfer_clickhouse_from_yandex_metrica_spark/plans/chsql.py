@@ -707,7 +707,19 @@ def _rewrite_calls(sql: str) -> str:
             for m in re.finditer(rf"\b{name}\s*\(", masked):
                 close = _match_paren(masked, m.end() - 1)
                 args = _split_top(sql[m.end() : close])
-                sql = sql[: m.start()] + fn(args) + sql[close + 1 :]
+                try:
+                    repl = fn(args)
+                except (IndexError, KeyError) as ex:
+                    # wrong arity for the mapped rewrite: refuse
+                    # cleanly instead of leaking a Python crash (the
+                    # r7-advised extract() IndexError bug class,
+                    # closed for EVERY rewrite at the dispatch point)
+                    raise ValueError(
+                        f"chsql: {name}() called with {len(args)} "
+                        f"argument(s) — unsupported arity for the "
+                        f"mapped CH function"
+                    ) from ex
+                sql = sql[: m.start()] + repl + sql[close + 1 :]
                 changed = True
                 break  # positions moved: rescan
             if changed:
