@@ -283,6 +283,19 @@ _CASES = [
         "(CAST(k AS DOUBLE) / 2) AS dv, (-k) AS ng FROM t",
         "matched",
     ),
+    # r8 UTF8-suffixed string spellings (Spark is codepoint-based)
+    (
+        "SELECT k, lowerUTF8(s) AS lo, upperUTF8(s) AS up, "
+        "substringUTF8(s, 2, 3) AS sub, positionUTF8(s, 'B') AS p1, "
+        "positionCaseInsensitive(s, 'b') AS p2, "
+        "trimLeft(s) AS tl, trimRight(s) AS tr FROM t",
+        "SELECT k, lower(s) AS lo, upper(s) AS up, "
+        "substring(s, 2, 3) AS sub, "
+        "CAST(coalesce(strpos(s, 'B'), 0) AS BIGINT) AS p1, "
+        "CAST(coalesce(strpos(lower(s), 'b'), 0) AS BIGINT) AS p2, "
+        "ltrim(s) AS tl, rtrim(s) AS tr FROM t",
+        "matched",
+    ),
     # formatDateTime: MySQL-style specifiers -> Java pattern; literal
     # letters quoted; ambiguous %M refused
     (

@@ -409,6 +409,17 @@ _CALL_REWRITES: dict[str, object] = {
     ),
     "trimBoth": lambda a: f"trim({a[0]})",
     "lengthUTF8": lambda a: f"length({a[0]})",  # Spark length is char-based
+    # UTF8-suffixed CH spellings (r8): Spark strings are already
+    # codepoint-based, so each maps to the plain function
+    "lowerUTF8": lambda a: f"lower({a[0]})",
+    "upperUTF8": lambda a: f"upper({a[0]})",
+    "substringUTF8": lambda a: f"substring({a[0]}, {a[1]}, {a[2]})",
+    "positionUTF8": lambda a: f"locate({a[1]}, {a[0]})",
+    "positionCaseInsensitive": lambda a: (
+        f"locate(lower({a[1]}), lower({a[0]}))"
+    ),
+    "trimLeft": lambda a: f"ltrim({a[0]})",
+    "trimRight": lambda a: f"rtrim({a[0]})",
     # approximate distinct family (same rsd classes as functions/ch.py;
     # sketch OUTPUTS are engine-specific -- unit-gated, never
     # hash-compared against an oracle)
