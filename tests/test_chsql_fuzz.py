@@ -374,6 +374,29 @@ _AJ_CASES = [
 
 
 _AJ_CASES.append(
+    # r8 array transform/aggregate spellings over the int array
+    (
+        "SELECT k, arraySort(words) AS ws, arrayReverseSort(words) AS wr, "
+        "arrayConcat(words, words) AS cc, arrayUniq(words) AS u, "
+        "arrayDistinct(words) AS dst, arraySum(lens) AS sm, "
+        "arrayMin(lens) AS mn, arrayMax(lens) AS mx, arrayAvg(lens) AS av, "
+        "arrayReverse(words) AS rv FROM t",
+        "SELECT k, list_sort(words) AS ws, list_reverse_sort(words) AS wr, "
+        "list_concat(words, words) AS cc, "
+        "CAST(len(list_distinct(words)) AS INT) AS u, "
+        "list_sort(list_distinct(words)) AS dst, "
+        "CAST(coalesce(list_sum(lens), 0) AS BIGINT) AS sm, "
+        "list_min(lens) AS mn, list_max(lens) AS mx, "
+        "CAST(list_sum(lens) AS DOUBLE) / nullif(len(lens), 0) AS av, "
+        "list_reverse(words) AS rv FROM t",
+        "matched",
+    )
+)
+_AJ_CASES.append(
+    # lambda arraySort refuses (CH position-stable ties not mapped)
+    ("SELECT arraySort(x -> -x, lens) AS s FROM t", "SELECT 1", "refused")
+)
+_AJ_CASES.append(
     # CH's multi-array zip via explicit arrayZip: pairwise expansion
     # (the refusal message's suggested form actually compiles)
     (

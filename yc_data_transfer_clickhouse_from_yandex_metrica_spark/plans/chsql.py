@@ -364,6 +364,46 @@ _CALL_REWRITES: dict[str, object] = {
         f"size(filter({a[1]}, {a[0]}))" if len(a) > 1 else f"size(filter({a[0]}, __x -> __x))"
     ),
     "has": lambda a: f"array_contains({a[0]}, {a[1]})",
+    # array transforms/aggregates (r8).  arraySum/Min/Max/Avg take the
+    # CH plain form (no lambda); the lambda variants stay on
+    # arrayMap+these.  arrayUniq counts DISTINCT elements (a number,
+    # not an array — that's arrayDistinct).
+    # the 2-arg lambda forms sort the ORIGINAL elements by key with
+    # CH position-stable ties — not expressible without changing tie
+    # order, so they refuse rather than silently re-order
+    "arraySort": lambda a: (
+        f"array_sort({a[0]})"
+        if len(a) == 1
+        else (_ for _ in ()).throw(
+            ValueError(
+                "chsql: arraySort(f, arr) keeps CH position-stable tie "
+                "order; not mapped — sort (key, value) structs explicitly"
+            )
+        )
+    ),
+    "arrayReverseSort": lambda a: (
+        f"reverse(array_sort({a[0]}))"
+        if len(a) == 1
+        else (_ for _ in ()).throw(
+            ValueError(
+                "chsql: arrayReverseSort(f, arr) keeps CH position-stable "
+                "tie order; not mapped — sort (key, value) structs explicitly"
+            )
+        )
+    ),
+    "arrayConcat": lambda a: f"concat({', '.join(a)})",
+    "arrayUniq": lambda a: f"size(array_distinct({a[0]}))",
+    "arrayDistinct": lambda a: f"array_distinct({a[0]})",
+    "arraySum": lambda a: (
+        f"aggregate({a[0]}, CAST(0 AS BIGINT), (__acc, __x) -> __acc + __x)"
+    ),
+    "arrayMin": lambda a: f"array_min({a[0]})",
+    "arrayMax": lambda a: f"array_max({a[0]})",
+    "arrayAvg": lambda a: (
+        f"(aggregate({a[0]}, CAST(0.0 AS DOUBLE), (__acc, __x) -> __acc + __x)"
+        f" / nullif(size({a[0]}), 0))"
+    ),
+    "arrayReverse": lambda a: f"reverse({a[0]})",
     # CH conditional/null vocabulary (r8): multiIf is CH's CASE chain
     # (odd arg count: cond/val pairs + else); ifNull is 2-arg
     # coalesce; assumeNotNull is a CH type-system no-op here (Spark
