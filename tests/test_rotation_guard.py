@@ -78,25 +78,65 @@ def _newest_artifact_round() -> int | None:
     return max(rounds) if rounds else None
 
 
+@lru_cache(maxsize=None)
+def _newest_committed_round() -> int | None:
+    """Highest round number among COMMITTED (git-tracked)
+    CORRECTNESS artifacts."""
+    rounds = [
+        int(m.group(1))
+        for line in _git("ls-files", "CORRECTNESS_r*.json").splitlines()
+        if (m := re.search(r"CORRECTNESS_r(\d+)\.json$", line))
+    ]
+    return max(rounds) if rounds else None
+
+
+def _embedded_commit(rnd: int) -> str | None:
+    """Verified-commit hash recorded INSIDE the artifact, if the
+    writer embedded one (key ``__verified_commit__``).  Strictly
+    better evidence than any lifecycle heuristic: it names the exact
+    tree the round verified, so it wins over both the adding-commit
+    and the HEAD fallback (ADVICE r8: a post-verify commit would
+    otherwise make the fallback diff against the wrong tree)."""
+    path = REPO / f"CORRECTNESS_r{rnd:02d}.json"
+    try:
+        val = json.loads(path.read_text()).get("__verified_commit__")
+    except (OSError, ValueError, AttributeError):
+        return None
+    return val if isinstance(val, str) and re.fullmatch(r"[0-9a-f]{7,40}", val) else None
+
+
 def _green_commit(rnd: int) -> str | None:
     """Commit whose worktree the driver verified for round ``rnd``.
 
-    Normally the commit that added the round's CORRECTNESS artifact.
-    Artifact-lifecycle race (round-7 verdict #1): the driver writes
+    Precedence: a commit hash embedded in the artifact itself (exact,
+    see :func:`_embedded_commit`); else the commit that ADDED the
+    artifact; else the HEAD-vs-worktree fallback.
+
+    The fallback covers the artifact-lifecycle race (round-7 verdict
+    #1, deepened by round-8 verdict #1): the driver writes
     CORRECTNESS_r{N}.json AFTER the builder's final commit of round N,
-    so at judge time the NEWEST artifact sits untracked in the
-    worktree with no adding commit.  The driver verified exactly the
-    worktree at that moment — which the driver guarantees equals HEAD
-    (it commits any uncommitted work before running verify) — so the
-    sound fallback is to prove the entry's closure identical between
-    HEAD and the current worktree.  Only the newest on-disk round may
-    use the fallback: an uncommitted OLDER artifact would leave HEAD
-    unrelated to the code that round verified."""
+    so at judge time such artifacts sit untracked in the worktree with
+    no adding commit.  The driver verified exactly the worktree at
+    that moment — which the driver guarantees equals HEAD (it commits
+    any uncommitted work before running verify) — so the sound
+    fallback is to prove the entry's closure identical between HEAD
+    and the current worktree.  EVERY on-disk round NEWER than the
+    newest committed round may use it (r8 verdict fix: in the real
+    lifecycle all such rounds were verified against the current
+    worktree, and the guard's own r98/r99 simulations must compose
+    with a real untracked newest artifact rather than strand its
+    entries).  A round at or below the newest committed round may NOT:
+    a later committed artifact proves the worktree moved on after that
+    round verified, so HEAD is unrelated to what it saw."""
+    embedded = _embedded_commit(rnd)
+    if embedded is not None:
+        return embedded
     commit = _artifact_commit(rnd)
     if commit is not None:
         return commit
+    newest_committed = _newest_committed_round()
     if (
-        rnd == _newest_artifact_round()
+        (newest_committed is None or rnd > newest_committed)
         and (REPO / f"CORRECTNESS_r{rnd:02d}.json").is_file()
     ):
         return "HEAD"
@@ -632,14 +672,59 @@ def test_uncommitted_window_only_artifact_is_handled():
 
 
 def test_uncommitted_older_artifact_does_not_use_fallback():
-    """Only the NEWEST on-disk round may use the HEAD-vs-worktree
-    fallback: HEAD is unrelated to what an older round verified."""
-    newest = _newest_artifact_round()
-    assert newest is not None
-    for rnd in range(1, newest):
-        if _artifact_commit(rnd) is None:
-            # hypothetical uncommitted older artifact: no fallback
+    """A round AT OR BELOW the newest committed round may not use the
+    HEAD-vs-worktree fallback: the later committed artifact proves the
+    worktree moved past whatever that round verified."""
+    newest_committed = _newest_committed_round()
+    assert newest_committed is not None
+    for rnd in range(1, newest_committed + 1):
+        if _artifact_commit(rnd) is None and _embedded_commit(rnd) is None:
             assert _green_commit(rnd) is None
+
+
+def test_two_uncommitted_artifacts_both_use_fallback():
+    """The round-8 judge-time failure shape, distilled: TWO
+    uncommitted artifacts newer than the newest committed round (the
+    real driver-written r{N} plus a simulation's synthetic r98) must
+    BOTH resolve to the HEAD fallback — under the old newest-on-disk
+    rule the older of the two stranded every entry whose last green it
+    held."""
+    newest_committed = _newest_committed_round()
+    assert newest_committed is not None
+    r_lo, r_hi = 96, 97
+    arts = [REPO / f"CORRECTNESS_r{r:02d}.json" for r in (r_lo, r_hi)]
+    for art in arts:
+        assert not art.exists(), "simulation round collides with a real artifact"
+        art.write_text("{}")
+    try:
+        _artifact_commit.cache_clear()
+        assert _green_commit(r_lo) == "HEAD"
+        assert _green_commit(r_hi) == "HEAD"
+    finally:
+        for art in arts:
+            art.unlink()
+        _artifact_commit.cache_clear()
+
+
+def test_embedded_commit_beats_every_fallback():
+    """An artifact that records the verified commit hash inline
+    (``__verified_commit__``) pins the guard to that exact tree — even
+    for an uncommitted OLDER round, where no lifecycle heuristic is
+    sound (ADVICE r8)."""
+    head = _git("rev-parse", "HEAD").strip()
+    rnd = 95
+    art = REPO / f"CORRECTNESS_r{rnd:02d}.json"
+    assert not art.exists(), "simulation round collides with a real artifact"
+    art.write_text(json.dumps({"__verified_commit__": head}))
+    try:
+        _artifact_commit.cache_clear()
+        assert _green_commit(rnd) == head
+        # and _last_green_rounds tolerates the non-row key (no entry
+        # may appear verified by an artifact that holds only metadata)
+        assert rnd not in driver._last_green_rounds().values()
+    finally:
+        art.unlink()
+        _artifact_commit.cache_clear()
 
 
 def test_dependency_discovery_is_not_vacuous():
