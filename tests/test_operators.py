@@ -3422,6 +3422,31 @@ def test_geohash_encode_known_values(spark):
         assert abs(r["lat2"] - r["lat"]) < 0.0055
 
 
+def test_geohash_decode_invalid_input_is_null(spark):
+    """Invalid geohash -> (NULL, NULL) (documented deviation, ADVICE
+    r8: CH raises; garbage coordinates are never acceptable).  Covers
+    the excluded letters (a/i/l/o), uppercase, too-short strings, and
+    the empty string; a valid prefix longer than the precision still
+    decodes (fixed-width stored-column contract)."""
+    from yc_data_transfer_clickhouse_from_yandex_metrica_spark.functions import ch
+
+    df = spark.createDataFrame(
+        [("u4pruy",), ("u4prua",), ("U4PRUY",), ("u4p",), ("",),
+         ("u4pruydqqvj",), (None,)],
+        "g string",
+    )
+    lon, lat = ch.geohash_decode("g", 6)
+    rows = df.select("g", lon.alias("lon"), lat.alias("lat")).collect()
+    got = {r["g"]: (r["lon"] is None, r["lat"] is None) for r in rows}
+    assert got["u4pruy"] == (False, False)
+    assert got["u4prua"] == (True, True)      # 'a' not in the alphabet
+    assert got["U4PRUY"] == (True, True)      # geohashes are lowercase
+    assert got["u4p"] == (True, True)         # shorter than precision
+    assert got[""] == (True, True)
+    assert got["u4pruydqqvj"] == (False, False)  # prefix decode ok
+    assert got[None] == (True, True)
+
+
 def test_delta_sum_and_uniq_up_to(spark):
     from yc_data_transfer_clickhouse_from_yandex_metrica_spark.operators import series
 

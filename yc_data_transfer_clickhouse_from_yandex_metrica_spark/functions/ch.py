@@ -679,10 +679,21 @@ def geohash_decode(
     FIXED-width input (the common stored-column case): per character,
     recover the base32 value via a position scan, de-interleave the 5
     bits back into the lon/lat quantizers, then map each quantizer to
-    its cell midpoint.  Returns a (lon, lat) Column pair."""
+    its cell midpoint.  Returns a (lon, lat) Column pair.
+
+    Invalid input -> (NULL, NULL) (documented deviation, ADVICE r8:
+    CH raises on a malformed geohash; a character outside the base32
+    alphabet would otherwise make the position scan return 0 and the
+    shift/mask arithmetic emit garbage coordinates).  Validity = the
+    first ``precision`` characters all drawn from the geohash base32
+    alphabet (one anchored character-class regex, not per-char
+    ``instr`` guards, so the check adds ONE op however deep the
+    decode); a too-short string fails the same check."""
     if not 1 <= precision <= 12:
         raise ValueError(f"geohash precision must be 1..12, got {precision}")
     g = _col(gh)
+    # the alphabet is 0-9 + b..z minus a, i, l, o
+    valid = g.rlike("^[0-9b-hj-km-np-z]{%d}" % precision)
     nbits = 5 * precision
     nlon = (nbits + 1) // 2
     nlat = nbits // 2
@@ -706,7 +717,7 @@ def geohash_decode(
     lat = (lat_q.cast("double") + F.lit(0.5)) / F.lit(float(2**nlat)) * F.lit(
         180.0
     ) - F.lit(90.0)
-    return lon, lat
+    return F.when(valid, lon), F.when(valid, lat)
 
 
 # --- string/regex vocabulary (round 7): match / extract / countMatches /

@@ -1691,35 +1691,45 @@ def q_geo_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
     rebuilds them exactly): per-event distance to a fixed reference
     point, floored to whole km, plus an in-radius flag -- the
     Metrica geo vocabulary (RegionID radius analytics) as pure JVM
-    trig, map-side only."""
+    trig, map-side only.
+
+    geohash battery (r9, per the r8 verdict's bench split): encode
+    stays as-is, but geohashDecode now reads a STORED-SHAPE geohash
+    column -- ``ghs``, six base32 chars synthesized from event_id in
+    ~4 ops (conv->lower->lpad->translate) -- so the bench row measures
+    the PRODUCTION decode pattern (~6 instr + bit ops/row) instead of
+    the r8 decode∘encode proof form, whose nested tree duplicated the
+    encode subtree per decoded character (15.5x the cost).  The
+    inverse proof decode(encode(x)) == quantizer midpoint lives on as
+    a pytest property (tests/test_operators.py) where plan shape
+    doesn't contaminate the bench."""
     _prep(spark)
     ev = t(spark, sf_dir, "events")
     lon = (F.col("event_id") % 360) - 180 + 0.25
     lat = (F.col("user_id") % 160) - 80 + 0.25
     d = ch.great_circle_distance(lon, lat, F.lit(37.62), F.lit(55.75))
+    # six-char stored geohash from the low 30 bits of event_id: conv's
+    # base-32 digits (0-9a-v after lower) map positionally onto the
+    # geohash alphabet.  The oracle rebuilds the same string by direct
+    # 5-bit group indexing -- a structurally different formulation.
+    n = F.pmod(F.col("event_id"), F.lit(1 << 30))
+    ghs = F.translate(
+        F.lpad(F.lower(F.conv(n.cast("string"), 10, 32)), 6, "0"),
+        "0123456789abcdefghijklmnopqrstuv",
+        "0123456789bcdefghjkmnpqrstuvwxyz",
+    )
+    dec_lon, dec_lat = ch.geohash_decode(ghs, 6)
     return ev.select(
         "event_id",
         F.floor(d / 1000 + F.lit(0.5)).cast("long").alias("dist_km"),
         (d <= F.lit(3_000_000.0)).cast("int").alias("within_3000km"),
-        # r8 widening: CH geohashEncode (closed-form bit interleave;
-        # the oracle rebuilds it with a runtime-lambda formulation, so
-        # the two implementations are structurally independent)
+        # CH geohashEncode (closed-form bit interleave; the oracle
+        # rebuilds it with a runtime-lambda formulation, so the two
+        # implementations are structurally independent)
         ch.geohash_encode(lon, lat, 6).alias("gh6"),
-        # geohashDecode through the ENCODED STRING (exercises the
-        # base32 parse); the oracle computes the same cell centers
-        # directly from its quantizers — decode∘encode must equal the
-        # quantizer midpoint.  NB the nested encode-inside-decode tree
-        # is the PROOF form, not the production pattern (decoding a
-        # STORED geohash column costs 6 instr ops/row); it dominates
-        # this entry's wall time (~3 s at sf0.1) while staying a
-        # 0-exchange linear map-side Project.
-        *(
-            ch.round_to(col, 4).alias(name)
-            for name, col in zip(
-                ("gh6_lon", "gh6_lat"),
-                ch.geohash_decode(ch.geohash_encode(lon, lat, 6), 6),
-            )
-        ),
+        ghs.alias("ghs"),
+        ch.round_to(dec_lon, 4).alias("ghs_lon"),
+        ch.round_to(dec_lat, 4).alias("ghs_lat"),
     )
 
 
@@ -1749,8 +1759,9 @@ SELECT d.event_id,
   CAST(CASE WHEN dist <= 3000000.0 THEN 1 ELSE 0 END AS INT)
     AS within_3000km,
   g.gh6,
-  floor(g.glon * 10000.0 + 0.5) / 10000.0 AS gh6_lon,
-  floor(g.glat * 10000.0 + 0.5) / 10000.0 AS gh6_lat
+  s.ghs,
+  floor(s.slon * 10000.0 + 0.5) / 10000.0 AS ghs_lon,
+  floor(s.slat * 10000.0 + 0.5) / 10000.0 AS ghs_lat
 FROM d
 JOIN (
   -- geohash p=6: nlon=nlat=15 bits; even global bits from lon, odd
@@ -1788,6 +1799,26 @@ JOIN (
     FROM p
   )
 ) g ON d.event_id = g.event_id
+JOIN (
+  -- stored-geohash decode oracle: the Spark side parses the ghs
+  -- STRING (instr position scan); the oracle never looks at the
+  -- string for the coordinates -- it rebuilds both the 6-char string
+  -- and the de-interleaved quantizers DIRECTLY from n's 30 bits
+  -- (char c holds n bits 29-5c..25-5c msb-first; even global bit b ->
+  -- lon_q bit 14-b/2, odd -> lat_q bit 14-(b-1)/2), a structurally
+  -- independent closed form.
+  SELECT event_id,
+    array_to_string(list_transform(range(0, 6), c ->
+      substring('0123456789bcdefghjkmnpqrstuvwxyz',
+        CAST(((n >> (25 - 5*c)) & 31) + 1 AS INT), 1)), '') AS ghs,
+    (CAST(list_sum(list_transform(range(0, 15), k ->
+        ((n >> (29 - 2*k)) & 1) * (1 << (14 - k)))) AS DOUBLE) + 0.5)
+      / 32768.0 * 360.0 - 180.0 AS slon,
+    (CAST(list_sum(list_transform(range(0, 15), k ->
+        ((n >> (28 - 2*k)) & 1) * (1 << (14 - k)))) AS DOUBLE) + 0.5)
+      / 32768.0 * 180.0 - 90.0 AS slat
+  FROM (SELECT event_id, event_id % 1073741824 AS n FROM events)
+) s ON d.event_id = s.event_id
 """
 
 
@@ -4544,17 +4575,18 @@ DRIVER_WINDOW = 50  # driver-checked prefix length (round-5 verdict)
 # once the round's CORRECTNESS file shows them green again.
 ROTATION_FORCE_FRONT = frozenset(
     {
-        # round 8: oracle re-typed (CAST obj_len/arr_len AS BIGINT —
-        # r7 red row was DuckDB HUGEINT->float typing, values equal)
-        "json_funcs",
-        # round 8: first-ever exact oracle — builder now passes PINNED
-        # literal centroids (_IVF_CENTROIDS) and the closed-form
-        # DuckDB replay; the r7 no_oracle row no longer represents it
-        "ann_ivf_topk",
-        # round 8: chsql front-end hardening (ADVICE r7 — ANSI extract
-        # pass-through, multi-column uniq, LEFT ANY/ASOF word order,
-        # case-sensitive scalar-WITH substitution): every entry whose
-        # closure reaches the compile pipeline re-proves
+        # round 9: bench split per the r8 verdict (task 3) — the entry
+        # now decodes a STORED-SHAPE geohash column (production
+        # pattern) instead of the decode∘encode proof form, and
+        # geohash_decode gained the invalid->NULL validity gate
+        # (ADVICE r8); new oracle rebuilds the string + quantizers
+        # closed-form from the id bits
+        "geo_distance",
+        # round 9: chsql _CALL_REWRITES hardening (ADVICE r8 — arity
+        # refusals for rewrites that silently dropped extra args,
+        # intDivOrZero/moduloOrZero no longer absorb NULL inputs,
+        # arraySum DOUBLE accumulator for float arrays): every r8-green
+        # entry whose closure reaches the rewrite table re-proves
         "chsql_visits_chart",
         "chsql_traffic_chart",
         "chsql_s3_export",
