@@ -1,0 +1,193 @@
+"""chsql _CALL_REWRITES hardening (round 10; r9 verdict).
+
+Three silent-wrong classes closed at the dispatch point:
+
+1. OVER-arity: every mapped rewrite declares its arity in
+   ``chsql._ARITY``; a call with surplus arguments is refused instead
+   of compiled with the extras silently dropped (the r9 verdict's
+   ``arrayUniq(a, b)`` -> ``size(array_distinct(a))`` example).
+2. ``intDivOrZero``/``moduloOrZero``: NULL inputs propagate NULL per
+   ClickHouse Nullable-argument rules; only the divide-by-zero case
+   is absorbed to 0 (the r8 ``coalesce`` form turned NULLs into 0).
+3. ``arraySum``/``sumArray`` accumulator typing: a fractional-element
+   array COLUMN sums in DOUBLE (CH Float64) -- the r8 BIGINT-pinned
+   accumulator failed Spark analysis on float arrays outright.
+
+Reference semantics: ClickHouse function reference (public docs);
+the module mirrors functions/ch.py where a function exists there.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from yc_data_transfer_clickhouse_from_yandex_metrica_spark.plans import chsql
+
+
+def _rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+@pytest.fixture(scope="module")
+def tbl(spark):
+    return spark.createDataFrame(
+        [
+            (1, 10, 2, [1, 2, 2, 3], [0.5, 1.5], ["a", "b", "b", "a"]),
+            (2, 7, 0, [4], [2.25], ["x"]),
+            (3, None, 3, [], [], []),
+        ],
+        "k INT, num BIGINT, den BIGINT, ints ARRAY<BIGINT>, "
+        "floats ARRAY<DOUBLE>, tags ARRAY<STRING>",
+    )
+
+
+# ---------------------------------------------------------------------------
+# 1. over-arity refusals
+# ---------------------------------------------------------------------------
+
+OVER_ARITY = [
+    "SELECT toDate(k, 'UTC') FROM t",        # CH tz arg: not mapped
+    "SELECT toDateTime(k, 'UTC') FROM t",
+    "SELECT indexOf(ints, 1, 2) FROM t",
+    "SELECT notEmpty(tags, 1) FROM t",
+    "SELECT now(1) FROM t",
+    "SELECT arrayDistinct(ints, ints) FROM t",
+    "SELECT splitByChar('a', 'b', 3) FROM t",  # CH max_substrings arg
+    "SELECT toYear(k, 'UTC') FROM t",
+    "SELECT intDiv(num, den, 1) FROM t",
+    "SELECT ifNull(num, den, k) FROM t",
+    "SELECT groupUniqArray(k, k) FROM t",
+    "SELECT arrayMap(x -> x, ints, ints) FROM t",  # CH multi-array form
+]
+
+
+@pytest.mark.parametrize("sql", OVER_ARITY)
+def test_surplus_arguments_refused(spark, tbl, sql):
+    with pytest.raises(ValueError, match=r"chsql: \w+\(\) takes"):
+        chsql.run_sql(spark, sql, {"t": tbl})
+
+
+def test_every_rewrite_declares_arity():
+    assert set(chsql._ARITY) == set(chsql._CALL_REWRITES)
+
+
+def test_zero_arg_parens_are_zero_arity(spark, tbl):
+    # now() must compile; uniqExact() must refuse as 0 args (not
+    # compile to `count(DISTINCT )`)
+    df = chsql.run_sql(spark, "SELECT now() AS ts FROM t LIMIT 1", {"t": tbl})
+    assert df.count() == 1
+    with pytest.raises(ValueError, match="uniqExact"):
+        chsql.run_sql(spark, "SELECT uniqExact() FROM t", {"t": tbl})
+
+
+# ---------------------------------------------------------------------------
+# 2. OrZero NULL propagation
+# ---------------------------------------------------------------------------
+
+def test_or_zero_absorbs_only_division_by_zero(spark, tbl):
+    df = chsql.run_sql(
+        spark,
+        "SELECT k, intDivOrZero(num, den) AS q, moduloOrZero(num, den) AS m "
+        "FROM t ORDER BY k",
+        {"t": tbl},
+    )
+    # k=1: 10 div 2 = 5;  k=2: den=0 -> 0;  k=3: num NULL -> NULL
+    assert _rows(df) == [(1, 5, 0), (2, 0, 0), (3, None, None)]
+
+
+def test_or_zero_null_divisor_propagates(spark, tbl):
+    df = chsql.run_sql(
+        spark,
+        "SELECT intDivOrZero(1, CAST(NULL AS BIGINT)) AS q FROM t LIMIT 1",
+        {"t": tbl},
+    )
+    assert df.collect()[0][0] is None
+
+
+# ---------------------------------------------------------------------------
+# 3. arraySum / sumArray accumulator typing
+# ---------------------------------------------------------------------------
+
+def test_array_sum_float_column_sums_in_double(spark, tbl, duck):
+    df = chsql.run_sql(
+        spark,
+        "SELECT k, arraySum(floats) AS fs, arraySum(ints) AS is_ FROM t "
+        "ORDER BY k",
+        {"t": tbl},
+    )
+    assert dict(df.dtypes)["fs"] == "double"
+    assert dict(df.dtypes)["is_"] == "bigint"
+    assert _rows(df) == [(1, 2.0, 8), (2, 2.25, 4), (3, 0.0, 0)]
+
+
+def test_sum_array_float_column(spark, tbl):
+    df = chsql.run_sql(
+        spark,
+        "SELECT sumArray(floats) AS s FROM t",
+        {"t": tbl},
+    )
+    assert df.collect()[0][0] == pytest.approx(4.25)
+
+
+def test_array_sum_lambda_form(spark, tbl):
+    df = chsql.run_sql(
+        spark,
+        "SELECT k, arraySum(x -> x * 2, ints) AS s FROM t ORDER BY k",
+        {"t": tbl},
+    )
+    assert _rows(df) == [(1, 16), (2, 8), (3, 0)]
+
+
+# ---------------------------------------------------------------------------
+# widened spellings that previously dropped arguments or refused
+# ---------------------------------------------------------------------------
+
+def test_array_uniq_multi_array_counts_tuples(spark, tbl):
+    df = chsql.run_sql(
+        spark,
+        "SELECT k, arrayUniq(ints, tags) AS u FROM t ORDER BY k",
+        {"t": tbl},
+    )
+    # k=1: pairs (1,a) (2,b) (2,b) (3,a) -> 3 distinct tuples
+    assert _rows(df) == [(1, 3), (2, 1), (3, 0)]
+
+
+def test_substring_utf8_optional_length(spark, tbl):
+    df = chsql.run_sql(
+        spark,
+        "SELECT substringUTF8('hello', 3) AS a, "
+        "substringUTF8('hello', 2, 2) AS b FROM t LIMIT 1",
+        {"t": tbl},
+    )
+    assert df.collect()[0][:] == ("llo", "el")
+
+
+def test_array_min_max_avg_lambda_forms(spark, tbl):
+    df = chsql.run_sql(
+        spark,
+        "SELECT arrayMin(x -> -x, ints) AS mn, arrayMax(x -> -x, ints) AS mx, "
+        "arrayAvg(x -> x * 10, ints) AS av FROM t WHERE k = 1",
+        {"t": tbl},
+    )
+    mn, mx, av = df.collect()[0]
+    assert (mn, mx) == (-3, -1)
+    assert av == pytest.approx(20.0)
+
+
+def test_numbers_offset_form(spark, tbl):
+    df = chsql.run_sql(
+        spark,
+        "SELECT number FROM numbers(5, 3) ORDER BY number",
+        {"t": tbl},
+    )
+    assert [r[0] for r in df.collect()] == [5, 6, 7]
+
+
+def test_uniq_hll_multi_column(spark, tbl):
+    df = chsql.run_sql(
+        spark,
+        "SELECT uniqHLL12(k, num) AS u FROM t",
+        {"t": tbl},
+    )
+    assert df.collect()[0][0] == 3  # exact at this cardinality

@@ -264,6 +264,59 @@ def _find_clause(sql: str, *keywords: str) -> re.Match | None:
 
 # each: fn(args: list[str]) -> replacement SQL.  Mappings mirror
 # functions/ch.py exactly (that module is oracle-proven).
+
+
+def _wants_schema_ctx(fn):
+    """Mark a rewrite as taking ``(args, float_array_cols)`` -- the
+    dispatch passes the queried tables' fractional-element array
+    column names so type-sensitive rewrites can pick CH result types
+    statically (CH types arraySum by ELEMENT type: Int* -> Int64,
+    Float* -> Float64)."""
+    fn._chsql_ctx = True
+    return fn
+
+
+_BARE_COL = re.compile(r"(?:[\w]+\.)*(?:`(?P<bq>[^`]+)`|(?P<plain>\w+))")
+
+
+def _acc_cast(arr_expr: str, float_array_cols: frozenset) -> str:
+    """Accumulator type for a CH array-sum over ``arr_expr``.
+
+    A bare (possibly qualified/backticked) column whose element type
+    is fractional sums in DOUBLE (CH Float64); everything else sums in
+    BIGINT (CH Int64) -- exact to 2^63, and a float-typed EXPRESSION
+    fails Spark analysis loudly (BIGINT accumulator vs DOUBLE merge)
+    rather than truncating silently."""
+    m = _BARE_COL.fullmatch(arr_expr.strip())
+    base = (m.group("bq") or m.group("plain")) if m else None
+    return "DOUBLE" if base in float_array_cols else "BIGINT"
+
+
+@_wants_schema_ctx
+def _array_sum_sql(a: list[str], float_array_cols: frozenset) -> str:
+    """CH ``arraySum([f,] arr)``.  1-arg: plain element sum with the
+    schema-picked accumulator.  2-arg lambda form: sum of the mapped
+    elements (accumulator BIGINT -- the lambda's result type is not
+    statically known here; float-producing lambdas fail analysis
+    loudly, never truncate)."""
+    if len(a) == 1:
+        arr, acc = a[0], _acc_cast(a[0], float_array_cols)
+    else:
+        arr, acc = f"transform({a[1]}, {a[0]})", "BIGINT"
+    return f"aggregate({arr}, CAST(0 AS {acc}), (__acc, __x) -> __acc + __x)"
+
+
+@_wants_schema_ctx
+def _sum_array_sql(a: list[str], float_array_cols: frozenset) -> str:
+    """CH ``sumArray(arr)`` aggregate combinator: per-row element sum
+    (schema-picked accumulator), then SUM over the group."""
+    acc = _acc_cast(a[0], float_array_cols)
+    return (
+        f"sum(aggregate({a[0]}, CAST(0 AS {acc}), "
+        f"(__acc, __x) -> __acc + __x))"
+    )
+
+
 _CALL_REWRITES: dict[str, object] = {
     "arrayMap": lambda a: f"transform({a[1]}, {a[0]})",
     "arrayFilter": lambda a: f"filter({a[1]}, {a[0]})",
@@ -293,9 +346,7 @@ _CALL_REWRITES: dict[str, object] = {
         f"AND CAST({a[0]} AS DOUBLE) != CAST('Infinity' AS DOUBLE) "
         f"AND CAST({a[0]} AS DOUBLE) != CAST('-Infinity' AS DOUBLE))"
     ),
-    "sumArray": lambda a: (
-        f"sum(aggregate({a[0]}, CAST(0 AS BIGINT), (__acc, __x) -> __acc + __x))"
-    ),
+    "sumArray": _sum_array_sql,
     "toMonday": lambda a: f"CAST(date_trunc('week', {a[0]}) AS DATE)",
     "toDate": lambda a: f"CAST({a[0]} AS DATE)",
     # r8 date-family widening (each mirrors functions/ch.py exactly)
@@ -323,12 +374,20 @@ _CALL_REWRITES: dict[str, object] = {
     "toMinute": lambda a: f"minute(CAST({a[0]} AS TIMESTAMP))",
     "toSecond": lambda a: f"second(CAST({a[0]} AS TIMESTAMP))",
     # CH arithmetic function spellings (r8): intDiv truncates toward
-    # zero on ints (Spark's div); the OrZero variants absorb the
-    # divide-by-zero instead of erroring
+    # zero on ints (Spark's div); the OrZero variants absorb ONLY the
+    # divide-by-zero case (result 0) -- NULL inputs still propagate
+    # NULL, per CH Nullable-argument rules (the r8 coalesce form
+    # wrongly turned NULL inputs into 0; hardened r10)
     "intDiv": lambda a: f"({a[0]} div {a[1]})",
-    "intDivOrZero": lambda a: f"coalesce(({a[0]} div nullif({a[1]}, 0)), 0)",
+    "intDivOrZero": lambda a: (
+        f"(CASE WHEN {a[0]} IS NULL OR {a[1]} IS NULL THEN NULL "
+        f"WHEN {a[1]} = 0 THEN 0 ELSE ({a[0]} div {a[1]}) END)"
+    ),
     "modulo": lambda a: f"({a[0]} % {a[1]})",
-    "moduloOrZero": lambda a: f"coalesce(({a[0]} % nullif({a[1]}, 0)), 0)",
+    "moduloOrZero": lambda a: (
+        f"(CASE WHEN {a[0]} IS NULL OR {a[1]} IS NULL THEN NULL "
+        f"WHEN {a[1]} = 0 THEN 0 ELSE ({a[0]} % {a[1]}) END)"
+    ),
     "plus": lambda a: f"({a[0]} + {a[1]})",
     "minus": lambda a: f"({a[0]} - {a[1]})",
     "multiply": lambda a: f"({a[0]} * {a[1]})",
@@ -392,16 +451,31 @@ _CALL_REWRITES: dict[str, object] = {
         )
     ),
     "arrayConcat": lambda a: f"concat({', '.join(a)})",
-    "arrayUniq": lambda a: f"size(array_distinct({a[0]}))",
-    "arrayDistinct": lambda a: f"array_distinct({a[0]})",
-    "arraySum": lambda a: (
-        f"aggregate({a[0]}, CAST(0 AS BIGINT), (__acc, __x) -> __acc + __x)"
+    # arrayUniq counts distinct elements; the multi-array form counts
+    # distinct TUPLES of corresponding elements (arrays_zip; CH errors
+    # on unequal lengths where Spark NULL-pads -- divergence only on
+    # input CH itself rejects).  r9 silently ignored extra arrays.
+    "arrayUniq": lambda a: (
+        f"size(array_distinct({a[0]}))"
+        if len(a) == 1
+        else f"size(array_distinct(arrays_zip({', '.join(a)})))"
     ),
-    "arrayMin": lambda a: f"array_min({a[0]})",
-    "arrayMax": lambda a: f"array_max({a[0]})",
+    "arrayDistinct": lambda a: f"array_distinct({a[0]})",
+    "arraySum": _array_sum_sql,
+    # the 2-arg lambda forms map elements first (CH arrayMin(f, arr))
+    "arrayMin": lambda a: (
+        f"array_min({a[0]})" if len(a) == 1
+        else f"array_min(transform({a[1]}, {a[0]}))"
+    ),
+    "arrayMax": lambda a: (
+        f"array_max({a[0]})" if len(a) == 1
+        else f"array_max(transform({a[1]}, {a[0]}))"
+    ),
     "arrayAvg": lambda a: (
-        f"(aggregate({a[0]}, CAST(0.0 AS DOUBLE), (__acc, __x) -> __acc + __x)"
-        f" / nullif(size({a[0]}), 0))"
+        (lambda arr: (
+            f"(aggregate({arr}, CAST(0.0 AS DOUBLE), (__acc, __x) -> __acc + __x)"
+            f" / nullif(size({arr}), 0))"
+        ))(a[0] if len(a) == 1 else f"transform({a[1]}, {a[0]})")
     ),
     "arrayReverse": lambda a: f"reverse({a[0]})",
     # CH conditional/null vocabulary (r8): multiIf is CH's CASE chain
@@ -453,7 +527,10 @@ _CALL_REWRITES: dict[str, object] = {
     # codepoint-based, so each maps to the plain function
     "lowerUTF8": lambda a: f"lower({a[0]})",
     "upperUTF8": lambda a: f"upper({a[0]})",
-    "substringUTF8": lambda a: f"substring({a[0]}, {a[1]}, {a[2]})",
+    # CH length argument is optional (to-end when omitted)
+    "substringUTF8": lambda a: (
+        f"substring({', '.join(a)})"
+    ),
     "positionUTF8": lambda a: f"locate({a[1]}, {a[0]})",
     "positionCaseInsensitive": lambda a: (
         f"locate(lower({a[1]}), lower({a[0]}))"
@@ -468,11 +545,19 @@ _CALL_REWRITES: dict[str, object] = {
     "uniq": lambda a: (
         f"approx_count_distinct({a[0] if len(a) == 1 else 'struct(' + ', '.join(a) + ')'}, 0.05)"
     ),
-    "uniqHLL12": lambda a: f"approx_count_distinct({a[0]}, 0.016)",
-    "uniqCombined": lambda a: f"approx_count_distinct({a[0]}, 0.005)",
-    # numbers(N): CH's system-numbers table function -> Spark range()
-    # (column renamed to CH's `number`)
-    "numbers": lambda a: f"(SELECT id AS number FROM range({a[0]}))",
+    "uniqHLL12": lambda a: (
+        f"approx_count_distinct({a[0] if len(a) == 1 else 'struct(' + ', '.join(a) + ')'}, 0.016)"
+    ),
+    "uniqCombined": lambda a: (
+        f"approx_count_distinct({a[0] if len(a) == 1 else 'struct(' + ', '.join(a) + ')'}, 0.005)"
+    ),
+    # numbers(N) / numbers(offset, N): CH's system-numbers table
+    # function -> Spark range() (column renamed to CH's `number`)
+    "numbers": lambda a: (
+        f"(SELECT id AS number FROM range({a[0]}))"
+        if len(a) == 1
+        else f"(SELECT id AS number FROM range({a[0]}, ({a[0]}) + ({a[1]})))"
+    ),
     "extract": lambda a: _extract_sql(a),
 }
 
@@ -749,7 +834,86 @@ _CALL_REWRITES.update(
 )
 
 
-def _rewrite_calls(sql: str) -> str:
+# Declared arity (min, max; None = unbounded) for EVERY mapped
+# rewrite, enforced at the dispatch point BEFORE the rewrite fn runs.
+# This closes the silent-drop class (r9 verdict: e.g. arrayUniq(a, b)
+# compiled to size(array_distinct(a)), ignoring b) symmetrically with
+# the too-few-args refusals: a call outside its declared arity is
+# refused with the expectation named, never partially honored.  Where
+# CH itself accepts MORE forms than the mapping (timezone arguments,
+# multi-array lambda variadics), the extra-arg call is refused rather
+# than compiled with the argument ignored.
+_ARITY: dict[str, tuple[int, int | None]] = {
+    "arrayMap": (2, 2), "arrayFilter": (2, 2), "indexOf": (2, 2),
+    "uniqExact": (1, None), "notEmpty": (1, 1), "empty": (1, 1),
+    "toInt64": (1, 1), "toInt8": (1, 1), "toInt16": (1, 1),
+    "toInt32": (1, 1), "toUInt8": (1, 1), "toUInt16": (1, 1),
+    "toUInt32": (1, 1), "toUInt64": (1, 1), "toFloat32": (1, 1),
+    "toFloat64": (1, 1), "toString": (1, 1), "toDateTime": (1, 1),
+    "isFinite": (1, 1), "sumArray": (1, 1), "toMonday": (1, 1),
+    "toDate": (1, 1), "toQuarter": (1, 1), "toDayOfWeek": (1, 1),
+    "toDayOfYear": (1, 1), "toISOWeek": (1, 1),
+    "toLastDayOfMonth": (1, 1), "toUnixTimestamp": (1, 1),
+    "toStartOfQuarter": (1, 1), "toStartOfMonth": (1, 1),
+    "toStartOfYear": (1, 1), "toYear": (1, 1), "toMonth": (1, 1),
+    "toDayOfMonth": (1, 1), "toHour": (1, 1), "toMinute": (1, 1),
+    "toSecond": (1, 1), "intDiv": (2, 2), "intDivOrZero": (2, 2),
+    "modulo": (2, 2), "moduloOrZero": (2, 2), "plus": (2, 2),
+    "minus": (2, 2), "multiply": (2, 2), "divide": (2, 2),
+    "negate": (1, 1), "formatDateTime": (2, 2), "toYYYYMM": (1, 1),
+    "countIf": (1, 1), "sumIf": (2, 2), "avgIf": (2, 2),
+    "argMax": (2, 2), "argMin": (2, 2), "groupUniqArray": (1, 1),
+    "arrayStringConcat": (1, 2), "splitByChar": (2, 2),
+    "arrayZip": (1, None), "arrayExists": (2, 2), "arrayAll": (2, 2),
+    "arrayCount": (1, 2), "has": (2, 2), "arraySort": (1, 2),
+    "arrayReverseSort": (1, 2), "arrayConcat": (1, None),
+    "arrayUniq": (1, None), "arrayDistinct": (1, 1),
+    "arraySum": (1, 2), "arrayMin": (1, 2), "arrayMax": (1, 2),
+    "arrayAvg": (1, 2), "arrayReverse": (1, 1), "multiIf": (3, None),
+    "ifNull": (2, 2), "assumeNotNull": (1, 1), "now": (0, 0),
+    "today": (0, 0), "yesterday": (0, 0), "match": (2, 2),
+    "countMatches": (2, 2), "startsWith": (2, 2), "endsWith": (2, 2),
+    "leftPad": (2, 3), "rightPad": (2, 3), "trimBoth": (1, 1),
+    "trimLeft": (1, 1), "trimRight": (1, 1), "lengthUTF8": (1, 1),
+    "lowerUTF8": (1, 1), "upperUTF8": (1, 1), "substringUTF8": (2, 3),
+    "positionUTF8": (2, 2), "positionCaseInsensitive": (2, 2),
+    "uniq": (1, None), "uniqHLL12": (1, None), "uniqCombined": (1, None),
+    "numbers": (1, 2), "extract": (1, 2),
+    # JSON family: (json [, indices_or_keys...]) -- path args all used
+    "JSONExtractString": (1, None), "JSONExtractInt": (1, None),
+    "JSONExtractFloat": (1, None), "JSONExtractBool": (1, None),
+    "JSONExtractRaw": (1, None), "JSONExtractKeys": (1, None),
+    "JSONHas": (1, None), "JSONLength": (1, None), "JSONType": (1, None),
+    "visitParamExtractString": (1, None), "visitParamExtractInt": (1, None),
+    "visitParamExtractFloat": (1, None), "visitParamExtractBool": (1, None),
+    "visitParamExtractRaw": (1, None), "visitParamHas": (1, None),
+}
+
+# a rewrite without a declared arity is a table-maintenance bug:
+# fail at import, not at the first query that trips it
+_undeclared = set(_CALL_REWRITES) - set(_ARITY)
+assert not _undeclared, f"chsql rewrites missing _ARITY rows: {_undeclared}"
+_orphaned = set(_ARITY) - set(_CALL_REWRITES)
+assert not _orphaned, f"_ARITY rows without rewrites: {_orphaned}"
+
+
+def _check_arity(name: str, args: list[str]) -> None:
+    lo, hi = _ARITY[name]
+    if lo <= len(args) and (hi is None or len(args) <= hi):
+        return
+    want = (
+        f"exactly {lo}"
+        if hi == lo
+        else f"at least {lo}" if hi is None else f"{lo} to {hi}"
+    )
+    raise ValueError(
+        f"chsql: {name}() takes {want} argument(s), got {len(args)} — "
+        f"refusing (a surplus argument would be silently ignored; a "
+        f"missing one has no CH default)"
+    )
+
+
+def _rewrite_calls(sql: str, float_array_cols: frozenset = frozenset()) -> str:
     changed = True
     while changed:
         changed = False
@@ -758,13 +922,21 @@ def _rewrite_calls(sql: str) -> str:
             for m in re.finditer(rf"\b{name}\s*\(", masked):
                 close = _match_paren(masked, m.end() - 1)
                 args = _split_top(sql[m.end() : close])
+                if len(args) == 1 and not args[0].strip():
+                    args = []  # empty parens: zero arguments
+                _check_arity(name, args)
                 try:
-                    repl = fn(args)
+                    repl = (
+                        fn(args, float_array_cols)
+                        if getattr(fn, "_chsql_ctx", False)
+                        else fn(args)
+                    )
                 except (IndexError, KeyError) as ex:
-                    # wrong arity for the mapped rewrite: refuse
-                    # cleanly instead of leaking a Python crash (the
-                    # r7-advised extract() IndexError bug class,
-                    # closed for EVERY rewrite at the dispatch point)
+                    # backstop: _ARITY should make this unreachable,
+                    # but a rewrite whose declared range is wider than
+                    # its body still refuses cleanly instead of
+                    # leaking a Python crash (the r7-advised extract()
+                    # IndexError bug class)
                     raise ValueError(
                         f"chsql: {name}() called with {len(args)} "
                         f"argument(s) — unsupported arity for the "
@@ -810,6 +982,22 @@ def _elem_defaults(tables: dict[str, DataFrame]) -> dict[str, str]:
             elif isinstance(et, T.NumericType):
                 out[f.name] = f"CAST(0 AS {et.simpleString()})"
     return out
+
+
+def _fractional_array_cols(tables: dict[str, DataFrame]) -> frozenset:
+    """Column names whose type is array-of-fractional (float, double,
+    decimal) across the queried tables -- the schema context arraySum/
+    sumArray use to pick the CH-typed accumulator (Float64 for float
+    arrays, Int64 otherwise)."""
+    out = set()
+    for df in tables.values():
+        for f in df.schema.fields:
+            if isinstance(f.dataType, T.ArrayType) and isinstance(
+                f.dataType.elementType,
+                (T.FloatType, T.DoubleType, T.DecimalType),
+            ):
+                out.add(f.name)
+    return frozenset(out)
 
 
 _AJ_CLAUSE = re.compile(r"\b(LEFT\s+)?ARRAY\s+JOIN\b", re.I)
@@ -1013,7 +1201,7 @@ def run_sql(
     sql = _rewrite_indexing(sql, _elem_defaults(tables))
     sql = _rewrite_array_join(sql, _elem_defaults(tables))
     sql = _rewrite_parametrized(sql)
-    sql = _rewrite_calls(sql)
+    sql = _rewrite_calls(sql, _fractional_array_cols(tables))
     sql = _rewrite_literals(sql)
     sql = _collapse_ws(sql).rstrip(";").rstrip()
     # trailing CH decorations with no Spark counterpart: FORMAT picks

@@ -1712,7 +1712,10 @@ def q_geo_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
     # base-32 digits (0-9a-v after lower) map positionally onto the
     # geohash alphabet.  The oracle rebuilds the same string by direct
     # 5-bit group indexing -- a structurally different formulation.
-    n = F.pmod(F.col("event_id"), F.lit(1 << 30))
+    # plain % (dividend-sign), matching both the oracle's `%` and the
+    # lon/lat derivations above -- pmod here would diverge from the
+    # oracle on a negative event_id (ADVICE r9)
+    n = F.col("event_id") % F.lit(1 << 30)
     ghs = F.translate(
         F.lpad(F.lower(F.conv(n.cast("string"), 10, 32)), 6, "0"),
         "0123456789abcdefghijklmnopqrstuv",
@@ -4575,18 +4578,25 @@ DRIVER_WINDOW = 50  # driver-checked prefix length (round-5 verdict)
 # once the round's CORRECTNESS file shows them green again.
 ROTATION_FORCE_FRONT = frozenset(
     {
-        # round 9: bench split per the r8 verdict (task 3) — the entry
-        # now decodes a STORED-SHAPE geohash column (production
-        # pattern) instead of the decode∘encode proof form, and
-        # geohash_decode gained the invalid->NULL validity gate
-        # (ADVICE r8); new oracle rebuilds the string + quantizers
-        # closed-form from the id bits
+        # round 10: the modulo in the stored-geohash derivation is now
+        # plain % (dividend-sign), symmetric with the oracle's % and
+        # the lon/lat derivations (ADVICE r9 — the pmod form was a
+        # latent mismatch on negative ids)
         "geo_distance",
-        # round 9: chsql _CALL_REWRITES hardening (ADVICE r8 — arity
-        # refusals for rewrites that silently dropped extra args,
-        # intDivOrZero/moduloOrZero no longer absorb NULL inputs,
-        # arraySum DOUBLE accumulator for float arrays): every r8-green
-        # entry whose closure reaches the rewrite table re-proves
+        # round 10: chsql _CALL_REWRITES hardening LANDED this round
+        # (plans/chsql.py — the r9 comment claimed it a round early;
+        # this entry set re-proves against the code that now exists):
+        # declared-arity refusals for every mapped rewrite (surplus
+        # args were silently dropped, e.g. arrayUniq(a, b) ignored b),
+        # intDivOrZero/moduloOrZero propagate NULL inputs (only b=0
+        # absorbs to 0), arraySum/sumArray pick a DOUBLE accumulator
+        # for fractional-element array columns (BIGINT-pinned form
+        # failed analysis on float arrays), arrayUniq multi-array
+        # tuple counting, arrayMin/Max/Avg lambda forms, 2-arg
+        # substringUTF8, numbers(offset, N).  chsql_array_join (last
+        # green r8) is forced too: its natural slot falls past the
+        # 50-entry window and its run_sql closure changed.
+        "chsql_array_join",
         "chsql_visits_chart",
         "chsql_traffic_chart",
         "chsql_s3_export",
