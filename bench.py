@@ -104,6 +104,8 @@ HEADLINE = [
     "chsql_daily_fill",
     "chsql_fill_interpolate",
     "chsql_limit_by",
+    "chsql_final",
+    "chsql_sample",
     "tfidf_top_terms",
     "bigram_lm_score",
     "shard_assign",

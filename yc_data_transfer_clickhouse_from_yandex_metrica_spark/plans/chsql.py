@@ -110,11 +110,14 @@ vocabulary):
 from __future__ import annotations
 
 import re
+from dataclasses import dataclass
+from fractions import Fraction
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from ..operators import collapse as _collapse_op
 from .alias import inline_aliases
 
 # ---------------------------------------------------------------------------
@@ -1181,21 +1184,169 @@ def _select_aliases(select_body: str) -> tuple[list[tuple[str, str | None]], dic
     return parsed, resolved
 
 
+@dataclass(frozen=True)
+class TableMeta:
+    """Declared engine metadata for a queried table -- what ClickHouse
+    reads from the table's DDL to serve the read-time clauses:
+
+    - ``FROM t FINAL`` needs (key, version, sign): the
+      VersionedCollapsingMergeTree declaration
+      (/root/reference/ddl/visits.sql:229-233) whose read-time
+      collapse operators/collapse.collapsed() implements (A11).
+    - ``SAMPLE k`` needs ``sample_by``: the declared SAMPLE BY column
+      (/root/reference/ddl/hits.sql:119, ddl/visits.sql:239).
+
+    Pass as ``run_sql(..., table_meta={"visits": TableMeta(...)})``;
+    tables without metadata keep the refusal (the clause cannot be
+    honored faithfully without the declaration, exactly as CH errors
+    on a table whose engine/DDL lacks it)."""
+
+    key: tuple[str, ...] = ()
+    version: str | None = None
+    sign: str | None = None
+    sample_by: str | None = None
+
+
+# CH sample space: the declared key's value modulo this denominator,
+# kept when below round(fraction * denominator).  A contiguous range,
+# so samples are monotone (SAMPLE 0.1 is a subset of SAMPLE 0.2) and
+# consistent by key across tables sharing the declared column --
+# ClickHouse's SAMPLE contract.  The reference's SAMPLE BY columns are
+# already hashes (CounterUserIDHash), so no re-hash here; the filter
+# stays a pure pushdown-able scan predicate and the DuckDB-portable
+# form is `pmod(col, D) < thresh`.
+_SAMPLE_DENOM = 1_000_000
+
+_TABLE_DECO = r"(?:\s+(FINAL)\b)?(?:\s+SAMPLE\s+([\d./]+)(\s+OFFSET\s+[\d./]+)?)?"
+
+
+def _parse_sample_fraction(txt: str) -> int:
+    """``0.1`` / ``3/10`` -> threshold in the _SAMPLE_DENOM space.
+    The integer form (``SAMPLE 10000`` = approximate ROW COUNT) needs
+    table statistics CH keeps and Spark does not: refused."""
+    try:
+        frac = Fraction(txt.replace(" ", ""))
+    except (ValueError, ZeroDivisionError) as ex:
+        raise ValueError(f"chsql: SAMPLE {txt!r} is not a valid fraction") from ex
+    if frac >= 1:
+        raise ValueError(
+            f"chsql: SAMPLE {txt} — the integer form is an approximate "
+            "row-count target (needs table statistics); use a fraction "
+            "in (0, 1)"
+        )
+    if frac <= 0:
+        raise ValueError(f"chsql: SAMPLE {txt} must be a fraction in (0, 1)")
+    return max(1, round(frac * _SAMPLE_DENOM))
+
+
+def _scan_table_decorations(
+    sql: str, tables: dict[str, DataFrame]
+) -> tuple[str, dict[str, dict]]:
+    """Find ``FROM/JOIN <table> [FINAL] [SAMPLE f]`` decorations,
+    strip them from the SQL, and return per-table flags.  A table that
+    appears BOTH decorated and bare is refused: the decoration is
+    applied to the registered view, so mixed use would silently
+    decorate the bare reference too (register the table under two
+    names to mix)."""
+    deco: dict[str, dict] = {}
+    for name in tables:
+        # prefix includes the comma of a FROM-list (`FROM a, t FINAL`
+        # is a CH cross-join reference, and Spark would otherwise
+        # parse its FINAL as a bare alias)
+        pat = re.compile(
+            rf"((?:\b(?:FROM|JOIN)\s+|,\s*)(?:`{re.escape(name)}`|{re.escape(name)}\b))"
+            rf"{_TABLE_DECO}",
+            re.I,
+        )
+        out, last, flags, bare = [], 0, {}, False
+        masked = _mask(sql)
+        for m in pat.finditer(masked):
+            final_kw, sample_txt, offset_txt = m.group(2), m.group(3), m.group(4)
+            if offset_txt:
+                raise ValueError(
+                    "chsql: SAMPLE ... OFFSET reads a shifted slice of the "
+                    "sample space and is not mapped; shift the bucket via "
+                    "operators/sampling.sample_mod(bucket=...) instead"
+                )
+            if not final_kw and not sample_txt:
+                bare = True
+                continue
+            if final_kw:
+                flags["final"] = True
+            if sample_txt:
+                flags["sample"] = _parse_sample_fraction(sample_txt)
+            out.append(sql[last : m.end(1)])
+            last = m.end()
+        if not flags:
+            continue
+        if bare:
+            raise ValueError(
+                f"chsql: table {name!r} is referenced both with and "
+                f"without FINAL/SAMPLE; the decoration applies to the "
+                f"whole registered view — pass the table twice under "
+                f"two names to mix decorated and bare reads"
+            )
+        out.append(sql[last:])
+        sql = "".join(out)
+        deco[name] = flags
+    return sql, deco
+
+
+def _apply_decorations(
+    df: DataFrame, name: str, flags: dict, meta: TableMeta | None
+) -> DataFrame:
+    """SAMPLE filters first (pure scan predicate, pushes below the
+    collapse window), then FINAL collapses -- matching CH, which
+    samples the stored parts and collapses what it read."""
+    if "sample" in flags:
+        if meta is None or not meta.sample_by:
+            raise ValueError(
+                f"chsql: SAMPLE needs table {name!r}'s declared SAMPLE BY "
+                f"key; declare TableMeta(sample_by=...) in table_meta, or "
+                f"use operators/sampling.sample_by / sources/warehouse's "
+                f"SAMPLE BY layout"
+            )
+        df = df.where(
+            F.pmod(F.col(meta.sample_by), F.lit(_SAMPLE_DENOM))
+            < F.lit(flags["sample"])
+        )
+    if "final" in flags:
+        if meta is None or not (meta.key and meta.version and meta.sign):
+            raise ValueError(
+                f"chsql: FINAL collapses rows by table {name!r}'s declared "
+                f"(ORDER BY key, version, sign); declare "
+                f"TableMeta(key=..., version=..., sign=...) in table_meta, "
+                f"or pre-collapse with operators/collapse.collapsed (A11) — "
+                f"or rename the alias if FINAL was meant as a table alias"
+            )
+        df = _collapse_op.collapsed(
+            df, key=meta.key, version=meta.version, sign=meta.sign
+        )
+    return df
+
+
 def run_sql(
     spark: SparkSession,
     query: str,
     tables: dict[str, DataFrame],
     params: dict[str, str] | None = None,
+    table_meta: dict[str, TableMeta] | None = None,
 ) -> DataFrame:
     """Compile + run a ClickHouse-dialect query (module docstring for
     the supported surface).  ``tables`` maps each table name AS
     WRITTEN in the query to its DataFrame; ``params`` maps ``{{name}}``
-    placeholders to SQL fragments."""
+    placeholders to SQL fragments; ``table_meta`` declares per-table
+    engine metadata enabling ``FINAL`` and ``SAMPLE`` (TableMeta)."""
     sql = strip_comments(query)
     for name, val in (params or {}).items():
         sql = sql.replace("{{" + name + "}}", val)
+    sql, decorations = _scan_table_decorations(sql, tables)
     for i, (name, df) in enumerate(sorted(tables.items(), key=lambda kv: -len(kv[0]))):
         view = f"__chsql_t{i}"
+        if name in decorations:
+            df = _apply_decorations(
+                df, name, decorations[name], (table_meta or {}).get(name)
+            )
         df.createOrReplaceTempView(view)
         sql = _replace_name(sql, name, view)
     sql = _rewrite_indexing(sql, _elem_defaults(tables))
@@ -1230,21 +1381,34 @@ def run_sql(
     # cannot be honored faithfully -- refuse with the operator pointer
     # instead of Spark's opaque parse error
     if re.search(r"\bSAMPLE\s+[\d./]", masked, re.I):
+        # direct `FROM table SAMPLE f` was compiled above when the
+        # table declares TableMeta(sample_by=...); what remains here
+        # is a placement with no declared key (subquery, undeclared
+        # table) -- refuse
         raise ValueError(
-            "chsql: SAMPLE needs the table's SAMPLE BY key; use "
-            "operators/sampling.sample_by (deterministic hash sample) "
-            "or sources/warehouse's SAMPLE BY layout"
+            "chsql: SAMPLE needs the table's declared SAMPLE BY key; "
+            "declare TableMeta(sample_by=...) in run_sql's table_meta, "
+            "or use operators/sampling.sample_by (deterministic hash "
+            "sample) / sources/warehouse's SAMPLE BY layout"
         )
     # CH `FROM t FINAL` collapses/deduplicates ON READ per the table
     # engine's version key; Spark would silently parse FINAL as a
     # table ALIAS and skip the collapse — the worst silent-wrong
     # class, so refuse (rename the alias if FINAL was meant as one)
-    if re.search(r"\b(FROM|JOIN)\s+(`[^`]+`|\w+)\s+FINAL\b", masked, re.I):
+    if re.search(
+        r"(\bFROM\s+|\bJOIN\s+|,\s*)(`[^`]+`|\w+)\s+FINAL\b", masked, re.I
+    ) or re.search(r"\)\s+FINAL\b", masked, re.I):
+        # direct `FROM table FINAL` was compiled above when the table
+        # declares TableMeta(key, version, sign); what remains is a
+        # target with no declaration (Spark would silently parse FINAL
+        # as a table ALIAS and skip the collapse — the worst
+        # silent-wrong class)
         raise ValueError(
             "chsql: FINAL collapses rows by the table engine's version "
-            "key on read and is not mapped; pre-collapse with "
-            "operators/collapse.collapse_latest (A11) — or rename the "
-            "alias if FINAL was meant as a table alias"
+            "key on read; declare TableMeta(key=..., version=..., "
+            "sign=...) in run_sql's table_meta, or pre-collapse with "
+            "operators/collapse.collapsed (A11) — or rename the alias "
+            "if FINAL was meant as a table alias"
         )
     for bad, hint in (
         ("ANY", "dedupe the build side or use argMax per key"),

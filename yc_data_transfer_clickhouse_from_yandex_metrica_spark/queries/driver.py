@@ -4229,6 +4229,110 @@ def q_chsql_limit_by(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _events_sign_ledger(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The cdc_collapse-shaped VersionedCollapsing ledger built from
+    events: each user's event sequence becomes versions 1..n, every
+    non-final version cancelled pairwise (ddl/visits.sql:229-233 wire
+    shape).  Used by the FROM..FINAL dialect entry; cdc_collapse keeps
+    its own inline copy (its r9-green closure stays untouched)."""
+    ev = t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    versioned = ev.select(
+        F.col("user_id").alias("VisitID"),
+        F.col("ts").cast("date").alias("day"),
+        F.row_number().over(w).alias("VisitVersion"),
+    )
+    states = versioned.withColumn("Sign", F.lit(1))
+    wmax = Window.partitionBy("VisitID")
+    cancels = (
+        versioned.withColumn("maxv", F.max("VisitVersion").over(wmax))
+        .where(F.col("VisitVersion") < F.col("maxv"))
+        .drop("maxv")
+        .withColumn("Sign", F.lit(-1))
+    )
+    return states.unionByName(cancels)
+
+
+_CHSQL_FINAL_SQL = """
+SELECT toMonday(day) AS week, count(1) AS live_visits
+FROM visits FINAL
+GROUP BY week
+ORDER BY week
+"""
+
+
+def q_chsql_final(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``FROM t FINAL`` compiled onto the declared
+    VersionedCollapsingMergeTree metadata (r8 verdict task 5): the
+    dialect rewrites the read to operators/collapse.collapsed() --
+    exactly the read-time collapse CH's FINAL requests
+    (/root/reference/ddl/visits.sql:229-233) -- instead of refusing.
+    Tables without TableMeta keep the refusal.  Oracle: the
+    cdc_collapse-style row_number latest-per-user replay."""
+    from ..plans import chsql
+
+    _prep(spark)
+    return chsql.run_sql(
+        spark,
+        _CHSQL_FINAL_SQL,
+        {"visits": _events_sign_ledger(spark, sf_dir)},
+        table_meta={
+            "visits": chsql.TableMeta(
+                key=("VisitID",), version="VisitVersion", sign="Sign"
+            )
+        },
+    )
+
+
+_ORACLE_CHSQL_FINAL = """
+WITH latest AS (
+  SELECT user_id, CAST(ts AS DATE) AS day
+  FROM events
+  QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) = 1
+)
+SELECT date_trunc('week', day) AS week,
+       CAST(count(1) AS BIGINT) AS live_visits
+FROM latest GROUP BY 1 ORDER BY 1
+"""
+
+
+_CHSQL_SAMPLE_SQL = """
+SELECT l_linestatus, count(1) AS n,
+       toInt64(sum(toInt64(l_quantity))) AS qty
+FROM lineitem SAMPLE 1/16
+GROUP BY l_linestatus
+"""
+
+
+def q_chsql_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``SAMPLE 1/16`` compiled onto the declared SAMPLE BY key (r8
+    verdict task 6; ddl/hits.sql:119 declares SAMPLE BY
+    CounterUserIDHash): the dialect keeps the contiguous low range of
+    the key's modulo space -- pmod(key, 1e6) < 62500 -- a pure
+    pushdown-able scan predicate with CH's consistency (same key,
+    same verdict across tables) and monotonicity (SAMPLE 0.1 is a
+    subset of SAMPLE 0.2).  Tables without sample_by metadata keep
+    the refusal.  sample_by (the DataFrame operator twin) proves the
+    same semantics family on its own oracle."""
+    from ..plans import chsql
+
+    _prep(spark)
+    return chsql.run_sql(
+        spark,
+        _CHSQL_SAMPLE_SQL,
+        {"lineitem": t(spark, sf_dir, "lineitem")},
+        table_meta={"lineitem": chsql.TableMeta(sample_by="l_orderkey")},
+    )
+
+
+_ORACLE_CHSQL_SAMPLE = """
+SELECT l_linestatus, CAST(count(1) AS BIGINT) AS n,
+       CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty
+FROM lineitem WHERE l_orderkey % 1000000 < 62500
+GROUP BY l_linestatus
+"""
+
+
 # =========================================================================
 # 32. corpus curation operators (operators/corpus.py): TF-IDF salient
 #     terms, self-trained bigram-LM cross-entropy (the CCNet
@@ -4554,6 +4658,8 @@ QUERIES: dict[str, QuerySpec] = {
     "shard_assign": QuerySpec(q_shard_assign, _ORACLE_SHARD_ASSIGN, "training-data: deterministic seeded shard deal + in-shard order (portable md5 keys)"),
     "domain_quota": QuerySpec(q_domain_quota, _ORACLE_DOMAIN_QUOTA, "training-data: C4-style per-domain contribution cap (best-quality-first)"),
     "dedup_keep_best": QuerySpec(q_dedup_keep_best, _ORACLE_DEDUP_KEEP_BEST, "dedup/cluster resolution keeping the best-quality member (argmax, not min-id)"),
+    "chsql_final": QuerySpec(q_chsql_final, _ORACLE_CHSQL_FINAL, "chsql: FROM t FINAL compiled to the declared-engine collapse (r8 task 5)"),
+    "chsql_sample": QuerySpec(q_chsql_sample, _ORACLE_CHSQL_SAMPLE, "chsql: SAMPLE k compiled onto the declared SAMPLE BY key (r8 task 6)"),
 }
 
 
