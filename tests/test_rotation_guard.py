@@ -67,13 +67,20 @@ def _artifact_commit(rnd: int) -> str | None:
     return out[0] if out else None
 
 
-def _newest_artifact_round() -> int | None:
-    """Highest round number among CORRECTNESS_r*.json files ON DISK
-    (committed or not)."""
+# rounds at or above this are the guard's own simulations (synthetic
+# artifacts the lifecycle tests stack on the real state); they never
+# collide with real driver rounds (a 20-round build)
+SIM_ROUND_MIN = 90
+
+
+def _newest_real_artifact_round() -> int | None:
+    """Highest REAL (non-simulation) round among CORRECTNESS_r*.json
+    files ON DISK (committed or not)."""
     rounds = [
         int(m.group(1))
         for p in REPO.glob("CORRECTNESS_r*.json")
         if (m := re.search(r"CORRECTNESS_r(\d+)\.json$", p.name))
+        and int(m.group(1)) < SIM_ROUND_MIN
     ]
     return max(rounds) if rounds else None
 
@@ -102,7 +109,17 @@ def _embedded_commit(rnd: int) -> str | None:
         val = json.loads(path.read_text()).get("__verified_commit__")
     except (OSError, ValueError, AttributeError):
         return None
-    return val if isinstance(val, str) and re.fullmatch(r"[0-9a-f]{7,40}", val) else None
+    if not (isinstance(val, str) and re.fullmatch(r"[0-9a-f]{7,40}", val)):
+        return None
+    # the hash must resolve to a commit IN THIS REPO (ADVICE r9: a
+    # stale or garbage hash would otherwise surface as an opaque
+    # CalledProcessError from the downstream diff); an unresolvable
+    # stamp falls through to the lifecycle paths
+    try:
+        _git("cat-file", "-e", f"{val}^{{commit}}")
+    except subprocess.CalledProcessError:
+        return None
+    return val
 
 
 def _green_commit(rnd: int) -> str | None:
@@ -120,14 +137,21 @@ def _green_commit(rnd: int) -> str | None:
     that moment — which the driver guarantees equals HEAD (it commits
     any uncommitted work before running verify) — so the sound
     fallback is to prove the entry's closure identical between HEAD
-    and the current worktree.  EVERY on-disk round NEWER than the
-    newest committed round may use it (r8 verdict fix: in the real
-    lifecycle all such rounds were verified against the current
-    worktree, and the guard's own r98/r99 simulations must compose
-    with a real untracked newest artifact rather than strand its
-    entries).  A round at or below the newest committed round may NOT:
-    a later committed artifact proves the worktree moved on after that
-    round verified, so HEAD is unrelated to what it saw."""
+    and the current worktree.
+
+    Eligibility (r9 ADVICE narrowing of the r8 widen-to-every-round
+    rule): the round must be newer than the newest COMMITTED round,
+    and be either (a) the newest REAL round on disk — in the real
+    lifecycle only the current round's artifact is ever uncommitted,
+    and it was verified against the current HEAD — or (b) a
+    simulation round (>= SIM_ROUND_MIN), which the guard's own
+    lifecycle tests stack on the real state and which by construction
+    describe the current worktree.  An OLDER real uncommitted round
+    may NOT use HEAD: development commits after its verify moved the
+    tree, so a HEAD diff would prove nothing about what that round
+    saw (the r8-ADVICE wrong-tree hole) — commit the artifact (the
+    round-start ritual, tools/commit_round_artifacts.py, which also
+    stamps ``__verified_commit__``) to restore its evidence."""
     embedded = _embedded_commit(rnd)
     if embedded is not None:
         return embedded
@@ -135,8 +159,10 @@ def _green_commit(rnd: int) -> str | None:
     if commit is not None:
         return commit
     newest_committed = _newest_committed_round()
+    newest_real = _newest_real_artifact_round()
     if (
         (newest_committed is None or rnd > newest_committed)
+        and (rnd >= SIM_ROUND_MIN or rnd == newest_real)
         and (REPO / f"CORRECTNESS_r{rnd:02d}.json").is_file()
     ):
         return "HEAD"
@@ -809,3 +835,79 @@ def test_def_level_follows_package_reexports():
     assert target_file.startswith(f"{PKG}/plans/")
     tgt = _module_index(target_file, None)
     assert tgt is not None and orig in tgt.defs
+
+
+def test_older_real_uncommitted_round_refuses_head_fallback():
+    """The r9-ADVICE wrong-tree hole, closed: a REAL (non-simulation)
+    uncommitted round that is NOT the newest real round on disk may
+    not diff against HEAD — development commits after its verify
+    moved the tree, so the fallback would prove nothing.  Such a
+    round resolves to None (surfacing the lifecycle error that the
+    artifact must be committed/stamped), while the newest real
+    uncommitted round keeps the fallback."""
+    r_old, r_new = 85, 86
+    arts = [REPO / f"CORRECTNESS_r{r:02d}.json" for r in (r_old, r_new)]
+    for art in arts:
+        assert not art.exists(), "simulation round collides with a real artifact"
+        art.write_text("{}")
+    try:
+        _artifact_commit.cache_clear()
+        assert _newest_real_artifact_round() == r_new
+        assert _green_commit(r_old) is None
+        assert _green_commit(r_new) == "HEAD"
+    finally:
+        for art in arts:
+            art.unlink()
+        _artifact_commit.cache_clear()
+
+
+def test_embedded_commit_rejects_unresolvable_hash():
+    """A syntactically valid but non-existent hash must fall through
+    to the lifecycle paths (None here: committed artifact absent),
+    not crash the guard with a CalledProcessError downstream
+    (ADVICE r9)."""
+    rnd = 94
+    art = REPO / f"CORRECTNESS_r{rnd:02d}.json"
+    assert not art.exists(), "simulation round collides with a real artifact"
+    art.write_text(json.dumps({"__verified_commit__": "deadbeef" * 5}))
+    try:
+        _artifact_commit.cache_clear()
+        assert _embedded_commit(rnd) is None
+        # sim round > newest committed: falls through to HEAD fallback
+        assert _green_commit(rnd) == "HEAD"
+    finally:
+        art.unlink()
+        _artifact_commit.cache_clear()
+
+
+def test_round_start_ritual_stamps_verified_commit(tmp_path):
+    """tools/commit_round_artifacts.stamp_verified_commit embeds the
+    exact-evidence key the guard prefers (write-side of ADVICE r9):
+    idempotent, real rounds only, malformed JSON left untouched."""
+    import sys as _sys
+
+    _sys.path.insert(0, str(REPO / "tools"))
+    try:
+        from commit_round_artifacts import stamp_verified_commit
+    finally:
+        _sys.path.pop(0)
+    head = _git("rev-parse", "HEAD").strip()
+
+    art = tmp_path / "CORRECTNESS_r12.json"
+    art.write_text(json.dumps({"q": {"hash_match": True}}))
+    assert stamp_verified_commit(art, head) is True
+    rows = json.loads(art.read_text())
+    assert rows["__verified_commit__"] == head
+    assert rows["q"] == {"hash_match": True}
+    assert stamp_verified_commit(art, "f" * 40) is False  # no overwrite
+    assert json.loads(art.read_text())["__verified_commit__"] == head
+
+    sim = tmp_path / "CORRECTNESS_r98.json"
+    sim.write_text("{}")
+    assert stamp_verified_commit(sim, head) is False  # sims never stamped
+    assert json.loads(sim.read_text()) == {}
+
+    bad = tmp_path / "CORRECTNESS_r13.json"
+    bad.write_text("{not json")
+    assert stamp_verified_commit(bad, head) is False
+    assert bad.read_text() == "{not json"
