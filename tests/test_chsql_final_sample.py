@@ -158,3 +158,17 @@ def test_sample_offset_refuses(spark, ledger):
             {"visits": ledger},
             table_meta=META,
         )
+
+
+def test_sample_filter_reaches_parquet_scan(spark):
+    """The compiled SAMPLE predicate must be a scan-level DataFilter
+    (pushdown-able at 100 TB), not a post-scan Filter only."""
+    from yc_data_transfer_clickhouse_from_yandex_metrica_spark.queries import (
+        driver as d,
+    )
+
+    df = d.q_chsql_sample(spark, "/root/testdata/sf0.001")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    scan = [l for l in plan.splitlines() if "FileScan" in l]
+    assert scan and "pmod(l_orderkey" in scan[0], scan
+    assert plan.count("Exchange") <= 1  # the groupBy only
