@@ -628,6 +628,25 @@ def great_circle_distance(
 
 
 _GEOHASH_B32 = "0123456789bcdefghjkmnpqrstuvwxyz"
+# Spark conv()'s digit alphabet for base 32 -- the translate target
+# that turns a geohash string into a number conv can parse
+_CONV_B32 = "0123456789abcdefghijklmnopqrstuv"
+
+
+def _compact_even_bits(x: Column) -> Column:
+    """Gather the even-LSB-position bits of a (<= 62-bit) long into a
+    contiguous low field, order preserved -- the classic Morton-code
+    compaction: 5 shift-or-mask rounds, each referencing the previous
+    round once, so the expression tree stays LINEAR in depth (the
+    whole point vs per-bit extraction, which re-evaluates its source
+    subtree per bit)."""
+    x = x.bitwiseAND(F.lit(0x5555555555555555))
+    x = (x.bitwiseOR(F.shiftright(x, 1))).bitwiseAND(F.lit(0x3333333333333333))
+    x = (x.bitwiseOR(F.shiftright(x, 2))).bitwiseAND(F.lit(0x0F0F0F0F0F0F0F0F))
+    x = (x.bitwiseOR(F.shiftright(x, 4))).bitwiseAND(F.lit(0x00FF00FF00FF00FF))
+    x = (x.bitwiseOR(F.shiftright(x, 8))).bitwiseAND(F.lit(0x0000FFFF0000FFFF))
+    x = (x.bitwiseOR(F.shiftright(x, 16))).bitwiseAND(F.lit(0x00000000FFFFFFFF))
+    return x
 
 
 def geohash_encode(
@@ -683,12 +702,29 @@ def geohash_decode(
 
     Invalid input -> (NULL, NULL) (documented deviation, ADVICE r8:
     CH raises on a malformed geohash; a character outside the base32
-    alphabet would otherwise make the position scan return 0 and the
-    shift/mask arithmetic emit garbage coordinates).  Validity = the
-    first ``precision`` characters all drawn from the geohash base32
-    alphabet (one anchored character-class regex, not per-char
-    ``instr`` guards, so the check adds ONE op however deep the
-    decode); a too-short string fails the same check."""
+    alphabet would otherwise make the parse emit garbage coordinates).
+    Validity = the first ``precision`` characters all drawn from the
+    geohash base32 alphabet (one anchored character-class regex); a
+    too-short string fails the same check.
+
+    Formulation (round 10): ONE ``conv`` parse of the whole string
+    (geohash alphabet translated to conv's 0-9a-v digits) yields the
+    full interleaved bit value, then the classic Morton bit-compaction
+    (5 shift-or-mask steps per coordinate) de-interleaves it.  The
+    expression tree is LINEAR — each step references the previous step
+    once — unlike the r9 per-bit form, whose 5 uses per character each
+    duplicated the instr/substring subtree (~30 duplicated string scans
+    per row; Catalyst does not CSE across the summed terms).
+
+    The validity gate is ADDITIVE (``coord + when(valid, 0.0)``), not
+    a branch around the coordinate: measured on this Spark build, a
+    data-dependent CASE WHEN makes its branch subtree ~10-50x slower
+    than the same subtree evaluated unconditionally in the projection
+    (when(valid, lon) 12.9 s vs 0.37 s at sf0.1 — the branch body is
+    excluded from the fast evaluation path), while NULL + x == NULL
+    gives the same invalid->NULL contract for free.  Output is
+    bit-identical to the r9 form for precision 1..12 including
+    invalid/short/NULL inputs (equivalence-tested)."""
     if not 1 <= precision <= 12:
         raise ValueError(f"geohash precision must be 1..12, got {precision}")
     g = _col(gh)
@@ -697,27 +733,31 @@ def geohash_decode(
     nbits = 5 * precision
     nlon = (nbits + 1) // 2
     nlat = nbits // 2
-    lon_q: Column = F.lit(0).cast("long")
-    lat_q: Column = F.lit(0).cast("long")
-    for c in range(precision):
-        # 0-based alphabet index of character c (instr is 1-based)
-        val = (F.instr(F.lit(_GEOHASH_B32), F.substring(g, c + 1, 1)) - F.lit(1)).cast(
-            "long"
-        )
-        for b in range(5):
-            i = 5 * c + b
-            bit = F.shiftright(val, 4 - b) % 2
-            if i % 2 == 0:
-                lon_q = lon_q + F.shiftleft(bit, nlon - 1 - i // 2)
-            else:
-                lat_q = lat_q + F.shiftleft(bit, nlat - 1 - (i - 1) // 2)
+    # whole-string parse: translate geohash digits to conv's base-32
+    # digit set, then one conv(32 -> 10).  60 bits max (precision 12)
+    # fits the signed long.
+    v = F.conv(
+        F.translate(F.substring(g, 1, precision), _GEOHASH_B32, _CONV_B32),
+        32,
+        10,
+    ).cast("long")
+    # global bit i (MSB-first; even i = longitude) sits at LSB position
+    # nbits-1-i: for even nbits the longitude bits are LSB-odd (one
+    # extra right-shift), for odd nbits they are LSB-even
+    if nbits % 2 == 0:
+        lon_q = _compact_even_bits(F.shiftright(v, 1))
+        lat_q = _compact_even_bits(v)
+    else:
+        lon_q = _compact_even_bits(v)
+        lat_q = _compact_even_bits(F.shiftright(v, 1))
     lon = (lon_q.cast("double") + F.lit(0.5)) / F.lit(float(2**nlon)) * F.lit(
         360.0
     ) - F.lit(180.0)
     lat = (lat_q.cast("double") + F.lit(0.5)) / F.lit(float(2**nlat)) * F.lit(
         180.0
     ) - F.lit(90.0)
-    return F.when(valid, lon), F.when(valid, lat)
+    gate = F.when(valid, F.lit(0.0))  # NULL unless valid; cheap branch
+    return lon + gate, lat + gate
 
 
 # --- string/regex vocabulary (round 7): match / extract / countMatches /
