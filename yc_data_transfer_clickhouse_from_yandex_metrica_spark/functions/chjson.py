@@ -82,12 +82,28 @@ def json_has(j: ColumnOrName, *path: str | int) -> Column:
     return _variant_at(j, path).isNotNull().cast("int")
 
 
+# NOTE on the gate shape used below (round 10): the strict type gate
+# is ADDITIVE -- `try_cast(...) <+/concat> when(type_ok, <zero/''>)` --
+# instead of `when(type_ok, cast(...))`.  Same results: try_cast never
+# throws (plain cast on an OBJECT variant raises INVALID_VARIANT_CAST),
+# any coerced value from a wrong-typed variant is annulled by the NULL
+# arm of the when, and coalesce supplies the CH default.  The reason is
+# performance: on this Spark build an expensive subtree under a
+# data-dependent CASE WHEN branch evaluates ~10-50x slower than the
+# same subtree unconditionally in the projection (measured on
+# geohash_decode, functions/ch.py; ~40% per extraction here).
+
+
 def json_extract_string(j: ColumnOrName, *path: str | int) -> Column:
     """``JSONExtractString``: the string value at path, '' unless the
     value exists AND is a JSON string (strict -- numbers don't coerce)."""
     v = _variant_at(j, path)
     return F.coalesce(
-        F.when(F.schema_of_variant(v) == "STRING", v.cast("string")), F.lit("")
+        F.concat(
+            v.try_cast("string"),
+            F.when(F.schema_of_variant(v) == "STRING", F.lit("")),
+        ),
+        F.lit(""),
     )
 
 
@@ -101,8 +117,10 @@ def json_extract_int(j: ColumnOrName, *path: str | int) -> Column:
     v = _variant_at(j, path)
     st = F.schema_of_variant(v)
     return F.coalesce(
-        F.when(st.rlike(r"^(BIGINT|INT|SMALLINT|TINYINT)"), v.cast("long")),
-        F.when(st.rlike(r"^(DOUBLE|FLOAT|DECIMAL)"), v.cast("double").cast("long")),
+        v.try_cast("long")
+        + F.when(st.rlike(r"^(BIGINT|INT|SMALLINT|TINYINT)"), F.lit(0)),
+        v.try_cast("double").cast("long")
+        + F.when(st.rlike(r"^(DOUBLE|FLOAT|DECIMAL)"), F.lit(0)),
         F.lit(0).cast("long"),
     )
 
@@ -111,7 +129,8 @@ def json_extract_float(j: ColumnOrName, *path: str | int) -> Column:
     """``JSONExtractFloat``: numeric value as double, else 0.0."""
     v = _variant_at(j, path)
     return F.coalesce(
-        F.when(F.schema_of_variant(v).rlike(_JSON_NUMERIC_RE), v.cast("double")),
+        v.try_cast("double")
+        + F.when(F.schema_of_variant(v).rlike(_JSON_NUMERIC_RE), F.lit(0.0)),
         F.lit(0.0),
     )
 
@@ -121,7 +140,8 @@ def json_extract_bool(j: ColumnOrName, *path: str | int) -> Column:
     returns UInt8)."""
     v = _variant_at(j, path)
     return F.coalesce(
-        F.when(F.schema_of_variant(v) == "BOOLEAN", v.cast("boolean").cast("int")),
+        v.try_cast("boolean").cast("int")
+        + F.when(F.schema_of_variant(v) == "BOOLEAN", F.lit(0)),
         F.lit(0),
     )
 
@@ -160,11 +180,15 @@ def json_length(j: ColumnOrName, *path: str | int) -> Column:
     v = _variant_at(j, path)
     s = F.to_json(v)
     t = F.schema_of_variant(v)
+    # additive gates (see NOTE above): json_array_length /
+    # json_object_keys return NULL on a non-matching JSON kind, so the
+    # unconditional calls are safe, and the when() arms only annul a
+    # scalar's spurious length (e.g. json_array_length('5') is NULL
+    # already; the gate guards the VARIANT/OBJECT ambiguity)
     return F.coalesce(
-        F.when(t.startswith("ARRAY"), F.json_array_length(s)).when(
-            t.startswith("OBJECT") | (t == "VARIANT"),
-            F.array_size(F.json_object_keys(s)),
-        ),
+        F.json_array_length(s) + F.when(t.startswith("ARRAY"), F.lit(0)),
+        F.array_size(F.json_object_keys(s))
+        + F.when(t.startswith("OBJECT") | (t == "VARIANT"), F.lit(0)),
         F.lit(0),
     )
 
