@@ -54,6 +54,21 @@ vocabulary):
 - ``PREWHERE`` (CH's scan-stage filter hint) merged into WHERE --
   Catalyst pushes filters to the scan on its own, so the hint costs
   nothing and the semantics (one more conjunct) are identical.
+- ``FROM t FINAL`` / ``t SAMPLE f`` (r10): compiled when the caller
+  declares the engine metadata CH would read from DDL --
+  ``run_sql(..., table_meta={"t": TableMeta(key, version, sign,
+  sample_by)})``.  FINAL becomes operators/collapse.collapsed() (the
+  VersionedCollapsingMergeTree read-time collapse); SAMPLE f keeps
+  ``pmod(sample_by, 1e6) < f*1e6`` -- a contiguous, monotone,
+  consistent-by-key slice, pushed to the scan.  Undeclared tables
+  refuse (including the comma-join and subquery placements Spark
+  would parse as aliases); mixed decorated+bare references to one
+  table refuse; integer SAMPLE (row-count form) and SAMPLE..OFFSET
+  refuse.
+- every ``_CALL_REWRITES`` entry declares its arity (``_ARITY``,
+  r10): surplus arguments REFUSE instead of being silently dropped,
+  missing ones refuse instead of IndexError -- the refusal names the
+  expected count.
 - trailing ``FORMAT <name>`` and ``SETTINGS k=v, ...`` stripped: the
   first picks a CLI wire format (the DataFrame IS the result set) and
   the second tunes CH-internal knobs.
