@@ -172,3 +172,87 @@ def test_sample_filter_reaches_parquet_scan(spark):
     scan = [l for l in plan.splitlines() if "FileScan" in l]
     assert scan and "pmod(l_orderkey" in scan[0], scan
     assert plan.count("Exchange") <= 1  # the groupBy only
+
+
+# ---------------------------------------------------------------------------
+# TableMeta from ClickHouse DDL (the declarations CH itself reads)
+# ---------------------------------------------------------------------------
+
+# the reference's verbatim engine clause shapes
+# (/root/reference/ddl/visits.sql:229-239, ddl/hits.sql:112-119)
+_VISITS_DDL_TAIL = """
+CREATE TABLE metrica.visits (`VisitID` UInt64, `Sign` Int8,
+  `VisitVersion` UInt64, `CounterID` UInt32, `StartDate` Date,
+  `CounterUserIDHash` UInt64)
+ENGINE = ReplicatedVersionedCollapsingMergeTree
+('/clickhouse/tables/{shard}/metrica.visits_x_cdc',
+ '{replica}',
+ Sign,
+ VisitVersion)
+PARTITION BY toMonday(StartDate)
+ORDER BY (CounterID,
+ StartDate,
+ CounterUserIDHash,
+ VisitID)
+SAMPLE BY CounterUserIDHash
+SETTINGS index_granularity = 8192;
+"""
+
+
+def test_table_meta_from_reference_visits_ddl():
+    m = chsql.table_meta_from_ddl(_VISITS_DDL_TAIL)
+    assert m == chsql.TableMeta(
+        key=("CounterID", "StartDate", "CounterUserIDHash", "VisitID"),
+        version="VisitVersion",
+        sign="Sign",
+        sample_by="CounterUserIDHash",
+    )
+
+
+def test_table_meta_from_real_reference_files():
+    import pathlib
+
+    for name, want_version in (("visits.sql", "VisitVersion"), ("hits.sql", None)):
+        p = pathlib.Path("/root/reference/ddl") / name
+        if not p.is_file():
+            pytest.skip("reference DDL not present")
+        m = chsql.table_meta_from_ddl(p.read_text())
+        assert m.sample_by == "CounterUserIDHash"
+        assert m.version == want_version
+        assert m.key[0] == "CounterID"
+
+
+def test_table_meta_engine_without_version_keeps_final_refused(spark, ledger):
+    ddl = "CREATE TABLE t (x Int8) ENGINE = ReplicatedMergeTree('/p','{replica}') ORDER BY (VisitID) SAMPLE BY VisitID"
+    m = chsql.table_meta_from_ddl(ddl)
+    assert m.sign is None and m.sample_by == "VisitID"
+    with pytest.raises(ValueError, match="FINAL"):
+        chsql.run_sql(
+            spark, "SELECT 1 FROM visits FINAL", {"visits": ledger},
+            table_meta={"visits": m},
+        )
+    # SAMPLE still compiles from the same parsed meta
+    df = chsql.run_sql(
+        spark, "SELECT count(1) AS n FROM visits SAMPLE 1/2",
+        {"visits": ledger}, table_meta={"visits": m},
+    )
+    assert df.collect()[0][0] == 6
+
+
+def test_table_meta_expression_order_by_clears_key():
+    ddl = "CREATE TABLE t (x Int8) ENGINE = VersionedCollapsingMergeTree(Sign, Ver) ORDER BY (a, intHash32(b))"
+    m = chsql.table_meta_from_ddl(ddl)
+    assert m.key == () and m.sign == "Sign" and m.version == "Ver"
+
+
+def test_ddl_meta_drives_final_end_to_end(spark, ledger):
+    ddl = """CREATE TABLE visits (v UInt64)
+    ENGINE = VersionedCollapsingMergeTree(Sign, VisitVersion)
+    ORDER BY (VisitID) SAMPLE BY VisitID"""
+    df = chsql.run_sql(
+        spark,
+        "SELECT VisitID, dur FROM visits FINAL ORDER BY VisitID",
+        {"visits": ledger},
+        table_meta={"visits": chsql.table_meta_from_ddl(ddl)},
+    )
+    assert _rows(df) == [(1, 30), (3, 7)]

@@ -1222,6 +1222,77 @@ class TableMeta:
     sample_by: str | None = None
 
 
+_ENGINE_RE = re.compile(r"\bENGINE\s*=\s*(\w+)", re.I)
+_IDENT_RE = re.compile(r"`([^`]+)`|([A-Za-z_]\w*)")
+
+
+def _plain_ident(txt: str) -> str | None:
+    m = _IDENT_RE.fullmatch(txt.strip())
+    return (m.group(1) or m.group(2)) if m else None
+
+
+def table_meta_from_ddl(ddl: str) -> TableMeta:
+    """Parse a ClickHouse ``CREATE TABLE`` DDL into the
+    :class:`TableMeta` the FINAL/SAMPLE compilation needs -- the same
+    declarations CH itself reads:
+
+    - ``ENGINE = [Replicated]VersionedCollapsingMergeTree(...,
+      sign, version)`` -> (sign, version): the LAST TWO engine args
+      (the Replicated form prefixes the zk path and replica;
+      /root/reference/ddl/visits.sql:229-233).  A
+      ``[Replicated]CollapsingMergeTree(sign)`` yields sign only --
+      its FINAL keeps insertion order, which a DataFrame cannot see,
+      so the FINAL gate stays refused for it (version is None).
+    - ``ORDER BY (c1, c2, ...)`` -> the collapse key, accepted only
+      when every component is a plain identifier (an expression
+      component like ``intHash32(x)`` clears the key: FINAL then
+      refuses rather than collapsing on the wrong granularity).
+    - ``SAMPLE BY col`` -> sample_by when a plain identifier
+      (/root/reference/ddl/hits.sql:119).
+
+    Engines without a version key (MergeTree etc.) yield sign=None /
+    version=None: SAMPLE still compiles, FINAL refuses -- matching CH,
+    where FINAL on a plain MergeTree is a no-op/error depending on
+    version."""
+    sql = strip_comments(ddl)
+    masked = _mask(sql)
+    sign = version = sample_by = None
+    key: tuple[str, ...] = ()
+    em = _ENGINE_RE.search(masked)
+    if em:
+        engine = em.group(1)
+        args: list[str] = []
+        paren = re.compile(r"\(").search(masked, em.end())
+        # the engine's argument list is the next '(' (CH allows a
+        # newline between name and args); PARTITION/ORDER/SAMPLE
+        # clauses all start with a keyword, so a '(' here is the args
+        between = masked[em.end() : paren.start()] if paren else ""
+        if paren and not between.strip():
+            close = _match_paren(masked, paren.start())
+            args = _split_top(sql[paren.start() + 1 : close])
+        base = re.sub(r"^Replicated", "", engine)
+        if base == "VersionedCollapsingMergeTree" and len(args) >= 2:
+            sign = _plain_ident(args[-2])
+            version = _plain_ident(args[-1])
+        elif base == "CollapsingMergeTree" and args:
+            sign = _plain_ident(args[-1])
+    om = re.search(r"\bORDER\s+BY\s*", masked, re.I)
+    if om:
+        if masked[om.end() : om.end() + 1] == "(":
+            close = _match_paren(masked, om.end())
+            comps = _split_top(sql[om.end() + 1 : close])
+        else:
+            tail = re.match(r"[^\s(]+", masked[om.end() :])
+            comps = [sql[om.end() : om.end() + tail.end()]] if tail else []
+        idents = [_plain_ident(c) for c in comps]
+        if idents and all(idents):
+            key = tuple(idents)  # type: ignore[arg-type]
+    sm = re.search(r"\bSAMPLE\s+BY\s+(`[^`]+`|\w+)", masked, re.I)
+    if sm:
+        sample_by = _plain_ident(sql[sm.start(1) : sm.end(1)])
+    return TableMeta(key=key, version=version, sign=sign, sample_by=sample_by)
+
+
 # CH sample space: the declared key's value modulo this denominator,
 # kept when below round(fraction * denominator).  A contiguous range,
 # so samples are monotone (SAMPLE 0.1 is a subset of SAMPLE 0.2) and
