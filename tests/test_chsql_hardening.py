@@ -191,3 +191,96 @@ def test_uniq_hll_multi_column(spark, tbl):
         {"t": tbl},
     )
     assert df.collect()[0][0] == 3  # exact at this cardinality
+
+
+# ---------------------------------------------------------------------------
+# r10 string/array vocabulary widening
+# ---------------------------------------------------------------------------
+
+@pytest.fixture(scope="module")
+def stbl(spark):
+    return spark.createDataFrame(
+        [
+            (1, "abc-def-abc", [3, 3, 1, 1, 2], [[1, 2], [3]], ["a", "b"]),
+            (2, "a1b22c333", [7], [[], [4]], []),
+            (3, "", [], [], None),
+        ],
+        "k INT, s STRING, xs ARRAY<BIGINT>, nested ARRAY<ARRAY<BIGINT>>, "
+        "tags ARRAY<STRING>",
+    )
+
+
+def _one(spark, tbl, expr):
+    return chsql.run_sql(
+        spark, f"SELECT k, {expr} AS x FROM t ORDER BY k", {"t": tbl}
+    ).collect()
+
+
+def test_position_ch_and_ansi_forms(spark, stbl):
+    rows = _one(spark, stbl, "position(s, 'b')")
+    assert [r.x for r in rows] == [2, 3, 0]
+    rows = _one(spark, stbl, "position(s, 'b', 3)")
+    assert [r.x for r in rows] == [10, 3, 0]
+    rows = _one(spark, stbl, "position('b' IN s)")  # ANSI passthrough
+    assert [r.x for r in rows] == [2, 3, 0]
+
+
+def test_extract_all_group_rule(spark, stbl):
+    rows = _one(spark, stbl, r"extractAll(s, '[0-9]+')")
+    assert [r.x for r in rows] == [[], ["1", "22", "333"], []]
+    rows = _one(spark, stbl, r"extractAll(s, '([a-z])[0-9]')")
+    assert [r.x for r in rows] == [[], ["a", "b", "c"], []]
+
+
+def test_replace_all_and_one(spark, stbl):
+    rows = _one(spark, stbl, "replaceAll(s, 'abc', 'X')")
+    assert [r.x for r in rows] == ["X-def-X", "a1b22c333", ""]
+    rows = _one(spark, stbl, "replaceOne(s, 'abc', 'X')")
+    assert [r.x for r in rows] == ["X-def-abc", "a1b22c333", ""]
+
+
+def test_replace_regexp_all_backrefs(spark, stbl):
+    rows = _one(spark, stbl, r"replaceRegexpAll(s, '([a-z])([0-9])', '\\2\\1')")
+    assert [r.x for r in rows] == ["abc-def-abc", "1a2b23c33", ""]
+    # literal $ in the replacement must stay literal
+    rows = _one(spark, stbl, r"replaceRegexpAll(s, 'abc', '$')")
+    assert [r.x for r in rows] == ["$-def-$", "a1b22c333", ""]
+
+
+def test_replace_regexp_one_refuses(spark, stbl):
+    with pytest.raises(ValueError, match="FIRST match"):
+        _one(spark, stbl, "replaceRegexpOne(s, 'a', 'x')")
+
+
+def test_array_slice_forms(spark, stbl):
+    rows = _one(spark, stbl, "arraySlice(xs, 2, 2)")
+    assert [r.x for r in rows] == [[3, 1], [], []]
+    rows = _one(spark, stbl, "arraySlice(xs, 2)")  # to end
+    assert [r.x for r in rows] == [[3, 1, 1, 2], [], []]
+    rows = _one(spark, stbl, "arraySlice(xs, -2)")
+    assert [r.x for r in rows] == [[1, 2], [7], []]
+
+
+def test_array_flatten_compact_enumerate(spark, stbl):
+    rows = _one(spark, stbl, "arrayFlatten(nested)")
+    assert [r.x for r in rows] == [[1, 2, 3], [4], []]
+    rows = _one(spark, stbl, "arrayCompact(xs)")
+    assert [r.x for r in rows] == [[3, 1, 2], [7], []]
+    rows = _one(spark, stbl, "arrayEnumerate(xs)")
+    assert [r.x for r in rows] == [[1, 2, 3, 4, 5], [1], []]
+
+
+def test_has_all_any(spark, stbl):
+    rows = _one(spark, stbl, "hasAll(xs, array(1, 2))")
+    assert [r.x for r in rows] == [True, False, False]
+    rows = _one(spark, stbl, "hasAny(xs, array(2, 9))")
+    assert [r.x for r in rows] == [True, False, False]
+
+
+def test_empty_not_empty_schema_aware(spark, stbl):
+    rows = _one(spark, stbl, "notEmpty(s)")
+    assert [r.x for r in rows] == [1, 1, 0]
+    rows = _one(spark, stbl, "empty(xs)")     # array column -> size()
+    assert [r.x for r in rows] == [0, 0, 1]
+    rows = _one(spark, stbl, "notEmpty(tags)")
+    assert [r.x for r in rows] == [1, 0, None]  # NULL array propagates

@@ -127,6 +127,7 @@ from __future__ import annotations
 import re
 from dataclasses import dataclass
 from fractions import Fraction
+from typing import NamedTuple
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -284,12 +285,22 @@ def _find_clause(sql: str, *keywords: str) -> re.Match | None:
 # functions/ch.py exactly (that module is oracle-proven).
 
 
+class _SchemaCtx(NamedTuple):
+    """Schema facts the dispatch passes to type-sensitive rewrites:
+    the queried tables' fractional-element array columns (CH types
+    arraySum by ELEMENT type: Int* -> Int64, Float* -> Float64) and
+    ALL array columns (CH empty/notEmpty work on arrays and strings;
+    the array spelling needs size(), not length())."""
+
+    float_array_cols: frozenset = frozenset()
+    array_cols: frozenset = frozenset()
+
+
+_EMPTY_CTX = _SchemaCtx()
+
+
 def _wants_schema_ctx(fn):
-    """Mark a rewrite as taking ``(args, float_array_cols)`` -- the
-    dispatch passes the queried tables' fractional-element array
-    column names so type-sensitive rewrites can pick CH result types
-    statically (CH types arraySum by ELEMENT type: Int* -> Int64,
-    Float* -> Float64)."""
+    """Mark a rewrite as taking ``(args, ctx: _SchemaCtx)``."""
     fn._chsql_ctx = True
     return fn
 
@@ -297,7 +308,12 @@ def _wants_schema_ctx(fn):
 _BARE_COL = re.compile(r"(?:[\w]+\.)*(?:`(?P<bq>[^`]+)`|(?P<plain>\w+))")
 
 
-def _acc_cast(arr_expr: str, float_array_cols: frozenset) -> str:
+def _bare_col_name(expr: str) -> str | None:
+    m = _BARE_COL.fullmatch(expr.strip())
+    return (m.group("bq") or m.group("plain")) if m else None
+
+
+def _acc_cast(arr_expr: str, ctx: _SchemaCtx) -> str:
     """Accumulator type for a CH array-sum over ``arr_expr``.
 
     A bare (possibly qualified/backticked) column whose element type
@@ -305,33 +321,118 @@ def _acc_cast(arr_expr: str, float_array_cols: frozenset) -> str:
     BIGINT (CH Int64) -- exact to 2^63, and a float-typed EXPRESSION
     fails Spark analysis loudly (BIGINT accumulator vs DOUBLE merge)
     rather than truncating silently."""
-    m = _BARE_COL.fullmatch(arr_expr.strip())
-    base = (m.group("bq") or m.group("plain")) if m else None
-    return "DOUBLE" if base in float_array_cols else "BIGINT"
+    return "DOUBLE" if _bare_col_name(arr_expr) in ctx.float_array_cols else "BIGINT"
 
 
 @_wants_schema_ctx
-def _array_sum_sql(a: list[str], float_array_cols: frozenset) -> str:
+def _array_sum_sql(a: list[str], ctx: _SchemaCtx) -> str:
     """CH ``arraySum([f,] arr)``.  1-arg: plain element sum with the
     schema-picked accumulator.  2-arg lambda form: sum of the mapped
     elements (accumulator BIGINT -- the lambda's result type is not
     statically known here; float-producing lambdas fail analysis
     loudly, never truncate)."""
     if len(a) == 1:
-        arr, acc = a[0], _acc_cast(a[0], float_array_cols)
+        arr, acc = a[0], _acc_cast(a[0], ctx)
     else:
         arr, acc = f"transform({a[1]}, {a[0]})", "BIGINT"
     return f"aggregate({arr}, CAST(0 AS {acc}), (__acc, __x) -> __acc + __x)"
 
 
 @_wants_schema_ctx
-def _sum_array_sql(a: list[str], float_array_cols: frozenset) -> str:
+def _sum_array_sql(a: list[str], ctx: _SchemaCtx) -> str:
     """CH ``sumArray(arr)`` aggregate combinator: per-row element sum
     (schema-picked accumulator), then SUM over the group."""
-    acc = _acc_cast(a[0], float_array_cols)
+    acc = _acc_cast(a[0], ctx)
     return (
         f"sum(aggregate({a[0]}, CAST(0 AS {acc}), "
         f"(__acc, __x) -> __acc + __x))"
+    )
+
+
+@_wants_schema_ctx
+def _empty_sql(a: list[str], ctx: _SchemaCtx) -> str:
+    """CH ``empty(x)``: works on strings AND arrays (1 when empty).
+    A known array column takes size() with a NULL array propagating
+    NULL (CH Nullable rule; this build's size(NULL) is -1, so the
+    guard is explicit); everything else keeps the string form (an
+    array EXPRESSION would fail analysis loudly on length())."""
+    if _bare_col_name(a[0]) in ctx.array_cols:
+        return (
+            f"CAST(CASE WHEN {a[0]} IS NULL THEN NULL "
+            f"ELSE size({a[0]}) <= 0 END AS INT)"
+        )
+    return f"CAST(length(coalesce({a[0]}, '')) = 0 AS INT)"
+
+
+@_wants_schema_ctx
+def _not_empty_sql(a: list[str], ctx: _SchemaCtx) -> str:
+    """CH ``notEmpty(x)`` on strings or known array columns (same
+    NULL-array rule as :func:`_empty_sql`)."""
+    if _bare_col_name(a[0]) in ctx.array_cols:
+        return (
+            f"CAST(CASE WHEN {a[0]} IS NULL THEN NULL "
+            f"ELSE size({a[0]}) > 0 END AS INT)"
+        )
+    return f"CAST(length(coalesce({a[0]}, '')) > 0 AS INT)"
+
+
+# tokens over the SQL-TEXT of a string literal (both engines parse
+# backslash escapes in literals identically, so text positions align):
+# four backslashes = an escaped content backslash (keep; a following
+# digit is then literal), two backslashes + digit = the CH backref
+# (content \N), bare $ = a literal dollar
+_BACKREF_TOKEN = re.compile(r"(\\\\\\\\)|\\\\([0-9])|(\$)")
+
+
+def _regexp_repl_sql(arg: str) -> str:
+    """Translate a LITERAL CH regexp-replacement string to Spark's
+    backreference syntax at the SQL-text level: the CH backref
+    (content ``\\N``) becomes Spark's ``$N``; a literal ``$`` becomes
+    content ``\\$`` (Java's replaceAll reads a bare $ as a group-ref
+    intro); an escaped content backslash passes through, so
+    backslash-then-digit CONTENT is not misread as a backref.
+    Non-literal replacements refuse: the translation is only
+    decidable on compile-time text."""
+    txt = arg.strip()
+    if not (txt.startswith("'") and txt.endswith("'") and len(txt) >= 2):
+        raise ValueError(
+            "chsql: replaceRegexpAll needs a LITERAL replacement string "
+            "(CH \\N backreferences translate to Spark $N at compile "
+            f"time), got {arg!r}"
+        )
+    inner = txt[1:-1]
+
+    def sub(m: re.Match) -> str:
+        if m.group(1):  # escaped content backslash: keep verbatim
+            return m.group(1)
+        if m.group(2):  # content \N backref -> $N
+            return "$" + m.group(2)
+        return "\\\\$"  # literal $ -> content \$ (escaped for Java)
+
+    return "'" + _BACKREF_TOKEN.sub(sub, inner) + "'"
+
+
+def _extract_all_sql(a: list[str]) -> str:
+    """CH ``extractAll(s, pattern)``: all matches; with a capturing
+    subpattern, the FIRST GROUP of each match (the same literal-
+    pattern group rule as extract())."""
+    pat = a[1].strip()
+    if not (pat.startswith("'") and pat.endswith("'")):
+        raise ValueError(
+            f"chsql: extractAll() needs a literal pattern, got {a[1]!r}"
+        )
+    group = 1 if re.search(r"(?<!\\)\((?!\?)", pat[1:-1]) else 0
+    return f"regexp_extract_all(coalesce({a[0]}, ''), {a[1]}, {group})"
+
+
+def _replace_one_sql(a: list[str]) -> str:
+    """CH ``replaceOne(s, needle, repl)``: first LITERAL occurrence
+    only (Spark's replace() is replace-all, so compose via locate)."""
+    s, n, r = a
+    loc = f"locate({n}, {s})"
+    return (
+        f"(CASE WHEN {loc} > 0 THEN concat(substring({s}, 1, {loc} - 1), "
+        f"{r}, substring({s}, {loc} + length({n}))) ELSE {s} END)"
     )
 
 
@@ -340,7 +441,7 @@ _CALL_REWRITES: dict[str, object] = {
     "arrayFilter": lambda a: f"filter({a[1]}, {a[0]})",
     "indexOf": lambda a: f"array_position({a[0]}, {a[1]})",
     "uniqExact": lambda a: f"count(DISTINCT {', '.join(a)})",
-    "notEmpty": lambda a: f"CAST(length(coalesce({a[0]}, '')) > 0 AS INT)",
+    "notEmpty": _not_empty_sql,
     "toInt64": lambda a: f"CAST({a[0]} AS BIGINT)",
     # CH numeric-cast family (r8).  Unsigned types map to the
     # next-wider SIGNED Spark type, the same policy sources/chtypes.py
@@ -516,7 +617,7 @@ _CALL_REWRITES: dict[str, object] = {
     ),
     "ifNull": lambda a: f"coalesce({a[0]}, {a[1]})",
     "assumeNotNull": lambda a: f"({a[0]})",
-    "empty": lambda a: f"CAST(length(coalesce({a[0]}, '')) = 0 AS INT)",
+    "empty": _empty_sql,
     # zero-arg clock functions (CH evaluates once per query; so does
     # Spark -- current_timestamp/current_date are query-constant)
     "now": lambda a: "current_timestamp()",
@@ -577,6 +678,59 @@ _CALL_REWRITES: dict[str, object] = {
         else f"(SELECT id AS number FROM range({a[0]}, ({a[0]}) + ({a[1]})))"
     ),
     "extract": lambda a: _extract_sql(a),
+    # string family widening (r10; mirrors functions/ch.py).  The
+    # 1-arg form is ANSI ``position(needle IN haystack)`` and passes
+    # through uppercased (the same case-sensitive-rescan escape as
+    # extract()); CH's form is (haystack, needle[, start]).
+    "position": lambda a: (
+        f"POSITION({a[0]})"
+        if len(a) == 1
+        else f"locate({a[1]}, {a[0]})"
+        if len(a) == 2
+        else f"locate({a[1]}, {a[0]}, {a[2]})"
+    ),
+    "extractAll": _extract_all_sql,
+    "replaceAll": lambda a: f"replace({a[0]}, {a[1]}, {a[2]})",
+    "replaceOne": _replace_one_sql,
+    "replaceRegexpAll": lambda a: (
+        f"regexp_replace({a[0]}, {a[1]}, {_regexp_repl_sql(a[2])})"
+    ),
+    # Spark regexp_replace is replace-ALL; CH's first-match-only
+    # variant has no single-expression Spark mapping
+    "replaceRegexpOne": lambda a: (_ for _ in ()).throw(
+        ValueError(
+            "chsql: replaceRegexpOne replaces only the FIRST match; "
+            "Spark's regexp_replace is replace-all — use "
+            "replaceRegexpAll, or anchor the pattern so only one "
+            "occurrence can match"
+        )
+    ),
+    # array family widening (r10; mirrors functions/ch.py).  A
+    # negative offset deeper than the array clamps to the start
+    # (DuckDB-style slicing, the oracle engine's convention; Spark's
+    # slice would return [] there)
+    "arraySlice": lambda a: (
+        (
+            lambda arr, off, ln: (
+                # the empty-array guard keeps the clamped start at -1
+                # (Spark's slice rejects start 0)
+                f"slice({arr}, (CASE WHEN ({off}) < 0 THEN "
+                f"greatest({off}, -greatest(size({arr}), 1)) "
+                f"ELSE ({off}) END), {ln})"
+            )
+        )(a[0], a[1], a[2] if len(a) > 2 else f"size({a[0]})")
+    ),
+    "arrayFlatten": lambda a: f"flatten({a[0]})",
+    "arrayCompact": lambda a: (
+        f"filter({a[0]}, (__x, __i) -> CASE WHEN __i = 0 THEN true "
+        f"ELSE NOT (__x <=> get({a[0]}, __i - 1)) END)"
+    ),
+    "arrayEnumerate": lambda a: (
+        f"(CASE WHEN size({a[0]}) > 0 THEN sequence(1, size({a[0]})) "
+        f"ELSE CAST(array() AS ARRAY<INT>) END)"
+    ),
+    "hasAll": lambda a: f"forall({a[1]}, __x -> array_contains({a[0]}, __x))",
+    "hasAny": lambda a: f"arrays_overlap({a[0]}, {a[1]})",
 }
 
 
@@ -897,6 +1051,11 @@ _ARITY: dict[str, tuple[int, int | None]] = {
     "positionUTF8": (2, 2), "positionCaseInsensitive": (2, 2),
     "uniq": (1, None), "uniqHLL12": (1, None), "uniqCombined": (1, None),
     "numbers": (1, 2), "extract": (1, 2),
+    "position": (1, 3), "extractAll": (2, 2), "replaceAll": (3, 3),
+    "replaceOne": (3, 3), "replaceRegexpAll": (3, 3),
+    "replaceRegexpOne": (3, 3), "arraySlice": (2, 3),
+    "arrayFlatten": (1, 1), "arrayCompact": (1, 1),
+    "arrayEnumerate": (1, 1), "hasAll": (2, 2), "hasAny": (2, 2),
     # JSON family: (json [, indices_or_keys...]) -- path args all used
     "JSONExtractString": (1, None), "JSONExtractInt": (1, None),
     "JSONExtractFloat": (1, None), "JSONExtractBool": (1, None),
@@ -931,7 +1090,7 @@ def _check_arity(name: str, args: list[str]) -> None:
     )
 
 
-def _rewrite_calls(sql: str, float_array_cols: frozenset = frozenset()) -> str:
+def _rewrite_calls(sql: str, ctx: _SchemaCtx = _EMPTY_CTX) -> str:
     changed = True
     while changed:
         changed = False
@@ -945,7 +1104,7 @@ def _rewrite_calls(sql: str, float_array_cols: frozenset = frozenset()) -> str:
                 _check_arity(name, args)
                 try:
                     repl = (
-                        fn(args, float_array_cols)
+                        fn(args, ctx)
                         if getattr(fn, "_chsql_ctx", False)
                         else fn(args)
                     )
@@ -1016,6 +1175,18 @@ def _fractional_array_cols(tables: dict[str, DataFrame]) -> frozenset:
             ):
                 out.add(f.name)
     return frozenset(out)
+
+
+def _schema_ctx(tables: dict[str, DataFrame]) -> _SchemaCtx:
+    arrays = frozenset(
+        f.name
+        for df in tables.values()
+        for f in df.schema.fields
+        if isinstance(f.dataType, T.ArrayType)
+    )
+    return _SchemaCtx(
+        float_array_cols=_fractional_array_cols(tables), array_cols=arrays
+    )
 
 
 _AJ_CLAUSE = re.compile(r"\b(LEFT\s+)?ARRAY\s+JOIN\b", re.I)
@@ -1438,7 +1609,7 @@ def run_sql(
     sql = _rewrite_indexing(sql, _elem_defaults(tables))
     sql = _rewrite_array_join(sql, _elem_defaults(tables))
     sql = _rewrite_parametrized(sql)
-    sql = _rewrite_calls(sql, _fractional_array_cols(tables))
+    sql = _rewrite_calls(sql, _schema_ctx(tables))
     sql = _rewrite_literals(sql)
     sql = _collapse_ws(sql).rstrip(";").rstrip()
     # trailing CH decorations with no Spark counterpart: FORMAT picks
