@@ -317,6 +317,53 @@ _CASES = [
         "last_day(d) AS eom, CAST(epoch(CAST(d AS TIMESTAMP)) AS BIGINT) AS ux FROM t",
         "matched",
     ),
+    # r10 string-family widening: CH position takes (haystack, needle)
+    # -- the REVERSE of Spark's locate -- and the ANSI IN-form must
+    # survive the rewrite as a passthrough
+    (
+        "SELECT k, position(s, 'B') AS p FROM t",
+        "SELECT k, strpos(s, 'B') AS p FROM t",
+        "matched",
+    ),
+    (
+        "SELECT k, position('B' IN s) AS p FROM t",
+        "SELECT k, strpos(s, 'B') AS p FROM t",
+        "matched",
+    ),
+    ("SELECT position(s, 'B', 1, 2) AS p FROM t", "SELECT 1", "refused"),
+    (
+        "SELECT k, extractAll(s, '[A-Z]') AS caps FROM t",
+        "SELECT k, regexp_extract_all(s, '[A-Z]') AS caps FROM t",
+        "matched",
+    ),
+    (
+        "SELECT k, extractAll(s, '([A-Z])r') AS pre FROM t",
+        "SELECT k, regexp_extract_all(s, '([A-Z])r', 1) AS pre FROM t",
+        "matched",
+    ),
+    ("SELECT extractAll(s, s) AS x FROM t", "SELECT 1", "refused"),
+    (
+        "SELECT k, replaceAll(s, 'rie', 'X') AS r FROM t",
+        "SELECT k, replace(s, 'rie', 'X') AS r FROM t",
+        "matched",
+    ),
+    # replaceOne: first occurrence only (DuckDB regexp_replace
+    # without the 'g' flag is first-only; the needle here is
+    # regex-safe by construction)
+    (
+        "SELECT k, replaceOne(s, 'e', '#') AS r FROM t",
+        "SELECT k, regexp_replace(s, 'e', '#') AS r FROM t",
+        "matched",
+    ),
+    # CH \N backrefs -> Spark $N at compile time; DuckDB literals do
+    # not process backslashes, so the oracle writes \1 directly
+    (
+        r"SELECT k, replaceRegexpAll(s, '([A-Z])', '<\\1>') AS r FROM t",
+        r"SELECT k, regexp_replace(s, '([A-Z])', '<\1>', 'g') AS r FROM t",
+        "matched",
+    ),
+    ("SELECT replaceRegexpAll(s, '(a)', s) AS r FROM t", "SELECT 1", "refused"),
+    ("SELECT replaceRegexpOne(s, 'a', 'x') AS r FROM t", "SELECT 1", "refused"),
 ]
 
 # ARRAY JOIN clause cases live on their own table (needs an array col)
