@@ -284,3 +284,19 @@ def test_empty_not_empty_schema_aware(spark, stbl):
     assert [r.x for r in rows] == [0, 0, 1]
     rows = _one(spark, stbl, "notEmpty(tags)")
     assert [r.x for r in rows] == [1, 0, None]  # NULL array propagates
+
+
+def test_group_array_any_spellings(spark, stbl):
+    # order-unspecified aggregates: compare order-insensitively, the
+    # same contract CH gives them (block-order dependent there)
+    df = chsql.run_sql(
+        spark,
+        "SELECT groupArray(k) AS ks, any(s) AS a, anyLast(s) AS al FROM t",
+        {"t": stbl},
+    )
+    row = df.collect()[0]
+    assert sorted(row.ks) == [1, 2, 3]
+    assert row.a in {"abc-def-abc", "a1b22c333", ""}
+    assert row.al in {"abc-def-abc", "a1b22c333", ""}
+    with pytest.raises(ValueError, match="groupArray"):
+        chsql.run_sql(spark, "SELECT groupArray(k, s) FROM t", {"t": stbl})

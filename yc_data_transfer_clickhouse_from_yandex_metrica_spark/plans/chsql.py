@@ -526,6 +526,14 @@ _CALL_REWRITES: dict[str, object] = {
     "argMax": lambda a: f"max_by({a[0]}, {a[1]})",
     "argMin": lambda a: f"min_by({a[0]}, {a[1]})",
     "groupUniqArray": lambda a: f"array_sort(collect_set({a[0]}))",
+    # groupArray/any/anyLast (r10): CH documents these as block-order
+    # dependent (unspecified in distributed reads); Spark's
+    # collect_list/any_value carry the same unspecified-order
+    # contract, so the mapping is faithful -- queries needing a
+    # deterministic order must sort explicitly, in either engine
+    "groupArray": lambda a: f"collect_list({a[0]})",
+    "any": lambda a: f"any_value({a[0]})",
+    "anyLast": lambda a: f"any_value({a[0]})",
     "arrayStringConcat": lambda a: (
         f"array_join({a[0]}, {a[1] if len(a) > 1 else chr(39) * 2})"
     ),
@@ -1035,6 +1043,7 @@ _ARITY: dict[str, tuple[int, int | None]] = {
     "negate": (1, 1), "formatDateTime": (2, 2), "toYYYYMM": (1, 1),
     "countIf": (1, 1), "sumIf": (2, 2), "avgIf": (2, 2),
     "argMax": (2, 2), "argMin": (2, 2), "groupUniqArray": (1, 1),
+    "groupArray": (1, 1), "any": (1, 1), "anyLast": (1, 1),
     "arrayStringConcat": (1, 2), "splitByChar": (2, 2),
     "arrayZip": (1, None), "arrayExists": (2, 2), "arrayAll": (2, 2),
     "arrayCount": (1, 2), "has": (2, 2), "arraySort": (1, 2),
