@@ -300,3 +300,24 @@ def test_group_array_any_spellings(spark, stbl):
     assert row.al in {"abc-def-abc", "a1b22c333", ""}
     with pytest.raises(ValueError, match="groupArray"):
         chsql.run_sql(spark, "SELECT groupArray(k, s) FROM t", {"t": stbl})
+
+
+def test_structural_functions_refuse_with_operator_pointer(spark, stbl):
+    """A known CH function whose plan is structural must refuse with
+    the engine operator named -- never fall through to Spark's opaque
+    'undefined function' error."""
+    for sql, ptr in [
+        ("SELECT sumMap(xs, xs) AS m FROM t GROUP BY k", "maps.agg_map"),
+        ("SELECT windowFunnel(3600)(k, s = 'a') AS f FROM t", "funnel.window_funnel"),
+        ("SELECT runningDifference(k) AS r FROM t", "series.running_difference"),
+        ("SELECT neighbor(k, 1) AS n FROM t", "series.neighbor"),
+        ("SELECT retention(k = 1, k = 2) AS r FROM t", "funnel.retention"),
+    ]:
+        with pytest.raises(ValueError, match=ptr.replace(".", r"\.")):
+            chsql.run_sql(spark, sql, {"t": stbl})
+    for sql, ptr in [
+        ("SELECT histogram(5)(k) AS h FROM t", "stats.histogram"),
+        ("SELECT quantileExactWeighted(0.5)(k, k) AS q FROM t", "quantile_exact_weighted"),
+    ]:
+        with pytest.raises(ValueError, match=ptr.replace(".", r"\.")):
+            chsql.run_sql(spark, sql, {"t": stbl})

@@ -742,6 +742,41 @@ _CALL_REWRITES: dict[str, object] = {
 }
 
 
+def _structural_refusal(name: str, pointer: str):
+    """A known CH function whose semantics need a STRUCTURAL plan
+    (explode + multi-stage aggregation), not a single expression:
+    refuse with the engine operator that implements it, instead of
+    letting Spark raise an opaque 'undefined function'.  A
+    single-expression compile would also be the wrong plan at scale
+    (e.g. sumMap as an expression would collect the raw pair stream
+    per group -- exactly what operators/maps.py avoids)."""
+
+    def fn(a):
+        raise ValueError(
+            f"chsql: {name}() needs a structural plan and has no "
+            f"single-expression Spark mapping; use {pointer}"
+        )
+
+    return fn
+
+
+_STRUCTURAL_OPS = {
+    "sumMap": "operators/maps.agg_map(how='sum')",
+    "minMap": "operators/maps.agg_map(how='min')",
+    "maxMap": "operators/maps.agg_map(how='max')",
+    "windowFunnel": "operators/funnel.window_funnel",
+    "sequenceMatch": "operators/funnel.sequence_match",
+    "sequenceCount": "operators/funnel.sequence_count_pairs",
+    "retention": "operators/funnel.retention",
+    "runningDifference": "operators/series.running_difference",
+    "neighbor": "operators/series.neighbor",
+}
+
+_CALL_REWRITES.update(
+    {name: _structural_refusal(name, ptr) for name, ptr in _STRUCTURAL_OPS.items()}
+)
+
+
 _FDT_MAP = {
     "Y": "yyyy", "y": "yy", "m": "MM", "d": "dd", "H": "HH",
     "i": "mm", "S": "ss", "s": "ss", "j": "DDD", "Q": "q",
@@ -850,13 +885,18 @@ def _param_agg_sql(name: str, params: str, args: str) -> str:
         return f"percentile_approx({args}, array({params}), 10000)"
     raise ValueError(
         f"chsql: parameterized aggregate {name!r} has no single-expression "
-        "Spark mapping (topK/groupArrayMoving* live in operators/)"
+        "Spark mapping (topK -> operators/stats.heavy_hitters, "
+        "groupArrayMoving* -> operators/series.moving_agg, histogram -> "
+        "operators/stats.histogram, quantile*ExactWeighted -> "
+        "operators/stats.quantile_exact_weighted)"
     )
 
 
 _PARAM_AGG_RE = re.compile(
-    r"\b(quantilesTDigest|quantileTDigest|quantileExactLow|quantileExact|"
-    r"quantiles|quantile|uniqUpTo|topK|groupArrayMovingAvg|groupArrayMovingSum)"
+    r"\b(quantilesTDigest|quantileTDigest|quantileExactLow|"
+    r"quantilesExactWeighted|quantileExactWeighted|quantileExact|"
+    r"quantiles|quantile|uniqUpTo|topK|groupArrayMovingAvg|"
+    r"groupArrayMovingSum|histogram)"
     r"\s*\("
 )
 
@@ -1073,6 +1113,11 @@ _ARITY: dict[str, tuple[int, int | None]] = {
     "visitParamExtractString": (1, None), "visitParamExtractInt": (1, None),
     "visitParamExtractFloat": (1, None), "visitParamExtractBool": (1, None),
     "visitParamExtractRaw": (1, None), "visitParamHas": (1, None),
+    # structural refusals: any arity reaches the semantic message
+    "sumMap": (0, None), "minMap": (0, None), "maxMap": (0, None),
+    "windowFunnel": (0, None), "sequenceMatch": (0, None),
+    "sequenceCount": (0, None), "retention": (0, None),
+    "runningDifference": (0, None), "neighbor": (0, None),
 }
 
 # a rewrite without a declared arity is a table-maintenance bug:
