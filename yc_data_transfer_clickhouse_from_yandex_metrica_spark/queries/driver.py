@@ -4694,10 +4694,13 @@ DRIVER_WINDOW = 50  # driver-checked prefix length (round-5 verdict)
 # once the round's CORRECTNESS file shows them green again.
 ROTATION_FORCE_FRONT = frozenset(
     {
-        # round 10: the modulo in the stored-geohash derivation is now
-        # plain % (dividend-sign), symmetric with the oracle's % and
-        # the lon/lat derivations (ADVICE r9 — the pmod form was a
-        # latent mismatch on negative ids)
+        # round 10: two changes.  (1) the modulo in the stored-geohash
+        # derivation is now plain % (dividend-sign), symmetric with
+        # the oracle's % and the lon/lat derivations (ADVICE r9 — the
+        # pmod form was a latent mismatch on negative ids).  (2)
+        # functions/ch.geohash_decode was reformulated: one conv()
+        # parse + Morton bit compaction, additive validity gate
+        # (bit-identical for precision 1..12; 2.2 -> ~0.8 s at sf0.1)
         "geo_distance",
         # round 10: chsql _CALL_REWRITES hardening LANDED this round
         # (plans/chsql.py — the r9 comment claimed it a round early;
