@@ -4692,39 +4692,15 @@ DRIVER_WINDOW = 50  # driver-checked prefix length (round-5 verdict)
 # green driver row: rotated to the front as if never verified, so the
 # next CORRECTNESS file re-proves them.  Maintained per round; clear
 # once the round's CORRECTNESS file shows them green again.
-ROTATION_FORCE_FRONT = frozenset(
-    {
-        # round 10: two changes.  (1) the modulo in the stored-geohash
-        # derivation is now plain % (dividend-sign), symmetric with
-        # the oracle's % and the lon/lat derivations (ADVICE r9 — the
-        # pmod form was a latent mismatch on negative ids).  (2)
-        # functions/ch.geohash_decode was reformulated: one conv()
-        # parse + Morton bit compaction, additive validity gate
-        # (bit-identical for precision 1..12; 2.2 -> ~0.8 s at sf0.1)
-        "geo_distance",
-        # round 10: chsql _CALL_REWRITES hardening LANDED this round
-        # (plans/chsql.py — the r9 comment claimed it a round early;
-        # this entry set re-proves against the code that now exists):
-        # declared-arity refusals for every mapped rewrite (surplus
-        # args were silently dropped, e.g. arrayUniq(a, b) ignored b),
-        # intDivOrZero/moduloOrZero propagate NULL inputs (only b=0
-        # absorbs to 0), arraySum/sumArray pick a DOUBLE accumulator
-        # for fractional-element array columns (BIGINT-pinned form
-        # failed analysis on float arrays), arrayUniq multi-array
-        # tuple counting, arrayMin/Max/Avg lambda forms, 2-arg
-        # substringUTF8, numbers(offset, N).  chsql_array_join (last
-        # green r8) is forced too: its natural slot falls past the
-        # 50-entry window and its run_sql closure changed.
-        "chsql_array_join",
-        "chsql_visits_chart",
-        "chsql_traffic_chart",
-        "chsql_s3_export",
-        "chsql_federated_enrich",
-        "chsql_word_count",
-        "chsql_daily_fill",
-        "chsql_fill_interpolate",
-        "chsql_limit_by",
-    }
+ROTATION_FORCE_FRONT: frozenset[str] = frozenset(
+    # round 11: empty.  The full r10 set (geo_distance + 9 chsql
+    # entries re-proving the _CALL_REWRITES hardening) went green in
+    # CORRECTNESS_r10, so forcing it again would only waste window
+    # slots.  r11 is deliberately an ADDITIVE round: the 47-entry
+    # stale tail (6 last-green r8 + 41 last-green r9) plus the two
+    # new entries fill 49 of the 50 slots, so every change this round
+    # is either a new module/def (never flags existing closures) or
+    # an edit to an entry already inside the window (always free).
 )
 
 
