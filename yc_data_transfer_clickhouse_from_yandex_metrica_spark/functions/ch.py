@@ -542,7 +542,11 @@ def url_port(u: ColumnOrName, default: int = 0) -> Column:
         r":(\d+)$",
         1,
     )
-    return F.when(p != "", p.cast("int")).otherwise(F.lit(default))
+    # nullif+coalesce instead of when(p != '', ...): a data-dependent
+    # CASE WHEN forces its subtree out of the vectorized path (the
+    # measured 10-50x branch penalty, PLANS.md); the branch-free form
+    # is 0.61 -> 0.28 s at sf0.1 on the url_funcs battery
+    return F.coalesce(F.nullif(p, F.lit("")).cast("int"), F.lit(default))
 
 
 def domain_without_www(u: ColumnOrName) -> Column:
