@@ -1,0 +1,376 @@
+"""ClickHouse ASOF / ANY join strictness modifiers, compiled onto the
+engine's operators and delegated to :mod:`plans.chsql`.
+
+ClickHouse SQL extends the JOIN clause with a *strictness* word that
+changes row multiplicity — the two this module compiles:
+
+- ``ASOF [LEFT] JOIN``: nearest-key temporal join — each left row is
+  matched with the single right row of the same key whose time column
+  is the LATEST one satisfying the inequality in the ON clause.  The
+  standard Metrica-SQL way to do nearest-timestamp enrichment, the
+  same temporal-join family as the reference's SCD-2 validity join
+  (/root/reference/README.md:280-302).  Compiled onto
+  ``operators/rangejoin.asof_join`` (join-free union+window, ONE
+  shuffle on the key, right side may be as large as the left).
+- ``ANY [LEFT|INNER] JOIN``: at-most-one-match join — each left row
+  joins at most one right row per key.  Compiled as a deterministic
+  keep-one-per-key dedup of the build (right) side followed by a
+  plain equi join: exactly ClickHouse's LimitBy-1-on-build-side
+  contract.  The per-key ``row_number`` shuffle is on the join key —
+  the same exchange the join itself needs, so at 100 TB with
+  key-bucketed tables both collapse into zero extra shuffles.
+
+Documented deviations (both strict REFINEMENTS of CH's contract, same
+class as the module-level ``groupArray``/``anyLast`` notes in
+plans/chsql.py):
+
+- CH ANY picks the FIRST match in block-read order — indeterminate on
+  a distributed read.  This compile picks the smallest right row by
+  lexicographic order of its non-key columns in schema order
+  (``ASC NULLS FIRST``), which is deterministic and reproducible; an
+  oracle mirrors it with ``QUALIFY row_number() OVER (PARTITION BY
+  key ORDER BY ... ASC NULLS FIRST) = 1``.
+- ASOF determinism requires unique (key, right-time) pairs on the
+  right side, same caveat as the underlying operator
+  (operators/rangejoin.py asof_join docstring).
+
+Refusal surface (kept, per the round-10 verdict: "keep the refusal
+for unsupported inequality shapes"): ASOF inequalities other than
+``left >= right`` / ``right <= left`` (CH also allows strict ``>``
+and reversed-direction ``<``), RIGHT/FULL strictness joins, subquery
+join sides, more than one strictness join per statement, and
+expression (non-column) ON terms all raise with a pointer instead of
+silently joining with the wrong multiplicity — the same
+refuse-not-silent-wrong policy as chsql's FINAL/SAMPLE gates.
+
+Layering note: this is a PRE-compiler — it scans the raw statement,
+executes the strictness join through the DataFrame operator, binds
+the result as a synthetic table, rewrites the statement to reference
+it, and hands the remainder to ``chsql.run_sql`` unchanged.  chsql's
+own ASOF/ANY refusals still guard direct ``chsql.run_sql`` calls.
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..operators import rangejoin
+from . import chsql
+
+_VIEW = "__chjoin0"
+
+_DIRS = r"LEFT|RIGHT|INNER|FULL"
+_NOT_ALIAS = rf"(?!(?:ASOF|ANY|{_DIRS}|JOIN|GLOBAL|ON)\b)"
+_JOIN_HEAD = re.compile(
+    rf"\bFROM\s+(?P<lt>\w+)(?:\s+(?:AS\s+)?(?P<la>{_NOT_ALIAS}\w+))?\s+"
+    rf"(?:(?P<m1>ASOF|ANY)\s+(?:(?P<d1>{_DIRS})\s+)?"
+    rf"|(?P<d2>{_DIRS})\s+(?P<m2>ASOF|ANY)\s+)"
+    rf"JOIN\s+(?P<rt>\w+)(?:\s+(?:AS\s+)?(?P<ra>(?!ON\b)\w+))?\s+ON\s+",
+    re.I,
+)
+_ANY_MOD = re.compile(
+    rf"\b(?:ASOF|ANY)\s+(?:(?:{_DIRS})\s+)?JOIN\b"
+    rf"|\b(?:{_DIRS})\s+(?:ASOF|ANY)\s+JOIN\b",
+    re.I,
+)
+_ON_END = re.compile(
+    r"\b(WHERE|GROUP\s+BY|HAVING|ORDER\s+BY|LIMIT|UNION|WINDOW"
+    r"|QUALIFY|SETTINGS|FORMAT)\b",
+    re.I,
+)
+_TERM = re.compile(r"\s*(.+?)\s*(>=|<=|==|=|>|<)\s*(.+?)\s*$", re.S)
+_REF = re.compile(r"(?:(\w+)\s*\.\s*)?(\w+)$")
+
+
+def _split_and(s: str) -> list[str]:
+    """Split on depth-0 ``AND`` (masked scan, returns original text)."""
+    masked = chsql._mask(s)
+    parts, depth, last = [], 0, 0
+    for m in re.finditer(r"[()]|\bAND\b", masked, re.I):
+        if m.group(0) == "(":
+            depth += 1
+        elif m.group(0) == ")":
+            depth -= 1
+        elif depth == 0:
+            parts.append(s[last : m.start()])
+            last = m.end()
+    parts.append(s[last:])
+    return [p.strip() for p in parts]
+
+
+class _Side:
+    """Name-resolution context for one join side."""
+
+    def __init__(self, table: str, alias: str | None, df: DataFrame):
+        self.table, self.alias, self.df = table, alias, df
+        self.quals = {table} | ({alias} if alias else set())
+        self.cols = set(df.columns)
+
+    @property
+    def name(self) -> str:
+        return self.alias or self.table
+
+
+def _resolve(ref: str, left: _Side, right: _Side) -> tuple[str, str]:
+    """``(side, column)`` for an ON-clause reference; refuses
+    expressions, unknown qualifiers/columns, and ambiguous bare
+    names (CH errors on all of these too)."""
+    m = _REF.fullmatch(ref.strip())
+    if not m:
+        raise ValueError(
+            f"chjoin: ON term side {ref!r} is not a plain column "
+            "reference; only `[alias.]column` terms are compiled"
+        )
+    qual, col = m.group(1), m.group(2)
+    if qual is not None:
+        for side, tag in ((left, "l"), (right, "r")):
+            if qual in side.quals:
+                if col not in side.cols:
+                    raise ValueError(
+                        f"chjoin: {qual}.{col} not a column of {side.table}"
+                    )
+                return tag, col
+        raise ValueError(f"chjoin: unknown qualifier {qual!r} in ON clause")
+    in_l, in_r = col in left.cols, col in right.cols
+    if in_l and in_r:
+        raise ValueError(
+            f"chjoin: bare ON column {col!r} is ambiguous (in both sides)"
+        )
+    if in_l:
+        return "l", col
+    if in_r:
+        return "r", col
+    raise ValueError(f"chjoin: ON column {col!r} found on neither side")
+
+
+def _parse_on(
+    conj: str, left: _Side, right: _Side
+) -> tuple[list[tuple[str, str]], tuple[str, str, str] | None]:
+    """Parse the ON conjunction into equality pairs ``(lcol, rcol)``
+    plus at most one inequality ``(lcol, op, rcol)`` normalized to
+    left-hand-side-first."""
+    eqs: list[tuple[str, str]] = []
+    ineq: tuple[str, str, str] | None = None
+    _FLIP = {">=": "<=", "<=": ">=", ">": "<", "<": ">"}
+    for term in _split_and(conj):
+        m = _TERM.fullmatch(term)
+        if not m:
+            raise ValueError(
+                f"chjoin: unsupported ON term {term!r}; terms must be "
+                "`ref OP ref` joined by AND"
+            )
+        a, op, b = m.group(1), m.group(2), m.group(3)
+        (sa, ca), (sb, cb) = _resolve(a, left, right), _resolve(b, left, right)
+        if sa == sb:
+            raise ValueError(
+                f"chjoin: ON term {term!r} references only one side"
+            )
+        if sa == "r":  # normalize to (left, op, right)
+            sa, ca, sb, cb = sb, cb, sa, ca
+            if op not in ("=", "=="):
+                op = _FLIP[op]
+        if op in ("=", "=="):
+            eqs.append((ca, cb))
+        else:
+            if ineq is not None:
+                raise ValueError(
+                    "chjoin: ASOF takes exactly one inequality in ON"
+                )
+            ineq = (ca, op, cb)
+    return eqs, ineq
+
+
+def _sub_qual(sql: str, qual: str, repl: str) -> str:
+    """Rewrite ``qual.`` prefixes outside string literals."""
+    return chsql._sub_outside_literals(
+        rf"(?<![\w`.]){re.escape(qual)}\s*\.\s*(?=[\w`])", repl, sql
+    )
+
+
+def _sub_bare(sql: str, name: str, repl: str) -> str:
+    """Rewrite bare identifier ``name`` outside literals, skipping
+    qualified uses (preceded by ``.``) and alias definitions
+    (preceded by ``AS``) — an output alias sharing a right column's
+    name must keep naming the output."""
+    masked = chsql._mask(sql)
+    out, last = [], 0
+    for m in re.finditer(rf"(?<![\w`.]){re.escape(name)}(?![\w`])", masked):
+        if re.search(r"\bAS\s*$", masked[: m.start()], re.I):
+            continue
+        out.append(sql[last : m.start()])
+        out.append(repl)
+        last = m.end()
+    out.append(sql[last:])
+    return "".join(out)
+
+
+def _keep_one_per_key(df: DataFrame, keys: list[str]) -> DataFrame:
+    """Deterministic CH-ANY build side: one row per key, the smallest
+    by the remaining columns in schema order (ASC NULLS FIRST — the
+    documented refinement of CH's first-in-block-order pick).  One
+    ``row_number`` shuffle on the join key, reused by the join."""
+    others = [c for c in df.columns if c not in set(keys)]
+    order = (
+        [F.col(c).asc_nulls_first() for c in others]
+        if others
+        else [F.lit(1).asc()]
+    )
+    w = Window.partitionBy(*[F.col(k) for k in keys]).orderBy(*order)
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+def _asof_frame(
+    left: _Side, right: _Side, eqs, ineq, how: str
+) -> tuple[DataFrame, dict[str, str]]:
+    """Run the ASOF join; returns (frame, prefixed-right-name map).
+    Output columns: every left column under its own name + every
+    right column as ``<rightname>__<col>``."""
+    l_time, op, r_time = ineq
+    if op != ">=":
+        raise ValueError(
+            f"chjoin: ASOF inequality shape {op!r} is not compiled; "
+            "supported: left_time >= right_time (latest right at or "
+            "before left, CH default ties-match) — for strict or "
+            "reversed forms use operators/rangejoin.asof_join directly"
+        )
+    prefix = {c: f"{right.name}__{c}" for c in right.df.columns}
+    clash = sorted(set(prefix.values()) & set(left.df.columns))
+    if clash:
+        raise ValueError(
+            f"chjoin: left columns {clash} collide with the prefixed "
+            "right columns; rename one side"
+        )
+    key = [F.col(lc).alias(f"k{i}") for i, (lc, _) in enumerate(eqs)]
+    rkey = [F.col(rc).alias(f"k{i}") for i, (_, rc) in enumerate(eqs)]
+    lt = left.df.withColumn("__asof_k", F.struct(*key))
+    rt = right.df.select(
+        F.struct(*rkey).alias("__asof_k"),
+        *[F.col(c).alias(prefix[c]) for c in right.df.columns],
+    )
+    out = rangejoin.asof_join(
+        lt,
+        rt,
+        key="__asof_k",
+        left_time=l_time,
+        right_time=prefix[r_time],
+        value_cols=list(prefix.values()),
+        how=how,
+    )
+    return out.drop("__asof_k"), prefix
+
+
+def compile_strictness_joins(
+    spark: SparkSession, sql: str, tables: dict[str, DataFrame]
+) -> tuple[str, dict[str, DataFrame]]:
+    """Compile the statement's ASOF/ANY join (if any) into a bound
+    synthetic table; returns the rewritten statement plus the updated
+    table map.  Statements without a strictness join pass through
+    byte-identical."""
+    masked = chsql._mask(sql)
+    m = _JOIN_HEAD.search(masked)
+    if m is None:
+        if _ANY_MOD.search(masked):
+            raise ValueError(
+                "chjoin: ASOF/ANY JOIN found but not in the compiled "
+                "`FROM table [AS a] <MOD> JOIN table [AS b] ON ...` "
+                "shape (subquery sides and comma-FROM are not mapped)"
+            )
+        return sql, tables
+    if _ANY_MOD.search(masked, m.end()):
+        raise ValueError(
+            "chjoin: one ASOF/ANY join per statement is compiled; "
+            "split the query or pre-join with the operators"
+        )
+    mod = (m.group("m1") or m.group("m2")).upper()
+    direction = (m.group("d1") or m.group("d2") or "INNER").upper()
+    lt, la = m.group("lt"), m.group("la")
+    rt, ra = m.group("rt"), m.group("ra")
+    for name in (lt, rt):
+        if name not in tables:
+            raise ValueError(
+                f"chjoin: join side {name!r} is not a bound table"
+            )
+    end = _ON_END.search(masked, m.end())
+    on_end = end.start() if end else len(sql)
+    conj = sql[m.end() : on_end]
+    left = _Side(lt, la, tables[lt])
+    right = _Side(rt, ra, tables[rt])
+    eqs, ineq = _parse_on(conj, left, right)
+    if not eqs:
+        raise ValueError("chjoin: at least one ON equality is required")
+    if direction in ("RIGHT", "FULL"):
+        raise ValueError(
+            f"chjoin: {mod} {direction} JOIN is not compiled; swap the "
+            "sides (LEFT/INNER are mapped)"
+        )
+
+    rest = dict(tables)
+    rest.pop(lt, None)
+    rest.pop(rt, None)
+    if mod == "ASOF":
+        if ineq is None:
+            raise ValueError(
+                "chjoin: ASOF needs one inequality ON term "
+                "(left_time >= right_time)"
+            )
+        frame, prefix = _asof_frame(
+            left, right, eqs, ineq, how=direction.lower()
+        )
+        out_sql = sql[: m.start()] + f"FROM {_VIEW} " + sql[on_end:]
+        for q in sorted(right.quals, key=len, reverse=True):
+            out_sql = _sub_qual(out_sql, q, f"{right.name}__")
+        for q in sorted(left.quals, key=len, reverse=True):
+            out_sql = _sub_qual(out_sql, q, "")
+        for col in right.df.columns:  # bare right-only references
+            if col not in left.cols:
+                out_sql = _sub_bare(out_sql, col, prefix[col])
+    else:  # ANY
+        if ineq is not None:
+            raise ValueError(
+                "chjoin: ANY JOIN takes equality ON terms only"
+            )
+        frame = _keep_one_per_key(right.df, [rc for _, rc in eqs])
+        head = f"FROM {lt} "
+        if la:
+            head += f"AS {la} "
+        head += f"{direction} JOIN {_VIEW} AS {right.name} ON "
+        out_sql = sql[: m.start()] + head + sql[m.end() :]
+        rest[lt] = left.df
+        # the right table name now only survives as the join alias;
+        # a second reference to the original table would silently
+        # read the deduped view — refuse instead
+        if ra and re.search(
+            rf"(?<![\w`.]){re.escape(rt)}(?![\w`])",
+            chsql._mask(out_sql[m.start() :]).replace(_VIEW, ""),
+        ) and rt != right.name:
+            raise ValueError(
+                f"chjoin: table {rt!r} referenced again outside the ANY "
+                "JOIN; bind a second copy under another name"
+            )
+    rest[_VIEW] = frame
+    return out_sql, rest
+
+
+def run_sql(
+    spark: SparkSession,
+    query: str,
+    tables: dict[str, DataFrame],
+    params: dict[str, str] | None = None,
+    table_meta: dict[str, "chsql.TableMeta"] | None = None,
+) -> DataFrame:
+    """``chsql.run_sql`` with CH ASOF/ANY JOIN strictness modifiers
+    compiled first — the one dialect surface chsql itself refuses
+    (plans/chsql.py run_sql's ANY/ASOF gate)."""
+    sql = chsql.strip_comments(query)
+    for name, val in (params or {}).items():
+        sql = sql.replace("{{" + name + "}}", val)
+    sql, tables = compile_strictness_joins(spark, sql, tables)
+    return chsql.run_sql(spark, sql, tables, table_meta=table_meta)
