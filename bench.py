@@ -106,6 +106,8 @@ HEADLINE = [
     "chsql_limit_by",
     "chsql_final",
     "chsql_sample",
+    "chsql_asof",
+    "chsql_any_join",
     "tfidf_top_terms",
     "bigram_lm_score",
     "shard_assign",

@@ -4343,6 +4343,93 @@ GROUP BY l_linestatus
 """
 
 
+_CHSQL_ASOF_SQL = """
+SELECT event_id, user_id,
+       floor(p.purchase_value * 100 + 0.5) / 100. AS purchase_value
+FROM clicks c ASOF LEFT JOIN purchases p
+  ON c.user_id = p.user_id AND c.ts >= p.ts
+"""
+
+
+def q_chsql_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CH ``ASOF LEFT JOIN`` verbatim through plans/chjoin (round-10
+    verdict task 3): the ON equality rides the key, the single
+    inequality picks the latest prior purchase via
+    operators/rangejoin.asof_join (join-free union+window, one
+    key shuffle) — the nearest-timestamp enrichment Metrica-style CH
+    SQL spells ASOF, the same temporal-join family as the reference's
+    SCD-2 validity join (/root/reference/README.md:280-302).  Shares
+    asof_enrich's oracle: identical results by construction (same
+    floor-rounding, DuckDB native ASOF LEFT JOIN)."""
+    from ..plans import chjoin
+
+    _prep(spark)
+    ev = t(spark, sf_dir, "events")
+    clicks = ev.where(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    purchases = (
+        ev.where(F.col("event_type") == "purchase")
+        .groupBy("user_id", "ts")  # unique (key, time) for determinism
+        .agg(F.max("value").alias("purchase_value"))
+    )
+    return chjoin.run_sql(
+        spark, _CHSQL_ASOF_SQL, {"clicks": clicks, "purchases": purchases}
+    )
+
+
+_CHSQL_ANY_JOIN_SQL = """
+SELECT l.l_returnflag AS flag, count(1) AS n,
+       toInt64(sum(toInt64(l_quantity))) AS qty
+FROM orders o ANY INNER JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+GROUP BY flag ORDER BY flag
+"""
+
+# the deterministic keep-one order chjoin documents: the right table's
+# non-key columns in schema order, ASC NULLS FIRST
+_ANY_JOIN_ORDER = ", ".join(
+    f"{c} ASC NULLS FIRST"
+    for c in (
+        "l_partkey", "l_suppkey", "l_linenumber", "l_quantity",
+        "l_extendedprice", "l_discount", "l_tax", "l_returnflag",
+        "l_linestatus", "l_shipdate",
+    )
+)
+
+
+def q_chsql_any_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CH ``ANY INNER JOIN`` verbatim through plans/chjoin (round-10
+    verdict task 4): the build side is deduped to ONE deterministic
+    row per join key (smallest by the non-key columns, ASC NULLS
+    FIRST — the documented refinement of CH's indeterminate
+    first-in-block-order pick, same deviation class as groupArray)
+    and the statement continues as a plain INNER JOIN.  Oracle: the
+    identical QUALIFY row_number dedup in DuckDB."""
+    from ..plans import chjoin
+
+    _prep(spark)
+    return chjoin.run_sql(
+        spark,
+        _CHSQL_ANY_JOIN_SQL,
+        {
+            "orders": t(spark, sf_dir, "orders"),
+            "lineitem": t(spark, sf_dir, "lineitem"),
+        },
+    )
+
+
+_ORACLE_CHSQL_ANY_JOIN = f"""
+SELECT l.l_returnflag AS flag, CAST(count(1) AS BIGINT) AS n,
+       CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty
+FROM orders o INNER JOIN (
+  SELECT * FROM lineitem
+  QUALIFY row_number() OVER (
+    PARTITION BY l_orderkey ORDER BY {_ANY_JOIN_ORDER}) = 1
+) l ON o.o_orderkey = l.l_orderkey
+GROUP BY flag ORDER BY flag
+"""
+
+
 # =========================================================================
 # 32. corpus curation operators (operators/corpus.py): TF-IDF salient
 #     terms, self-trained bigram-LM cross-entropy (the CCNet
@@ -4670,6 +4757,8 @@ QUERIES: dict[str, QuerySpec] = {
     "dedup_keep_best": QuerySpec(q_dedup_keep_best, _ORACLE_DEDUP_KEEP_BEST, "dedup/cluster resolution keeping the best-quality member (argmax, not min-id)"),
     "chsql_final": QuerySpec(q_chsql_final, _ORACLE_CHSQL_FINAL, "chsql: FROM t FINAL compiled to the declared-engine collapse (r8 task 5)"),
     "chsql_sample": QuerySpec(q_chsql_sample, _ORACLE_CHSQL_SAMPLE, "chsql: SAMPLE k compiled onto the declared SAMPLE BY key (r8 task 6)"),
+    "chsql_asof": QuerySpec(q_chsql_asof, _ORACLE_ASOF, "chsql: ASOF LEFT JOIN compiled onto rangejoin.asof_join (r10 task 3; shares asof_enrich's oracle)"),
+    "chsql_any_join": QuerySpec(q_chsql_any_join, _ORACLE_CHSQL_ANY_JOIN, "chsql: ANY INNER JOIN as deterministic keep-one build-side dedup + plain join (r10 task 4)"),
 }
 
 
