@@ -185,3 +185,53 @@ def test_dotted_nested_view_matches_reference_layout(ledger):
     assert row["TrafficSource.Model"] == [2]
     assert row["TrafficSource.UTMSource"] == ["direct"]
     assert row["EPurchase.ID"] == ["x"]
+
+
+def test_final_sample_from_reference_ddl(ledger, spark):
+    """FINAL / SAMPLE on the flagship model with metadata parsed from
+    the reference's OWN DDL (r10 verdict task 5) — no hand-built
+    TableMeta anywhere in the call."""
+    import pathlib
+
+    if not pathlib.Path("/root/reference/ddl/visits.sql").is_file():
+        pytest.skip("reference DDL not present")
+    out = metrica.run_model_sql(
+        spark,
+        "SELECT StartDate AS day, count(1) AS n "
+        "FROM visits FINAL GROUP BY day ORDER BY day",
+        visits=ledger,
+    ).collect()
+    # 101 collapses to its v2 row; 102/103/104 single-version
+    assert [(r["day"], r["n"]) for r in out] == [(D1, 2), (D2, 2)]
+
+    n = metrica.run_model_sql(
+        spark,
+        "SELECT count(1) AS n FROM visits SAMPLE 8/1000000",
+        visits=ledger,
+    ).collect()[0]["n"]
+    # only CounterUserIDHash=7 falls below the threshold: 101 x3 + 103
+    assert n == 4
+
+    both = metrica.run_model_sql(
+        spark,
+        "SELECT count(1) AS n FROM visits FINAL SAMPLE 8/1000000",
+        visits=ledger,
+    ).collect()[0]["n"]
+    assert both == 2  # sample the parts first, then collapse: 101-v2, 103
+
+
+def test_hits_ddl_meta_keeps_final_refused(ledger, spark):
+    """ddl/hits.sql declares a plain MergeTree: SAMPLE compiles from
+    its SAMPLE BY, FINAL keeps the refusal — CH's own behavior."""
+    import pathlib
+
+    if not pathlib.Path("/root/reference/ddl/hits.sql").is_file():
+        pytest.skip("reference DDL not present")
+    with pytest.raises(ValueError, match="FINAL"):
+        metrica.run_model_sql(
+            spark, "SELECT 1 FROM hits FINAL", hits=ledger
+        )
+    n = metrica.run_model_sql(
+        spark, "SELECT count(1) AS n FROM hits SAMPLE 1/2", hits=ledger
+    ).collect()[0]["n"]
+    assert n == 6  # hash values 7/8/9 all inside the half-range

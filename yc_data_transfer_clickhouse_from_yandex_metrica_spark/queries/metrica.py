@@ -148,6 +148,64 @@ def traffic_sources(
     )
 
 
+_REFERENCE_DDL_DIR = "/root/reference/ddl"
+
+
+def reference_table_meta(ddl_dir: str = _REFERENCE_DDL_DIR):
+    """TableMeta for the metrica model's tables parsed from the
+    reference's OWN DDL files (``visits.sql`` / ``hits.sql``) via
+    ``plans/chsql.table_meta_from_ddl`` — the same declarations
+    ClickHouse itself reads (round-10 verdict task 5: no hand-built
+    TableMeta).  visits declares
+    ``VersionedCollapsingMergeTree(Sign, VisitVersion)`` + ``ORDER
+    BY`` + ``SAMPLE BY`` (ddl/visits.sql:229-239), so both ``FROM
+    visits FINAL`` and ``SAMPLE k`` compile; hits is a plain
+    MergeTree with ``SAMPLE BY`` (ddl/hits.sql:113-119), so SAMPLE
+    compiles and FINAL keeps chsql's refusal — exactly CH's behavior
+    for that engine.  Missing DDL files are simply absent from the
+    returned map (their decorations then refuse with the declare-it
+    pointer)."""
+    from pathlib import Path
+
+    from ..plans.chsql import table_meta_from_ddl
+
+    out = {}
+    for name in ("visits", "hits"):
+        p = Path(ddl_dir) / f"{name}.sql"
+        if p.is_file():
+            out[name] = table_meta_from_ddl(p.read_text())
+    return out
+
+
+def run_model_sql(
+    spark,
+    sql: str,
+    visits: DataFrame | None = None,
+    hits: DataFrame | None = None,
+    params: dict[str, str] | None = None,
+    ddl_dir: str = _REFERENCE_DDL_DIR,
+) -> DataFrame:
+    """ClickHouse-dialect SQL over the Metrica model with the
+    reference-DDL engine metadata attached: ``FROM visits FINAL`` and
+    ``SAMPLE k`` work on the flagship model exactly as they do on the
+    reference's tables, with no per-call TableMeta plumbing."""
+    from ..plans import chsql
+
+    tables = {}
+    if visits is not None:
+        tables["visits"] = visits
+    if hits is not None:
+        tables["hits"] = hits
+    meta = reference_table_meta(ddl_dir)
+    return chsql.run_sql(
+        spark,
+        sql,
+        tables,
+        params=params,
+        table_meta={k: v for k, v in meta.items() if k in tables},
+    )
+
+
 def dotted_nested_view(visits: DataFrame) -> DataFrame:
     """Faithful ClickHouse Nested projection: each array-of-struct
     group becomes parallel arrays with dotted names
