@@ -107,6 +107,96 @@ def build_json(ev: DataFrame) -> DataFrame:
     )
 
 
+def sign_ledger(ev: DataFrame) -> DataFrame:
+    """The driver's _events_sign_ledger shape on an arbitrary events
+    frame (probe needs the 16x variant, which the driver helper's
+    (spark, sf_dir) signature can't produce)."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    versioned = ev.select(
+        F.col("user_id").alias("VisitID"),
+        F.col("ts").cast("date").alias("day"),
+        F.row_number().over(w).alias("VisitVersion"),
+    ).withColumn(
+        "__maxv", F.max("VisitVersion").over(Window.partitionBy("VisitID"))
+    )
+    return versioned.select(
+        "VisitID",
+        "day",
+        "VisitVersion",
+        F.explode(
+            F.when(
+                F.col("VisitVersion") < F.col("__maxv"),
+                F.array(F.lit(1), F.lit(-1)),
+            ).otherwise(F.array(F.lit(1)))
+        ).alias("Sign"),
+    )
+
+
+def build_chsql_final(spark, ledger: DataFrame) -> DataFrame:
+    from yc_data_transfer_clickhouse_from_yandex_metrica_spark.plans import chsql
+
+    return chsql.run_sql(
+        spark,
+        "SELECT toMonday(day) AS week, count(1) AS live_visits "
+        "FROM visits FINAL GROUP BY week ORDER BY week",
+        {"visits": ledger},
+        table_meta={
+            "visits": chsql.TableMeta(
+                key=("VisitID",), version="VisitVersion", sign="Sign"
+            )
+        },
+    )
+
+
+def build_chsql_sample(spark, li: DataFrame) -> DataFrame:
+    from yc_data_transfer_clickhouse_from_yandex_metrica_spark.plans import chsql
+
+    return chsql.run_sql(
+        spark,
+        "SELECT l_linestatus, count(1) AS n, "
+        "toInt64(sum(toInt64(l_quantity))) AS qty "
+        "FROM lineitem SAMPLE 1/16 GROUP BY l_linestatus",
+        {"lineitem": li},
+        table_meta={"lineitem": chsql.TableMeta(sample_by="l_orderkey")},
+    )
+
+
+def build_chsql_asof(spark, ev: DataFrame) -> DataFrame:
+    from yc_data_transfer_clickhouse_from_yandex_metrica_spark.plans import chjoin
+
+    clicks = ev.where(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    purchases = (
+        ev.where(F.col("event_type") == "purchase")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("purchase_value"))
+    )
+    return chjoin.run_sql(
+        spark,
+        "SELECT event_id, user_id, "
+        "floor(p.purchase_value * 100 + 0.5) / 100. AS purchase_value "
+        "FROM clicks c ASOF LEFT JOIN purchases p "
+        "ON c.user_id = p.user_id AND c.ts >= p.ts",
+        {"clicks": clicks, "purchases": purchases},
+    )
+
+
+def build_chsql_any(spark, o: DataFrame, li: DataFrame) -> DataFrame:
+    from yc_data_transfer_clickhouse_from_yandex_metrica_spark.plans import chjoin
+
+    return chjoin.run_sql(
+        spark,
+        "SELECT l.l_returnflag AS flag, count(1) AS n, "
+        "toInt64(sum(toInt64(l_quantity))) AS qty "
+        "FROM orders o ANY INNER JOIN lineitem l "
+        "ON o.o_orderkey = l.l_orderkey GROUP BY flag ORDER BY flag",
+        {"orders": o, "lineitem": li},
+    )
+
+
 def measure(name: str, df: DataFrame) -> tuple[float, int, int]:
     """(warm wall sec, exchange count of final plan, rows)."""
     df.write.mode("overwrite").format("noop").save()  # warm
@@ -159,6 +249,34 @@ def main(only: set[str]) -> None:
             ),
             lambda: corpus.domain_quota(
                 docs16, "source", ch.round_to(text.quality_score("text"), 4), cap=15
+            ),
+        ),
+        # round-11 probes: the r10 FINAL/SAMPLE compile shapes plus the
+        # r11 chjoin ASOF/ANY shapes (full lineitem/orders frames so
+        # the ANY dedup window sees the real column set)
+        "chsql_final": (
+            lambda: build_chsql_final(spark, sign_ledger(ev)),
+            lambda: build_chsql_final(spark, sign_ledger(ev16)),
+        ),
+        "chsql_sample": (
+            lambda: build_chsql_sample(spark, li),
+            lambda: build_chsql_sample(spark, li16),
+        ),
+        "chsql_asof": (
+            lambda: build_chsql_asof(spark, ev),
+            lambda: build_chsql_asof(spark, ev16),
+        ),
+        "chsql_any_join": (
+            lambda: build_chsql_any(
+                spark, t(spark, SF, "orders"), li
+            ),
+            lambda: build_chsql_any(
+                spark,
+                scale16(
+                    t(spark, SF, "orders"),
+                    {"o_orderkey": 1_000_000_000, "o_custkey": 100_000_000},
+                ),
+                li16,
             ),
         ),
     }
