@@ -108,6 +108,7 @@ HEADLINE = [
     "chsql_sample",
     "chsql_asof",
     "chsql_any_join",
+    "chsql_model_final",
     "tfidf_top_terms",
     "bigram_lm_score",
     "shard_assign",

@@ -4430,6 +4430,76 @@ GROUP BY flag ORDER BY flag
 """
 
 
+def _metrica_model_ledger(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A visits ledger carrying the reference DDL's FULL declared key
+    (ORDER BY (CounterID, StartDate, CounterUserIDHash, VisitID),
+    ddl/visits.sql:234-239): one visit per (user, day), its event
+    sequence becoming versions 1..n with every non-final version
+    cancelled pairwise — the _events_sign_ledger shape widened to the
+    metrica column names so table_meta_from_ddl's parsed key resolves
+    against it verbatim."""
+    ev = t(spark, sf_dir, "events")
+    base = ev.select(
+        "user_id", "ts", "event_id", F.col("ts").cast("date").alias("StartDate")
+    )
+    w = Window.partitionBy("user_id", "StartDate").orderBy("ts", "event_id")
+    versioned = base.select(
+        (F.pmod(F.col("user_id"), F.lit(3)) + 1).alias("CounterID"),
+        "StartDate",
+        F.col("user_id").alias("CounterUserIDHash"),
+        (F.col("user_id") * 100000 + F.unix_date("StartDate")).alias("VisitID"),
+        F.row_number().over(w).alias("VisitVersion"),
+    ).withColumn(
+        "__maxv", F.max("VisitVersion").over(Window.partitionBy("VisitID"))
+    )
+    return versioned.select(
+        "CounterID",
+        "StartDate",
+        "CounterUserIDHash",
+        "VisitID",
+        "VisitVersion",
+        F.explode(
+            F.when(
+                F.col("VisitVersion") < F.col("__maxv"),
+                F.array(F.lit(1), F.lit(-1)),
+            ).otherwise(F.array(F.lit(1)))
+        ).alias("Sign"),
+    )
+
+
+def q_chsql_model_final(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``FROM visits FINAL SAMPLE k`` on the METRICA MODEL with the
+    engine metadata parsed from the reference's own DDL files
+    (queries/metrica.run_model_sql -> chsql.table_meta_from_ddl over
+    /root/reference/ddl/visits.sql — round-10 verdict task 5 driven
+    through the driver surface: no hand-built TableMeta anywhere).
+    SAMPLE filters the stored parts by the declared SAMPLE BY key
+    first, FINAL collapses what was read — CH's order.  Oracle: the
+    user-hash range filter + distinct live visits (every final
+    version survives by ledger construction), weekly rollup."""
+    from . import metrica
+
+    _prep(spark)
+    return metrica.run_model_sql(
+        spark,
+        "SELECT toMonday(StartDate) AS week, count(1) AS live_visits "
+        "FROM visits FINAL SAMPLE 75/1000000 "
+        "GROUP BY week ORDER BY week",
+        visits=_metrica_model_ledger(spark, sf_dir),
+    )
+
+
+_ORACLE_CHSQL_MODEL_FINAL = """
+WITH live AS (
+  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day
+  FROM events WHERE user_id % 1000000 < 75
+)
+SELECT date_trunc('week', day) AS week,
+       CAST(count(1) AS BIGINT) AS live_visits
+FROM live GROUP BY 1 ORDER BY 1
+"""
+
+
 # =========================================================================
 # 32. corpus curation operators (operators/corpus.py): TF-IDF salient
 #     terms, self-trained bigram-LM cross-entropy (the CCNet
@@ -4759,6 +4829,7 @@ QUERIES: dict[str, QuerySpec] = {
     "chsql_sample": QuerySpec(q_chsql_sample, _ORACLE_CHSQL_SAMPLE, "chsql: SAMPLE k compiled onto the declared SAMPLE BY key (r8 task 6)"),
     "chsql_asof": QuerySpec(q_chsql_asof, _ORACLE_ASOF, "chsql: ASOF LEFT JOIN compiled onto rangejoin.asof_join (r10 task 3; shares asof_enrich's oracle)"),
     "chsql_any_join": QuerySpec(q_chsql_any_join, _ORACLE_CHSQL_ANY_JOIN, "chsql: ANY INNER JOIN as deterministic keep-one build-side dedup + plain join (r10 task 4)"),
+    "chsql_model_final": QuerySpec(q_chsql_model_final, _ORACLE_CHSQL_MODEL_FINAL, "chsql: FINAL+SAMPLE on the metrica model via reference-DDL-parsed TableMeta (r10 task 5)"),
 }
 
 
