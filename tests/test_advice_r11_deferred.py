@@ -108,6 +108,23 @@ def test_sample_one_reads_all_rows(spark, visits):
 
 @pytest.mark.xfail(
     strict=True,
+    reason="self-found r11, queued with the r12 chsql batch: CH array "
+    "LITERALS `[1, 2]` must compile to array(1, 2) — today the "
+    "bracket reaches Spark SQL verbatim and dies with "
+    "PARSE_SYNTAX_ERROR (only identifier-preceded brackets are "
+    "handled, as 1-based indexing).  Fix: masked scan converting "
+    "brackets NOT preceded by an identifier/]/) into array(...), "
+    "innermost-first so nesting works.",
+)
+def test_bracket_array_literal_compiles(spark, visits):
+    out = chsql.run_sql(
+        spark, "SELECT has([1, 2], 2) AS h FROM visits", {"visits": visits}
+    )
+    assert [r["h"] for r in out.collect()] == [True, True]
+
+
+@pytest.mark.xfail(
+    strict=True,
     reason="ADVICE r11 #5 (deferred to r12): hasAll compiles to "
     "forall(arr2, x -> array_contains(arr1, x)), which yields NULL "
     "for NULL elements, while CH hasAll treats NULL as a matchable "
