@@ -212,6 +212,70 @@ class TestAny:
         assert [tuple(r) for r in out.collect()] == [(None, "z")]
 
 
+class TestUsing:
+    def test_asof_using_matches_on_form(self, spark):
+        clicks, purchases = _clicks_purchases(spark)
+        on_form = chjoin.run_sql(
+            spark,
+            """
+            SELECT event_id, p.purchase_value AS pv
+            FROM clicks c ASOF LEFT JOIN purchases p
+              ON c.user_id = p.user_id AND c.ts >= p.ts
+            """,
+            {"clicks": clicks, "purchases": purchases},
+        )
+        using_form = chjoin.run_sql(
+            spark,
+            """
+            SELECT event_id, p.purchase_value AS pv
+            FROM clicks c ASOF LEFT JOIN purchases p USING (user_id, ts)
+            """,
+            {"clicks": clicks, "purchases": purchases},
+        )
+        assert _rows(on_form) == _rows(using_form)
+
+    def test_any_using(self, spark):
+        orders = spark.createDataFrame([(1,), (2,)], "k long")
+        li = spark.createDataFrame(
+            [(1, 5), (1, 3), (2, 7)], "k long, qty long"
+        )
+        out = chjoin.run_sql(
+            spark,
+            "SELECT k, l.qty AS qty FROM orders o ANY LEFT JOIN li l "
+            "USING (k) ORDER BY k",
+            {"orders": orders, "li": li},
+        )
+        # Spark USING coalesces the shared column; dedup keeps min qty
+        assert [tuple(r) for r in out.collect()] == [(1, 3), (2, 7)]
+
+    def test_any_using_bare_column(self, spark):
+        orders = spark.createDataFrame([(1,), (2,)], "k long")
+        li = spark.createDataFrame([(1, 5), (2, 7)], "k long, qty long")
+        out = chjoin.run_sql(
+            spark,
+            "SELECT k, l.qty AS qty FROM orders o ANY INNER JOIN li l "
+            "USING k ORDER BY k",
+            {"orders": orders, "li": li},
+        )
+        assert [tuple(r) for r in out.collect()] == [(1, 5), (2, 7)]
+
+    def test_using_refusals(self, spark):
+        c = spark.createDataFrame([(1, 2)], "k long, t long")
+        p = spark.createDataFrame([(1, 2, 3)], "k long, t long, v long")
+        with pytest.raises(ValueError, match="at least one equality"):
+            chjoin.run_sql(
+                spark,
+                "SELECT 1 FROM c ASOF JOIN p USING (t)",
+                {"c": c, "p": p},
+            )
+        with pytest.raises(ValueError, match="not on table"):
+            chjoin.run_sql(
+                spark,
+                "SELECT 1 FROM c ANY LEFT JOIN p USING (v)",
+                {"c": c, "p": p},
+            )
+
+
 class TestRefusals:
     CP = {"c": None, "p": None}
 

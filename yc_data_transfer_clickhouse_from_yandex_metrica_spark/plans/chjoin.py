@@ -34,6 +34,12 @@ plans/chsql.py):
   right side, same caveat as the underlying operator
   (operators/rangejoin.py asof_join docstring).
 
+Both ``ON`` conjunctions and the CH ``USING (c1, ..., cn)`` form are
+compiled (USING: shared-name columns; for ASOF the LAST column is
+the nearest-match axis with ``left >= right``, the rest equalities —
+CH's contract; the rewritten statement always uses the parenthesized
+spelling, which Spark requires).
+
 Refusal surface (kept, per the round-10 verdict: "keep the refusal
 for unsupported inequality shapes"): ASOF inequalities other than
 ``left >= right`` / ``right <= left`` (CH also allows strict ``>``
@@ -69,7 +75,8 @@ _JOIN_HEAD = re.compile(
     rf"\bFROM\s+(?P<lt>\w+)(?:\s+(?:AS\s+)?(?P<la>{_NOT_ALIAS}\w+))?\s+"
     rf"(?:(?P<m1>ASOF|ANY)\s+(?:(?P<d1>{_DIRS})\s+)?"
     rf"|(?P<d2>{_DIRS})\s+(?P<m2>ASOF|ANY)\s+)"
-    rf"JOIN\s+(?P<rt>\w+)(?:\s+(?:AS\s+)?(?P<ra>(?!ON\b)\w+))?\s+ON\s+",
+    rf"JOIN\s+(?P<rt>\w+)(?:\s+(?:AS\s+)?(?P<ra>(?!ON\b|USING\b)\w+))?\s+"
+    rf"(?P<conn>ON|USING)\s*",
     re.I,
 )
 _ANY_MOD = re.compile(
@@ -298,12 +305,49 @@ def compile_strictness_joins(
             raise ValueError(
                 f"chjoin: join side {name!r} is not a bound table"
             )
-    end = _ON_END.search(masked, m.end())
-    on_end = end.start() if end else len(sql)
-    conj = sql[m.end() : on_end]
     left = _Side(lt, la, tables[lt])
     right = _Side(rt, ra, tables[rt])
-    eqs, ineq = _parse_on(conj, left, right)
+    conn = m.group("conn").upper()
+    if conn == "USING":
+        # CH USING: shared-name columns; for ASOF the LAST column is
+        # the nearest-match axis (left >= right), the rest equalities
+        if masked[m.end() : m.end() + 1] == "(":
+            close = chsql._match_paren(masked, m.end())
+            cols = [c.strip() for c in chsql._split_top(sql[m.end() + 1 : close])]
+            on_end = close + 1
+        else:
+            mm = re.match(r"\w+", masked[m.end() :])
+            if not mm:
+                raise ValueError("chjoin: USING needs a column list")
+            cols = [mm.group(0)]
+            on_end = m.end() + mm.end()
+        for c in cols:
+            if not re.fullmatch(r"\w+", c):
+                raise ValueError(
+                    f"chjoin: USING column {c!r} must be a plain identifier"
+                )
+            for side in (left, right):
+                if c not in side.cols:
+                    raise ValueError(
+                        f"chjoin: USING column {c!r} not on table "
+                        f"{side.table!r}"
+                    )
+        if mod == "ASOF":
+            if len(cols) < 2:
+                raise ValueError(
+                    "chjoin: ASOF ... USING needs at least one equality "
+                    "column plus the trailing ASOF column"
+                )
+            eqs = [(c, c) for c in cols[:-1]]
+            ineq = (cols[-1], ">=", cols[-1])
+        else:
+            eqs = [(c, c) for c in cols]
+            ineq = None
+    else:
+        end = _ON_END.search(masked, m.end())
+        on_end = end.start() if end else len(sql)
+        conj = sql[m.end() : on_end]
+        eqs, ineq = _parse_on(conj, left, right)
     if not eqs:
         raise ValueError("chjoin: at least one ON equality is required")
     if direction in ("RIGHT", "FULL"):
@@ -341,8 +385,16 @@ def compile_strictness_joins(
         head = f"FROM {lt} "
         if la:
             head += f"AS {la} "
-        head += f"{direction} JOIN {_VIEW} AS {right.name} ON "
-        out_sql = sql[: m.start()] + head + sql[m.end() :]
+        if conn == "USING":
+            # always parenthesized: Spark rejects the bare CH form
+            head += (
+                f"{direction} JOIN {_VIEW} AS {right.name} "
+                f"USING ({', '.join(c for c, _ in eqs)}) "
+            )
+            out_sql = sql[: m.start()] + head + sql[on_end:]
+        else:
+            head += f"{direction} JOIN {_VIEW} AS {right.name} ON "
+            out_sql = sql[: m.start()] + head + sql[m.end() :]
         rest[lt] = left.df
         # the right table name now only survives as the join alias;
         # a second reference to the original table would silently
