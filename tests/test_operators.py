@@ -4222,12 +4222,19 @@ def test_chsql_join_modifiers(spark):
         {"a": a, "b": b},
     ).collect()
     assert [(r.id, r.w) for r in rows] == [(1, 9)]
-    for bad in ("ANY LEFT JOIN", "ASOF JOIN"):
-        with pytest.raises(ValueError, match="row multiplicity"):
-            chsql.run_sql(
-                spark, f"SELECT a.id FROM a {bad} b ON a.id = b.id",
-                {"a": a, "b": b},
-            )
+    # r12: ANY compiles through the chjoin fold-in (keep-one dedup)
+    rows = chsql.run_sql(
+        spark,
+        "SELECT a.id AS id, b.w AS w FROM a ANY LEFT JOIN b ON a.id = b.id",
+        {"a": a, "b": b},
+    ).collect()
+    assert [(r.id, r.w) for r in rows] == [(1, 9)]
+    # ASOF still refuses without an inequality ON term
+    with pytest.raises(ValueError, match="inequality"):
+        chsql.run_sql(
+            spark, "SELECT a.id FROM a ASOF JOIN b ON a.id = b.id",
+            {"a": a, "b": b},
+        )
 
 
 def test_chsql_numbers_and_uniq_family(spark):

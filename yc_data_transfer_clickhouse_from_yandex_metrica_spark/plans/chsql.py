@@ -63,8 +63,9 @@ vocabulary):
   consistent-by-key slice, pushed to the scan.  Undeclared tables
   refuse (including the comma-join and subquery placements Spark
   would parse as aliases); mixed decorated+bare references to one
-  table refuse; integer SAMPLE (row-count form) and SAMPLE..OFFSET
-  refuse.
+  table refuse, as do two decorated references with CONFLICTING
+  flags; ``SAMPLE 1`` reads all rows (valid CH no-op); integer
+  SAMPLE > 1 (row-count form) and SAMPLE..OFFSET refuse.
 - every ``_CALL_REWRITES`` entry declares its arity (``_ARITY``,
   r10): surplus arguments REFUSE instead of being silently dropped,
   missing ones refuse instead of IndexError -- the refusal names the
@@ -107,8 +108,19 @@ vocabulary):
   JOINs in FROM, subqueries, CASE, IN lists -- with the CH function
   vocabulary rewritten wherever it appears.  ``GLOBAL JOIN`` drops its
   modifier (a CH-cluster distribution hint; Spark/AQE picks the
-  strategy); ``ANY``/``ASOF`` JOIN change row multiplicity and raise
-  with a pointer to the dedicated operators.
+  strategy); ``ANY``/``ASOF`` JOIN strictness modifiers compile
+  through plans/chjoin (r12 fold-in): ASOF onto
+  operators/rangejoin.asof_join with the full CH comparator set
+  (``>= > <= <``), ANY as deterministic keep-one build-side dedup +
+  plain join; shapes chjoin cannot bind (subquery sides, RIGHT/FULL
+  direction, missing ASOF inequality) refuse with a pointer.
+- array LITERALS ``[e1, e2, ...]`` -> ``array(...)`` (innermost-first
+  masked scan; a bracket immediately preceded by an identifier /
+  ``)`` / ``]`` is element access, not a literal); postfix indexing
+  on CALL results ``f(...)[i]`` -> ``try_element_at`` (CH 1-based
+  rule incl. negative-from-end; out-of-range yields the element-type
+  default where the callee's type is known, else NULL); ``range``
+  (end-exclusive, 1-3 args).
 - the CH JSON family (``JSONExtractString/Int/Float/Bool/Raw/Keys``,
   ``JSONHas``, ``JSONLength``, ``JSONType``, ``visitParam*``) with
   literal path components, compiled to the same variant-shredding
@@ -530,10 +542,14 @@ _CALL_REWRITES: dict[str, object] = {
     # dependent (unspecified in distributed reads); Spark's
     # collect_list/any_value carry the same unspecified-order
     # contract, so the mapping is faithful -- queries needing a
-    # deterministic order must sort explicitly, in either engine
+    # deterministic order must sort explicitly, in either engine.
+    # any_value's ignoreNulls=true (ADVICE r11 #2): CH aggregates
+    # SKIP NULLs (any returns the first NON-NULL value), while the
+    # one-arg Spark form may return NULL even when non-NULL values
+    # exist in the group.
     "groupArray": lambda a: f"collect_list({a[0]})",
-    "any": lambda a: f"any_value({a[0]})",
-    "anyLast": lambda a: f"any_value({a[0]})",
+    "any": lambda a: f"any_value({a[0]}, true)",
+    "anyLast": lambda a: f"any_value({a[0]}, true)",
     "arrayStringConcat": lambda a: (
         f"array_join({a[0]}, {a[1] if len(a) > 1 else chr(39) * 2})"
     ),
@@ -679,11 +695,14 @@ _CALL_REWRITES: dict[str, object] = {
         f"approx_count_distinct({a[0] if len(a) == 1 else 'struct(' + ', '.join(a) + ')'}, 0.005)"
     ),
     # numbers(N) / numbers(offset, N): CH's system-numbers table
-    # function -> Spark range() (column renamed to CH's `number`)
+    # function -> Spark range() (column renamed to CH's `number`).
+    # RANGE uppercased: the case-sensitive-rescan escape (as
+    # extract/POSITION), so the scalar CH `range` rewrite below
+    # never re-captures the emitted TABLE function
     "numbers": lambda a: (
-        f"(SELECT id AS number FROM range({a[0]}))"
+        f"(SELECT id AS number FROM RANGE({a[0]}))"
         if len(a) == 1
-        else f"(SELECT id AS number FROM range({a[0]}, ({a[0]}) + ({a[1]})))"
+        else f"(SELECT id AS number FROM RANGE({a[0]}, ({a[0]}) + ({a[1]})))"
     ),
     "extract": lambda a: _extract_sql(a),
     # string family widening (r10; mirrors functions/ch.py).  The
@@ -737,8 +756,33 @@ _CALL_REWRITES: dict[str, object] = {
         f"(CASE WHEN size({a[0]}) > 0 THEN sequence(1, size({a[0]})) "
         f"ELSE CAST(array() AS ARRAY<INT>) END)"
     ),
-    "hasAll": lambda a: f"forall({a[1]}, __x -> array_contains({a[0]}, __x))",
-    "hasAny": lambda a: f"arrays_overlap({a[0]}, {a[1]})",
+    # null-SAFE membership via <=> (ADVICE r11 #5): CH hasAll/hasAny
+    # treat NULL elements as matchable values and always return 0/1,
+    # while array_contains/arrays_overlap yield NULL when a NULL
+    # element is probed (NULL arrays themselves still propagate NULL
+    # -- CH arrays are non-nullable, so that input has no CH meaning)
+    # CH range is END-EXCLUSIVE (Spark sequence is end-inclusive);
+    # empty when the interval is empty.  3-arg: a non-positive step
+    # with a non-empty interval errors in BOTH engines (sequence
+    # checks the sign); with an empty interval CH errors where this
+    # yields [] -- the one (documented) deviation
+    "range": lambda a: (
+        f"(CASE WHEN ({a[0]}) > 0 THEN sequence(0, "
+        f"CAST(({a[0]}) AS BIGINT) - 1) "
+        f"ELSE CAST(array() AS ARRAY<BIGINT>) END)"
+        if len(a) == 1
+        else f"(CASE WHEN ({a[0]}) < ({a[1]}) THEN "
+        f"sequence(CAST(({a[0]}) AS BIGINT), "
+        f"CAST(({a[1]}) AS BIGINT) - 1"
+        + (f", CAST(({a[2]}) AS BIGINT)" if len(a) > 2 else "")
+        + ") ELSE CAST(array() AS ARRAY<BIGINT>) END)"
+    ),
+    "hasAll": lambda a: (
+        f"forall({a[1]}, __x -> exists({a[0]}, __y -> __y <=> __x))"
+    ),
+    "hasAny": lambda a: (
+        f"exists({a[1]}, __x -> exists({a[0]}, __y -> __y <=> __x))"
+    ),
 }
 
 
@@ -1105,6 +1149,7 @@ _ARITY: dict[str, tuple[int, int | None]] = {
     "replaceRegexpOne": (3, 3), "arraySlice": (2, 3),
     "arrayFlatten": (1, 1), "arrayCompact": (1, 1),
     "arrayEnumerate": (1, 1), "hasAll": (2, 2), "hasAny": (2, 2),
+    "range": (1, 3),
     # JSON family: (json [, indices_or_keys...]) -- path args all used
     "JSONExtractString": (1, None), "JSONExtractInt": (1, None),
     "JSONExtractFloat": (1, None), "JSONExtractBool": (1, None),
@@ -1196,6 +1241,99 @@ def _rewrite_literals(sql: str) -> str:
         last = m.end()
     out.append(sql[last:])
     return "".join(out)
+
+
+def _rewrite_array_literals(sql: str) -> str:
+    """CH array LITERALS ``[e1, e2, ...]`` -> ``array(e1, e2, ...)``
+    (Spark SQL has no bracket literal; it previously reached the
+    parser verbatim and died with PARSE_SYNTAX_ERROR — r11 self-found
+    gap).  Masked scan, innermost-first so nesting converts; a ``[``
+    IMMEDIATELY preceded by an identifier / ``)`` / ``]`` / backtick
+    is INDEXING and stays for ``_rewrite_indexing`` /
+    ``_rewrite_postfix_indexing``.  Adjacency is deliberate: with a
+    whitespace-skip, every literal after a keyword (``SELECT [1,2]``)
+    would be misread as indexing the keyword; conversely a
+    space-separated index (``f(x) [1]``, not idiomatic CH) converts
+    to a literal and fails LOUDLY at the Spark parser."""
+    while True:
+        masked = _mask(sql)
+        changed = False
+        for m in re.finditer(r"\[([^\[\]]*)\]", masked):
+            j = m.start() - 1
+            if j >= 0 and (masked[j].isalnum() or masked[j] in "_`)]"):
+                continue
+            inner = sql[m.start() + 1 : m.end() - 1]
+            sql = sql[: m.start()] + "array(" + inner + ")" + sql[m.end() :]
+            changed = True
+            break
+        if not changed:
+            return sql
+
+
+# CH functions with a statically-known array element type, for the
+# out-of-range TYPE DEFAULT of postfix indexing (CH arr[oob] yields
+# the element default: '' for strings, 0 for numbers)
+_POSTFIX_DEFAULTS = {
+    "splitbychar": "''",
+    "splitbystring": "''",
+    "splitbywhitespace": "''",
+    "splitbyregexp": "''",
+    "alphatokens": "''",
+    "extractall": "''",
+    "range": "CAST(0 AS BIGINT)",
+}
+
+
+def _rewrite_postfix_indexing(sql: str) -> str:
+    """CH 1-based element access on CALL-RESULT arrays —
+    ``f(...)[i]`` (including array literals already rewritten to
+    ``array(...)`` and chained ``f(x)[i][j]``) — via
+    ``try_element_at``: natively 1-based with negative-from-the-end,
+    exactly CH's index rule; ``nullif(i, 0)`` absorbs the one index
+    Spark rejects outright (CH ``arr[0]`` yields the type default).
+    Previously the bracket reached Spark verbatim as ZERO-based
+    element access — a silent off-by-one (r11 self-found,
+    ``splitByChar(...)[1]`` returned the second piece).
+
+    Out-of-range: the CH element-type default where the callee's
+    return type is statically known (_POSTFIX_DEFAULTS), otherwise
+    NULL — documented deviation from CH's type default, the honest
+    choice absent schema knowledge (NULL propagates loudly through
+    comparisons instead of fabricating a value of the wrong type)."""
+    while True:
+        masked = _mask(sql)
+        for m in re.finditer(r"\)\[", masked):
+            open_b = m.start() + 1
+            close_b = _match_paren(masked, open_b)
+            # matching ( of the ) the bracket chains onto
+            depth, j = 0, m.start()
+            while j >= 0:
+                if masked[j] == ")":
+                    depth += 1
+                elif masked[j] == "(":
+                    depth -= 1
+                    if depth == 0:
+                        break
+                j -= 1
+            if j < 0:
+                continue  # unbalanced: leave for the parser to report
+            start = j
+            while start - 1 >= 0 and (
+                masked[start - 1].isalnum() or masked[start - 1] in "_.`"
+            ):
+                start -= 1
+            callee = sql[start:j].strip("`").lower().rsplit(".", 1)[-1]
+            expr = sql[start : m.start() + 1]
+            idx = sql[open_b + 1 : close_b]
+            access = (
+                f"try_element_at({expr}, CAST(nullif(({idx}), 0) AS INT))"
+            )
+            default = _POSTFIX_DEFAULTS.get(callee)
+            repl = f"coalesce({access}, {default})" if default else access
+            sql = sql[:start] + repl + sql[close_b + 1 :]
+            break
+        else:
+            return sql
 
 
 _IDENT_BRACKET = re.compile(r"(`[^`]+`|[A-Za-z_][\w]*(?:\.[\w]+)*)\s*\[")
@@ -1539,14 +1677,20 @@ def _parse_sample_fraction(txt: str) -> int:
         frac = Fraction(txt.replace(" ", ""))
     except (ValueError, ZeroDivisionError) as ex:
         raise ValueError(f"chsql: SAMPLE {txt!r} is not a valid fraction") from ex
-    if frac >= 1:
+    if frac == 1:
+        # ADVICE r11 #4: SAMPLE 1 is valid CH and reads ALL rows; the
+        # full-range threshold keeps the declared-SAMPLE-BY
+        # requirement (CH still errors on an unsampled table) while
+        # filtering nothing
+        return _SAMPLE_DENOM
+    if frac > 1:
         raise ValueError(
             f"chsql: SAMPLE {txt} — the integer form is an approximate "
             "row-count target (needs table statistics); use a fraction "
-            "in (0, 1)"
+            "in (0, 1]"
         )
     if frac <= 0:
-        raise ValueError(f"chsql: SAMPLE {txt} must be a fraction in (0, 1)")
+        raise ValueError(f"chsql: SAMPLE {txt} must be a fraction in (0, 1]")
     return max(1, round(frac * _SAMPLE_DENOM))
 
 
@@ -1563,9 +1707,13 @@ def _scan_table_decorations(
     for name in tables:
         # prefix includes the comma of a FROM-list (`FROM a, t FINAL`
         # is a CH cross-join reference, and Spark would otherwise
-        # parse its FINAL as a bare alias)
+        # parse its FINAL as a bare alias).  `(?!\s*\.)` keeps
+        # qualified COLUMN references (`SELECT x, visits.col`) out of
+        # the scan (ADVICE r11 #1: the comma alternative otherwise
+        # marked them as bare table references).
         pat = re.compile(
-            rf"((?:\b(?:FROM|JOIN)\s+|,\s*)(?:`{re.escape(name)}`|{re.escape(name)}\b))"
+            rf"((?:\b(?:FROM|JOIN)\s+|,\s*)"
+            rf"(?:`{re.escape(name)}`|{re.escape(name)}\b)(?!\s*\.))"
             rf"{_TABLE_DECO}",
             re.I,
         )
@@ -1582,10 +1730,22 @@ def _scan_table_decorations(
             if not final_kw and not sample_txt:
                 bare = True
                 continue
+            m_flags = {}
             if final_kw:
-                flags["final"] = True
+                m_flags["final"] = True
             if sample_txt:
-                flags["sample"] = _parse_sample_fraction(sample_txt)
+                m_flags["sample"] = _parse_sample_fraction(sample_txt)
+            if flags and m_flags != flags:
+                # ADVICE r11 #3: two decorated references with
+                # DIFFERENT flags would silently share the last-wins
+                # view — the same silent-wrong class as decorated+bare
+                raise ValueError(
+                    f"chsql: table {name!r} carries conflicting "
+                    f"FINAL/SAMPLE decorations; the decoration applies "
+                    f"to the whole registered view — pass the table "
+                    f"twice under two names to mix"
+                )
+            flags = m_flags
             out.append(sql[last : m.end(1)])
             last = m.end()
         if not flags:
@@ -1651,6 +1811,15 @@ def run_sql(
     sql = strip_comments(query)
     for name, val in (params or {}).items():
         sql = sql.replace("{{" + name + "}}", val)
+    # CH JOIN strictness modifiers (ASOF nearest-key / ANY
+    # at-most-one) compile through plans/chjoin's pre-compiler (r12:
+    # folded into the core front-end; the refusal below it is now the
+    # backstop for shapes the pre-compiler cannot bind).  Local
+    # import: chjoin imports this module.
+    from . import chjoin as _chjoin
+
+    if _chjoin._ANY_MOD.search(_mask(sql)):
+        sql, tables = _chjoin.compile_strictness_joins(spark, sql, tables)
     sql, decorations = _scan_table_decorations(sql, tables)
     for i, (name, df) in enumerate(sorted(tables.items(), key=lambda kv: -len(kv[0]))):
         view = f"__chsql_t{i}"
@@ -1661,6 +1830,8 @@ def run_sql(
         df.createOrReplaceTempView(view)
         sql = _replace_name(sql, name, view)
     sql = _rewrite_indexing(sql, _elem_defaults(tables))
+    sql = _rewrite_array_literals(sql)
+    sql = _rewrite_postfix_indexing(sql)
     sql = _rewrite_array_join(sql, _elem_defaults(tables))
     sql = _rewrite_parametrized(sql)
     sql = _rewrite_calls(sql, _schema_ctx(tables))

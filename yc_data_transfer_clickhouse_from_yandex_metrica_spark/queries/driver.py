@@ -4853,14 +4853,35 @@ DRIVER_WINDOW = 50  # driver-checked prefix length (round-5 verdict)
 # next CORRECTNESS file re-proves them.  Maintained per round; clear
 # once the round's CORRECTNESS file shows them green again.
 ROTATION_FORCE_FRONT: frozenset[str] = frozenset(
-    # round 11: empty.  The full r10 set (geo_distance + 9 chsql
-    # entries re-proving the _CALL_REWRITES hardening) went green in
-    # CORRECTNESS_r10, so forcing it again would only waste window
-    # slots.  r11 is deliberately an ADDITIVE round: the 47-entry
-    # stale tail (6 last-green r8 + 41 last-green r9) plus the two
-    # new entries fill 49 of the 50 slots, so every change this round
-    # is either a new module/def (never flags existing closures) or
-    # an edit to an entry already inside the window (always free).
+    # round 12: every entry whose def-closure the r12 chsql batch
+    # touches (the five r11-ADVICE fixes + array literals + the ASOF
+    # comparator set + folding chjoin's strictness compile into
+    # chsql.run_sql), computed with the guard's own _def_level_dirty
+    # against the r11 tree.  16 forced + 34 LRU slots — nothing ends
+    # the round more than 2 rounds stale.  url_funcs: its url_port
+    # dep changed in r11 (the branch-free coalesce form) and the 15
+    # chsql-batch entries push it out of the pre-CORRECTNESS_r11
+    # window; once the r11 artifact lands green it is freshly proven
+    # — recompute the set at merge time (tests/test_rotation_guard
+    # prints the exact residue) and trim it if so.
+    {
+        "url_funcs",
+        "asof_enrich",
+        "chsql_any_join",
+        "chsql_array_join",
+        "chsql_asof",
+        "chsql_daily_fill",
+        "chsql_federated_enrich",
+        "chsql_fill_interpolate",
+        "chsql_final",
+        "chsql_limit_by",
+        "chsql_model_final",
+        "chsql_s3_export",
+        "chsql_sample",
+        "chsql_traffic_chart",
+        "chsql_visits_chart",
+        "chsql_word_count",
+    }
 )
 
 
