@@ -351,6 +351,62 @@ def _array_sum_sql(a: list[str], ctx: _SchemaCtx) -> str:
 
 
 @_wants_schema_ctx
+def _array_cum_sum_sql(a: list[str], ctx: _SchemaCtx) -> str:
+    """CH ``arrayCumSum(arr)`` with the same schema-picked accumulator
+    as arraySum.  O(len^2) per ROW (re-aggregates each prefix; Spark
+    has no scan primitive) -- arrays are per-row values, so this never
+    shapes a shuffle; fine for the CH-typical short arrays, and a
+    pathological mega-array row fails by being slow, not by being
+    wrong."""
+    acc = _acc_cast(a[0], ctx)
+    return (
+        f"transform({a[0]}, (__x, __i) -> aggregate(slice({a[0]}, 1, "
+        f"__i + 1), CAST(0 AS {acc}), (__acc, __y) -> __acc + __y))"
+    )
+
+
+_DATE_UNITS = frozenset(
+    {"second", "minute", "hour", "day", "week", "month", "quarter", "year"}
+)
+
+
+def _date_add_sql(a: list[str], neg: str = "") -> str:
+    """CH ``dateAdd(unit, n, d)`` / ``dateSub`` -> ``timestampadd``.
+    The unit may be bare or quoted; refuse unknown units (a typo'd
+    unit would otherwise reach Spark as a bare identifier).  Output is
+    TIMESTAMP even for DATE inputs (Spark's timestampadd contract; CH
+    keeps Date for day-and-coarser units) -- cast at the call site
+    when a DATE is needed."""
+    unit = a[0].strip().strip("'\"").lower()
+    if unit not in _DATE_UNITS:
+        raise ValueError(
+            f"chsql: dateAdd/dateSub unit {a[0]!r} is not one of "
+            f"{sorted(_DATE_UNITS)}"
+        )
+    return f"timestampadd({unit.upper()}, {neg}({a[1]}), {a[2]})"
+
+
+def _to_start_of_week_sql(a: list[str]) -> str:
+    """CH ``toStartOfWeek(d[, mode])``: even modes start Sunday (the
+    CH default 0), odd modes Monday.  Literal modes only."""
+    mode = (a[1].strip() if len(a) > 1 else "0")
+    if mode not in ("0", "1", "2", "3"):
+        raise ValueError(
+            "chsql: toStartOfWeek mode must be a literal in 0..3"
+        )
+    if mode in ("1", "3"):
+        return f"CAST(date_trunc('week', {a[0]}) AS DATE)"
+    return f"date_sub(CAST({a[0]} AS DATE), dayofweek({a[0]}) - 1)"
+
+
+def _fold_intersect(a: list[str]) -> str:
+    out = a[0]
+    for nxt in a[1:]:
+        out = f"array_intersect({out}, {nxt})"
+    return out
+
+
+@_wants_schema_ctx
 def _sum_array_sql(a: list[str], ctx: _SchemaCtx) -> str:
     """CH ``sumArray(arr)`` aggregate combinator: per-row element sum
     (schema-picked accumulator), then SUM over the group."""
@@ -783,7 +839,102 @@ _CALL_REWRITES: dict[str, object] = {
     "hasAny": lambda a: (
         f"exists({a[1]}, __x -> exists({a[0]}, __y -> __y <=> __x))"
     ),
+    # ----- r12 vocabulary widening --------------------------------
+    # aggregate -If combinators (CASE-to-NULL: aggregates skip NULLs
+    # in both engines, matching the existing countIf/sumIf/avgIf row)
+    "minIf": lambda a: f"min(CASE WHEN {a[1]} THEN {a[0]} END)",
+    "maxIf": lambda a: f"max(CASE WHEN {a[1]} THEN {a[0]} END)",
+    "anyIf": lambda a: f"any_value(CASE WHEN {a[1]} THEN {a[0]} END, true)",
+    "uniqExactIf": lambda a: (
+        f"count(DISTINCT CASE WHEN {a[1]} THEN {a[0]} END)"
+    ),
+    # NULL (not CH's NaN) when sum(weight) = 0 -- NULL propagates
+    # loudly where NaN poisons comparisons silently
+    "avgWeighted": lambda a: f"(sum(({a[0]}) * ({a[1]})) / sum({a[1]}))",
+    # CH median == quantile(0.5): the same fixed-memory approximate
+    # class as the quantile family (sketch outputs are engine-
+    # specific: unit-gated, never oracle-hashed)
+    "median": lambda a: f"percentile_approx({a[0]}, 0.5)",
+    # CH statistical spellings -> Spark's (corr/kurtosis caveat:
+    # Spark kurtosis is EXCESS kurtosis, CH kurtPop is raw m4/m2^2)
+    "stddevPop": lambda a: f"stddev_pop({a[0]})",
+    "stddevSamp": lambda a: f"stddev_samp({a[0]})",
+    "varPop": lambda a: f"var_pop({a[0]})",
+    "varSamp": lambda a: f"var_samp({a[0]})",
+    "covarPop": lambda a: f"covar_pop({a[0]}, {a[1]})",
+    "covarSamp": lambda a: f"covar_samp({a[0]}, {a[1]})",
+    "skewPop": lambda a: f"skewness({a[0]})",
+    "kurtPop": lambda a: f"(kurtosis({a[0]}) + 3.0D)",
+    # date widening
+    "toStartOfDay": lambda a: f"date_trunc('DAY', {a[0]})",
+    "toStartOfWeek": lambda a: _to_start_of_week_sql(a),
+    "dateAdd": lambda a: _date_add_sql(a),
+    "dateSub": lambda a: _date_add_sql(a, "-"),
+    "fromUnixTimestamp": lambda a: f"timestamp_seconds({a[0]})",
+    # array widening.  arrayDifference: first element 0, then
+    # adjacent deltas (element_at is 1-based, so index __i IS the
+    # previous element; the CASE guards it from the __i = 0 probe)
+    "arrayDifference": lambda a: (
+        f"transform({a[0]}, (__x, __i) -> CASE WHEN __i = 0 THEN 0 "
+        f"ELSE __x - element_at({a[0]}, __i) END)"
+    ),
+    "arrayCumSum": _array_cum_sum_sql,
+    "arrayIntersect": lambda a: _fold_intersect(a),
+    "arrayPushBack": lambda a: f"concat({a[0]}, array({a[1]}))",
+    "arrayPushFront": lambda a: f"concat(array({a[1]}), {a[0]})",
+    "arrayPopBack": lambda a: (
+        f"slice({a[0]}, 1, greatest(size({a[0]}) - 1, 0))"
+    ),
+    "arrayPopFront": lambda a: (
+        f"slice({a[0]}, 2, greatest(size({a[0]}) - 1, 0))"
+    ),
+    "multiSearchAny": lambda a: (
+        f"exists({a[1]}, __n -> contains({a[0]}, __n))"
+    ),
+    "countEqual": lambda a: (
+        f"size(filter({a[0]}, __y -> __y <=> ({a[1]})))"
+    ),
+    # CH lambda-first signature; NULL when nothing matches (CH: the
+    # element-type default -- same documented deviation class as the
+    # unknown-type postfix index)
+    "arrayFirst": lambda a: f"try_element_at(filter({a[1]}, {a[0]}), 1)",
+    "arrayLast": lambda a: f"try_element_at(filter({a[1]}, {a[0]}), -1)",
+    # bitwise family
+    "bitAnd": lambda a: f"(({a[0]}) & ({a[1]}))",
+    "bitOr": lambda a: f"(({a[0]}) | ({a[1]}))",
+    "bitXor": lambda a: f"(({a[0]}) ^ ({a[1]}))",
+    "bitNot": lambda a: f"(~({a[0]}))",
+    "bitShiftLeft": lambda a: f"shiftleft({a[0]}, {a[1]})",
+    "bitShiftRight": lambda a: f"shiftright({a[0]}, {a[1]})",
+    # string widening
+    "lcase": lambda a: f"lower({a[0]})",
+    "ucase": lambda a: f"upper({a[0]})",
+    "concatWithSeparator": lambda a: f"concat_ws({', '.join(a)})",
+    "base64Encode": lambda a: f"base64({a[0]})",
+    "base64Decode": lambda a: f"CAST(unbase64({a[0]}) AS STRING)",
+    "splitByString": lambda a: (
+        f"split({a[1]}, concat('\\\\Q', {a[0]}, '\\\\E'))"
+    ),
 }
+
+# the CH typed-empty-array constructors (concat/type-unification
+# seeds); generated as one family so the spelling list stays flat
+_CALL_REWRITES.update(
+    {
+        f"emptyArray{ch}": (
+            lambda t: (lambda a: f"CAST(array() AS ARRAY<{t}>)")
+        )(sp)
+        for ch, sp in {
+            "String": "STRING",
+            "Int8": "TINYINT", "Int16": "SMALLINT", "Int32": "INT",
+            "Int64": "BIGINT",
+            "UInt8": "SMALLINT", "UInt16": "INT", "UInt32": "BIGINT",
+            "UInt64": "BIGINT",
+            "Float32": "FLOAT", "Float64": "DOUBLE",
+            "Date": "DATE", "DateTime": "TIMESTAMP",
+        }.items()
+    }
+)
 
 
 def _structural_refusal(name: str, pointer: str):
@@ -1150,6 +1301,26 @@ _ARITY: dict[str, tuple[int, int | None]] = {
     "arrayFlatten": (1, 1), "arrayCompact": (1, 1),
     "arrayEnumerate": (1, 1), "hasAll": (2, 2), "hasAny": (2, 2),
     "range": (1, 3),
+    # r12 vocabulary widening
+    "minIf": (2, 2), "maxIf": (2, 2), "anyIf": (2, 2),
+    "uniqExactIf": (2, 2), "avgWeighted": (2, 2), "median": (1, 1),
+    "stddevPop": (1, 1), "stddevSamp": (1, 1),
+    "varPop": (1, 1), "varSamp": (1, 1),
+    "covarPop": (2, 2), "covarSamp": (2, 2),
+    "skewPop": (1, 1), "kurtPop": (1, 1),
+    "toStartOfDay": (1, 1), "toStartOfWeek": (1, 2),
+    "dateAdd": (3, 3), "dateSub": (3, 3), "fromUnixTimestamp": (1, 1),
+    "arrayDifference": (1, 1), "arrayCumSum": (1, 1),
+    "arrayIntersect": (2, None),
+    "arrayPushBack": (2, 2), "arrayPushFront": (2, 2),
+    "arrayPopBack": (1, 1), "arrayPopFront": (1, 1),
+    "multiSearchAny": (2, 2), "countEqual": (2, 2),
+    "arrayFirst": (2, 2), "arrayLast": (2, 2),
+    "bitAnd": (2, 2), "bitOr": (2, 2), "bitXor": (2, 2),
+    "bitNot": (1, 1), "bitShiftLeft": (2, 2), "bitShiftRight": (2, 2),
+    "lcase": (1, 1), "ucase": (1, 1), "concatWithSeparator": (2, None),
+    "base64Encode": (1, 1), "base64Decode": (1, 1),
+    "splitByString": (2, 2),
     # JSON family: (json [, indices_or_keys...]) -- path args all used
     "JSONExtractString": (1, None), "JSONExtractInt": (1, None),
     "JSONExtractFloat": (1, None), "JSONExtractBool": (1, None),
@@ -1164,6 +1335,10 @@ _ARITY: dict[str, tuple[int, int | None]] = {
     "sequenceCount": (0, None), "retention": (0, None),
     "runningDifference": (0, None), "neighbor": (0, None),
 }
+
+_ARITY.update(
+    {name: (0, 0) for name in _CALL_REWRITES if name.startswith("emptyArray")}
+)
 
 # a rewrite without a declared arity is a table-maintenance bug:
 # fail at import, not at the first query that trips it
