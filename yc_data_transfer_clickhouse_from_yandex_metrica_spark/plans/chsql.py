@@ -51,6 +51,12 @@ vocabulary):
   WHERE).  One array item; no-AS replaces the plain column with its
   element; LEFT fills the CH element-type default ('' / 0) and needs
   a known array column.  Multiple (zipped) arrays refuse.
+- ``sumMap(k, v)`` / ``minMap`` / ``maxMap`` (r12): compiled onto the
+  structural plan of operators/maps.agg_map when each call is a whole
+  ALIASED top-level SELECT item -- output STRUCT(keys, values),
+  sorted keys, element-wise aggregated values; other aggregates in
+  the same statement ride a residual GROUP BY joined null-safely on
+  the group keys.  Any other placement keeps the pointer refusal.
 - ``PREWHERE`` (CH's scan-stage filter hint) merged into WHERE --
   Catalyst pushes filters to the scan on its own, so the hint costs
   nothing and the semantics (one more conjunct) are identical.
@@ -956,9 +962,15 @@ def _structural_refusal(name: str, pointer: str):
 
 
 _STRUCTURAL_OPS = {
-    "sumMap": "operators/maps.agg_map(how='sum')",
-    "minMap": "operators/maps.agg_map(how='min')",
-    "maxMap": "operators/maps.agg_map(how='max')",
+    # the Map combinators DO compile when each call is a whole aliased
+    # top-level SELECT item (_rewrite_summap); what reaches this
+    # refusal is any other placement (subquery/CTE/nested expression)
+    "sumMap": "operators/maps.agg_map(how='sum'), or place sumMap(k, v)"
+    " as a whole aliased top-level SELECT item",
+    "minMap": "operators/maps.agg_map(how='min'), or place minMap(k, v)"
+    " as a whole aliased top-level SELECT item",
+    "maxMap": "operators/maps.agg_map(how='max'), or place maxMap(k, v)"
+    " as a whole aliased top-level SELECT item",
     "windowFunnel": "operators/funnel.window_funnel",
     "sequenceMatch": "operators/funnel.sequence_match",
     "sequenceCount": "operators/funnel.sequence_count_pairs",
@@ -1658,6 +1670,298 @@ def _rewrite_array_join(sql: str, defaults: dict[str, str]) -> str:
         )
 
 
+_MAP_AGG_RE = re.compile(r"\b(sumMap|minMap|maxMap)\s*\(")
+_MAP_AGG_HOW = {"sumMap": "sum", "minMap": "min", "maxMap": "max"}
+# output-name shapes an ORDER BY/unaliased item may take: a (possibly
+# qualified) identifier or an integer position
+_PLAIN_OUT_RE = re.compile(r"(`[^`]+`|\w+)(\s*\.\s*(`[^`]+`|\w+))*")
+
+
+def _norm_expr(e: str) -> str:
+    """Whitespace-collapsed, backtick-stripped text for expr equality
+    (group-key matching only -- NOT identifier resolution)."""
+    return _collapse_ws(e).replace("`", "")
+
+
+def _summap_chain(
+    how: str, karg: str, varg: str, gk: list[str], from_txt: str,
+    where_txt: str | None,
+) -> str:
+    """One sumMap/minMap/maxMap aggregation chain as nested-subquery
+    SQL: project (group keys, keys[], values[]) -> size-guard +
+    posexplode -> hash-aggregate (group, key) with map-side partial
+    combine -> pack sorted (k, v) structs per group.  The text twin of
+    operators/maps.agg_map (same stages, same edge semantics: unequal
+    sizes RAISE, all-empty groups survive as ([], []) via the OUTER
+    filler row).  The keys/values arrays are projected to attributes
+    BEFORE the Generate so posexplode never wraps a higher-order
+    expression (the measured ~20x interpreted-eval trap, PLANS.md)."""
+    gk_sel = "".join(f"{e} AS __smg{i}, " for i, e in enumerate(gk))
+    gk_names = ", ".join(f"__smg{i}" for i in range(len(gk)))
+    lead = f"{gk_names}, " if gk else ""
+    a = (
+        f"SELECT {gk_sel}({karg}) AS __smka, ({varg}) AS __smva "
+        f"{from_txt}" + (f" {where_txt}" if where_txt else "")
+    )
+    guard = (
+        "assert_true((CASE WHEN __smka IS NULL THEN 0 ELSE size(__smka) END)"
+        " = (CASE WHEN __smva IS NULL THEN 0 ELSE size(__smva) END), "
+        f"'chsql {how}Map: size(keys) != size(values)')"
+    )
+    b = (
+        f"SELECT {lead}__smk, element_at(__smva, __smp + 1) AS __smv, "
+        f"(__smp IS NULL) AS __smf FROM ({a}) "
+        f"LATERAL VIEW OUTER posexplode(__smka) __smlv AS __smp, __smk "
+        f"WHERE {guard} IS NULL"
+    )
+    c = (
+        f"SELECT {lead}__smk, __smf, {how}(__smv) AS __smvv FROM ({b}) "
+        f"GROUP BY {lead}__smk, __smf"
+    )
+    return (
+        f"SELECT {lead}sort_array(collect_list(CASE WHEN NOT __smf THEN "
+        f"named_struct('k', __smk, 'v', __smvv) END)) AS __smkv "
+        f"FROM ({c})" + (f" GROUP BY {gk_names}" if gk else "")
+    )
+
+
+def _rewrite_summap(sql: str) -> str:
+    """Compile the CH map-aggregate combinators (``sumMap(keys, vals)``
+    / ``minMap`` / ``maxMap``) when each call is a whole ALIASED item
+    of the top-level SELECT list -- the canonical Metrica shape
+    (``Goals.ID``/``Goals.Revenue`` Nested pairs,
+    /root/reference/ddl/visits.sql).  Output is a
+    STRUCT(keys ARRAY, values ARRAY) with the keys sorted ascending
+    and values element-wise aggregated -- CH returns the same pair as
+    a tuple; field access is ``alias.keys`` / ``alias.values`` here.
+
+    Plan shapes (PLANS.md "sumMap compile"):
+
+    - FAST PATH (no HAVING, every other SELECT item is a group key):
+      the map chain IS the statement -- one scan, two hash
+      aggregates, exactly operators/maps.agg_map's plan.
+    - RESIDUAL PATH (other aggregates or HAVING present): the
+      non-map items compute in a residual GROUP BY over the same
+      FROM/WHERE, then a null-safe equi-join on the group keys merges
+      the two aggregate streams.  CH folds both into one pass; two
+      passes is the cost of keeping both plans in native Spark
+      aggregates (both scans push the same filters; noted in
+      PLANS.md).
+
+    Occurrences anywhere else (subquery, CTE, HAVING, nested in an
+    expression) keep the structural refusal -- this function simply
+    leaves them for _rewrite_calls to report."""
+    masked = _mask(sql)
+    if not _MAP_AGG_RE.search(masked):
+        return sql
+    branches = _split_union_all(sql)
+    if len(branches) > 1:
+        return " UNION ALL ".join(_rewrite_summap(b) for b in branches)
+    try:
+        spans = _segment(sql)
+    except ValueError:
+        return sql
+    sel_start, sel_end = spans["SELECT"]
+    if any(
+        m.start() < sel_start or m.start() >= sel_end
+        for m in _MAP_AGG_RE.finditer(masked)
+    ):
+        return sql  # in a CTE / subquery / later clause: refusal path
+    select_body = sql[sel_start + len("SELECT") : sel_end]
+    if re.match(r"\s*DISTINCT\b", select_body, re.I):
+        raise ValueError("chsql: sumMap family cannot combine with DISTINCT")
+    parsed, resolved = _select_aliases(select_body)
+
+    def clause_body(name: str) -> str | None:
+        if name not in spans:
+            return None
+        s, e = spans[name]
+        kw = r"\s+".join(name.split())
+        return re.sub(rf"^{kw}\s+", "", sql[s:e].strip(), flags=re.I)
+
+    # ---- classify select items -------------------------------------
+    map_items: list[tuple[int, str, str, str, str]] = []  # (idx, how, k, v, alias)
+    other: list[tuple[int, str, str | None]] = []  # (idx, expr, alias)
+    for idx, (expr, alias) in enumerate(parsed):
+        im = _MAP_AGG_RE.match(_mask(expr))
+        if im:
+            open_idx = expr.index("(", im.end(1))
+            close = _match_paren(_mask(expr), open_idx)
+            if close == len(expr.rstrip()) - 1:
+                if alias is None:
+                    raise ValueError(
+                        f"chsql: alias the {im.group(1)}(...) item "
+                        "(AS name) -- the result is a STRUCT(keys, "
+                        "values) column"
+                    )
+                args = _split_top(expr[open_idx + 1 : close])
+                if len(args) != 2 or not all(a.strip() for a in args):
+                    raise ValueError(
+                        f"chsql: {im.group(1)} takes (keys_array, "
+                        "values_array) -- the single-tuple CH form is "
+                        "not mapped"
+                    )
+                map_items.append(
+                    (idx, _MAP_AGG_HOW[im.group(1)], args[0], args[1], alias)
+                )
+                continue
+        if _MAP_AGG_RE.search(_mask(expr)):
+            raise ValueError(
+                "chsql: sumMap/minMap/maxMap compile only as a whole "
+                "aliased top-level SELECT item; found one nested in "
+                f"{_collapse_ws(expr)!r} -- use operators/maps.agg_map"
+            )
+        other.append((idx, expr, alias))
+    if not map_items:
+        return sql
+
+    # ---- clauses ----------------------------------------------------
+    frm = sql[spans["FROM"][0] : spans["FROM"][1]].strip()
+    where_b = clause_body("WHERE")
+    prewhere_b = clause_body("PREWHERE")
+    if prewhere_b:  # CH scan-stage hint == one more conjunct
+        where_b = f"({prewhere_b}) AND ({where_b})" if where_b else prewhere_b
+    group_b = clause_body("GROUP BY")
+    having_b = clause_body("HAVING")
+    order_c = sql[spans["ORDER BY"][0] : spans["ORDER BY"][1]].strip() \
+        if "ORDER BY" in spans else None
+    limit_c = sql[spans["LIMIT"][0] : spans["LIMIT"][1]].strip() \
+        if "LIMIT" in spans else None
+    if group_b and re.search(r"\bWITH\s+TOTALS\b", group_b, re.I):
+        raise ValueError("chsql: sumMap family cannot combine with WITH TOTALS")
+    if group_b and re.search(r"\b(GROUPING\s+SETS|ROLLUP|CUBE)\b", _mask(group_b), re.I):
+        raise ValueError(
+            "chsql: sumMap family compiles over a plain GROUP BY "
+            "(no GROUPING SETS/ROLLUP/CUBE)"
+        )
+
+    def _inline(body: str | None, what: str) -> str | None:
+        if body is None:
+            return None
+        out = inline_aliases(body, resolved)
+        if _MAP_AGG_RE.search(_mask(out)):
+            raise ValueError(
+                f"chsql: {what} cannot reference the sumMap-family "
+                "aggregate (compute it in an outer query)"
+            )
+        return out
+
+    where_b = _inline(where_b, "WHERE")
+    having_b = _inline(having_b, "HAVING")
+    gk: list[str] = []
+    seen_gk: set[str] = set()
+    for g in _split_top(_inline(group_b, "GROUP BY") or ""):
+        if not g:
+            continue
+        if re.fullmatch(r"\d+", g.strip()):
+            raise ValueError(
+                "chsql: positional GROUP BY is not supported with the "
+                "sumMap family -- spell the expression"
+            )
+        if _norm_expr(g) not in seen_gk:
+            seen_gk.add(_norm_expr(g))
+            gk.append(g.strip())
+    where_txt = f"WHERE CAST(({where_b}) AS BOOLEAN)" if where_b else None
+
+    # ---- output naming ----------------------------------------------
+    out_names: dict[int, str] = {}
+    for idx, expr, alias in other:
+        if alias:
+            out_names[idx] = alias
+        else:
+            pm = _PLAIN_OUT_RE.fullmatch(expr.strip())
+            if not pm:
+                raise ValueError(
+                    "chsql: with the sumMap family every computed "
+                    f"SELECT item needs an alias; add AS to "
+                    f"{_collapse_ws(expr)!r}"
+                )
+            out_names[idx] = re.split(r"\s*\.\s*", expr.strip())[-1].strip("`")
+    for idx, _how, _k, _v, alias in map_items:
+        out_names[idx] = alias
+
+    # ---- ORDER BY items must be output columns ----------------------
+    if order_c:
+        body = re.sub(r"^ORDER\s+BY\s+", "", order_c, flags=re.I)
+        names = set(out_names.values())
+        for item in _split_top(body):
+            head = re.sub(
+                r"\s+(ASC|DESC)\b.*$|\s+WITH\s+FILL\b.*$", "", item.strip(),
+                flags=re.I | re.S,
+            ).strip()
+            if not (
+                head.strip("`") in names or re.fullmatch(r"\d+", head)
+            ):
+                raise ValueError(
+                    "chsql: with the sumMap family ORDER BY items must "
+                    f"be output columns; {head!r} is not one of "
+                    f"{sorted(names)}"
+                )
+
+    # ---- fast path?  (every non-map item IS a group key) -------------
+    gk_norm = {_norm_expr(g): i for i, g in enumerate(gk)}
+    fast = having_b is None and all(
+        _norm_expr(expr) in gk_norm for _idx, expr, _al in other
+    )
+
+    frames: list[tuple[str, str]] = []
+    if not fast:
+        r_items = "".join(
+            f", {expr} AS __smr{j}" for j, (_idx, expr, _al) in enumerate(other)
+        )
+        gk_sel = ", ".join(f"{e} AS __smg{i}" for i, e in enumerate(gk))
+        resid = (
+            f"SELECT {gk_sel}{r_items}" if gk_sel else f"SELECT 1 AS __smone{r_items}"
+        ) + f" {frm}" + (f" {where_txt}" if where_txt else "")
+        if gk:
+            resid += " GROUP BY " + ", ".join(gk)
+        if having_b:
+            resid += f" HAVING CAST(({having_b}) AS BOOLEAN)"
+        frames.append(("__smr", resid))
+    for n, (_idx, how, karg, varg, _alias) in enumerate(map_items):
+        frames.append(
+            (f"__smm{n}", _summap_chain(how, karg, varg, gk, frm, where_txt))
+        )
+
+    base_tag = frames[0][0]
+    from_out = f"FROM ({frames[0][1]}) {base_tag}"
+    for tag, text in frames[1:]:
+        if gk:
+            cond = " AND ".join(
+                f"{base_tag}.__smg{i} <=> {tag}.__smg{i}"
+                for i in range(len(gk))
+            )
+            from_out += f" JOIN ({text}) {tag} ON {cond}"
+        else:
+            from_out += f" CROSS JOIN ({text}) {tag}"
+
+    # ---- final select in original item order --------------------------
+    items_out: list[str] = []
+    map_tag = {idx: f"__smm{n}" for n, (idx, *_rest) in enumerate(map_items)}
+    other_pos = {idx: j for j, (idx, _e, _a) in enumerate(other)}
+    for idx, (expr, _alias) in enumerate(parsed):
+        name = out_names[idx]
+        if idx in map_tag:
+            tag = map_tag[idx]
+            items_out.append(
+                f"named_struct('keys', transform({tag}.__smkv, __sms -> "
+                f"__sms.k), 'values', transform({tag}.__smkv, __sms -> "
+                f"__sms.v)) AS `{name}`"
+            )
+        elif fast:
+            items_out.append(
+                f"{base_tag}.__smg{gk_norm[_norm_expr(expr)]} AS `{name}`"
+            )
+        else:
+            items_out.append(f"__smr.__smr{other_pos[idx]} AS `{name}`")
+    out = f"{sql[:sel_start]}SELECT {', '.join(items_out)} {from_out}"
+    if order_c:
+        out += f" {order_c}"
+    if limit_c:
+        out += f" {limit_c}"
+    return out
+
+
 def _rewrite_indexing(sql: str, defaults: dict[str, str]) -> str:
     """``col[idx]`` -> CH 1-based type-default access (ch.array_at
     CASE form) for columns with known array element types."""
@@ -2008,6 +2312,7 @@ def run_sql(
     sql = _rewrite_array_literals(sql)
     sql = _rewrite_postfix_indexing(sql)
     sql = _rewrite_array_join(sql, _elem_defaults(tables))
+    sql = _rewrite_summap(sql)
     sql = _rewrite_parametrized(sql)
     sql = _rewrite_calls(sql, _schema_ctx(tables))
     sql = _rewrite_literals(sql)

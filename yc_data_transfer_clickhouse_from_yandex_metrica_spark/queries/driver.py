@@ -4500,6 +4500,77 @@ FROM live GROUP BY 1 ORDER BY 1
 """
 
 
+_CHSQL_SUMMAP_SQL = """
+SELECT o_orderpriority, count(1) AS orders_n, sumMap(ks, vs) AS m
+FROM pairs
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+
+def q_chsql_summap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``sumMap(keys, values)`` SQL spelling compiled onto the
+    structural plan of operators/maps.agg_map (r12 batch; the Nested
+    Goals.ID/Goals.Revenue shape, /root/reference/ddl/visits.sql).
+    This statement mixes the map aggregate with a plain ``count(1)``,
+    driving the RESIDUAL-JOIN path — the harder compile (the fast
+    single-scan path is pinned against the operator in
+    tests/test_chsql_summap.py).  Same input prep and cent-string
+    hashing as the operator entry ``sum_map_priority``."""
+    from ..plans import chsql
+
+    _prep(spark)
+    li = t(spark, sf_dir, "lineitem")
+    o = t(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    per_order = (
+        li.groupBy("l_orderkey")
+        .agg(F.collect_list(F.struct("l_returnflag", "l_quantity")).alias("p"))
+        .select(
+            "l_orderkey",
+            F.transform("p", lambda s: s["l_returnflag"]).alias("ks"),
+            F.transform("p", lambda s: s["l_quantity"]).alias("vs"),
+        )
+    )
+    pairs = per_order.join(o, per_order["l_orderkey"] == o["o_orderkey"])
+    out = chsql.run_sql(spark, _CHSQL_SUMMAP_SQL, {"pairs": pairs})
+    cents = F.transform(
+        F.col("m.values"),
+        lambda v: F.floor(v * F.lit(100.0) + F.lit(0.5))
+        .cast("long")
+        .cast("string"),
+    )
+    return out.select(
+        "o_orderpriority",
+        "orders_n",
+        F.array_join(F.col("m.keys"), ",").alias("map_keys"),
+        F.array_join(cents, ",").alias("map_vals_cents"),
+    )
+
+
+_ORACLE_CHSQL_SUMMAP = """
+WITH n AS (
+  SELECT o_orderpriority,
+         CAST(count(DISTINCT l_orderkey) AS BIGINT) AS orders_n
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  GROUP BY 1
+), r AS (
+  SELECT o_orderpriority, l_returnflag AS k, sum(l_quantity) AS v
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  GROUP BY 1, 2
+), m AS (
+  SELECT o_orderpriority,
+    array_to_string(list(k ORDER BY k), ',') AS map_keys,
+    array_to_string(
+      list(CAST(CAST(floor(v * 100.0 + 0.5) AS BIGINT) AS VARCHAR)
+           ORDER BY k), ',') AS map_vals_cents
+  FROM r GROUP BY 1
+)
+SELECT n.o_orderpriority, n.orders_n, m.map_keys, m.map_vals_cents
+FROM n JOIN m ON n.o_orderpriority = m.o_orderpriority
+ORDER BY 1
+"""
+
+
 # =========================================================================
 # 32. corpus curation operators (operators/corpus.py): TF-IDF salient
 #     terms, self-trained bigram-LM cross-entropy (the CCNet
@@ -4830,6 +4901,7 @@ QUERIES: dict[str, QuerySpec] = {
     "chsql_asof": QuerySpec(q_chsql_asof, _ORACLE_ASOF, "chsql: ASOF LEFT JOIN compiled onto rangejoin.asof_join (r10 task 3; shares asof_enrich's oracle)"),
     "chsql_any_join": QuerySpec(q_chsql_any_join, _ORACLE_CHSQL_ANY_JOIN, "chsql: ANY INNER JOIN as deterministic keep-one build-side dedup + plain join (r10 task 4)"),
     "chsql_model_final": QuerySpec(q_chsql_model_final, _ORACLE_CHSQL_MODEL_FINAL, "chsql: FINAL+SAMPLE on the metrica model via reference-DDL-parsed TableMeta (r10 task 5)"),
+    "chsql_summap": QuerySpec(q_chsql_summap, _ORACLE_CHSQL_SUMMAP, "A-ext + chsql r12: sumMap SQL spelling compiled onto maps.agg_map's structural plan (residual-join mixed-aggregate path)"),
 }
 
 
