@@ -338,3 +338,127 @@ def test_fast_path_plan_is_operator_shaped(spark, goals):
     gen_line = next(l for l in plan.splitlines() if "Generate" in l)
     assert "transform(" not in gen_line and "aggregate(" not in gen_line
     assert "partial_sum" in plan
+
+
+# ---------------------------------------------------------------------------
+# topK / topKWeighted (same statement-level structural compiler)
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def sources(spark):
+    # (counter, source, weight): counter 30 has only NULL sources
+    return spark.createDataFrame(
+        [
+            (10, "ad", 1), (10, "ad", 1), (10, "seo", 5), (10, "direct", 1),
+            (10, None, 9),
+            (20, "seo", 1), (20, None, 1),
+            (30, None, 1),
+            (None, "ref", 2),
+        ],
+        "counter INT, src STRING, w INT",
+    )
+
+
+def test_topk_exact_deterministic_order(spark, sources):
+    """Exact top-N by (frequency DESC, value ASC) -- the deterministic
+    exact form of CH's approximate sketch (documented deviation);
+    NULL values skipped, all-NULL groups keep an empty array."""
+    got = chsql.run_sql(
+        spark,
+        "SELECT counter, topK(2)(src) AS top_src FROM t GROUP BY counter",
+        {"t": sources},
+    )
+    rows = {r["counter"]: tuple(r["top_src"]) for r in got.collect()}
+    assert rows == {
+        10: ("ad", "direct"),  # ad freq 2; seo/direct tie 1 -> value asc
+        20: ("seo",),
+        30: (),
+        None: ("ref",),
+    }
+
+
+def test_topk_tie_breaks_on_value_ascending(spark, sources):
+    got = chsql.run_sql(
+        spark,
+        "SELECT counter, topK(3)(src) AS top_src FROM t "
+        "WHERE counter = 10 GROUP BY counter",
+        {"t": sources},
+    )
+    [r] = got.collect()
+    # freqs: ad 2, direct 1, seo 1 -> ties (direct, seo) value-asc
+    assert tuple(r["top_src"]) == ("ad", "direct", "seo")
+
+
+def test_topk_global_uses_take_ordered_not_single_partition_window(
+    spark, sources
+):
+    got = chsql.run_sql(
+        spark, "SELECT topK(2)(src) AS top_src FROM t", {"t": sources}
+    )
+    [r] = got.collect()
+    assert tuple(r["top_src"]) == ("ad", "seo")
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan  # global spelling: TakeOrdered path
+    assert "TakeOrdered" in plan
+
+
+def test_topk_weighted_and_mixed_with_plain_aggregates(spark, sources):
+    got = chsql.run_sql(
+        spark,
+        "SELECT counter, count(1) AS n, topKWeighted(2)(src, w) AS top_w "
+        "FROM t GROUP BY counter",
+        {"t": sources},
+    )
+    rows = {
+        r["counter"]: (r["n"], tuple(r["top_w"])) for r in got.collect()
+    }
+    assert rows[10] == (5, ("seo", "ad"))  # weights: seo 5, ad 2, direct 1
+    assert rows[30] == (1, ())
+
+
+def test_topk_and_summap_in_one_statement(spark, goals):
+    got = chsql.run_sql(
+        spark,
+        "SELECT counter, sumMap(gids, grev) AS m, topK(1)(hits) AS th "
+        "FROM v WHERE counter = 10 GROUP BY counter",
+        {"v": goals},
+    )
+    [r] = got.collect()
+    assert tuple(r["m"]["keys"]) == ("buy", "cart", "view")
+    assert tuple(r["th"]) in ((1,), (3,))  # hits 3,1 tie freq -> 1 asc
+    assert tuple(r["th"]) == (1,)
+
+
+@pytest.mark.parametrize(
+    "sql,frag",
+    [
+        ("SELECT g, topK(0)(u) AS t FROM v GROUP BY g", "positive integer"),
+        ("SELECT g, topK(2)(u) FROM v GROUP BY g", "alias"),
+        (
+            "SELECT g, topKWeighted(2)(u) AS t FROM v GROUP BY g",
+            "exactly 2",
+        ),
+        (
+            "SELECT g, topK(2)(u) AS t FROM v WHERE t IS NOT NULL GROUP BY g",
+            "cannot reference",
+        ),
+    ],
+)
+def test_topk_refusals(spark, sources, sql, frag):
+    v = sources.selectExpr("counter AS g", "src AS u", "w")
+    with pytest.raises(ValueError, match="chsql"):
+        try:
+            chsql.run_sql(spark, sql, {"v": v})
+        except ValueError as e:
+            assert frag in str(e), f"{frag!r} not in {e}"
+            raise
+
+
+def test_topk_nested_placement_keeps_parametrized_refusal(spark, sources):
+    with pytest.raises(ValueError, match="heavy_hitters"):
+        chsql.run_sql(
+            spark,
+            "SELECT t FROM (SELECT topK(2)(src) AS t FROM v) q",
+            {"v": sources},
+        )

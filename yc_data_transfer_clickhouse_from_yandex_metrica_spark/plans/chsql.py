@@ -57,6 +57,12 @@ vocabulary):
   sorted keys, element-wise aggregated values; other aggregates in
   the same statement ride a residual GROUP BY joined null-safely on
   the group keys.  Any other placement keeps the pointer refusal.
+- ``topK(N)(x)`` / ``topKWeighted(N)(x, w)`` (r12): same
+  statement-level compiler -- EXACT top-N by (frequency DESC, value
+  ASC), a deterministic strengthening of CH's approximate sketch
+  (documented deviation); NULLs skipped, all-NULL groups keep [].
+  The global (no GROUP BY) spelling compiles to ORDER BY + LIMIT
+  (TakeOrdered), never a single-partition window.
 - ``PREWHERE`` (CH's scan-stage filter hint) merged into WHERE --
   Catalyst pushes filters to the scan on its own, so the hint costs
   nothing and the semantics (one more conjunct) are identical.
@@ -1092,7 +1098,8 @@ def _param_agg_sql(name: str, params: str, args: str) -> str:
         return f"percentile_approx({args}, array({params}), 10000)"
     raise ValueError(
         f"chsql: parameterized aggregate {name!r} has no single-expression "
-        "Spark mapping (topK -> operators/stats.heavy_hitters, "
+        "Spark mapping (topK compiles as a whole aliased top-level "
+        "SELECT item, else operators/stats.heavy_hitters; "
         "groupArrayMoving* -> operators/series.moving_agg, histogram -> "
         "operators/stats.histogram, quantile*ExactWeighted -> "
         "operators/stats.quantile_exact_weighted)"
@@ -1672,6 +1679,11 @@ def _rewrite_array_join(sql: str, defaults: dict[str, str]) -> str:
 
 _MAP_AGG_RE = re.compile(r"\b(sumMap|minMap|maxMap)\s*\(")
 _MAP_AGG_HOW = {"sumMap": "sum", "minMap": "min", "maxMap": "max"}
+_TOPK_RE = re.compile(r"(topKWeighted|topK)\s*\(")
+# every aggregate the statement-level structural compiler may claim
+_STRUCT_AGG_GATE = re.compile(
+    r"\b(sumMap|minMap|maxMap|topKWeighted|topK)\s*\("
+)
 # output-name shapes an ORDER BY/unaliased item may take: a (possibly
 # qualified) identifier or an integer position
 _PLAIN_OUT_RE = re.compile(r"(`[^`]+`|\w+)(\s*\.\s*(`[^`]+`|\w+))*")
@@ -1725,6 +1737,65 @@ def _summap_chain(
     )
 
 
+def _topk_chain(
+    n: int, xarg: str, warg: str | None, gk: list[str], from_txt: str,
+    where_txt: str | None,
+) -> str:
+    """One ``topK(N)(x)`` / ``topKWeighted(N)(x, w)`` chain: project
+    the value (and weight) -> hash-aggregate (group, value) counts
+    with map-side partial combine -> per-group rank filter -> pack
+    the array ordered by (frequency DESC, value ASC).
+
+    CH's topK is an APPROXIMATE filtered-space-saving sketch with
+    unspecified order; this compile is EXACT with a deterministic
+    order -- a documented deviation on the safe side (the exact
+    answer is in the sketch's error envelope).  NULL values are
+    skipped, as CH aggregates skip NULLs; a group whose values are
+    all NULL still appears, with [].
+
+    Scale shape: the window ranks the REDUCED (group, distinct value)
+    stream, partitioned by group; the global (no GROUP BY) spelling
+    avoids the single-partition window entirely via ORDER BY + LIMIT
+    (TakeOrdered)."""
+    gk_sel = "".join(f"{e} AS __smg{i}, " for i, e in enumerate(gk))
+    gk_names = ", ".join(f"__smg{i}" for i in range(len(gk)))
+    lead = f"{gk_names}, " if gk else ""
+    wsel = f", ({warg}) AS __tkw" if warg else ""
+    agg = "sum(__tkw)" if warg else "count(1)"
+    a = (
+        f"SELECT {gk_sel}({xarg}) AS __tkx{wsel} {from_txt}"
+        + (f" {where_txt}" if where_txt else "")
+    )
+    pack = (
+        "transform(sort_array(collect_list(CASE WHEN NOT __tkf THEN "
+        "named_struct('c', -__tkc, 'x', __tkx) END)), __s -> __s.x) "
+        "AS __tkarr"
+    )
+    if not gk:
+        b = (
+            f"SELECT __tkx, {agg} AS __tkc FROM ({a}) "
+            f"WHERE __tkx IS NOT NULL GROUP BY __tkx"
+        )
+        c = f"SELECT __tkx, __tkc FROM ({b}) ORDER BY __tkc DESC, __tkx ASC LIMIT {n}"
+        return (
+            f"SELECT transform(sort_array(collect_list(named_struct("
+            f"'c', -__tkc, 'x', __tkx))), __s -> __s.x) AS __tkarr FROM ({c})"
+        )
+    # grouped: the (__tkx IS NULL) filler flag keeps all-NULL groups
+    # alive through the inner join (same pattern as the sumMap filler)
+    b = (
+        f"SELECT {lead}__tkx, (__tkx IS NULL) AS __tkf, {agg} AS __tkc "
+        f"FROM ({a}) GROUP BY {lead}__tkx"
+    )
+    c = (
+        f"SELECT {lead}__tkx, __tkf, __tkc, row_number() OVER "
+        f"(PARTITION BY {gk_names} ORDER BY __tkf ASC, __tkc DESC, "
+        f"__tkx ASC) AS __tkr FROM ({b})"
+    )
+    c2 = f"SELECT * FROM ({c}) WHERE __tkr <= {n} OR __tkf"
+    return f"SELECT {lead}{pack} FROM ({c2}) GROUP BY {gk_names}"
+
+
 def _rewrite_summap(sql: str) -> str:
     """Compile the CH map-aggregate combinators (``sumMap(keys, vals)``
     / ``minMap`` / ``maxMap``) when each call is a whole ALIASED item
@@ -1752,7 +1823,7 @@ def _rewrite_summap(sql: str) -> str:
     expression) keep the structural refusal -- this function simply
     leaves them for _rewrite_calls to report."""
     masked = _mask(sql)
-    if not _MAP_AGG_RE.search(masked):
+    if not _STRUCT_AGG_GATE.search(masked):
         return sql
     branches = _split_union_all(sql)
     if len(branches) > 1:
@@ -1764,7 +1835,7 @@ def _rewrite_summap(sql: str) -> str:
     sel_start, sel_end = spans["SELECT"]
     if any(
         m.start() < sel_start or m.start() >= sel_end
-        for m in _MAP_AGG_RE.finditer(masked)
+        for m in _STRUCT_AGG_GATE.finditer(masked)
     ):
         return sql  # in a CTE / subquery / later clause: refusal path
     select_body = sql[sel_start + len("SELECT") : sel_end]
@@ -1780,8 +1851,10 @@ def _rewrite_summap(sql: str) -> str:
         return re.sub(rf"^{kw}\s+", "", sql[s:e].strip(), flags=re.I)
 
     # ---- classify select items -------------------------------------
-    map_items: list[tuple[int, str, str, str, str]] = []  # (idx, how, k, v, alias)
-    other: list[tuple[int, str, str | None]] = []  # (idx, expr, alias)
+    # (idx, kind, payload, alias): kind "map" -> (how, keys, vals);
+    # kind "topk" -> (n, value, weight|None)
+    struct_items: list[tuple[int, str, tuple, str]] = []
+    other: list[tuple[int, str, str | None]] = []
     for idx, (expr, alias) in enumerate(parsed):
         im = _MAP_AGG_RE.match(_mask(expr))
         if im:
@@ -1801,10 +1874,51 @@ def _rewrite_summap(sql: str) -> str:
                         "values_array) -- the single-tuple CH form is "
                         "not mapped"
                     )
-                map_items.append(
-                    (idx, _MAP_AGG_HOW[im.group(1)], args[0], args[1], alias)
+                struct_items.append(
+                    (idx, "map", (_MAP_AGG_HOW[im.group(1)], args[0], args[1]), alias)
                 )
                 continue
+        tm = _TOPK_RE.match(_mask(expr))
+        if tm:
+            p_open = expr.index("(", tm.end(1))
+            p_close = _match_paren(_mask(expr), p_open)
+            k = p_close + 1
+            while k < len(expr) and expr[k].isspace():
+                k += 1
+            if k < len(expr) and expr[k] == "(":
+                a_close = _match_paren(_mask(expr), k)
+                if a_close == len(expr.rstrip()) - 1:
+                    name = tm.group(1)
+                    if alias is None:
+                        raise ValueError(
+                            f"chsql: alias the {name}(...)(...) item "
+                            "(AS name) -- the result is an ARRAY column"
+                        )
+                    pm = re.fullmatch(r"\s*(\d+)\s*", expr[p_open + 1 : p_close])
+                    if not pm or int(pm.group(1)) < 1:
+                        raise ValueError(
+                            f"chsql: {name} needs a literal positive "
+                            f"integer parameter, got "
+                            f"{expr[p_open + 1:p_close]!r}"
+                        )
+                    args = _split_top(expr[k + 1 : a_close])
+                    want = 2 if name == "topKWeighted" else 1
+                    if len(args) != want or not all(a.strip() for a in args):
+                        raise ValueError(
+                            f"chsql: {name} takes exactly {want} "
+                            "argument(s) after the parameter list"
+                        )
+                    struct_items.append(
+                        (
+                            idx, "topk",
+                            (
+                                int(pm.group(1)), args[0],
+                                args[1] if want == 2 else None,
+                            ),
+                            alias,
+                        )
+                    )
+                    continue
         if _MAP_AGG_RE.search(_mask(expr)):
             raise ValueError(
                 "chsql: sumMap/minMap/maxMap compile only as a whole "
@@ -1812,7 +1926,7 @@ def _rewrite_summap(sql: str) -> str:
                 f"{_collapse_ws(expr)!r} -- use operators/maps.agg_map"
             )
         other.append((idx, expr, alias))
-    if not map_items:
+    if not struct_items:
         return sql
 
     # ---- clauses ----------------------------------------------------
@@ -1839,10 +1953,10 @@ def _rewrite_summap(sql: str) -> str:
         if body is None:
             return None
         out = inline_aliases(body, resolved)
-        if _MAP_AGG_RE.search(_mask(out)):
+        if _STRUCT_AGG_GATE.search(_mask(out)):
             raise ValueError(
-                f"chsql: {what} cannot reference the sumMap-family "
-                "aggregate (compute it in an outer query)"
+                f"chsql: {what} cannot reference the sumMap/topK-"
+                "family aggregate (compute it in an outer query)"
             )
         return out
 
@@ -1877,7 +1991,7 @@ def _rewrite_summap(sql: str) -> str:
                     f"{_collapse_ws(expr)!r}"
                 )
             out_names[idx] = re.split(r"\s*\.\s*", expr.strip())[-1].strip("`")
-    for idx, _how, _k, _v, alias in map_items:
+    for idx, _kind, _payload, alias in struct_items:
         out_names[idx] = alias
 
     # ---- ORDER BY items must be output columns ----------------------
@@ -1918,10 +2032,14 @@ def _rewrite_summap(sql: str) -> str:
         if having_b:
             resid += f" HAVING CAST(({having_b}) AS BOOLEAN)"
         frames.append(("__smr", resid))
-    for n, (_idx, how, karg, varg, _alias) in enumerate(map_items):
-        frames.append(
-            (f"__smm{n}", _summap_chain(how, karg, varg, gk, frm, where_txt))
-        )
+    for n, (_idx, kind, payload, _alias) in enumerate(struct_items):
+        if kind == "map":
+            how, karg, varg = payload
+            chain = _summap_chain(how, karg, varg, gk, frm, where_txt)
+        else:
+            topn, xarg, warg = payload
+            chain = _topk_chain(topn, xarg, warg, gk, frm, where_txt)
+        frames.append((f"__smm{n}", chain))
 
     base_tag = frames[0][0]
     from_out = f"FROM ({frames[0][1]}) {base_tag}"
@@ -1937,12 +2055,16 @@ def _rewrite_summap(sql: str) -> str:
 
     # ---- final select in original item order --------------------------
     items_out: list[str] = []
-    map_tag = {idx: f"__smm{n}" for n, (idx, *_rest) in enumerate(map_items)}
+    item_tag = {idx: f"__smm{n}" for n, (idx, *_rest) in enumerate(struct_items)}
+    item_kind = {idx: kind for idx, kind, _p, _a in struct_items}
     other_pos = {idx: j for j, (idx, _e, _a) in enumerate(other)}
     for idx, (expr, _alias) in enumerate(parsed):
         name = out_names[idx]
-        if idx in map_tag:
-            tag = map_tag[idx]
+        if idx in item_tag:
+            tag = item_tag[idx]
+            if item_kind[idx] == "topk":
+                items_out.append(f"{tag}.__tkarr AS `{name}`")
+                continue
             items_out.append(
                 f"named_struct('keys', transform({tag}.__smkv, __sms -> "
                 f"__sms.k), 'values', transform({tag}.__smkv, __sms -> "

@@ -4501,7 +4501,8 @@ FROM live GROUP BY 1 ORDER BY 1
 
 
 _CHSQL_SUMMAP_SQL = """
-SELECT o_orderpriority, count(1) AS orders_n, sumMap(ks, vs) AS m
+SELECT o_orderpriority, count(1) AS orders_n, sumMap(ks, vs) AS m,
+       topK(2)(nitems) AS top_n
 FROM pairs
 GROUP BY o_orderpriority
 ORDER BY o_orderpriority
@@ -4509,14 +4510,18 @@ ORDER BY o_orderpriority
 
 
 def q_chsql_summap(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """``sumMap(keys, values)`` SQL spelling compiled onto the
-    structural plan of operators/maps.agg_map (r12 batch; the Nested
-    Goals.ID/Goals.Revenue shape, /root/reference/ddl/visits.sql).
-    This statement mixes the map aggregate with a plain ``count(1)``,
-    driving the RESIDUAL-JOIN path — the harder compile (the fast
-    single-scan path is pinned against the operator in
-    tests/test_chsql_summap.py).  Same input prep and cent-string
-    hashing as the operator entry ``sum_map_priority``."""
+    """``sumMap(keys, values)`` + ``topK(N)(x)`` SQL spellings
+    compiled onto the statement-level structural planner (r12 batch;
+    sumMap consumes the Nested Goals.ID/Goals.Revenue shape,
+    /root/reference/ddl/visits.sql).  The statement mixes both
+    structural aggregates with a plain ``count(1)``, driving the
+    RESIDUAL-JOIN path plus one chain per structural item — the
+    hardest compile (the fast single-scan path is pinned against the
+    operator in tests/test_chsql_summap.py).  topK here is the EXACT
+    deterministic top-N (freq DESC, value ASC — the dialect's
+    documented strengthening of CH's approximate sketch), so a DuckDB
+    oracle exists.  Same input prep and cent-string hashing as the
+    operator entry ``sum_map_priority``."""
     from ..plans import chsql
 
     _prep(spark)
@@ -4531,7 +4536,9 @@ def q_chsql_summap(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.transform("p", lambda s: s["l_quantity"]).alias("vs"),
         )
     )
-    pairs = per_order.join(o, per_order["l_orderkey"] == o["o_orderkey"])
+    pairs = per_order.join(
+        o, per_order["l_orderkey"] == o["o_orderkey"]
+    ).withColumn("nitems", F.size("ks"))
     out = chsql.run_sql(spark, _CHSQL_SUMMAP_SQL, {"pairs": pairs})
     cents = F.transform(
         F.col("m.values"),
@@ -4544,6 +4551,9 @@ def q_chsql_summap(spark: SparkSession, sf_dir: str) -> DataFrame:
         "orders_n",
         F.array_join(F.col("m.keys"), ",").alias("map_keys"),
         F.array_join(cents, ",").alias("map_vals_cents"),
+        F.array_join(
+            F.transform(F.col("top_n"), lambda v: v.cast("string")), ","
+        ).alias("top_nitems"),
     )
 
 
@@ -4564,9 +4574,29 @@ WITH n AS (
       list(CAST(CAST(floor(v * 100.0 + 0.5) AS BIGINT) AS VARCHAR)
            ORDER BY k), ',') AS map_vals_cents
   FROM r GROUP BY 1
+), sz AS (
+  SELECT o_orderpriority, l_orderkey, count(1) AS nitems
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  GROUP BY 1, 2
+), tkc AS (
+  SELECT o_orderpriority, nitems, count(1) AS c
+  FROM sz GROUP BY 1, 2
+), tk AS (
+  SELECT o_orderpriority, nitems, c FROM tkc
+  QUALIFY row_number() OVER (
+    PARTITION BY o_orderpriority ORDER BY c DESC, nitems ASC) <= 2
+), tks AS (
+  SELECT o_orderpriority,
+    array_to_string(
+      list(CAST(nitems AS VARCHAR) ORDER BY c DESC, nitems ASC),
+      ',') AS top_nitems
+  FROM tk GROUP BY 1
 )
-SELECT n.o_orderpriority, n.orders_n, m.map_keys, m.map_vals_cents
-FROM n JOIN m ON n.o_orderpriority = m.o_orderpriority
+SELECT n.o_orderpriority, n.orders_n, m.map_keys, m.map_vals_cents,
+       tks.top_nitems
+FROM n
+JOIN m ON n.o_orderpriority = m.o_orderpriority
+JOIN tks ON n.o_orderpriority = tks.o_orderpriority
 ORDER BY 1
 """
 
@@ -4901,7 +4931,7 @@ QUERIES: dict[str, QuerySpec] = {
     "chsql_asof": QuerySpec(q_chsql_asof, _ORACLE_ASOF, "chsql: ASOF LEFT JOIN compiled onto rangejoin.asof_join (r10 task 3; shares asof_enrich's oracle)"),
     "chsql_any_join": QuerySpec(q_chsql_any_join, _ORACLE_CHSQL_ANY_JOIN, "chsql: ANY INNER JOIN as deterministic keep-one build-side dedup + plain join (r10 task 4)"),
     "chsql_model_final": QuerySpec(q_chsql_model_final, _ORACLE_CHSQL_MODEL_FINAL, "chsql: FINAL+SAMPLE on the metrica model via reference-DDL-parsed TableMeta (r10 task 5)"),
-    "chsql_summap": QuerySpec(q_chsql_summap, _ORACLE_CHSQL_SUMMAP, "A-ext + chsql r12: sumMap SQL spelling compiled onto maps.agg_map's structural plan (residual-join mixed-aggregate path)"),
+    "chsql_summap": QuerySpec(q_chsql_summap, _ORACLE_CHSQL_SUMMAP, "A-ext + chsql r12: sumMap + topK SQL spellings compiled onto the statement-level structural planner (residual-join mixed-aggregate path, one chain per item)"),
 }
 
 
