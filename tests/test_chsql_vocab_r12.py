@@ -269,3 +269,207 @@ class TestArityRefusals:
     def test_wrong_arity_refuses(self, spark, tbl, sql):
         with pytest.raises(ValueError, match="chsql"):
             chsql.run_sql(spark, sql, {"t": tbl})
+
+
+# ---------------------------------------------------------------------------
+# vocab batch #2: URL SQL names, dateDiff/age, date/math/array/tuple/IPv4
+# ---------------------------------------------------------------------------
+
+
+_URL_BATTERY = [
+    "https://www.shop.example.com:8443/cat/7/item?page=2&src=ad#frag",
+    "http://example.com/path",
+    "https://example.com",
+    "ftp://user@files.example.org/pub?x=1",
+    "notaurl",
+    "",
+    "https://[2001:db8::1]:8443/v6?q=z",
+    "http://www.example.co.uk/a/b?x=1&y=2",
+]
+
+_URL_PAIRS = [
+    ("protocol(u)", "url_protocol"),
+    ("domain(u)", "url_domain"),
+    ("domainWithoutWWW(u)", "domain_without_www"),
+    ("topLevelDomain(u)", "url_top_level_domain"),
+    ("path(u)", "url_path"),
+    ("pathFull(u)", "path_full"),
+    ("queryString(u)", "url_query_string"),
+    ("fragment(u)", "url_fragment"),
+    ("cutQueryString(u)", "cut_query_string"),
+    ("cutFragment(u)", "cut_fragment"),
+    ("cutWWW(u)", "cut_www"),
+    ("port(u)", "url_port"),
+]
+
+
+class TestUrlSqlNames:
+    def test_url_sql_matches_ch_functions(self, spark):
+        """The SQL spellings mirror functions/ch.py's url_* wrappers
+        (the oracle-proven forms, url_funcs entry) -- pin equality on
+        a battery incl. no-port, IPv6-bracket, www, and junk URLs."""
+        from yc_data_transfer_clickhouse_from_yandex_metrica_spark.functions import ch
+
+        urls = spark.createDataFrame(
+            [(i, u) for i, u in enumerate(_URL_BATTERY)], "i int, u string"
+        )
+        sql_sel = ", ".join(
+            f"{expr} AS c{j}" for j, (expr, _fn) in enumerate(_URL_PAIRS)
+        )
+        got = chsql.run_sql(
+            spark, f"SELECT i, {sql_sel} FROM t ORDER BY i", {"t": urls}
+        ).collect()
+        want = urls.select(
+            "i",
+            *[
+                getattr(ch, fn)("u").alias(f"c{j}")
+                for j, (_expr, fn) in enumerate(_URL_PAIRS)
+            ],
+        ).orderBy("i").collect()
+        assert [tuple(r) for r in got] == [tuple(r) for r in want]
+
+    def test_extract_and_cut_url_parameter(self, spark):
+        urls = spark.createDataFrame(
+            [(1, "https://e.com/p?a=1&b=2&c=3")], "i int, u string"
+        )
+        (a, b, cut) = tuple(
+            chsql.run_sql(
+                spark,
+                "SELECT extractURLParameter(u, 'b') AS b, "
+                "extractURLParameter(u, 'z') AS z, "
+                "cutURLParameter(u, 'b') AS cut FROM t",
+                {"t": urls},
+            ).collect()[0]
+        )
+        assert (a, b, cut) == ("2", "", "https://e.com/p?a=1&c=3")
+
+    def test_cut_url_parameter_needs_literal(self, spark, tbl):
+        with pytest.raises(ValueError, match="literal"):
+            chsql.run_sql(
+                spark, "SELECT cutURLParameter(s, s) AS x FROM t", {"t": tbl}
+            )
+
+
+class TestDateDiffAge:
+    @pytest.fixture(scope="class")
+    def ts(self, spark):
+        return spark.createDataFrame(
+            [
+                (
+                    datetime.datetime(2021, 12, 31, 23, 59, 30),
+                    datetime.datetime(2022, 1, 1, 0, 0, 10),
+                )
+            ],
+            "s timestamp, e timestamp",
+        )
+
+    def test_datediff_counts_boundary_crossings(self, spark, ts):
+        row = chsql.run_sql(
+            spark,
+            "SELECT dateDiff('day', s, e) AS d, dateDiff('month', s, e) AS m,"
+            " dateDiff('year', s, e) AS y, dateDiff('minute', s, e) AS mi,"
+            " dateDiff('second', s, e) AS sec FROM t",
+            {"t": ts},
+        ).collect()[0]
+        # 40 seconds of wall time, but every boundary is crossed
+        assert tuple(row) == (1, 1, 1, 1, 40)
+
+    def test_age_counts_complete_units(self, spark, ts):
+        row = chsql.run_sql(
+            spark,
+            "SELECT age('day', s, e) AS d, age('month', s, e) AS m, "
+            "age('minute', s, e) AS mi FROM t",
+            {"t": ts},
+        ).collect()[0]
+        assert tuple(row) == (0, 0, 0)
+
+    def test_bad_unit_refuses(self, spark, ts):
+        with pytest.raises(ValueError, match="unit"):
+            chsql.run_sql(
+                spark, "SELECT dateDiff('fortnight', s, e) AS d FROM t",
+                {"t": ts},
+            )
+
+
+class TestVocabBatch2Scalars:
+    def test_date_scalars(self, spark):
+        d = spark.createDataFrame(
+            [(datetime.datetime(2024, 3, 7, 14, 47, 31),)], "d timestamp"
+        )
+        row = chsql.run_sql(
+            spark,
+            "SELECT toYYYYMMDD(d) AS ymd, toStartOfHour(d) AS h, "
+            "toStartOfMinute(d) AS m, timeSlot(d) AS slot FROM t",
+            {"t": d},
+        ).collect()[0]
+        assert row["ymd"] == 20240307
+        assert row["h"] == datetime.datetime(2024, 3, 7, 14, 0, 0)
+        assert row["m"] == datetime.datetime(2024, 3, 7, 14, 47, 0)
+        assert row["slot"] == datetime.datetime(2024, 3, 7, 14, 30, 0)
+
+    def test_round_bankers_half_even(self, spark, tbl):
+        (a, b, c) = _one(
+            spark, tbl,
+            "SELECT roundBankers(2.5) AS a, roundBankers(3.5) AS b, "
+            "roundBankers(2.345, 2) AS c FROM t LIMIT 1",
+        )
+        assert (a, b) == (2.0, 4.0)
+        assert abs(float(c) - 2.34) < 1e-9
+
+    def test_array_product_alpha_tokens_resize(self, spark, tbl):
+        row = chsql.run_sql(
+            spark,
+            "SELECT arrayProduct([2, 3, 4]) AS p, "
+            "alphaTokens('ab12cd,ef') AS tk, "
+            "arrayResize([1, 2, 3], 5, 0) AS up, "
+            "arrayResize([1, 2, 3], 2, 0) AS down FROM t LIMIT 1",
+            {"t": tbl},
+        ).collect()[0]
+        assert row["p"] == 24.0
+        assert row["tk"] == ["ab", "cd", "ef"]
+        assert row["up"] == [1, 2, 3, 0, 0]
+        assert row["down"] == [1, 2]
+
+    def test_array_resize_two_arg_refuses(self, spark, tbl):
+        with pytest.raises(ValueError, match="extender"):
+            chsql.run_sql(
+                spark, "SELECT arrayResize([1], 3) AS r FROM t", {"t": tbl}
+            )
+
+    def test_tuple_and_tuple_element(self, spark, tbl):
+        (one, two) = _one(
+            spark, tbl,
+            "SELECT tupleElement(tuple(41, 'x'), 1) AS a, "
+            "tupleElement(tuple(41, 'x'), 2) AS b FROM t LIMIT 1",
+        )
+        assert (one, two) == (41, "x")
+
+    def test_tuple_element_needs_literal_index(self, spark, tbl):
+        with pytest.raises(ValueError, match="literal"):
+            chsql.run_sql(
+                spark,
+                "SELECT tupleElement(tuple(1), k) AS a FROM t",
+                {"t": tbl},
+            )
+
+    def test_ipv4_roundtrip_and_malformed(self, spark):
+        ips = spark.createDataFrame(
+            [
+                (1, "1.2.3.4"), (2, "255.255.255.255"), (3, "0.0.0.0"),
+                (4, "999.1.1.1"), (5, "1.2.3"), (6, "junk"),
+            ],
+            "i int, s string",
+        )
+        rows = chsql.run_sql(
+            spark,
+            "SELECT i, IPv4StringToNum(s) AS n, "
+            "IPv4NumToString(IPv4StringToNum(s)) AS back FROM t ORDER BY i",
+            {"t": ips},
+        ).collect()
+        by_i = {r["i"]: (r["n"], r["back"]) for r in rows}
+        assert by_i[1] == (16909060, "1.2.3.4")
+        assert by_i[2] == (4294967295, "255.255.255.255")
+        assert by_i[3] == (0, "0.0.0.0")
+        # out-of-range / short / junk -> NULL (CH throws; NULL is the
+        # documented pipeline-safe deviation)
+        assert by_i[4][0] is None and by_i[5][0] is None and by_i[6][0] is None

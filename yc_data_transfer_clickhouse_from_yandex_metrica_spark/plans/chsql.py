@@ -929,6 +929,166 @@ _CALL_REWRITES: dict[str, object] = {
     ),
 }
 
+def _date_diff_sql(a: list[str], full_units: bool) -> str:
+    """CH ``dateDiff(unit, s, e)`` counts crossed UNIT BOUNDARIES
+    (2021-12-31 23:59 -> 2022-01-01 00:01 is 1 day/month/year);
+    ``age(unit, s, e)`` counts COMPLETE elapsed units.  Spark's
+    timestampdiff is the age contract; dateDiff additionally truncates
+    both endpoints to the unit first -- complete units between unit
+    starts == boundary crossings."""
+    unit = a[0].strip().strip("'\"").lower()
+    if unit not in _DATE_UNITS:
+        raise ValueError(
+            f"chsql: dateDiff/age unit {a[0]!r} is not one of "
+            f"{sorted(_DATE_UNITS)}"
+        )
+    if full_units:
+        return f"timestampdiff({unit.upper()}, {a[1]}, {a[2]})"
+    return (
+        f"timestampdiff({unit.upper()}, date_trunc('{unit.upper()}', {a[1]}), "
+        f"date_trunc('{unit.upper()}', {a[2]}))"
+    )
+
+
+def _tuple_element_sql(a: list[str]) -> str:
+    m = re.fullmatch(r"\s*(\d+)\s*", a[1])
+    if not m:
+        raise ValueError(
+            "chsql: tupleElement needs a literal 1-based index (field "
+            "names of dialect-built tuples are '1', '2', ...)"
+        )
+    return f"({a[0]}).`{m.group(1)}`"
+
+
+def _cut_url_parameter_sql(a: list[str]) -> str:
+    """SQL-text mirror of ch.cut_url_parameter, with the same
+    documented deviation (ALL duplicate occurrences removed where CH
+    removes the first).  The parameter name must be a string literal
+    (it is spliced into a regex, so it needs escaping at compile
+    time)."""
+    m = re.fullmatch(r"\s*'([^']*)'\s*", a[1])
+    if not m:
+        raise ValueError(
+            "chsql: cutURLParameter needs a literal parameter name"
+        )
+    n = re.escape(m.group(1)).replace("\\", "\\\\")
+    return (
+        f"regexp_replace(regexp_replace({a[0]}, "
+        f"'([?&]){n}=[^&#]*&', '$1'), '[?&]{n}=[^&#]*', '')"
+    )
+
+
+def _array_resize_sql(a: list[str]) -> str:
+    if len(a) == 2:
+        raise ValueError(
+            "chsql: arrayResize without an explicit extender fills CH "
+            "element-type defaults, which need the element type -- "
+            "pass the third argument (e.g. arrayResize(arr, n, 0))"
+        )
+    return (
+        f"concat(slice({a[0]}, 1, CAST(least({a[1]}, size({a[0]})) AS INT)), "
+        f"array_repeat({a[2]}, CAST(greatest(({a[1]}) - size({a[0]}), 0) AS INT)))"
+    )
+
+
+# URL family: SQL-text mirrors of functions/ch.py's url_* wrappers
+# (the oracle-proven source of truth -- equality pinned by
+# tests/test_chsql_vocab_r12.py::test_url_sql_matches_ch_functions).
+# CH returns '' where a component is absent; parse_url returns NULL,
+# so every mirror coalesces to ''.
+_URL_HOST = "coalesce(parse_url({u}, 'HOST'), '')"
+
+_CALL_REWRITES.update(
+    {
+        "protocol": lambda a: f"coalesce(parse_url({a[0]}, 'PROTOCOL'), '')",
+        "domain": lambda a: _URL_HOST.format(u=a[0]),
+        "domainWithoutWWW": lambda a: (
+            f"regexp_replace({_URL_HOST.format(u=a[0])}, '^www\\\\.', '')"
+        ),
+        "topLevelDomain": lambda a: (
+            f"regexp_extract({_URL_HOST.format(u=a[0])}, "
+            f"'\\\\.([^.]+)$', 1)"
+        ),
+        "path": lambda a: f"coalesce(parse_url({a[0]}, 'PATH'), '')",
+        # branch-free pathFull: concat(NULL) is NULL, so an absent
+        # query falls through coalesce to the bare path
+        "pathFull": lambda a: (
+            f"coalesce(concat(coalesce(parse_url({a[0]}, 'PATH'), ''), "
+            f"'?', nullif(coalesce(parse_url({a[0]}, 'QUERY'), ''), '')), "
+            f"coalesce(parse_url({a[0]}, 'PATH'), ''))"
+        ),
+        "queryString": lambda a: f"coalesce(parse_url({a[0]}, 'QUERY'), '')",
+        "fragment": lambda a: f"coalesce(parse_url({a[0]}, 'REF'), '')",
+        "extractURLParameter": lambda a: (
+            f"coalesce(parse_url({a[0]}, 'QUERY', {a[1]}), '')"
+        ),
+        "cutQueryString": lambda a: (
+            f"regexp_replace({a[0]}, '\\\\?[^#]*', '')"
+        ),
+        "cutFragment": lambda a: f"regexp_replace({a[0]}, '#.*$', '')",
+        "cutWWW": lambda a: (
+            f"regexp_replace({a[0]}, "
+            f"'^([a-z][a-z0-9+.-]*://(?:[^/?#@]*@)?)www\\\\.', '$1')"
+        ),
+        "cutURLParameter": _cut_url_parameter_sql,
+        # port(url[, default]): trailing :digits of the AUTHORITY --
+        # bracketed IPv6 inner colons are never at the end; the
+        # nullif/coalesce form is branch-free (PLANS.md CASE penalty)
+        "port": lambda a: (
+            f"coalesce(CAST(nullif(regexp_extract(coalesce("
+            f"parse_url({a[0]}, 'AUTHORITY'), ''), ':(\\\\d+)$', 1), '') "
+            f"AS INT), {a[1] if len(a) > 1 else '0'})"
+        ),
+        # ----- date widening #2 ----------------------------------
+        "toYYYYMMDD": lambda a: (
+            f"CAST(date_format({a[0]}, 'yyyyMMdd') AS INT)"
+        ),
+        "toStartOfHour": lambda a: f"date_trunc('HOUR', {a[0]})",
+        "toStartOfMinute": lambda a: f"date_trunc('MINUTE', {a[0]})",
+        # 30-minute slot, tz-free arithmetic (NTZ-safe: no unix_*)
+        "timeSlot": lambda a: (
+            f"timestampadd(MINUTE, -(minute({a[0]}) % 30), "
+            f"date_trunc('MINUTE', {a[0]}))"
+        ),
+        "dateDiff": lambda a: _date_diff_sql(a, full_units=False),
+        "age": lambda a: _date_diff_sql(a, full_units=True),
+        # ----- math / array / string / tuple ---------------------
+        "roundBankers": lambda a: f"bround({', '.join(a)})",
+        "arrayProduct": lambda a: (
+            f"aggregate({a[0]}, CAST(1.0 AS DOUBLE), "
+            f"(__acc, __x) -> __acc * __x)"
+        ),
+        "alphaTokens": lambda a: (
+            f"filter(split({a[0]}, '[^A-Za-z]+'), __x -> __x != '')"
+        ),
+        "arrayResize": _array_resize_sql,
+        "tuple": lambda a: "named_struct(" + ", ".join(
+            f"'{i + 1}', {x}" for i, x in enumerate(a)
+        ) + ")",
+        "tupleElement": _tuple_element_sql,
+        # IPv4 numeric<->dotted-quad; malformed strings yield NULL
+        # (CH IPv4StringToNum THROWS -- NULL propagates loudly in a
+        # pipeline without killing the job; documented deviation)
+        "IPv4NumToString": lambda a: (
+            f"concat(CAST(((({a[0]}) >> 24) & 255) AS STRING), '.', "
+            f"CAST(((({a[0]}) >> 16) & 255) AS STRING), '.', "
+            f"CAST(((({a[0]}) >> 8) & 255) AS STRING), '.', "
+            f"CAST((({a[0]}) & 255) AS STRING))"
+        ),
+        # additive NULL gate, never CASE around the fold (the measured
+        # 10-50x branch penalty, PLANS.md): the fold runs
+        # unconditionally; an out-of-grammar string adds NULL
+        "IPv4StringToNum": lambda a: (
+            f"(aggregate(transform(split({a[0]}, '\\\\.'), "
+            f"__x -> CAST(__x AS BIGINT)), CAST(0 AS BIGINT), "
+            f"(__acc, __x) -> __acc * 256 + __x) + CASE WHEN ({a[0]}) RLIKE "
+            f"'^([0-9]|[1-9][0-9]|1[0-9][0-9]|2[0-4][0-9]|25[0-5])"
+            f"(\\\\.([0-9]|[1-9][0-9]|1[0-9][0-9]|2[0-4][0-9]|25[0-5])){{3}}$' "
+            f"THEN CAST(0 AS BIGINT) END)"
+        ),
+    }
+)
+
 # the CH typed-empty-array constructors (concat/type-unification
 # seeds); generated as one family so the spelling list stays flat
 _CALL_REWRITES.update(
@@ -1357,6 +1517,25 @@ _ARITY: dict[str, tuple[int, int | None]] = {
 
 _ARITY.update(
     {name: (0, 0) for name in _CALL_REWRITES if name.startswith("emptyArray")}
+)
+
+# vocab batch #2 (URL SQL names, dateDiff/age, scalars)
+_ARITY.update(
+    {
+        "protocol": (1, 1), "domain": (1, 1), "domainWithoutWWW": (1, 1),
+        "topLevelDomain": (1, 1), "path": (1, 1), "pathFull": (1, 1),
+        "queryString": (1, 1), "fragment": (1, 1),
+        "extractURLParameter": (2, 2), "cutQueryString": (1, 1),
+        "cutFragment": (1, 1), "cutWWW": (1, 1), "cutURLParameter": (2, 2),
+        "port": (1, 2),
+        "toYYYYMMDD": (1, 1), "toStartOfHour": (1, 1),
+        "toStartOfMinute": (1, 1), "timeSlot": (1, 1),
+        "dateDiff": (3, 3), "age": (3, 3),
+        "roundBankers": (1, 2), "arrayProduct": (1, 1),
+        "alphaTokens": (1, 1), "arrayResize": (2, 3),
+        "tuple": (1, None), "tupleElement": (2, 2),
+        "IPv4NumToString": (1, 1), "IPv4StringToNum": (1, 1),
+    }
 )
 
 # a rewrite without a declared arity is a table-maintenance bug:
