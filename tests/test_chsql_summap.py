@@ -462,3 +462,109 @@ def test_topk_nested_placement_keeps_parametrized_refusal(spark, sources):
             "SELECT t FROM (SELECT topK(2)(src) AS t FROM v) q",
             {"v": sources},
         )
+
+
+# ---------------------------------------------------------------------------
+# quantileExactWeighted / quantilesExactWeighted (third structural kind)
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def weighted(spark):
+    # g=2 has one valid value (5): the 7 carries weight 0 (CH ignores
+    # it) and one NULL value; g=3 is ALL invalid
+    return spark.createDataFrame(
+        [
+            (1, 10, 1), (1, 20, 3), (1, 30, 1),
+            (2, 5, 2), (2, None, 4), (2, 7, 0),
+            (3, None, 5),
+            (None, 9, 2),
+        ],
+        "g INT, x INT, w INT",
+    )
+
+
+def test_qew_matches_operator_rule(spark, weighted):
+    """Same rank rule as operators/stats.quantile_exact_weighted
+    ('low': value covering floor(q*(n-1)) in the weighted expansion),
+    computed over the compressed distribution."""
+    from yc_data_transfer_clickhouse_from_yandex_metrica_spark.operators import stats
+
+    got = chsql.run_sql(
+        spark,
+        "SELECT g, quantileExactWeighted(0.5)(x, w) AS med, count(1) AS n "
+        "FROM t GROUP BY g",
+        {"t": weighted},
+    )
+    rows = {r["g"]: (r["med"], r["n"]) for r in got.collect()}
+    op = {
+        r["g"]: r["med"]
+        for r in stats.quantile_exact_weighted(
+            weighted, ["g"], "x", "w", {"med": 0.5}
+        ).collect()
+    }
+    for g, med in op.items():
+        assert rows[g][0] == med
+    # group survival is STRONGER than the operator API: the all-invalid
+    # group stays, quantile NULL (the engine's NULL-over-NaN rule)
+    assert rows[3] == (None, 1)
+    assert rows[1] == (20, 3)
+    assert rows[2] == (5, 3)
+
+
+def test_qew_quantiles_array_and_minmax_levels(spark, weighted):
+    [r] = chsql.run_sql(
+        spark,
+        "SELECT quantilesExactWeighted(0.25, 0.5, 0.75)(x, w) AS qs "
+        "FROM t",
+        {"t": weighted},
+    ).collect()
+    # global weighted dist: 5(2) 9(2) 10(1) 20(3) 30(1), n=9
+    assert list(r["qs"]) == [9, 10, 20]
+    rows = {
+        r["g"]: list(r["mm"])
+        for r in chsql.run_sql(
+            spark,
+            "SELECT g, quantilesExactWeighted(0, 1)(x, w) AS mm "
+            "FROM t GROUP BY g",
+            {"t": weighted},
+        ).collect()
+    }
+    assert rows[1] == [10, 30] and rows[3] == [None, None]
+
+
+@pytest.mark.parametrize(
+    "sql,frag",
+    [
+        (
+            "SELECT quantileExactWeighted(1.5)(x, w) AS q FROM t",
+            "in [0, 1]",
+        ),
+        (
+            "SELECT quantileExactWeighted(0.5, 0.9)(x, w) AS q FROM t",
+            "ONE level",
+        ),
+        (
+            "SELECT quantileExactWeighted(0.5)(x) AS q FROM t",
+            "(value, weight)",
+        ),
+        ("SELECT quantileExactWeighted(0.5)(x, w) FROM t", "alias"),
+    ],
+)
+def test_qew_refusals(spark, weighted, sql, frag):
+    with pytest.raises(ValueError, match="chsql"):
+        try:
+            chsql.run_sql(spark, sql, {"t": weighted})
+        except ValueError as e:
+            assert frag in str(e), f"{frag!r} not in {e}"
+            raise
+
+
+def test_qew_nested_placement_keeps_parametrized_refusal(spark, weighted):
+    with pytest.raises(ValueError, match="quantile_exact_weighted"):
+        chsql.run_sql(
+            spark,
+            "SELECT q FROM (SELECT quantileExactWeighted(0.5)(x, w) AS q "
+            "FROM t) s",
+            {"t": weighted},
+        )

@@ -63,6 +63,12 @@ vocabulary):
   (documented deviation); NULLs skipped, all-NULL groups keep [].
   The global (no GROUP BY) spelling compiles to ORDER BY + LIMIT
   (TakeOrdered), never a single-partition window.
+- ``quantileExactWeighted(p)(x, w)`` / ``quantilesExactWeighted``
+  (r12): same statement-level compiler; the text twin of
+  operators/stats.quantile_exact_weighted ('low' variant) over the
+  COMPRESSED (group, distinct value, weight) distribution.
+  All-invalid groups survive with a NULL quantile (the engine's
+  NULL-over-NaN rule).
 - ``PREWHERE`` (CH's scan-stage filter hint) merged into WHERE --
   Catalyst pushes filters to the scan on its own, so the hint costs
   nothing and the semantics (one more conjunct) are identical.
@@ -1258,11 +1264,12 @@ def _param_agg_sql(name: str, params: str, args: str) -> str:
         return f"percentile_approx({args}, array({params}), 10000)"
     raise ValueError(
         f"chsql: parameterized aggregate {name!r} has no single-expression "
-        "Spark mapping (topK compiles as a whole aliased top-level "
-        "SELECT item, else operators/stats.heavy_hitters; "
-        "groupArrayMoving* -> operators/series.moving_agg, histogram -> "
-        "operators/stats.histogram, quantile*ExactWeighted -> "
-        "operators/stats.quantile_exact_weighted)"
+        "Spark mapping (topK and quantile*ExactWeighted compile as "
+        "whole aliased top-level SELECT items, else "
+        "operators/stats.heavy_hitters / "
+        "operators/stats.quantile_exact_weighted; groupArrayMoving* "
+        "-> operators/series.moving_agg, histogram -> "
+        "operators/stats.histogram)"
     )
 
 
@@ -1859,9 +1866,11 @@ def _rewrite_array_join(sql: str, defaults: dict[str, str]) -> str:
 _MAP_AGG_RE = re.compile(r"\b(sumMap|minMap|maxMap)\s*\(")
 _MAP_AGG_HOW = {"sumMap": "sum", "minMap": "min", "maxMap": "max"}
 _TOPK_RE = re.compile(r"(topKWeighted|topK)\s*\(")
+_QEW_RE = re.compile(r"(quantilesExactWeighted|quantileExactWeighted)\s*\(")
 # every aggregate the statement-level structural compiler may claim
 _STRUCT_AGG_GATE = re.compile(
-    r"\b(sumMap|minMap|maxMap|topKWeighted|topK)\s*\("
+    r"\b(sumMap|minMap|maxMap|topKWeighted|topK|"
+    r"quantilesExactWeighted|quantileExactWeighted)\s*\("
 )
 # output-name shapes an ORDER BY/unaliased item may take: a (possibly
 # qualified) identifier or an integer position
@@ -1973,6 +1982,62 @@ def _topk_chain(
     )
     c2 = f"SELECT * FROM ({c}) WHERE __tkr <= {n} OR __tkf"
     return f"SELECT {lead}{pack} FROM ({c2}) GROUP BY {gk_names}"
+
+
+def _qew_chain(
+    ps: list[float], xarg: str, warg: str, gk: list[str], from_txt: str,
+    where_txt: str | None, scalar: bool,
+) -> str:
+    """``quantileExactWeighted(p)(x, w)`` / ``quantilesExactWeighted``
+    chain: the text twin of operators/stats.quantile_exact_weighted
+    (oracle-proven, 'low' variant) -- exact quantiles of the multiset
+    where each value appears w times, WITHOUT expanding it: hash-agg
+    the (group, value) weights map-side, then one window over the
+    COMPRESSED distribution (|group x distinct value| rows, never raw
+    rows); value covers expanded 0-based ranks [cum_before,
+    cum_before + w - 1], quantile = value covering floor(p * (n-1)).
+
+    Invalid rows (NULL value / weight <= 0 -- CH ignores them) fold
+    to a (NULL, weight 0) filler distribution row so all-invalid
+    groups survive with a NULL quantile (the engine's NULL-over-NaN
+    convention, as avgWeighted)."""
+    gk_sel = "".join(f"{e} AS __smg{i}, " for i, e in enumerate(gk))
+    gk_names = ", ".join(f"__smg{i}" for i in range(len(gk)))
+    lead = f"{gk_names}, " if gk else ""
+    part = f"PARTITION BY {gk_names} " if gk else ""
+    a = (
+        f"SELECT {gk_sel}({xarg}) AS __qv0, "
+        f"CAST(({warg}) AS BIGINT) AS __qw0 {from_txt}"
+        + (f" {where_txt}" if where_txt else "")
+    )
+    b = (
+        f"SELECT {lead}__qvm AS __qv, sum(__qwm) AS __qw FROM ("
+        f"SELECT {lead}CASE WHEN __qv0 IS NOT NULL AND __qw0 > 0 "
+        f"THEN __qv0 END AS __qvm, "
+        f"CASE WHEN __qv0 IS NOT NULL AND __qw0 > 0 THEN __qw0 "
+        f"ELSE CAST(0 AS BIGINT) END AS __qwm FROM ({a})"
+        f") GROUP BY {lead}__qvm"
+    )
+    c = (
+        f"SELECT {lead}__qv, __qw, coalesce(sum(__qw) OVER ({part}"
+        f"ORDER BY __qv ROWS BETWEEN UNBOUNDED PRECEDING AND 1 "
+        f"PRECEDING), CAST(0 AS BIGINT)) AS __cb, "
+        f"sum(__qw) OVER ({part.rstrip()}) AS __qn FROM ({b})"
+    )
+    picks = []
+    for p in ps:
+        r = (
+            f"CAST(floor({p!r} * CAST(__qn - 1 AS DOUBLE)) AS BIGINT)"
+        )
+        picks.append(
+            f"max(CASE WHEN {r} >= __cb AND {r} < __cb + __qw "
+            f"THEN __qv END)"
+        )
+    out = picks[0] if scalar else "array(" + ", ".join(picks) + ")"
+    return (
+        f"SELECT {lead}{out} AS __qq FROM ({c})"
+        + (f" GROUP BY {gk_names}" if gk else "")
+    )
 
 
 def _rewrite_summap(sql: str) -> str:
@@ -2098,6 +2163,50 @@ def _rewrite_summap(sql: str) -> str:
                         )
                     )
                     continue
+        qm = _QEW_RE.match(_mask(expr))
+        if qm:
+            p_open = expr.index("(", qm.end(1))
+            p_close = _match_paren(_mask(expr), p_open)
+            k = p_close + 1
+            while k < len(expr) and expr[k].isspace():
+                k += 1
+            if k < len(expr) and expr[k] == "(":
+                a_close = _match_paren(_mask(expr), k)
+                if a_close == len(expr.rstrip()) - 1:
+                    name = qm.group(1)
+                    if alias is None:
+                        raise ValueError(
+                            f"chsql: alias the {name}(...)(...) item (AS name)"
+                        )
+                    try:
+                        ps = [
+                            float(p) for p in _split_top(expr[p_open + 1 : p_close])
+                        ]
+                    except ValueError:
+                        ps = []
+                    if not ps or not all(0.0 <= p <= 1.0 for p in ps):
+                        raise ValueError(
+                            f"chsql: {name} needs literal quantile "
+                            f"level(s) in [0, 1], got "
+                            f"{expr[p_open + 1:p_close]!r}"
+                        )
+                    scalar = name == "quantileExactWeighted"
+                    if scalar and len(ps) != 1:
+                        raise ValueError(
+                            "chsql: quantileExactWeighted takes ONE "
+                            "level; use quantilesExactWeighted for a "
+                            "list"
+                        )
+                    args = _split_top(expr[k + 1 : a_close])
+                    if len(args) != 2 or not all(a.strip() for a in args):
+                        raise ValueError(
+                            f"chsql: {name} takes (value, weight) "
+                            "after the level list"
+                        )
+                    struct_items.append(
+                        (idx, "qew", (ps, args[0], args[1], scalar), alias)
+                    )
+                    continue
         if _MAP_AGG_RE.search(_mask(expr)):
             raise ValueError(
                 "chsql: sumMap/minMap/maxMap compile only as a whole "
@@ -2215,9 +2324,12 @@ def _rewrite_summap(sql: str) -> str:
         if kind == "map":
             how, karg, varg = payload
             chain = _summap_chain(how, karg, varg, gk, frm, where_txt)
-        else:
+        elif kind == "topk":
             topn, xarg, warg = payload
             chain = _topk_chain(topn, xarg, warg, gk, frm, where_txt)
+        else:
+            ps, xarg, warg, scalar = payload
+            chain = _qew_chain(ps, xarg, warg, gk, frm, where_txt, scalar)
         frames.append((f"__smm{n}", chain))
 
     base_tag = frames[0][0]
@@ -2243,6 +2355,9 @@ def _rewrite_summap(sql: str) -> str:
             tag = item_tag[idx]
             if item_kind[idx] == "topk":
                 items_out.append(f"{tag}.__tkarr AS `{name}`")
+                continue
+            if item_kind[idx] == "qew":
+                items_out.append(f"{tag}.__qq AS `{name}`")
                 continue
             items_out.append(
                 f"named_struct('keys', transform({tag}.__smkv, __sms -> "
