@@ -4099,8 +4099,15 @@ def test_chsql_parameterized_aggregates(spark):
     assert len(r.qs) == 2 and r.qs[0] < r.qs[1]
     assert r.medx in (50.0, 51.0)  # an actual element, nearest-rank
     assert r.u == 4  # more than 3 distinct -> N+1
-    with pytest.raises(ValueError, match="parameterized aggregate"):
+    # r12: top-level topK now COMPILES (test_chsql_summap.py) -- the
+    # unaliased spelling gets the alias refusal, and nested
+    # placements keep the parameterized-aggregate refusal
+    with pytest.raises(ValueError, match="alias the topK"):
         chsql.run_sql(spark, "SELECT topK(3)(k) FROM t", {"t": df})
+    (tk,) = chsql.run_sql(
+        spark, "SELECT topK(2)(k) AS tk FROM t", {"t": df}
+    ).collect()[0]
+    assert list(tk) == ["k0", "k1"]  # 20 each; ties break value-asc
 
 
 def test_chsql_string_regex_family(spark):
