@@ -109,6 +109,7 @@ HEADLINE = [
     "chsql_asof",
     "chsql_any_join",
     "chsql_model_final",
+    "chsql_summap",
     "tfidf_top_terms",
     "bigram_lm_score",
     "shard_assign",

@@ -1,6 +1,6 @@
-"""Round-11 ADVICE items, DEFERRED to round 12 by design — each pinned
-here as a strict xfail asserting the DESIRED behavior, so the r12 fix
-flips the marker off and nothing regresses silently in between.
+"""Round-11 ADVICE items, fixed by the r12 chsql batch — formerly
+strict xfails pinning the DESIRED behavior (the r11 deferral ledger);
+the batch flipped them to live regression tests.
 
 Why deferred (the window arithmetic, README "Driver verification
 window"): every item is an edit to an existing plans/chsql.py def,
@@ -39,14 +39,6 @@ _META = {
 }
 
 
-@pytest.mark.xfail(
-    strict=True,
-    reason="ADVICE r11 #1 (deferred to r12): the decoration-scan "
-    "comma alternative matches qualified SELECT-list references "
-    "(', visits.col') as bare table references, raising a spurious "
-    "mixed-reference refusal.  Fix: add (?!\\s*\\.) after the name "
-    "group in _scan_table_decorations' pattern.",
-)
 def test_qualified_select_column_does_not_trip_mixed_refusal(spark, visits):
     out = chsql.run_sql(
         spark,
@@ -57,26 +49,10 @@ def test_qualified_select_column_does_not_trip_mixed_refusal(spark, visits):
     assert out.count() == 2
 
 
-@pytest.mark.xfail(
-    strict=True,
-    reason="ADVICE r11 #2 (deferred to r12): any/anyLast must compile "
-    "to any_value(x, true) — CH aggregates skip NULLs (any returns "
-    "the first NON-NULL value), Spark's any_value without ignoreNulls "
-    "may return NULL even when non-NULL values exist.  Fix: emit the "
-    "two-arg ignoreNulls form in _CALL_REWRITES.",
-)
 def test_any_compiles_null_skipping():
     assert "any_value(x, true)" in chsql._rewrite_calls("SELECT any(x) FROM t")
 
 
-@pytest.mark.xfail(
-    strict=True,
-    reason="ADVICE r11 #3 (deferred to r12): two decorated references "
-    "to one table with CONFLICTING decorations silently let the last "
-    "flags win for both.  Fix: track flags per match in "
-    "_scan_table_decorations and refuse on disagreement (the same "
-    "silent-wrong class the decorated+bare mix already refuses).",
-)
 def test_conflicting_decorations_refused(spark, visits):
     with pytest.raises(ValueError, match="FINAL/SAMPLE|decorat"):
         chsql.run_sql(
@@ -88,14 +64,6 @@ def test_conflicting_decorations_refused(spark, visits):
         )
 
 
-@pytest.mark.xfail(
-    strict=True,
-    reason="ADVICE r11 #4 (deferred to r12): SAMPLE 1 is valid CH "
-    "(reads all rows) but frac >= 1 refuses it with the misleading "
-    "approximate-row-count message.  Fix: treat fraction == 1 as a "
-    "no-op (no filter) in _parse_sample_fraction / the decoration "
-    "apply; keep the refusal for integers > 1.",
-)
 def test_sample_one_reads_all_rows(spark, visits):
     out = chsql.run_sql(
         spark,
@@ -106,16 +74,6 @@ def test_sample_one_reads_all_rows(spark, visits):
     assert out.collect()[0]["n"] == 2
 
 
-@pytest.mark.xfail(
-    strict=True,
-    reason="self-found r11, queued with the r12 chsql batch: CH array "
-    "LITERALS `[1, 2]` must compile to array(1, 2) — today the "
-    "bracket reaches Spark SQL verbatim and dies with "
-    "PARSE_SYNTAX_ERROR (only identifier-preceded brackets are "
-    "handled, as 1-based indexing).  Fix: masked scan converting "
-    "brackets NOT preceded by an identifier/]/) into array(...), "
-    "innermost-first so nesting works.",
-)
 def test_bracket_array_literal_compiles(spark, visits):
     out = chsql.run_sql(
         spark, "SELECT has([1, 2], 2) AS h FROM visits", {"visits": visits}
@@ -123,14 +81,6 @@ def test_bracket_array_literal_compiles(spark, visits):
     assert [r["h"] for r in out.collect()] == [True, True]
 
 
-@pytest.mark.xfail(
-    strict=True,
-    reason="ADVICE r11 #5 (deferred to r12): hasAll compiles to "
-    "forall(arr2, x -> array_contains(arr1, x)), which yields NULL "
-    "for NULL elements, while CH hasAll treats NULL as a matchable "
-    "value and always returns 0/1.  Fix: null-safe membership "
-    "(exists(arr1, y -> y <=> __x)).",
-)
 def test_hasall_null_element_matches(spark, visits):
     out = chsql.run_sql(
         spark,
@@ -140,3 +90,58 @@ def test_hasall_null_element_matches(spark, visits):
     )
     vals = [r["h"] for r in out.collect()]
     assert vals == [True, True]  # CH: NULL element present -> 1
+
+
+# ---------------------------------------------------------------------------
+# r11 self-found, fixed with the same batch: postfix (call-result)
+# indexing and bare-literal classification
+# ---------------------------------------------------------------------------
+
+
+def test_select_adjacent_array_literal(spark, visits):
+    """`SELECT [1,2]` — the literal classifier must check the
+    IMMEDIATELY preceding char (the keyword before the whitespace is
+    not an indexable expression)."""
+    out = chsql.run_sql(
+        spark, "SELECT [10, 20, 30] AS a FROM visits", {"visits": visits}
+    )
+    assert out.collect()[0]["a"] == [10, 20, 30]
+
+
+def test_postfix_indexing_is_one_based(spark, visits):
+    """CH element access on CALL results previously reached Spark as
+    ZERO-based bracket access — a silent off-by-one."""
+    t = spark.createDataFrame([("aXbXc",)], "s string")
+    q = (
+        "SELECT splitByChar('X', s)[1] AS first, "
+        "splitByChar('X', s)[-1] AS last, "
+        "splitByChar('X', s)[9] AS oob, "
+        "splitByChar('X', s)[0] AS zero FROM t"
+    )
+    r = chsql.run_sql(spark, q, {"t": t}).collect()[0]
+    assert (r["first"], r["last"], r["oob"], r["zero"]) == ("a", "c", "", "")
+
+
+def test_literal_then_index_chain(spark, visits):
+    out = chsql.run_sql(
+        spark, "SELECT [[1, 2], [3]][2][1] AS v FROM visits",
+        {"visits": visits},
+    )
+    assert [r["v"] for r in out.collect()] == [3, 3]
+
+
+def test_range_family(spark, visits):
+    """CH range: end-exclusive, empty on empty interval; indexing a
+    range result goes through the postfix 1-based path with the
+    numeric type default."""
+    q = (
+        "SELECT range(3) AS r1, range(2, 5) AS r2, range(5, 2) AS r3, "
+        "range(0, 10, 3) AS r4, range(3)[2] AS second, "
+        "range(3)[99] AS oob FROM visits"
+    )
+    r = chsql.run_sql(spark, q, {"visits": visits}).collect()[0]
+    assert r["r1"] == [0, 1, 2]
+    assert r["r2"] == [2, 3, 4]
+    assert r["r3"] == []
+    assert r["r4"] == [0, 3, 6, 9]
+    assert (r["second"], r["oob"]) == (1, 0)

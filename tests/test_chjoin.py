@@ -212,6 +212,41 @@ class TestAny:
         assert [tuple(r) for r in out.collect()] == [(None, "z")]
 
 
+class TestAsofComparators:
+    """All four CH ASOF comparators vs DuckDB's native ASOF variants
+    (r12: the r11 strict/reversed refusal is compiled)."""
+
+    @pytest.mark.parametrize("op", [">", "<=", "<"])
+    def test_matches_duckdb(self, spark, duck, op):
+        clicks, purchases = _clicks_purchases(spark)
+        got = chjoin.run_sql(
+            spark,
+            f"""
+            SELECT event_id, p.purchase_value AS pv, p.ts AS pts
+            FROM clicks c ASOF LEFT JOIN purchases p
+              ON c.user_id = p.user_id AND c.ts {op} p.ts
+            """,
+            {"clicks": clicks, "purchases": purchases},
+        )
+        want = duck.sql(
+            f"""
+            WITH clicks AS (SELECT event_id, user_id, ts FROM events
+                            WHERE event_type = 'click'),
+            purchases AS (SELECT user_id, ts,
+                                 max(value) AS purchase_value
+                          FROM events WHERE event_type = 'purchase'
+                          GROUP BY user_id, ts)
+            SELECT c.event_id, p.purchase_value AS pv, p.ts AS pts
+            FROM clicks c ASOF LEFT JOIN purchases p
+              ON c.user_id = p.user_id AND c.ts {op} p.ts
+            """
+        ).fetchall()
+        assert _rows(got) == sorted(
+            (tuple(r) for r in want),
+            key=lambda t: tuple((v is None, v) for v in t),
+        )
+
+
 class TestUsing:
     def test_asof_using_matches_on_form(self, spark):
         clicks, purchases = _clicks_purchases(spark)
@@ -289,18 +324,6 @@ class TestRefusals:
             chjoin.run_sql(None, sql, {"c": self.c, "p": self.p})
         for f in frag:
             assert f in str(ei.value)
-
-    def test_strict_inequality(self):
-        self._refused(
-            "SELECT 1 FROM c ASOF JOIN p ON c.k = p.k AND c.t > p.t",
-            "inequality shape",
-        )
-
-    def test_reversed_inequality(self):
-        self._refused(
-            "SELECT 1 FROM c ASOF JOIN p ON c.k = p.k AND c.t <= p.t",
-            "inequality shape",
-        )
 
     def test_missing_inequality(self):
         self._refused(

@@ -133,16 +133,20 @@ _CASES = [
         "ASOF JOIN r b ON a.k = b.k AND a.t >= b.t WHERE b.v > 2",
         "matched",
     ),
-    # strict / reversed inequality refuse (never silently >=)
+    # strict / reversed comparators (r12: compiled, oracle-matched)
     (
-        "SELECT k FROM l a ASOF JOIN r b ON a.k = b.k AND a.t > b.t",
-        "SELECT 1",
-        "refused",
+        "SELECT k, b.v AS v FROM l a ASOF JOIN r b "
+        "ON a.k = b.k AND a.t > b.t",
+        "SELECT a.k AS k, b.v AS v FROM l a "
+        "ASOF JOIN r b ON a.k = b.k AND a.t > b.t",
+        "matched",
     ),
     (
-        "SELECT k FROM l a ASOF JOIN r b ON a.k = b.k AND a.t <= b.t",
-        "SELECT 1",
-        "refused",
+        "SELECT k, b.v AS v FROM l a ASOF LEFT JOIN r b "
+        "ON a.k = b.k AND a.t <= b.t",
+        "SELECT a.k AS k, b.v AS v FROM l a "
+        "ASOF LEFT JOIN r b ON a.k = b.k AND a.t <= b.t",
+        "matched",
     ),
     # GLOBAL-prefixed strictness stays a refusal (not silently ALL)
     (

@@ -185,9 +185,20 @@ _CASES = [
         "row_number() OVER (PARTITION BY k ORDER BY v DESC) <= 1",
         "matched",
     ),
-    # ANY/ASOF in BOTH word orders refuse with the semantic message
-    ("SELECT 1 FROM t a ANY LEFT JOIN t b ON a.k = b.k", "SELECT 1", "refused"),
-    ("SELECT 1 FROM t a LEFT ANY JOIN t b ON a.k = b.k", "SELECT 1", "refused"),
+    # ANY in BOTH word orders compiles (r12 chjoin fold-in); LEFT ANY
+    # preserves the left multiplicity exactly, so the bare left scan
+    # is an exact oracle.  ASOF without an inequality ON term and
+    # FULL-direction strictness keep the semantic refusal.
+    (
+        "SELECT 1 FROM t a ANY LEFT JOIN t b ON a.k = b.k",
+        "SELECT 1 FROM t",
+        "matched",
+    ),
+    (
+        "SELECT 1 FROM t a LEFT ANY JOIN t b ON a.k = b.k",
+        "SELECT 1 FROM t",
+        "matched",
+    ),
     ("SELECT 1 FROM t a ASOF JOIN t b ON a.k = b.k", "SELECT 1", "refused"),
     ("SELECT 1 FROM t a LEFT ASOF JOIN t b ON a.k = b.k", "SELECT 1", "refused"),
     ("SELECT 1 FROM t a FULL ANY JOIN t b ON a.k = b.k", "SELECT 1", "refused"),
@@ -520,15 +531,32 @@ def test_limit_by_with_fill_refusal_names_the_conflict(spark, tbl):
         )
 
 
-def test_any_asof_refusals_name_the_operator(spark, tbl):
-    """The refusal must be the dialect's SEMANTIC message (pointing at
-    the engine operator), not an opaque Spark parse error."""
-    for sql, word in [
-        ("SELECT 1 FROM t a LEFT ANY JOIN t b ON a.k = b.k", "ANY"),
-        ("SELECT 1 FROM t a LEFT ASOF JOIN t b ON a.k = b.k", "ASOF"),
-        ("SELECT 1 FROM t a ANY LEFT JOIN t b ON a.k = b.k", "ANY"),
+def test_any_asof_compile_or_semantic_refusal(spark, tbl):
+    """r12: ASOF/ANY strictness modifiers COMPILE through the core
+    front-end (the chjoin fold-in); shapes still outside the compiled
+    surface must refuse with the dialect's SEMANTIC message, not an
+    opaque Spark parse error."""
+    # ANY joins with equality ON terms compile (self-join included)
+    out = chsql.run_sql(
+        spark,
+        "SELECT a.k AS k FROM t a ANY LEFT JOIN t b ON a.k = b.k",
+        {"t": tbl},
+    )
+    assert out.count() == tbl.count()
+    # remaining refusal surface keeps pointer-carrying messages
+    for sql, frag in [
+        # ASOF without an inequality ON term
+        (
+            "SELECT 1 FROM t a LEFT ASOF JOIN t b ON a.k = b.k",
+            "inequality",
+        ),
+        # RIGHT-direction strictness join
+        (
+            "SELECT 1 FROM t a ANY RIGHT JOIN t b ON a.k = b.k",
+            "swap the",
+        ),
     ]:
-        with pytest.raises(ValueError, match=f"CH {word} JOIN"):
+        with pytest.raises(ValueError, match=frag):
             chsql.run_sql(spark, sql, {"t": tbl})
 
 

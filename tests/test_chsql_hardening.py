@@ -307,7 +307,13 @@ def test_structural_functions_refuse_with_operator_pointer(spark, stbl):
     the engine operator named -- never fall through to Spark's opaque
     'undefined function' error."""
     for sql, ptr in [
-        ("SELECT sumMap(xs, xs) AS m FROM t GROUP BY k", "maps.agg_map"),
+        # r12: a whole aliased top-level SELECT item now COMPILES
+        # (test_chsql_summap.py); the refusal remains for any other
+        # placement, e.g. inside a subquery
+        (
+            "SELECT m FROM (SELECT sumMap(xs, xs) AS m FROM t GROUP BY k) q",
+            "maps.agg_map",
+        ),
         ("SELECT windowFunnel(3600)(k, s = 'a') AS f FROM t", "funnel.window_funnel"),
         ("SELECT runningDifference(k) AS r FROM t", "series.running_difference"),
         ("SELECT neighbor(k, 1) AS n FROM t", "series.neighbor"),
@@ -317,7 +323,12 @@ def test_structural_functions_refuse_with_operator_pointer(spark, stbl):
             chsql.run_sql(spark, sql, {"t": stbl})
     for sql, ptr in [
         ("SELECT histogram(5)(k) AS h FROM t", "stats.histogram"),
-        ("SELECT quantileExactWeighted(0.5)(k, k) AS q FROM t", "quantile_exact_weighted"),
+        # r12: the whole-aliased-top-level-item placement now COMPILES
+        # (test_chsql_summap.py); nested placements keep the pointer
+        (
+            "SELECT q FROM (SELECT quantileExactWeighted(0.5)(k, k) AS q FROM t) s",
+            "quantile_exact_weighted",
+        ),
     ]:
         with pytest.raises(ValueError, match=ptr.replace(".", r"\.")):
             chsql.run_sql(spark, sql, {"t": stbl})

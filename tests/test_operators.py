@@ -4099,8 +4099,15 @@ def test_chsql_parameterized_aggregates(spark):
     assert len(r.qs) == 2 and r.qs[0] < r.qs[1]
     assert r.medx in (50.0, 51.0)  # an actual element, nearest-rank
     assert r.u == 4  # more than 3 distinct -> N+1
-    with pytest.raises(ValueError, match="parameterized aggregate"):
+    # r12: top-level topK now COMPILES (test_chsql_summap.py) -- the
+    # unaliased spelling gets the alias refusal, and nested
+    # placements keep the parameterized-aggregate refusal
+    with pytest.raises(ValueError, match="alias the topK"):
         chsql.run_sql(spark, "SELECT topK(3)(k) FROM t", {"t": df})
+    (tk,) = chsql.run_sql(
+        spark, "SELECT topK(2)(k) AS tk FROM t", {"t": df}
+    ).collect()[0]
+    assert list(tk) == ["k0", "k1"]  # 20 each; ties break value-asc
 
 
 def test_chsql_string_regex_family(spark):
@@ -4222,12 +4229,19 @@ def test_chsql_join_modifiers(spark):
         {"a": a, "b": b},
     ).collect()
     assert [(r.id, r.w) for r in rows] == [(1, 9)]
-    for bad in ("ANY LEFT JOIN", "ASOF JOIN"):
-        with pytest.raises(ValueError, match="row multiplicity"):
-            chsql.run_sql(
-                spark, f"SELECT a.id FROM a {bad} b ON a.id = b.id",
-                {"a": a, "b": b},
-            )
+    # r12: ANY compiles through the chjoin fold-in (keep-one dedup)
+    rows = chsql.run_sql(
+        spark,
+        "SELECT a.id AS id, b.w AS w FROM a ANY LEFT JOIN b ON a.id = b.id",
+        {"a": a, "b": b},
+    ).collect()
+    assert [(r.id, r.w) for r in rows] == [(1, 9)]
+    # ASOF still refuses without an inequality ON term
+    with pytest.raises(ValueError, match="inequality"):
+        chsql.run_sql(
+            spark, "SELECT a.id FROM a ASOF JOIN b ON a.id = b.id",
+            {"a": a, "b": b},
+        )
 
 
 def test_chsql_numbers_and_uniq_family(spark):

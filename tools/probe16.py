@@ -197,6 +197,49 @@ def build_chsql_any(spark, o: DataFrame, li: DataFrame) -> DataFrame:
     )
 
 
+def build_chsql_summap(spark, li: DataFrame, o: DataFrame) -> DataFrame:
+    """The r12 statement-level structural compile (chsql_summap entry
+    shape): sumMap + topK + count(1) in one statement -- residual
+    GROUP BY joined null-safely onto one chain per structural item."""
+    from yc_data_transfer_clickhouse_from_yandex_metrica_spark.plans import chsql
+
+    per_order = (
+        li.groupBy("l_orderkey")
+        .agg(F.collect_list(F.struct("l_returnflag", "l_quantity")).alias("p"))
+        .select(
+            "l_orderkey",
+            F.transform("p", lambda s: s["l_returnflag"]).alias("ks"),
+            F.transform("p", lambda s: s["l_quantity"]).alias("vs"),
+        )
+    )
+    pairs = per_order.join(
+        o, per_order["l_orderkey"] == o["o_orderkey"]
+    ).withColumn("nitems", F.size("ks"))
+    return chsql.run_sql(
+        spark,
+        "SELECT o_orderpriority, count(1) AS orders_n, "
+        "sumMap(ks, vs) AS m, topK(2)(nitems) AS top_n "
+        "FROM pairs GROUP BY o_orderpriority",
+        {"pairs": pairs},
+    )
+
+
+def build_chsql_topk(spark, ev: DataFrame) -> DataFrame:
+    """Grouped topK fast path: rank window over the REDUCED
+    (group, distinct value) stream."""
+    from yc_data_transfer_clickhouse_from_yandex_metrica_spark.plans import chsql
+
+    cohorts = ev.select(
+        "event_type", (F.col("user_id") % 1000).alias("cohort")
+    )
+    return chsql.run_sql(
+        spark,
+        "SELECT event_type, topK(3)(cohort) AS top_cohorts "
+        "FROM ev GROUP BY event_type",
+        {"ev": cohorts},
+    )
+
+
 def measure(name: str, df: DataFrame) -> tuple[float, int, int]:
     """(warm wall sec, exchange count of final plan, rows)."""
     df.write.mode("overwrite").format("noop").save()  # warm
@@ -278,6 +321,21 @@ def main(only: set[str]) -> None:
                 ),
                 li16,
             ),
+        ),
+        # round-12 probes: the statement-level structural aggregate
+        # compiles (sumMap residual-join mixed statement; grouped topK
+        # rank window over the reduced distinct-value stream)
+        "chsql_summap": (
+            lambda: build_chsql_summap(
+                spark, li, o.select("o_orderkey", "o_orderpriority")
+            ),
+            lambda: build_chsql_summap(
+                spark, li16, o16.select("o_orderkey", "o_orderpriority")
+            ),
+        ),
+        "chsql_topk": (
+            lambda: build_chsql_topk(spark, ev),
+            lambda: build_chsql_topk(spark, ev16),
         ),
     }
     for name, (b1, b16) in probes.items():

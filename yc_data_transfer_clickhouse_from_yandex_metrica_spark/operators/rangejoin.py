@@ -135,20 +135,32 @@ def asof_join(
     right_time: str,
     value_cols: list[str],
     how: str = "left",
+    inequality: str = ">=",
 ) -> DataFrame:
-    """As-of join: attach to each left row the LATEST right row of the
-    same key with ``right_time <= left_time`` (DuckDB/kdb ASOF JOIN
-    semantics; ties at equal time match).
+    """As-of join: attach to each left row the NEAREST right row of
+    the same key satisfying ``left_time <inequality> right_time``.
+    The default ``>=`` is the DuckDB/kdb/CH contract (latest right at
+    or before left; ties at equal time match); ``>`` excludes the
+    tie; ``<=`` / ``<`` flip the direction (EARLIEST right at-or-after
+    / strictly after left) — the full CH ASOF comparator set (r12,
+    closing the r11 refusal).
 
     Join-free formulation: union the two streams tagged by side, one
-    window per key ordered by (time, right-first) carrying
-    ``last(value, ignorenulls)`` forward, keep the left rows.  ONE
-    shuffle on the key, no join, no broadcast -- the right side can be
-    as large as the left.  At 100TB pre-partition both inputs by key
-    (bucketed tables) and even that shuffle disappears.  Rows with
-    equal (key, right_time) resolve by the last in window order; keep
-    (key, right_time) unique for determinism.
+    window per key ordered by (time, side) carrying ``last(value,
+    ignorenulls)`` forward, keep the left rows.  The time order is
+    ascending for ``>=``/``>`` and descending for ``<=``/``<``; at
+    equal time the right row sorts before the left exactly when the
+    comparator includes equality.  ONE shuffle on the key, no join,
+    no broadcast -- the right side can be as large as the left.  At
+    100TB pre-partition both inputs by key (bucketed tables) and even
+    that shuffle disappears.  Rows with equal (key, right_time)
+    resolve by the last in window order; keep (key, right_time)
+    unique for determinism.
     """
+    if inequality not in (">=", ">", "<=", "<"):
+        raise ValueError(
+            f"asof_join: inequality {inequality!r} not one of >= > <= <"
+        )
     rv = F.struct(*[F.col(c) for c in value_cols]).alias("__rv")
     r = right.select(
         F.col(key).alias(key),
@@ -176,9 +188,15 @@ def asof_join(
     )
     from pyspark.sql import Window
 
+    ascending = inequality in (">=", ">")
+    ties_match = inequality in (">=", "<=")
+    t_ord = F.col("__t").asc() if ascending else F.col("__t").desc()
+    side_ord = (
+        F.col("__is_right").desc() if ties_match else F.col("__is_right").asc()
+    )
     w = (
         Window.partitionBy(key)
-        .orderBy(F.col("__t").asc(), F.col("__is_right").desc())
+        .orderBy(t_ord, side_ord)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     merged = lt.unionByName(r_full).withColumn(

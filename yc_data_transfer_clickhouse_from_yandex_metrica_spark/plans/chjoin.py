@@ -40,14 +40,17 @@ the nearest-match axis with ``left >= right``, the rest equalities —
 CH's contract; the rewritten statement always uses the parenthesized
 spelling, which Spark requires).
 
-Refusal surface (kept, per the round-10 verdict: "keep the refusal
-for unsupported inequality shapes"): ASOF inequalities other than
-``left >= right`` / ``right <= left`` (CH also allows strict ``>``
-and reversed-direction ``<``), RIGHT/FULL strictness joins, subquery
-join sides, more than one strictness join per statement, and
-expression (non-column) ON terms all raise with a pointer instead of
-silently joining with the wrong multiplicity — the same
-refuse-not-silent-wrong policy as chsql's FINAL/SAMPLE gates.
+All four CH ASOF comparators compile (r12, closing the r11 refusal):
+``>=`` (latest right at-or-before left, ties match — the default),
+``>`` (strictly before), and the reversed ``<=`` / ``<`` (earliest
+right at-or-after / strictly after), each normalized left-hand-first
+and passed to the operator's ``inequality`` argument.
+
+Refusal surface (the refuse-not-silent-wrong policy of chsql's
+FINAL/SAMPLE gates): RIGHT/FULL strictness joins, subquery join
+sides, more than one strictness join per statement, and expression
+(non-column) ON terms all raise with a pointer instead of silently
+joining with the wrong multiplicity.
 
 Layering note: this is a PRE-compiler — it scans the raw statement,
 executes the strictness join through the DataFrame operator, binds
@@ -241,13 +244,6 @@ def _asof_frame(
     Output columns: every left column under its own name + every
     right column as ``<rightname>__<col>``."""
     l_time, op, r_time = ineq
-    if op != ">=":
-        raise ValueError(
-            f"chjoin: ASOF inequality shape {op!r} is not compiled; "
-            "supported: left_time >= right_time (latest right at or "
-            "before left, CH default ties-match) — for strict or "
-            "reversed forms use operators/rangejoin.asof_join directly"
-        )
     prefix = {c: f"{right.name}__{c}" for c in right.df.columns}
     clash = sorted(set(prefix.values()) & set(left.df.columns))
     if clash:
@@ -270,6 +266,7 @@ def _asof_frame(
         right_time=prefix[r_time],
         value_cols=list(prefix.values()),
         how=how,
+        inequality=op,
     )
     return out.drop("__asof_k"), prefix
 
@@ -398,8 +395,11 @@ def compile_strictness_joins(
         rest[lt] = left.df
         # the right table name now only survives as the join alias;
         # a second reference to the original table would silently
-        # read the deduped view — refuse instead
-        if ra and re.search(
+        # read the deduped view — refuse instead.  Self-joins are
+        # exempt: rt == lt stays bound to the ORIGINAL frame (the
+        # rest[lt] rebind below), so the left FROM and any later
+        # reference read the un-deduped table, which is correct.
+        if ra and rt != lt and re.search(
             rf"(?<![\w`.]){re.escape(rt)}(?![\w`])",
             chsql._mask(out_sql[m.start() :]).replace(_VIEW, ""),
         ) and rt != right.name:
@@ -418,11 +418,9 @@ def run_sql(
     params: dict[str, str] | None = None,
     table_meta: dict[str, "chsql.TableMeta"] | None = None,
 ) -> DataFrame:
-    """``chsql.run_sql`` with CH ASOF/ANY JOIN strictness modifiers
-    compiled first — the one dialect surface chsql itself refuses
-    (plans/chsql.py run_sql's ANY/ASOF gate)."""
-    sql = chsql.strip_comments(query)
-    for name, val in (params or {}).items():
-        sql = sql.replace("{{" + name + "}}", val)
-    sql, tables = compile_strictness_joins(spark, sql, tables)
-    return chsql.run_sql(spark, sql, tables, table_meta=table_meta)
+    """Alias of ``chsql.run_sql``: the strictness compile is folded
+    into the core front-end (r12 — the r11 layering was a rotation
+    constraint, not a design); kept for the r11 call sites."""
+    return chsql.run_sql(
+        spark, query, tables, params=params, table_meta=table_meta
+    )

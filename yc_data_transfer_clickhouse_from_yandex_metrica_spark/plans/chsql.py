@@ -51,6 +51,24 @@ vocabulary):
   WHERE).  One array item; no-AS replaces the plain column with its
   element; LEFT fills the CH element-type default ('' / 0) and needs
   a known array column.  Multiple (zipped) arrays refuse.
+- ``sumMap(k, v)`` / ``minMap`` / ``maxMap`` (r12): compiled onto the
+  structural plan of operators/maps.agg_map when each call is a whole
+  ALIASED top-level SELECT item -- output STRUCT(keys, values),
+  sorted keys, element-wise aggregated values; other aggregates in
+  the same statement ride a residual GROUP BY joined null-safely on
+  the group keys.  Any other placement keeps the pointer refusal.
+- ``topK(N)(x)`` / ``topKWeighted(N)(x, w)`` (r12): same
+  statement-level compiler -- EXACT top-N by (frequency DESC, value
+  ASC), a deterministic strengthening of CH's approximate sketch
+  (documented deviation); NULLs skipped, all-NULL groups keep [].
+  The global (no GROUP BY) spelling compiles to ORDER BY + LIMIT
+  (TakeOrdered), never a single-partition window.
+- ``quantileExactWeighted(p)(x, w)`` / ``quantilesExactWeighted``
+  (r12): same statement-level compiler; the text twin of
+  operators/stats.quantile_exact_weighted ('low' variant) over the
+  COMPRESSED (group, distinct value, weight) distribution.
+  All-invalid groups survive with a NULL quantile (the engine's
+  NULL-over-NaN rule).
 - ``PREWHERE`` (CH's scan-stage filter hint) merged into WHERE --
   Catalyst pushes filters to the scan on its own, so the hint costs
   nothing and the semantics (one more conjunct) are identical.
@@ -63,8 +81,9 @@ vocabulary):
   consistent-by-key slice, pushed to the scan.  Undeclared tables
   refuse (including the comma-join and subquery placements Spark
   would parse as aliases); mixed decorated+bare references to one
-  table refuse; integer SAMPLE (row-count form) and SAMPLE..OFFSET
-  refuse.
+  table refuse, as do two decorated references with CONFLICTING
+  flags; ``SAMPLE 1`` reads all rows (valid CH no-op); integer
+  SAMPLE > 1 (row-count form) and SAMPLE..OFFSET refuse.
 - every ``_CALL_REWRITES`` entry declares its arity (``_ARITY``,
   r10): surplus arguments REFUSE instead of being silently dropped,
   missing ones refuse instead of IndexError -- the refusal names the
@@ -107,8 +126,19 @@ vocabulary):
   JOINs in FROM, subqueries, CASE, IN lists -- with the CH function
   vocabulary rewritten wherever it appears.  ``GLOBAL JOIN`` drops its
   modifier (a CH-cluster distribution hint; Spark/AQE picks the
-  strategy); ``ANY``/``ASOF`` JOIN change row multiplicity and raise
-  with a pointer to the dedicated operators.
+  strategy); ``ANY``/``ASOF`` JOIN strictness modifiers compile
+  through plans/chjoin (r12 fold-in): ASOF onto
+  operators/rangejoin.asof_join with the full CH comparator set
+  (``>= > <= <``), ANY as deterministic keep-one build-side dedup +
+  plain join; shapes chjoin cannot bind (subquery sides, RIGHT/FULL
+  direction, missing ASOF inequality) refuse with a pointer.
+- array LITERALS ``[e1, e2, ...]`` -> ``array(...)`` (innermost-first
+  masked scan; a bracket immediately preceded by an identifier /
+  ``)`` / ``]`` is element access, not a literal); postfix indexing
+  on CALL results ``f(...)[i]`` -> ``try_element_at`` (CH 1-based
+  rule incl. negative-from-end; out-of-range yields the element-type
+  default where the callee's type is known, else NULL); ``range``
+  (end-exclusive, 1-3 args).
 - the CH JSON family (``JSONExtractString/Int/Float/Bool/Raw/Keys``,
   ``JSONHas``, ``JSONLength``, ``JSONType``, ``visitParam*``) with
   literal path components, compiled to the same variant-shredding
@@ -339,6 +369,62 @@ def _array_sum_sql(a: list[str], ctx: _SchemaCtx) -> str:
 
 
 @_wants_schema_ctx
+def _array_cum_sum_sql(a: list[str], ctx: _SchemaCtx) -> str:
+    """CH ``arrayCumSum(arr)`` with the same schema-picked accumulator
+    as arraySum.  O(len^2) per ROW (re-aggregates each prefix; Spark
+    has no scan primitive) -- arrays are per-row values, so this never
+    shapes a shuffle; fine for the CH-typical short arrays, and a
+    pathological mega-array row fails by being slow, not by being
+    wrong."""
+    acc = _acc_cast(a[0], ctx)
+    return (
+        f"transform({a[0]}, (__x, __i) -> aggregate(slice({a[0]}, 1, "
+        f"__i + 1), CAST(0 AS {acc}), (__acc, __y) -> __acc + __y))"
+    )
+
+
+_DATE_UNITS = frozenset(
+    {"second", "minute", "hour", "day", "week", "month", "quarter", "year"}
+)
+
+
+def _date_add_sql(a: list[str], neg: str = "") -> str:
+    """CH ``dateAdd(unit, n, d)`` / ``dateSub`` -> ``timestampadd``.
+    The unit may be bare or quoted; refuse unknown units (a typo'd
+    unit would otherwise reach Spark as a bare identifier).  Output is
+    TIMESTAMP even for DATE inputs (Spark's timestampadd contract; CH
+    keeps Date for day-and-coarser units) -- cast at the call site
+    when a DATE is needed."""
+    unit = a[0].strip().strip("'\"").lower()
+    if unit not in _DATE_UNITS:
+        raise ValueError(
+            f"chsql: dateAdd/dateSub unit {a[0]!r} is not one of "
+            f"{sorted(_DATE_UNITS)}"
+        )
+    return f"timestampadd({unit.upper()}, {neg}({a[1]}), {a[2]})"
+
+
+def _to_start_of_week_sql(a: list[str]) -> str:
+    """CH ``toStartOfWeek(d[, mode])``: even modes start Sunday (the
+    CH default 0), odd modes Monday.  Literal modes only."""
+    mode = (a[1].strip() if len(a) > 1 else "0")
+    if mode not in ("0", "1", "2", "3"):
+        raise ValueError(
+            "chsql: toStartOfWeek mode must be a literal in 0..3"
+        )
+    if mode in ("1", "3"):
+        return f"CAST(date_trunc('week', {a[0]}) AS DATE)"
+    return f"date_sub(CAST({a[0]} AS DATE), dayofweek({a[0]}) - 1)"
+
+
+def _fold_intersect(a: list[str]) -> str:
+    out = a[0]
+    for nxt in a[1:]:
+        out = f"array_intersect({out}, {nxt})"
+    return out
+
+
+@_wants_schema_ctx
 def _sum_array_sql(a: list[str], ctx: _SchemaCtx) -> str:
     """CH ``sumArray(arr)`` aggregate combinator: per-row element sum
     (schema-picked accumulator), then SUM over the group."""
@@ -530,10 +616,14 @@ _CALL_REWRITES: dict[str, object] = {
     # dependent (unspecified in distributed reads); Spark's
     # collect_list/any_value carry the same unspecified-order
     # contract, so the mapping is faithful -- queries needing a
-    # deterministic order must sort explicitly, in either engine
+    # deterministic order must sort explicitly, in either engine.
+    # any_value's ignoreNulls=true (ADVICE r11 #2): CH aggregates
+    # SKIP NULLs (any returns the first NON-NULL value), while the
+    # one-arg Spark form may return NULL even when non-NULL values
+    # exist in the group.
     "groupArray": lambda a: f"collect_list({a[0]})",
-    "any": lambda a: f"any_value({a[0]})",
-    "anyLast": lambda a: f"any_value({a[0]})",
+    "any": lambda a: f"any_value({a[0]}, true)",
+    "anyLast": lambda a: f"any_value({a[0]}, true)",
     "arrayStringConcat": lambda a: (
         f"array_join({a[0]}, {a[1] if len(a) > 1 else chr(39) * 2})"
     ),
@@ -679,11 +769,14 @@ _CALL_REWRITES: dict[str, object] = {
         f"approx_count_distinct({a[0] if len(a) == 1 else 'struct(' + ', '.join(a) + ')'}, 0.005)"
     ),
     # numbers(N) / numbers(offset, N): CH's system-numbers table
-    # function -> Spark range() (column renamed to CH's `number`)
+    # function -> Spark range() (column renamed to CH's `number`).
+    # RANGE uppercased: the case-sensitive-rescan escape (as
+    # extract/POSITION), so the scalar CH `range` rewrite below
+    # never re-captures the emitted TABLE function
     "numbers": lambda a: (
-        f"(SELECT id AS number FROM range({a[0]}))"
+        f"(SELECT id AS number FROM RANGE({a[0]}))"
         if len(a) == 1
-        else f"(SELECT id AS number FROM range({a[0]}, ({a[0]}) + ({a[1]})))"
+        else f"(SELECT id AS number FROM RANGE({a[0]}, ({a[0]}) + ({a[1]})))"
     ),
     "extract": lambda a: _extract_sql(a),
     # string family widening (r10; mirrors functions/ch.py).  The
@@ -737,9 +830,289 @@ _CALL_REWRITES: dict[str, object] = {
         f"(CASE WHEN size({a[0]}) > 0 THEN sequence(1, size({a[0]})) "
         f"ELSE CAST(array() AS ARRAY<INT>) END)"
     ),
-    "hasAll": lambda a: f"forall({a[1]}, __x -> array_contains({a[0]}, __x))",
-    "hasAny": lambda a: f"arrays_overlap({a[0]}, {a[1]})",
+    # null-SAFE membership via <=> (ADVICE r11 #5): CH hasAll/hasAny
+    # treat NULL elements as matchable values and always return 0/1,
+    # while array_contains/arrays_overlap yield NULL when a NULL
+    # element is probed (NULL arrays themselves still propagate NULL
+    # -- CH arrays are non-nullable, so that input has no CH meaning)
+    # CH range is END-EXCLUSIVE (Spark sequence is end-inclusive);
+    # empty when the interval is empty.  3-arg: a non-positive step
+    # with a non-empty interval errors in BOTH engines (sequence
+    # checks the sign); with an empty interval CH errors where this
+    # yields [] -- the one (documented) deviation
+    "range": lambda a: (
+        f"(CASE WHEN ({a[0]}) > 0 THEN sequence(0, "
+        f"CAST(({a[0]}) AS BIGINT) - 1) "
+        f"ELSE CAST(array() AS ARRAY<BIGINT>) END)"
+        if len(a) == 1
+        else f"(CASE WHEN ({a[0]}) < ({a[1]}) THEN "
+        f"sequence(CAST(({a[0]}) AS BIGINT), "
+        f"CAST(({a[1]}) AS BIGINT) - 1"
+        + (f", CAST(({a[2]}) AS BIGINT)" if len(a) > 2 else "")
+        + ") ELSE CAST(array() AS ARRAY<BIGINT>) END)"
+    ),
+    "hasAll": lambda a: (
+        f"forall({a[1]}, __x -> exists({a[0]}, __y -> __y <=> __x))"
+    ),
+    "hasAny": lambda a: (
+        f"exists({a[1]}, __x -> exists({a[0]}, __y -> __y <=> __x))"
+    ),
+    # ----- r12 vocabulary widening --------------------------------
+    # aggregate -If combinators (CASE-to-NULL: aggregates skip NULLs
+    # in both engines, matching the existing countIf/sumIf/avgIf row)
+    "minIf": lambda a: f"min(CASE WHEN {a[1]} THEN {a[0]} END)",
+    "maxIf": lambda a: f"max(CASE WHEN {a[1]} THEN {a[0]} END)",
+    "anyIf": lambda a: f"any_value(CASE WHEN {a[1]} THEN {a[0]} END, true)",
+    "uniqExactIf": lambda a: (
+        f"count(DISTINCT CASE WHEN {a[1]} THEN {a[0]} END)"
+    ),
+    # NULL (not CH's NaN) when sum(weight) = 0 -- NULL propagates
+    # loudly where NaN poisons comparisons silently
+    "avgWeighted": lambda a: f"(sum(({a[0]}) * ({a[1]})) / sum({a[1]}))",
+    # CH median == quantile(0.5): the same fixed-memory approximate
+    # class as the quantile family (sketch outputs are engine-
+    # specific: unit-gated, never oracle-hashed)
+    "median": lambda a: f"percentile_approx({a[0]}, 0.5)",
+    # CH statistical spellings -> Spark's (corr/kurtosis caveat:
+    # Spark kurtosis is EXCESS kurtosis, CH kurtPop is raw m4/m2^2)
+    "stddevPop": lambda a: f"stddev_pop({a[0]})",
+    "stddevSamp": lambda a: f"stddev_samp({a[0]})",
+    "varPop": lambda a: f"var_pop({a[0]})",
+    "varSamp": lambda a: f"var_samp({a[0]})",
+    "covarPop": lambda a: f"covar_pop({a[0]}, {a[1]})",
+    "covarSamp": lambda a: f"covar_samp({a[0]}, {a[1]})",
+    "skewPop": lambda a: f"skewness({a[0]})",
+    "kurtPop": lambda a: f"(kurtosis({a[0]}) + 3.0D)",
+    # date widening
+    "toStartOfDay": lambda a: f"date_trunc('DAY', {a[0]})",
+    "toStartOfWeek": lambda a: _to_start_of_week_sql(a),
+    "dateAdd": lambda a: _date_add_sql(a),
+    "dateSub": lambda a: _date_add_sql(a, "-"),
+    "fromUnixTimestamp": lambda a: f"timestamp_seconds({a[0]})",
+    # array widening.  arrayDifference: first element 0, then
+    # adjacent deltas (element_at is 1-based, so index __i IS the
+    # previous element; the CASE guards it from the __i = 0 probe)
+    "arrayDifference": lambda a: (
+        f"transform({a[0]}, (__x, __i) -> CASE WHEN __i = 0 THEN 0 "
+        f"ELSE __x - element_at({a[0]}, __i) END)"
+    ),
+    "arrayCumSum": _array_cum_sum_sql,
+    "arrayIntersect": lambda a: _fold_intersect(a),
+    "arrayPushBack": lambda a: f"concat({a[0]}, array({a[1]}))",
+    "arrayPushFront": lambda a: f"concat(array({a[1]}), {a[0]})",
+    "arrayPopBack": lambda a: (
+        f"slice({a[0]}, 1, greatest(size({a[0]}) - 1, 0))"
+    ),
+    "arrayPopFront": lambda a: (
+        f"slice({a[0]}, 2, greatest(size({a[0]}) - 1, 0))"
+    ),
+    "multiSearchAny": lambda a: (
+        f"exists({a[1]}, __n -> contains({a[0]}, __n))"
+    ),
+    "countEqual": lambda a: (
+        f"size(filter({a[0]}, __y -> __y <=> ({a[1]})))"
+    ),
+    # CH lambda-first signature; NULL when nothing matches (CH: the
+    # element-type default -- same documented deviation class as the
+    # unknown-type postfix index)
+    "arrayFirst": lambda a: f"try_element_at(filter({a[1]}, {a[0]}), 1)",
+    "arrayLast": lambda a: f"try_element_at(filter({a[1]}, {a[0]}), -1)",
+    # bitwise family
+    "bitAnd": lambda a: f"(({a[0]}) & ({a[1]}))",
+    "bitOr": lambda a: f"(({a[0]}) | ({a[1]}))",
+    "bitXor": lambda a: f"(({a[0]}) ^ ({a[1]}))",
+    "bitNot": lambda a: f"(~({a[0]}))",
+    "bitShiftLeft": lambda a: f"shiftleft({a[0]}, {a[1]})",
+    "bitShiftRight": lambda a: f"shiftright({a[0]}, {a[1]})",
+    # string widening
+    "lcase": lambda a: f"lower({a[0]})",
+    "ucase": lambda a: f"upper({a[0]})",
+    "concatWithSeparator": lambda a: f"concat_ws({', '.join(a)})",
+    "base64Encode": lambda a: f"base64({a[0]})",
+    "base64Decode": lambda a: f"CAST(unbase64({a[0]}) AS STRING)",
+    "splitByString": lambda a: (
+        f"split({a[1]}, concat('\\\\Q', {a[0]}, '\\\\E'))"
+    ),
 }
+
+def _date_diff_sql(a: list[str], full_units: bool) -> str:
+    """CH ``dateDiff(unit, s, e)`` counts crossed UNIT BOUNDARIES
+    (2021-12-31 23:59 -> 2022-01-01 00:01 is 1 day/month/year);
+    ``age(unit, s, e)`` counts COMPLETE elapsed units.  Spark's
+    timestampdiff is the age contract; dateDiff additionally truncates
+    both endpoints to the unit first -- complete units between unit
+    starts == boundary crossings."""
+    unit = a[0].strip().strip("'\"").lower()
+    if unit not in _DATE_UNITS:
+        raise ValueError(
+            f"chsql: dateDiff/age unit {a[0]!r} is not one of "
+            f"{sorted(_DATE_UNITS)}"
+        )
+    if full_units:
+        return f"timestampdiff({unit.upper()}, {a[1]}, {a[2]})"
+    return (
+        f"timestampdiff({unit.upper()}, date_trunc('{unit.upper()}', {a[1]}), "
+        f"date_trunc('{unit.upper()}', {a[2]}))"
+    )
+
+
+def _tuple_element_sql(a: list[str]) -> str:
+    m = re.fullmatch(r"\s*(\d+)\s*", a[1])
+    if not m:
+        raise ValueError(
+            "chsql: tupleElement needs a literal 1-based index (field "
+            "names of dialect-built tuples are '1', '2', ...)"
+        )
+    return f"({a[0]}).`{m.group(1)}`"
+
+
+def _cut_url_parameter_sql(a: list[str]) -> str:
+    """SQL-text mirror of ch.cut_url_parameter, with the same
+    documented deviation (ALL duplicate occurrences removed where CH
+    removes the first).  The parameter name must be a string literal
+    (it is spliced into a regex, so it needs escaping at compile
+    time)."""
+    m = re.fullmatch(r"\s*'([^']*)'\s*", a[1])
+    if not m:
+        raise ValueError(
+            "chsql: cutURLParameter needs a literal parameter name"
+        )
+    n = re.escape(m.group(1)).replace("\\", "\\\\")
+    return (
+        f"regexp_replace(regexp_replace({a[0]}, "
+        f"'([?&]){n}=[^&#]*&', '$1'), '[?&]{n}=[^&#]*', '')"
+    )
+
+
+def _array_resize_sql(a: list[str]) -> str:
+    if len(a) == 2:
+        raise ValueError(
+            "chsql: arrayResize without an explicit extender fills CH "
+            "element-type defaults, which need the element type -- "
+            "pass the third argument (e.g. arrayResize(arr, n, 0))"
+        )
+    return (
+        f"concat(slice({a[0]}, 1, CAST(least({a[1]}, size({a[0]})) AS INT)), "
+        f"array_repeat({a[2]}, CAST(greatest(({a[1]}) - size({a[0]}), 0) AS INT)))"
+    )
+
+
+# URL family: SQL-text mirrors of functions/ch.py's url_* wrappers
+# (the oracle-proven source of truth -- equality pinned by
+# tests/test_chsql_vocab_r12.py::test_url_sql_matches_ch_functions).
+# CH returns '' where a component is absent; parse_url returns NULL,
+# so every mirror coalesces to ''.
+_URL_HOST = "coalesce(parse_url({u}, 'HOST'), '')"
+
+_CALL_REWRITES.update(
+    {
+        "protocol": lambda a: f"coalesce(parse_url({a[0]}, 'PROTOCOL'), '')",
+        "domain": lambda a: _URL_HOST.format(u=a[0]),
+        "domainWithoutWWW": lambda a: (
+            f"regexp_replace({_URL_HOST.format(u=a[0])}, '^www\\\\.', '')"
+        ),
+        "topLevelDomain": lambda a: (
+            f"regexp_extract({_URL_HOST.format(u=a[0])}, "
+            f"'\\\\.([^.]+)$', 1)"
+        ),
+        "path": lambda a: f"coalesce(parse_url({a[0]}, 'PATH'), '')",
+        # branch-free pathFull: concat(NULL) is NULL, so an absent
+        # query falls through coalesce to the bare path
+        "pathFull": lambda a: (
+            f"coalesce(concat(coalesce(parse_url({a[0]}, 'PATH'), ''), "
+            f"'?', nullif(coalesce(parse_url({a[0]}, 'QUERY'), ''), '')), "
+            f"coalesce(parse_url({a[0]}, 'PATH'), ''))"
+        ),
+        "queryString": lambda a: f"coalesce(parse_url({a[0]}, 'QUERY'), '')",
+        "fragment": lambda a: f"coalesce(parse_url({a[0]}, 'REF'), '')",
+        "extractURLParameter": lambda a: (
+            f"coalesce(parse_url({a[0]}, 'QUERY', {a[1]}), '')"
+        ),
+        "cutQueryString": lambda a: (
+            f"regexp_replace({a[0]}, '\\\\?[^#]*', '')"
+        ),
+        "cutFragment": lambda a: f"regexp_replace({a[0]}, '#.*$', '')",
+        "cutWWW": lambda a: (
+            f"regexp_replace({a[0]}, "
+            f"'^([a-z][a-z0-9+.-]*://(?:[^/?#@]*@)?)www\\\\.', '$1')"
+        ),
+        "cutURLParameter": _cut_url_parameter_sql,
+        # port(url[, default]): trailing :digits of the AUTHORITY --
+        # bracketed IPv6 inner colons are never at the end; the
+        # nullif/coalesce form is branch-free (PLANS.md CASE penalty)
+        "port": lambda a: (
+            f"coalesce(CAST(nullif(regexp_extract(coalesce("
+            f"parse_url({a[0]}, 'AUTHORITY'), ''), ':(\\\\d+)$', 1), '') "
+            f"AS INT), {a[1] if len(a) > 1 else '0'})"
+        ),
+        # ----- date widening #2 ----------------------------------
+        "toYYYYMMDD": lambda a: (
+            f"CAST(date_format({a[0]}, 'yyyyMMdd') AS INT)"
+        ),
+        "toStartOfHour": lambda a: f"date_trunc('HOUR', {a[0]})",
+        "toStartOfMinute": lambda a: f"date_trunc('MINUTE', {a[0]})",
+        # 30-minute slot, tz-free arithmetic (NTZ-safe: no unix_*)
+        "timeSlot": lambda a: (
+            f"timestampadd(MINUTE, -(minute({a[0]}) % 30), "
+            f"date_trunc('MINUTE', {a[0]}))"
+        ),
+        "dateDiff": lambda a: _date_diff_sql(a, full_units=False),
+        "age": lambda a: _date_diff_sql(a, full_units=True),
+        # ----- math / array / string / tuple ---------------------
+        "roundBankers": lambda a: f"bround({', '.join(a)})",
+        "arrayProduct": lambda a: (
+            f"aggregate({a[0]}, CAST(1.0 AS DOUBLE), "
+            f"(__acc, __x) -> __acc * __x)"
+        ),
+        "alphaTokens": lambda a: (
+            f"filter(split({a[0]}, '[^A-Za-z]+'), __x -> __x != '')"
+        ),
+        "arrayResize": _array_resize_sql,
+        "tuple": lambda a: "named_struct(" + ", ".join(
+            f"'{i + 1}', {x}" for i, x in enumerate(a)
+        ) + ")",
+        "tupleElement": _tuple_element_sql,
+        # IPv4 numeric<->dotted-quad; malformed strings yield NULL
+        # (CH IPv4StringToNum THROWS -- NULL propagates loudly in a
+        # pipeline without killing the job; documented deviation)
+        "IPv4NumToString": lambda a: (
+            f"concat(CAST(((({a[0]}) >> 24) & 255) AS STRING), '.', "
+            f"CAST(((({a[0]}) >> 16) & 255) AS STRING), '.', "
+            f"CAST(((({a[0]}) >> 8) & 255) AS STRING), '.', "
+            f"CAST((({a[0]}) & 255) AS STRING))"
+        ),
+        # additive NULL gate, never CASE around the fold (the measured
+        # 10-50x branch penalty, PLANS.md): the fold runs
+        # unconditionally; an out-of-grammar string adds NULL
+        "IPv4StringToNum": lambda a: (
+            f"(aggregate(transform(split({a[0]}, '\\\\.'), "
+            f"__x -> CAST(__x AS BIGINT)), CAST(0 AS BIGINT), "
+            f"(__acc, __x) -> __acc * 256 + __x) + CASE WHEN ({a[0]}) RLIKE "
+            f"'^([0-9]|[1-9][0-9]|1[0-9][0-9]|2[0-4][0-9]|25[0-5])"
+            f"(\\\\.([0-9]|[1-9][0-9]|1[0-9][0-9]|2[0-4][0-9]|25[0-5])){{3}}$' "
+            f"THEN CAST(0 AS BIGINT) END)"
+        ),
+    }
+)
+
+# the CH typed-empty-array constructors (concat/type-unification
+# seeds); generated as one family so the spelling list stays flat
+_CALL_REWRITES.update(
+    {
+        f"emptyArray{ch}": (
+            lambda t: (lambda a: f"CAST(array() AS ARRAY<{t}>)")
+        )(sp)
+        for ch, sp in {
+            "String": "STRING",
+            "Int8": "TINYINT", "Int16": "SMALLINT", "Int32": "INT",
+            "Int64": "BIGINT",
+            "UInt8": "SMALLINT", "UInt16": "INT", "UInt32": "BIGINT",
+            "UInt64": "BIGINT",
+            "Float32": "FLOAT", "Float64": "DOUBLE",
+            "Date": "DATE", "DateTime": "TIMESTAMP",
+        }.items()
+    }
+)
 
 
 def _structural_refusal(name: str, pointer: str):
@@ -761,9 +1134,15 @@ def _structural_refusal(name: str, pointer: str):
 
 
 _STRUCTURAL_OPS = {
-    "sumMap": "operators/maps.agg_map(how='sum')",
-    "minMap": "operators/maps.agg_map(how='min')",
-    "maxMap": "operators/maps.agg_map(how='max')",
+    # the Map combinators DO compile when each call is a whole aliased
+    # top-level SELECT item (_rewrite_summap); what reaches this
+    # refusal is any other placement (subquery/CTE/nested expression)
+    "sumMap": "operators/maps.agg_map(how='sum'), or place sumMap(k, v)"
+    " as a whole aliased top-level SELECT item",
+    "minMap": "operators/maps.agg_map(how='min'), or place minMap(k, v)"
+    " as a whole aliased top-level SELECT item",
+    "maxMap": "operators/maps.agg_map(how='max'), or place maxMap(k, v)"
+    " as a whole aliased top-level SELECT item",
     "windowFunnel": "operators/funnel.window_funnel",
     "sequenceMatch": "operators/funnel.sequence_match",
     "sequenceCount": "operators/funnel.sequence_count_pairs",
@@ -885,10 +1264,12 @@ def _param_agg_sql(name: str, params: str, args: str) -> str:
         return f"percentile_approx({args}, array({params}), 10000)"
     raise ValueError(
         f"chsql: parameterized aggregate {name!r} has no single-expression "
-        "Spark mapping (topK -> operators/stats.heavy_hitters, "
-        "groupArrayMoving* -> operators/series.moving_agg, histogram -> "
-        "operators/stats.histogram, quantile*ExactWeighted -> "
-        "operators/stats.quantile_exact_weighted)"
+        "Spark mapping (topK and quantile*ExactWeighted compile as "
+        "whole aliased top-level SELECT items, else "
+        "operators/stats.heavy_hitters / "
+        "operators/stats.quantile_exact_weighted; groupArrayMoving* "
+        "-> operators/series.moving_agg, histogram -> "
+        "operators/stats.histogram)"
     )
 
 
@@ -1105,6 +1486,27 @@ _ARITY: dict[str, tuple[int, int | None]] = {
     "replaceRegexpOne": (3, 3), "arraySlice": (2, 3),
     "arrayFlatten": (1, 1), "arrayCompact": (1, 1),
     "arrayEnumerate": (1, 1), "hasAll": (2, 2), "hasAny": (2, 2),
+    "range": (1, 3),
+    # r12 vocabulary widening
+    "minIf": (2, 2), "maxIf": (2, 2), "anyIf": (2, 2),
+    "uniqExactIf": (2, 2), "avgWeighted": (2, 2), "median": (1, 1),
+    "stddevPop": (1, 1), "stddevSamp": (1, 1),
+    "varPop": (1, 1), "varSamp": (1, 1),
+    "covarPop": (2, 2), "covarSamp": (2, 2),
+    "skewPop": (1, 1), "kurtPop": (1, 1),
+    "toStartOfDay": (1, 1), "toStartOfWeek": (1, 2),
+    "dateAdd": (3, 3), "dateSub": (3, 3), "fromUnixTimestamp": (1, 1),
+    "arrayDifference": (1, 1), "arrayCumSum": (1, 1),
+    "arrayIntersect": (2, None),
+    "arrayPushBack": (2, 2), "arrayPushFront": (2, 2),
+    "arrayPopBack": (1, 1), "arrayPopFront": (1, 1),
+    "multiSearchAny": (2, 2), "countEqual": (2, 2),
+    "arrayFirst": (2, 2), "arrayLast": (2, 2),
+    "bitAnd": (2, 2), "bitOr": (2, 2), "bitXor": (2, 2),
+    "bitNot": (1, 1), "bitShiftLeft": (2, 2), "bitShiftRight": (2, 2),
+    "lcase": (1, 1), "ucase": (1, 1), "concatWithSeparator": (2, None),
+    "base64Encode": (1, 1), "base64Decode": (1, 1),
+    "splitByString": (2, 2),
     # JSON family: (json [, indices_or_keys...]) -- path args all used
     "JSONExtractString": (1, None), "JSONExtractInt": (1, None),
     "JSONExtractFloat": (1, None), "JSONExtractBool": (1, None),
@@ -1119,6 +1521,29 @@ _ARITY: dict[str, tuple[int, int | None]] = {
     "sequenceCount": (0, None), "retention": (0, None),
     "runningDifference": (0, None), "neighbor": (0, None),
 }
+
+_ARITY.update(
+    {name: (0, 0) for name in _CALL_REWRITES if name.startswith("emptyArray")}
+)
+
+# vocab batch #2 (URL SQL names, dateDiff/age, scalars)
+_ARITY.update(
+    {
+        "protocol": (1, 1), "domain": (1, 1), "domainWithoutWWW": (1, 1),
+        "topLevelDomain": (1, 1), "path": (1, 1), "pathFull": (1, 1),
+        "queryString": (1, 1), "fragment": (1, 1),
+        "extractURLParameter": (2, 2), "cutQueryString": (1, 1),
+        "cutFragment": (1, 1), "cutWWW": (1, 1), "cutURLParameter": (2, 2),
+        "port": (1, 2),
+        "toYYYYMMDD": (1, 1), "toStartOfHour": (1, 1),
+        "toStartOfMinute": (1, 1), "timeSlot": (1, 1),
+        "dateDiff": (3, 3), "age": (3, 3),
+        "roundBankers": (1, 2), "arrayProduct": (1, 1),
+        "alphaTokens": (1, 1), "arrayResize": (2, 3),
+        "tuple": (1, None), "tupleElement": (2, 2),
+        "IPv4NumToString": (1, 1), "IPv4StringToNum": (1, 1),
+    }
+)
 
 # a rewrite without a declared arity is a table-maintenance bug:
 # fail at import, not at the first query that trips it
@@ -1196,6 +1621,99 @@ def _rewrite_literals(sql: str) -> str:
         last = m.end()
     out.append(sql[last:])
     return "".join(out)
+
+
+def _rewrite_array_literals(sql: str) -> str:
+    """CH array LITERALS ``[e1, e2, ...]`` -> ``array(e1, e2, ...)``
+    (Spark SQL has no bracket literal; it previously reached the
+    parser verbatim and died with PARSE_SYNTAX_ERROR — r11 self-found
+    gap).  Masked scan, innermost-first so nesting converts; a ``[``
+    IMMEDIATELY preceded by an identifier / ``)`` / ``]`` / backtick
+    is INDEXING and stays for ``_rewrite_indexing`` /
+    ``_rewrite_postfix_indexing``.  Adjacency is deliberate: with a
+    whitespace-skip, every literal after a keyword (``SELECT [1,2]``)
+    would be misread as indexing the keyword; conversely a
+    space-separated index (``f(x) [1]``, not idiomatic CH) converts
+    to a literal and fails LOUDLY at the Spark parser."""
+    while True:
+        masked = _mask(sql)
+        changed = False
+        for m in re.finditer(r"\[([^\[\]]*)\]", masked):
+            j = m.start() - 1
+            if j >= 0 and (masked[j].isalnum() or masked[j] in "_`)]"):
+                continue
+            inner = sql[m.start() + 1 : m.end() - 1]
+            sql = sql[: m.start()] + "array(" + inner + ")" + sql[m.end() :]
+            changed = True
+            break
+        if not changed:
+            return sql
+
+
+# CH functions with a statically-known array element type, for the
+# out-of-range TYPE DEFAULT of postfix indexing (CH arr[oob] yields
+# the element default: '' for strings, 0 for numbers)
+_POSTFIX_DEFAULTS = {
+    "splitbychar": "''",
+    "splitbystring": "''",
+    "splitbywhitespace": "''",
+    "splitbyregexp": "''",
+    "alphatokens": "''",
+    "extractall": "''",
+    "range": "CAST(0 AS BIGINT)",
+}
+
+
+def _rewrite_postfix_indexing(sql: str) -> str:
+    """CH 1-based element access on CALL-RESULT arrays —
+    ``f(...)[i]`` (including array literals already rewritten to
+    ``array(...)`` and chained ``f(x)[i][j]``) — via
+    ``try_element_at``: natively 1-based with negative-from-the-end,
+    exactly CH's index rule; ``nullif(i, 0)`` absorbs the one index
+    Spark rejects outright (CH ``arr[0]`` yields the type default).
+    Previously the bracket reached Spark verbatim as ZERO-based
+    element access — a silent off-by-one (r11 self-found,
+    ``splitByChar(...)[1]`` returned the second piece).
+
+    Out-of-range: the CH element-type default where the callee's
+    return type is statically known (_POSTFIX_DEFAULTS), otherwise
+    NULL — documented deviation from CH's type default, the honest
+    choice absent schema knowledge (NULL propagates loudly through
+    comparisons instead of fabricating a value of the wrong type)."""
+    while True:
+        masked = _mask(sql)
+        for m in re.finditer(r"\)\[", masked):
+            open_b = m.start() + 1
+            close_b = _match_paren(masked, open_b)
+            # matching ( of the ) the bracket chains onto
+            depth, j = 0, m.start()
+            while j >= 0:
+                if masked[j] == ")":
+                    depth += 1
+                elif masked[j] == "(":
+                    depth -= 1
+                    if depth == 0:
+                        break
+                j -= 1
+            if j < 0:
+                continue  # unbalanced: leave for the parser to report
+            start = j
+            while start - 1 >= 0 and (
+                masked[start - 1].isalnum() or masked[start - 1] in "_.`"
+            ):
+                start -= 1
+            callee = sql[start:j].strip("`").lower().rsplit(".", 1)[-1]
+            expr = sql[start : m.start() + 1]
+            idx = sql[open_b + 1 : close_b]
+            access = (
+                f"try_element_at({expr}, CAST(nullif(({idx}), 0) AS INT))"
+            )
+            default = _POSTFIX_DEFAULTS.get(callee)
+            repl = f"coalesce({access}, {default})" if default else access
+            sql = sql[:start] + repl + sql[close_b + 1 :]
+            break
+        else:
+            return sql
 
 
 _IDENT_BRACKET = re.compile(r"(`[^`]+`|[A-Za-z_][\w]*(?:\.[\w]+)*)\s*\[")
@@ -1343,6 +1861,521 @@ def _rewrite_array_join(sql: str, defaults: dict[str, str]) -> str:
             + f" (SELECT {proj} FROM {target}) "
             + sql[end:]
         )
+
+
+_MAP_AGG_RE = re.compile(r"\b(sumMap|minMap|maxMap)\s*\(")
+_MAP_AGG_HOW = {"sumMap": "sum", "minMap": "min", "maxMap": "max"}
+_TOPK_RE = re.compile(r"(topKWeighted|topK)\s*\(")
+_QEW_RE = re.compile(r"(quantilesExactWeighted|quantileExactWeighted)\s*\(")
+# every aggregate the statement-level structural compiler may claim
+_STRUCT_AGG_GATE = re.compile(
+    r"\b(sumMap|minMap|maxMap|topKWeighted|topK|"
+    r"quantilesExactWeighted|quantileExactWeighted)\s*\("
+)
+# output-name shapes an ORDER BY/unaliased item may take: a (possibly
+# qualified) identifier or an integer position
+_PLAIN_OUT_RE = re.compile(r"(`[^`]+`|\w+)(\s*\.\s*(`[^`]+`|\w+))*")
+
+
+def _norm_expr(e: str) -> str:
+    """Whitespace-collapsed, backtick-stripped text for expr equality
+    (group-key matching only -- NOT identifier resolution)."""
+    return _collapse_ws(e).replace("`", "")
+
+
+def _summap_chain(
+    how: str, karg: str, varg: str, gk: list[str], from_txt: str,
+    where_txt: str | None,
+) -> str:
+    """One sumMap/minMap/maxMap aggregation chain as nested-subquery
+    SQL: project (group keys, keys[], values[]) -> size-guard +
+    posexplode -> hash-aggregate (group, key) with map-side partial
+    combine -> pack sorted (k, v) structs per group.  The text twin of
+    operators/maps.agg_map (same stages, same edge semantics: unequal
+    sizes RAISE, all-empty groups survive as ([], []) via the OUTER
+    filler row).  The keys/values arrays are projected to attributes
+    BEFORE the Generate so posexplode never wraps a higher-order
+    expression (the measured ~20x interpreted-eval trap, PLANS.md)."""
+    gk_sel = "".join(f"{e} AS __smg{i}, " for i, e in enumerate(gk))
+    gk_names = ", ".join(f"__smg{i}" for i in range(len(gk)))
+    lead = f"{gk_names}, " if gk else ""
+    a = (
+        f"SELECT {gk_sel}({karg}) AS __smka, ({varg}) AS __smva "
+        f"{from_txt}" + (f" {where_txt}" if where_txt else "")
+    )
+    guard = (
+        "assert_true((CASE WHEN __smka IS NULL THEN 0 ELSE size(__smka) END)"
+        " = (CASE WHEN __smva IS NULL THEN 0 ELSE size(__smva) END), "
+        f"'chsql {how}Map: size(keys) != size(values)')"
+    )
+    b = (
+        f"SELECT {lead}__smk, element_at(__smva, __smp + 1) AS __smv, "
+        f"(__smp IS NULL) AS __smf FROM ({a}) "
+        f"LATERAL VIEW OUTER posexplode(__smka) __smlv AS __smp, __smk "
+        f"WHERE {guard} IS NULL"
+    )
+    c = (
+        f"SELECT {lead}__smk, __smf, {how}(__smv) AS __smvv FROM ({b}) "
+        f"GROUP BY {lead}__smk, __smf"
+    )
+    return (
+        f"SELECT {lead}sort_array(collect_list(CASE WHEN NOT __smf THEN "
+        f"named_struct('k', __smk, 'v', __smvv) END)) AS __smkv "
+        f"FROM ({c})" + (f" GROUP BY {gk_names}" if gk else "")
+    )
+
+
+def _topk_chain(
+    n: int, xarg: str, warg: str | None, gk: list[str], from_txt: str,
+    where_txt: str | None,
+) -> str:
+    """One ``topK(N)(x)`` / ``topKWeighted(N)(x, w)`` chain: project
+    the value (and weight) -> hash-aggregate (group, value) counts
+    with map-side partial combine -> per-group rank filter -> pack
+    the array ordered by (frequency DESC, value ASC).
+
+    CH's topK is an APPROXIMATE filtered-space-saving sketch with
+    unspecified order; this compile is EXACT with a deterministic
+    order -- a documented deviation on the safe side (the exact
+    answer is in the sketch's error envelope).  NULL values are
+    skipped, as CH aggregates skip NULLs; a group whose values are
+    all NULL still appears, with [].
+
+    Scale shape: the window ranks the REDUCED (group, distinct value)
+    stream, partitioned by group; the global (no GROUP BY) spelling
+    avoids the single-partition window entirely via ORDER BY + LIMIT
+    (TakeOrdered)."""
+    gk_sel = "".join(f"{e} AS __smg{i}, " for i, e in enumerate(gk))
+    gk_names = ", ".join(f"__smg{i}" for i in range(len(gk)))
+    lead = f"{gk_names}, " if gk else ""
+    wsel = f", ({warg}) AS __tkw" if warg else ""
+    agg = "sum(__tkw)" if warg else "count(1)"
+    a = (
+        f"SELECT {gk_sel}({xarg}) AS __tkx{wsel} {from_txt}"
+        + (f" {where_txt}" if where_txt else "")
+    )
+    pack = (
+        "transform(sort_array(collect_list(CASE WHEN NOT __tkf THEN "
+        "named_struct('c', -__tkc, 'x', __tkx) END)), __s -> __s.x) "
+        "AS __tkarr"
+    )
+    if not gk:
+        b = (
+            f"SELECT __tkx, {agg} AS __tkc FROM ({a}) "
+            f"WHERE __tkx IS NOT NULL GROUP BY __tkx"
+        )
+        c = f"SELECT __tkx, __tkc FROM ({b}) ORDER BY __tkc DESC, __tkx ASC LIMIT {n}"
+        return (
+            f"SELECT transform(sort_array(collect_list(named_struct("
+            f"'c', -__tkc, 'x', __tkx))), __s -> __s.x) AS __tkarr FROM ({c})"
+        )
+    # grouped: the (__tkx IS NULL) filler flag keeps all-NULL groups
+    # alive through the inner join (same pattern as the sumMap filler)
+    b = (
+        f"SELECT {lead}__tkx, (__tkx IS NULL) AS __tkf, {agg} AS __tkc "
+        f"FROM ({a}) GROUP BY {lead}__tkx"
+    )
+    c = (
+        f"SELECT {lead}__tkx, __tkf, __tkc, row_number() OVER "
+        f"(PARTITION BY {gk_names} ORDER BY __tkf ASC, __tkc DESC, "
+        f"__tkx ASC) AS __tkr FROM ({b})"
+    )
+    c2 = f"SELECT * FROM ({c}) WHERE __tkr <= {n} OR __tkf"
+    return f"SELECT {lead}{pack} FROM ({c2}) GROUP BY {gk_names}"
+
+
+def _qew_chain(
+    ps: list[float], xarg: str, warg: str, gk: list[str], from_txt: str,
+    where_txt: str | None, scalar: bool,
+) -> str:
+    """``quantileExactWeighted(p)(x, w)`` / ``quantilesExactWeighted``
+    chain: the text twin of operators/stats.quantile_exact_weighted
+    (oracle-proven, 'low' variant) -- exact quantiles of the multiset
+    where each value appears w times, WITHOUT expanding it: hash-agg
+    the (group, value) weights map-side, then one window over the
+    COMPRESSED distribution (|group x distinct value| rows, never raw
+    rows); value covers expanded 0-based ranks [cum_before,
+    cum_before + w - 1], quantile = value covering floor(p * (n-1)).
+
+    Invalid rows (NULL value / weight <= 0 -- CH ignores them) fold
+    to a (NULL, weight 0) filler distribution row so all-invalid
+    groups survive with a NULL quantile (the engine's NULL-over-NaN
+    convention, as avgWeighted)."""
+    gk_sel = "".join(f"{e} AS __smg{i}, " for i, e in enumerate(gk))
+    gk_names = ", ".join(f"__smg{i}" for i in range(len(gk)))
+    lead = f"{gk_names}, " if gk else ""
+    part = f"PARTITION BY {gk_names} " if gk else ""
+    a = (
+        f"SELECT {gk_sel}({xarg}) AS __qv0, "
+        f"CAST(({warg}) AS BIGINT) AS __qw0 {from_txt}"
+        + (f" {where_txt}" if where_txt else "")
+    )
+    b = (
+        f"SELECT {lead}__qvm AS __qv, sum(__qwm) AS __qw FROM ("
+        f"SELECT {lead}CASE WHEN __qv0 IS NOT NULL AND __qw0 > 0 "
+        f"THEN __qv0 END AS __qvm, "
+        f"CASE WHEN __qv0 IS NOT NULL AND __qw0 > 0 THEN __qw0 "
+        f"ELSE CAST(0 AS BIGINT) END AS __qwm FROM ({a})"
+        f") GROUP BY {lead}__qvm"
+    )
+    c = (
+        f"SELECT {lead}__qv, __qw, coalesce(sum(__qw) OVER ({part}"
+        f"ORDER BY __qv ROWS BETWEEN UNBOUNDED PRECEDING AND 1 "
+        f"PRECEDING), CAST(0 AS BIGINT)) AS __cb, "
+        f"sum(__qw) OVER ({part.rstrip()}) AS __qn FROM ({b})"
+    )
+    picks = []
+    for p in ps:
+        r = (
+            f"CAST(floor({p!r} * CAST(__qn - 1 AS DOUBLE)) AS BIGINT)"
+        )
+        picks.append(
+            f"max(CASE WHEN {r} >= __cb AND {r} < __cb + __qw "
+            f"THEN __qv END)"
+        )
+    out = picks[0] if scalar else "array(" + ", ".join(picks) + ")"
+    return (
+        f"SELECT {lead}{out} AS __qq FROM ({c})"
+        + (f" GROUP BY {gk_names}" if gk else "")
+    )
+
+
+def _rewrite_summap(sql: str) -> str:
+    """Compile the CH map-aggregate combinators (``sumMap(keys, vals)``
+    / ``minMap`` / ``maxMap``) when each call is a whole ALIASED item
+    of the top-level SELECT list -- the canonical Metrica shape
+    (``Goals.ID``/``Goals.Revenue`` Nested pairs,
+    /root/reference/ddl/visits.sql).  Output is a
+    STRUCT(keys ARRAY, values ARRAY) with the keys sorted ascending
+    and values element-wise aggregated -- CH returns the same pair as
+    a tuple; field access is ``alias.keys`` / ``alias.values`` here.
+
+    Plan shapes (PLANS.md "sumMap compile"):
+
+    - FAST PATH (no HAVING, every other SELECT item is a group key):
+      the map chain IS the statement -- one scan, two hash
+      aggregates, exactly operators/maps.agg_map's plan.
+    - RESIDUAL PATH (other aggregates or HAVING present): the
+      non-map items compute in a residual GROUP BY over the same
+      FROM/WHERE, then a null-safe equi-join on the group keys merges
+      the two aggregate streams.  CH folds both into one pass; two
+      passes is the cost of keeping both plans in native Spark
+      aggregates (both scans push the same filters; noted in
+      PLANS.md).
+
+    Occurrences anywhere else (subquery, CTE, HAVING, nested in an
+    expression) keep the structural refusal -- this function simply
+    leaves them for _rewrite_calls to report."""
+    masked = _mask(sql)
+    if not _STRUCT_AGG_GATE.search(masked):
+        return sql
+    branches = _split_union_all(sql)
+    if len(branches) > 1:
+        return " UNION ALL ".join(_rewrite_summap(b) for b in branches)
+    try:
+        spans = _segment(sql)
+    except ValueError:
+        return sql
+    sel_start, sel_end = spans["SELECT"]
+    if any(
+        m.start() < sel_start or m.start() >= sel_end
+        for m in _STRUCT_AGG_GATE.finditer(masked)
+    ):
+        return sql  # in a CTE / subquery / later clause: refusal path
+    select_body = sql[sel_start + len("SELECT") : sel_end]
+    if re.match(r"\s*DISTINCT\b", select_body, re.I):
+        raise ValueError("chsql: sumMap family cannot combine with DISTINCT")
+    parsed, resolved = _select_aliases(select_body)
+
+    def clause_body(name: str) -> str | None:
+        if name not in spans:
+            return None
+        s, e = spans[name]
+        kw = r"\s+".join(name.split())
+        return re.sub(rf"^{kw}\s+", "", sql[s:e].strip(), flags=re.I)
+
+    # ---- classify select items -------------------------------------
+    # (idx, kind, payload, alias): kind "map" -> (how, keys, vals);
+    # kind "topk" -> (n, value, weight|None)
+    struct_items: list[tuple[int, str, tuple, str]] = []
+    other: list[tuple[int, str, str | None]] = []
+    for idx, (expr, alias) in enumerate(parsed):
+        im = _MAP_AGG_RE.match(_mask(expr))
+        if im:
+            open_idx = expr.index("(", im.end(1))
+            close = _match_paren(_mask(expr), open_idx)
+            if close == len(expr.rstrip()) - 1:
+                if alias is None:
+                    raise ValueError(
+                        f"chsql: alias the {im.group(1)}(...) item "
+                        "(AS name) -- the result is a STRUCT(keys, "
+                        "values) column"
+                    )
+                args = _split_top(expr[open_idx + 1 : close])
+                if len(args) != 2 or not all(a.strip() for a in args):
+                    raise ValueError(
+                        f"chsql: {im.group(1)} takes (keys_array, "
+                        "values_array) -- the single-tuple CH form is "
+                        "not mapped"
+                    )
+                struct_items.append(
+                    (idx, "map", (_MAP_AGG_HOW[im.group(1)], args[0], args[1]), alias)
+                )
+                continue
+        tm = _TOPK_RE.match(_mask(expr))
+        if tm:
+            p_open = expr.index("(", tm.end(1))
+            p_close = _match_paren(_mask(expr), p_open)
+            k = p_close + 1
+            while k < len(expr) and expr[k].isspace():
+                k += 1
+            if k < len(expr) and expr[k] == "(":
+                a_close = _match_paren(_mask(expr), k)
+                if a_close == len(expr.rstrip()) - 1:
+                    name = tm.group(1)
+                    if alias is None:
+                        raise ValueError(
+                            f"chsql: alias the {name}(...)(...) item "
+                            "(AS name) -- the result is an ARRAY column"
+                        )
+                    pm = re.fullmatch(r"\s*(\d+)\s*", expr[p_open + 1 : p_close])
+                    if not pm or int(pm.group(1)) < 1:
+                        raise ValueError(
+                            f"chsql: {name} needs a literal positive "
+                            f"integer parameter, got "
+                            f"{expr[p_open + 1:p_close]!r}"
+                        )
+                    args = _split_top(expr[k + 1 : a_close])
+                    want = 2 if name == "topKWeighted" else 1
+                    if len(args) != want or not all(a.strip() for a in args):
+                        raise ValueError(
+                            f"chsql: {name} takes exactly {want} "
+                            "argument(s) after the parameter list"
+                        )
+                    struct_items.append(
+                        (
+                            idx, "topk",
+                            (
+                                int(pm.group(1)), args[0],
+                                args[1] if want == 2 else None,
+                            ),
+                            alias,
+                        )
+                    )
+                    continue
+        qm = _QEW_RE.match(_mask(expr))
+        if qm:
+            p_open = expr.index("(", qm.end(1))
+            p_close = _match_paren(_mask(expr), p_open)
+            k = p_close + 1
+            while k < len(expr) and expr[k].isspace():
+                k += 1
+            if k < len(expr) and expr[k] == "(":
+                a_close = _match_paren(_mask(expr), k)
+                if a_close == len(expr.rstrip()) - 1:
+                    name = qm.group(1)
+                    if alias is None:
+                        raise ValueError(
+                            f"chsql: alias the {name}(...)(...) item (AS name)"
+                        )
+                    try:
+                        ps = [
+                            float(p) for p in _split_top(expr[p_open + 1 : p_close])
+                        ]
+                    except ValueError:
+                        ps = []
+                    if not ps or not all(0.0 <= p <= 1.0 for p in ps):
+                        raise ValueError(
+                            f"chsql: {name} needs literal quantile "
+                            f"level(s) in [0, 1], got "
+                            f"{expr[p_open + 1:p_close]!r}"
+                        )
+                    scalar = name == "quantileExactWeighted"
+                    if scalar and len(ps) != 1:
+                        raise ValueError(
+                            "chsql: quantileExactWeighted takes ONE "
+                            "level; use quantilesExactWeighted for a "
+                            "list"
+                        )
+                    args = _split_top(expr[k + 1 : a_close])
+                    if len(args) != 2 or not all(a.strip() for a in args):
+                        raise ValueError(
+                            f"chsql: {name} takes (value, weight) "
+                            "after the level list"
+                        )
+                    struct_items.append(
+                        (idx, "qew", (ps, args[0], args[1], scalar), alias)
+                    )
+                    continue
+        if _MAP_AGG_RE.search(_mask(expr)):
+            raise ValueError(
+                "chsql: sumMap/minMap/maxMap compile only as a whole "
+                "aliased top-level SELECT item; found one nested in "
+                f"{_collapse_ws(expr)!r} -- use operators/maps.agg_map"
+            )
+        other.append((idx, expr, alias))
+    if not struct_items:
+        return sql
+
+    # ---- clauses ----------------------------------------------------
+    frm = sql[spans["FROM"][0] : spans["FROM"][1]].strip()
+    where_b = clause_body("WHERE")
+    prewhere_b = clause_body("PREWHERE")
+    if prewhere_b:  # CH scan-stage hint == one more conjunct
+        where_b = f"({prewhere_b}) AND ({where_b})" if where_b else prewhere_b
+    group_b = clause_body("GROUP BY")
+    having_b = clause_body("HAVING")
+    order_c = sql[spans["ORDER BY"][0] : spans["ORDER BY"][1]].strip() \
+        if "ORDER BY" in spans else None
+    limit_c = sql[spans["LIMIT"][0] : spans["LIMIT"][1]].strip() \
+        if "LIMIT" in spans else None
+    if group_b and re.search(r"\bWITH\s+TOTALS\b", group_b, re.I):
+        raise ValueError("chsql: sumMap family cannot combine with WITH TOTALS")
+    if group_b and re.search(r"\b(GROUPING\s+SETS|ROLLUP|CUBE)\b", _mask(group_b), re.I):
+        raise ValueError(
+            "chsql: sumMap family compiles over a plain GROUP BY "
+            "(no GROUPING SETS/ROLLUP/CUBE)"
+        )
+
+    def _inline(body: str | None, what: str) -> str | None:
+        if body is None:
+            return None
+        out = inline_aliases(body, resolved)
+        if _STRUCT_AGG_GATE.search(_mask(out)):
+            raise ValueError(
+                f"chsql: {what} cannot reference the sumMap/topK-"
+                "family aggregate (compute it in an outer query)"
+            )
+        return out
+
+    where_b = _inline(where_b, "WHERE")
+    having_b = _inline(having_b, "HAVING")
+    gk: list[str] = []
+    seen_gk: set[str] = set()
+    for g in _split_top(_inline(group_b, "GROUP BY") or ""):
+        if not g:
+            continue
+        if re.fullmatch(r"\d+", g.strip()):
+            raise ValueError(
+                "chsql: positional GROUP BY is not supported with the "
+                "sumMap family -- spell the expression"
+            )
+        if _norm_expr(g) not in seen_gk:
+            seen_gk.add(_norm_expr(g))
+            gk.append(g.strip())
+    where_txt = f"WHERE CAST(({where_b}) AS BOOLEAN)" if where_b else None
+
+    # ---- output naming ----------------------------------------------
+    out_names: dict[int, str] = {}
+    for idx, expr, alias in other:
+        if alias:
+            out_names[idx] = alias
+        else:
+            pm = _PLAIN_OUT_RE.fullmatch(expr.strip())
+            if not pm:
+                raise ValueError(
+                    "chsql: with the sumMap family every computed "
+                    f"SELECT item needs an alias; add AS to "
+                    f"{_collapse_ws(expr)!r}"
+                )
+            out_names[idx] = re.split(r"\s*\.\s*", expr.strip())[-1].strip("`")
+    for idx, _kind, _payload, alias in struct_items:
+        out_names[idx] = alias
+
+    # ---- ORDER BY items must be output columns ----------------------
+    if order_c:
+        body = re.sub(r"^ORDER\s+BY\s+", "", order_c, flags=re.I)
+        names = set(out_names.values())
+        for item in _split_top(body):
+            head = re.sub(
+                r"\s+(ASC|DESC)\b.*$|\s+WITH\s+FILL\b.*$", "", item.strip(),
+                flags=re.I | re.S,
+            ).strip()
+            if not (
+                head.strip("`") in names or re.fullmatch(r"\d+", head)
+            ):
+                raise ValueError(
+                    "chsql: with the sumMap family ORDER BY items must "
+                    f"be output columns; {head!r} is not one of "
+                    f"{sorted(names)}"
+                )
+
+    # ---- fast path?  (every non-map item IS a group key) -------------
+    gk_norm = {_norm_expr(g): i for i, g in enumerate(gk)}
+    fast = having_b is None and all(
+        _norm_expr(expr) in gk_norm for _idx, expr, _al in other
+    )
+
+    frames: list[tuple[str, str]] = []
+    if not fast:
+        r_items = "".join(
+            f", {expr} AS __smr{j}" for j, (_idx, expr, _al) in enumerate(other)
+        )
+        gk_sel = ", ".join(f"{e} AS __smg{i}" for i, e in enumerate(gk))
+        resid = (
+            f"SELECT {gk_sel}{r_items}" if gk_sel else f"SELECT 1 AS __smone{r_items}"
+        ) + f" {frm}" + (f" {where_txt}" if where_txt else "")
+        if gk:
+            resid += " GROUP BY " + ", ".join(gk)
+        if having_b:
+            resid += f" HAVING CAST(({having_b}) AS BOOLEAN)"
+        frames.append(("__smr", resid))
+    for n, (_idx, kind, payload, _alias) in enumerate(struct_items):
+        if kind == "map":
+            how, karg, varg = payload
+            chain = _summap_chain(how, karg, varg, gk, frm, where_txt)
+        elif kind == "topk":
+            topn, xarg, warg = payload
+            chain = _topk_chain(topn, xarg, warg, gk, frm, where_txt)
+        else:
+            ps, xarg, warg, scalar = payload
+            chain = _qew_chain(ps, xarg, warg, gk, frm, where_txt, scalar)
+        frames.append((f"__smm{n}", chain))
+
+    base_tag = frames[0][0]
+    from_out = f"FROM ({frames[0][1]}) {base_tag}"
+    for tag, text in frames[1:]:
+        if gk:
+            cond = " AND ".join(
+                f"{base_tag}.__smg{i} <=> {tag}.__smg{i}"
+                for i in range(len(gk))
+            )
+            from_out += f" JOIN ({text}) {tag} ON {cond}"
+        else:
+            from_out += f" CROSS JOIN ({text}) {tag}"
+
+    # ---- final select in original item order --------------------------
+    items_out: list[str] = []
+    item_tag = {idx: f"__smm{n}" for n, (idx, *_rest) in enumerate(struct_items)}
+    item_kind = {idx: kind for idx, kind, _p, _a in struct_items}
+    other_pos = {idx: j for j, (idx, _e, _a) in enumerate(other)}
+    for idx, (expr, _alias) in enumerate(parsed):
+        name = out_names[idx]
+        if idx in item_tag:
+            tag = item_tag[idx]
+            if item_kind[idx] == "topk":
+                items_out.append(f"{tag}.__tkarr AS `{name}`")
+                continue
+            if item_kind[idx] == "qew":
+                items_out.append(f"{tag}.__qq AS `{name}`")
+                continue
+            items_out.append(
+                f"named_struct('keys', transform({tag}.__smkv, __sms -> "
+                f"__sms.k), 'values', transform({tag}.__smkv, __sms -> "
+                f"__sms.v)) AS `{name}`"
+            )
+        elif fast:
+            items_out.append(
+                f"{base_tag}.__smg{gk_norm[_norm_expr(expr)]} AS `{name}`"
+            )
+        else:
+            items_out.append(f"__smr.__smr{other_pos[idx]} AS `{name}`")
+    out = f"{sql[:sel_start]}SELECT {', '.join(items_out)} {from_out}"
+    if order_c:
+        out += f" {order_c}"
+    if limit_c:
+        out += f" {limit_c}"
+    return out
 
 
 def _rewrite_indexing(sql: str, defaults: dict[str, str]) -> str:
@@ -1539,14 +2572,20 @@ def _parse_sample_fraction(txt: str) -> int:
         frac = Fraction(txt.replace(" ", ""))
     except (ValueError, ZeroDivisionError) as ex:
         raise ValueError(f"chsql: SAMPLE {txt!r} is not a valid fraction") from ex
-    if frac >= 1:
+    if frac == 1:
+        # ADVICE r11 #4: SAMPLE 1 is valid CH and reads ALL rows; the
+        # full-range threshold keeps the declared-SAMPLE-BY
+        # requirement (CH still errors on an unsampled table) while
+        # filtering nothing
+        return _SAMPLE_DENOM
+    if frac > 1:
         raise ValueError(
             f"chsql: SAMPLE {txt} — the integer form is an approximate "
             "row-count target (needs table statistics); use a fraction "
-            "in (0, 1)"
+            "in (0, 1]"
         )
     if frac <= 0:
-        raise ValueError(f"chsql: SAMPLE {txt} must be a fraction in (0, 1)")
+        raise ValueError(f"chsql: SAMPLE {txt} must be a fraction in (0, 1]")
     return max(1, round(frac * _SAMPLE_DENOM))
 
 
@@ -1563,9 +2602,13 @@ def _scan_table_decorations(
     for name in tables:
         # prefix includes the comma of a FROM-list (`FROM a, t FINAL`
         # is a CH cross-join reference, and Spark would otherwise
-        # parse its FINAL as a bare alias)
+        # parse its FINAL as a bare alias).  `(?!\s*\.)` keeps
+        # qualified COLUMN references (`SELECT x, visits.col`) out of
+        # the scan (ADVICE r11 #1: the comma alternative otherwise
+        # marked them as bare table references).
         pat = re.compile(
-            rf"((?:\b(?:FROM|JOIN)\s+|,\s*)(?:`{re.escape(name)}`|{re.escape(name)}\b))"
+            rf"((?:\b(?:FROM|JOIN)\s+|,\s*)"
+            rf"(?:`{re.escape(name)}`|{re.escape(name)}\b)(?!\s*\.))"
             rf"{_TABLE_DECO}",
             re.I,
         )
@@ -1582,10 +2625,22 @@ def _scan_table_decorations(
             if not final_kw and not sample_txt:
                 bare = True
                 continue
+            m_flags = {}
             if final_kw:
-                flags["final"] = True
+                m_flags["final"] = True
             if sample_txt:
-                flags["sample"] = _parse_sample_fraction(sample_txt)
+                m_flags["sample"] = _parse_sample_fraction(sample_txt)
+            if flags and m_flags != flags:
+                # ADVICE r11 #3: two decorated references with
+                # DIFFERENT flags would silently share the last-wins
+                # view — the same silent-wrong class as decorated+bare
+                raise ValueError(
+                    f"chsql: table {name!r} carries conflicting "
+                    f"FINAL/SAMPLE decorations; the decoration applies "
+                    f"to the whole registered view — pass the table "
+                    f"twice under two names to mix"
+                )
+            flags = m_flags
             out.append(sql[last : m.end(1)])
             last = m.end()
         if not flags:
@@ -1651,6 +2706,15 @@ def run_sql(
     sql = strip_comments(query)
     for name, val in (params or {}).items():
         sql = sql.replace("{{" + name + "}}", val)
+    # CH JOIN strictness modifiers (ASOF nearest-key / ANY
+    # at-most-one) compile through plans/chjoin's pre-compiler (r12:
+    # folded into the core front-end; the refusal below it is now the
+    # backstop for shapes the pre-compiler cannot bind).  Local
+    # import: chjoin imports this module.
+    from . import chjoin as _chjoin
+
+    if _chjoin._ANY_MOD.search(_mask(sql)):
+        sql, tables = _chjoin.compile_strictness_joins(spark, sql, tables)
     sql, decorations = _scan_table_decorations(sql, tables)
     for i, (name, df) in enumerate(sorted(tables.items(), key=lambda kv: -len(kv[0]))):
         view = f"__chsql_t{i}"
@@ -1661,7 +2725,10 @@ def run_sql(
         df.createOrReplaceTempView(view)
         sql = _replace_name(sql, name, view)
     sql = _rewrite_indexing(sql, _elem_defaults(tables))
+    sql = _rewrite_array_literals(sql)
+    sql = _rewrite_postfix_indexing(sql)
     sql = _rewrite_array_join(sql, _elem_defaults(tables))
+    sql = _rewrite_summap(sql)
     sql = _rewrite_parametrized(sql)
     sql = _rewrite_calls(sql, _schema_ctx(tables))
     sql = _rewrite_literals(sql)

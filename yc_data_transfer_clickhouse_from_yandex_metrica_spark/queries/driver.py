@@ -4500,6 +4500,107 @@ FROM live GROUP BY 1 ORDER BY 1
 """
 
 
+_CHSQL_SUMMAP_SQL = """
+SELECT o_orderpriority, count(1) AS orders_n, sumMap(ks, vs) AS m,
+       topK(2)(nitems) AS top_n
+FROM pairs
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+
+def q_chsql_summap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``sumMap(keys, values)`` + ``topK(N)(x)`` SQL spellings
+    compiled onto the statement-level structural planner (r12 batch;
+    sumMap consumes the Nested Goals.ID/Goals.Revenue shape,
+    /root/reference/ddl/visits.sql).  The statement mixes both
+    structural aggregates with a plain ``count(1)``, driving the
+    RESIDUAL-JOIN path plus one chain per structural item — the
+    hardest compile (the fast single-scan path is pinned against the
+    operator in tests/test_chsql_summap.py).  topK here is the EXACT
+    deterministic top-N (freq DESC, value ASC — the dialect's
+    documented strengthening of CH's approximate sketch), so a DuckDB
+    oracle exists.  Same input prep and cent-string hashing as the
+    operator entry ``sum_map_priority``."""
+    from ..plans import chsql
+
+    _prep(spark)
+    li = t(spark, sf_dir, "lineitem")
+    o = t(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    per_order = (
+        li.groupBy("l_orderkey")
+        .agg(F.collect_list(F.struct("l_returnflag", "l_quantity")).alias("p"))
+        .select(
+            "l_orderkey",
+            F.transform("p", lambda s: s["l_returnflag"]).alias("ks"),
+            F.transform("p", lambda s: s["l_quantity"]).alias("vs"),
+        )
+    )
+    pairs = per_order.join(
+        o, per_order["l_orderkey"] == o["o_orderkey"]
+    ).withColumn("nitems", F.size("ks"))
+    out = chsql.run_sql(spark, _CHSQL_SUMMAP_SQL, {"pairs": pairs})
+    cents = F.transform(
+        F.col("m.values"),
+        lambda v: F.floor(v * F.lit(100.0) + F.lit(0.5))
+        .cast("long")
+        .cast("string"),
+    )
+    return out.select(
+        "o_orderpriority",
+        "orders_n",
+        F.array_join(F.col("m.keys"), ",").alias("map_keys"),
+        F.array_join(cents, ",").alias("map_vals_cents"),
+        F.array_join(
+            F.transform(F.col("top_n"), lambda v: v.cast("string")), ","
+        ).alias("top_nitems"),
+    )
+
+
+_ORACLE_CHSQL_SUMMAP = """
+WITH n AS (
+  SELECT o_orderpriority,
+         CAST(count(DISTINCT l_orderkey) AS BIGINT) AS orders_n
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  GROUP BY 1
+), r AS (
+  SELECT o_orderpriority, l_returnflag AS k, sum(l_quantity) AS v
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  GROUP BY 1, 2
+), m AS (
+  SELECT o_orderpriority,
+    array_to_string(list(k ORDER BY k), ',') AS map_keys,
+    array_to_string(
+      list(CAST(CAST(floor(v * 100.0 + 0.5) AS BIGINT) AS VARCHAR)
+           ORDER BY k), ',') AS map_vals_cents
+  FROM r GROUP BY 1
+), sz AS (
+  SELECT o_orderpriority, l_orderkey, count(1) AS nitems
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  GROUP BY 1, 2
+), tkc AS (
+  SELECT o_orderpriority, nitems, count(1) AS c
+  FROM sz GROUP BY 1, 2
+), tk AS (
+  SELECT o_orderpriority, nitems, c FROM tkc
+  QUALIFY row_number() OVER (
+    PARTITION BY o_orderpriority ORDER BY c DESC, nitems ASC) <= 2
+), tks AS (
+  SELECT o_orderpriority,
+    array_to_string(
+      list(CAST(nitems AS VARCHAR) ORDER BY c DESC, nitems ASC),
+      ',') AS top_nitems
+  FROM tk GROUP BY 1
+)
+SELECT n.o_orderpriority, n.orders_n, m.map_keys, m.map_vals_cents,
+       tks.top_nitems
+FROM n
+JOIN m ON n.o_orderpriority = m.o_orderpriority
+JOIN tks ON n.o_orderpriority = tks.o_orderpriority
+ORDER BY 1
+"""
+
+
 # =========================================================================
 # 32. corpus curation operators (operators/corpus.py): TF-IDF salient
 #     terms, self-trained bigram-LM cross-entropy (the CCNet
@@ -4830,6 +4931,7 @@ QUERIES: dict[str, QuerySpec] = {
     "chsql_asof": QuerySpec(q_chsql_asof, _ORACLE_ASOF, "chsql: ASOF LEFT JOIN compiled onto rangejoin.asof_join (r10 task 3; shares asof_enrich's oracle)"),
     "chsql_any_join": QuerySpec(q_chsql_any_join, _ORACLE_CHSQL_ANY_JOIN, "chsql: ANY INNER JOIN as deterministic keep-one build-side dedup + plain join (r10 task 4)"),
     "chsql_model_final": QuerySpec(q_chsql_model_final, _ORACLE_CHSQL_MODEL_FINAL, "chsql: FINAL+SAMPLE on the metrica model via reference-DDL-parsed TableMeta (r10 task 5)"),
+    "chsql_summap": QuerySpec(q_chsql_summap, _ORACLE_CHSQL_SUMMAP, "A-ext + chsql r12: sumMap + topK SQL spellings compiled onto the statement-level structural planner (residual-join mixed-aggregate path, one chain per item)"),
 }
 
 
@@ -4853,14 +4955,35 @@ DRIVER_WINDOW = 50  # driver-checked prefix length (round-5 verdict)
 # next CORRECTNESS file re-proves them.  Maintained per round; clear
 # once the round's CORRECTNESS file shows them green again.
 ROTATION_FORCE_FRONT: frozenset[str] = frozenset(
-    # round 11: empty.  The full r10 set (geo_distance + 9 chsql
-    # entries re-proving the _CALL_REWRITES hardening) went green in
-    # CORRECTNESS_r10, so forcing it again would only waste window
-    # slots.  r11 is deliberately an ADDITIVE round: the 47-entry
-    # stale tail (6 last-green r8 + 41 last-green r9) plus the two
-    # new entries fill 49 of the 50 slots, so every change this round
-    # is either a new module/def (never flags existing closures) or
-    # an edit to an entry already inside the window (always free).
+    # round 12: every entry whose def-closure the r12 chsql batch
+    # touches (the five r11-ADVICE fixes + array literals + the ASOF
+    # comparator set + folding chjoin's strictness compile into
+    # chsql.run_sql), computed with the guard's own _def_level_dirty
+    # against the r11 tree.  16 forced + 34 LRU slots — nothing ends
+    # the round more than 2 rounds stale.  url_funcs: its url_port
+    # dep changed in r11 (the branch-free coalesce form) and the 15
+    # chsql-batch entries push it out of the pre-CORRECTNESS_r11
+    # window; once the r11 artifact lands green it is freshly proven
+    # — recompute the set at merge time (tests/test_rotation_guard
+    # prints the exact residue) and trim it if so.
+    {
+        "url_funcs",
+        "asof_enrich",
+        "chsql_any_join",
+        "chsql_array_join",
+        "chsql_asof",
+        "chsql_daily_fill",
+        "chsql_federated_enrich",
+        "chsql_fill_interpolate",
+        "chsql_final",
+        "chsql_limit_by",
+        "chsql_model_final",
+        "chsql_s3_export",
+        "chsql_sample",
+        "chsql_traffic_chart",
+        "chsql_visits_chart",
+        "chsql_word_count",
+    }
 )
 
 
