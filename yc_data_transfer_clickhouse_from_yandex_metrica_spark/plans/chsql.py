@@ -143,6 +143,23 @@ vocabulary):
   ``JSONHas``, ``JSONLength``, ``JSONType``, ``visitParam*``) with
   literal path components, compiled to the same variant-shredding
   expressions as functions/chjson.py (equality pinned by test).
+- vocab batch #3 (r12): the tolerant-cast family ``to<T>OrNull`` /
+  ``to<T>OrZero`` via ``try_cast`` (strict parse + CH unsigned range
+  gates; whitespace/non-string tolerance is a documented superset);
+  per-unit date arithmetic ``addYears..subtractSeconds`` (the
+  dateAdd timestampadd mapping + type deviation); 5/10/15-minute
+  floors, ``toTime``, ``dateName``/``monthName``; ``exp2/exp10/
+  intExp2/intExp10``, ``max2/min2``; digests ``MD5/SHA1/SHA224/
+  SHA256/SHA512`` (binary results, ``hex()`` matches CH's uppercase);
+  ``groupBitAnd/Or/Xor``, ``bitCount``, ``bitTest`` (LSB 0);
+  ``anyHeavy`` -> exact ``mode`` (documented strengthening),
+  ``simpleLinearRegression`` -> ``regr_slope/intercept`` struct,
+  ``uniqTheta`` in the sketch class; ``arrayWithConstant``,
+  ``arrayElement`` (the postfix-indexing try_element_at rule),
+  ``hasSubstr`` (null-safe contiguous run), ``countSubstrings``
+  (non-overlapping), ``mapFromArrays/mapKeys/mapValues/mapContains``;
+  ``isNaN/isInfinite/ifNotFinite``; ``greatCircleDistance`` (the
+  functions/ch.great_circle_distance haversine verbatim).
 - ``arrayJoin(expr)``: CH's row-expanding function, hoisted into an
   inner ``explode`` projection (empty/NULL arrays drop the row, the
   CH rule).  One DISTINCT arrayJoin expression per SELECT (repeated
@@ -1115,6 +1132,248 @@ _CALL_REWRITES.update(
 )
 
 
+# ----- vocab batch #3 (r12): tolerant casts, date arithmetic, ------
+# ----- digests, bit family, regression/mode aggregates, array/map --
+
+def _date_name_sql(a: list[str]) -> str:
+    """CH ``dateName(part, d)``: the named date part AS A STRING
+    ('2024', 'April', 'Tuesday').  Literal part names only -- a
+    column-valued part would need a per-row format dispatch."""
+    part = a[0].strip().strip("'\"").lower()
+    forms = {
+        "year": "date_format({d}, 'yyyy')",
+        "quarter": "CAST(quarter({d}) AS STRING)",
+        "month": "date_format({d}, 'MMMM')",
+        "dayofyear": "CAST(dayofyear({d}) AS STRING)",
+        "day": "CAST(day({d}) AS STRING)",
+        "weekday": "date_format({d}, 'EEEE')",
+        "hour": "CAST(hour({d}) AS STRING)",
+        "minute": "CAST(minute({d}) AS STRING)",
+        "second": "CAST(second({d}) AS STRING)",
+    }
+    if part not in forms:
+        raise ValueError(
+            f"chsql: dateName part {a[0]!r} is not one of {sorted(forms)}"
+        )
+    return forms[part].format(d=a[1])
+
+
+def _has_substr_sql(a: list[str]) -> str:
+    """CH ``hasSubstr(a, b)``: b occurs in a as a CONTIGUOUS ordered
+    run (``hasAll`` is the set form).  Element compare is null-safe
+    ``<=>`` (NULL elements match NULL, the CH all-values rule); an
+    empty b matches everything, as in CH.  A slice shorter than b
+    zips against NULL probes and fails -- no length pre-check
+    needed."""
+    arr, sub = a
+    return (
+        f"exists(sequence(1, greatest(size({arr}) - size({sub}) + 1, 1)), "
+        f"__i -> forall(zip_with(slice({arr}, __i, size({sub})), {sub}, "
+        f"(__x, __y) -> __x <=> __y), __p -> __p))"
+    )
+
+
+# CH tolerant-cast family ``to<T>OrNull`` / ``to<T>OrZero``:
+# ``try_cast`` shares CH's strict-parse contract (NULL on parse OR
+# range failure; '12.5' does NOT truncate into an Int64) but also
+# accepts surrounding ASCII whitespace and non-string arguments --
+# documented superset.  Unsigned targets ride the same widened
+# storage types as the ``toUInt*`` hard casts and add CH's [0, max]
+# range gate (a cheap comparison CASE, not the PLANS.md
+# branch-penalty class; UInt64 is bounded at BIGINT max, the same
+# documented narrowing as ``toUInt64``).  OrZero falls back to CH's
+# zero default (0 / 1970-01-01).
+_CH_TOLERANT_CASTS: dict[str, tuple[str, tuple[str, str] | None, str]] = {
+    "Int8": ("TINYINT", None, "CAST(0 AS TINYINT)"),
+    "Int16": ("SMALLINT", None, "CAST(0 AS SMALLINT)"),
+    "Int32": ("INT", None, "CAST(0 AS INT)"),
+    "Int64": ("BIGINT", None, "CAST(0 AS BIGINT)"),
+    "UInt8": ("SMALLINT", ("0", "255"), "CAST(0 AS SMALLINT)"),
+    "UInt16": ("INT", ("0", "65535"), "CAST(0 AS INT)"),
+    "UInt32": ("BIGINT", ("0", "4294967295"), "CAST(0 AS BIGINT)"),
+    "UInt64": (
+        "BIGINT", ("0", "9223372036854775807"), "CAST(0 AS BIGINT)"
+    ),
+    "Float32": ("FLOAT", None, "CAST(0 AS FLOAT)"),
+    "Float64": ("DOUBLE", None, "CAST(0 AS DOUBLE)"),
+    "Date": ("DATE", None, "DATE'1970-01-01'"),
+    "DateTime": ("TIMESTAMP", None, "TIMESTAMP'1970-01-01 00:00:00'"),
+}
+
+
+def _tolerant_cast_rewrites() -> dict:
+    out = {}
+    for ch, (sp, rng, zero) in _CH_TOLERANT_CASTS.items():
+        if rng is None:
+            ornull = (
+                lambda a, sp=sp: f"try_cast({a[0]} AS {sp})"
+            )
+        else:
+            lo, hi = rng
+            ornull = lambda a, sp=sp, lo=lo, hi=hi: (
+                f"CASE WHEN try_cast({a[0]} AS BIGINT) "
+                f"BETWEEN {lo} AND {hi} "
+                f"THEN CAST(try_cast({a[0]} AS BIGINT) AS {sp}) END"
+            )
+        out[f"to{ch}OrNull"] = ornull
+        out[f"to{ch}OrZero"] = (
+            lambda a, f=ornull, z=zero: f"coalesce({f(a)}, {z})"
+        )
+    return out
+
+
+_CALL_REWRITES.update(_tolerant_cast_rewrites())
+
+# CH per-unit date arithmetic addYears..subtractSeconds: the same
+# timestampadd mapping (and the same documented type deviation) as
+# dateAdd/dateSub -- output is TIMESTAMP even for DATE inputs where
+# CH keeps Date for day-and-coarser units; cast at the call site
+_CALL_REWRITES.update(
+    {
+        f"{verb}{unit.capitalize()}s": (
+            lambda u, neg: (
+                lambda a: f"timestampadd({u}, {neg}({a[1]}), {a[0]})"
+            )
+        )(unit.upper(), neg)
+        for unit in (
+            "year", "quarter", "month", "week",
+            "day", "hour", "minute", "second",
+        )
+        for verb, neg in (("add", ""), ("subtract", "-"))
+    }
+)
+
+# N-minute floors, the timeSlot pattern (tz-free, NTZ-safe)
+_CALL_REWRITES.update(
+    {
+        name: (
+            lambda n: (
+                lambda a: (
+                    f"timestampadd(MINUTE, -(minute({a[0]}) % {n}), "
+                    f"date_trunc('MINUTE', {a[0]}))"
+                )
+            )
+        )(n)
+        for name, n in {
+            "toStartOfFiveMinutes": 5,
+            "toStartOfTenMinutes": 10,
+            "toStartOfFifteenMinutes": 15,
+        }.items()
+    }
+)
+
+_CALL_REWRITES.update(
+    {
+        # CH toTime: keep the time-of-day, pin the date to 1970-01-02
+        "toTime": lambda a: (
+            f"to_timestamp(concat('1970-01-02 ', "
+            f"date_format({a[0]}, 'HH:mm:ss')))"
+        ),
+        "monthName": lambda a: f"date_format({a[0]}, 'MMMM')",
+        "dateName": _date_name_sql,
+        # ----- math ------------------------------------------------
+        "exp2": lambda a: f"power(CAST(2 AS DOUBLE), {a[0]})",
+        "exp10": lambda a: f"power(CAST(10 AS DOUBLE), {a[0]})",
+        # exact for n in 0..62 / 0..18 (5^n < 2^53 keeps the double
+        # representation exact; beyond that CH's UInt64 overflows
+        # BIGINT anyway)
+        "intExp2": lambda a: (
+            f"CAST(power(CAST(2 AS DOUBLE), {a[0]}) AS BIGINT)"
+        ),
+        "intExp10": lambda a: (
+            f"CAST(power(CAST(10 AS DOUBLE), {a[0]}) AS BIGINT)"
+        ),
+        # CH max2/min2 always return Float64
+        "max2": lambda a: (
+            f"greatest(CAST({a[0]} AS DOUBLE), CAST({a[1]} AS DOUBLE))"
+        ),
+        "min2": lambda a: (
+            f"least(CAST({a[0]} AS DOUBLE), CAST({a[1]} AS DOUBLE))"
+        ),
+        # ----- digests (CH returns FixedString bytes; hex() of the
+        # ----- result matches CH's uppercase spelling exactly) ------
+        "MD5": lambda a: f"unhex(md5({a[0]}))",
+        "SHA1": lambda a: f"unhex(sha1({a[0]}))",
+        "SHA224": lambda a: f"unhex(sha2({a[0]}, 224))",
+        "SHA256": lambda a: f"unhex(sha2({a[0]}, 256))",
+        "SHA512": lambda a: f"unhex(sha2({a[0]}, 512))",
+        # ----- bit family ------------------------------------------
+        "groupBitAnd": lambda a: f"bit_and({a[0]})",
+        "groupBitOr": lambda a: f"bit_or({a[0]})",
+        "groupBitXor": lambda a: f"bit_xor({a[0]})",
+        "bitCount": lambda a: f"bit_count({a[0]})",
+        # LSB is bit 0, the CH rule; UInt8 result -> INT (the `match`
+        # convention)
+        "bitTest": lambda a: (
+            f"CAST((shiftright(CAST({a[0]} AS BIGINT), "
+            f"CAST({a[1]} AS INT)) & 1) AS INT)"
+        ),
+        # ----- aggregates ------------------------------------------
+        # exact mode: a deterministic strengthening of CH's
+        # approximate heavy-hitter (ties unspecified in BOTH engines)
+        "anyHeavy": lambda a: f"mode({a[0]})",
+        # CH arg order is (x, y); Spark regr_* take (y, x).  Output
+        # is the CH tuple -> named_struct('k', slope, 'b', intercept)
+        "simpleLinearRegression": lambda a: (
+            f"named_struct('k', regr_slope({a[1]}, {a[0]}), "
+            f"'b', regr_intercept({a[1]}, {a[0]}))"
+        ),
+        # theta-sketch class: same fixed-memory approximate family
+        "uniqTheta": lambda a: (
+            f"approx_count_distinct("
+            f"{a[0] if len(a) == 1 else 'struct(' + ', '.join(a) + ')'}, "
+            f"0.01)"
+        ),
+        # ----- array / map -----------------------------------------
+        # CH arg order (N, x) -> Spark array_repeat(x, N)
+        "arrayWithConstant": lambda a: (
+            f"array_repeat({a[1]}, CAST({a[0]} AS INT))"
+        ),
+        # function form of arr[i]: the same try_element_at mapping as
+        # postfix call-result indexing (1-based, negative-from-end,
+        # arr[0] -> NULL via nullif; out-of-range NULL where CH
+        # fabricates the type default -- same documented deviation)
+        "arrayElement": lambda a: (
+            f"try_element_at({a[0]}, CAST(nullif(({a[1]}), 0) AS INT))"
+        ),
+        "hasSubstr": _has_substr_sql,
+        # non-overlapping occurrence count (the replace rule IS the
+        # CH non-intersecting rule); '' needle -> length+1 as in CH
+        "countSubstrings": lambda a: (
+            f"CAST(CASE WHEN length({a[1]}) = 0 THEN length({a[0]}) + 1 "
+            f"ELSE (length({a[0]}) - length(replace({a[0]}, {a[1]}, ''))) "
+            f"/ length({a[1]}) END AS INT)"
+        ),
+        "mapKeys": lambda a: f"map_keys({a[0]})",
+        "mapValues": lambda a: f"map_values({a[0]})",
+        "mapContains": lambda a: f"map_contains_key({a[0]}, {a[1]})",
+        "mapFromArrays": lambda a: f"map_from_arrays({a[0]}, {a[1]})",
+        # ----- finiteness (boolean results, the isFinite family
+        # ----- convention) -----------------------------------------
+        "isNaN": lambda a: f"isnan(CAST({a[0]} AS DOUBLE))",
+        "isInfinite": lambda a: (
+            f"(NOT isnan(CAST({a[0]} AS DOUBLE)) "
+            f"AND abs(CAST({a[0]} AS DOUBLE)) = "
+            f"CAST('Infinity' AS DOUBLE))"
+        ),
+        "ifNotFinite": lambda a: (
+            f"CASE WHEN NOT isnan(CAST({a[0]} AS DOUBLE)) "
+            f"AND abs(CAST({a[0]} AS DOUBLE)) != "
+            f"CAST('Infinity' AS DOUBLE) THEN {a[0]} ELSE {a[1]} END"
+        ),
+        # ----- geo: the functions/ch.great_circle_distance formula
+        # ----- verbatim (haversine, 6371 km mean sphere; CH's
+        # ----- interpolated ellipsoidal radius differs <0.5%) -------
+        "greatCircleDistance": lambda a: (
+            f"(2.0D * 6371000.0D * asin(sqrt("
+            f"pow(sin((radians({a[3]}) - radians({a[1]})) / 2), 2) "
+            f"+ cos(radians({a[1]})) * cos(radians({a[3]})) "
+            f"* pow(sin((radians({a[2]}) - radians({a[0]})) / 2), 2))))"
+        ),
+    }
+)
+
+
 def _structural_refusal(name: str, pointer: str):
     """A known CH function whose semantics need a STRUCTURAL plan
     (explode + multi-stage aggregation), not a single expression:
@@ -1542,6 +1801,48 @@ _ARITY.update(
         "alphaTokens": (1, 1), "arrayResize": (2, 3),
         "tuple": (1, None), "tupleElement": (2, 2),
         "IPv4NumToString": (1, 1), "IPv4StringToNum": (1, 1),
+    }
+)
+
+# vocab batch #3 (tolerant casts, date arithmetic, digests, bit
+# family, regression/mode aggregates, array/map, finiteness, geo)
+_ARITY.update(
+    {
+        name: (1, 1)
+        for ch in _CH_TOLERANT_CASTS
+        for name in (f"to{ch}OrNull", f"to{ch}OrZero")
+    }
+)
+_ARITY.update(
+    {
+        f"{verb}{unit.capitalize()}s": (2, 2)
+        for unit in (
+            "year", "quarter", "month", "week",
+            "day", "hour", "minute", "second",
+        )
+        for verb in ("add", "subtract")
+    }
+)
+_ARITY.update(
+    {
+        "toStartOfFiveMinutes": (1, 1), "toStartOfTenMinutes": (1, 1),
+        "toStartOfFifteenMinutes": (1, 1), "toTime": (1, 1),
+        "monthName": (1, 1), "dateName": (2, 2),
+        "exp2": (1, 1), "exp10": (1, 1),
+        "intExp2": (1, 1), "intExp10": (1, 1),
+        "max2": (2, 2), "min2": (2, 2),
+        "MD5": (1, 1), "SHA1": (1, 1), "SHA224": (1, 1),
+        "SHA256": (1, 1), "SHA512": (1, 1),
+        "groupBitAnd": (1, 1), "groupBitOr": (1, 1),
+        "groupBitXor": (1, 1), "bitCount": (1, 1), "bitTest": (2, 2),
+        "anyHeavy": (1, 1), "simpleLinearRegression": (2, 2),
+        "uniqTheta": (1, None),
+        "arrayWithConstant": (2, 2), "arrayElement": (2, 2),
+        "hasSubstr": (2, 2), "countSubstrings": (2, 2),
+        "mapKeys": (1, 1), "mapValues": (1, 1), "mapContains": (2, 2),
+        "mapFromArrays": (2, 2),
+        "isNaN": (1, 1), "isInfinite": (1, 1), "ifNotFinite": (2, 2),
+        "greatCircleDistance": (4, 4),
     }
 )
 
