@@ -150,11 +150,50 @@ def test_integer_sample_refuses(spark, ledger):
         )
 
 
-def test_sample_offset_refuses(spark, ledger):
-    with pytest.raises(ValueError, match="OFFSET"):
+def test_sample_offset_shifts_the_slice(spark, ledger):
+    # r12: SAMPLE k OFFSET m compiles to the [m*D, m*D + k*D) range.
+    # pmod(VisitID, 1e6) in [2, 4) keeps VisitIDs 2 and 3
+    df = chsql.run_sql(
+        spark,
+        "SELECT DISTINCT VisitID FROM visits "
+        "SAMPLE 0.000002 OFFSET 0.000002 ORDER BY VisitID",
+        {"visits": ledger},
+        table_meta=META,
+    )
+    assert [r[0] for r in df.collect()] == [2, 3]
+
+
+def test_sample_offset_partitions_the_space(spark, ledger):
+    def ids(deco):
+        df = chsql.run_sql(
+            spark,
+            f"SELECT VisitID FROM visits {deco}",
+            {"visits": ledger},
+            table_meta=META,
+        )
+        return sorted(r[0] for r in df.collect())
+
+    lower, upper = ids("SAMPLE 1/2"), ids("SAMPLE 1/2 OFFSET 1/2")
+    assert sorted(lower + upper) == ids("SAMPLE 1")
+    assert not set(lower) & set(upper)
+
+
+def test_sample_offset_clips_at_top(spark, ledger):
+    # CH clips the slice at the end of the sample space
+    df = chsql.run_sql(
+        spark,
+        "SELECT VisitID FROM visits SAMPLE 1/2 OFFSET 0.999999",
+        {"visits": ledger},
+        table_meta=META,
+    )
+    assert df.count() == 0  # [999999, 1e6) misses VisitIDs 1..3
+
+
+def test_sample_offset_out_of_range_refuses(spark, ledger):
+    with pytest.raises(ValueError, match=r"OFFSET.*\[0, 1\)"):
         chsql.run_sql(
             spark,
-            "SELECT 1 FROM visits SAMPLE 0.1 OFFSET 0.5",
+            "SELECT 1 FROM visits SAMPLE 0.1 OFFSET 1.5",
             {"visits": ledger},
             table_meta=META,
         )

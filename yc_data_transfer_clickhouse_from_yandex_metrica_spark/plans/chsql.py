@@ -82,8 +82,10 @@ vocabulary):
   refuse (including the comma-join and subquery placements Spark
   would parse as aliases); mixed decorated+bare references to one
   table refuse, as do two decorated references with CONFLICTING
-  flags; ``SAMPLE 1`` reads all rows (valid CH no-op); integer
-  SAMPLE > 1 (row-count form) and SAMPLE..OFFSET refuse.
+  flags; ``SAMPLE 1`` reads all rows (valid CH no-op); ``SAMPLE k
+  OFFSET m`` (r12) reads the shifted [m, m+k) slice of the sample
+  space, top-clipped as CH clips; integer SAMPLE > 1 (row-count
+  form) refuses.
 - every ``_CALL_REWRITES`` entry declares its arity (``_ARITY``,
   r10): surplus arguments REFUSE instead of being silently dropped,
   missing ones refuse instead of IndexError -- the refusal names the
@@ -2917,12 +2919,6 @@ def _scan_table_decorations(
         masked = _mask(sql)
         for m in pat.finditer(masked):
             final_kw, sample_txt, offset_txt = m.group(2), m.group(3), m.group(4)
-            if offset_txt:
-                raise ValueError(
-                    "chsql: SAMPLE ... OFFSET reads a shifted slice of the "
-                    "sample space and is not mapped; shift the bucket via "
-                    "operators/sampling.sample_mod(bucket=...) instead"
-                )
             if not final_kw and not sample_txt:
                 bare = True
                 continue
@@ -2930,7 +2926,28 @@ def _scan_table_decorations(
             if final_kw:
                 m_flags["final"] = True
             if sample_txt:
-                m_flags["sample"] = _parse_sample_fraction(sample_txt)
+                # SAMPLE k [OFFSET m]: the [m*D, m*D + k*D) slice of
+                # the sample space -- OFFSET shifts the contiguous
+                # range, clipped at the top as CH clips (SAMPLE 1/2
+                # OFFSET 3/4 reads the last quarter)
+                thresh = _parse_sample_fraction(sample_txt)
+                lo = 0
+                if offset_txt:
+                    off_frac_txt = offset_txt.split(None, 1)[1]
+                    try:
+                        off = Fraction(off_frac_txt.replace(" ", ""))
+                    except (ValueError, ZeroDivisionError) as ex:
+                        raise ValueError(
+                            f"chsql: SAMPLE OFFSET {off_frac_txt!r} is "
+                            f"not a valid fraction"
+                        ) from ex
+                    if not (0 <= off < 1):
+                        raise ValueError(
+                            f"chsql: SAMPLE OFFSET {off_frac_txt} must "
+                            f"be a fraction in [0, 1)"
+                        )
+                    lo = round(off * _SAMPLE_DENOM)
+                m_flags["sample"] = (lo, min(lo + thresh, _SAMPLE_DENOM))
             if flags and m_flags != flags:
                 # ADVICE r11 #3: two decorated references with
                 # DIFFERENT flags would silently share the last-wins
@@ -2973,10 +2990,15 @@ def _apply_decorations(
                 f"use operators/sampling.sample_by / sources/warehouse's "
                 f"SAMPLE BY layout"
             )
-        df = df.where(
-            F.pmod(F.col(meta.sample_by), F.lit(_SAMPLE_DENOM))
-            < F.lit(flags["sample"])
-        )
+        lo, hi = flags["sample"]
+        space = F.pmod(F.col(meta.sample_by), F.lit(_SAMPLE_DENOM))
+        # keep the single-sided predicate when un-offset (the shape
+        # the pushed-scan plan assertion pins); both forms reach the
+        # parquet scan as DataFilters
+        cond = space < F.lit(hi)
+        if lo:
+            cond = (space >= F.lit(lo)) & cond
+        df = df.where(cond)
     if "final" in flags:
         if meta is None or not (meta.key and meta.version and meta.sign):
             raise ValueError(
