@@ -2313,6 +2313,31 @@ def test_fill_series_integer_axis_explicit_bounds(spark):
     assert rows == [(1, 0.0), (2, 10.5), (3, 0.0), (4, 20.0), (5, 0.0)]
 
 
+def test_spanned_fill_series_edges(spark):
+    from datetime import datetime as dt
+    from yc_data_transfer_clickhouse_from_yandex_metrica_spark.operators.series import (
+        spanned_fill_series,
+    )
+
+    df = spark.createDataFrame([(3, 30.0), (7, 70.0)], "i long, v double")
+    # frm beyond the data with no to: nothing fills, originals keep
+    got = spanned_fill_series(df, "i", step="1", fill={"v": 0.0}, frm=9)
+    assert sorted((r.i, r.v) for r in got.collect()) == [(3, 30.0), (7, 70.0)]
+    # to <= frm: inverted span, no fills
+    got = spanned_fill_series(
+        df, "i", step="1", fill={"v": 0.0}, frm=5, to=5
+    )
+    assert sorted((r.i, r.v) for r in got.collect()) == [(3, 30.0), (7, 70.0)]
+    # timestamp axis refuses a TO bound (no unit for the strict stop)
+    ts = spark.createDataFrame(
+        [(dt(2024, 1, 1, 10), 1.0)], "t timestamp, v double"
+    )
+    with pytest.raises(ValueError, match="integral or DATE"):
+        spanned_fill_series(
+            ts, "t", step="1 hour", frm=dt(2024, 1, 1), to=dt(2024, 1, 2)
+        )
+
+
 def test_fill_series_unfilled_column_stays_null(spark):
     from yc_data_transfer_clickhouse_from_yandex_metrica_spark.operators import series
 
@@ -4215,6 +4240,77 @@ def test_chsql_with_fill(spark):
             "SELECT i, sum(v) AS total FROM t GROUP BY i WITH TOTALS "
             "ORDER BY i WITH FILL",
             {"t": df2},
+        )
+
+
+def test_chsql_with_fill_from_to(spark):
+    """r12: WITH FILL FROM/TO -- grid phase-anchored at FROM, strictly
+    below TO, originals OUTSIDE the span kept (the CH rule)."""
+    from datetime import date
+    from yc_data_transfer_clickhouse_from_yandex_metrica_spark.plans import chsql
+
+    df = spark.createDataFrame([(3, 30.0), (7, 70.0)], "i long, v double")
+
+    def fill(sql):
+        return [
+            (r.i, r.total)
+            for r in chsql.run_sql(spark, sql, {"t": df}).collect()
+        ]
+
+    # grid 1..5 (< TO 6) union originals {3, 7}; 7 is OUTSIDE and stays
+    assert fill(
+        "SELECT i, sum(v) AS total FROM t GROUP BY i "
+        "ORDER BY i WITH FILL FROM 1 TO 6"
+    ) == [(1, 0.0), (2, 0.0), (3, 30.0), (4, 0.0), (5, 0.0), (7, 70.0)]
+    # phase anchor: FROM 1 STEP 2 -> 1,3,5,7 (7 < TO 8); original 4 rides
+    df2 = spark.createDataFrame([(4, 40.0)], "i long, v double")
+    rows = chsql.run_sql(
+        spark,
+        "SELECT i, sum(v) AS total FROM t GROUP BY i "
+        "ORDER BY i WITH FILL FROM 1 TO 8 STEP 2",
+        {"t": df2},
+    ).collect()
+    assert [(r.i, r.total) for r in rows] == [
+        (1, 0.0), (3, 0.0), (4, 40.0), (5, 0.0), (7, 0.0)
+    ]
+    # TO-only: grid anchored at min(axis); FROM-only: fills through max
+    assert fill(
+        "SELECT i, sum(v) AS total FROM t GROUP BY i "
+        "ORDER BY i WITH FILL TO 6"
+    ) == [(3, 30.0), (4, 0.0), (5, 0.0), (7, 70.0)]
+    assert fill(
+        "SELECT i, sum(v) AS total FROM t GROUP BY i "
+        "ORDER BY i WITH FILL FROM 6"
+    ) == [(3, 30.0), (6, 0.0), (7, 70.0)]
+    # date axis with toDate literals (arrives as CAST post-rewrite)
+    dfd = spark.createDataFrame(
+        [(date(2024, 1, 1), 1.0), (date(2024, 1, 6), 6.0)],
+        "d date, v double",
+    )
+    rows = chsql.run_sql(
+        spark,
+        "SELECT d, sum(v) AS total FROM t GROUP BY d ORDER BY d "
+        "WITH FILL FROM toDate('2024-01-02') TO toDate('2024-01-05')",
+        {"t": dfd},
+    ).collect()
+    assert [(r.d.day, r.total) for r in rows] == [
+        (1, 1.0), (2, 0.0), (3, 0.0), (4, 0.0), (6, 6.0)
+    ]
+    # bound/axis type mismatch refuses
+    with pytest.raises(ValueError, match="does not match"):
+        chsql.run_sql(
+            spark,
+            "SELECT d, sum(v) AS total FROM t GROUP BY d "
+            "ORDER BY d WITH FILL FROM 1",
+            {"t": dfd},
+        )
+    # malformed date bound refuses
+    with pytest.raises(ValueError, match="YYYY-MM-DD"):
+        chsql.run_sql(
+            spark,
+            "SELECT d, sum(v) AS total FROM t GROUP BY d "
+            "ORDER BY d WITH FILL FROM toDate('yesterday-ish')",
+            {"t": dfd},
         )
 
 

@@ -122,6 +122,96 @@ def fill_series(
     return out
 
 
+def spanned_fill_series(
+    agg: DataFrame,
+    axis_col: str,
+    step: str = "1 day",
+    fill: dict[str, object] | None = None,
+    interpolate: Sequence[str] = (),
+    frm: object | None = None,
+    to: object | None = None,
+) -> DataFrame:
+    """ClickHouse ``WITH FILL FROM <frm> TO <to>``: fill the grid
+    ``frm, frm+step, ...`` STRICTLY BELOW ``to`` while KEEPING every
+    original row -- including rows outside [frm, to), which CH never
+    drops (plain ``fill_series(bounds=...)`` clips to the spine and
+    is therefore NOT the FROM/TO contract).  ``frm``/``to`` default
+    to the frame's own min / just-past-max, each side independently
+    overridable.
+
+    The spine is (grid points) UNION (original axis values),
+    deduplicated -- still |span/step| + |axis values| rows, safe at
+    any fact scale for the same reason fill_series is (the frame is
+    post-aggregation).  One localCheckpoint keeps the aggregate's
+    fact-scan single; the join broadcasts the aggregate side.
+
+    ``to`` is supported for integral and DATE axes (the strict upper
+    bound needs the axis's unit step to convert to an inclusive
+    sequence stop); pass ``to=None`` for timestamps."""
+    fill = fill or {}
+    agg = agg.localCheckpoint(eager=True)
+    # the grid is PHASE-ANCHORED at frm (CH: frm, frm+step, ...);
+    # with no frm it anchors at the frame's min, the CH default
+    lo = F.lit(frm) if frm is not None else F.min(axis_col)
+    if to is not None:
+        # sequence() stops are inclusive; convert the strict < to
+        # bound via the axis's unit (hence the integral/DATE scope)
+        axis_dt = dict(agg.dtypes)[axis_col]
+        if axis_dt == "date":
+            hi = F.date_sub(F.lit(to), 1)
+        elif axis_dt in ("tinyint", "smallint", "int", "bigint"):
+            hi = F.lit(to) - F.lit(1)
+        else:
+            raise ValueError(
+                f"WITH FILL TO needs an integral or DATE axis; "
+                f"{axis_col!r} is {axis_dt}"
+            )
+    else:
+        hi = F.max(axis_col)
+    bounds_df = agg.agg(lo.alias("__lo"), hi.alias("__hi"))
+    if step.strip().isdigit():
+        seq = F.sequence(
+            F.col("__lo"), F.col("__hi"), F.lit(int(step.strip()))
+        )
+    else:
+        seq = F.sequence(
+            F.col("__lo"), F.col("__hi"), F.expr(f"interval {step}")
+        )
+    # an inverted span (frm beyond the data with no to, or to <= frm)
+    # fills nothing -- sequence() would otherwise DESCEND
+    seq = F.when(F.col("__lo") <= F.col("__hi"), seq).otherwise(
+        F.array().cast(f"array<{dict(agg.dtypes)[axis_col]}>")
+    )
+    grid = bounds_df.select(F.explode(seq).alias(axis_col))
+    spine = grid.union(agg.select(axis_col)).distinct()
+    out = spine.join(F.broadcast(agg), on=axis_col, how="left")
+    out = out.select(
+        axis_col,
+        *[
+            F.coalesce(F.col(c), F.lit(fill[c])).alias(c)
+            if c in fill
+            else F.col(c)
+            for c in agg.columns
+            if c != axis_col
+        ],
+    )
+    if interpolate:
+        w = Window.orderBy(axis_col).rowsBetween(
+            Window.unboundedPreceding, Window.currentRow
+        )
+        out = out.select(
+            axis_col,
+            *[
+                F.last(F.col(c), ignorenulls=True).over(w).alias(c)
+                if c in interpolate
+                else F.col(c)
+                for c in out.columns
+                if c != axis_col
+            ],
+        )
+    return out
+
+
 def _order_cols(order_col: str | Sequence[str]) -> list[str]:
     return [order_col] if isinstance(order_col, str) else list(order_col)
 

@@ -101,8 +101,12 @@ vocabulary):
   sort column, non-axis columns filled with their TYPE DEFAULTS
   (0 / '' / false, the CH rule) or carried forward when listed in
   INTERPOLATE; STEP takes ``N`` or ``INTERVAL N unit``; the global
-  LIMIT applies after the fill (CH order of operations).  FROM/TO
-  bounds and ``INTERPOLATE (col AS expr)`` stay operator-API-only.
+  LIMIT applies after the fill (CH order of operations).  ``FROM f``
+  / ``TO t`` bounds (r12) take integer or toDate/DATE literals: the
+  grid is phase-anchored at FROM, strictly below TO, and original
+  rows outside the span are KEPT (the CH rule) via
+  operators/series.spanned_fill_series.  ``INTERPOLATE (col AS
+  expr)`` stays operator-API-only.
 - clock functions ``now()`` / ``today()`` / ``yesterday()`` (query-
   constant in both engines); ``numbers(N)`` -> Spark ``range`` with
   CH's ``number`` column; the approximate ``uniq`` /
@@ -173,6 +177,7 @@ vocabulary):
 
 from __future__ import annotations
 
+import datetime
 import re
 from dataclasses import dataclass
 from fractions import Fraction
@@ -3314,12 +3319,17 @@ def _compile_single(
         )
         frm, where = f"FROM ({inner})", None
 
-    # CH `ORDER BY axis WITH FILL [STEP s] [INTERPOLATE (cols)]`:
-    # densify the aggregated axis via operators/series.fill_series.
+    # CH `ORDER BY axis WITH FILL [FROM f] [TO t] [STEP s]
+    # [INTERPOLATE (cols)]`: densify the aggregated axis via
+    # operators/series.fill_series (spanned_fill_series when FROM/TO
+    # present: the grid is phase-anchored at FROM, strictly below TO,
+    # and original rows OUTSIDE the span are kept, the CH rule).
     # Dialect scope: ONE sort column when FILL is present; non-axis
-    # columns fill with their TYPE DEFAULTS (0 / '' / false), the CH
-    # rule; INTERPOLATE columns carry the last seen value instead.
-    # FROM/TO bounds are not supported (use the operator API).
+    # columns fill with their TYPE DEFAULTS (0 / '' / false);
+    # INTERPOLATE columns carry the last seen value instead.
+    # FROM/TO bounds take integer or toDate('...')/DATE '...'
+    # literals (an expression bound would need evaluation before
+    # planning).
     fill_spec = None
     if order and re.search(r"\bWITH\s+FILL\b", order, re.I):
         if with_totals:
@@ -3327,8 +3337,16 @@ def _compile_single(
         body = re.sub(r"^ORDER\s+BY\s+", "", order, flags=re.I)
         if len(_split_top(body)) != 1:
             raise ValueError("chsql: WITH FILL supports a single sort column")
+        # toDate('...') reaches this clause already rewritten to
+        # CAST('...' AS DATE) (the call pass runs first)
+        _bound = (
+            r"-?\d+|CAST\s*\(\s*'[^']+'\s+AS\s+DATE\s*\)"
+            r"|toDate\s*\(\s*'[^']+'\s*\)|DATE\s*'[^']+'"
+        )
         fm = re.match(
             r"^\s*(\S+)\s*(ASC|DESC)?\s*WITH\s+FILL"
+            rf"(?:\s+FROM\s+({_bound}))?"
+            rf"(?:\s+TO\s+({_bound}))?"
             r"(?:\s+STEP\s+(INTERVAL\s+\d+\s+\w+|\d+))?"
             r"(?:\s+INTERPOLATE\s*\(([^)]*)\))?\s*$",
             body, re.I,
@@ -3336,13 +3354,29 @@ def _compile_single(
         if not fm:
             raise ValueError(
                 f"chsql: unsupported WITH FILL spelling {body!r} "
-                "(FROM/TO bounds live in the operator API)"
+                "(bounds must be integer or toDate/DATE literals)"
             )
         axis = fm.group(1).strip("`")
         desc = bool(fm.group(2)) and fm.group(2).upper() == "DESC"
-        step_txt = fm.group(3)
+
+        def _bound_value(txt: str | None):
+            if txt is None:
+                return None
+            if re.fullmatch(r"-?\d+", txt):
+                return int(txt)
+            dm = re.search(r"'([^']+)'", txt)
+            try:
+                return datetime.date.fromisoformat(dm.group(1))
+            except ValueError as ex:
+                raise ValueError(
+                    f"chsql: WITH FILL bound {txt!r} is not a valid "
+                    f"YYYY-MM-DD date"
+                ) from ex
+
+        frm_b, to_b = _bound_value(fm.group(3)), _bound_value(fm.group(4))
+        step_txt = fm.group(5)
         interp = [
-            c.strip().strip("`") for c in (fm.group(4) or "").split(",") if c.strip()
+            c.strip().strip("`") for c in (fm.group(6) or "").split(",") if c.strip()
         ]
         if any(re.search(r"\sAS\s", c, re.I) for c in interp):
             raise ValueError(
@@ -3354,7 +3388,7 @@ def _compile_single(
             step = f"{im.group(1)} {im.group(2).lower()}" if im else step_txt
         else:
             step = None  # decided from the axis dtype below
-        fill_spec = (axis, desc, step, interp)
+        fill_spec = (axis, desc, step, interp, frm_b, to_b)
         order = None
 
     # CH `LIMIT [off,] n BY keys [LIMIT ...]`: first n rows (after
@@ -3415,9 +3449,9 @@ def _compile_single(
     detail = _sql(main)
 
     if fill_spec:
-        from ..operators.series import fill_series
+        from ..operators.series import fill_series, spanned_fill_series
 
-        axis, desc, step, interp = fill_spec
+        axis, desc, step, interp, frm_b, to_b = fill_spec
         dtypes = {f.name: f.dataType for f in detail.schema.fields}
         if axis not in dtypes:
             raise ValueError(f"chsql: WITH FILL axis {axis!r} not in the output")
@@ -3437,7 +3471,25 @@ def _compile_single(
                 fills[f.name] = ""
             elif isinstance(f.dataType, T.BooleanType):
                 fills[f.name] = False
-        filled = fill_series(detail, axis, step=step, fill=fills, interpolate=interp)
+        if frm_b is not None or to_b is not None:
+            for b in (frm_b, to_b):
+                if b is None:
+                    continue
+                b_is_date = isinstance(b, datetime.date)
+                ax_is_date = isinstance(dtypes[axis], T.DateType)
+                if b_is_date != ax_is_date:
+                    raise ValueError(
+                        f"chsql: WITH FILL bound {b!r} does not match "
+                        f"axis {axis!r} type {dtypes[axis].simpleString()}"
+                    )
+            filled = spanned_fill_series(
+                detail, axis, step=step, fill=fills, interpolate=interp,
+                frm=frm_b, to=to_b,
+            )
+        else:
+            filled = fill_series(
+                detail, axis, step=step, fill=fills, interpolate=interp
+            )
         filled = filled.orderBy(F.col(axis).desc() if desc else F.col(axis))
         if limit:
             lm2 = re.match(r"LIMIT\s+(\d+)(?:\s+OFFSET\s+(\d+))?\s*$", limit, re.I)
