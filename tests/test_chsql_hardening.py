@@ -315,8 +315,19 @@ def test_structural_functions_refuse_with_operator_pointer(spark, stbl):
             "maps.agg_map",
         ),
         ("SELECT windowFunnel(3600)(k, s = 'a') AS f FROM t", "funnel.window_funnel"),
-        ("SELECT runningDifference(k) AS r FROM t", "series.running_difference"),
-        ("SELECT neighbor(k, 1) AS n FROM t", "series.neighbor"),
+        # r12: top-level placements WITH ORDER BY now compile
+        # (test_chsql_running_difference_and_neighbor); the pointer
+        # refusal remains for subquery placements, and the top-level
+        # no-ORDER-BY spelling names the contract + the operator
+        (
+            "SELECT r FROM (SELECT runningDifference(k) AS r FROM t) q",
+            "series.running_difference",
+        ),
+        (
+            "SELECT n FROM (SELECT neighbor(k, 1) AS n FROM t) q",
+            "series.neighbor",
+        ),
+        ("SELECT runningDifference(k) AS r FROM t", "ORDER BY"),
         ("SELECT retention(k = 1, k = 2) AS r FROM t", "funnel.retention"),
     ]:
         with pytest.raises(ValueError, match=ptr.replace(".", r"\.")):

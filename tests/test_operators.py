@@ -4243,6 +4243,83 @@ def test_chsql_with_fill(spark):
         )
 
 
+def test_chsql_running_difference_and_neighbor(spark):
+    """r12: runningDifference/neighbor compile as window expressions
+    over the statement's ORDER BY (deterministic strengthening of
+    CH's block order); other placements keep the pointer refusal."""
+    from yc_data_transfer_clickhouse_from_yandex_metrica_spark.plans import chsql
+
+    df = spark.createDataFrame(
+        [(1, 10.0), (2, 13.0), (3, 11.5)], "i long, v double"
+    )
+    rows = chsql.run_sql(
+        spark,
+        "SELECT i, runningDifference(v) AS rd FROM t ORDER BY i",
+        {"t": df},
+    ).collect()
+    # first row is 0 (the CH rule), then deltas in final order
+    assert [(r.i, r.rd) for r in rows] == [(1, 0.0), (2, 3.0), (3, -1.5)]
+    rows = chsql.run_sql(
+        spark,
+        "SELECT i, neighbor(v, 1) AS nx, neighbor(v, -1, -99.0) AS pv "
+        "FROM t ORDER BY i",
+        {"t": df},
+    ).collect()
+    # lead NULL out-of-range (documented deviation); lag default rides
+    assert [(r.i, r.nx, r.pv) for r in rows] == [
+        (1, 13.0, -99.0), (2, 11.5, 10.0), (3, None, 13.0)
+    ]
+    # over an AGGREGATED frame ordered by an output alias
+    df2 = spark.createDataFrame(
+        [("a", 1.0), ("a", 2.0), ("b", 10.0)], "k string, v double"
+    )
+    rows = chsql.run_sql(
+        spark,
+        "SELECT k, sum(v) AS total, runningDifference(sum(v)) AS rd "
+        "FROM t GROUP BY k ORDER BY k",
+        {"t": df2},
+    ).collect()
+    assert [(r.k, r.total, r.rd) for r in rows] == [
+        ("a", 3.0, 0.0), ("b", 10.0, 7.0)
+    ]
+    # no ORDER BY -> refusal naming the contract
+    with pytest.raises(ValueError, match="ORDER BY"):
+        chsql.run_sql(
+            spark, "SELECT runningDifference(v) AS rd FROM t", {"t": df}
+        )
+    # WITH FILL combination refuses
+    with pytest.raises(ValueError, match="WITH FILL"):
+        chsql.run_sql(
+            spark,
+            "SELECT i, runningDifference(v) AS rd FROM t "
+            "ORDER BY i WITH FILL",
+            {"t": df},
+        )
+    # nesting refuses
+    with pytest.raises(ValueError, match="nested"):
+        chsql.run_sql(
+            spark,
+            "SELECT runningDifference(neighbor(v, 1)) AS x FROM t "
+            "ORDER BY i",
+            {"t": df},
+        )
+    # non-literal neighbor offset refuses
+    with pytest.raises(ValueError, match="integer literal"):
+        chsql.run_sql(
+            spark,
+            "SELECT neighbor(v, i) AS x FROM t ORDER BY i",
+            {"t": df},
+        )
+    # subquery placement keeps the structural pointer refusal
+    with pytest.raises(ValueError, match="operators/series"):
+        chsql.run_sql(
+            spark,
+            "SELECT * FROM (SELECT runningDifference(v) AS rd FROM t) "
+            "ORDER BY rd",
+            {"t": df},
+        )
+
+
 def test_chsql_with_fill_from_to(spark):
     """r12: WITH FILL FROM/TO -- grid phase-anchored at FROM, strictly
     below TO, originals OUTSIDE the span kept (the CH rule)."""

@@ -149,6 +149,13 @@ vocabulary):
   ``JSONHas``, ``JSONLength``, ``JSONType``, ``visitParam*``) with
   literal path components, compiled to the same variant-shredding
   expressions as functions/chjson.py (equality pinned by test).
+- ``runningDifference(x)`` / ``neighbor(x, off[, dflt])`` (r12) in
+  the top-level SELECT of a statement WITH an ORDER BY: compiled as
+  window expressions over the final order (coalesce onto the typed
+  zero / the explicit default; 2-arg neighbor out-of-range is NULL,
+  the documented postfix-indexing deviation) -- a deterministic
+  strengthening of CH's block-order semantics; every other placement
+  keeps the operators/series pointer refusal.
 - vocab batch #3 (r12): the tolerant-cast family ``to<T>OrNull`` /
   ``to<T>OrZero`` via ``try_cast`` (strict parse + CH unsigned range
   gates; whitespace/non-string tolerance is a documented superset);
@@ -1413,8 +1420,13 @@ _STRUCTURAL_OPS = {
     "sequenceMatch": "operators/funnel.sequence_match",
     "sequenceCount": "operators/funnel.sequence_count_pairs",
     "retention": "operators/funnel.retention",
-    "runningDifference": "operators/series.running_difference",
-    "neighbor": "operators/series.neighbor",
+    # both DO compile as top-level SELECT items of a statement with
+    # ORDER BY (_rewrite_running); this refusal is any other placement
+    "runningDifference": "operators/series.running_difference, or "
+    "place the call in the top-level SELECT of a statement with "
+    "ORDER BY",
+    "neighbor": "operators/series.neighbor, or place the call in the "
+    "top-level SELECT of a statement with ORDER BY",
 }
 
 _CALL_REWRITES.update(
@@ -2686,6 +2698,129 @@ def _rewrite_summap(sql: str) -> str:
     return out
 
 
+_RUNNING_GATE = re.compile(r"\b(runningDifference|neighbor)\s*\(")
+
+
+def _rewrite_running(sql: str) -> str:
+    """Compile ``runningDifference(x)`` / ``neighbor(x, off[, dflt])``
+    in the top-level SELECT list as window expressions over the
+    statement's FINAL ``ORDER BY`` -- a deterministic strengthening of
+    CH's processing-block order (which CH itself documents as
+    unreliable and recommends pinning with ORDER BY in a subquery).
+
+    Mappings (the operators/series twins):
+
+    - ``runningDifference(x)`` -> ``coalesce(x - lag(x, 1) OVER
+      (ORDER BY <order>), x - x)`` -- the trailing ``x - x`` is the
+      typed zero CH yields for the first row.
+    - ``neighbor(x, off)`` -> lead/lag by the LITERAL offset;
+      out-of-range is NULL where CH fabricates the type default (the
+      same documented deviation as postfix indexing); the 3-arg form
+      coalesces onto the explicit default exactly as CH does.
+
+    Scale note: the window is a single global sort -- the CH idiom
+    applies these to POST-AGGREGATION frames (per-day series), where
+    |rows| = |axis values|; for fact-scale per-key deltas use
+    operators/series.running_difference (partitioned window).
+    Statements without ORDER BY, WITH FILL combinations, nesting, and
+    occurrences outside the top-level SELECT keep the structural
+    refusal/pointer."""
+    masked = _mask(sql)
+    if not _RUNNING_GATE.search(masked):
+        return sql
+    branches = _split_union_all(sql)
+    if len(branches) > 1:
+        return " UNION ALL ".join(_rewrite_running(b) for b in branches)
+    try:
+        spans = _segment(sql)
+    except ValueError:
+        return sql
+    sel_start, sel_end = spans["SELECT"]
+    if any(
+        m.start() < sel_start or m.start() >= sel_end
+        for m in _RUNNING_GATE.finditer(masked)
+    ):
+        return sql  # subquery / CTE / later clause: refusal path
+    if "ORDER BY" not in spans:
+        raise ValueError(
+            "chsql: runningDifference/neighbor need the statement's "
+            "ORDER BY (CH computes them in unspecified block order; "
+            "this engine compiles the deterministic final-order form) "
+            "-- add ORDER BY, or use operators/series."
+            "running_difference / neighbor for per-key windows"
+        )
+    o_s, o_e = spans["ORDER BY"]
+    order_body = re.sub(
+        r"^ORDER\s+BY\s+", "", sql[o_s:o_e].strip(), flags=re.I
+    )
+    if re.search(r"\bWITH\s+FILL\b", _mask(order_body), re.I):
+        raise ValueError(
+            "chsql: runningDifference/neighbor cannot combine with "
+            "WITH FILL (compose operators/series.fill_series + "
+            "running_difference via the operator API)"
+        )
+    select_body = sql[sel_start + len("SELECT") : sel_end]
+    _, aliases = _select_aliases(select_body)
+    # OVER cannot see output aliases: inline them into the window order
+    ob = inline_aliases(order_body, aliases)
+    while True:
+        masked = _mask(sql)
+        sel_start, sel_end = _segment(sql)["SELECT"]
+        m = next(
+            (
+                m
+                for m in _RUNNING_GATE.finditer(masked)
+                if sel_start <= m.start() < sel_end
+            ),
+            None,
+        )
+        if m is None:
+            return sql
+        open_idx = sql.index("(", m.end(1))
+        close = _match_paren(masked, open_idx)
+        inner = sql[open_idx + 1 : close]
+        if _RUNNING_GATE.search(_mask(inner)):
+            raise ValueError(
+                "chsql: nested runningDifference/neighbor is not "
+                "supported (a window cannot contain a window)"
+            )
+        args = [a.strip() for a in _split_top(inner)]
+        name = m.group(1)
+        if name == "runningDifference":
+            if len(args) != 1 or not args[0]:
+                raise ValueError(
+                    "chsql: runningDifference takes exactly 1 argument"
+                )
+            x = args[0]
+            repl = (
+                f"coalesce(({x}) - lag({x}, 1) OVER (ORDER BY {ob}), "
+                f"({x}) - ({x}))"
+            )
+        else:
+            if len(args) not in (2, 3) or not all(args):
+                raise ValueError(
+                    "chsql: neighbor takes (x, offset[, default])"
+                )
+            x = args[0]
+            try:
+                off = int(args[1])
+            except ValueError:
+                raise ValueError(
+                    f"chsql: neighbor offset must be an integer "
+                    f"literal, got {args[1]!r}"
+                ) from None
+            if off == 0:
+                win = f"({x})"
+            elif off > 0:
+                win = f"lead({x}, {off}) OVER (ORDER BY {ob})"
+            else:
+                win = f"lag({x}, {-off}) OVER (ORDER BY {ob})"
+            repl = (
+                f"coalesce({win}, ({args[2]}))" if len(args) == 3 else win
+            )
+        sql = sql[: m.start()] + repl + sql[close + 1 :]
+
+
 def _rewrite_indexing(sql: str, defaults: dict[str, str]) -> str:
     """``col[idx]`` -> CH 1-based type-default access (ch.array_at
     CASE form) for columns with known array element types."""
@@ -3057,6 +3192,7 @@ def run_sql(
     sql = _rewrite_postfix_indexing(sql)
     sql = _rewrite_array_join(sql, _elem_defaults(tables))
     sql = _rewrite_summap(sql)
+    sql = _rewrite_running(sql)
     sql = _rewrite_parametrized(sql)
     sql = _rewrite_calls(sql, _schema_ctx(tables))
     sql = _rewrite_literals(sql)
