@@ -329,6 +329,10 @@ def test_structural_functions_refuse_with_operator_pointer(spark, stbl):
         ),
         ("SELECT runningDifference(k) AS r FROM t", "ORDER BY"),
         ("SELECT retention(k = 1, k = 2) AS r FROM t", "funnel.retention"),
+        ("SELECT deltaSum(k) AS d FROM t", "series.delta_sum"),
+        ("SELECT intervalLengthSum(k, k) AS s FROM t", "series.interval_length_sum"),
+        ("SELECT maxIntersections(k, k) AS m FROM t", "series.max_intersections"),
+        ("SELECT entropy(s) AS e FROM t", "stats.entropy"),
     ]:
         with pytest.raises(ValueError, match=ptr.replace(".", r"\.")):
             chsql.run_sql(spark, sql, {"t": stbl})

@@ -1427,6 +1427,13 @@ _STRUCTURAL_OPS = {
     "ORDER BY",
     "neighbor": "operators/series.neighbor, or place the call in the "
     "top-level SELECT of a statement with ORDER BY",
+    # aggregates whose semantics need intra-group ORDER or multi-level
+    # aggregation the statement cannot express (r12: named so a known
+    # CH spelling never dies as Spark's opaque UNRESOLVED_ROUTINE)
+    "deltaSum": "operators/series.delta_sum",
+    "intervalLengthSum": "operators/series.interval_length_sum",
+    "maxIntersections": "operators/series.max_intersections",
+    "entropy": "operators/stats.entropy",
 }
 
 _CALL_REWRITES.update(
@@ -1798,6 +1805,8 @@ _ARITY: dict[str, tuple[int, int | None]] = {
     "windowFunnel": (0, None), "sequenceMatch": (0, None),
     "sequenceCount": (0, None), "retention": (0, None),
     "runningDifference": (0, None), "neighbor": (0, None),
+    "deltaSum": (0, None), "intervalLengthSum": (0, None),
+    "maxIntersections": (0, None), "entropy": (0, None),
 }
 
 _ARITY.update(
