@@ -326,3 +326,80 @@ class TestGeo:
         assert _scalar(
             spark, one, "greatCircleDistance(10.0, 20.0, 10.0, 20.0)"
         ) == 0.0
+
+
+class TestToStartOfInterval:
+    @pytest.mark.parametrize(
+        "expr, want",
+        [
+            (
+                "toStartOfInterval(TIMESTAMP'2024-03-05 11:52:33', INTERVAL 15 MINUTE)",
+                datetime.datetime(2024, 3, 5, 11, 45),
+            ),
+            (
+                "toStartOfInterval(TIMESTAMP'2024-03-05 11:52:33', INTERVAL 6 HOUR)",
+                datetime.datetime(2024, 3, 5, 6, 0),
+            ),
+            (
+                "toStartOfInterval(TIMESTAMP'2024-03-05 11:52:40', INTERVAL 30 SECOND)",
+                datetime.datetime(2024, 3, 5, 11, 52, 30),
+            ),
+            # epoch-anchored 10-day grid: 1970-01-01 + k*10
+            (
+                "toStartOfInterval(DATE'1970-01-15', INTERVAL 10 DAY)",
+                datetime.date(1970, 1, 11),
+            ),
+            (
+                "toStartOfInterval(DATE'2024-03-05', INTERVAL 1 WEEK)",
+                datetime.date(2024, 3, 4),  # Monday
+            ),
+            # epoch-anchored 2-month grid: Jan/Mar/May...
+            (
+                "toStartOfInterval(DATE'2024-04-15', INTERVAL 2 MONTH)",
+                datetime.date(2024, 3, 1),
+            ),
+            (
+                "toStartOfInterval(DATE'2024-05-15', INTERVAL 1 QUARTER)",
+                datetime.date(2024, 4, 1),
+            ),
+            (
+                "toStartOfInterval(DATE'2024-05-15', INTERVAL 1 YEAR)",
+                datetime.date(2024, 1, 1),
+            ),
+        ],
+    )
+    def test_grids(self, spark, one, expr, want):
+        assert _scalar(spark, one, expr) == want
+
+    def test_refusals(self, spark, one):
+        with pytest.raises(ValueError, match="divide the parent"):
+            _scalar(
+                spark, one,
+                "toStartOfInterval(now(), INTERVAL 7 MINUTE)",
+            )
+        with pytest.raises(ValueError, match="1-week"):
+            _scalar(
+                spark, one,
+                "toStartOfInterval(now(), INTERVAL 2 WEEK)",
+            )
+        with pytest.raises(ValueError, match="literal INTERVAL"):
+            _scalar(spark, one, "toStartOfInterval(now(), dummy)")
+
+
+class TestDateTime64AndLike:
+    def test_now64_and_todatetime64(self, spark, one):
+        got = _scalar(spark, one, "now64(3)")
+        assert isinstance(got, datetime.datetime)
+        got = _scalar(
+            spark, one, "toDateTime64('2024-03-05 11:22:33.123456', 6)"
+        )
+        assert got == datetime.datetime(2024, 3, 5, 11, 22, 33, 123456)
+        with pytest.raises(ValueError, match="literal digit"):
+            _scalar(spark, one, "toDateTime64('2024-01-01', dummy)")
+
+    def test_like_function_family(self, spark, one):
+        assert _scalar(spark, one, "like('abc', 'a%')") is True
+        assert _scalar(spark, one, "notLike('abc', 'a%')") is False
+        assert _scalar(spark, one, "ilike('ABC', 'a%')") is True
+        assert _scalar(spark, one, "notILike('ABC', 'z%')") is True
+        assert _scalar(spark, one, "like(NULL, 'a%')") is None

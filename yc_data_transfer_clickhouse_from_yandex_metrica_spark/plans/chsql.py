@@ -172,7 +172,12 @@ vocabulary):
   ``hasSubstr`` (null-safe contiguous run), ``countSubstrings``
   (non-overlapping), ``mapFromArrays/mapKeys/mapValues/mapContains``;
   ``isNaN/isInfinite/ifNotFinite``; ``greatCircleDistance`` (the
-  functions/ch.great_circle_distance haversine verbatim).
+  functions/ch.great_circle_distance haversine verbatim);
+  ``toStartOfInterval`` (epoch-anchored grids: any n for day/month/
+  quarter/year, parent-dividing n for second/minute/hour, week n=1 --
+  other anchors refuse); ``now64``/``toDateTime64`` (literal
+  precision 0-9 accepted, value carries Spark micros -- documented
+  cap); the LIKE function spellings ``like/notLike/ilike/notILike``.
 - ``arrayJoin(expr)``: CH's row-expanding function, hoisted into an
   inner ``explode`` projection (empty/NULL arrays drop the row, the
   CH rule).  One DISTINCT arrayJoin expression per SELECT (repeated
@@ -1187,6 +1192,74 @@ def _has_substr_sql(a: list[str]) -> str:
     )
 
 
+def _dt64_precision(fn: str, a: list[str], idx: int) -> None:
+    """Validate the DateTime64 precision argument (a literal digit;
+    Spark carries micros regardless -- documented cap)."""
+    if len(a) > idx and not re.fullmatch(r"\d", a[idx].strip()):
+        raise ValueError(
+            f"chsql: {fn} precision must be a literal digit 0-9, "
+            f"got {a[idx]!r}"
+        )
+    return None
+
+
+def _to_start_of_interval_sql(a: list[str]) -> str:
+    """CH ``toStartOfInterval(d, INTERVAL n unit)``: floor onto the
+    epoch-anchored n-unit grid.  Literal intervals only.  Scope
+    mirrors where the epoch anchor is exactly expressible: any n for
+    day/month/quarter/year (epoch day / month-number arithmetic, DATE
+    result as CH), n dividing the parent unit for second/minute/hour
+    (TIMESTAMP result as CH), week n=1 (Monday).  Other spellings
+    refuse rather than guess the anchor."""
+    im = re.match(
+        r"^\s*INTERVAL\s+(\d+)\s+(\w+?)s?\s*$", a[1].strip(), re.I
+    )
+    if not im:
+        raise ValueError(
+            f"chsql: toStartOfInterval needs a literal INTERVAL n "
+            f"unit, got {a[1]!r}"
+        )
+    n, unit = int(im.group(1)), im.group(2).lower()
+    x = a[0]
+    if n < 1:
+        raise ValueError("chsql: toStartOfInterval needs n >= 1")
+    if unit in ("second", "minute", "hour"):
+        parent_span = {"second": 60, "minute": 60, "hour": 24}[unit]
+        if parent_span % n:
+            raise ValueError(
+                f"chsql: toStartOfInterval {n} {unit} does not divide "
+                f"the parent unit; only even divisors keep the CH "
+                f"epoch anchor expressible"
+            )
+        return (
+            f"timestampadd({unit.upper()}, -({unit}({x}) % {n}), "
+            f"date_trunc('{unit.upper()}', {x}))"
+        )
+    if unit == "day":
+        return (
+            f"date_sub(CAST({x} AS DATE), "
+            f"pmod(datediff(CAST({x} AS DATE), DATE'1970-01-01'), {n}))"
+        )
+    if unit == "week":
+        if n != 1:
+            raise ValueError(
+                "chsql: toStartOfInterval supports 1-week intervals "
+                "only (CH's multi-week anchor is engine-internal)"
+            )
+        return f"CAST(date_trunc('week', {x}) AS DATE)"
+    if unit in ("month", "quarter", "year"):
+        months = n * {"month": 1, "quarter": 3, "year": 12}[unit]
+        mnum = f"((year({x}) - 1970) * 12 + month({x}) - 1)"
+        return (
+            f"add_months(DATE'1970-01-01', "
+            f"{mnum} - pmod({mnum}, {months}))"
+        )
+    raise ValueError(
+        f"chsql: toStartOfInterval unit {unit!r} is not one of "
+        f"second/minute/hour/day/week/month/quarter/year"
+    )
+
+
 # CH tolerant-cast family ``to<T>OrNull`` / ``to<T>OrZero``:
 # ``try_cast`` shares CH's strict-parse contract (NULL on parse OR
 # range failure; '12.5' does NOT truncate into an Int64) but also
@@ -1375,6 +1448,22 @@ _CALL_REWRITES.update(
             f"AND abs(CAST({a[0]} AS DOUBLE)) != "
             f"CAST('Infinity' AS DOUBLE) THEN {a[0]} ELSE {a[1]} END"
         ),
+        "toStartOfInterval": _to_start_of_interval_sql,
+        # CH sub-second clock/cast spellings: Spark TIMESTAMP is
+        # MICROSECOND precision -- a literal precision 0-9 is
+        # accepted, the value carries micros regardless (documented:
+        # sub-6 asks get full micros, 7-9 truncate at micros)
+        "now64": lambda a: _dt64_precision("now64", a, 0) or "now()",
+        "toDateTime64": lambda a: (
+            _dt64_precision("toDateTime64", a, 1)
+            or f"CAST({a[0]} AS TIMESTAMP)"
+        ),
+        # function spellings of the LIKE operators (CH like/notLike/
+        # ilike/notILike; NULL propagates in both engines)
+        "like": lambda a: f"({a[0]} LIKE {a[1]})",
+        "notLike": lambda a: f"(NOT ({a[0]} LIKE {a[1]}))",
+        "ilike": lambda a: f"({a[0]} ILIKE {a[1]})",
+        "notILike": lambda a: f"(NOT ({a[0]} ILIKE {a[1]}))",
         # ----- geo: the functions/ch.great_circle_distance formula
         # ----- verbatim (haversine, 6371 km mean sphere; CH's
         # ----- interpolated ellipsoidal radius differs <0.5%) -------
@@ -1871,6 +1960,10 @@ _ARITY.update(
         "mapFromArrays": (2, 2),
         "isNaN": (1, 1), "isInfinite": (1, 1), "ifNotFinite": (2, 2),
         "greatCircleDistance": (4, 4),
+        "toStartOfInterval": (2, 2), "now64": (0, 1),
+        "toDateTime64": (2, 2),
+        "like": (2, 2), "notLike": (2, 2),
+        "ilike": (2, 2), "notILike": (2, 2),
     }
 )
 
