@@ -4447,3 +4447,16 @@ def test_chsql_literal_safety_of_with_and_global(spark):
         {"t": df},
     ).collect()[0]
     assert (r.s, r.lit) == (12, "k GLOBAL JOIN k")
+
+
+def test_chsql_running_difference_with_totals_refuses(spark):
+    from yc_data_transfer_clickhouse_from_yandex_metrica_spark.plans import chsql
+
+    df = spark.createDataFrame([("a", 1.0)], "k string, v double")
+    with pytest.raises(ValueError, match="WITH TOTALS"):
+        chsql.run_sql(
+            spark,
+            "SELECT k, runningDifference(sum(v)) AS rd FROM t "
+            "GROUP BY k WITH TOTALS ORDER BY k",
+            {"t": df},
+        )

@@ -2861,6 +2861,14 @@ def _rewrite_running(sql: str) -> str:
             "WITH FILL (compose operators/series.fill_series + "
             "running_difference via the operator API)"
         )
+    if "GROUP BY" in spans:
+        g_s, g_e = spans["GROUP BY"]
+        if re.search(r"\bWITH\s+TOTALS\b", _mask(sql[g_s:g_e]), re.I):
+            raise ValueError(
+                "chsql: runningDifference/neighbor cannot combine "
+                "with WITH TOTALS (the totals row has no position in "
+                "the window order)"
+            )
     select_body = sql[sel_start + len("SELECT") : sel_end]
     _, aliases = _select_aliases(select_body)
     # OVER cannot see output aliases: inline them into the window order
