@@ -403,3 +403,55 @@ class TestDateTime64AndLike:
         assert _scalar(spark, one, "ilike('ABC', 'a%')") is True
         assert _scalar(spark, one, "notILike('ABC', 'z%')") is True
         assert _scalar(spark, one, "like(NULL, 'a%')") is None
+
+
+class TestTimingQuantiles:
+    @pytest.fixture(scope="class")
+    def latencies(self, spark):
+        return spark.createDataFrame(
+            [(float(v),) for v in range(1, 101)], "ms double"
+        )
+
+    def test_quantile_timing_and_array_form(self, spark, latencies):
+        r = chsql.run_sql(
+            spark,
+            "SELECT quantileTiming(0.5)(ms) AS med, "
+            "quantilesTiming(0.25, 0.75)(ms) AS qs FROM t",
+            {"t": latencies},
+        ).collect()[0]
+        assert 49.0 <= r.med <= 52.0
+        assert len(r.qs) == 2 and r.qs[0] < r.qs[1]
+
+    def test_quantile_deterministic_honors_contract(self, spark, latencies):
+        # determinator pins CH's sample RNG; here the sketch is
+        # deterministic by construction -- same result both calls
+        got = [
+            chsql.run_sql(
+                spark,
+                "SELECT quantileDeterministic(0.5)(ms, 42) AS m FROM t",
+                {"t": latencies},
+            ).collect()[0][0]
+            for _ in range(2)
+        ]
+        assert got[0] == got[1] and 49.0 <= got[0] <= 52.0
+        with pytest.raises(ValueError, match="determinator"):
+            chsql.run_sql(
+                spark,
+                "SELECT quantileDeterministic(0.5)(ms) AS m FROM t",
+                {"t": latencies},
+            )
+
+    def test_timing_weighted_keeps_pointer_refusal(self, spark, latencies):
+        with pytest.raises(ValueError, match="no single-expression"):
+            chsql.run_sql(
+                spark,
+                "SELECT quantileTimingWeighted(0.5)(ms, 2) AS m FROM t",
+                {"t": latencies},
+            )
+
+    def test_uniq_combined64(self, spark, latencies):
+        (got,) = chsql.run_sql(
+            spark, "SELECT uniqCombined64(ms) AS u FROM t",
+            {"t": latencies},
+        ).collect()[0]
+        assert 95 <= got <= 105  # 0.005-rsd sketch on 100 distinct

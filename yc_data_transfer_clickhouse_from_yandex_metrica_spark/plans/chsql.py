@@ -1458,6 +1458,12 @@ _CALL_REWRITES.update(
             _dt64_precision("toDateTime64", a, 1)
             or f"CAST({a[0]} AS TIMESTAMP)"
         ),
+        # the 64-bit combined sketch: same rsd class as uniqCombined
+        "uniqCombined64": lambda a: (
+            f"approx_count_distinct("
+            f"{a[0] if len(a) == 1 else 'struct(' + ', '.join(a) + ')'}, "
+            f"0.005)"
+        ),
         # function spellings of the LIKE operators (CH like/notLike/
         # ilike/notILike; NULL propagates in both engines)
         "like": lambda a: f"({a[0]} LIKE {a[1]})",
@@ -1636,6 +1642,24 @@ def _param_agg_sql(name: str, params: str, args: str) -> str:
         return f"percentile_approx({args}, {params}, 1000000)"
     if name in ("quantiles", "quantilesTDigest"):
         return f"percentile_approx({args}, array({params}), 10000)"
+    # the timing variants are CH's millisecond-histogram sketch --
+    # the same fixed-memory approximate class (documented: CH is
+    # value-exact below 30s/1024-distinct, this stays approximate)
+    if name == "quantileTiming":
+        return f"percentile_approx({args}, {params}, 10000)"
+    if name == "quantilesTiming":
+        return f"percentile_approx({args}, array({params}), 10000)"
+    if name == "quantileDeterministic":
+        # (x, determinator): the determinator only pins CH's sample
+        # RNG; percentile_approx is deterministic by construction, so
+        # the determinism CONTRACT is honored with the argument
+        # structurally unused (documented -- not a silent drop)
+        parts = _split_top(args)
+        if len(parts) != 2:
+            raise ValueError(
+                "chsql: quantileDeterministic takes (x, determinator)"
+            )
+        return f"percentile_approx({parts[0]}, {params}, 10000)"
     raise ValueError(
         f"chsql: parameterized aggregate {name!r} has no single-expression "
         "Spark mapping (topK and quantile*ExactWeighted compile as "
@@ -1650,6 +1674,8 @@ def _param_agg_sql(name: str, params: str, args: str) -> str:
 _PARAM_AGG_RE = re.compile(
     r"\b(quantilesTDigest|quantileTDigest|quantileExactLow|"
     r"quantilesExactWeighted|quantileExactWeighted|quantileExact|"
+    r"quantilesTimingWeighted|quantileTimingWeighted|"
+    r"quantilesTiming|quantileTiming|quantileDeterministic|"
     r"quantiles|quantile|uniqUpTo|topK|groupArrayMovingAvg|"
     r"groupArrayMovingSum|histogram)"
     r"\s*\("
@@ -1961,7 +1987,7 @@ _ARITY.update(
         "isNaN": (1, 1), "isInfinite": (1, 1), "ifNotFinite": (2, 2),
         "greatCircleDistance": (4, 4),
         "toStartOfInterval": (2, 2), "now64": (0, 1),
-        "toDateTime64": (2, 2),
+        "toDateTime64": (2, 2), "uniqCombined64": (1, None),
         "like": (2, 2), "notLike": (2, 2),
         "ilike": (2, 2), "notILike": (2, 2),
     }
