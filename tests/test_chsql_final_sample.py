@@ -213,6 +213,24 @@ def test_sample_filter_reaches_parquet_scan(spark):
     assert plan.count("Exchange") <= 1  # the groupBy only
 
 
+def test_sample_offset_filter_reaches_parquet_scan(spark):
+    """Both conjuncts of the OFFSET slice must reach the scan as
+    DataFilters -- the pushdown a shifted 100 TB SAMPLE needs."""
+    from yc_data_transfer_clickhouse_from_yandex_metrica_spark.plans import chsql
+
+    li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+    df = chsql.run_sql(
+        spark,
+        "SELECT count(1) AS n FROM li SAMPLE 1/4 OFFSET 1/2",
+        {"li": li},
+        table_meta={"li": chsql.TableMeta(sample_by="l_orderkey")},
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    scan = [l for l in plan.splitlines() if "FileScan" in l]
+    assert scan, plan
+    assert scan[0].count("pmod(l_orderkey") >= 2, scan  # lo AND hi
+
+
 # ---------------------------------------------------------------------------
 # TableMeta from ClickHouse DDL (the declarations CH itself reads)
 # ---------------------------------------------------------------------------
