@@ -455,3 +455,59 @@ class TestTimingQuantiles:
             {"t": latencies},
         ).collect()[0]
         assert 95 <= got <= 105  # 0.005-rsd sketch on 100 distinct
+
+
+class TestAnsiPassthrough:
+    """CH spellings that are ALSO valid Spark SQL must keep working
+    through run_sql untouched -- pins the 'plain ANSI passes through'
+    docstring claim for the spellings a CH user actually writes."""
+
+    @pytest.fixture(scope="class")
+    def t(self, spark):
+        return spark.createDataFrame(
+            [(1, "a", 2.0), (2, "b", 3.0)], "k int, s string, v double"
+        )
+
+    def test_star_except_columns(self, spark, t):
+        df = chsql.run_sql(spark, "SELECT * EXCEPT (s) FROM t", {"t": t})
+        assert df.columns == ["k", "v"]
+
+    def test_group_by_all(self, spark, t):
+        rows = chsql.run_sql(
+            spark,
+            "SELECT k, sum(v) AS sv FROM t GROUP BY ALL ORDER BY k",
+            {"t": t},
+        ).collect()
+        assert [(r.k, r.sv) for r in rows] == [(1, 2.0), (2, 3.0)]
+
+    def test_set_operators(self, spark, t):
+        assert chsql.run_sql(
+            spark,
+            "SELECT k FROM t EXCEPT SELECT k FROM t WHERE k = 2",
+            {"t": t},
+        ).collect()[0][0] == 1
+        assert chsql.run_sql(
+            spark, "SELECT k FROM t INTERSECT SELECT k FROM t", {"t": t}
+        ).count() == 2
+
+    def test_is_null_function_forms(self, spark, t):
+        r = chsql.run_sql(
+            spark,
+            "SELECT isNull(s) AS a, isNotNull(s) AS b FROM t WHERE k = 1",
+            {"t": t},
+        ).collect()[0]
+        assert (r.a, r.b) == (False, True)
+
+    def test_any_over_window_keeps_ignorenulls_rewrite(self, spark, t):
+        # `any` rewrites to any_value(x, true) and stays window-legal
+        rows = chsql.run_sql(
+            spark,
+            "SELECT k, any(v) OVER (ORDER BY k) AS w FROM t",
+            {"t": t},
+        ).collect()
+        assert [(r.k, r.w) for r in rows] == [(1, 2.0), (2, 2.0)]
+
+    def test_multi_column_count_distinct(self, spark, t):
+        assert chsql.run_sql(
+            spark, "SELECT count(DISTINCT k, s) AS c FROM t", {"t": t}
+        ).collect()[0][0] == 2
