@@ -250,6 +250,13 @@ class TestArrayMap:
         assert _scalar(spark, one, f"arrayElement({arr}, 0)") is None
         assert _scalar(spark, one, f"arrayElement({arr}, 9)") is None
 
+    def test_array_element_on_map(self, spark, one):
+        # CH arrayElement subscripts Maps too: a literal string key
+        # must stay a lookup, not be coerced to an INT index
+        m = "mapFromArrays(array('a', 'b'), array(10, 20))"
+        assert _scalar(spark, one, f"arrayElement({m}, 'b')") == 20
+        assert _scalar(spark, one, f"arrayElement({m}, 'z')") is None
+
     @pytest.mark.parametrize(
         "a, b, want",
         [

@@ -1419,9 +1419,14 @@ _CALL_REWRITES.update(
         # function form of arr[i]: the same try_element_at mapping as
         # postfix call-result indexing (1-based, negative-from-end,
         # arr[0] -> NULL via nullif; out-of-range NULL where CH
-        # fabricates the type default -- same documented deviation)
+        # fabricates the type default -- same documented deviation).
+        # CH arrayElement also subscripts MAPS: a literal-string index
+        # skips the INT coercion so map lookups stay lookups (a cast
+        # would silently NULL every string key)
         "arrayElement": lambda a: (
-            f"try_element_at({a[0]}, CAST(nullif(({a[1]}), 0) AS INT))"
+            f"try_element_at({a[0]}, {a[1]})"
+            if re.fullmatch(r"\s*'[^']*'\s*", a[1])
+            else f"try_element_at({a[0]}, CAST(nullif(({a[1]}), 0) AS INT))"
         ),
         "hasSubstr": _has_substr_sql,
         # non-overlapping occurrence count (the replace rule IS the
