@@ -4460,3 +4460,36 @@ def test_chsql_running_difference_with_totals_refuses(spark):
             "GROUP BY k WITH TOTALS ORDER BY k",
             {"t": df},
         )
+
+
+def test_chsql_null_ordering_matches_ch(spark):
+    """CH sorts NULLs LAST asc / FIRST desc; Spark defaults are the
+    opposite -- the compile appends the explicit modifier."""
+    from yc_data_transfer_clickhouse_from_yandex_metrica_spark.plans import chsql
+
+    df = spark.createDataFrame(
+        [(1,), (None,), (2,)], "x int"
+    )
+    asc = [r.x for r in chsql.run_sql(
+        spark, "SELECT x FROM t ORDER BY x", {"t": df}
+    ).collect()]
+    assert asc == [1, 2, None]
+    desc = [r.x for r in chsql.run_sql(
+        spark, "SELECT x FROM t ORDER BY x DESC", {"t": df}
+    ).collect()]
+    assert desc == [None, 2, 1]
+    # the divergence that MATTERS: LIMIT truncation
+    top = [r.x for r in chsql.run_sql(
+        spark, "SELECT x FROM t ORDER BY x LIMIT 2", {"t": df}
+    ).collect()]
+    assert top == [1, 2]  # CH would never return the NULL here
+    # explicit spellings pass through untouched
+    explicit = [r.x for r in chsql.run_sql(
+        spark, "SELECT x FROM t ORDER BY x NULLS FIRST", {"t": df}
+    ).collect()]
+    assert explicit == [None, 1, 2]
+    # ordinal sort items keep resolving
+    two = [r.x for r in chsql.run_sql(
+        spark, "SELECT x FROM t ORDER BY 1 LIMIT 2", {"t": df}
+    ).collect()]
+    assert two == [1, 2]

@@ -29,6 +29,12 @@ vocabulary):
   select items, WHERE, GROUP BY and HAVING -- inlined via
   plans.alias.inline_aliases (P7 semantics).  ORDER BY resolves
   output aliases natively in Spark.
+- CH NULL ordering (r12): every top-level ORDER BY item without an
+  explicit modifier gets ``NULLS LAST`` ascending / ``NULLS FIRST``
+  descending -- CH's rule, the exact opposite of Spark's default,
+  and a silent row-order divergence under LIMIT otherwise.  Applies
+  to the LIMIT BY rank window and the runningDifference/neighbor
+  window order too.
 - ``GROUP BY ... WITH TOTALS``: totals row computed over ALL
   pre-HAVING rows (ClickHouse default totals_mode), emitted in-band
   with NULL group keys after the ordered+limited detail rows --
@@ -1190,6 +1196,29 @@ def _has_substr_sql(a: list[str]) -> str:
         f"__i -> forall(zip_with(slice({arr}, __i, size({sub})), {sub}, "
         f"(__x, __y) -> __x <=> __y), __p -> __p))"
     )
+
+
+def _ch_nulls_order(body: str) -> str:
+    """ClickHouse sorts NULL (and NaN) LAST ascending and FIRST
+    descending; Spark's defaults are the exact OPPOSITE -- a silent
+    row-order divergence wherever a nullable sort key meets LIMIT.
+    Append the explicit modifier to every top-level sort item that
+    lacks one (explicit NULLS FIRST/LAST spellings pass through;
+    WITH FILL items are handled by the fill path)."""
+    out = []
+    for item in _split_top(body):
+        it = item.strip()
+        masked = _mask(it)
+        if (
+            re.search(r"\bNULLS\s+(FIRST|LAST)\s*$", masked, re.I)
+            or re.search(r"\bWITH\s+FILL\b", masked, re.I)
+        ):
+            out.append(it)
+        elif re.search(r"\bDESC\s*$", masked, re.I):
+            out.append(f"{it} NULLS FIRST")
+        else:
+            out.append(f"{it} NULLS LAST")
+    return ", ".join(out)
 
 
 def _dt64_precision(fn: str, a: list[str], idx: int) -> None:
@@ -2902,8 +2931,9 @@ def _rewrite_running(sql: str) -> str:
             )
     select_body = sql[sel_start + len("SELECT") : sel_end]
     _, aliases = _select_aliases(select_body)
-    # OVER cannot see output aliases: inline them into the window order
-    ob = inline_aliases(order_body, aliases)
+    # OVER cannot see output aliases: inline them into the window
+    # order; CH NULL direction applies to the window order too
+    ob = _ch_nulls_order(inline_aliases(order_body, aliases))
     while True:
         masked = _mask(sql)
         sel_start, sel_end = _segment(sql)["SELECT"]
@@ -3507,6 +3537,13 @@ def _compile_single(
     having = clause("HAVING")
     order = clause("ORDER BY")
     limit = clause("LIMIT")
+
+    # CH NULL ordering (NULLS LAST asc / FIRST desc -- Spark defaults
+    # are the opposite); WITH FILL bodies keep their spelling for the
+    # fill parser
+    if order and not re.search(r"\bWITH\s+FILL\b", _mask(order), re.I):
+        o_body = re.sub(r"^ORDER\s+BY\s+", "", order, flags=re.I)
+        order = "ORDER BY " + _ch_nulls_order(o_body)
 
     # PREWHERE is CH's scan-stage filter hint; semantics == one more
     # WHERE conjunct (Catalyst pushes filters to the scan on its own)
