@@ -224,6 +224,22 @@ def build_chsql_summap(spark, li: DataFrame, o: DataFrame) -> DataFrame:
     )
 
 
+def build_chsql_running(spark, ev: DataFrame) -> DataFrame:
+    """The r12 runningDifference compile: a global-order window over
+    the POST-AGGREGATION frame -- the boundedness claim is that the
+    window input is |axis values| rows no matter how big the fact
+    side grows (16x rows, same day axis)."""
+    from yc_data_transfer_clickhouse_from_yandex_metrica_spark.plans import chsql
+
+    return chsql.run_sql(
+        spark,
+        "SELECT toDate(ts) AS day, count(1) AS n, "
+        "runningDifference(count(1)) AS delta "
+        "FROM ev GROUP BY day ORDER BY day",
+        {"ev": ev},
+    )
+
+
 def build_chsql_topk(spark, ev: DataFrame) -> DataFrame:
     """Grouped topK fast path: rank window over the REDUCED
     (group, distinct value) stream."""
@@ -336,6 +352,10 @@ def main(only: set[str]) -> None:
         "chsql_topk": (
             lambda: build_chsql_topk(spark, ev),
             lambda: build_chsql_topk(spark, ev16),
+        ),
+        "chsql_running": (
+            lambda: build_chsql_running(spark, ev),
+            lambda: build_chsql_running(spark, ev16),
         ),
     }
     for name, (b1, b16) in probes.items():
