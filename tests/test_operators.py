@@ -4493,3 +4493,28 @@ def test_chsql_null_ordering_matches_ch(spark):
         spark, "SELECT x FROM t ORDER BY 1 LIMIT 2", {"t": df}
     ).collect()]
     assert two == [1, 2]
+
+
+def test_chsql_running_difference_through_asof_join(spark):
+    """The runningDifference window compile composes with the chjoin
+    ASOF fold-in (the window rides the joined frame's final order)."""
+    from yc_data_transfer_clickhouse_from_yandex_metrica_spark.plans import chsql
+
+    a = spark.createDataFrame(
+        [(1, 10, 5.0), (1, 20, 8.0), (2, 30, 2.0)], "id int, ts int, v double"
+    )
+    b = spark.createDataFrame(
+        [(1, 5, 100.0), (1, 15, 200.0), (2, 25, 300.0)],
+        "id int, ts int, w double",
+    )
+    rows = chsql.run_sql(
+        spark,
+        "SELECT a.ts AS ts, a.v + p.w AS tot, "
+        "runningDifference(a.v + p.w) AS rd "
+        "FROM a ASOF JOIN b p ON a.id = p.id AND a.ts >= p.ts "
+        "ORDER BY ts",
+        {"a": a, "b": b},
+    ).collect()
+    assert [(r.ts, r.tot, r.rd) for r in rows] == [
+        (10, 105.0, 0.0), (20, 208.0, 103.0), (30, 302.0, 94.0)
+    ]
