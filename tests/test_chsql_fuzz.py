@@ -420,8 +420,15 @@ _AJ_CASES = [
         "unnest(words) b(v) ORDER BY k, w, v",
         "matched",
     ),
-    # zipped multi-array form refuses with the semantic message
-    ("SELECT k FROM t ARRAY JOIN words AS w, words AS v", "SELECT 1", "refused"),
+    # r12: the zipped multi-array form COMPILES (positional zip; a
+    # self-zip pairs each element with itself)
+    (
+        "SELECT k, w, v FROM t ARRAY JOIN words AS w, words AS v "
+        "ORDER BY k, w, v",
+        "SELECT k, a.w AS w, a.w AS v FROM t, unnest(words) a(w) "
+        "ORDER BY k, w, v",
+        "matched",
+    ),
     # LEFT over an expression: element type unknown -> refuse
     (
         "SELECT k, w FROM t LEFT ARRAY JOIN arrayMap(x -> x, words) AS w",

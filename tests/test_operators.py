@@ -4518,3 +4518,67 @@ def test_chsql_running_difference_through_asof_join(spark):
     assert [(r.ts, r.tot, r.rd) for r in rows] == [
         (10, 105.0, 0.0), (20, 208.0, 103.0), (30, 302.0, 94.0)
     ]
+
+
+def test_chsql_array_join_multi_zip(spark):
+    """r12: multi-array ARRAY JOIN zips positionally (one explode over
+    arrays_zip); unequal sizes RAISE as in CH; LEFT stays refused."""
+    from yc_data_transfer_clickhouse_from_yandex_metrica_spark.plans import chsql
+
+    t = spark.createDataFrame(
+        [(1, ["a", "b"], [10, 20]), (2, ["c"], [30])],
+        "k int, ks array<string>, vs array<int>",
+    )
+    rows = chsql.run_sql(
+        spark,
+        "SELECT k, x, y FROM t ARRAY JOIN ks AS x, vs AS y ORDER BY k, x",
+        {"t": t},
+    ).collect()
+    assert [(r.k, r.x, r.y) for r in rows] == [
+        (1, "a", 10), (1, "b", 20), (2, "c", 30)
+    ]
+    # no-AS items replace the columns with their elements
+    rows = chsql.run_sql(
+        spark,
+        "SELECT k, ks, vs FROM t ARRAY JOIN ks, vs ORDER BY k, ks",
+        {"t": t},
+    ).collect()
+    assert [(r.k, r.ks, r.vs) for r in rows] == [
+        (1, "a", 10), (1, "b", 20), (2, "c", 30)
+    ]
+    # WHERE runs post-expansion on the zipped elements (clause rule)
+    rows = chsql.run_sql(
+        spark,
+        "SELECT k, x FROM t ARRAY JOIN ks AS x, vs AS y "
+        "WHERE y > 15 ORDER BY k, x",
+        {"t": t},
+    ).collect()
+    assert [(r.k, r.x) for r in rows] == [(1, "b"), (2, "c")]
+    # NULL arrays drop the row (both sides size 0 passes the guard)
+    nul = spark.createDataFrame(
+        [(1, None, None), (2, ["a"], [5])],
+        "k int, ks array<string>, vs array<int>",
+    )
+    rows = chsql.run_sql(
+        spark,
+        "SELECT k, x, y FROM t ARRAY JOIN ks AS x, vs AS y",
+        {"t": nul},
+    ).collect()
+    assert [(r.k, r.x, r.y) for r in rows] == [(2, "a", 5)]
+    # unequal sizes RAISE per row, the CH contract (never NULL padding)
+    bad = spark.createDataFrame(
+        [(1, ["a", "b"], [10])], "k int, ks array<string>, vs array<int>"
+    )
+    with pytest.raises(Exception, match="equal sizes"):
+        chsql.run_sql(
+            spark,
+            "SELECT k, x, y FROM t ARRAY JOIN ks AS x, vs AS y",
+            {"t": bad},
+        ).collect()
+    # LEFT multi-array keeps the refusal
+    with pytest.raises(ValueError, match="LEFT ARRAY JOIN maps one"):
+        chsql.run_sql(
+            spark,
+            "SELECT k FROM t LEFT ARRAY JOIN ks AS x, vs AS y",
+            {"t": t},
+        )

@@ -54,9 +54,12 @@ vocabulary):
 - ``[LEFT] ARRAY JOIN <expr> [AS alias]`` CLAUSE (r8): hoisted into
   an inner explode projection, WHERE/GROUP BY post-expansion (CH's
   clause rule; the arrayJoin() FUNCTION keeps its pre-expansion
-  WHERE).  One array item; no-AS replaces the plain column with its
-  element; LEFT fills the CH element-type default ('' / 0) and needs
-  a known array column.  Multiple (zipped) arrays refuse.
+  WHERE).  MULTIPLE arrays (r12) zip positionally as in CH -- one
+  explode over arrays_zip of pre-projected attributes, unequal sizes
+  RAISE per row (CH throws; never silent NULL padding); no-AS
+  replaces the plain column with its
+  element; LEFT fills the CH element-type default ('' / 0), needs
+  a known array column, and stays single-array.
 - ``sumMap(k, v)`` / ``minMap`` / ``maxMap`` (r12): compiled onto the
   structural plan of operators/maps.agg_map when each call is a whole
   ALIASED top-level SELECT item -- output STRUCT(keys, values),
@@ -2257,12 +2260,15 @@ def _rewrite_array_join(sql: str, defaults: dict[str, str]) -> str:
     BY/HAVING run post-expansion — the CH rule for the clause form
     (the FUNCTION form's WHERE runs pre-expansion, also CH parity).
 
-    Scope (refusals are explicit): exactly ONE array item; without
-    ``AS`` the item must be a plain column (CH replaces the column
-    with its element — compiled as ``* EXCEPT (col)``); ``LEFT``
-    (empty arrays keep one row with the ELEMENT TYPE DEFAULT, '' / 0)
-    needs the element type, i.e. a plain array column of a provided
-    table.  Multiple arrays zip in CH — not mapped, refuse."""
+    Scope (refusals are explicit): without ``AS`` an item must be a
+    plain column (CH replaces the column with its element — compiled
+    as ``* EXCEPT (col)``); ``LEFT`` (empty arrays keep one row with
+    the ELEMENT TYPE DEFAULT, '' / 0) needs the element type, i.e. a
+    plain array column of a provided table, and stays single-array.
+    MULTIPLE arrays (r12) zip positionally: one explode over
+    ``arrays_zip`` of pre-projected attributes, the per-row
+    equal-size guard in the WHERE (CH throws on unequal sizes;
+    assert_true here — never arrays_zip's silent NULL padding)."""
     while True:
         masked = _mask(sql)
         m = _AJ_CLAUSE.search(masked)
@@ -2296,12 +2302,64 @@ def _rewrite_array_join(sql: str, defaults: dict[str, str]) -> str:
                 end = i  # enclosing subquery closes before any clause
                 break
         items = _split_top(sql[m.end() : end])
-        if len(items) != 1 or not items[0].strip():
-            raise ValueError(
-                "chsql: ARRAY JOIN maps exactly one array; CH zips "
-                "multiple arrays — zip explicitly (arrayZip(a, b) AS "
-                "z, fields z.a / z.b) or use the operator API"
+        if not items or not items[0].strip():
+            raise ValueError("chsql: ARRAY JOIN with no array item")
+        if len(items) > 1:
+            # r12: CH zips multiple arrays positionally.  Compiled as
+            # ONE explode over arrays_zip of pre-projected attributes
+            # (never a Generate over an HOF) with a per-row size
+            # guard: CH THROWS on unequal sizes, so unequal sizes
+            # raise here too (assert_true), instead of arrays_zip's
+            # silent NULL padding.  LEFT multi-array stays refused
+            # (needs per-array element defaults).
+            if m.group(1):
+                raise ValueError(
+                    "chsql: LEFT ARRAY JOIN maps one array (the "
+                    "multi-array LEFT form needs per-array element "
+                    "defaults); zip explicitly or use the operator API"
+                )
+            parts: list[tuple[str, str, bool]] = []  # (expr, alias, replace)
+            for raw in items:
+                it = raw.strip()
+                am = re.search(r"\s+AS\s+(`[^`]+`|\w+)\s*$", it, re.I)
+                if am:
+                    parts.append((it[: am.start()].strip(), am.group(1), False))
+                elif re.fullmatch(r"`[^`]+`|\w+", it):
+                    parts.append((it, it, True))
+                else:
+                    raise ValueError(
+                        "chsql: ARRAY JOIN without AS replaces a "
+                        "COLUMN with its element — alias expressions "
+                        "with AS"
+                    )
+            zn = [f"__ajz{i}" for i in range(len(parts))]
+            adds = ", ".join(
+                f"({e}) AS {z}" for (e, _, _), z in zip(parts, zn)
             )
+            s1 = f"SELECT *, {adds} FROM {target}"
+            sz = [f"coalesce(size({z}), 0)" for z in zn]
+            guard = (
+                "assert_true("
+                + " AND ".join(f"{sz[0]} = {s}" for s in sz[1:])
+                + ", 'chsql: ARRAY JOIN arrays must have equal sizes')"
+            )
+            # the guard rides the WHERE (summap pattern: an EXCEPTed
+            # assert column would be pruned away and never evaluate)
+            s2 = (
+                f"SELECT *, "
+                f"explode(arrays_zip({', '.join(zn)})) AS __ajze "
+                f"FROM ({s1}) WHERE {guard} IS NULL"
+            )
+            excepts = ", ".join(
+                zn + ["__ajze"] + [e for (e, _, rep) in parts if rep]
+            )
+            fields = ", ".join(
+                f"__ajze.{z} AS {alias}"
+                for (_, alias, _), z in zip(parts, zn)
+            )
+            s3 = f"(SELECT * EXCEPT ({excepts}), {fields} FROM ({s2}))"
+            sql = sql[: fm.end()] + f" {s3} " + sql[end:]
+            continue
         item = items[0].strip()
         am = re.search(r"\s+AS\s+(`[^`]+`|\w+)\s*$", item, re.I)
         left = bool(m.group(1))
