@@ -518,3 +518,30 @@ class TestAnsiPassthrough:
         assert chsql.run_sql(
             spark, "SELECT count(DISTINCT k, s) AS c FROM t", {"t": t}
         ).collect()[0][0] == 2
+
+
+class TestOrNullCombinators:
+    def test_or_null_aggregates_null_on_empty_set(self, spark):
+        df = spark.createDataFrame(
+            [(1, 5.0), (1, None), (2, None)], "k int, v double"
+        )
+        rows = chsql.run_sql(
+            spark,
+            "SELECT k, sumOrNull(v) AS s, maxOrNull(v) AS m, "
+            "avgOrNull(v) AS a, anyOrNull(v) AS any FROM t "
+            "GROUP BY k ORDER BY k",
+            {"t": df},
+        ).collect()
+        # k=2 is an all-NULL set -> NULL across the OrNull family
+        assert [tuple(r) for r in rows] == [
+            (1, 5.0, 5.0, 5.0, 5.0), (2, None, None, None, None)
+        ]
+
+    def test_sum_count_tuple(self, spark):
+        df = spark.createDataFrame(
+            [(5.0,), (3.0,), (None,)], "v double"
+        )
+        (r,) = chsql.run_sql(
+            spark, "SELECT sumCount(v) AS sc FROM t", {"t": df}
+        ).collect()[0]
+        assert (r["sum"], r["count"]) == (8.0, 2)

@@ -1495,6 +1495,19 @@ _CALL_REWRITES.update(
             _dt64_precision("toDateTime64", a, 1)
             or f"CAST({a[0]} AS TIMESTAMP)"
         ),
+        # -OrNull aggregate combinators: NULL over the empty/all-NULL
+        # set -- EXACTLY Spark's native aggregate contract, so these
+        # are the spellings where the two engines agree byte-for-byte
+        "sumOrNull": lambda a: f"sum({a[0]})",
+        "minOrNull": lambda a: f"min({a[0]})",
+        "maxOrNull": lambda a: f"max({a[0]})",
+        "avgOrNull": lambda a: f"avg({a[0]})",
+        "anyOrNull": lambda a: f"any_value({a[0]}, true)",
+        # CH sumCount -> (sum, count) tuple of non-NULL values
+        "sumCount": lambda a: (
+            f"named_struct('sum', sum({a[0]}), "
+            f"'count', count({a[0]}))"
+        ),
         # the 64-bit combined sketch: same rsd class as uniqCombined
         "uniqCombined64": lambda a: (
             f"approx_count_distinct("
@@ -2025,6 +2038,8 @@ _ARITY.update(
         "greatCircleDistance": (4, 4),
         "toStartOfInterval": (2, 2), "now64": (0, 1),
         "toDateTime64": (2, 2), "uniqCombined64": (1, None),
+        "sumOrNull": (1, 1), "minOrNull": (1, 1), "maxOrNull": (1, 1),
+        "avgOrNull": (1, 1), "anyOrNull": (1, 1), "sumCount": (1, 1),
         "like": (2, 2), "notLike": (2, 2),
         "ilike": (2, 2), "notILike": (2, 2),
     }
