@@ -4575,10 +4575,25 @@ def test_chsql_array_join_multi_zip(spark):
             "SELECT k, x, y FROM t ARRAY JOIN ks AS x, vs AS y",
             {"t": bad},
         ).collect()
-    # LEFT multi-array keeps the refusal
-    with pytest.raises(ValueError, match="LEFT ARRAY JOIN maps one"):
+    # LEFT multi-array: all-empty/NULL rows keep ONE defaults row
+    lt = spark.createDataFrame(
+        [(1, ["a"], [10]), (2, [], []), (3, None, None)],
+        "k int, ks array<string>, vs array<int>",
+    )
+    rows = chsql.run_sql(
+        spark,
+        "SELECT k, x, y FROM t LEFT ARRAY JOIN ks AS x, vs AS y "
+        "ORDER BY k",
+        {"t": lt},
+    ).collect()
+    assert [(r.k, r.x, r.y) for r in rows] == [
+        (1, "a", 10), (2, "", 0), (3, "", 0)
+    ]
+    # LEFT over an expression still refuses (element type unknown)
+    with pytest.raises(ValueError, match="element type unknown"):
         chsql.run_sql(
             spark,
-            "SELECT k FROM t LEFT ARRAY JOIN ks AS x, vs AS y",
+            "SELECT k FROM t LEFT ARRAY JOIN "
+            "arrayMap(__x -> __x, ks) AS x, vs AS y",
             {"t": t},
         )

@@ -57,9 +57,9 @@ vocabulary):
   WHERE).  MULTIPLE arrays (r12) zip positionally as in CH -- one
   explode over arrays_zip of pre-projected attributes, unequal sizes
   RAISE per row (CH throws; never silent NULL padding); no-AS
-  replaces the plain column with its
-  element; LEFT fills the CH element-type default ('' / 0), needs
-  a known array column, and stays single-array.
+  replaces the plain column with its element; LEFT fills the CH
+  element-type default ('' / 0) and needs known array columns
+  (all-empty rows keep one defaults row in the multi form).
 - ``sumMap(k, v)`` / ``minMap`` / ``maxMap`` (r12): compiled onto the
   structural plan of operators/maps.agg_map when each call is a whole
   ALIASED top-level SELECT item -- output STRUCT(keys, values),
@@ -2279,11 +2279,12 @@ def _rewrite_array_join(sql: str, defaults: dict[str, str]) -> str:
     plain column (CH replaces the column with its element — compiled
     as ``* EXCEPT (col)``); ``LEFT`` (empty arrays keep one row with
     the ELEMENT TYPE DEFAULT, '' / 0) needs the element type, i.e. a
-    plain array column of a provided table, and stays single-array.
-    MULTIPLE arrays (r12) zip positionally: one explode over
-    ``arrays_zip`` of pre-projected attributes, the per-row
-    equal-size guard in the WHERE (CH throws on unequal sizes;
-    assert_true here — never arrays_zip's silent NULL padding)."""
+    plain array column of a provided table (every zipped item, in
+    the multi-array form).  MULTIPLE arrays (r12) zip positionally:
+    one explode over ``arrays_zip`` of pre-projected attributes, the
+    per-row equal-size guard in the WHERE (CH throws on unequal
+    sizes; assert_true here — never arrays_zip's silent NULL
+    padding); LEFT keeps all-empty rows as one defaults row."""
     while True:
         masked = _mask(sql)
         m = _AJ_CLAUSE.search(masked)
@@ -2325,14 +2326,9 @@ def _rewrite_array_join(sql: str, defaults: dict[str, str]) -> str:
             # (never a Generate over an HOF) with a per-row size
             # guard: CH THROWS on unequal sizes, so unequal sizes
             # raise here too (assert_true), instead of arrays_zip's
-            # silent NULL padding.  LEFT multi-array stays refused
-            # (needs per-array element defaults).
-            if m.group(1):
-                raise ValueError(
-                    "chsql: LEFT ARRAY JOIN maps one array (the "
-                    "multi-array LEFT form needs per-array element "
-                    "defaults); zip explicitly or use the operator API"
-                )
+            # silent NULL padding.  LEFT multi-array keeps all-empty
+            # rows with each array's element-type default (plain
+            # columns of provided tables only).
             parts: list[tuple[str, str, bool]] = []  # (expr, alias, replace)
             for raw in items:
                 it = raw.strip()
@@ -2347,22 +2343,55 @@ def _rewrite_array_join(sql: str, defaults: dict[str, str]) -> str:
                         "COLUMN with its element — alias expressions "
                         "with AS"
                     )
+            left_multi = bool(m.group(1))
+            if left_multi:
+                # LEFT multi-array: all-empty rows keep ONE row with
+                # each array's CH element-type default -- needs every
+                # item to be a plain array column of a provided table
+                missing = [
+                    e for (e, _, _) in parts
+                    if defaults.get(e.strip("`")) is None
+                ]
+                if missing:
+                    raise ValueError(
+                        "chsql: LEFT ARRAY JOIN fills CH element-type "
+                        "defaults, so every zipped item must be a "
+                        "plain array column of a provided table "
+                        f"(element type unknown for {missing[0]!r})"
+                    )
             zn = [f"__ajz{i}" for i in range(len(parts))]
             adds = ", ".join(
                 f"({e}) AS {z}" for (e, _, _), z in zip(parts, zn)
             )
             s1 = f"SELECT *, {adds} FROM {target}"
-            sz = [f"coalesce(size({z}), 0)" for z in zn]
+            # NULL-size normalization must be the IS NULL form, not
+            # coalesce: under the engine's pinned
+            # spark.sql.legacy.sizeOfNull=true, size(NULL) is -1
+            sz = [
+                f"(CASE WHEN {z} IS NULL THEN 0 ELSE size({z}) END)"
+                for z in zn
+            ]
             guard = (
                 "assert_true("
                 + " AND ".join(f"{sz[0]} = {s}" for s in sz[1:])
                 + ", 'chsql: ARRAY JOIN arrays must have equal sizes')"
             )
+            zipped = f"arrays_zip({', '.join(zn)})"
+            if left_multi:
+                filler = ", ".join(
+                    f"'{z}', {defaults[e.strip('`')]}"
+                    for (e, _, _), z in zip(parts, zn)
+                )
+                zipped = (
+                    f"CASE WHEN {sz[0]} = 0 "
+                    f"THEN array(named_struct({filler})) "
+                    f"ELSE {zipped} END"
+                )
             # the guard rides the WHERE (summap pattern: an EXCEPTed
             # assert column would be pruned away and never evaluate)
             s2 = (
                 f"SELECT *, "
-                f"explode(arrays_zip({', '.join(zn)})) AS __ajze "
+                f"explode({zipped}) AS __ajze "
                 f"FROM ({s1}) WHERE {guard} IS NULL"
             )
             excepts = ", ".join(
