@@ -186,7 +186,12 @@ vocabulary):
   quarter/year, parent-dividing n for second/minute/hour, week n=1 --
   other anchors refuse); ``now64``/``toDateTime64`` (literal
   precision 0-9 accepted, value carries Spark micros -- documented
-  cap); the LIKE function spellings ``like/notLike/ilike/notILike``.
+  cap); the LIKE function spellings ``like/notLike/ilike/notILike``;
+  the ``-OrNull`` aggregate combinators (``sum/min/max/avg/
+  anyOrNull`` -- exactly Spark's NULL-on-empty contract) and
+  ``sumCount``; ``quantileTiming``/``quantilesTiming``/
+  ``quantileDeterministic``/``uniqCombined64`` in the sketch
+  classes.
 - ``arrayJoin(expr)``: CH's row-expanding function, hoisted into an
   inner ``explode`` projection (empty/NULL arrays drop the row, the
   CH rule).  One DISTINCT arrayJoin expression per SELECT (repeated
