@@ -545,3 +545,18 @@ class TestOrNullCombinators:
             spark, "SELECT sumCount(v) AS sc FROM t", {"t": df}
         ).collect()[0]
         assert (r["sum"], r["count"]) == (8.0, 2)
+
+
+def test_has_substr_null_operands_propagate(spark, one):
+    # NULL operands propagate NULL (the legacy-sizeOfNull build would
+    # otherwise hit a negative slice length at runtime)
+    assert chsql.run_sql(
+        spark,
+        "SELECT hasSubstr(CAST(NULL AS ARRAY<INT>), array(1)) AS v FROM t",
+        {"t": one},
+    ).collect()[0][0] is None
+    assert chsql.run_sql(
+        spark,
+        "SELECT hasSubstr(array(1), CAST(NULL AS ARRAY<INT>)) AS v FROM t",
+        {"t": one},
+    ).collect()[0][0] is None

@@ -1199,10 +1199,14 @@ def _has_substr_sql(a: list[str]) -> str:
     zips against NULL probes and fails -- no length pre-check
     needed."""
     arr, sub = a
+    # explicit NULL gate: this build pins legacy sizeOfNull (-1), so
+    # a NULL operand would otherwise reach slice() as a negative
+    # length (runtime error) instead of propagating NULL
     return (
+        f"CASE WHEN ({arr}) IS NULL OR ({sub}) IS NULL THEN NULL ELSE "
         f"exists(sequence(1, greatest(size({arr}) - size({sub}) + 1, 1)), "
         f"__i -> forall(zip_with(slice({arr}, __i, size({sub})), {sub}, "
-        f"(__x, __y) -> __x <=> __y), __p -> __p))"
+        f"(__x, __y) -> __x <=> __y), __p -> __p)) END"
     )
 
 
