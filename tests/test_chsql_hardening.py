@@ -314,7 +314,14 @@ def test_structural_functions_refuse_with_operator_pointer(spark, stbl):
             "SELECT m FROM (SELECT sumMap(xs, xs) AS m FROM t GROUP BY k) q",
             "maps.agg_map",
         ),
-        ("SELECT windowFunnel(3600)(k, s = 'a') AS f FROM t", "funnel.window_funnel"),
+        # r11: the whole aliased top-level item compiles
+        # (test_chsql_funnel_agg.py); subquery placement keeps the
+        # pointer
+        (
+            "SELECT f FROM (SELECT windowFunnel(3600)(k, s = 'a') AS f"
+            " FROM t GROUP BY k) q",
+            "funnel.window_funnel",
+        ),
         # r12: top-level placements WITH ORDER BY now compile
         # (test_chsql_running_difference_and_neighbor); the pointer
         # refusal remains for subquery placements, and the top-level
@@ -328,11 +335,18 @@ def test_structural_functions_refuse_with_operator_pointer(spark, stbl):
             "series.neighbor",
         ),
         ("SELECT runningDifference(k) AS r FROM t", "ORDER BY"),
-        ("SELECT retention(k = 1, k = 2) AS r FROM t", "funnel.retention"),
+        # r11: retention compiles everywhere (flat max-flag algebra,
+        # test_chsql_funnel_agg.py); entropy compiles as a whole
+        # aliased top-level item -- the pointer remains for nested /
+        # subquery placements
         ("SELECT deltaSum(k) AS d FROM t", "series.delta_sum"),
         ("SELECT intervalLengthSum(k, k) AS s FROM t", "series.interval_length_sum"),
         ("SELECT maxIntersections(k, k) AS m FROM t", "series.max_intersections"),
-        ("SELECT entropy(s) AS e FROM t", "stats.entropy"),
+        ("SELECT entropy(s) + 0 AS e FROM t", "stats.entropy"),
+        (
+            "SELECT e FROM (SELECT entropy(s) AS e FROM t GROUP BY k) q",
+            "stats.entropy",
+        ),
     ]:
         with pytest.raises(ValueError, match=ptr.replace(".", r"\.")):
             chsql.run_sql(spark, sql, {"t": stbl})

@@ -7,7 +7,7 @@ inlining, BPE estimator vs its spec) get full-speed fuzzing.
 
 from __future__ import annotations
 
-from hypothesis import HealthCheck, given, settings
+from hypothesis import HealthCheck, example, given, settings
 from hypothesis import strategies as st
 
 from yc_data_transfer_clickhouse_from_yandex_metrica_spark.plans.alias import inline_aliases
@@ -693,6 +693,9 @@ _sql_atoms = st.text(
 
 @settings(max_examples=200, deadline=None)
 @given(_sql_atoms)
+@example(
+    s='//*/*',
+).via('discovered failure')
 def test_chsql_strip_comments_never_grows_and_is_idempotent(s):
     from yc_data_transfer_clickhouse_from_yandex_metrica_spark.plans import chsql
 

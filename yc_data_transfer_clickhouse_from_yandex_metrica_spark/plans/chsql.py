@@ -251,7 +251,9 @@ def strip_comments(sql: str) -> str:
             j = sql.find("\n", i)
             i = n if j < 0 else j
         elif sql.startswith("/*", i):
-            j = sql.find("*/", i)
+            # close search starts AFTER the opener: its '*' may not
+            # double as the '*' of '*/' ('/*/' stays open, as in CH)
+            j = sql.find("*/", i + 2)
             i = n if j < 0 else j + 2
         else:
             out.append(c)
@@ -572,6 +574,24 @@ def _replace_one_sql(a: list[str]) -> str:
     )
 
 
+def _retention_sql(a: list[str]) -> str:
+    """CH ``retention(cond1, ..., condN)``: array of 0/1 flags where
+    r1 = cond1 ever held in the group and ri = r1 AND condi ever held
+    -- the flat max-flag algebra ``operators/funnel.retention`` builds
+    (oracle-proven via ``retention_cohort``; the operator returns the
+    same values as r1..rk columns, CH packs them in an array).  A pure
+    aggregate expression, so it compiles anywhere an aggregate may
+    appear; a NULL condition counts as unmet, as CH's CASE-free
+    ``cond ? 1 : 0`` does.  Spark dedups the repeated max(r1)
+    aggregate physically, so the expansion costs N+1 cheap partial
+    aggregates, not N^2."""
+    flags = [f"max(CASE WHEN {c} THEN 1 ELSE 0 END)" for c in a]
+    items = [f"CAST({flags[0]} AS INT)"] + [
+        f"CAST({flags[0]} * {f} AS INT)" for f in flags[1:]
+    ]
+    return "array(" + ", ".join(items) + ")"
+
+
 _CALL_REWRITES: dict[str, object] = {
     "arrayMap": lambda a: f"transform({a[1]}, {a[0]})",
     "arrayFilter": lambda a: f"filter({a[1]}, {a[0]})",
@@ -672,6 +692,7 @@ _CALL_REWRITES: dict[str, object] = {
     # one-arg Spark form may return NULL even when non-NULL values
     # exist in the group.
     "groupArray": lambda a: f"collect_list({a[0]})",
+    "retention": _retention_sql,
     "any": lambda a: f"any_value({a[0]}, true)",
     "anyLast": lambda a: f"any_value({a[0]}, true)",
     "arrayStringConcat": lambda a: (
@@ -1570,10 +1591,14 @@ _STRUCTURAL_OPS = {
     " as a whole aliased top-level SELECT item",
     "maxMap": "operators/maps.agg_map(how='max'), or place maxMap(k, v)"
     " as a whole aliased top-level SELECT item",
-    "windowFunnel": "operators/funnel.window_funnel",
+    # windowFunnel DOES compile as a whole aliased top-level SELECT
+    # item (_rewrite_summap kind "wf"); this refusal is any other
+    # placement
+    "windowFunnel": "operators/funnel.window_funnel, or place "
+    "windowFunnel(W)(ts, cond1, ...) as a whole aliased top-level "
+    "SELECT item",
     "sequenceMatch": "operators/funnel.sequence_match",
     "sequenceCount": "operators/funnel.sequence_count_pairs",
-    "retention": "operators/funnel.retention",
     # both DO compile as top-level SELECT items of a statement with
     # ORDER BY (_rewrite_running); this refusal is any other placement
     "runningDifference": "operators/series.running_difference, or "
@@ -1587,7 +1612,10 @@ _STRUCTURAL_OPS = {
     "deltaSum": "operators/series.delta_sum",
     "intervalLengthSum": "operators/series.interval_length_sum",
     "maxIntersections": "operators/series.max_intersections",
-    "entropy": "operators/stats.entropy",
+    # entropy DOES compile as a whole aliased top-level SELECT item
+    # (_rewrite_summap kind "ent"); this refusal is any other placement
+    "entropy": "operators/stats.entropy, or place entropy(x) as a "
+    "whole aliased top-level SELECT item",
 }
 
 _CALL_REWRITES.update(
@@ -1977,7 +2005,9 @@ _ARITY: dict[str, tuple[int, int | None]] = {
     # structural refusals: any arity reaches the semantic message
     "sumMap": (0, None), "minMap": (0, None), "maxMap": (0, None),
     "windowFunnel": (0, None), "sequenceMatch": (0, None),
-    "sequenceCount": (0, None), "retention": (0, None),
+    "sequenceCount": (0, None),
+    # retention COMPILES (flat max-flag algebra); CH caps it at 32
+    "retention": (1, 32),
     "runningDifference": (0, None), "neighbor": (0, None),
     "deltaSum": (0, None), "intervalLengthSum": (0, None),
     "maxIntersections": (0, None), "entropy": (0, None),
@@ -2460,10 +2490,13 @@ _MAP_AGG_RE = re.compile(r"\b(sumMap|minMap|maxMap)\s*\(")
 _MAP_AGG_HOW = {"sumMap": "sum", "minMap": "min", "maxMap": "max"}
 _TOPK_RE = re.compile(r"(topKWeighted|topK)\s*\(")
 _QEW_RE = re.compile(r"(quantilesExactWeighted|quantileExactWeighted)\s*\(")
+_ENTROPY_RE = re.compile(r"(entropy)\s*\(")
+_WF_RE = re.compile(r"(windowFunnel)\s*\(")
 # every aggregate the statement-level structural compiler may claim
 _STRUCT_AGG_GATE = re.compile(
     r"\b(sumMap|minMap|maxMap|topKWeighted|topK|"
-    r"quantilesExactWeighted|quantileExactWeighted)\s*\("
+    r"quantilesExactWeighted|quantileExactWeighted|entropy|"
+    r"windowFunnel)\s*\("
 )
 # output-name shapes an ORDER BY/unaliased item may take: a (possibly
 # qualified) identifier or an integer position
@@ -2630,6 +2663,95 @@ def _qew_chain(
     return (
         f"SELECT {lead}{out} AS __qq FROM ({c})"
         + (f" GROUP BY {gk_names}" if gk else "")
+    )
+
+
+def _entropy_chain(
+    xarg: str, gk: list[str], from_txt: str, where_txt: str | None,
+) -> str:
+    """``entropy(x)`` chain: the text twin of
+    ``operators/stats.entropy`` (oracle-proven via ``type_entropy``)
+    -- Shannon entropy (bits) of the value distribution per group,
+    as a two-level aggregate: hash-agg (group, value) counts with
+    map-side partial combine compress the input to |distinct values|
+    rows, then the probability window and final ``-sum(p * log2(p))``
+    run over that COMPRESSED frame; the raw rows are never
+    re-shuffled.  Exactly the operator's float form (window p, not
+    the algebraically-equal log2(n) shortcut) so both paths round
+    identically.  NULL is kept as a category, as the operator's
+    groupBy does -- a documented strengthening of CH's Nullable
+    aggregate skip."""
+    gk_sel = "".join(f"{e} AS __smg{i}, " for i, e in enumerate(gk))
+    gk_names = ", ".join(f"__smg{i}" for i in range(len(gk)))
+    lead = f"{gk_names}, " if gk else ""
+    part = f"PARTITION BY {gk_names}" if gk else ""
+    a = (
+        f"SELECT {gk_sel}({xarg}) AS __ex {from_txt}"
+        + (f" {where_txt}" if where_txt else "")
+    )
+    b = f"SELECT {lead}__ex, count(1) AS __ec FROM ({a}) GROUP BY {lead}__ex"
+    c = (
+        f"SELECT {lead}CAST(__ec AS DOUBLE) / sum(__ec) OVER ({part}) "
+        f"AS __ep FROM ({b})"
+    )
+    return (
+        f"SELECT {lead}(-sum(__ep * log2(__ep))) AS __he FROM ({c})"
+        + (f" GROUP BY {gk_names}" if gk else "")
+    )
+
+
+def _window_funnel_chain(
+    win_s: int, ts: str, conds: list[str], gk: list[str], from_txt: str,
+    where_txt: str | None,
+) -> str:
+    """``windowFunnel(W)(ts, c1..ck)`` chain: the text twin of
+    ``operators/funnel.window_funnel``'s default mode (oracle-proven
+    via ``funnel_depths``) -- deepest consecutive-step chain within W
+    seconds of its anchoring step-1 event, via the same backward DP:
+    ``__n{s}_{d}`` = earliest epoch-us completion of steps s..d
+    strictly after this row, each layer one projection of conditional
+    window-mins over a RANGE(1, unbounded) frame -- k-1 nested
+    projections, k(k-1)/2 window expressions, ONE hash(group)
+    exchange end-to-end; never per-user arrays.
+
+    Deviation (the operator's own, documented there): steps bind
+    STRICTLY after the previous step (CH ``strict_increase``); CH's
+    default equal-timestamp chaining depends on CH block order and is
+    not reproduced.  The global (no GROUP BY) spelling is a
+    single-partition window -- CH's global windowFunnel is likewise
+    one group; use a GROUP BY key at scale."""
+    k = len(conds)
+    gk_sel = "".join(f"{e} AS __smg{i}, " for i, e in enumerate(gk))
+    gk_names = ", ".join(f"__smg{i}" for i in range(len(gk)))
+    part = f"PARTITION BY {gk_names} " if gk else ""
+    csel = ", ".join(
+        f"CAST(({c}) AS BOOLEAN) AS __c{i}" for i, c in enumerate(conds, 1)
+    )
+    cur = (
+        f"SELECT {gk_sel}unix_micros(CAST(({ts}) AS TIMESTAMP)) AS __u, "
+        f"{csel} {from_txt}" + (f" {where_txt}" if where_txt else "")
+    )
+    wspec = (
+        f"OVER ({part}ORDER BY __u RANGE BETWEEN 1 FOLLOWING "
+        f"AND UNBOUNDED FOLLOWING)"
+    )
+    for s in range(k, 1, -1):
+        items = [
+            f"min(CASE WHEN __c{s} THEN "
+            f"{'__u' if s == d else f'__n{s + 1}_{d}'} END) {wspec} "
+            f"AS __n{s}_{d}"
+            for d in range(max(s, 2), k + 1)
+        ]
+        cur = f"SELECT *, {', '.join(items)} FROM ({cur})"
+    terms = "".join(
+        f" + (CASE WHEN __n2_{d} <= __u + {win_s * 1_000_000} "
+        f"THEN 1 ELSE 0 END)"
+        for d in range(2, k + 1)
+    )
+    depth = f"CASE WHEN __c1 THEN 1{terms} ELSE 0 END"
+    return (
+        f"SELECT {gk_names + ', ' if gk else ''}CAST(max({depth}) AS INT) "
+        f"AS __wfd FROM ({cur})" + (f" GROUP BY {gk_names}" if gk else "")
     )
 
 
@@ -2800,6 +2922,76 @@ def _rewrite_summap(sql: str) -> str:
                         (idx, "qew", (ps, args[0], args[1], scalar), alias)
                     )
                     continue
+        wm = _WF_RE.match(_mask(expr))
+        if wm:
+            p_open = expr.index("(", wm.end(1))
+            p_close = _match_paren(_mask(expr), p_open)
+            j = p_close + 1
+            while j < len(expr) and expr[j].isspace():
+                j += 1
+            if j < len(expr) and expr[j] == "(":
+                a_close = _match_paren(_mask(expr), j)
+                if a_close == len(expr.rstrip()) - 1:
+                    if alias is None:
+                        raise ValueError(
+                            "chsql: alias the windowFunnel(...)(...) "
+                            "item (AS name)"
+                        )
+                    params = _split_top(expr[p_open + 1 : p_close])
+                    wp = re.fullmatch(r"\s*(\d+)\s*", params[0] if params else "")
+                    if not wp:
+                        raise ValueError(
+                            "chsql: windowFunnel needs a literal "
+                            "window length in seconds, got "
+                            f"{expr[p_open + 1:p_close]!r}"
+                        )
+                    if len(params) > 1:
+                        mode = params[1].strip().strip("'")
+                        if mode != "strict_increase":
+                            raise ValueError(
+                                f"chsql: windowFunnel mode {mode!r} "
+                                "has no SQL compile (the default "
+                                "compile IS strict_increase binding); "
+                                "use operators/funnel.window_funnel("
+                                "mode='strict_order') for strict_order"
+                            )
+                    args = _split_top(expr[j + 1 : a_close])
+                    if len(args) < 2 or not all(a.strip() for a in args):
+                        raise ValueError(
+                            "chsql: windowFunnel takes (timestamp, "
+                            "cond1, ...) -- at least one condition"
+                        )
+                    if len(args) - 1 > 12:
+                        raise ValueError(
+                            "chsql: windowFunnel SQL compile caps at "
+                            "12 steps (k(k-1)/2 window layers); use "
+                            "operators/funnel.window_funnel directly"
+                        )
+                    struct_items.append(
+                        (
+                            idx, "wf",
+                            (int(wp.group(1)), args[0], args[1:]),
+                            alias,
+                        )
+                    )
+                    continue
+        em = _ENTROPY_RE.match(_mask(expr))
+        if em:
+            open_idx = expr.index("(", em.end(1))
+            close = _match_paren(_mask(expr), open_idx)
+            if close == len(expr.rstrip()) - 1:
+                if alias is None:
+                    raise ValueError(
+                        "chsql: alias the entropy(...) item (AS name)"
+                    )
+                args = _split_top(expr[open_idx + 1 : close])
+                if len(args) != 1 or not args[0].strip():
+                    raise ValueError(
+                        "chsql: entropy takes exactly one argument "
+                        "(the value whose distribution is measured)"
+                    )
+                struct_items.append((idx, "ent", (args[0],), alias))
+                continue
         if _MAP_AGG_RE.search(_mask(expr)):
             raise ValueError(
                 "chsql: sumMap/minMap/maxMap compile only as a whole "
@@ -2920,6 +3112,13 @@ def _rewrite_summap(sql: str) -> str:
         elif kind == "topk":
             topn, xarg, warg = payload
             chain = _topk_chain(topn, xarg, warg, gk, frm, where_txt)
+        elif kind == "ent":
+            chain = _entropy_chain(payload[0], gk, frm, where_txt)
+        elif kind == "wf":
+            win_s, ts_arg, conds = payload
+            chain = _window_funnel_chain(
+                win_s, ts_arg, conds, gk, frm, where_txt
+            )
         else:
             ps, xarg, warg, scalar = payload
             chain = _qew_chain(ps, xarg, warg, gk, frm, where_txt, scalar)
@@ -2951,6 +3150,12 @@ def _rewrite_summap(sql: str) -> str:
                 continue
             if item_kind[idx] == "qew":
                 items_out.append(f"{tag}.__qq AS `{name}`")
+                continue
+            if item_kind[idx] == "ent":
+                items_out.append(f"{tag}.__he AS `{name}`")
+                continue
+            if item_kind[idx] == "wf":
+                items_out.append(f"{tag}.__wfd AS `{name}`")
                 continue
             items_out.append(
                 f"named_struct('keys', transform({tag}.__smkv, __sms -> "
