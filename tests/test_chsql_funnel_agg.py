@@ -263,6 +263,112 @@ class TestWindowFunnelCompile:
             )
 
 
+class TestSequenceCompile:
+    @pytest.fixture(scope="class")
+    def seq(self, spark):
+        from pyspark.sql import functions as F
+
+        rows = [
+            (1, "2024-01-01 00:00:00", "A"),
+            (1, "2024-01-01 00:10:00", "B"),
+            (1, "2024-01-01 00:20:00", "A"),
+            (1, "2024-01-01 00:30:00", "B"),
+            (2, "2024-01-01 00:00:00", "B"),   # B before A: no match
+            (2, "2024-01-01 01:00:00", "A"),
+            (3, "2024-01-01 00:00:00", "A"),   # 3h gap to B
+            (3, "2024-01-01 03:00:00", "B"),
+            (4, "2024-01-01 00:00:00", "C"),
+        ]
+        return spark.createDataFrame(
+            rows, "u INT, ts STRING, ev STRING"
+        ).select("u", F.col("ts").cast("timestamp").alias("ts"), "ev")
+
+    def test_sequence_match_matches_operator(self, spark, seq):
+        from pyspark.sql import functions as F
+
+        got = {
+            r["u"]: r["m"]
+            for r in chsql.run_sql(
+                spark,
+                "SELECT u, sequenceMatch('(?1).*(?2)')(ts, ev = 'A', "
+                "ev = 'B') AS m FROM t GROUP BY u",
+                {"t": seq},
+            ).collect()
+        }
+        assert got == {1: 1, 2: 0, 3: 1, 4: 0}
+        op = funnel.sequence_match(
+            seq, "u", "ts", [F.col("ev") == "A", F.col("ev") == "B"]
+        )
+        assert got == {r["u"]: r["matched"] for r in op.collect()}
+
+    def test_gap_constraint_matches_operator(self, spark, seq):
+        from pyspark.sql import functions as F
+
+        got = {
+            r["u"]: r["m"]
+            for r in chsql.run_sql(
+                spark,
+                "SELECT u, sequenceMatch('(?1)(?t<=3600)(?2)')(ts, "
+                "ev = 'A', ev = 'B') AS m FROM t GROUP BY u",
+                {"t": seq},
+            ).collect()
+        }
+        # u3's 3h gap exceeds the 1h constraint
+        assert got == {1: 1, 2: 0, 3: 0, 4: 0}
+        op = funnel.sequence_match(
+            seq, "u", "ts",
+            [F.col("ev") == "A", F.col("ev") == "B"], max_gaps=[3600],
+        )
+        assert got == {r["u"]: r["matched"] for r in op.collect()}
+
+    def test_sequence_count_matches_operator(self, spark, seq):
+        from pyspark.sql import functions as F
+
+        got = {
+            r["u"]: r["n"]
+            for r in chsql.run_sql(
+                spark,
+                "SELECT u, sequenceCount('(?1).*(?2)')(ts, ev = 'A', "
+                "ev = 'B') AS n FROM t GROUP BY u",
+                {"t": seq},
+            ).collect()
+        }
+        # u1 has two non-overlapping A->B chains
+        assert got == {1: 2, 2: 0, 3: 1, 4: 0}
+        op = funnel.sequence_count_pairs(
+            seq, "u", "ts", F.col("ev") == "A", F.col("ev") == "B"
+        )
+        assert got == {r["u"]: r["n_matches"] for r in op.collect()}
+
+    def test_pattern_refusals(self, spark, seq):
+        for bad, msg in [
+            # strict adjacency has no compile
+            ("sequenceMatch('(?1)(?2)')(ts, ev = 'A', ev = 'B')", "expected"),
+            ("sequenceMatch('(?3).*(?1)')(ts, ev = 'A', ev = 'B')", "only 2"),
+            (
+                "sequenceCount('(?1).*(?2).*(?1)')(ts, ev = 'A', ev = 'B')",
+                "pair form",
+            ),
+            ("sequenceMatch('(?1).*')(ts, ev = 'A')", "end with"),
+            ("sequenceMatch(pat)(ts, ev = 'A')", "literal pattern"),
+        ]:
+            with pytest.raises(ValueError, match=msg):
+                chsql.run_sql(
+                    spark, f"SELECT u, {bad} AS x FROM t GROUP BY u",
+                    {"t": seq},
+                )
+
+    def test_table_name_inside_string_literal_survives(self, spark):
+        # regression: the view substitution must not rewrite a ' t '
+        # inside a string literal (it corrupted '(?t<=N)' patterns
+        # and any literal containing the table name as a word)
+        df = spark.createDataFrame([(1, "a t b"), (2, "x")], "k INT, s STRING")
+        r = chsql.run_sql(
+            spark, "SELECT k FROM t WHERE s = 'a t b'", {"t": df}
+        ).collect()
+        assert [x["k"] for x in r] == [1]
+
+
 class TestEntropyCompile:
     def test_fast_path_matches_operator(self, spark, events):
         got = chsql.run_sql(

@@ -339,9 +339,19 @@ def _replace_name(sql: str, name: str, repl: str) -> str:
     """Replace a table name: word-boundary-anchored when the name is a
     plain identifier (a table named ``t`` must not rewrite the ``t``
     inside ``countIf``), literal otherwise (backticked / dotted /
-    placeholder spellings can't collide with identifiers)."""
+    placeholder spellings can't collide with identifiers).  Matches
+    are located on the MASKED text so occurrences inside string
+    literals survive verbatim (a table named ``t`` must not corrupt
+    ``'(?t<=3600)'`` or ``WHERE s = 'a t b'``)."""
     if re.fullmatch(r"\w+", name):
-        return re.sub(rf"(?<![\w`]){re.escape(name)}(?![\w`])", repl, sql)
+        masked = _mask(sql)
+        out, last = [], 0
+        for m in re.finditer(rf"(?<![\w`]){re.escape(name)}(?![\w`])", masked):
+            out.append(sql[last : m.start()])
+            out.append(repl)
+            last = m.end()
+        out.append(sql[last:])
+        return "".join(out)
     return sql.replace(name, repl)
 
 
@@ -1597,8 +1607,15 @@ _STRUCTURAL_OPS = {
     "windowFunnel": "operators/funnel.window_funnel, or place "
     "windowFunnel(W)(ts, cond1, ...) as a whole aliased top-level "
     "SELECT item",
-    "sequenceMatch": "operators/funnel.sequence_match",
-    "sequenceCount": "operators/funnel.sequence_count_pairs",
+    # both DO compile as whole aliased top-level SELECT items with
+    # the supported pattern grammar; this refusal is any other
+    # placement
+    "sequenceMatch": "operators/funnel.sequence_match, or place "
+    "sequenceMatch('(?1).*(?2)')(ts, cond1, ...) as a whole aliased "
+    "top-level SELECT item",
+    "sequenceCount": "operators/funnel.sequence_count_pairs, or place "
+    "sequenceCount('(?1).*(?2)')(ts, cond1, cond2) as a whole aliased "
+    "top-level SELECT item",
     # both DO compile as top-level SELECT items of a statement with
     # ORDER BY (_rewrite_running); this refusal is any other placement
     "runningDifference": "operators/series.running_difference, or "
@@ -2492,11 +2509,12 @@ _TOPK_RE = re.compile(r"(topKWeighted|topK)\s*\(")
 _QEW_RE = re.compile(r"(quantilesExactWeighted|quantileExactWeighted)\s*\(")
 _ENTROPY_RE = re.compile(r"(entropy)\s*\(")
 _WF_RE = re.compile(r"(windowFunnel)\s*\(")
+_SEQ_RE = re.compile(r"(sequenceMatch|sequenceCount)\s*\(")
 # every aggregate the statement-level structural compiler may claim
 _STRUCT_AGG_GATE = re.compile(
     r"\b(sumMap|minMap|maxMap|topKWeighted|topK|"
     r"quantilesExactWeighted|quantileExactWeighted|entropy|"
-    r"windowFunnel)\s*\("
+    r"windowFunnel|sequenceMatch|sequenceCount)\s*\("
 )
 # output-name shapes an ORDER BY/unaliased item may take: a (possibly
 # qualified) identifier or an integer position
@@ -2755,6 +2773,145 @@ def _window_funnel_chain(
     )
 
 
+def _seq_pattern_parse(
+    pat: str, n_conds: int, fn: str
+) -> tuple[list[int], list[int | None]]:
+    """Parse the CH sequence pattern grammar the engine supports
+    (operators/funnel module docstring): ``(?i)`` step references
+    joined by ``.*`` (any gap) or ``(?t<=N)`` (adjacent within N
+    seconds).  Returns (refs, gaps) where ``refs[s]`` is the 1-based
+    condition index of step s+1.  Other pattern atoms (strict
+    adjacency, ``(?t>N)``, alternation) refuse with the operator
+    pointer -- never a silent approximation."""
+    pos, refs, gaps = 0, [], []
+    expect_step = True
+    while pos < len(pat):
+        if expect_step:
+            m = re.match(r"\(\?(\d+)\)", pat[pos:])
+            if not m:
+                raise ValueError(
+                    f"chsql: {fn} pattern {pat!r}: expected a step "
+                    f"reference (?i) at position {pos}; the compiled "
+                    "grammar is (?i) atoms joined by .* or (?t<=N) -- "
+                    "operators/funnel for anything else"
+                )
+            r = int(m.group(1))
+            if not 1 <= r <= n_conds:
+                raise ValueError(
+                    f"chsql: {fn} pattern references (?{r}) but only "
+                    f"{n_conds} condition(s) were passed"
+                )
+            refs.append(r)
+        else:
+            m = re.match(r"\.\*|\(\?t<=(\d+)\)", pat[pos:])
+            if not m:
+                raise ValueError(
+                    f"chsql: {fn} pattern {pat!r}: expected .* or "
+                    f"(?t<=N) at position {pos}; strict adjacency and "
+                    "(?t>N) have no compile -- operators/funnel"
+                )
+            gaps.append(int(m.group(1)) if m.group(1) else None)
+        pos += m.end()
+        expect_step = not expect_step
+    if expect_step or not refs:
+        raise ValueError(
+            f"chsql: {fn} pattern {pat!r} must start and end with a "
+            "(?i) step reference"
+        )
+    return refs, gaps
+
+
+def _seq_match_chain(
+    refs: list[int], gaps: list[int | None], ts: str, conds: list[str],
+    gk: list[str], from_txt: str, where_txt: str | None,
+) -> str:
+    """``sequenceMatch('(?1).*(?2)...')(ts, c1..cn)`` chain: the text
+    twin of ``operators/funnel.sequence_match`` (oracle-proven via
+    ``sequence_match_gaps``) -- EXACT backward DP, not greedy:
+    ``__e{s}`` = earliest completion time of steps s..k STARTING
+    strictly after this row, each layer one conditional window-min
+    over a bounded RANGE frame ((1, gap_us] -- or unbounded without a
+    constraint); a group matches iff any row completes the full
+    chain.  k layers, ONE hash(group) exchange, no per-user arrays."""
+    k = len(refs)
+    gk_sel = "".join(f"{e} AS __smg{i}, " for i, e in enumerate(gk))
+    gk_names = ", ".join(f"__smg{i}" for i in range(len(gk)))
+    part = f"PARTITION BY {gk_names} " if gk else ""
+    csel = ", ".join(
+        f"CAST(({conds[r - 1]}) AS BOOLEAN) AS __c{s}"
+        for s, r in enumerate(refs, 1)
+    )
+    cur = (
+        f"SELECT {gk_sel}unix_micros(CAST(({ts}) AS TIMESTAMP)) AS __u, "
+        f"{csel} {from_txt}" + (f" {where_txt}" if where_txt else "")
+    )
+    cur = (
+        f"SELECT *, CASE WHEN __c{k} THEN __u END AS __e{k} FROM ({cur})"
+    )
+    for s in range(k - 1, 0, -1):
+        gap = gaps[s - 1]
+        hi = (
+            f"{gap * 1_000_000} FOLLOWING"
+            if gap is not None
+            else "UNBOUNDED FOLLOWING"
+        )
+        cur = (
+            f"SELECT *, CASE WHEN __c{s} THEN min(__e{s + 1}) OVER "
+            f"({part}ORDER BY __u RANGE BETWEEN 1 FOLLOWING AND {hi}) "
+            f"END AS __e{s} FROM ({cur})"
+        )
+    return (
+        f"SELECT {gk_names + ', ' if gk else ''}CAST(max(CASE WHEN "
+        f"__e1 IS NOT NULL THEN 1 ELSE 0 END) AS INT) AS __sqm "
+        f"FROM ({cur})" + (f" GROUP BY {gk_names}" if gk else "")
+    )
+
+
+def _seq_count_chain(
+    first: str, second: str, ts: str, gk: list[str], from_txt: str,
+    where_txt: str | None,
+) -> str:
+    """``sequenceCount('(?1).*(?2)')(ts, c1, c2)`` chain: the text
+    twin of ``operators/funnel.sequence_count_pairs`` (oracle-proven
+    via ``sequence_count``) -- greedy non-overlapping first->second
+    counting collapsed to run-length algebra: label rows 1/2 (second
+    taken as ``second AND NOT first``), compact consecutive duplicate
+    labels via the running last-non-NULL window, drop one leading 2,
+    floor(len/2).  One hash(group) exchange.  Ties at one timestamp
+    break arbitrarily, exactly the CH block-order latitude the
+    operator documents (pass tiebreak_col there for determinism)."""
+    gk_sel = "".join(f"{e} AS __smg{i}, " for i, e in enumerate(gk))
+    gk_names = ", ".join(f"__smg{i}" for i in range(len(gk)))
+    lead = f"{gk_names}, " if gk else ""
+    part = f"PARTITION BY {gk_names} " if gk else ""
+    a = (
+        f"SELECT {gk_sel}unix_micros(CAST(({ts}) AS TIMESTAMP)) AS __u, "
+        f"CASE WHEN ({first}) THEN 1 WHEN ({second}) AND NOT "
+        f"({first}) THEN 2 END AS __lab {from_txt}"
+        + (f" {where_txt}" if where_txt else "")
+    )
+    b = (
+        f"SELECT {lead}__u, __lab, last(__lab, true) OVER ({part}"
+        f"ORDER BY __u ROWS BETWEEN UNBOUNDED PRECEDING AND 1 "
+        f"PRECEDING) AS __prev FROM ({a})"
+    )
+    c = (
+        f"SELECT {lead}__u, __lab, CASE WHEN __lab IS NOT NULL AND "
+        f"(__prev IS NULL OR __prev != __lab) THEN 1 ELSE 0 END "
+        f"AS __keep FROM ({b})"
+    )
+    d = (
+        f"SELECT {lead}sum(__keep) AS __m, "
+        f"min_by(CASE WHEN __keep = 1 THEN __lab END, "
+        f"CASE WHEN __keep = 1 THEN __u END) AS __lab0 FROM ({c})"
+        + (f" GROUP BY {gk_names}" if gk else "")
+    )
+    return (
+        f"SELECT {lead}CAST(floor((__m - (CASE WHEN __lab0 = 2 THEN 1 "
+        f"ELSE 0 END)) / 2) AS BIGINT) AS __sqc FROM ({d})"
+    )
+
+
 def _rewrite_summap(sql: str) -> str:
     """Compile the CH map-aggregate combinators (``sumMap(keys, vals)``
     / ``minMap`` / ``maxMap``) when each call is a whole ALIASED item
@@ -2975,6 +3132,66 @@ def _rewrite_summap(sql: str) -> str:
                         )
                     )
                     continue
+        sm = _SEQ_RE.match(_mask(expr))
+        if sm:
+            p_open = expr.index("(", sm.end(1))
+            p_close = _match_paren(_mask(expr), p_open)
+            j = p_close + 1
+            while j < len(expr) and expr[j].isspace():
+                j += 1
+            if j < len(expr) and expr[j] == "(":
+                a_close = _match_paren(_mask(expr), j)
+                if a_close == len(expr.rstrip()) - 1:
+                    name = sm.group(1)
+                    if alias is None:
+                        raise ValueError(
+                            f"chsql: alias the {name}(...)(...) item "
+                            "(AS name)"
+                        )
+                    params = _split_top(expr[p_open + 1 : p_close])
+                    pm = re.fullmatch(
+                        r"\s*'([^']*)'\s*", params[0] if params else ""
+                    )
+                    if len(params) != 1 or not pm:
+                        raise ValueError(
+                            f"chsql: {name} needs ONE literal pattern "
+                            f"string parameter, got "
+                            f"{expr[p_open + 1:p_close]!r}"
+                        )
+                    args = _split_top(expr[j + 1 : a_close])
+                    if len(args) < 2 or not all(a.strip() for a in args):
+                        raise ValueError(
+                            f"chsql: {name} takes (timestamp, cond1, "
+                            "...) after the pattern -- at least one "
+                            "condition"
+                        )
+                    refs, sgaps = _seq_pattern_parse(
+                        pm.group(1), len(args) - 1, name
+                    )
+                    if len(refs) > 32:
+                        raise ValueError(
+                            f"chsql: {name} pattern exceeds the CH cap "
+                            "of 32 steps"
+                        )
+                    if name == "sequenceCount" and (
+                        len(refs) != 2 or sgaps != [None]
+                    ):
+                        raise ValueError(
+                            "chsql: sequenceCount compiles the "
+                            "'(?i).*(?j)' pair form only; use "
+                            "operators/funnel.sequence_count_pairs "
+                            "(longer patterns have no run-length "
+                            "collapse)"
+                        )
+                    struct_items.append(
+                        (
+                            idx,
+                            "seqm" if name == "sequenceMatch" else "seqc",
+                            (refs, sgaps, args[0], args[1:]),
+                            alias,
+                        )
+                    )
+                    continue
         em = _ENTROPY_RE.match(_mask(expr))
         if em:
             open_idx = expr.index("(", em.end(1))
@@ -3119,6 +3336,17 @@ def _rewrite_summap(sql: str) -> str:
             chain = _window_funnel_chain(
                 win_s, ts_arg, conds, gk, frm, where_txt
             )
+        elif kind == "seqm":
+            refs, sgaps, ts_arg, conds = payload
+            chain = _seq_match_chain(
+                refs, sgaps, ts_arg, conds, gk, frm, where_txt
+            )
+        elif kind == "seqc":
+            refs, _sgaps, ts_arg, conds = payload
+            chain = _seq_count_chain(
+                conds[refs[0] - 1], conds[refs[1] - 1], ts_arg, gk,
+                frm, where_txt,
+            )
         else:
             ps, xarg, warg, scalar = payload
             chain = _qew_chain(ps, xarg, warg, gk, frm, where_txt, scalar)
@@ -3156,6 +3384,12 @@ def _rewrite_summap(sql: str) -> str:
                 continue
             if item_kind[idx] == "wf":
                 items_out.append(f"{tag}.__wfd AS `{name}`")
+                continue
+            if item_kind[idx] == "seqm":
+                items_out.append(f"{tag}.__sqm AS `{name}`")
+                continue
+            if item_kind[idx] == "seqc":
+                items_out.append(f"{tag}.__sqc AS `{name}`")
                 continue
             items_out.append(
                 f"named_struct('keys', transform({tag}.__smkv, __sms -> "
