@@ -369,6 +369,89 @@ class TestSequenceCompile:
         assert [x["k"] for x in r] == [1]
 
 
+class TestIntervalSweepCompiles:
+    @pytest.fixture(scope="class")
+    def spans(self, spark):
+        # k=1 overlapping + disjoint; k=2 touching ([0,1] then [1,2]);
+        # k=3 a zero-length interval
+        rows = [(1, 0, 10), (1, 5, 15), (1, 20, 25),
+                (2, 0, 1), (2, 1, 2), (3, 7, 7)]
+        return spark.createDataFrame(rows, "k INT, s INT, e INT")
+
+    def test_interval_length_sum_matches_operator(self, spark, spans):
+        from yc_data_transfer_clickhouse_from_yandex_metrica_spark.operators import series
+
+        got = {
+            r["k"]: r["c"]
+            for r in chsql.run_sql(
+                spark,
+                "SELECT k, intervalLengthSum(s, e) AS c FROM t GROUP BY k",
+                {"t": spans},
+            ).collect()
+        }
+        # overlaps counted once: k=1 -> 15 + 5 = 20
+        assert got == {1: 20, 2: 2, 3: 0}
+        op = series.interval_length_sum(spans, ["k"], "s", "e")
+        assert got == {r["k"]: r["covered"] for r in op.collect()}
+
+    def test_max_intersections_matches_operator(self, spark, spans):
+        from yc_data_transfer_clickhouse_from_yandex_metrica_spark.operators import series
+
+        got = {
+            r["k"]: r["m"]
+            for r in chsql.run_sql(
+                spark,
+                "SELECT k, maxIntersections(s, e) AS m FROM t GROUP BY k",
+                {"t": spans},
+            ).collect()
+        }
+        # half-open [s, e): k=2's touching intervals never overlap;
+        # k=3's zero-length interval is never open
+        assert got == {1: 2, 2: 1, 3: 0}
+        op = series.max_intersections(spans, ["k"], "s", "e")
+        assert got == {r["k"]: r["max_open"] for r in op.collect()}
+
+    def test_max_intersections_timestamps(self, spark):
+        from pyspark.sql import functions as F
+
+        ts = spark.createDataFrame(
+            [
+                (1, "2024-01-01 00:00:00", "2024-01-01 01:00:00"),
+                (1, "2024-01-01 00:30:00", "2024-01-01 02:00:00"),
+            ],
+            "k INT, s STRING, e STRING",
+        ).select(
+            "k",
+            F.col("s").cast("timestamp").alias("s"),
+            F.col("e").cast("timestamp").alias("e"),
+        )
+        got = chsql.run_sql(
+            spark,
+            "SELECT k, maxIntersections(s, e) AS m FROM t GROUP BY k",
+            {"t": ts},
+        ).collect()
+        assert got[0]["m"] == 2
+
+    def test_global_and_refusals(self, spark, spans):
+        g = chsql.run_sql(
+            spark, "SELECT intervalLengthSum(s, e) AS c FROM t", {"t": spans}
+        ).collect()
+        assert g[0]["c"] == 20  # union across all rows
+        with pytest.raises(ValueError, match=r"exactly \(start, end\)"):
+            chsql.run_sql(
+                spark,
+                "SELECT k, maxIntersections(s) AS m FROM t GROUP BY k",
+                {"t": spans},
+            )
+        with pytest.raises(ValueError, match="interval_length_sum"):
+            chsql.run_sql(
+                spark,
+                "SELECT c FROM (SELECT intervalLengthSum(s, e) AS c "
+                "FROM t GROUP BY k) q",
+                {"t": spans},
+            )
+
+
 class TestEntropyCompile:
     def test_fast_path_matches_operator(self, spark, events):
         got = chsql.run_sql(

@@ -340,8 +340,19 @@ def test_structural_functions_refuse_with_operator_pointer(spark, stbl):
         # aliased top-level item -- the pointer remains for nested /
         # subquery placements
         ("SELECT deltaSum(k) AS d FROM t", "series.delta_sum"),
-        ("SELECT intervalLengthSum(k, k) AS s FROM t", "series.interval_length_sum"),
-        ("SELECT maxIntersections(k, k) AS m FROM t", "series.max_intersections"),
+        # r11: both compile as whole aliased top-level items
+        # (test_chsql_funnel_agg.py); subquery placements keep the
+        # pointer
+        (
+            "SELECT s FROM (SELECT intervalLengthSum(k, k) AS s FROM t"
+            " GROUP BY k) q",
+            "series.interval_length_sum",
+        ),
+        (
+            "SELECT m FROM (SELECT maxIntersections(k, k) AS m FROM t"
+            " GROUP BY k) q",
+            "series.max_intersections",
+        ),
         ("SELECT entropy(s) + 0 AS e FROM t", "stats.entropy"),
         (
             "SELECT e FROM (SELECT entropy(s) AS e FROM t GROUP BY k) q",

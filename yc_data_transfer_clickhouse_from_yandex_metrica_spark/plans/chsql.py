@@ -1627,8 +1627,14 @@ _STRUCTURAL_OPS = {
     # aggregation the statement cannot express (r12: named so a known
     # CH spelling never dies as Spark's opaque UNRESOLVED_ROUTINE)
     "deltaSum": "operators/series.delta_sum",
-    "intervalLengthSum": "operators/series.interval_length_sum",
-    "maxIntersections": "operators/series.max_intersections",
+    # both DO compile as whole aliased top-level SELECT items; this
+    # refusal is any other placement
+    "intervalLengthSum": "operators/series.interval_length_sum, or "
+    "place intervalLengthSum(start, end) as a whole aliased top-level "
+    "SELECT item (numeric bounds; wrap timestamps in toUnixTimestamp)",
+    "maxIntersections": "operators/series.max_intersections, or place "
+    "maxIntersections(start, end) as a whole aliased top-level SELECT "
+    "item",
     # entropy DOES compile as a whole aliased top-level SELECT item
     # (_rewrite_summap kind "ent"); this refusal is any other placement
     "entropy": "operators/stats.entropy, or place entropy(x) as a "
@@ -2510,11 +2516,13 @@ _QEW_RE = re.compile(r"(quantilesExactWeighted|quantileExactWeighted)\s*\(")
 _ENTROPY_RE = re.compile(r"(entropy)\s*\(")
 _WF_RE = re.compile(r"(windowFunnel)\s*\(")
 _SEQ_RE = re.compile(r"(sequenceMatch|sequenceCount)\s*\(")
+_SPAN_RE = re.compile(r"(intervalLengthSum|maxIntersections)\s*\(")
 # every aggregate the statement-level structural compiler may claim
 _STRUCT_AGG_GATE = re.compile(
     r"\b(sumMap|minMap|maxMap|topKWeighted|topK|"
     r"quantilesExactWeighted|quantileExactWeighted|entropy|"
-    r"windowFunnel|sequenceMatch|sequenceCount)\s*\("
+    r"windowFunnel|sequenceMatch|sequenceCount|"
+    r"intervalLengthSum|maxIntersections)\s*\("
 )
 # output-name shapes an ORDER BY/unaliased item may take: a (possibly
 # qualified) identifier or an integer position
@@ -2912,6 +2920,81 @@ def _seq_count_chain(
     )
 
 
+def _ils_chain(
+    s: str, e: str, gk: list[str], from_txt: str, where_txt: str | None,
+) -> str:
+    """``intervalLengthSum(start, end)`` chain: the text twin of
+    ``operators/series.interval_length_sum``'s NUMERIC path
+    (oracle-proven via ``interval_coverage``) -- total length of the
+    UNION of [start, end] intervals per group, overlaps counted once:
+    order by (start, end), running max of PREVIOUS ends marks what is
+    already covered, each row contributes
+    ``greatest(0, end - greatest(start, prev_max_end))``; the sibling
+    per-group sum reuses the same hash(group) partitioning -- ONE
+    exchange.  Timestamp columns: wrap both args in
+    ``toUnixTimestamp`` (the CH idiom) or use the operator's exact
+    integer-microsecond path; raw timestamp arithmetic is refused by
+    Spark's analyzer, never silently approximated."""
+    gk_sel = "".join(f"{x} AS __smg{i}, " for i, x in enumerate(gk))
+    gk_names = ", ".join(f"__smg{i}" for i in range(len(gk)))
+    lead = f"{gk_names}, " if gk else ""
+    part = f"PARTITION BY {gk_names} " if gk else ""
+    a = (
+        f"SELECT {gk_sel}({s}) AS __s, ({e}) AS __e {from_txt}"
+        + (f" {where_txt}" if where_txt else "")
+    )
+    b = (
+        f"SELECT {lead}__s, __e, max(__e) OVER ({part}ORDER BY __s, __e "
+        f"ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS __pe "
+        f"FROM ({a})"
+    )
+    c = (
+        f"SELECT {lead}greatest(__e - greatest(__s, coalesce(__pe, __s)), "
+        f"0) AS __cv FROM ({b})"
+    )
+    return (
+        f"SELECT {lead}sum(__cv) AS __ils FROM ({c})"
+        + (f" GROUP BY {gk_names}" if gk else "")
+    )
+
+
+def _mxi_chain(
+    s: str, e: str, gk: list[str], from_txt: str, where_txt: str | None,
+) -> str:
+    """``maxIntersections(start, end)`` chain: the text twin of
+    ``operators/series.max_intersections`` (oracle-proven via
+    ``peak_concurrency``) -- peak number of intervals open at once,
+    half-open [start, end) with the deterministic end-before-start tie
+    rule: +1/-1 events, running sum ordered by (point, delta), per-
+    group max.  One explode of a 2-struct array (plain expressions,
+    not a higher-order lambda, so the Generate stays codegen'd)
+    replaces the operator's two-scan union; one hash(group) exchange.
+    Type-agnostic: ordering + integer deltas only, so timestamps work
+    directly."""
+    gk_sel = "".join(f"{x} AS __smg{i}, " for i, x in enumerate(gk))
+    gk_names = ", ".join(f"__smg{i}" for i in range(len(gk)))
+    lead = f"{gk_names}, " if gk else ""
+    part = f"PARTITION BY {gk_names} " if gk else ""
+    a = (
+        f"SELECT {gk_sel}({s}) AS __s, ({e}) AS __e {from_txt}"
+        + (f" {where_txt}" if where_txt else "")
+    )
+    ev = (
+        f"SELECT {lead}__mx.p AS __pt, __mx.d AS __d FROM ({a}) "
+        f"LATERAL VIEW explode(array(named_struct('p', __s, 'd', 1), "
+        f"named_struct('p', __e, 'd', -1))) __mit AS __mx"
+    )
+    w = (
+        f"SELECT {lead}sum(__d) OVER ({part}ORDER BY __pt, __d ROWS "
+        f"BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS __open "
+        f"FROM ({ev})"
+    )
+    return (
+        f"SELECT {lead}CAST(max(__open) AS BIGINT) AS __mxi FROM ({w})"
+        + (f" GROUP BY {gk_names}" if gk else "")
+    )
+
+
 def _rewrite_summap(sql: str) -> str:
     """Compile the CH map-aggregate combinators (``sumMap(keys, vals)``
     / ``minMap`` / ``maxMap``) when each call is a whole ALIASED item
@@ -3192,6 +3275,30 @@ def _rewrite_summap(sql: str) -> str:
                         )
                     )
                     continue
+        spm = _SPAN_RE.match(_mask(expr))
+        if spm:
+            open_idx = expr.index("(", spm.end(1))
+            close = _match_paren(_mask(expr), open_idx)
+            if close == len(expr.rstrip()) - 1:
+                name = spm.group(1)
+                if alias is None:
+                    raise ValueError(
+                        f"chsql: alias the {name}(...) item (AS name)"
+                    )
+                args = _split_top(expr[open_idx + 1 : close])
+                if len(args) != 2 or not all(a.strip() for a in args):
+                    raise ValueError(
+                        f"chsql: {name} takes exactly (start, end)"
+                    )
+                struct_items.append(
+                    (
+                        idx,
+                        "ils" if name == "intervalLengthSum" else "mxi",
+                        (args[0], args[1]),
+                        alias,
+                    )
+                )
+                continue
         em = _ENTROPY_RE.match(_mask(expr))
         if em:
             open_idx = expr.index("(", em.end(1))
@@ -3347,6 +3454,10 @@ def _rewrite_summap(sql: str) -> str:
                 conds[refs[0] - 1], conds[refs[1] - 1], ts_arg, gk,
                 frm, where_txt,
             )
+        elif kind == "ils":
+            chain = _ils_chain(payload[0], payload[1], gk, frm, where_txt)
+        elif kind == "mxi":
+            chain = _mxi_chain(payload[0], payload[1], gk, frm, where_txt)
         else:
             ps, xarg, warg, scalar = payload
             chain = _qew_chain(ps, xarg, warg, gk, frm, where_txt, scalar)
@@ -3390,6 +3501,12 @@ def _rewrite_summap(sql: str) -> str:
                 continue
             if item_kind[idx] == "seqc":
                 items_out.append(f"{tag}.__sqc AS `{name}`")
+                continue
+            if item_kind[idx] == "ils":
+                items_out.append(f"{tag}.__ils AS `{name}`")
+                continue
+            if item_kind[idx] == "mxi":
+                items_out.append(f"{tag}.__mxi AS `{name}`")
                 continue
             items_out.append(
                 f"named_struct('keys', transform({tag}.__smkv, __sms -> "
