@@ -256,6 +256,56 @@ def build_chsql_topk(spark, ev: DataFrame) -> DataFrame:
     )
 
 
+def build_chsql_wf(spark, ev: DataFrame) -> DataFrame:
+    """The r11 windowFunnel SQL compile (backward-DP window layers):
+    the boundedness claim is ONE hash(user) exchange at both scales --
+    all k-1 window layers share the partitioning."""
+    from yc_data_transfer_clickhouse_from_yandex_metrica_spark.plans import chsql
+
+    return chsql.run_sql(
+        spark,
+        "SELECT user_id, windowFunnel(86400)(ts, event_type = 'view', "
+        "event_type = 'click', event_type = 'purchase') AS depth "
+        "FROM ev GROUP BY user_id",
+        {"ev": ev},
+    )
+
+
+def build_chsql_seqm(spark, ev: DataFrame) -> DataFrame:
+    """The r11 sequenceMatch SQL compile with a gap constraint: k
+    conditional window-mins over bounded RANGE frames, one exchange."""
+    from yc_data_transfer_clickhouse_from_yandex_metrica_spark.plans import chsql
+
+    return chsql.run_sql(
+        spark,
+        "SELECT user_id, sequenceMatch('(?1)(?t<=86400)(?2)')(ts, "
+        "event_type = 'view', event_type = 'purchase') AS m "
+        "FROM ev GROUP BY user_id",
+        {"ev": ev},
+    )
+
+
+def build_chsql_sweeps(spark, ev: DataFrame) -> DataFrame:
+    """The r11 interval sweep compiles: maxIntersections' explode is a
+    plain 2-struct array (codegen'd Generate, not an HOF child), both
+    sweeps one hash(user) exchange."""
+    from yc_data_transfer_clickhouse_from_yandex_metrica_spark.plans import chsql
+
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    start = (us / 1_000_000).cast("long")
+    spans = ev.select(
+        "user_id",
+        start.alias("s"),
+        (start + (F.abs(F.col("value")) * 60).cast("long")).alias("e"),
+    )
+    return chsql.run_sql(
+        spark,
+        "SELECT user_id, intervalLengthSum(s, e) AS covered, "
+        "maxIntersections(s, e) AS peak FROM ev GROUP BY user_id",
+        {"ev": spans},
+    )
+
+
 def measure(name: str, df: DataFrame) -> tuple[float, int, int]:
     """(warm wall sec, exchange count of final plan, rows)."""
     df.write.mode("overwrite").format("noop").save()  # warm
@@ -356,6 +406,19 @@ def main(only: set[str]) -> None:
         "chsql_running": (
             lambda: build_chsql_running(spark, ev),
             lambda: build_chsql_running(spark, ev16),
+        ),
+        # round-11 probes: the funnel/sequence/sweep SQL compiles
+        "chsql_window_funnel": (
+            lambda: build_chsql_wf(spark, ev),
+            lambda: build_chsql_wf(spark, ev16),
+        ),
+        "chsql_sequence_match": (
+            lambda: build_chsql_seqm(spark, ev),
+            lambda: build_chsql_seqm(spark, ev16),
+        ),
+        "chsql_sweeps": (
+            lambda: build_chsql_sweeps(spark, ev),
+            lambda: build_chsql_sweeps(spark, ev16),
         ),
     }
     for name, (b1, b16) in probes.items():
