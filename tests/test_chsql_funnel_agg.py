@@ -225,11 +225,43 @@ class TestWindowFunnelCompile:
             (1, 3, 2), (2, 2, 1), (3, 3, 2)
         ]
 
+    def test_strict_order_matches_operator_and_ch_doc_cases(self, spark):
+        from pyspark.sql import functions as F
+
+        # CH docs: A->B->D->C stops at the interleaving D (depth 2);
+        # A,X,A,B,C reaches 3 via the second anchor; same-instant A+B
+        # count as one instant (deterministic tie rule)
+        rows = [
+            (1, 1, "A"), (1, 2, "B"), (1, 3, "D"), (1, 4, "C"),
+            (2, 1, "A"), (2, 2, "X"), (2, 3, "A"), (2, 4, "B"),
+            (2, 5, "C"),
+            (3, 1, "A"), (3, 1, "B"), (3, 2, "C"),
+        ]
+        df = spark.createDataFrame(rows, "u INT, sec INT, ev STRING").select(
+            "u", F.timestamp_seconds(F.col("sec")).alias("ts"), "ev"
+        )
+        steps = [F.col("ev") == "A", F.col("ev") == "B", F.col("ev") == "C"]
+        for win in (3600, 1):  # wide, then the 1s window cap bites
+            got = {
+                r["u"]: r["f"]
+                for r in chsql.run_sql(
+                    spark,
+                    f"SELECT u, windowFunnel({win}, 'strict_order')(ts, "
+                    "ev = 'A', ev = 'B', ev = 'C') AS f FROM t GROUP BY u",
+                    {"t": df},
+                ).collect()
+            }
+            op = funnel.window_funnel(
+                df, "u", "ts", steps, win, mode="strict_order"
+            )
+            assert got == {r["u"]: r["depth"] for r in op.collect()}, win
+        assert got == {1: 2, 2: 2, 3: 1}  # the win=1 capped depths
+
     def test_refusals(self, spark, clicks):
-        with pytest.raises(ValueError, match="strict_order"):
+        with pytest.raises(ValueError, match="strict_dedup"):
             chsql.run_sql(
                 spark,
-                "SELECT u, windowFunnel(3600, 'strict_order')(ts, "
+                "SELECT u, windowFunnel(3600, 'strict_dedup')(ts, "
                 "ev = 'A') AS f FROM t GROUP BY u",
                 {"t": clicks},
             )

@@ -2781,6 +2781,68 @@ def _window_funnel_chain(
     )
 
 
+def _window_funnel_strict_chain(
+    win_s: int, ts: str, conds: list[str], gk: list[str], from_txt: str,
+    where_txt: str | None,
+) -> str:
+    """``windowFunnel(W, 'strict_order')(ts, c1..ck)`` chain: the text
+    twin of ``operators/funnel._strict_order_funnel`` (property-tested
+    vs the pure-python reference; driver entry ``funnel_strict``) --
+    a chain breaks when ANY interleaving event appears, and every
+    step-1 event still anchors its own candidate chain.  Same plan:
+    collapse events to distinct instants (RANGE(0,0) peer-max flags +
+    a lag-based first-of-instant filter), backward run-length LEAD DP
+    (__d{s} = consecutive-chain length expecting condition s), and the
+    window cap as 1 + count of following instants within W (a strict
+    chain occupies CONSECUTIVE instants).  ONE hash(group) exchange;
+    k+3 projection layers; no per-user arrays.  Tie rule (the
+    operator's, deterministic where CH depends on block order):
+    events sharing one timestamp form one instant and any matching
+    event advances the chain."""
+    k = len(conds)
+    gk_sel = "".join(f"{e} AS __smg{i}, " for i, e in enumerate(gk))
+    gk_names = ", ".join(f"__smg{i}" for i in range(len(gk)))
+    part = f"PARTITION BY {gk_names} " if gk else ""
+    order = f"OVER ({part}ORDER BY __u"
+    csel = ", ".join(
+        f"CAST(({c}) AS BOOLEAN) AS __c{i}" for i, c in enumerate(conds, 1)
+    )
+    cur = (
+        f"SELECT {gk_sel}unix_micros(CAST(({ts}) AS TIMESTAMP)) AS __u, "
+        f"{csel} {from_txt}" + (f" {where_txt}" if where_txt else "")
+    )
+    flags = ", ".join(
+        f"max(CASE WHEN __c{s} THEN 1 END) {order} RANGE BETWEEN "
+        f"CURRENT ROW AND CURRENT ROW) = 1 AS __f{s}"
+        for s in range(1, k + 1)
+    )
+    cur = f"SELECT *, {flags} FROM ({cur})"
+    cur = (
+        f"SELECT *, lag(__u) {order}) AS __pu FROM ({cur})"
+    )
+    cur = (
+        f"SELECT * FROM ({cur}) WHERE __pu IS NULL OR __pu != __u"
+    )
+    cur = (
+        f"SELECT *, CASE WHEN __f{k} THEN 1 ELSE 0 END AS __d{k} "
+        f"FROM ({cur})"
+    )
+    for s in range(k - 1, 0, -1):
+        cur = (
+            f"SELECT *, CASE WHEN __f{s} THEN 1 + lead(__d{s + 1}, 1, 0) "
+            f"{order}) ELSE 0 END AS __d{s} FROM ({cur})"
+        )
+    cur = (
+        f"SELECT *, count(1) {order} RANGE BETWEEN 1 FOLLOWING AND "
+        f"{win_s * 1_000_000} FOLLOWING) AS __iw FROM ({cur})"
+    )
+    depth = f"CASE WHEN __f1 THEN least(__d1, __iw + 1) ELSE 0 END"
+    return (
+        f"SELECT {gk_names + ', ' if gk else ''}CAST(max({depth}) AS INT) "
+        f"AS __wfd FROM ({cur})" + (f" GROUP BY {gk_names}" if gk else "")
+    )
+
+
 def _seq_pattern_parse(
     pat: str, n_conds: int, fn: str
 ) -> tuple[list[int], list[int | None]]:
@@ -3185,15 +3247,18 @@ def _rewrite_summap(sql: str) -> str:
                             "window length in seconds, got "
                             f"{expr[p_open + 1:p_close]!r}"
                         )
+                    mode = None
                     if len(params) > 1:
                         mode = params[1].strip().strip("'")
-                        if mode != "strict_increase":
+                        if mode not in ("strict_increase", "strict_order"):
                             raise ValueError(
                                 f"chsql: windowFunnel mode {mode!r} "
                                 "has no SQL compile (the default "
-                                "compile IS strict_increase binding); "
-                                "use operators/funnel.window_funnel("
-                                "mode='strict_order') for strict_order"
+                                "compile IS strict_increase binding; "
+                                "'strict_order' compiles the "
+                                "instant-collapse chain) -- "
+                                "operators/funnel.window_funnel for "
+                                "anything else"
                             )
                     args = _split_top(expr[j + 1 : a_close])
                     if len(args) < 2 or not all(a.strip() for a in args):
@@ -3210,7 +3275,7 @@ def _rewrite_summap(sql: str) -> str:
                     struct_items.append(
                         (
                             idx, "wf",
-                            (int(wp.group(1)), args[0], args[1:]),
+                            (int(wp.group(1)), args[0], args[1:], mode),
                             alias,
                         )
                     )
@@ -3439,10 +3504,13 @@ def _rewrite_summap(sql: str) -> str:
         elif kind == "ent":
             chain = _entropy_chain(payload[0], gk, frm, where_txt)
         elif kind == "wf":
-            win_s, ts_arg, conds = payload
-            chain = _window_funnel_chain(
-                win_s, ts_arg, conds, gk, frm, where_txt
+            win_s, ts_arg, conds, wf_mode = payload
+            builder = (
+                _window_funnel_strict_chain
+                if wf_mode == "strict_order"
+                else _window_funnel_chain
             )
+            chain = builder(win_s, ts_arg, conds, gk, frm, where_txt)
         elif kind == "seqm":
             refs, sgaps, ts_arg, conds = payload
             chain = _seq_match_chain(
