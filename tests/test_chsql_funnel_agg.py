@@ -484,6 +484,69 @@ class TestIntervalSweepCompiles:
             )
 
 
+class TestHistogramCompile:
+    @pytest.fixture(scope="class")
+    def vals(self, spark):
+        rows = [(1, float(i)) for i in range(10)] + [
+            (2, 5.0), (2, 5.0), (3, None)
+        ]
+        return spark.createDataFrame(rows, "k INT, v DOUBLE")
+
+    def test_matches_operator(self, spark, vals):
+        from yc_data_transfer_clickhouse_from_yandex_metrica_spark.operators import stats
+
+        out = chsql.run_sql(
+            spark, "SELECT k, histogram(4)(v) AS h FROM t GROUP BY k",
+            {"t": vals},
+        )
+        got = {
+            r["k"]: [(b["lower"], b["upper"], b["height"]) for b in r["h"]]
+            for r in out.collect()
+        }
+        op = stats.histogram(vals, "v", 4, keys=["k"])
+        want: dict = {}
+        for r in sorted(op.collect(), key=lambda r: (r["k"], r["bin"])):
+            want.setdefault(r["k"], []).append((r["lo"], r["hi"], r["n"]))
+        # bounds are GLOBAL (operator parity); all-NULL group 3 drops
+        assert got == want
+        assert set(got) == {1, 2}
+        assert got[2] == [(4.5, 6.75, 2)]
+
+    def test_global_spelling(self, spark, vals):
+        g = chsql.run_sql(
+            spark, "SELECT histogram(3)(v) AS h FROM t", {"t": vals}
+        ).collect()
+        assert [(b["lower"], b["upper"], b["height"]) for b in g[0]["h"]] == [
+            (0.0, 3.0, 3), (3.0, 6.0, 5), (6.0, 9.0, 4)
+        ]
+
+    def test_degenerate_single_value(self, spark):
+        one = spark.createDataFrame([(7.0,), (7.0,)], "v DOUBLE")
+        g = chsql.run_sql(
+            spark, "SELECT histogram(5)(v) AS h FROM t", {"t": one}
+        ).collect()
+        # hi <= lo: one zero-width bin holding everything
+        assert [(b["lower"], b["upper"], b["height"]) for b in g[0]["h"]] == [
+            (7.0, 7.0, 2)
+        ]
+
+    def test_refusals(self, spark, vals):
+        with pytest.raises(ValueError, match="positive bin count"):
+            chsql.run_sql(
+                spark, "SELECT histogram(0)(v) AS h FROM t", {"t": vals}
+            )
+        with pytest.raises(ValueError, match="one value argument"):
+            chsql.run_sql(
+                spark, "SELECT histogram(3)(v, k) AS h FROM t", {"t": vals}
+            )
+        with pytest.raises(ValueError, match="histogram"):
+            chsql.run_sql(
+                spark,
+                "SELECT x FROM (SELECT histogram(3)(v) AS x FROM t) q",
+                {"t": vals},
+            )
+
+
 class TestEntropyCompile:
     def test_fast_path_matches_operator(self, spark, events):
         got = chsql.run_sql(

@@ -362,7 +362,13 @@ def test_structural_functions_refuse_with_operator_pointer(spark, stbl):
         with pytest.raises(ValueError, match=ptr.replace(".", r"\.")):
             chsql.run_sql(spark, sql, {"t": stbl})
     for sql, ptr in [
-        ("SELECT histogram(5)(k) AS h FROM t", "stats.histogram"),
+        # r11: the whole aliased top-level item compiles
+        # (test_chsql_funnel_agg.py); subquery placement keeps the
+        # pointer
+        (
+            "SELECT h FROM (SELECT histogram(5)(k) AS h FROM t) q",
+            "stats.histogram",
+        ),
         # r12: the whole-aliased-top-level-item placement now COMPILES
         # (test_chsql_summap.py); nested placements keep the pointer
         (

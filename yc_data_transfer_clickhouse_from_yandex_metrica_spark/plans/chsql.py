@@ -1772,12 +1772,12 @@ def _param_agg_sql(name: str, params: str, args: str) -> str:
         return f"percentile_approx({parts[0]}, {params}, 10000)"
     raise ValueError(
         f"chsql: parameterized aggregate {name!r} has no single-expression "
-        "Spark mapping (topK and quantile*ExactWeighted compile as "
-        "whole aliased top-level SELECT items, else "
-        "operators/stats.heavy_hitters / "
-        "operators/stats.quantile_exact_weighted; groupArrayMoving* "
-        "-> operators/series.moving_agg, histogram -> "
-        "operators/stats.histogram)"
+        "Spark mapping (topK, quantile*ExactWeighted, windowFunnel, "
+        "sequenceMatch/Count and histogram compile as whole aliased "
+        "top-level SELECT items, else operators/stats.heavy_hitters / "
+        "operators/stats.quantile_exact_weighted / "
+        "operators/stats.histogram; groupArrayMoving* "
+        "-> operators/series.moving_agg)"
     )
 
 
@@ -2517,12 +2517,13 @@ _ENTROPY_RE = re.compile(r"(entropy)\s*\(")
 _WF_RE = re.compile(r"(windowFunnel)\s*\(")
 _SEQ_RE = re.compile(r"(sequenceMatch|sequenceCount)\s*\(")
 _SPAN_RE = re.compile(r"(intervalLengthSum|maxIntersections)\s*\(")
+_HIST_RE = re.compile(r"(histogram)\s*\(")
 # every aggregate the statement-level structural compiler may claim
 _STRUCT_AGG_GATE = re.compile(
     r"\b(sumMap|minMap|maxMap|topKWeighted|topK|"
     r"quantilesExactWeighted|quantileExactWeighted|entropy|"
     r"windowFunnel|sequenceMatch|sequenceCount|"
-    r"intervalLengthSum|maxIntersections)\s*\("
+    r"intervalLengthSum|maxIntersections|histogram)\s*\("
 )
 # output-name shapes an ORDER BY/unaliased item may take: a (possibly
 # qualified) identifier or an integer position
@@ -3057,6 +3058,61 @@ def _mxi_chain(
     )
 
 
+def _hist_chain(
+    nbins: int, x: str, gk: list[str], from_txt: str,
+    where_txt: str | None,
+) -> str:
+    """``histogram(N)(x)`` chain: the text twin of
+    ``operators/stats.histogram`` (oracle-proven via
+    ``price_histogram``) -- the deterministic equi-width variant of
+    CH's adaptive-bin sketch (the operator's documented deviation):
+    bounds from one column-pruned min/max pre-aggregate over the
+    WHOLE input (1-row broadcast cross join, as the operator), bin i
+    covers [lo + i*w, lo + (i+1)*w) with the max folded into the last
+    bin, NULLs ignored, hi <= lo degenerates to a single zero-width
+    bin 0.  Output: ARRAY<STRUCT<lower, upper, height>> sorted by
+    bin.  Two pruned scans + one hash aggregate + the per-group pack;
+    groups whose values are all NULL drop, as the operator's
+    pre-group filter does."""
+    gk_sel = "".join(f"{e} AS __smg{i}, " for i, e in enumerate(gk))
+    gk_names = ", ".join(f"__smg{i}" for i in range(len(gk)))
+    lead = f"{gk_names}, " if gk else ""
+    a = (
+        f"SELECT {gk_sel}CAST(({x}) AS DOUBLE) AS __v {from_txt}"
+        + (f" {where_txt}" if where_txt else "")
+    )
+    src = (
+        f"SELECT * FROM ({a}) CROSS JOIN (SELECT min(__v) AS __hlo, "
+        f"max(__v) AS __hhi FROM ({a})) __hb"
+    )
+    width = f"((__hhi - __hlo) / {float(nbins)!r})"
+    raw = f"CAST(floor((__v - __hlo) / {width}) AS BIGINT)"
+    bin_id = (
+        f"(CASE WHEN __hhi <= __hlo THEN 0 ELSE "
+        f"greatest(0, least({raw}, {nbins - 1})) END)"
+    )
+    binned = (
+        f"SELECT {lead}{bin_id} AS __bin, "
+        f"__hlo + {bin_id} * {width} AS __blo, "
+        f"__hlo + ({bin_id} + 1) * {width} AS __bhi "
+        f"FROM ({src}) WHERE __v IS NOT NULL"
+    )
+    counts = (
+        f"SELECT {lead}__bin, __blo, __bhi, count(1) AS __n FROM "
+        f"({binned}) GROUP BY {lead}__bin, __blo, __bhi"
+    )
+    pack = (
+        "transform(sort_array(collect_list(named_struct('b', __bin, "
+        "'lower', __blo, 'upper', __bhi, 'height', __n))), __hs -> "
+        "named_struct('lower', __hs.lower, 'upper', __hs.upper, "
+        "'height', __hs.height)) AS __hg"
+    )
+    return (
+        f"SELECT {lead}{pack} FROM ({counts})"
+        + (f" GROUP BY {gk_names}" if gk else "")
+    )
+
+
 def _rewrite_summap(sql: str) -> str:
     """Compile the CH map-aggregate combinators (``sumMap(keys, vals)``
     / ``minMap`` / ``maxMap``) when each call is a whole ALIASED item
@@ -3340,6 +3396,41 @@ def _rewrite_summap(sql: str) -> str:
                         )
                     )
                     continue
+        hm = _HIST_RE.match(_mask(expr))
+        if hm:
+            p_open = expr.index("(", hm.end(1))
+            p_close = _match_paren(_mask(expr), p_open)
+            j = p_close + 1
+            while j < len(expr) and expr[j].isspace():
+                j += 1
+            if j < len(expr) and expr[j] == "(":
+                a_close = _match_paren(_mask(expr), j)
+                if a_close == len(expr.rstrip()) - 1:
+                    if alias is None:
+                        raise ValueError(
+                            "chsql: alias the histogram(...)(...) item "
+                            "(AS name) -- the result is an ARRAY of "
+                            "(lower, upper, height) structs"
+                        )
+                    hp = re.fullmatch(
+                        r"\s*(\d+)\s*", expr[p_open + 1 : p_close]
+                    )
+                    if not hp or int(hp.group(1)) < 1:
+                        raise ValueError(
+                            "chsql: histogram needs a literal positive "
+                            "bin count, got "
+                            f"{expr[p_open + 1:p_close]!r}"
+                        )
+                    args = _split_top(expr[j + 1 : a_close])
+                    if len(args) != 1 or not args[0].strip():
+                        raise ValueError(
+                            "chsql: histogram takes exactly one value "
+                            "argument after the bin count"
+                        )
+                    struct_items.append(
+                        (idx, "hist", (int(hp.group(1)), args[0]), alias)
+                    )
+                    continue
         spm = _SPAN_RE.match(_mask(expr))
         if spm:
             open_idx = expr.index("(", spm.end(1))
@@ -3526,6 +3617,8 @@ def _rewrite_summap(sql: str) -> str:
             chain = _ils_chain(payload[0], payload[1], gk, frm, where_txt)
         elif kind == "mxi":
             chain = _mxi_chain(payload[0], payload[1], gk, frm, where_txt)
+        elif kind == "hist":
+            chain = _hist_chain(payload[0], payload[1], gk, frm, where_txt)
         else:
             ps, xarg, warg, scalar = payload
             chain = _qew_chain(ps, xarg, warg, gk, frm, where_txt, scalar)
@@ -3575,6 +3668,9 @@ def _rewrite_summap(sql: str) -> str:
                 continue
             if item_kind[idx] == "mxi":
                 items_out.append(f"{tag}.__mxi AS `{name}`")
+                continue
+            if item_kind[idx] == "hist":
+                items_out.append(f"{tag}.__hg AS `{name}`")
                 continue
             items_out.append(
                 f"named_struct('keys', transform({tag}.__smkv, __sms -> "
