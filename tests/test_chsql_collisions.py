@@ -1,0 +1,199 @@
+"""CH<->Spark same-NAME different-SEMANTICS collisions (r11 batch).
+
+The bare CH spellings ``length``/``lower``/``upper``/``round``/
+``rand``/``reverse`` also exist in Spark with silently different
+behavior: CH length counts BYTES (arrays: elements), CH lower/upper
+fold ASCII A-Z only, CH round ties half-even on floats, CH rand() is
+a uniform UInt32.  Before this batch they passed through to Spark
+and diverged on any non-ASCII byte / .5 tie / rand comparison; the
+CH hash family (cityHash64 ...) died as UNRESOLVED_ROUTINE.  Value
+pins per the CH docs, battery style of test_chsql_vocab_r12b.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from yc_data_transfer_clickhouse_from_yandex_metrica_spark.plans import chsql
+
+
+@pytest.fixture(scope="module")
+def tbl(spark):
+    return spark.createDataFrame(
+        [
+            # s: 2-byte é and Cyrillic Д make byte/ASCII semantics
+            # visible; k/v/dec cover the round dispatch classes
+            (1, "héllo", [10, 20, 30], 2.5, 25),
+            (2, "AbЖc", [7], 3.5, -25),
+            (3, None, None, -2.5, 5),
+        ],
+        "k int, s string, arr array<int>, v double, i int",
+    ).selectExpr("k", "s", "arr", "v", "i", "CAST(v AS DECIMAL(5,1)) AS dc")
+
+
+def _rows(spark, tbl, sql):
+    out = chsql.run_sql(spark, sql, {"t": tbl})
+    return {r["k"]: r for r in out.collect()}
+
+
+# ---------------------------------------------------------------------------
+# length: bytes for strings, elements for known array columns
+# ---------------------------------------------------------------------------
+
+
+def test_length_is_bytes_on_strings(spark, tbl):
+    r = _rows(spark, tbl, "SELECT k, length(s) AS n, lengthUTF8(s) AS c FROM t")
+    assert (r[1]["n"], r[1]["c"]) == (6, 5)  # é is 2 bytes, 1 char
+    assert (r[2]["n"], r[2]["c"]) == (5, 4)  # Ж is 2 bytes
+    assert (r[3]["n"], r[3]["c"]) == (None, None)
+
+
+def test_length_is_element_count_on_array_columns(spark, tbl):
+    r = _rows(spark, tbl, "SELECT k, length(arr) AS n FROM t")
+    assert (r[1]["n"], r[2]["n"], r[3]["n"]) == (3, 1, None)
+
+
+def test_length_on_array_expression_fails_loudly(spark, tbl):
+    # the empty()/notEmpty() dispatch policy: an array EXPRESSION
+    # reaches OCTET_LENGTH and fails Spark analysis instead of
+    # silently counting something else
+    with pytest.raises(Exception, match="OCTET_LENGTH|DATATYPE_MISMATCH"):
+        chsql.run_sql(
+            spark, "SELECT length(array(1, 2)) AS n FROM t", {"t": tbl}
+        ).collect()
+
+
+# ---------------------------------------------------------------------------
+# lower/upper: ASCII-only; the UTF8 spellings stay full Unicode
+# ---------------------------------------------------------------------------
+
+
+def test_lower_upper_fold_ascii_only(spark, tbl):
+    r = _rows(
+        spark, tbl,
+        "SELECT k, lower(s) AS lo, upper(s) AS up, "
+        "lowerUTF8(s) AS lou, upperUTF8(s) AS upu FROM t",
+    )
+    # Ж (upper Cyrillic) survives lower(); ж appears only via UTF8
+    assert r[2]["lo"] == "abЖc"
+    assert r[2]["up"] == "ABЖC"
+    assert r[2]["lou"] == "abжc"
+    assert r[2]["upu"] == "ABЖC"
+    assert r[3]["lo"] is None
+
+
+def test_lcase_ucase_match_lower_upper(spark, tbl):
+    r = _rows(
+        spark, tbl, "SELECT k, lcase(s) AS lo, ucase(s) AS up FROM t"
+    )
+    assert r[2]["lo"] == "abЖc"
+    assert r[2]["up"] == "ABЖC"
+
+
+# ---------------------------------------------------------------------------
+# round: half-even on floats/expressions, half-up on int/decimal cols
+# ---------------------------------------------------------------------------
+
+
+def test_round_float_column_ties_to_even(spark, tbl):
+    r = _rows(spark, tbl, "SELECT k, round(v) AS rv FROM t")
+    assert (r[1]["rv"], r[2]["rv"], r[3]["rv"]) == (2.0, 4.0, -2.0)
+
+
+def test_round_nonfloat_columns_tie_away_from_zero(spark, tbl):
+    r = _rows(
+        spark, tbl, "SELECT k, round(i, -1) AS ri, round(dc) AS rd FROM t"
+    )
+    assert (r[1]["ri"], r[2]["ri"]) == (30, -30)
+    assert float(r[1]["rd"]) == 3.0
+    assert float(r[3]["rd"]) == -3.0
+
+
+def test_round_expression_defaults_to_half_even(spark, tbl):
+    # CH arithmetic is Float64 (division always): expression -> bround
+    r = _rows(spark, tbl, "SELECT k, round(v + 0.0) AS r2 FROM t")
+    assert r[1]["r2"] == 2.0  # 2.5 -> 2, not 3
+
+
+def test_round_scale_argument_passes_through(spark, tbl):
+    r = _rows(spark, tbl, "SELECT k, round(v / 8, 2) AS r FROM t")
+    assert r[1]["r"] == round(2.5 / 8, 2)
+
+
+# ---------------------------------------------------------------------------
+# rand family: UInt32 range / 64-bit / canonical
+# ---------------------------------------------------------------------------
+
+
+def test_rand_is_uniform_uint32_range(spark):
+    df = spark.range(512).selectExpr("id")
+    out = chsql.run_sql(
+        spark,
+        "SELECT rand() AS r, rand64() AS r64, randCanonical() AS rc FROM t",
+        {"t": df},
+    )
+    assert dict(out.dtypes)["r"] == "bigint"
+    assert dict(out.dtypes)["r64"] == "bigint"
+    assert dict(out.dtypes)["rc"] == "double"
+    rows = out.collect()
+    assert all(0 <= r["r"] < 2**32 for r in rows)
+    assert all(0.0 <= r["rc"] < 1.0 for r in rows)
+    assert len({r["r"] for r in rows}) > 1
+    assert len({r["r64"] for r in rows}) > 1
+    # rand64 spans the full signed-64 reinterpretation of UInt64
+    assert any(r["r64"] < 0 for r in rows) and any(r["r64"] > 0 for r in rows)
+
+
+def test_rand_optional_cse_dodge_argument_ignored(spark, tbl):
+    out = chsql.run_sql(spark, "SELECT rand(k) AS r FROM t", {"t": tbl})
+    assert all(0 <= r["r"] < 2**32 for r in out.collect())
+
+
+# ---------------------------------------------------------------------------
+# reverse
+# ---------------------------------------------------------------------------
+
+
+def test_reverse_utf8_and_array_passthrough(spark, tbl):
+    r = _rows(
+        spark, tbl,
+        "SELECT k, reverseUTF8(s) AS rs, reverse(arr) AS ra FROM t",
+    )
+    assert r[1]["rs"] == "olléh"
+    assert r[1]["ra"] == [30, 20, 10]
+
+
+# ---------------------------------------------------------------------------
+# hash family + randConstant: named refusals, not UNRESOLVED_ROUTINE
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize(
+    "fn", ["cityHash64", "sipHash64", "xxHash64", "intHash32", "CRC32",
+           "farmFingerprint64", "murmurHash3_64", "halfMD5"]
+)
+def test_ch_hash_spellings_refuse_with_alternatives(spark, tbl, fn):
+    with pytest.raises(ValueError, match="same VALUES"):
+        chsql.run_sql(spark, f"SELECT {fn}(s) AS h FROM t", {"t": tbl})
+
+
+def test_rand_constant_refuses(spark, tbl):
+    with pytest.raises(ValueError, match="randConstant"):
+        chsql.run_sql(spark, "SELECT randConstant() AS r FROM t", {"t": tbl})
+
+
+# ---------------------------------------------------------------------------
+# cascade safety: emitted CHAR_LENGTH/LOWER/UPPER/REVERSE are inert
+# to the bare-name mappings (the rewrite scan is case-sensitive)
+# ---------------------------------------------------------------------------
+
+
+def test_utf8_spellings_not_re_rewritten_by_bare_mappings(spark, tbl):
+    sql = chsql._rewrite_calls("SELECT lowerUTF8(s), lengthUTF8(s) FROM t")
+    assert "LOWER(s)" in sql and "CHAR_LENGTH(s)" in sql
+    assert "translate" not in sql and "OCTET_LENGTH" not in sql
+
+
+def test_empty_still_works_with_length_mapped(spark, tbl):
+    r = _rows(spark, tbl, "SELECT k, empty(s) AS e, notEmpty(s) AS ne FROM t")
+    assert (r[1]["e"], r[1]["ne"]) == (0, 1)

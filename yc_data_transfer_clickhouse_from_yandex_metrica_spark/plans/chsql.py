@@ -386,9 +386,17 @@ class _SchemaCtx(NamedTuple):
 
     float_array_cols: frozenset = frozenset()
     array_cols: frozenset = frozenset()
+    # scalar columns of NON-float numeric type (int/decimal): CH
+    # round() ties away from zero for these, banker's for floats
+    halfup_cols: frozenset = frozenset()
 
 
 _EMPTY_CTX = _SchemaCtx()
+
+# CH lower/upper/lcase/ucase fold ASCII A-Z ONLY (the UTF8 spellings
+# are the Unicode ones); the exact Spark mapping is a translate
+_ASCII_UP = "ABCDEFGHIJKLMNOPQRSTUVWXYZ"
+_ASCII_LO = "abcdefghijklmnopqrstuvwxyz"
 
 
 def _wants_schema_ctx(fn):
@@ -509,7 +517,7 @@ def _empty_sql(a: list[str], ctx: _SchemaCtx) -> str:
             f"CAST(CASE WHEN {a[0]} IS NULL THEN NULL "
             f"ELSE size({a[0]}) <= 0 END AS INT)"
         )
-    return f"CAST(length(coalesce({a[0]}, '')) = 0 AS INT)"
+    return f"CAST(CHAR_LENGTH(coalesce({a[0]}, '')) = 0 AS INT)"
 
 
 @_wants_schema_ctx
@@ -521,7 +529,44 @@ def _not_empty_sql(a: list[str], ctx: _SchemaCtx) -> str:
             f"CAST(CASE WHEN {a[0]} IS NULL THEN NULL "
             f"ELSE size({a[0]}) > 0 END AS INT)"
         )
-    return f"CAST(length(coalesce({a[0]}, '')) > 0 AS INT)"
+    return f"CAST(CHAR_LENGTH(coalesce({a[0]}, '')) > 0 AS INT)"
+
+
+@_wants_schema_ctx
+def _length_sql(a: list[str], ctx: _SchemaCtx) -> str:
+    """CH bare ``length(x)``: element COUNT for arrays, BYTE count for
+    strings (CH docs: "in bytes, not characters" -- ``lengthUTF8`` is
+    the codepoint spelling, mapped to Spark's char-based length).  A
+    known array column takes size() with the explicit NULL guard
+    (size(NULL) is -1 in this build); everything else takes
+    OCTET_LENGTH -- an array EXPRESSION then fails analysis loudly
+    rather than silently counting something else (the empty()/
+    notEmpty() dispatch policy)."""
+    if _bare_col_name(a[0]) in ctx.array_cols:
+        return (
+            f"(CASE WHEN {a[0]} IS NULL THEN NULL "
+            f"ELSE size({a[0]}) END)"
+        )
+    return f"OCTET_LENGTH({a[0]})"
+
+
+@_wants_schema_ctx
+def _round_sql(a: list[str], ctx: _SchemaCtx) -> str:
+    """CH ``round(x[, N])`` tie-breaking is TYPE-dependent: banker's
+    (half-even) for Float inputs, away from zero for Decimal/integer
+    inputs.  Spark round() is HALF_UP and bround() HALF_EVEN.  A bare
+    column of known non-float numeric type takes ROUND (away from
+    zero == HALF_UP for the .5 ties that can arise there); everything
+    else -- float columns and EXPRESSIONS -- takes bround: CH
+    arithmetic is Float64 almost everywhere (CH division ALWAYS
+    yields Float64), and CH parses a bare ``2.5`` literal as Float64
+    where Spark reads DECIMAL, so half-even is the CH-faithful
+    default for both.  Deviation: an ALIAS of a Decimal expression is
+    indistinguishable from a float expression at text level and takes
+    the half-even path."""
+    if _bare_col_name(a[0]) in ctx.halfup_cols:
+        return f"ROUND({', '.join(a)})"
+    return f"bround({', '.join(a)})"
 
 
 # tokens over the SQL-TEXT of a string literal (both engines parse
@@ -580,7 +625,7 @@ def _replace_one_sql(a: list[str]) -> str:
     loc = f"locate({n}, {s})"
     return (
         f"(CASE WHEN {loc} > 0 THEN concat(substring({s}, 1, {loc} - 1), "
-        f"{r}, substring({s}, {loc} + length({n}))) ELSE {s} END)"
+        f"{r}, substring({s}, {loc} + CHAR_LENGTH({n}))) ELSE {s} END)"
     )
 
 
@@ -820,18 +865,44 @@ _CALL_REWRITES: dict[str, object] = {
         f"rpad({a[0]}, {a[1]}, {a[2] if len(a) > 2 else chr(39) + ' ' + chr(39)})"
     ),
     "trimBoth": lambda a: f"trim({a[0]})",
-    "lengthUTF8": lambda a: f"length({a[0]})",  # Spark length is char-based
     # UTF8-suffixed CH spellings (r8): Spark strings are already
-    # codepoint-based, so each maps to the plain function
-    "lowerUTF8": lambda a: f"lower({a[0]})",
-    "upperUTF8": lambda a: f"upper({a[0]})",
+    # codepoint-based, so each maps to the plain function.  Emitted
+    # UPPERCASE: the rewrite scan is case-SENSITIVE (CH names are),
+    # so the compiled text is inert to the BARE collision-class
+    # mappings below (CH length/lower/upper have BYTE/ASCII
+    # semantics and rewrite differently).
+    "lengthUTF8": lambda a: f"CHAR_LENGTH({a[0]})",
+    "lowerUTF8": lambda a: f"LOWER({a[0]})",
+    "upperUTF8": lambda a: f"UPPER({a[0]})",
+    # BARE CH case functions are ASCII-ONLY ("converts ASCII Latin
+    # symbols" -- CH docs; Cyrillic etc. pass through UNCHANGED,
+    # which Metrica-era queries rely on).  Spark lower/upper are full
+    # Unicode, a silent value divergence on any non-ASCII byte, so
+    # the exact mapping is an A-Z translate.
+    "lower": lambda a: f"translate({a[0]}, '{_ASCII_UP}', '{_ASCII_LO}')",
+    "upper": lambda a: f"translate({a[0]}, '{_ASCII_LO}', '{_ASCII_UP}')",
+    "length": _length_sql,
+    "round": _round_sql,
+    # CH rand() is a uniform UInt32 (NOT a [0,1) float -- `rand() %
+    # 100 < k` sampling depends on this); rand64() a uniform UInt64
+    # (here: the same 64 bits read as Spark's signed BIGINT);
+    # randCanonical() is the [0,1) Float64.  The optional argument is
+    # CH's common-subexpression-elimination dodge and is ignored.
+    "rand": lambda a: "CAST(FLOOR(RAND() * 4294967296E0) AS BIGINT)",
+    "rand64": lambda a: "xxhash64(uuid())",
+    "randCanonical": lambda a: "RAND()",
+    # byte-reverse has no Spark spelling; bare reverse() passes
+    # through as Spark's codepoint reverse (== CH reverseUTF8; equal
+    # to CH reverse on ASCII and on arrays, documented deviation on
+    # multi-byte strings).  The UTF8 spelling is exact.
+    "reverseUTF8": lambda a: f"REVERSE({a[0]})",
     # CH length argument is optional (to-end when omitted)
     "substringUTF8": lambda a: (
         f"substring({', '.join(a)})"
     ),
     "positionUTF8": lambda a: f"locate({a[1]}, {a[0]})",
     "positionCaseInsensitive": lambda a: (
-        f"locate(lower({a[1]}), lower({a[0]}))"
+        f"locate(LOWER({a[1]}), LOWER({a[0]}))"
     ),
     "trimLeft": lambda a: f"ltrim({a[0]})",
     "trimRight": lambda a: f"rtrim({a[0]})",
@@ -1006,8 +1077,9 @@ _CALL_REWRITES: dict[str, object] = {
     "bitShiftLeft": lambda a: f"shiftleft({a[0]}, {a[1]})",
     "bitShiftRight": lambda a: f"shiftright({a[0]}, {a[1]})",
     # string widening
-    "lcase": lambda a: f"lower({a[0]})",
-    "ucase": lambda a: f"upper({a[0]})",
+    # CH aliases of the ASCII-only lower/upper (same translate form)
+    "lcase": lambda a: f"translate({a[0]}, '{_ASCII_UP}', '{_ASCII_LO}')",
+    "ucase": lambda a: f"translate({a[0]}, '{_ASCII_LO}', '{_ASCII_UP}')",
     "concatWithSeparator": lambda a: f"concat_ws({', '.join(a)})",
     "base64Encode": lambda a: f"base64({a[0]})",
     "base64Decode": lambda a: f"CAST(unbase64({a[0]}) AS STRING)",
@@ -1504,9 +1576,11 @@ _CALL_REWRITES.update(
         # non-overlapping occurrence count (the replace rule IS the
         # CH non-intersecting rule); '' needle -> length+1 as in CH
         "countSubstrings": lambda a: (
-            f"CAST(CASE WHEN length({a[1]}) = 0 THEN length({a[0]}) + 1 "
-            f"ELSE (length({a[0]}) - length(replace({a[0]}, {a[1]}, ''))) "
-            f"/ length({a[1]}) END AS INT)"
+            f"CAST(CASE WHEN CHAR_LENGTH({a[1]}) = 0 "
+            f"THEN CHAR_LENGTH({a[0]}) + 1 "
+            f"ELSE (CHAR_LENGTH({a[0]}) "
+            f"- CHAR_LENGTH(replace({a[0]}, {a[1]}, ''))) "
+            f"/ CHAR_LENGTH({a[1]}) END AS INT)"
         ),
         "mapKeys": lambda a: f"map_keys({a[0]})",
         "mapValues": lambda a: f"map_values({a[0]})",
@@ -1644,6 +1718,52 @@ _STRUCTURAL_OPS = {
 _CALL_REWRITES.update(
     {name: _structural_refusal(name, ptr) for name, ptr in _STRUCTURAL_OPS.items()}
 )
+
+
+# CH hash functions whose OUTPUT VALUES are the contract (stored
+# hashes, cross-system joins, SAMPLE BY keys): Spark has no
+# implementation of these algorithms (or, for xxHash64, uses a
+# different seed -- Spark's xxhash64 is XXH64(seed=42), CH's is
+# seed=0), so any name-level mapping would return different numbers
+# for every row -- the silent-wrong class.  Refuse by name with the
+# honest alternatives instead of dying as UNRESOLVED_ROUTINE.
+_CH_HASH_FNS = (
+    "cityHash64", "sipHash64", "sipHash128", "halfMD5",
+    "farmHash64", "farmFingerprint64", "intHash32", "intHash64",
+    "xxHash32", "xxHash64", "metroHash64",
+    "murmurHash2_32", "murmurHash2_64",
+    "murmurHash3_32", "murmurHash3_64", "murmurHash3_128",
+    "javaHash", "hiveHash", "jumpConsistentHash",
+    "kostikConsistentHash", "CRC32", "CRC32IEEE", "CRC64",
+)
+
+
+def _hash_refusal(name: str):
+    def fn(a):
+        raise ValueError(
+            f"chsql: {name}() has no Spark implementation producing "
+            f"the same VALUES (engine-specific algorithm/seed); for "
+            f"engine-local hashing use Spark's xxhash64()/hash()/"
+            f"crc32()/md5() directly, for deterministic sampling or "
+            f"sharding use operators/sampling.sample_mod or "
+            f"operators/corpus.shard_assign"
+        )
+
+    return fn
+
+
+_CALL_REWRITES.update({name: _hash_refusal(name) for name in _CH_HASH_FNS})
+
+
+def _rand_constant_refusal(a):
+    raise ValueError(
+        "chsql: randConstant() (one random value shared by every row "
+        "of the block) has no per-row Spark expression; compute the "
+        "value driver-side and inline it as a literal"
+    )
+
+
+_CALL_REWRITES["randConstant"] = _rand_constant_refusal
 
 
 _FDT_MAP = {
@@ -2034,7 +2154,16 @@ _ARITY: dict[str, tuple[int, int | None]] = {
     "runningDifference": (0, None), "neighbor": (0, None),
     "deltaSum": (0, None), "intervalLengthSum": (0, None),
     "maxIntersections": (0, None), "entropy": (0, None),
+    # byte/ASCII collision class (bare CH spellings of names Spark
+    # also has, with different semantics)
+    "lower": (1, 1), "upper": (1, 1), "length": (1, 1),
+    "round": (1, 2), "reverseUTF8": (1, 1),
+    # rand family: the optional arg is CH's CSE dodge, ignored
+    "rand": (0, 1), "rand64": (0, 1), "randCanonical": (0, 1),
+    # hash refusals: any arity reaches the value-divergence message
+    "randConstant": (0, None),
 }
+_ARITY.update({name: (0, None) for name in _CH_HASH_FNS})
 
 _ARITY.update(
     {name: (0, 0) for name in _CALL_REWRITES if name.startswith("emptyArray")}
@@ -2318,8 +2447,17 @@ def _schema_ctx(tables: dict[str, DataFrame]) -> _SchemaCtx:
         for f in df.schema.fields
         if isinstance(f.dataType, T.ArrayType)
     )
+    halfup = frozenset(
+        f.name
+        for df in tables.values()
+        for f in df.schema.fields
+        if isinstance(f.dataType, T.NumericType)
+        and not isinstance(f.dataType, (T.FloatType, T.DoubleType))
+    )
     return _SchemaCtx(
-        float_array_cols=_fractional_array_cols(tables), array_cols=arrays
+        float_array_cols=_fractional_array_cols(tables),
+        array_cols=arrays,
+        halfup_cols=halfup,
     )
 
 
