@@ -197,3 +197,81 @@ def test_utf8_spellings_not_re_rewritten_by_bare_mappings(spark, tbl):
 def test_empty_still_works_with_length_mapped(spark, tbl):
     r = _rows(spark, tbl, "SELECT k, empty(s) AS e, notEmpty(s) AS ne FROM t")
     assert (r[1]["e"], r[1]["ne"]) == (0, 1)
+
+
+# ---------------------------------------------------------------------------
+# r11 batch 2: decode-transform, enumerate-uniq, left/right negative
+# lengths, representation adapters, whitespace split, dict/display
+# refusals
+# ---------------------------------------------------------------------------
+
+
+def test_transform_decode_form(spark, tbl):
+    r = _rows(
+        spark, tbl,
+        "SELECT k, transform(k, [1, 2], [10, 20], -1) AS t4, "
+        "transform(k, [1, 2], [10, 20]) AS t3 FROM t",
+    )
+    assert (r[1]["t4"], r[2]["t4"], r[3]["t4"]) == (10, 20, -1)
+    assert (r[1]["t3"], r[2]["t3"], r[3]["t3"]) == (10, 20, 3)
+
+
+def test_transform_two_args_is_spark_hof_passthrough(spark, tbl):
+    r = _rows(spark, tbl, "SELECT k, transform(arr, x -> x + 1) AS m FROM t")
+    assert r[1]["m"] == [11, 21, 31]
+
+
+def test_array_enumerate_uniq(spark):
+    df = spark.createDataFrame([(1, [10, 20, 10, 30, 10])], "k int, a array<int>")
+    r = _rows(spark, df, "SELECT k, arrayEnumerateUniq(a) AS e FROM t")
+    assert r[1]["e"] == [1, 1, 2, 1, 3]
+
+
+def test_left_right_negative_lengths(spark):
+    df = spark.createDataFrame([(1, "hello")], "k int, s string")
+    r = _rows(
+        spark, df,
+        "SELECT k, left(s, 2) AS l2, left(s, -2) AS lm2, "
+        "right(s, 2) AS r2, right(s, -1) AS rm1, "
+        "leftUTF8(s, 0) AS l0, rightUTF8(s, -9) AS rbig FROM t",
+    )
+    assert (r[1]["l2"], r[1]["lm2"]) == ("he", "hel")
+    assert (r[1]["r2"], r[1]["rm1"]) == ("lo", "ello")
+    assert (r[1]["l0"], r[1]["rbig"]) == ("", "")
+
+
+def test_representation_adapters_are_identity(spark, tbl):
+    r = _rows(
+        spark, tbl,
+        "SELECT k, toNullable(k) AS n, toLowCardinality(s) AS lc, "
+        "materialize(v) AS m FROM t",
+    )
+    assert (r[1]["n"], r[1]["lc"], r[1]["m"]) == (1, "héllo", 2.5)
+
+
+def test_split_by_whitespace_drops_empty_tokens(spark):
+    df = spark.createDataFrame([(1, "  a,  b.   c ")], "k int, s string")
+    r = _rows(spark, df, "SELECT k, splitByWhitespace(s) AS w FROM t")
+    assert r[1]["w"] == ["a,", "b.", "c"]
+
+
+@pytest.mark.parametrize("fn,args", [
+    ("dictGet", "'d', 'attr', k"),
+    ("dictGetString", "'d', 'attr', k"),
+    ("dictHas", "'d', k"),
+    ("dictGetHierarchy", "'d', k"),
+])
+def test_dict_functions_refuse_with_join_recipe(spark, tbl, fn, args):
+    with pytest.raises(ValueError, match="dictionary engine"):
+        chsql.run_sql(spark, f"SELECT {fn}({args}) AS x FROM t", {"t": tbl})
+
+
+@pytest.mark.parametrize("fn,args", [
+    ("bar", "k, 0, 100"),
+    ("formatReadableSize", "k"),
+    ("formatReadableQuantity", "k"),
+    ("formatReadableTimeDelta", "k"),
+])
+def test_display_helpers_refuse(spark, tbl, fn, args):
+    with pytest.raises(ValueError, match="presentation helper"):
+        chsql.run_sql(spark, f"SELECT {fn}({args}) AS x FROM t", {"t": tbl})

@@ -841,6 +841,42 @@ _CALL_REWRITES: dict[str, object] = {
     ),
     "ifNull": lambda a: f"coalesce({a[0]}, {a[1]})",
     "assumeNotNull": lambda a: f"({a[0]})",
+    # CH physical-representation adapters with no Spark meaning:
+    # identity (Spark columns are all nullable; there is no
+    # LowCardinality or lazy-materialization distinction)
+    "toNullable": lambda a: f"({a[0]})",
+    "toLowCardinality": lambda a: f"({a[0]})",
+    "materialize": lambda a: f"({a[0]})",
+    # CH left/right take a possibly-NEGATIVE length: left(s, -n) is
+    # all but the n RIGHTMOST chars, right(s, -n) all but the n
+    # LEFTMOST (Spark's left/right return '' on negatives -- a silent
+    # divergence).  Char-based like Spark (== the UTF8 spellings;
+    # CH's bare forms are byte-based on multibyte input, documented
+    # deviation consistent with bare reverse).
+    "left": lambda a: (
+        f"(CASE WHEN ({a[1]}) >= 0 THEN LEFT({a[0]}, {a[1]}) "
+        f"ELSE substring({a[0]}, 1, "
+        f"GREATEST(CHAR_LENGTH({a[0]}) + ({a[1]}), 0)) END)"
+    ),
+    "right": lambda a: (
+        f"(CASE WHEN ({a[1]}) >= 0 THEN RIGHT({a[0]}, {a[1]}) "
+        f"ELSE substring({a[0]}, 1 - ({a[1]})) END)"
+    ),
+    "leftUTF8": lambda a: (
+        f"(CASE WHEN ({a[1]}) >= 0 THEN LEFT({a[0]}, {a[1]}) "
+        f"ELSE substring({a[0]}, 1, "
+        f"GREATEST(CHAR_LENGTH({a[0]}) + ({a[1]}), 0)) END)"
+    ),
+    "rightUTF8": lambda a: (
+        f"(CASE WHEN ({a[1]}) >= 0 THEN RIGHT({a[0]}, {a[1]}) "
+        f"ELSE substring({a[0]}, 1 - ({a[1]})) END)"
+    ),
+    # CH splitByWhitespace: runs of whitespace, NO empty tokens
+    # (Spark split keeps a leading '' when the string starts with
+    # whitespace)
+    "splitByWhitespace": lambda a: (
+        f"filter(split({a[0]}, '\\\\s+'), __x -> __x != '')"
+    ),
     "empty": _empty_sql,
     # zero-arg clock functions (CH evaluates once per query; so does
     # Spark -- current_timestamp/current_date are query-constant)
@@ -981,6 +1017,31 @@ _CALL_REWRITES: dict[str, object] = {
     "arrayEnumerate": lambda a: (
         f"(CASE WHEN size({a[0]}) > 0 THEN sequence(1, size({a[0]})) "
         f"ELSE CAST(array() AS ARRAY<INT>) END)"
+    ),
+    # occurrence index of each element among its equals so far (the
+    # Metrica funnel-dedup helper): count of null-safe-equal elements
+    # in the prefix up to the current position.  O(len^2) per ROW --
+    # fine for the short attribute arrays it is used on (single-array
+    # form only; the multi-array form needs positional tuple grouping
+    # and keeps the unresolved guard)
+    "arrayEnumerateUniq": lambda a: (
+        # TRANSFORM uppercase: inert to the CH transform() decode
+        # mapping below (the scan is case-sensitive)
+        f"TRANSFORM({a[0]}, (__x, __i) -> "
+        f"size(filter(slice({a[0]}, 1, __i + 1), __y -> __y <=> __x)))"
+    ),
+    # CH transform(x, from_arr, to_arr[, default]): the DECODE-style
+    # value mapper (NOT Spark's lambda transform -- a 2-arg call is
+    # passed through to the Spark HOF unchanged).  Compiles to a map
+    # lookup; an unmatched x falls to the default (4-arg) or to x
+    # itself (3-arg, CH's contract).  Duplicate from-keys fail loudly
+    # under Spark's map dedup policy where CH picks the first match
+    # (documented).
+    "transform": lambda a: (
+        f"TRANSFORM({a[0]}, {a[1]})"
+        if len(a) == 2
+        else f"coalesce(try_element_at(map_from_arrays({a[1]}, {a[2]}), "
+        f"{a[0]}), {a[3] if len(a) > 3 else a[0]})"
     ),
     # null-SAFE membership via <=> (ADVICE r11 #5): CH hasAll/hasAny
     # treat NULL elements as matchable values and always return 0/1,
@@ -1766,6 +1827,59 @@ def _rand_constant_refusal(a):
 _CALL_REWRITES["randConstant"] = _rand_constant_refusal
 
 
+# CH external-dictionary functions: there is no dictionary engine
+# here -- the Spark-first shape for the same data flow is the one
+# the reference itself uses for dimensions (CSV dim upload ->
+# SCD-2 join, README.md:280-302): bind the dictionary source as a
+# table and join.
+_CH_DICT_FNS = (
+    "dictGet", "dictGetOrDefault", "dictGetOrNull", "dictHas",
+    "dictGetString", "dictGetUInt8", "dictGetUInt16", "dictGetUInt32",
+    "dictGetUInt64", "dictGetInt8", "dictGetInt16", "dictGetInt32",
+    "dictGetInt64", "dictGetFloat32", "dictGetFloat64", "dictGetDate",
+    "dictGetDateTime", "dictGetUUID", "dictGetHierarchy", "dictIsIn",
+)
+
+
+def _dict_refusal(name: str):
+    def fn(a):
+        raise ValueError(
+            f"chsql: {name}() needs a dictionary engine; model the "
+            f"dictionary as a bound dimension table (sources/bindings"
+            f", sources/csvgz dim upload) and JOIN -- broadcast for "
+            f"in-memory-dictionary-sized dims, operators/rangejoin "
+            f"for SCD-2 validity-interval history"
+        )
+
+    return fn
+
+
+_CALL_REWRITES.update({name: _dict_refusal(name) for name in _CH_DICT_FNS})
+
+
+# presentation helpers whose CH output is a display STRING
+# ('1.00 MiB', a unicode bar): format in the BI/driver layer, not in
+# the distributed plan
+_CH_DISPLAY_FNS = (
+    "bar", "formatReadableSize", "formatReadableDecimalSize",
+    "formatReadableQuantity", "formatReadableTimeDelta",
+)
+
+
+def _display_refusal(name: str):
+    def fn(a):
+        raise ValueError(
+            f"chsql: {name}() is a presentation helper (returns a "
+            f"display string); format the numeric result driver-side "
+            f"or in the BI layer instead of in the distributed plan"
+        )
+
+    return fn
+
+
+_CALL_REWRITES.update({name: _display_refusal(name) for name in _CH_DISPLAY_FNS})
+
+
 _FDT_MAP = {
     "Y": "yyyy", "y": "yy", "m": "MM", "d": "dd", "H": "HH",
     "i": "mm", "S": "ss", "s": "ss", "j": "DDD", "Q": "q",
@@ -2162,8 +2276,17 @@ _ARITY: dict[str, tuple[int, int | None]] = {
     "rand": (0, 1), "rand64": (0, 1), "randCanonical": (0, 1),
     # hash refusals: any arity reaches the value-divergence message
     "randConstant": (0, None),
+    # r11 batch 2: decode-transform, enumerate-uniq, left/right with
+    # CH negative lengths, representation adapters, whitespace split
+    "transform": (2, 4), "arrayEnumerateUniq": (1, 1),
+    "left": (2, 2), "right": (2, 2),
+    "leftUTF8": (2, 2), "rightUTF8": (2, 2),
+    "toNullable": (1, 1), "toLowCardinality": (1, 1),
+    "materialize": (1, 1), "splitByWhitespace": (1, 1),
 }
 _ARITY.update({name: (0, None) for name in _CH_HASH_FNS})
+_ARITY.update({name: (0, None) for name in _CH_DICT_FNS})
+_ARITY.update({name: (0, None) for name in _CH_DISPLAY_FNS})
 
 _ARITY.update(
     {name: (0, 0) for name in _CALL_REWRITES if name.startswith("emptyArray")}
