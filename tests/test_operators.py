@@ -2818,7 +2818,9 @@ def test_chsql_front_end_pieces(spark):
     calls = chsql._rewrite_calls(
         "sumArray(arrayMap(x -> toInt64(notEmpty(x)), arr))"
     )
-    assert calls.startswith("sum(aggregate(transform(arr, x -> CAST(CAST(")
+    # TRANSFORM/CHAR_LENGTH are emitted UPPERCASE since the r11
+    # collision batch (inert to the bare-name CH mappings)
+    assert calls.startswith("sum(aggregate(TRANSFORM(arr, x -> CAST(CAST(")
 
     df = spark.createDataFrame([(1, ["a", "b"])], "k int, arr array<string>")
     out = chsql.run_sql(

@@ -818,3 +818,126 @@ def uniq_up_to_expr(c: ColumnOrName, n: int) -> Column:
     """Alias kept next to the string family for chsql's parameterized
     ``uniqUpTo(N)(x)`` spelling; same contract as :func:`uniq_up_to`."""
     return uniq_up_to(c, n)
+
+
+# ---------------------------------------------------------------------------
+# URL family #2 (r11): significant-subdomain groupings and URL
+# hierarchies -- the Metrica traffic-source / page-drilldown report
+# functions (reference model: visits.StartURL / hits.URL columns,
+# ddl/*.sql)
+# ---------------------------------------------------------------------------
+
+# the classic CH "insignificant second-level domain" set used by
+# firstSignificantSubdomain (com.tr -> pick one label left).
+# Deviation, documented: CH builds with an embedded public-suffix
+# list also shift on PSL-exotic suffixes (x.github.io -> 'x'); this
+# implements the documented classic rule ('github').
+_INSIGNIFICANT_2LD = ("com", "net", "org", "co", "biz", "gov", "mil", "edu", "int")
+
+
+def url_first_significant_subdomain(u: ColumnOrName) -> Column:
+    """CH ``firstSignificantSubdomain(url)``: the domain label just
+    above the effective TLD -- 'yandex' for mail.yandex.ru AND for
+    news.yandex.com.tr (a second-to-last label in the insignificant
+    set shifts the pick one label left).  '' when the host has fewer
+    than two labels (CH's invalid-domain rule)."""
+    labels = F.split(url_domain(u), r"\.")
+    n = F.size(labels)
+    second = F.try_element_at(labels, F.lit(-2))
+    shifted = second.isin(*_INSIGNIFICANT_2LD) & (n >= 3)
+    return (
+        F.when(n < 2, F.lit(""))
+        .when(shifted, F.try_element_at(labels, F.lit(-3)))
+        .otherwise(second)
+    )
+
+
+def url_cut_to_first_significant_subdomain(u: ColumnOrName) -> Column:
+    """CH ``cutToFirstSignificantSubdomain(url)``: the domain
+    truncated to start at the first significant subdomain --
+    'yandex.ru' for mail.yandex.ru, 'yandex.com.tr' for
+    news.yandex.com.tr, '' for a dotless host."""
+    labels = F.split(url_domain(u), r"\.")
+    n = F.size(labels)
+    second = F.try_element_at(labels, F.lit(-2))
+    shifted = second.isin(*_INSIGNIFICANT_2LD) & (n >= 3)
+    start = F.when(shifted, n - 2).otherwise(n - 1)
+    return F.when(n < 2, F.lit("")).otherwise(
+        F.array_join(F.slice(labels, start, F.lit(2) + shifted.cast("int")), ".")
+    )
+
+
+def _url_base(u: ColumnOrName) -> Column:
+    """protocol://host prefix ('' pieces when unparseable)."""
+    return F.concat(url_protocol(u), F.lit("://"), url_domain(u))
+
+
+def url_hierarchy(u: ColumnOrName) -> Column:
+    """CH ``URLHierarchy(url)``: the URL truncated at each path
+    ``/`` boundary (each element keeps its trailing '/'), then the
+    full path element, then the full URL with its query string --
+    ['https://e.com/', 'https://e.com/browse/',
+    'https://e.com/browse/CONV-6788'] per the CH docs example.
+    Empty array when the host is unparseable.  Deviation (documented):
+    fragment boundaries and in-query '&'-level elements are not
+    emitted."""
+    base = _url_base(u)
+    path = url_path(u)
+    q = url_query_string(u)
+    segs = F.split(path, "/")
+    n = F.size(segs)
+    # prefix i (1-based over segs): join of the first i segments plus
+    # a trailing '/' for non-final prefixes; i == n is the full path.
+    # A trailing-slash path ends with an empty segment: drop the
+    # would-be duplicate full-path element.
+    idx = F.filter(
+        F.sequence(F.lit(1), n),
+        lambda i: (i < n) | (F.try_element_at(segs, F.lit(-1)) != F.lit("")),
+    )
+    prefixes = F.transform(
+        idx,
+        lambda i: F.concat(
+            base,
+            F.array_join(F.slice(segs, F.lit(1), i), "/"),
+            F.when(i < n, F.lit("/")).otherwise(F.lit("")),
+        ),
+    )
+    with_query = F.when(
+        q != "",
+        F.concat(
+            prefixes,
+            F.array(F.concat(base, path, F.lit("?"), q)),
+        ),
+    ).otherwise(prefixes)
+    return F.when(url_domain(u) == "", F.array().cast("array<string>")).otherwise(
+        with_query
+    )
+
+
+def url_path_hierarchy(u: ColumnOrName) -> Column:
+    """CH ``URLPathHierarchy(url)``: :func:`url_hierarchy` without
+    protocol/host and without the root '/' element --
+    ['/browse/', '/browse/CONV-6788'] per the CH docs example."""
+    base = _url_base(u)
+    root = F.concat(base, F.lit("/"))
+    return F.transform(
+        F.filter(url_hierarchy(u), lambda e: e != root),
+        lambda e: e.substr(F.length(base) + F.lit(1), F.lit(1 << 30)),
+    )
+
+
+def url_decode_component(u: ColumnOrName) -> Column:
+    """CH ``decodeURLComponent``: pure percent-decoding -- '+' stays
+    '+' (Java's URLDecoder reads it as space, so it is pre-escaped)."""
+    return F.url_decode(F.replace(_col(u), F.lit("+"), F.lit("%2B")))
+
+
+def url_encode_component(u: ColumnOrName) -> Column:
+    """CH ``encodeURLComponent``: RFC-3986 component encoding (keeps
+    only [A-Za-z0-9._~-]).  Java's URLEncoder differs on exactly
+    three points, each fixed up: space -> '+' (CH: %20), '*' kept
+    (CH: %2A), '~' -> %7E (CH: kept)."""
+    out = F.url_encode(_col(u))
+    out = F.replace(out, F.lit("+"), F.lit("%20"))
+    out = F.replace(out, F.lit("*"), F.lit("%2A"))
+    return F.replace(out, F.lit("%7E"), F.lit("~"))

@@ -1218,6 +1218,54 @@ def _array_resize_sql(a: list[str]) -> str:
 # so every mirror coalesces to ''.
 _URL_HOST = "coalesce(parse_url({u}, 'HOST'), '')"
 
+# --- URL family #2 templates (text twins of functions/ch.py's
+# url_first_significant_subdomain / _cut_to / url_hierarchy /
+# url_path_hierarchy; {u} filled at rewrite time).  TRANSFORM is
+# emitted UPPERCASE (inert to the CH transform() decode mapping).
+_URL_LABELS = "split(coalesce(parse_url({u}, 'HOST'), ''), '\\\\.')"
+_INSIG_SQL = "('com', 'net', 'org', 'co', 'biz', 'gov', 'mil', 'edu', 'int')"
+_FSS_SQL = (
+    f"(CASE WHEN size({_URL_LABELS}) < 2 THEN '' "
+    f"WHEN try_element_at({_URL_LABELS}, -2) IN {_INSIG_SQL} "
+    f"AND size({_URL_LABELS}) >= 3 "
+    f"THEN try_element_at({_URL_LABELS}, -3) "
+    f"ELSE try_element_at({_URL_LABELS}, -2) END)"
+)
+_CUT_FSS_SQL = (
+    f"(CASE WHEN size({_URL_LABELS}) < 2 THEN '' "
+    f"WHEN try_element_at({_URL_LABELS}, -2) IN {_INSIG_SQL} "
+    f"AND size({_URL_LABELS}) >= 3 "
+    f"THEN array_join(slice({_URL_LABELS}, size({_URL_LABELS}) - 2, 3), '.') "
+    f"ELSE array_join(slice({_URL_LABELS}, size({_URL_LABELS}) - 1, 2), '.') "
+    f"END)"
+)
+_URL_B = (
+    "concat(coalesce(parse_url({u}, 'PROTOCOL'), ''), '://', "
+    "coalesce(parse_url({u}, 'HOST'), ''))"
+)
+_URL_P = "coalesce(parse_url({u}, 'PATH'), '')"
+_URL_Q = "coalesce(parse_url({u}, 'QUERY'), '')"
+_URL_SEGS = f"split({_URL_P}, '/')"
+_URL_N = f"size({_URL_SEGS})"
+_URL_PRE = (
+    f"TRANSFORM(filter(sequence(1, {_URL_N}), "
+    f"__i -> __i < {_URL_N} OR try_element_at({_URL_SEGS}, -1) != ''), "
+    f"__i -> concat({_URL_B}, array_join(slice({_URL_SEGS}, 1, __i), '/'), "
+    f"CASE WHEN __i < {_URL_N} THEN '/' ELSE '' END))"
+)
+_URL_HIER_SQL = (
+    f"(CASE WHEN coalesce(parse_url({{u}}, 'HOST'), '') = '' "
+    f"THEN CAST(array() AS ARRAY<STRING>) "
+    f"WHEN {_URL_Q} != '' THEN concat({_URL_PRE}, "
+    f"array(concat({_URL_B}, {_URL_P}, '?', {_URL_Q}))) "
+    f"ELSE {_URL_PRE} END)"
+)
+_URL_PATH_HIER_SQL = (
+    f"TRANSFORM(filter({_URL_HIER_SQL}, "
+    f"__e -> __e != concat({_URL_B}, '/')), "
+    f"__e -> substring(__e, CHAR_LENGTH({_URL_B}) + 1))"
+)
+
 _CALL_REWRITES.update(
     {
         "protocol": lambda a: f"coalesce(parse_url({a[0]}, 'PROTOCOL'), '')",
@@ -1258,6 +1306,25 @@ _CALL_REWRITES.update(
             f"coalesce(CAST(nullif(regexp_extract(coalesce("
             f"parse_url({a[0]}, 'AUTHORITY'), ''), ':(\\\\d+)$', 1), '') "
             f"AS INT), {a[1] if len(a) > 1 else '0'})"
+        ),
+        # ----- URL family #2 (r11): text twins of the functions/ch
+        # ----- url_first_significant_subdomain / _cut_to / hierarchy
+        # ----- wrappers (equality pinned in the collisions battery)
+        "firstSignificantSubdomain": lambda a: _FSS_SQL.format(u=a[0]),
+        "cutToFirstSignificantSubdomain": lambda a: _CUT_FSS_SQL.format(
+            u=a[0]
+        ),
+        "URLHierarchy": lambda a: _URL_HIER_SQL.format(u=a[0]),
+        "URLPathHierarchy": lambda a: _URL_PATH_HIER_SQL.format(u=a[0]),
+        # pure percent-decode: '+' is NOT a space in CH (pre-escaped
+        # for Java's URLDecoder); encode is RFC-3986 with the three
+        # Java differences fixed up (space/'*'/'~')
+        "decodeURLComponent": lambda a: (
+            f"url_decode(replace({a[0]}, '+', '%2B'))"
+        ),
+        "encodeURLComponent": lambda a: (
+            f"replace(replace(replace(url_encode({a[0]}), "
+            f"'+', '%20'), '*', '%2A'), '%7E', '~')"
         ),
         # ----- date widening #2 ----------------------------------
         "toYYYYMMDD": lambda a: (
@@ -2283,6 +2350,11 @@ _ARITY: dict[str, tuple[int, int | None]] = {
     "leftUTF8": (2, 2), "rightUTF8": (2, 2),
     "toNullable": (1, 1), "toLowCardinality": (1, 1),
     "materialize": (1, 1), "splitByWhitespace": (1, 1),
+    # URL family #2
+    "firstSignificantSubdomain": (1, 1),
+    "cutToFirstSignificantSubdomain": (1, 1),
+    "URLHierarchy": (1, 1), "URLPathHierarchy": (1, 1),
+    "decodeURLComponent": (1, 1), "encodeURLComponent": (1, 1),
 }
 _ARITY.update({name: (0, None) for name in _CH_HASH_FNS})
 _ARITY.update({name: (0, None) for name in _CH_DICT_FNS})
