@@ -1947,6 +1947,232 @@ def _display_refusal(name: str):
 _CALL_REWRITES.update({name: _display_refusal(name) for name in _CH_DISPLAY_FNS})
 
 
+# ---------------------------------------------------------------------------
+# r11 vocab batch 3: Metrica report bucketing, numeric trunc (a
+# COLLISION -- Spark's trunc() is date truncation, so a passthrough
+# trunc(x, 2) would silently return NULL), parseDateTime, timeSlots,
+# conditional argMax/argMin, multiSearch, misc cheap mappings
+# ---------------------------------------------------------------------------
+
+
+def _trunc_sql(a: list[str]) -> str:
+    """CH ``trunc(x[, N])`` / ``truncate``: numeric truncation toward
+    zero to N decimal places.  The 1-arg integer result lands in
+    Spark's FLOOR/CEIL BIGINT (value-equal to CH, which keeps the
+    input float type -- documented).  Emitted names UPPERCASE-inert."""
+    x = a[0]
+    if len(a) == 1:
+        return f"(CASE WHEN ({x}) >= 0 THEN FLOOR({x}) ELSE CEIL({x}) END)"
+    p = f"POWER(10, {a[1]})"
+    return (
+        f"(CASE WHEN ({x}) >= 0 THEN FLOOR(({x}) * {p}) / {p} "
+        f"ELSE CEIL(({x}) * {p}) / {p} END)"
+    )
+
+
+def _time_slots_sql(a: list[str]) -> str:
+    """CH ``timeSlots(start, duration[, size])``: array of slot-start
+    DateTimes covering [start, start + duration], slot width ``size``
+    seconds (default 1800).  NTZ-safe epoch arithmetic via
+    timestampdiff/timestampadd (no unix_*)."""
+    if len(a) > 2:
+        sz_txt = a[2].strip()
+        if not re.fullmatch(r"\d+", sz_txt) or int(sz_txt) == 0:
+            raise ValueError(
+                "chsql: timeSlots size must be a positive integer literal"
+            )
+        sz = int(sz_txt)
+    else:
+        sz = 1800
+    s0 = (
+        f"timestampdiff(SECOND, TIMESTAMP '1970-01-01 00:00:00', "
+        f"CAST({a[0]} AS TIMESTAMP))"
+    )
+    end = f"({s0}) + CAST({a[1]} AS BIGINT)"
+    return (
+        f"TRANSFORM(sequence(({s0}) - pmod({s0}, {sz}), "
+        f"({end}) - pmod({end}, {sz}), {sz}), "
+        f"__s -> timestampadd(SECOND, __s, TIMESTAMP '1970-01-01 00:00:00'))"
+    )
+
+
+@_wants_schema_ctx
+def _array_cum_sum_nonneg_sql(a: list[str], ctx: _SchemaCtx) -> str:
+    """CH ``arrayCumSumNonNegative``: running sum whose ACCUMULATOR
+    clamps to 0 at each step (later elements see the clamped value --
+    NOT max(0, cumSum)).  Same prefix-aggregate shape and
+    schema-picked accumulator as arrayCumSum."""
+    acc = _acc_cast(a[0], ctx)
+    return (
+        f"transform({a[0]}, (__x, __i) -> aggregate(slice({a[0]}, 1, "
+        f"__i + 1), CAST(0 AS {acc}), "
+        f"(__acc, __y) -> GREATEST(CAST(0 AS {acc}), __acc + __y)))"
+    )
+
+
+# dotted-quad octet grammar shared with IPv4StringToNum's gate
+_IPV4_RE_SQL = (
+    "'^([0-9]|[1-9][0-9]|1[0-9][0-9]|2[0-4][0-9]|25[0-5])"
+    "(\\\\.([0-9]|[1-9][0-9]|1[0-9][0-9]|2[0-4][0-9]|25[0-5])){3}$'"
+)
+
+_CALL_REWRITES.update(
+    {
+        # ----- Metrica report bucketing (CH rounding family) -------
+        # previous power of two; <1 -> 0 (exact for ints < 2^53:
+        # log2 of an exact power is an exact double)
+        "roundToExp2": lambda a: (
+            f"(CASE WHEN ({a[0]}) < 1 THEN 0 ELSE "
+            f"shiftleft(CAST(1 AS BIGINT), "
+            f"CAST(FLOOR(log2({a[0]})) AS INT)) END)"
+        ),
+        # the documented session-length buckets; below 1 -> 0
+        "roundDuration": lambda a: (
+            f"coalesce(array_max(filter(array(1, 10, 30, 60, 120, 180, "
+            f"240, 300, 600, 1200, 1800, 3600, 7200, 18000, 36000), "
+            f"__b -> __b <= ({a[0]}))), 0)"
+        ),
+        # the documented demographic age buckets
+        "roundAge": lambda a: (
+            f"(CASE WHEN ({a[0]}) < 1 THEN 0 WHEN ({a[0]}) < 18 THEN 17 "
+            f"WHEN ({a[0]}) < 25 THEN 18 WHEN ({a[0]}) < 35 THEN 25 "
+            f"WHEN ({a[0]}) < 45 THEN 35 WHEN ({a[0]}) < 55 THEN 45 "
+            f"ELSE 55 END)"
+        ),
+        # floor to an element of the user-provided bucket array;
+        # below the smallest bucket -> the smallest bucket (CH rule)
+        "roundDown": lambda a: (
+            f"coalesce(array_max(filter({a[1]}, __b -> __b <= ({a[0]}))), "
+            f"array_min({a[1]}))"
+        ),
+        "trunc": _trunc_sql,
+        "truncate": _trunc_sql,
+        # ----- conditional argMax/argMin: rows failing the condition
+        # ----- get a NULL ordering value, which max_by/min_by skip
+        "argMaxIf": lambda a: (
+            f"max_by({a[0]}, CASE WHEN {a[2]} THEN {a[1]} END)"
+        ),
+        "argMinIf": lambda a: (
+            f"min_by({a[0]}, CASE WHEN {a[2]} THEN {a[1]} END)"
+        ),
+        # ----- datetime parsing (inverse of formatDateTime, same
+        # ----- translated Java pattern).  Deviation: unparseable
+        # ----- input is NULL (Spark to_timestamp) where strict CH
+        # ----- parseDateTime throws -- i.e. both spellings land on
+        # ----- the OrNull contract
+        "parseDateTime": lambda a: (
+            f"to_timestamp({a[0]}, "
+            f"'{_fdt_sql_lit(a[1], 'parseDateTime')}')"
+        ),
+        "parseDateTimeOrNull": lambda a: (
+            f"to_timestamp({a[0]}, "
+            f"'{_fdt_sql_lit(a[1], 'parseDateTimeOrNull')}')"
+        ),
+        "toYYYYMMDDhhmmss": lambda a: (
+            f"CAST(date_format({a[0]}, 'yyyyMMddHHmmss') AS BIGINT)"
+        ),
+        # epoch-relative unit counters (CH toRelative*Num), NTZ-safe
+        "toRelativeDayNum": lambda a: (
+            f"CAST(timestampdiff(DAY, TIMESTAMP '1970-01-01 00:00:00', "
+            f"CAST({a[0]} AS TIMESTAMP)) AS INT)"
+        ),
+        "toRelativeHourNum": lambda a: (
+            f"CAST(timestampdiff(HOUR, TIMESTAMP '1970-01-01 00:00:00', "
+            f"CAST({a[0]} AS TIMESTAMP)) AS INT)"
+        ),
+        "toRelativeMinuteNum": lambda a: (
+            f"CAST(timestampdiff(MINUTE, TIMESTAMP '1970-01-01 00:00:00', "
+            f"CAST({a[0]} AS TIMESTAMP)) AS INT)"
+        ),
+        "toRelativeSecondNum": lambda a: (
+            f"timestampdiff(SECOND, TIMESTAMP '1970-01-01 00:00:00', "
+            f"CAST({a[0]} AS TIMESTAMP))"
+        ),
+        "timeSlots": _time_slots_sql,
+        # ----- arrays / strings ------------------------------------
+        "arrayShuffle": lambda a: f"shuffle({a[0]})",
+        "arrayJaccardIndex": lambda a: (
+            f"(CAST(size(array_intersect({a[0]}, {a[1]})) AS DOUBLE) "
+            f"/ size(array_union({a[0]}, {a[1]})))"
+        ),
+        "arrayCumSumNonNegative": _array_cum_sum_nonneg_sql,
+        "splitByRegexp": lambda a: f"split({a[1]}, {a[0]})",
+        # positions of each needle (0 on miss, CH parity via locate)
+        "multiSearchAllPositions": lambda a: (
+            f"TRANSFORM({a[1]}, __n -> locate(__n, {a[0]}))"
+        ),
+        "multiSearchFirstPosition": lambda a: (
+            f"coalesce(array_min(filter(TRANSFORM({a[1]}, "
+            f"__n -> locate(__n, {a[0]})), __p -> __p > 0)), 0)"
+        ),
+        "tryBase64Decode": lambda a: (
+            f"coalesce(CAST(try_to_binary({a[0]}, 'base64') AS STRING), '')"
+        ),
+        "concatAssumeInjective": lambda a: f"concat({', '.join(a)})",
+        "widthBucket": lambda a: f"width_bucket({', '.join(a)})",
+        # CH geoDistance's interpolated ellipsoidal radius differs
+        # <0.5% from the mean-sphere haversine (same documented
+        # deviation as greatCircleDistance)
+        "geoDistance": lambda a: (
+            f"(2.0D * 6371000.0D * asin(sqrt("
+            f"pow(sin((radians({a[3]}) - radians({a[1]})) / 2), 2) "
+            f"+ cos(radians({a[1]})) * cos(radians({a[3]})) "
+            f"* pow(sin((radians({a[2]}) - radians({a[0]})) / 2), 2))))"
+        ),
+        "identity": lambda a: f"({a[0]})",
+        "ignore": lambda a: "0",
+        "isIPv4String": lambda a: (
+            f"CAST(({a[0]}) RLIKE {_IPV4_RE_SQL} AS INT)"
+        ),
+    }
+)
+
+
+# batch-3 refusals: blocking calls, sketchy string-distance sketches,
+# geo/polygon (pointer to the Column-API wrappers), fuzzy parsing
+_B3_REFUSALS = {
+    "sleep": "blocking calls have no place in a distributed plan; "
+    "remove the call",
+    "sleepEachRow": "blocking calls have no place in a distributed "
+    "plan; remove the call",
+    "ngramDistance": "no Spark mapping; use "
+    "operators/dedup.ngram_jaccard_pairs (corpus-scale n-gram "
+    "similarity) or a Pandas-UDF scorer for per-row distance",
+    "ngramSearch": "no Spark mapping; use "
+    "operators/dedup.ngram_jaccard_pairs or a Pandas-UDF scorer",
+    "pointInPolygon": "no Spark built-in; use a mapInPandas "
+    "ray-casting UDF (the multimodal operators show the Arrow-batch "
+    "pattern)",
+    "geohashEncode": "no compact SQL-text twin of the Morton bit "
+    "compaction; use functions/ch.geohash_encode (Column API)",
+    "geohashDecode": "use functions/ch.geohash_decode (Column API)",
+    "geohashesInBox": "use functions/ch.geohash_encode over an "
+    "exploded lat/lon grid",
+    "parseDateTimeBestEffort": "best-effort multi-grammar sniffing is "
+    "not reproducible engine-to-engine; use parseDateTime with an "
+    "explicit %-format, or Spark try_to_timestamp with an explicit "
+    "pattern",
+    "parseDateTimeBestEffortOrNull": "use parseDateTime / "
+    "try_to_timestamp with an explicit pattern",
+    "groupArraySample": "CH's reservoir pick is nondeterministic; use "
+    "groupArray over operators/sampling.sample_mod (deterministic)",
+    "groupArrayInsertAt": "use groupArray of (pos, x) structs + "
+    "array_sort/transform placement",
+}
+
+
+def _b3_refusal(name: str, pointer: str):
+    def fn(a):
+        raise ValueError(f"chsql: {name}(): {pointer}")
+
+    return fn
+
+
+_CALL_REWRITES.update(
+    {name: _b3_refusal(name, ptr) for name, ptr in _B3_REFUSALS.items()}
+)
+
+
 _FDT_MAP = {
     "Y": "yyyy", "y": "yy", "m": "MM", "d": "dd", "H": "HH",
     "i": "mm", "S": "ss", "s": "ss", "j": "DDD", "Q": "q",
@@ -1964,11 +2190,17 @@ def _format_datetime_sql(a: list[str]) -> str:
     Java; everything else passes through."""
     if len(a) != 2:
         raise ValueError("chsql: formatDateTime takes (datetime, 'format')")
-    pat = a[1].strip()
+    sql_lit = _fdt_sql_lit(a[1], "formatDateTime")
+    return f"date_format(CAST({a[0]} AS TIMESTAMP), '{sql_lit}')"
+
+
+def _fdt_sql_lit(fmt_arg: str, fn: str) -> str:
+    """Translate a LITERAL CH/MySQL %-format into a Java
+    datetime-pattern SQL literal (shared by formatDateTime and its
+    parsing inverse parseDateTime)."""
+    pat = fmt_arg.strip()
     if not (pat.startswith("'") and pat.endswith("'")):
-        raise ValueError(
-            f"chsql: formatDateTime needs a LITERAL format, got {a[1]!r}"
-        )
+        raise ValueError(f"chsql: {fn} needs a LITERAL format, got {fmt_arg!r}")
     fmt = pat[1:-1]
     out: list[str] = []
     i = 0
@@ -1976,7 +2208,7 @@ def _format_datetime_sql(a: list[str]) -> str:
         c = fmt[i]
         if c == "%":
             if i + 1 >= len(fmt):
-                raise ValueError("chsql: formatDateTime format ends mid-specifier")
+                raise ValueError(f"chsql: {fn} format ends mid-specifier")
             s = fmt[i + 1]
             if s == "%":
                 out.append("%")
@@ -1984,7 +2216,7 @@ def _format_datetime_sql(a: list[str]) -> str:
                 out.append(_FDT_MAP[s])
             else:
                 raise ValueError(
-                    f"chsql: formatDateTime specifier %{s} is not mapped "
+                    f"chsql: {fn} specifier %{s} is not mapped "
                     f"(supported: %{', %'.join(sorted(_FDT_MAP))}, %%)"
                 )
             i += 2
@@ -2007,8 +2239,7 @@ def _format_datetime_sql(a: list[str]) -> str:
     java = "".join(out)
     # the Java pattern itself contains quote characters: escape them
     # for the surrounding SQL string literal
-    sql_lit = java.replace("'", "''")
-    return f"date_format(CAST({a[0]} AS TIMESTAMP), '{sql_lit}')"
+    return java.replace("'", "''")
 
 
 def _extract_sql(a: list[str]) -> str:
@@ -2355,10 +2586,26 @@ _ARITY: dict[str, tuple[int, int | None]] = {
     "cutToFirstSignificantSubdomain": (1, 1),
     "URLHierarchy": (1, 1), "URLPathHierarchy": (1, 1),
     "decodeURLComponent": (1, 1), "encodeURLComponent": (1, 1),
+    # r11 vocab batch 3
+    "roundToExp2": (1, 1), "roundDuration": (1, 1), "roundAge": (1, 1),
+    "roundDown": (2, 2), "trunc": (1, 2), "truncate": (1, 2),
+    "argMaxIf": (3, 3), "argMinIf": (3, 3),
+    "parseDateTime": (2, 2), "parseDateTimeOrNull": (2, 2),
+    "toYYYYMMDDhhmmss": (1, 1),
+    "toRelativeDayNum": (1, 1), "toRelativeHourNum": (1, 1),
+    "toRelativeMinuteNum": (1, 1), "toRelativeSecondNum": (1, 1),
+    "timeSlots": (2, 3),
+    "arrayShuffle": (1, 1), "arrayJaccardIndex": (2, 2),
+    "arrayCumSumNonNegative": (1, 1), "splitByRegexp": (2, 2),
+    "multiSearchAllPositions": (2, 2), "multiSearchFirstPosition": (2, 2),
+    "tryBase64Decode": (1, 1), "concatAssumeInjective": (1, None),
+    "widthBucket": (4, 4), "geoDistance": (4, 4),
+    "identity": (1, 1), "ignore": (0, None), "isIPv4String": (1, 1),
 }
 _ARITY.update({name: (0, None) for name in _CH_HASH_FNS})
 _ARITY.update({name: (0, None) for name in _CH_DICT_FNS})
 _ARITY.update({name: (0, None) for name in _CH_DISPLAY_FNS})
+_ARITY.update({name: (0, None) for name in _B3_REFUSALS})
 
 _ARITY.update(
     {name: (0, 0) for name in _CALL_REWRITES if name.startswith("emptyArray")}
