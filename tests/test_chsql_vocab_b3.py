@@ -191,3 +191,88 @@ def test_b3_refusals(spark, tbl, sql):
 def test_time_slots_size_must_be_literal(spark, tbl):
     with pytest.raises(ValueError, match="integer literal"):
         chsql.run_sql(spark, "SELECT timeSlots(k, 60, k) FROM t", {"t": tbl})
+
+
+# ---------------------------------------------------------------------------
+# r11 polish: stable stats aliases, hex/bin byte-width padding,
+# boundingRatio, arrayFold, refusal additions
+# ---------------------------------------------------------------------------
+
+
+def test_stable_aliases_and_overflow_sum(spark):
+    df = spark.createDataFrame([(1.0,), (2.0,), (4.0,)], "x double")
+    got = chsql.run_sql(
+        spark,
+        "SELECT stddevPop(x) AS s1, stddevPopStable(x) AS s2, "
+        "varSamp(x) AS v1, varSampStable(x) AS v2, "
+        "sumWithOverflow(x) AS so FROM t",
+        {"t": df},
+    ).collect()[0]
+    assert got["s1"] == got["s2"] and got["v1"] == got["v2"]
+    assert got["so"] == 7.0
+
+
+def test_bounding_ratio_slope_between_extremes(spark):
+    df = spark.createDataFrame(
+        [(0.0, 10.0), (5.0, 999.0), (10.0, 30.0)], "x double, y double"
+    )
+    got = chsql.run_sql(
+        spark, "SELECT boundingRatio(x, y) AS b FROM t", {"t": df}
+    ).collect()[0]
+    assert got["b"] == 2.0  # (30 - 10) / (10 - 0); middle point ignored
+
+
+def test_hex_bin_pad_to_ch_byte_width(spark, tbl):
+    got = _one(
+        spark, tbl,
+        "SELECT hex(1) AS h1, hex(255) AS h255, hex(256) AS h256, "
+        "hex('ab') AS hs, bin(1) AS b1, bin(256) AS b256 FROM t",
+    )
+    # CH: hex(1)='01', hex(256)='0100', bin(1)='00000001'
+    assert (got["h1"], got["h255"], got["h256"]) == ("01", "FF", "0100")
+    assert got["hs"] == "6162"  # string hex identical in both engines
+    assert got["b1"] == "00000001"
+    assert got["b256"] == "0000000100000000"
+
+
+def test_unhex_unbin_tolerate_ragged_input(spark, tbl):
+    got = _one(
+        spark, tbl,
+        "SELECT unhex('F') AS u1, unhex('4142') AS u2, "
+        "unbin('1000001') AS u3 FROM t",
+    )
+    assert got["u1"] == "\x0f"  # CH pads to '0F'
+    assert got["u2"] == "AB"
+    assert got["u3"] == "A"  # 0b01000001
+
+
+def test_digests_still_binary_after_unhex_mapping(spark, tbl):
+    import hashlib
+
+    got = _one(spark, tbl, "SELECT hex(MD5('abc')) AS h FROM t")
+    assert got["h"] == hashlib.md5(b"abc").hexdigest().upper()
+
+
+def test_array_fold_and_partial_sort(spark):
+    df = spark.createDataFrame([(1, [3, 1, 2])], "k int, a array<int>")
+    got = chsql.run_sql(
+        spark,
+        "SELECT arrayFold((__acc, __x) -> __acc * 10 + __x, a, 0) AS f, "
+        "arrayPartialSort(2, a) AS p FROM t",
+        {"t": df},
+    ).collect()[0]
+    assert got["f"] == 312
+    assert got["p"][:2] == [1, 2]  # first `limit` elements sorted
+
+
+@pytest.mark.parametrize("sql", [
+    "SELECT exponentialMovingAverage(5)(x, ts) FROM t",
+    "SELECT sparkbar(9)(k, k) FROM t",
+    "SELECT largestTriangleThreeBuckets(100)(k, k) FROM t",
+    "SELECT studentTTest(k, k) FROM t",
+    "SELECT welchTTest(k, k) FROM t",
+    "SELECT mannWhitneyUTest(k, k) FROM t",
+])
+def test_b4_refusals(spark, tbl, sql):
+    with pytest.raises(ValueError, match="chsql:"):
+        chsql.run_sql(spark, sql, {"t": tbl})

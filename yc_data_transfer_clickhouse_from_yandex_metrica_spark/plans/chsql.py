@@ -1094,6 +1094,24 @@ _CALL_REWRITES: dict[str, object] = {
     "varSamp": lambda a: f"var_samp({a[0]})",
     "covarPop": lambda a: f"covar_pop({a[0]}, {a[1]})",
     "covarSamp": lambda a: f"covar_samp({a[0]}, {a[1]})",
+    # the *Stable CH variants trade speed for a numerically stable
+    # summation; Spark's implementations are already the stable
+    # streaming form, so both spellings land on the same aggregate
+    "stddevPopStable": lambda a: f"stddev_pop({a[0]})",
+    "stddevSampStable": lambda a: f"stddev_samp({a[0]})",
+    "varPopStable": lambda a: f"var_pop({a[0]})",
+    "varSampStable": lambda a: f"var_samp({a[0]})",
+    "covarPopStable": lambda a: f"covar_pop({a[0]}, {a[1]})",
+    "covarSampStable": lambda a: f"covar_samp({a[0]}, {a[1]})",
+    # slope between the min-x and max-x points of the group
+    "boundingRatio": lambda a: (
+        f"((max_by({a[1]}, {a[0]}) - min_by({a[1]}, {a[0]})) "
+        f"/ (max({a[0]}) - min({a[0]})))"
+    ),
+    # CH sumWithOverflow keeps the INPUT width and wraps; Spark sum
+    # promotes to BIGINT/DOUBLE -- wider, value-equal until a true
+    # 64-bit overflow (documented deviation)
+    "sumWithOverflow": lambda a: f"sum({a[0]})",
     "skewPop": lambda a: f"skewness({a[0]})",
     "kurtPop": lambda a: f"(kurtosis({a[0]}) + 3.0D)",
     # date widening
@@ -1651,11 +1669,14 @@ _CALL_REWRITES.update(
         ),
         # ----- digests (CH returns FixedString bytes; hex() of the
         # ----- result matches CH's uppercase spelling exactly) ------
-        "MD5": lambda a: f"unhex(md5({a[0]}))",
-        "SHA1": lambda a: f"unhex(sha1({a[0]}))",
-        "SHA224": lambda a: f"unhex(sha2({a[0]}, 224))",
-        "SHA256": lambda a: f"unhex(sha2({a[0]}, 256))",
-        "SHA512": lambda a: f"unhex(sha2({a[0]}, 512))",
+        # UNHEX uppercase: inert to the bare CH unhex() mapping (which
+        # casts to STRING -- these must stay BINARY so hex() of them
+        # matches CH byte-for-byte)
+        "MD5": lambda a: f"UNHEX(md5({a[0]}))",
+        "SHA1": lambda a: f"UNHEX(sha1({a[0]}))",
+        "SHA224": lambda a: f"UNHEX(sha2({a[0]}, 224))",
+        "SHA256": lambda a: f"UNHEX(sha2({a[0]}, 256))",
+        "SHA512": lambda a: f"UNHEX(sha2({a[0]}, 512))",
         # ----- bit family ------------------------------------------
         "groupBitAnd": lambda a: f"bit_and({a[0]})",
         "groupBitOr": lambda a: f"bit_or({a[0]})",
@@ -1930,6 +1951,7 @@ _CALL_REWRITES.update({name: _dict_refusal(name) for name in _CH_DICT_FNS})
 _CH_DISPLAY_FNS = (
     "bar", "formatReadableSize", "formatReadableDecimalSize",
     "formatReadableQuantity", "formatReadableTimeDelta",
+    "sparkbar", "largestTriangleThreeBuckets",
 )
 
 
@@ -2124,6 +2146,39 @@ _CALL_REWRITES.update(
         "isIPv4String": lambda a: (
             f"CAST(({a[0]}) RLIKE {_IPV4_RE_SQL} AS INT)"
         ),
+        # ----- hex/bin: CH pads integers to the value's even-width
+        # ----- byte form (hex(1) = '01', bin(1) = '00000001') where
+        # ----- Spark prints minimal digits; the pad is a no-op on
+        # ----- Spark's always-even string/binary hex, so one
+        # ----- expression serves both argument types
+        "hex": lambda a: (
+            f"lpad(HEX({a[0]}), CHAR_LENGTH(HEX({a[0]})) "
+            f"+ pmod(CHAR_LENGTH(HEX({a[0]})), 2), '0')"
+        ),
+        "bin": lambda a: (
+            f"lpad(BIN({a[0]}), CHAR_LENGTH(BIN({a[0]})) "
+            f"+ pmod(-CHAR_LENGTH(BIN({a[0]})), 8), '0')"
+        ),
+        # CH unhex/unbin LEFT-pad odd/ragged input (unhex('F') ==
+        # unhex('0F')); Spark returns NULL there
+        "unhex": lambda a: (
+            f"CAST(UNHEX(lpad({a[0]}, CHAR_LENGTH({a[0]}) "
+            f"+ pmod(CHAR_LENGTH({a[0]}), 2), '0')) AS STRING)"
+        ),
+        # via base-2 -> base-16 conv (64-bit cap, the Spark conv
+        # contract; CH's arbitrary-length bitstrings are out of scope)
+        "unbin": lambda a: (
+            f"CAST(UNHEX(lpad(conv({a[0]}, 2, 16), "
+            f"CHAR_LENGTH(conv({a[0]}, 2, 16)) "
+            f"+ pmod(CHAR_LENGTH(conv({a[0]}, 2, 16)), 2), '0')) AS STRING)"
+        ),
+        # arrayFold((acc, x) -> ..., arr, init) == aggregate(arr,
+        # init, lambda) (single-array form; CH's multi-array zip form
+        # keeps the arity refusal)
+        "arrayFold": lambda a: f"aggregate({a[1]}, {a[2]}, {a[0]})",
+        # CH leaves elements past `limit` in UNSPECIFIED order; the
+        # fully sorted array is a valid instance of that contract
+        "arrayPartialSort": lambda a: f"sort_array({a[1]})",
     }
 )
 
@@ -2158,6 +2213,17 @@ _B3_REFUSALS = {
     "groupArray over operators/sampling.sample_mod (deterministic)",
     "groupArrayInsertAt": "use groupArray of (pos, x) structs + "
     "array_sort/transform placement",
+    "exponentialMovingAverage": "needs intra-group time order no "
+    "aggregate can see; formulate as a window expression (sum of "
+    "exp-decayed terms over an ORDER BY frame, the "
+    "operators/series.running_difference pattern)",
+    "studentTTest": "compute group moments with "
+    "operators/stats.moments / stddev aggregates and evaluate the "
+    "test statistic driver-side",
+    "welchTTest": "compute group moments with operators/stats and "
+    "evaluate the test statistic driver-side",
+    "mannWhitneyUTest": "rank-based; formulate with a rank() window "
+    "over the pooled sample and aggregate the rank sums",
 }
 
 
@@ -2601,6 +2667,13 @@ _ARITY: dict[str, tuple[int, int | None]] = {
     "tryBase64Decode": (1, 1), "concatAssumeInjective": (1, None),
     "widthBucket": (4, 4), "geoDistance": (4, 4),
     "identity": (1, 1), "ignore": (0, None), "isIPv4String": (1, 1),
+    # r11 polish: stable stats aliases, overflow sum, hex/bin family
+    "stddevPopStable": (1, 1), "stddevSampStable": (1, 1),
+    "varPopStable": (1, 1), "varSampStable": (1, 1),
+    "covarPopStable": (2, 2), "covarSampStable": (2, 2),
+    "boundingRatio": (2, 2), "sumWithOverflow": (1, 1),
+    "hex": (1, 1), "bin": (1, 1), "unhex": (1, 1), "unbin": (1, 1),
+    "arrayFold": (3, 3), "arrayPartialSort": (2, 2),
 }
 _ARITY.update({name: (0, None) for name in _CH_HASH_FNS})
 _ARITY.update({name: (0, None) for name in _CH_DICT_FNS})
