@@ -135,3 +135,95 @@ def test_encode_decode_roundtrip(spark, tbl):
         {"t": tbl},
     ).collect()[0]
     assert out["r"] == "п+и в*~"
+
+
+# ---------------------------------------------------------------------------
+# r11 batch 5: URL stragglers, ISO year, string search/distance
+# ---------------------------------------------------------------------------
+
+
+def test_url_stragglers(spark, tbl):
+    u = "'https://u:p@example.com:8080/a/b?x=1&y=a%20b#frag'"
+    out = chsql.run_sql(
+        spark,
+        f"SELECT extractURLParameters({u}) AS ps, "
+        f"extractURLParameterNames({u}) AS ns, "
+        f"queryStringAndFragment({u}) AS qf, "
+        f"cutQueryStringAndFragment({u}) AS cut, "
+        f"netloc({u}) AS nl FROM t LIMIT 1",
+        {"t": tbl},
+    ).collect()[0]
+    assert out["ps"] == ["x=1", "y=a%20b"]
+    assert out["ns"] == ["x", "y"]
+    assert out["qf"] == "?x=1&y=a%20b#frag"
+    assert out["cut"] == "https://u:p@example.com:8080/a/b"
+    assert out["nl"] == "u:p@example.com:8080"
+
+
+def test_url_stragglers_absent_pieces(spark, tbl):
+    out = chsql.run_sql(
+        spark,
+        "SELECT extractURLParameters('https://e.com/a') AS ps, "
+        "queryStringAndFragment('https://e.com/a') AS qf FROM t LIMIT 1",
+        {"t": tbl},
+    ).collect()[0]
+    assert out["ps"] == [] and out["qf"] == ""
+
+
+def test_form_component_coding(spark, tbl):
+    out = chsql.run_sql(
+        spark,
+        "SELECT decodeURLFormComponent('a+b%20c') AS d, "
+        "encodeURLFormComponent('a b*~') AS e FROM t LIMIT 1",
+        {"t": tbl},
+    ).collect()[0]
+    assert out["d"] == "a b c"  # form variant: '+' IS a space
+    assert out["e"] == "a+b%2A~"
+
+
+def test_iso_year(spark, tbl):
+    out = chsql.run_sql(
+        spark,
+        # 2016-01-01 is ISO week 53 of 2015; 2014-12-29 is ISO 2015-W01
+        "SELECT toISOYear(CAST('2016-01-01' AS DATE)) AS y1, "
+        "toISOYear(CAST('2014-12-29' AS DATE)) AS y2, "
+        "CAST(toStartOfISOYear(CAST('2016-06-15' AS DATE)) AS STRING) "
+        "AS s1, "
+        "CAST(toStartOfISOYear(CAST('2016-01-01' AS DATE)) AS STRING) "
+        "AS s2 FROM t LIMIT 1",
+        {"t": tbl},
+    ).collect()[0]
+    assert (out["y1"], out["y2"]) == (2015, 2015)
+    assert out["s1"] == "2016-01-04"  # ISO 2016 starts Mon Jan 4
+    assert out["s2"] == "2014-12-29"  # date in ISO-2015 -> its Monday
+
+
+def test_string_search_distance(spark, tbl):
+    out = chsql.run_sql(
+        spark,
+        "SELECT positionCaseInsensitiveUTF8('aЖb', 'ж') AS p, "
+        "regexpExtract('ab12cd', '([0-9]+)') AS r1, "
+        "regexpExtract('ab12cd', '([a-z]+)([0-9]+)', 2) AS r2, "
+        "substringIndex('a.b.c', '.', 2) AS si, "
+        "initcapUTF8('hello жук') AS ic, "
+        "levenshteinDistance('kitten', 'sitting') AS lv, "
+        "editDistance('abc', 'abd') AS ed FROM t LIMIT 1",
+        {"t": tbl},
+    ).collect()[0]
+    assert out["p"] == 2  # Unicode case-fold finds Ж
+    assert (out["r1"], out["r2"]) == ("12", "12")
+    assert out["si"] == "a.b"
+    assert out["ic"] == "Hello Жук"
+    assert (out["lv"], out["ed"]) == (3, 1)
+
+
+@pytest.mark.parametrize("sql", [
+    "SELECT URLHash('https://e.com') FROM t",
+    "SELECT cutToFirstSignificantSubdomainWithWWW('https://www.tr') FROM t",
+    "SELECT damerauLevenshteinDistance('a', 'b') FROM t",
+    "SELECT jaroSimilarity('a', 'b') FROM t",
+    "SELECT stringJaccardIndex('a', 'b') FROM t",
+])
+def test_b5_refusals(spark, tbl, sql):
+    with pytest.raises(ValueError, match="chsql:"):
+        chsql.run_sql(spark, sql, {"t": tbl})

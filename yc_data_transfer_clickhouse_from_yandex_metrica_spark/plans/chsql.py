@@ -1344,6 +1344,39 @@ _CALL_REWRITES.update(
             f"replace(replace(replace(url_encode({a[0]}), "
             f"'+', '%20'), '*', '%2A'), '%7E', '~')"
         ),
+        # the FORM variants use application/x-www-form-urlencoded
+        # space<->'+' -- exactly Java's contract, so only the '*'/'~'
+        # fixes remain on encode
+        "decodeURLFormComponent": lambda a: f"url_decode({a[0]})",
+        "encodeURLFormComponent": lambda a: (
+            f"replace(replace(url_encode({a[0]}), '*', '%2A'), "
+            f"'%7E', '~')"
+        ),
+        # 'k=v' pair array / parameter-name array ('' query -> [])
+        "extractURLParameters": lambda a: (
+            f"filter(split(coalesce(parse_url({a[0]}, 'QUERY'), ''), "
+            f"'&'), __x -> __x != '')"
+        ),
+        "extractURLParameterNames": lambda a: (
+            f"TRANSFORM(filter(split(coalesce(parse_url({a[0]}, "
+            f"'QUERY'), ''), '&'), __x -> __x != ''), "
+            f"__x -> regexp_extract(__x, '^([^=]*)', 1))"
+        ),
+        # '?query#fragment' with each piece present-gated (CH keeps
+        # the separators; branch-free nullif/coalesce grammar)
+        "queryStringAndFragment": lambda a: (
+            f"concat(coalesce(concat('?', nullif(coalesce(parse_url("
+            f"{a[0]}, 'QUERY'), ''), '')), ''), "
+            f"coalesce(concat('#', nullif(coalesce(parse_url({a[0]}, "
+            f"'REF'), ''), '')), ''))"
+        ),
+        "cutQueryStringAndFragment": lambda a: (
+            f"regexp_replace({a[0]}, '[?#].*$', '')"
+        ),
+        # user:pass@host:port (Java AUTHORITY includes userinfo)
+        "netloc": lambda a: (
+            f"coalesce(parse_url({a[0]}, 'AUTHORITY'), '')"
+        ),
         # ----- date widening #2 ----------------------------------
         "toYYYYMMDD": lambda a: (
             f"CAST(date_format({a[0]}, 'yyyyMMdd') AS INT)"
@@ -1884,6 +1917,7 @@ _CH_HASH_FNS = (
     "murmurHash3_32", "murmurHash3_64", "murmurHash3_128",
     "javaHash", "hiveHash", "jumpConsistentHash",
     "kostikConsistentHash", "CRC32", "CRC32IEEE", "CRC64",
+    "URLHash",
 )
 
 
@@ -2176,6 +2210,31 @@ _CALL_REWRITES.update(
         # init, lambda) (single-array form; CH's multi-array zip form
         # keeps the arity refusal)
         "arrayFold": lambda a: f"aggregate({a[1]}, {a[2]}, {a[0]})",
+        # ISO-8601 year = calendar year of that week's Thursday
+        # (weekday() is Monday=0, so +3-weekday lands on Thursday)
+        "toISOYear": lambda a: (
+            f"CAST(year(date_add(CAST({a[0]} AS DATE), "
+            f"3 - weekday({a[0]}))) AS INT)"
+        ),
+        # first Monday of the ISO year = Monday of Jan-4's week
+        "toStartOfISOYear": lambda a: (
+            f"date_sub(make_date(year(date_add(CAST({a[0]} AS DATE), "
+            f"3 - weekday({a[0]}))), 1, 4), "
+            f"weekday(make_date(year(date_add(CAST({a[0]} AS DATE), "
+            f"3 - weekday({a[0]}))), 1, 4)))"
+        ),
+        "positionCaseInsensitiveUTF8": lambda a: (
+            f"locate(LOWER({a[1]}), LOWER({a[0]}))"
+        ),
+        # CH regexpExtract(h, p[, index]) -- default group 1
+        "regexpExtract": lambda a: (
+            f"regexp_extract({a[0]}, {a[1]}, "
+            f"{a[2] if len(a) > 2 else '1'})"
+        ),
+        "substringIndex": lambda a: f"substring_index({', '.join(a)})",
+        "initcapUTF8": lambda a: f"INITCAP({a[0]})",
+        "levenshteinDistance": lambda a: f"levenshtein({a[0]}, {a[1]})",
+        "editDistance": lambda a: f"levenshtein({a[0]}, {a[1]})",
         # CH leaves elements past `limit` in UNSPECIFIED order; the
         # fully sorted array is a valid instance of that contract
         "arrayPartialSort": lambda a: f"sort_array({a[1]})",
@@ -2224,6 +2283,17 @@ _B3_REFUSALS = {
     "evaluate the test statistic driver-side",
     "mannWhitneyUTest": "rank-based; formulate with a rank() window "
     "over the pooled sample and aggregate the rank sums",
+    "cutToFirstSignificantSubdomainWithWWW": "the www edge semantics "
+    "are CH-version-dependent; use cutToFirstSignificantSubdomain",
+    "damerauLevenshteinDistance": "no Spark built-in (levenshtein "
+    "lacks transpositions); use levenshteinDistance or a Pandas-UDF "
+    "scorer",
+    "jaroSimilarity": "no Spark built-in; use a Pandas-UDF scorer",
+    "jaroWinklerSimilarity": "no Spark built-in; use a Pandas-UDF "
+    "scorer",
+    "stringJaccardIndex": "byte-set Jaccard; use "
+    "arrayJaccardIndex(splitByChar('', a), splitByChar('', b)) or a "
+    "Pandas-UDF scorer",
 }
 
 
@@ -2674,6 +2744,14 @@ _ARITY: dict[str, tuple[int, int | None]] = {
     "boundingRatio": (2, 2), "sumWithOverflow": (1, 1),
     "hex": (1, 1), "bin": (1, 1), "unhex": (1, 1), "unbin": (1, 1),
     "arrayFold": (3, 3), "arrayPartialSort": (2, 2),
+    # r11 batch 5: URL stragglers, ISO year, string search/distance
+    "decodeURLFormComponent": (1, 1), "encodeURLFormComponent": (1, 1),
+    "extractURLParameters": (1, 1), "extractURLParameterNames": (1, 1),
+    "queryStringAndFragment": (1, 1), "cutQueryStringAndFragment": (1, 1),
+    "netloc": (1, 1), "toISOYear": (1, 1), "toStartOfISOYear": (1, 1),
+    "positionCaseInsensitiveUTF8": (2, 2), "regexpExtract": (2, 3),
+    "substringIndex": (3, 3), "initcapUTF8": (1, 1),
+    "levenshteinDistance": (2, 2), "editDistance": (2, 2),
 }
 _ARITY.update({name: (0, None) for name in _CH_HASH_FNS})
 _ARITY.update({name: (0, None) for name in _CH_DICT_FNS})
