@@ -275,3 +275,18 @@ def test_dict_functions_refuse_with_join_recipe(spark, tbl, fn, args):
 def test_display_helpers_refuse(spark, tbl, fn, args):
     with pytest.raises(ValueError, match="presentation helper"):
         chsql.run_sql(spark, f"SELECT {fn}({args}) AS x FROM t", {"t": tbl})
+
+
+def test_locate_args_are_ch_order(spark):
+    """CH locate(haystack, needle) is position's alias -- the REVERSE
+    of Spark's locate(substr, str).  A passthrough would silently
+    search the needle for the haystack."""
+    df = spark.createDataFrame([("abcdef",)], "s string")
+    r = chsql.run_sql(
+        spark,
+        "SELECT locate(s, 'cd') AS p1, locate(s, 'cd', 4) AS p2, "
+        "locate(s, 'zz') AS p0, position(s, 'cd') AS pos FROM t",
+        {"t": df},
+    ).collect()[0]
+    assert (r["p1"], r["p2"], r["p0"]) == (3, 0, 0)
+    assert r["pos"] == r["p1"]  # same alias, same answer

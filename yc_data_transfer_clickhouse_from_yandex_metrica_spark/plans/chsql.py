@@ -622,7 +622,7 @@ def _replace_one_sql(a: list[str]) -> str:
     """CH ``replaceOne(s, needle, repl)``: first LITERAL occurrence
     only (Spark's replace() is replace-all, so compose via locate)."""
     s, n, r = a
-    loc = f"locate({n}, {s})"
+    loc = f"LOCATE({n}, {s})"
     return (
         f"(CASE WHEN {loc} > 0 THEN concat(substring({s}, 1, {loc} - 1), "
         f"{r}, substring({s}, {loc} + CHAR_LENGTH({n}))) ELSE {s} END)"
@@ -936,9 +936,18 @@ _CALL_REWRITES: dict[str, object] = {
     "substringUTF8": lambda a: (
         f"substring({', '.join(a)})"
     ),
-    "positionUTF8": lambda a: f"locate({a[1]}, {a[0]})",
+    "positionUTF8": lambda a: f"LOCATE({a[1]}, {a[0]})",
+    # CH locate(haystack, needle[, pos]) is position's alias -- the
+    # ARGUMENT ORDER is the reverse of Spark's locate(substr, str[,
+    # pos]), a silent value collision; all Spark-side emissions use
+    # inert LOCATE( uppercase
+    "locate": lambda a: (
+        f"LOCATE({a[1]}, {a[0]})"
+        if len(a) == 2
+        else f"LOCATE({a[1]}, {a[0]}, {a[2]})"
+    ),
     "positionCaseInsensitive": lambda a: (
-        f"locate(LOWER({a[1]}), LOWER({a[0]}))"
+        f"LOCATE(LOWER({a[1]}), LOWER({a[0]}))"
     ),
     "trimLeft": lambda a: f"ltrim({a[0]})",
     "trimRight": lambda a: f"rtrim({a[0]})",
@@ -974,9 +983,9 @@ _CALL_REWRITES: dict[str, object] = {
     "position": lambda a: (
         f"POSITION({a[0]})"
         if len(a) == 1
-        else f"locate({a[1]}, {a[0]})"
+        else f"LOCATE({a[1]}, {a[0]})"
         if len(a) == 2
-        else f"locate({a[1]}, {a[0]}, {a[2]})"
+        else f"LOCATE({a[1]}, {a[0]}, {a[2]})"
     ),
     "extractAll": _extract_all_sql,
     "replaceAll": lambda a: f"replace({a[0]}, {a[1]}, {a[2]})",
@@ -2155,11 +2164,11 @@ _CALL_REWRITES.update(
         "splitByRegexp": lambda a: f"split({a[1]}, {a[0]})",
         # positions of each needle (0 on miss, CH parity via locate)
         "multiSearchAllPositions": lambda a: (
-            f"TRANSFORM({a[1]}, __n -> locate(__n, {a[0]}))"
+            f"TRANSFORM({a[1]}, __n -> LOCATE(__n, {a[0]}))"
         ),
         "multiSearchFirstPosition": lambda a: (
             f"coalesce(array_min(filter(TRANSFORM({a[1]}, "
-            f"__n -> locate(__n, {a[0]})), __p -> __p > 0)), 0)"
+            f"__n -> LOCATE(__n, {a[0]})), __p -> __p > 0)), 0)"
         ),
         "tryBase64Decode": lambda a: (
             f"coalesce(CAST(try_to_binary({a[0]}, 'base64') AS STRING), '')"
@@ -2224,7 +2233,7 @@ _CALL_REWRITES.update(
             f"3 - weekday({a[0]}))), 1, 4)))"
         ),
         "positionCaseInsensitiveUTF8": lambda a: (
-            f"locate(LOWER({a[1]}), LOWER({a[0]}))"
+            f"LOCATE(LOWER({a[1]}), LOWER({a[0]}))"
         ),
         # CH regexpExtract(h, p[, index]) -- default group 1
         "regexpExtract": lambda a: (
@@ -2750,6 +2759,7 @@ _ARITY: dict[str, tuple[int, int | None]] = {
     "queryStringAndFragment": (1, 1), "cutQueryStringAndFragment": (1, 1),
     "netloc": (1, 1), "toISOYear": (1, 1), "toStartOfISOYear": (1, 1),
     "positionCaseInsensitiveUTF8": (2, 2), "regexpExtract": (2, 3),
+    "locate": (2, 3),
     "substringIndex": (3, 3), "initcapUTF8": (1, 1),
     "levenshteinDistance": (2, 2), "editDistance": (2, 2),
 }
