@@ -290,3 +290,61 @@ def test_locate_args_are_ch_order(spark):
     ).collect()[0]
     assert (r["p1"], r["p2"], r["p0"]) == (3, 0, 0)
     assert r["pos"] == r["p1"]  # same alias, same answer
+
+
+def test_global_modifier_is_stripped_everywhere(spark):
+    """CH GLOBAL is a pure distribution hint (ship the right side to
+    every shard); Spark plans its own exchanges, so it strips -- for
+    every JOIN strictness spelling AND the [NOT] IN subquery forms."""
+    left = spark.createDataFrame([(1, "a"), (2, "b"), (3, "c")], "k int, s string")
+    right = spark.createDataFrame([(1,), (3,)], "k int")
+    out = chsql.run_sql(
+        spark,
+        "SELECT l.s AS s FROM l GLOBAL INNER JOIN r ON l.k = r.k ORDER BY s",
+        {"l": left, "r": right},
+    )
+    assert [x["s"] for x in out.collect()] == ["a", "c"]
+    out2 = chsql.run_sql(
+        spark,
+        "SELECT s FROM l WHERE k GLOBAL IN (SELECT k FROM r) ORDER BY s",
+        {"l": left, "r": right},
+    )
+    assert [x["s"] for x in out2.collect()] == ["a", "c"]
+    out3 = chsql.run_sql(
+        spark,
+        "SELECT s FROM l WHERE k GLOBAL NOT IN (SELECT k FROM r) ORDER BY s",
+        {"l": left, "r": right},
+    )
+    assert [x["s"] for x in out3.collect()] == ["b"]
+
+
+def test_global_any_join_reaches_the_any_compile(spark):
+    left = spark.createDataFrame([(1, "a"), (2, "b")], "k int, s string")
+    right = spark.createDataFrame([(1, 10), (1, 20)], "k int, v int")
+    # (GROUP BY uses the bare column: `GROUP BY l.k` with a same-named
+    # SELECT alias trips the inline_aliases qualified-reference bug,
+    # pinned as the r12 deferral xfail in test_advice_r11_deferred)
+    out = chsql.run_sql(
+        spark,
+        "SELECT s, count(1) AS n FROM l GLOBAL ANY LEFT JOIN r "
+        "ON l.k = r.k GROUP BY s ORDER BY s",
+        {"l": left, "r": right},
+    )
+    # ANY: at most one right match per left row
+    assert [(x["s"], x["n"]) for x in out.collect()] == [("a", 1), ("b", 1)]
+
+
+@pytest.mark.parametrize("fn", [
+    "sumState", "uniqMerge", "countMergeState", "uniqSimpleState",
+    "sumForEach", "avgResample", "groupArrayState",
+])
+def test_state_combinators_refuse_by_name(spark, tbl, fn):
+    with pytest.raises(ValueError, match="partial-aggregation state"):
+        chsql.run_sql(spark, f"SELECT {fn}(k) AS x FROM t", {"t": tbl})
+
+
+def test_state_guard_ignores_unknown_bases(spark, tbl):
+    # a user function merely ENDING in State must not be caught
+    with pytest.raises(Exception) as ei:
+        chsql.run_sql(spark, "SELECT myCustomState(k) AS x FROM t", {"t": tbl})
+    assert "partial-aggregation" not in str(ei.value)

@@ -2458,6 +2458,49 @@ def _param_agg_sql(name: str, params: str, args: str) -> str:
     )
 
 
+# aggregate bases the -State/-Merge combinator guard recognizes (the
+# CH spellings this dialect already knows, plain or via compiles)
+_STATE_BASES = frozenset(
+    {
+        "sum", "min", "max", "avg", "any", "anyLast", "anyHeavy",
+        "count", "uniq", "uniqExact", "uniqCombined", "uniqCombined64",
+        "uniqHLL12", "uniqTheta", "groupArray", "groupUniqArray",
+        "argMax", "argMin", "avgWeighted", "quantile", "quantiles",
+        "quantileExact", "quantilesExact", "quantileTiming", "corr",
+        "covarPop", "covarSamp", "stddevPop", "stddevSamp", "varPop",
+        "varSamp", "topK", "topKWeighted", "sumMap", "minMap",
+        "maxMap", "windowFunnel", "retention", "sequenceMatch",
+        "sequenceCount", "histogram", "entropy", "deltaSum",
+        "maxIntersections", "intervalLengthSum",
+    }
+)
+
+_STATE_SUFFIX_RE = re.compile(
+    r"\b(\w+?)(MergeState|SimpleState|State|Merge|ForEach|Resample)\s*\("
+)
+
+
+def _refuse_state_combinators(sql: str) -> None:
+    """CH's ``-State``/``-Merge`` family manipulates partial
+    aggregation STATE OBJECTS (materialized-view / AggregatingMergeTree
+    flows).  Spark has no user-visible aggregation state surface --
+    partial aggregation (map-side combine) happens internally -- so a
+    known aggregate spelled with one of these suffixes refuses with
+    the Spark-first recipe instead of dying as UNRESOLVED_ROUTINE."""
+    for m in _STATE_SUFFIX_RE.finditer(_mask(sql)):
+        base, suffix = m.group(1), m.group(2)
+        if base in _STATE_BASES:
+            raise ValueError(
+                f"chsql: {base}{suffix}() manipulates CH partial-"
+                f"aggregation state objects; Spark performs partial "
+                f"aggregation internally (map-side combine) -- write "
+                f"the plain {base}() over the raw rows, or for "
+                f"incremental materialized-view flows keep a raw "
+                f"ledger and re-aggregate (the operators/collapse CDC "
+                f"pattern)"
+            )
+
+
 _PARAM_AGG_RE = re.compile(
     r"\b(quantilesTDigest|quantileTDigest|quantileExactLow|"
     r"quantilesExactWeighted|quantileExactWeighted|quantileExact|"
@@ -4912,6 +4955,17 @@ def run_sql(
     sql = strip_comments(query)
     for name, val in (params or {}).items():
         sql = sql.replace("{{" + name + "}}", val)
+    # CH GLOBAL is a pure distribution hint (ship the right side to
+    # every shard; Spark/AQE plans its own exchanges) -- stripped
+    # FIRST so the strictness pre-compiler and the [NOT] IN subquery
+    # forms see clean text
+    sql = _sub_outside_literals(
+        r"\bGLOBAL\s+(?=(ANY|ALL|ASOF|SEMI|ANTI|LEFT|RIGHT|INNER|FULL"
+        r"|CROSS|JOIN|IN|NOT)\b)",
+        "",
+        sql,
+        re.I,
+    )
     # CH JOIN strictness modifiers (ASOF nearest-key / ANY
     # at-most-one) compile through plans/chjoin's pre-compiler (r12:
     # folded into the core front-end; the refusal below it is now the
@@ -4936,6 +4990,7 @@ def run_sql(
     sql = _rewrite_array_join(sql, _elem_defaults(tables))
     sql = _rewrite_summap(sql)
     sql = _rewrite_running(sql)
+    _refuse_state_combinators(sql)
     sql = _rewrite_parametrized(sql)
     sql = _rewrite_calls(sql, _schema_ctx(tables))
     sql = _rewrite_literals(sql)
@@ -4956,10 +5011,6 @@ def run_sql(
     # CH WITH prefix: scalar aliases substituted textually (the CH
     # `WITH expr AS name` form), subquery CTEs carried as a Spark
     # WITH prefix into every compiled statement
-    # CH JOIN modifiers: GLOBAL is a pure distribution hint on a CH
-    # cluster (Spark/AQE picks the strategy itself) -- stripped; ANY
-    # (at-most-one match) and ASOF (nearest-key) CHANGE semantics and
-    # have dedicated operators -- refuse rather than silently join-all
     masked = _mask(sql)
     # CH `SAMPLE k` reads a deterministic slice of a table's declared
     # SAMPLE BY key; a bare DataFrame has no such key, so the clause
@@ -5010,10 +5061,6 @@ def run_sql(
                 f"chsql: CH {bad} JOIN changes row multiplicity and is not "
                 f"mapped; {hint}"
             )
-    sql = _sub_outside_literals(
-        r"\bGLOBAL\s+(?=(LEFT|RIGHT|INNER|FULL|CROSS|JOIN)\b)", "", sql, re.I
-    )
-
     cte_prefix, sql = _extract_with(sql)
 
     # CH binds LIMIT (and ORDER BY) to EACH branch of a top-level
