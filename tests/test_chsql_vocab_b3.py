@@ -276,3 +276,25 @@ def test_array_fold_and_partial_sort(spark):
 def test_b4_refusals(spark, tbl, sql):
     with pytest.raises(ValueError, match="chsql:"):
         chsql.run_sql(spark, sql, {"t": tbl})
+
+
+def test_generate_uuid_v4(spark, tbl):
+    import re as _re
+
+    got = _one(spark, tbl, "SELECT generateUUIDv4() AS u FROM t")
+    assert _re.fullmatch(
+        r"[0-9a-f]{8}-[0-9a-f]{4}-4[0-9a-f]{3}-[89ab][0-9a-f]{3}"
+        r"-[0-9a-f]{12}",
+        got["u"],
+    )
+
+
+@pytest.mark.parametrize("sql", [
+    "SELECT extractAllGroupsHorizontal('a1b2', '([a-z])([0-9])') FROM t",
+    "SELECT extractAllGroupsVertical('a1b2', '([a-z])([0-9])') FROM t",
+    "SELECT toUUID('00000000-0000-0000-0000-000000000000') FROM t",
+    "SELECT serverUUID() FROM t",
+])
+def test_b6_refusals(spark, tbl, sql):
+    with pytest.raises(ValueError, match="chsql:"):
+        chsql.run_sql(spark, sql, {"t": tbl})

@@ -2247,6 +2247,9 @@ _CALL_REWRITES.update(
         # CH leaves elements past `limit` in UNSPECIFIED order; the
         # fully sorted array is a valid instance of that contract
         "arrayPartialSort": lambda a: f"sort_array({a[1]})",
+        # RFC-4122 v4, string form (Spark has no UUID type; the CH
+        # UUID column type maps to STRING throughout this engine)
+        "generateUUIDv4": lambda a: "uuid()",
     }
 )
 
@@ -2303,6 +2306,15 @@ _B3_REFUSALS = {
     "stringJaccardIndex": "byte-set Jaccard; use "
     "arrayJaccardIndex(splitByChar('', a), splitByChar('', b)) or a "
     "Pandas-UDF scorer",
+    "extractAllGroupsHorizontal": "no Spark built-in returns "
+    "per-group arrays; compose regexp_extract_all per group index",
+    "extractAllGroupsVertical": "no Spark built-in; compose "
+    "regexp_extract_all per group index and arrays_zip the results",
+    "toUUID": "Spark has no UUID type -- keep UUIDs as strings (the "
+    "CH UUID column type maps to STRING throughout this engine); "
+    "for the validation side use an RLIKE format gate",
+    "serverUUID": "server introspection has no distributed-plan "
+    "meaning; inline a literal driver-side",
 }
 
 
@@ -2802,7 +2814,7 @@ _ARITY: dict[str, tuple[int, int | None]] = {
     "queryStringAndFragment": (1, 1), "cutQueryStringAndFragment": (1, 1),
     "netloc": (1, 1), "toISOYear": (1, 1), "toStartOfISOYear": (1, 1),
     "positionCaseInsensitiveUTF8": (2, 2), "regexpExtract": (2, 3),
-    "locate": (2, 3),
+    "locate": (2, 3), "generateUUIDv4": (0, 1),
     "substringIndex": (3, 3), "initcapUTF8": (1, 1),
     "levenshteinDistance": (2, 2), "editDistance": (2, 2),
 }
