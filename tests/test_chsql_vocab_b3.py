@@ -298,3 +298,34 @@ def test_generate_uuid_v4(spark, tbl):
 def test_b6_refusals(spark, tbl, sql):
     with pytest.raises(ValueError, match="chsql:"):
         chsql.run_sql(spark, sql, {"t": tbl})
+
+
+@pytest.mark.parametrize("sql,frag", [
+    ("SELECT h3ToGeo(k) FROM t", "H3/S2"),
+    ("SELECT geoToH3(1.0, 2.0, 7) FROM t", "H3/S2"),
+    ("SELECT s2CellsIntersect(k, k) FROM t", "H3/S2"),
+    ("SELECT bitmapAnd(k, k) FROM t", "roaring-bitmap"),
+    ("SELECT groupBitmap(k) FROM t", "roaring-bitmap"),
+    ("SELECT encrypt('aes-128-ecb', 's', 'k') FROM t", "aes_encrypt"),
+    ("SELECT stochasticLinearRegression(0.1)(k, k) FROM t", "Spark ML"),
+])
+def test_family_refusals(spark, tbl, sql, frag):
+    with pytest.raises(ValueError, match="chsql:"):
+        try:
+            chsql.run_sql(spark, sql, {"t": tbl})
+        except ValueError as e:
+            assert frag in str(e)
+            raise
+
+
+def test_spark_native_snake_case_families_still_resolve(spark, tbl):
+    # Spark's own aes_* and bitmap_* spellings must pass through
+    got = _one(
+        spark, tbl,
+        "SELECT CAST(aes_decrypt(unbase64("
+        "base64(aes_encrypt('hi', '1234567890abcdef'))), "
+        "'1234567890abcdef') AS STRING) AS rt, "
+        "bitmap_count(X'0102') AS bc FROM t",
+    )
+    assert got["rt"] == "hi"
+    assert got["bc"] == 2

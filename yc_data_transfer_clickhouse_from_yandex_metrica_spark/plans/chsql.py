@@ -2492,6 +2492,40 @@ _STATE_SUFFIX_RE = re.compile(
 )
 
 
+# whole CH function FAMILIES with no Spark surface, recognized by
+# prefix so the several-hundred individual spellings refuse with one
+# recipe each instead of dying as UNRESOLVED_ROUTINE
+_FAMILY_REFUSALS = (
+    # camelCase CH spellings ONLY: Spark's own snake_case functions
+    # (aes_encrypt, bitmap_count, ...) must keep resolving
+    (re.compile(r"\b(h3[A-Z]\w+|h3kRing|s2[A-Z]\w+|geoToH3|geoToS2|"
+                r"s2ToGeo)\s*\("),
+     "the H3/S2 geo-indexing libraries are not in this engine; use "
+     "functions/ch.geohash_encode cells or a Pandas-UDF with a geo "
+     "library where available"),
+    (re.compile(r"\b(groupBitmap\w*|bitmap[A-Z]\w+)\s*\("),
+     "CH roaring-bitmap states have no Spark surface; use "
+     "uniqExact/count DISTINCT for cardinalities or array_intersect/"
+     "array_union over collected key arrays for set algebra"),
+    (re.compile(r"\b(encrypt|decrypt|tryDecrypt)\s*\("),
+     "CH's encrypt/decrypt parameterization has no Spark twin; use "
+     "Spark's aes_encrypt/aes_decrypt/try_aes_decrypt directly "
+     "(mode string + key layout differ) or encrypt outside the query"),
+    (re.compile(r"\b(stochasticLinearRegression\w*|"
+                r"stochasticLogisticRegression\w*)\s*\("),
+     "incremental GD training is not a SQL aggregate here; use "
+     "simpleLinearRegression for the closed form or Spark ML"),
+)
+
+
+def _refuse_families(sql: str) -> None:
+    masked = _mask(sql)
+    for rx, recipe in _FAMILY_REFUSALS:
+        m = rx.search(masked)
+        if m:
+            raise ValueError(f"chsql: {m.group(1)}(): {recipe}")
+
+
 def _refuse_state_combinators(sql: str) -> None:
     """CH's ``-State``/``-Merge`` family manipulates partial
     aggregation STATE OBJECTS (materialized-view / AggregatingMergeTree
@@ -5003,6 +5037,7 @@ def run_sql(
     sql = _rewrite_summap(sql)
     sql = _rewrite_running(sql)
     _refuse_state_combinators(sql)
+    _refuse_families(sql)
     sql = _rewrite_parametrized(sql)
     sql = _rewrite_calls(sql, _schema_ctx(tables))
     sql = _rewrite_literals(sql)
