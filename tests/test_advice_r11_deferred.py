@@ -148,25 +148,16 @@ def test_range_family(spark, visits):
 
 
 # ---------------------------------------------------------------------------
-# r12 deferral ledger: found late in r11; the fix edits
-# plans/alias.inline_aliases, which is in the def-closure of the
-# r10-green `where_alias` registry entry -- OUTSIDE the r11 window
-# (16 forced + 4 new + 30 LRU, all slots spoken for).  Fixing now
-# would rotate where_alias to the front and evict an LRU slot; in
-# r12 the entry enters the window naturally and the fix is
-# rotation-free.
+# r11 deferral, fixed in r12: inline_aliases matched an alias name
+# INSIDE a qualified reference (`GROUP BY l.k` with a SELECT alias
+# `k` became `l.(l.k)`, an opaque ParseException).  The plain-
+# identifier scan now carries a dot/backtick lookaround --
+# (?<![\w.`])name(?![\w`]) -- so qualified references and quoted
+# names never match.  where_alias entered the r12 window naturally,
+# making the edit rotation-free.
 # ---------------------------------------------------------------------------
 
 
-@pytest.mark.xfail(
-    strict=True,
-    reason="r12: inline_aliases matches an alias name INSIDE a "
-    "qualified reference (`GROUP BY l.k` with a SELECT alias `k` "
-    "becomes `l.(l.k)`, an opaque ParseException).  Fix design: the "
-    "plain-identifier scan in alias.inline_aliases needs a "
-    "dot/backtick lookaround -- (?<![\\w.`])name(?![\\w`]) -- so "
-    "qualified references and quoted names never match.",
-)
 def test_qualified_group_by_with_same_named_alias(spark):
     left = spark.createDataFrame([(1, "a"), (2, "b")], "k int, s string")
     right = spark.createDataFrame([(1, 10), (1, 20)], "k int, v int")

@@ -379,6 +379,56 @@ class TestRefusals:
             "ambiguous",
         )
 
+    def test_final_sample_on_join_side(self):
+        """ADVICE r11 #1: FINAL parsed as the LEFT ALIAS (the regex's
+        alias group accepted it) and a right-side FINAL landed in the
+        right alias — the decoration was consumed and the collapse
+        silently dropped.  Both now refuse with a pointer to
+        pre-collapsing via the operator path."""
+        self._refused(
+            "SELECT 1 FROM c FINAL ASOF JOIN p ON c.k = p.k AND c.t >= p.t",
+            "FINAL/SAMPLE", "pre-collapse",
+        )
+        self._refused(
+            "SELECT 1 FROM c ASOF JOIN p FINAL ON c.k = p.k AND c.t >= p.t",
+            "FINAL/SAMPLE",
+        )
+        self._refused(
+            "SELECT 1 FROM c SAMPLE 0.1 ANY LEFT JOIN p ON c.k = p.k",
+            "FINAL/SAMPLE",
+        )
+
+    def test_ambiguous_bare_output_column(self, spark):
+        """ADVICE r11 #4: a bare OUTPUT reference to a column present
+        on both sides resolved silently to the left copy; CH errors on
+        the ambiguous name.  Qualified references still compile."""
+        self._refused(
+            "SELECT t AS x FROM c ASOF JOIN p ON c.k = p.k AND c.t >= p.t",
+            "ambiguous after an ASOF join",
+        )
+        self._refused(
+            "SELECT c.k AS k FROM c ASOF JOIN p ON c.k = p.k "
+            "AND c.t >= p.t WHERE `t` > 0",
+            "ambiguous after an ASOF join",
+        )
+        out = chjoin.run_sql(
+            spark,
+            "SELECT c.t AS lt, p.t AS rt FROM c ASOF JOIN p "
+            "ON c.k = p.k AND c.t >= p.t",
+            {"c": self.c, "p": self.p},
+        ).collect()
+        assert [(r["lt"], r["rt"]) for r in out] == [(2, 2)]
+
+    def test_using_columns_stay_bare_referencable(self, spark):
+        """USING columns are coalesced by CH — a bare reference to one
+        is NOT ambiguous and returns the joined (left) value."""
+        out = chjoin.run_sql(
+            spark,
+            "SELECT k, t, p.v AS v FROM c ASOF JOIN p USING (k, t)",
+            {"c": self.c, "p": self.p},
+        ).collect()
+        assert [(r["k"], r["t"], r["v"]) for r in out] == [(1, 2, 3)]
+
     def test_one_join_per_statement(self):
         self._refused(
             "SELECT 1 FROM c ASOF JOIN p ON c.k = p.k AND c.t >= p.t "

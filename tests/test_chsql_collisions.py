@@ -216,6 +216,21 @@ def test_transform_decode_form(spark, tbl):
     assert (r[1]["t3"], r[2]["t3"], r[3]["t3"]) == (10, 20, 3)
 
 
+def test_transform_matched_null_and_duplicate_keys(spark, tbl):
+    """ADVICE r11 #5: a MATCHED key whose to-value is NULL must return
+    that mapped NULL, not fall through to the default/x; duplicate
+    from-keys pick the FIRST match (CH's tie rule)."""
+    r = _rows(
+        spark, tbl,
+        "SELECT k, transform(k, [1, 2], [NULL, 20], -1) AS tn, "
+        "transform(k, [1, 2], [NULL, 20]) AS tn3, "
+        "transform(k, [1, 1, 2], [11, 99, 20], -1) AS tdup FROM t",
+    )
+    assert (r[1]["tn"], r[2]["tn"], r[3]["tn"]) == (None, 20, -1)
+    assert (r[1]["tn3"], r[2]["tn3"], r[3]["tn3"]) == (None, 20, 3)
+    assert (r[1]["tdup"], r[2]["tdup"], r[3]["tdup"]) == (11, 20, -1)
+
+
 def test_transform_two_args_is_spark_hof_passthrough(spark, tbl):
     r = _rows(spark, tbl, "SELECT k, transform(arr, x -> x + 1) AS m FROM t")
     assert r[1]["m"] == [11, 21, 31]
@@ -277,19 +292,24 @@ def test_display_helpers_refuse(spark, tbl, fn, args):
         chsql.run_sql(spark, f"SELECT {fn}({args}) AS x FROM t", {"t": tbl})
 
 
-def test_locate_args_are_ch_order(spark):
-    """CH locate(haystack, needle) is position's alias -- the REVERSE
-    of Spark's locate(substr, str).  A passthrough would silently
-    search the needle for the haystack."""
+def test_locate_refuses_version_dependent_order(spark):
+    """CH locate() is (haystack, needle) before 24.3 and MySQL's
+    (needle, haystack) from 24.3 on -- any fixed mapping silently
+    swaps arguments for users of the other version, so bare locate()
+    refuses with a pointer to the version-stable position()
+    (ADVICE r11 #3).  position() itself stays mapped in CH order."""
     df = spark.createDataFrame([("abcdef",)], "s string")
+    with pytest.raises(ValueError, match="24.3.*position"):
+        chsql.run_sql(
+            spark, "SELECT locate(s, 'cd') AS p FROM t", {"t": df}
+        )
     r = chsql.run_sql(
         spark,
-        "SELECT locate(s, 'cd') AS p1, locate(s, 'cd', 4) AS p2, "
-        "locate(s, 'zz') AS p0, position(s, 'cd') AS pos FROM t",
+        "SELECT position(s, 'cd') AS p1, position(s, 'cd', 4) AS p2, "
+        "position(s, 'zz') AS p0 FROM t",
         {"t": df},
     ).collect()[0]
     assert (r["p1"], r["p2"], r["p0"]) == (3, 0, 0)
-    assert r["pos"] == r["p1"]  # same alias, same answer
 
 
 def test_global_modifier_is_stripped_everywhere(spark):

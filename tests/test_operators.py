@@ -945,6 +945,47 @@ def test_asof_join_semantics(spark):
     assert {r["event_id"] for r in inner.collect()} == {1, 2}
 
 
+def test_asof_join_null_times_never_match(spark):
+    """ADVICE r11 #2: CH rejects Nullable ASOF columns; here a NULL
+    time must simply never match.  A right row with NULL time must
+    not be carried forward (it used to sort NULLS FIRST and shadow
+    'no earlier match'), and a left row with NULL time must get NULL
+    (left) / be dropped (inner) in BOTH window directions."""
+    from yc_data_transfer_clickhouse_from_yandex_metrica_spark.operators import rangejoin
+
+    left = spark.createDataFrame(
+        [(1, 1, 3), (2, 1, None), (3, 1, 20)],
+        "event_id long, k long, t long",
+    )
+    right = spark.createDataFrame(
+        [(1, None, 999), (1, 10, 10)], "k long, rt long, v long"
+    )
+    for ineq, expect in (
+        # ascending: t=3 has no rt<=3 (the NULL-rt 999 row must NOT
+        # leak in), t=NULL never matches, t=20 matches rt=10
+        (">=", {1: None, 2: None, 3: 10}),
+        # descending: t=3 matches rt=10 (earliest at-or-after);
+        # t=NULL must not pick up the carried value under desc order
+        ("<=", {1: 10, 2: None, 3: None}),
+    ):
+        out = {
+            r["event_id"]: r["v"]
+            for r in rangejoin.asof_join(
+                left, right, key="k", left_time="t", right_time="rt",
+                value_cols=["v"], inequality=ineq,
+            ).collect()
+        }
+        assert out == expect, ineq
+        inner_ids = {
+            r["event_id"]
+            for r in rangejoin.asof_join(
+                left, right, key="k", left_time="t", right_time="rt",
+                value_cols=["v"], how="inner", inequality=ineq,
+            ).collect()
+        }
+        assert inner_ids == {e for e, v in expect.items() if v is not None}
+
+
 def test_bucketed_join_is_exchange_free(spark):
     """Co-located join: both sides bucketed on the key -> the join plan
     has NO Exchange (the 100TB fact-to-fact join layout)."""

@@ -156,13 +156,27 @@ def asof_join(
     that shuffle disappears.  Rows with equal (key, right_time)
     resolve by the last in window order; keep (key, right_time)
     unique for determinism.
+
+    NULL-time semantics (r12, ADVICE r11 #2): ClickHouse REJECTS
+    Nullable ASOF columns outright; this operator instead gives NULL
+    times the only consistent meaning — they never match.  Right rows
+    with NULL ``right_time`` are dropped before the union (under the
+    default ascending order Spark sorts NULLS FIRST, so they would
+    otherwise be carried forward into every left row with no earlier
+    real match).  Left rows with NULL ``left_time`` are kept but sort
+    BEFORE every real right row (``asc_nulls_first`` /
+    ``desc_nulls_first``), so they see no carried value: NULL-padded
+    under ``how='left'``, dropped under ``'inner'``.
     """
     if inequality not in (">=", ">", "<=", "<"):
         raise ValueError(
             f"asof_join: inequality {inequality!r} not one of >= > <= <"
         )
     rv = F.struct(*[F.col(c) for c in value_cols]).alias("__rv")
-    r = right.select(
+    # NULL right times can never satisfy any comparator -- drop them
+    # here, not in the window order: NULLS FIRST under asc would carry
+    # their values into every otherwise-unmatched left row
+    r = right.where(F.col(right_time).isNotNull()).select(
         F.col(key).alias(key),
         F.col(right_time).alias("__t"),
         rv,
@@ -190,7 +204,15 @@ def asof_join(
 
     ascending = inequality in (">=", ">")
     ties_match = inequality in (">=", "<=")
-    t_ord = F.col("__t").asc() if ascending else F.col("__t").desc()
+    # NULLS FIRST in BOTH directions: a NULL left time must sort
+    # before every (non-NULL) right row so last() carries nothing
+    # into it (desc's default NULLS LAST would hand it the final
+    # carried value -- a silent match on a NULL time)
+    t_ord = (
+        F.col("__t").asc_nulls_first()
+        if ascending
+        else F.col("__t").desc_nulls_first()
+    )
     side_ord = (
         F.col("__is_right").desc() if ties_match else F.col("__is_right").asc()
     )

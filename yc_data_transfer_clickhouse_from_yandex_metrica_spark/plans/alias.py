@@ -39,10 +39,19 @@ def inline_aliases(predicate: str, aliases: dict[str, str]) -> str:
     spans: list[tuple[int, int, str]] = []
     for name, definition in aliases.items():
         expr = f"({definition})"
-        for m in re.finditer(re.escape(f"`{name}`"), masked):
+        # the dot/backtick lookarounds keep QUALIFIED references
+        # (``l.k`` where ``k`` is also a SELECT alias) and quoted
+        # names intact: an alias name is only an alias reference when
+        # it stands alone (r12, closing the r11 deferral — a bare
+        # ``\b`` scan rewrote ``GROUP BY l.k`` into ``l.(l.k)``)
+        for m in re.finditer(
+            rf"(?<![\w.`]){re.escape(f'`{name}`')}", masked
+        ):
             spans.append((m.start(), m.end(), expr))
         if re.fullmatch(r"\w+", name):
-            for m in re.finditer(rf"\b{re.escape(name)}\b", masked):
+            for m in re.finditer(
+                rf"(?<![\w.`]){re.escape(name)}(?![\w`])", masked
+            ):
                 spans.append((m.start(), m.end(), expr))
     spans.sort(key=lambda s: (s[0], -(s[1] - s[0])))
     pieces: list[str] = []

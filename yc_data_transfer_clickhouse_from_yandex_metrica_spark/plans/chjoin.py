@@ -73,15 +73,22 @@ from . import chsql
 _VIEW = "__chjoin0"
 
 _DIRS = r"LEFT|RIGHT|INNER|FULL"
-_NOT_ALIAS = rf"(?!(?:ASOF|ANY|{_DIRS}|JOIN|GLOBAL|ON)\b)"
+# FINAL and SAMPLE are table DECORATIONS, never aliases: without the
+# exclusion `FROM visits FINAL ASOF JOIN p` parsed FINAL as the left
+# alias and the collapse was silently dropped (ADVICE r11 #1) — a
+# decorated strictness-join side now falls through to the specific
+# refusal in compile_strictness_joins
+_NOT_ALIAS = rf"(?!(?:ASOF|ANY|{_DIRS}|JOIN|GLOBAL|ON|FINAL|SAMPLE)\b)"
 _JOIN_HEAD = re.compile(
     rf"\bFROM\s+(?P<lt>\w+)(?:\s+(?:AS\s+)?(?P<la>{_NOT_ALIAS}\w+))?\s+"
     rf"(?:(?P<m1>ASOF|ANY)\s+(?:(?P<d1>{_DIRS})\s+)?"
     rf"|(?P<d2>{_DIRS})\s+(?P<m2>ASOF|ANY)\s+)"
-    rf"JOIN\s+(?P<rt>\w+)(?:\s+(?:AS\s+)?(?P<ra>(?!ON\b|USING\b)\w+))?\s+"
+    rf"JOIN\s+(?P<rt>\w+)"
+    rf"(?:\s+(?:AS\s+)?(?P<ra>(?!ON\b|USING\b|FINAL\b|SAMPLE\b)\w+))?\s+"
     rf"(?P<conn>ON|USING)\s*",
     re.I,
 )
+_DECORATION = re.compile(r"\b(FINAL|SAMPLE)\b", re.I)
 _ANY_MOD = re.compile(
     rf"\b(?:ASOF|ANY)\s+(?:(?:{_DIRS})\s+)?JOIN\b"
     rf"|\b(?:{_DIRS})\s+(?:ASOF|ANY)\s+JOIN\b",
@@ -218,6 +225,18 @@ def _sub_bare(sql: str, name: str, repl: str) -> str:
     return "".join(out)
 
 
+def _has_bare_ref(sql: str, name: str) -> bool:
+    """True when ``name`` appears as a BARE column reference (plain or
+    backtick-quoted) outside literals — not qualified by ``.``, not an
+    ``AS`` output-alias definition.  Same scan rules as ``_sub_bare``."""
+    masked = chsql._mask(sql)
+    pat = rf"(?<![\w`.])(?:{re.escape(name)}|`{re.escape(name)}`)(?![\w`])"
+    return any(
+        not re.search(r"\bAS\s*$", masked[: m.start()], re.I)
+        for m in re.finditer(pat, masked)
+    )
+
+
 def _keep_one_per_key(df: DataFrame, keys: list[str]) -> DataFrame:
     """Deterministic CH-ANY build side: one row per key, the smallest
     by the remaining columns in schema order (ASC NULLS FIRST — the
@@ -282,6 +301,15 @@ def compile_strictness_joins(
     m = _JOIN_HEAD.search(masked)
     if m is None:
         if _ANY_MOD.search(masked):
+            if _DECORATION.search(masked):
+                raise ValueError(
+                    "chjoin: FINAL/SAMPLE on an ASOF/ANY join side is "
+                    "not compiled (the strictness compile runs before "
+                    "the decoration scan, so the collapse/sample would "
+                    "be silently dropped) — pre-collapse the side via "
+                    "operators/collapse.collapsed() (or sample it) and "
+                    "bind the result as the join table instead"
+                )
             raise ValueError(
                 "chjoin: ASOF/ANY JOIN found but not in the compiled "
                 "`FROM table [AS a] <MOD> JOIN table [AS b] ON ...` "
@@ -366,6 +394,34 @@ def compile_strictness_joins(
             left, right, eqs, ineq, how=direction.lower()
         )
         out_sql = sql[: m.start()] + f"FROM {_VIEW} " + sql[on_end:]
+        # a bare reference to a column present on BOTH sides would
+        # silently resolve to the left copy after the rewrite, where
+        # CH errors on the ambiguous name — refuse BEFORE the qual
+        # substitution strips left qualifiers to bare (ADVICE r11 #4).
+        # Exempt: USING columns (CH coalesces them — the left copy IS
+        # the joined value) and same-named ON equality keys (equal by
+        # construction on every match).  The ASOF time column is NOT
+        # exempt in the ON form: its two sides genuinely differ.
+        exempt = (
+            set(cols)
+            if conn == "USING"
+            else {lc for lc, rc in eqs if lc == rc}
+        )
+        # names defined as OUTPUT aliases are alias references under
+        # CH's resolution order (alias beats column), not ambiguous —
+        # `SELECT a.ts AS ts ... ORDER BY ts` orders by the alias
+        out_masked = chsql._mask(out_sql)
+        exempt |= {
+            mm.group(2)
+            for mm in re.finditer(r"\bAS\s+(`?)(\w+)\1", out_masked, re.I)
+        }
+        for col in sorted((left.cols & set(right.df.columns)) - exempt):
+            if _has_bare_ref(out_sql, col):
+                raise ValueError(
+                    f"chjoin: bare column {col!r} is ambiguous after an "
+                    "ASOF join (present on both sides); qualify it with "
+                    "the table name or alias"
+                )
         for q in sorted(right.quals, key=len, reverse=True):
             out_sql = _sub_qual(out_sql, q, f"{right.name}__")
         for q in sorted(left.quals, key=len, reverse=True):

@@ -937,14 +937,21 @@ _CALL_REWRITES: dict[str, object] = {
         f"substring({', '.join(a)})"
     ),
     "positionUTF8": lambda a: f"LOCATE({a[1]}, {a[0]})",
-    # CH locate(haystack, needle[, pos]) is position's alias -- the
-    # ARGUMENT ORDER is the reverse of Spark's locate(substr, str[,
-    # pos]), a silent value collision; all Spark-side emissions use
-    # inert LOCATE( uppercase
-    "locate": lambda a: (
-        f"LOCATE({a[1]}, {a[0]})"
-        if len(a) == 2
-        else f"LOCATE({a[1]}, {a[0]}, {a[2]})"
+    # CH locate()'s argument order is VERSION-DEPENDENT: < 24.3 it is
+    # position's alias (haystack, needle[, pos]) — the reverse of
+    # Spark — while >= 24.3 it switched to MySQL order (needle,
+    # haystack[, pos]).  Either mapping silently swaps arguments for
+    # users of the other version, so bare locate() refuses with a
+    # pointer to position() (ADVICE r11 #3; all Spark-side emissions
+    # still use inert LOCATE( uppercase)
+    "locate": lambda a: (_ for _ in ()).throw(
+        ValueError(
+            "chsql: locate()'s argument order changed in ClickHouse "
+            "24.3 ((haystack, needle) before, MySQL's (needle, "
+            "haystack) after), so any fixed mapping is silently "
+            "swapped for half its users — use position(haystack, "
+            "needle[, pos]), whose order is stable across versions"
+        )
     ),
     "positionCaseInsensitive": lambda a: (
         f"LOCATE(LOWER({a[1]}), LOWER({a[0]}))"
@@ -1041,16 +1048,22 @@ _CALL_REWRITES: dict[str, object] = {
     ),
     # CH transform(x, from_arr, to_arr[, default]): the DECODE-style
     # value mapper (NOT Spark's lambda transform -- a 2-arg call is
-    # passed through to the Spark HOF unchanged).  Compiles to a map
-    # lookup; an unmatched x falls to the default (4-arg) or to x
-    # itself (3-arg, CH's contract).  Duplicate from-keys fail loudly
-    # under Spark's map dedup policy where CH picks the first match
-    # (documented).
+    # passed through to the Spark HOF unchanged).  Matched-ness is
+    # tested SEPARATELY from the looked-up value (array_position > 0)
+    # so a matched key whose to-value is NULL returns that mapped
+    # NULL instead of falling through to the default (ADVICE r11 #5 —
+    # the earlier coalesce-over-map form conflated the two).  An
+    # unmatched x falls to the default (4-arg) or to x itself (3-arg,
+    # CH's contract); duplicate from-keys now pick the FIRST match,
+    # exactly CH's tie rule.  The from/to arrays are literal-sized in
+    # every known call site, so the O(n) position scan stays cheap.
     "transform": lambda a: (
         f"TRANSFORM({a[0]}, {a[1]})"
         if len(a) == 2
-        else f"coalesce(try_element_at(map_from_arrays({a[1]}, {a[2]}), "
-        f"{a[0]}), {a[3] if len(a) > 3 else a[0]})"
+        else f"(CASE WHEN array_position({a[1]}, {a[0]}) > 0 "
+        f"THEN try_element_at({a[2]}, "
+        f"CAST(array_position({a[1]}, {a[0]}) AS INT)) "
+        f"ELSE {a[3] if len(a) > 3 else a[0]} END)"
     ),
     # null-SAFE membership via <=> (ADVICE r11 #5): CH hasAll/hasAny
     # treat NULL elements as matchable values and always return 0/1,

@@ -4955,19 +4955,16 @@ DRIVER_WINDOW = 50  # driver-checked prefix length (round-5 verdict)
 # next CORRECTNESS file re-proves them.  Maintained per round; clear
 # once the round's CORRECTNESS file shows them green again.
 ROTATION_FORCE_FRONT: frozenset[str] = frozenset(
-    # round 12: every entry whose def-closure the r12 chsql batch
-    # touches (the five r11-ADVICE fixes + array literals + the ASOF
-    # comparator set + folding chjoin's strictness compile into
-    # chsql.run_sql), computed with the guard's own _def_level_dirty
-    # against the r11 tree.  16 forced + 34 LRU slots — nothing ends
-    # the round more than 2 rounds stale.  url_funcs: its url_port
-    # dep changed in r11 (the branch-free coalesce form) and the 15
-    # chsql-batch entries push it out of the pre-CORRECTNESS_r11
-    # window; once the r11 artifact lands green it is freshly proven
-    # — recompute the set at merge time (tests/test_rotation_guard
-    # prints the exact residue) and trim it if so.
+    # round 12: the r11 forced set landed green in CORRECTNESS_r11 and
+    # was cleared; this is the residue the guard's own
+    # test_stale_tail_is_provably_unchanged reports for the r12
+    # edits (the five r11-ADVICE fixes: chjoin FINAL/SAMPLE +
+    # ambiguity refusals, asof_join NULL-time semantics, locate()
+    # refusal, transform() matched-NULL guard, alias qualified-ref
+    # lookaround — all inside chsql.run_sql's closure).  16 forced +
+    # 34 LRU slots; where_alias and scd2_range_join rotate in
+    # naturally as r10-green LRU entries, so their edits are free.
     {
-        "url_funcs",
         "asof_enrich",
         "chsql_any_join",
         "chsql_array_join",
@@ -4980,6 +4977,7 @@ ROTATION_FORCE_FRONT: frozenset[str] = frozenset(
         "chsql_model_final",
         "chsql_s3_export",
         "chsql_sample",
+        "chsql_summap",
         "chsql_traffic_chart",
         "chsql_visits_chart",
         "chsql_word_count",
