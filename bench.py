@@ -110,6 +110,8 @@ HEADLINE = [
     "chsql_any_join",
     "chsql_model_final",
     "chsql_summap",
+    "chsql_qualify",
+    "chsql_distinct_on",
     "tfidf_top_terms",
     "bigram_lm_score",
     "shard_assign",

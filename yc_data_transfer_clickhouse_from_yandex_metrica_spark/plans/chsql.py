@@ -105,6 +105,22 @@ vocabulary):
 - ``LIMIT [off,] n BY keys [LIMIT ...]``: per-key-group rank limit in
   the query's ORDER BY order (requires ORDER BY -- CH's block order
   is not reproducible), applied before the trailing global LIMIT.
+- ``SELECT DISTINCT ON (keys) ...`` (r12): CH defines it as LIMIT 1
+  BY keys and this compile reuses exactly that path; without an
+  ORDER BY the pick is the smallest row by the output columns in
+  select order (ASC NULLS FIRST) -- the same deterministic
+  refinement as the ANY-join build side (CH's pick is
+  first-in-block-order, not reproducible).
+- ``QUALIFY <pred>`` (r12, CH 23.x+): window-function filter,
+  compiled as a same-level hidden boolean select item + outer
+  filter; select aliases inline, UInt8 truthiness applies, ORDER
+  BY / LIMIT [BY] / WITH FILL compose after it.
+- ``LIMIT n WITH TIES`` (r12): rank() window filter over the
+  statement's ORDER BY (requires one, as CH does); the offset form
+  refuses.  ``ORDER BY ... COLLATE`` refuses (CH ICU collations have
+  no stable Spark equivalent); the ``COLUMNS('re')`` / ``* APPLY``
+  matchers and ``untuple()`` refuse with Spark-first recipes
+  (``* EXCEPT (cols)`` passes through natively).
 - ``ORDER BY axis WITH FILL [STEP s] [INTERPOLATE (cols)]``: the
   aggregated axis densified via operators/series.fill_series -- one
   sort column, non-axis columns filled with their TYPE DEFAULTS
@@ -999,6 +1015,36 @@ _CALL_REWRITES: dict[str, object] = {
     "replaceOne": _replace_one_sql,
     "replaceRegexpAll": lambda a: (
         f"regexp_replace({a[0]}, {a[1]}, {_regexp_repl_sql(a[2])})"
+    ),
+    # CH star matchers / transformers (r12).  `* EXCEPT (cols)` passes
+    # through (Spark parses it natively); the rest need the resolved
+    # column list at parse time, which belongs to Catalyst, not this
+    # front-end -- refuse with the Spark-first recipe.  Uppercase keys:
+    # the call scan is case-sensitive and CH docs spell them uppercase.
+    "COLUMNS": lambda a: (_ for _ in ()).throw(
+        ValueError(
+            "chsql: the COLUMNS('regex') matcher is not compiled "
+            "(column-list resolution happens in Catalyst, after this "
+            "front-end) — select the columns explicitly, or build the "
+            "list from df.columns in the DataFrame API"
+        )
+    ),
+    "APPLY": lambda a: (_ for _ in ()).throw(
+        ValueError(
+            "chsql: the * APPLY(func) transformer is not compiled — "
+            "spell the per-column aggregates explicitly, or map over "
+            "df.columns in the DataFrame API "
+            "(df.select([F.sum(c) for c in df.columns]))"
+        )
+    ),
+    # CH untuple(t) expands a tuple into columns; Spark's spelling is
+    # struct star-expansion, which needs the select-item position
+    "untuple": lambda a: (_ for _ in ()).throw(
+        ValueError(
+            "chsql: untuple() is not compiled — use Spark's struct "
+            "star expansion instead (SELECT t.* for a struct column, "
+            "or name the fields: t.f1, t.f2)"
+        )
     ),
     # Spark regexp_replace is replace-ALL; CH's first-match-only
     # variant has no single-expression Spark mapping
@@ -2773,6 +2819,9 @@ _ARITY: dict[str, tuple[int, int | None]] = {
     "position": (1, 3), "extractAll": (2, 2), "replaceAll": (3, 3),
     "replaceOne": (3, 3), "replaceRegexpAll": (3, 3),
     "replaceRegexpOne": (3, 3), "arraySlice": (2, 3),
+    # refusal-only matchers/transformers (r12): any arity reaches the
+    # named refusal, never a silent arg drop
+    "COLUMNS": (1, 9), "APPLY": (1, 9), "untuple": (1, 9),
     "arrayFlatten": (1, 1), "arrayCompact": (1, 1),
     "arrayEnumerate": (1, 1), "hasAll": (2, 2), "hasAny": (2, 2),
     "range": (1, 3),
@@ -4698,8 +4747,8 @@ def _rewrite_indexing(sql: str, defaults: dict[str, str]) -> str:
 # ---------------------------------------------------------------------------
 
 _CLAUSE_STARTS = [
-    ("PREWHERE",), ("WHERE",), ("GROUP", "BY"), ("HAVING",), ("ORDER", "BY"),
-    ("LIMIT",),
+    ("PREWHERE",), ("WHERE",), ("GROUP", "BY"), ("HAVING",), ("QUALIFY",),
+    ("ORDER", "BY"), ("LIMIT",),
 ]
 
 
@@ -5199,6 +5248,15 @@ def _compile_single(
     spans = _segment(sql)
     sel_start, sel_end = spans["SELECT"]
     select_body = sql[sel_start + len("SELECT") : sel_end]
+    # CH `SELECT DISTINCT ON (keys) ...` IS `LIMIT 1 BY keys`
+    # (clickhouse docs equate them) -- strip the modifier here and
+    # fold it into the LIMIT BY compile below
+    distinct_on = None
+    dm = re.match(r"\s*DISTINCT\s+ON\s*\(", select_body, re.I)
+    if dm:
+        close = _match_paren(_mask(select_body), dm.end() - 1)
+        distinct_on = select_body[dm.end() : close].strip()
+        select_body = select_body[close + 1 :]
     parsed, aliases = _select_aliases(select_body)
     select_txt = ", ".join(
         f"{expr} AS `{alias}`" if alias else expr for expr, alias in parsed
@@ -5214,12 +5272,20 @@ def _compile_single(
     where = clause("WHERE")
     group = clause("GROUP BY")
     having = clause("HAVING")
+    qualify = clause("QUALIFY")
     order = clause("ORDER BY")
     limit = clause("LIMIT")
 
     # CH NULL ordering (NULLS LAST asc / FIRST desc -- Spark defaults
     # are the opposite); WITH FILL bodies keep their spelling for the
     # fill parser
+    if order and re.search(r"\bCOLLATE\b", _mask(order), re.I):
+        raise ValueError(
+            "chsql: ORDER BY ... COLLATE is not mapped (CH's ICU "
+            "collation names have no stable Spark collator "
+            "equivalent) — order by a normalized key instead, e.g. "
+            "lower(col) or a locale-folded expression"
+        )
     if order and not re.search(r"\bWITH\s+FILL\b", _mask(order), re.I):
         o_body = re.sub(r"^ORDER\s+BY\s+", "", order, flags=re.I)
         order = "ORDER BY " + _ch_nulls_order(o_body)
@@ -5311,6 +5377,44 @@ def _compile_single(
             p for p in (f"SELECT *, explode({arg}) AS `{alias}`", frm, where) if p
         )
         frm, where = f"FROM ({inner})", None
+
+    # CH `QUALIFY <pred>` (window-function filter, CH 23.x+): Spark
+    # has no QUALIFY -- compile as a wrapping subquery that computes
+    # the predicate as a hidden boolean select item at the SAME query
+    # level (so window functions see the post-GROUP-BY rows, CH's
+    # contract) and filters on it outside.  Select aliases inline
+    # (CH resolves them in QUALIFY) and UInt8 truthiness applies as
+    # in WHERE/HAVING.  Everything downstream (ORDER BY, LIMIT [BY],
+    # WITH FILL, DISTINCT ON) composes over the rewritten frame.
+    if qualify:
+        q_body = re.sub(r"^QUALIFY\s+", "", qualify, flags=re.I)
+        if _array_join_calls(q_body):
+            raise ValueError(
+                "chsql: arrayJoin in QUALIFY is not supported (hoist "
+                "the expansion into the select list first)"
+            )
+        if with_totals:
+            raise ValueError(
+                "chsql: QUALIFY cannot combine with WITH TOTALS (the "
+                "totals row has no window position to filter on)"
+            )
+        if re.match(r"\s*DISTINCT\b", select_txt, re.I):
+            raise ValueError(
+                "chsql: QUALIFY with SELECT DISTINCT is not compiled "
+                "(CH applies DISTINCT after QUALIFY; wrap the QUALIFY "
+                "query in a subquery and SELECT DISTINCT from it)"
+            )
+        q_body = inline_aliases(q_body, aliases)
+        inner = " ".join(
+            p
+            for p in (
+                f"SELECT {select_txt}, CAST(({q_body}) AS BOOLEAN) AS __qual",
+                frm, where, group, having,
+            )
+            if p
+        )
+        select_txt = "* EXCEPT (__qual)"
+        frm, where, group, having = f"FROM ({inner})", "WHERE __qual", None, None
 
     # CH `ORDER BY axis WITH FILL [FROM f] [TO t] [STEP s]
     # [INTERPOLATE (cols)]`: densify the aggregated axis via
@@ -5412,6 +5516,56 @@ def _compile_single(
                 raise ValueError("chsql: LIMIT BY cannot combine with WITH TOTALS")
             limit_by = (int(bm.group(1) or 0), int(bm.group(2)), bm.group(3).strip())
             limit = f"LIMIT {bm.group(4)}" if bm.group(4) else None
+
+    # DISTINCT ON (keys) == LIMIT 1 BY keys; unlike the spelled-out
+    # LIMIT BY an ORDER BY is optional in CH (the pick is then
+    # first-in-block-order, nondeterministic) -- without one this
+    # engine picks the smallest row by the output columns in select
+    # order (ASC NULLS FIRST), the same documented deterministic
+    # refinement as the ANY-join build side (plans/chjoin.py)
+    if distinct_on:
+        if limit_by:
+            raise ValueError(
+                "chsql: DISTINCT ON cannot combine with LIMIT BY "
+                "(DISTINCT ON (keys) already IS LIMIT 1 BY keys)"
+            )
+        if fill_spec:
+            raise ValueError(
+                "chsql: DISTINCT ON cannot combine with WITH FILL"
+            )
+        if with_totals:
+            raise ValueError(
+                "chsql: DISTINCT ON cannot combine with WITH TOTALS"
+            )
+        limit_by = (0, 1, distinct_on)
+
+    # CH `LIMIT n WITH TIES`: the first n rows of the ORDER BY plus
+    # every row tied with the n-th -- a rank() window filter (Spark's
+    # WindowGroupLimit pushes it into the sort)
+    with_ties = None
+    if limit:
+        tm = re.match(
+            r"LIMIT\s+(?:(\d+)\s*,\s*)?(\d+)\s+WITH\s+TIES\s*$", limit, re.I
+        )
+        if tm:
+            if tm.group(1):
+                raise ValueError(
+                    "chsql: LIMIT offset, n WITH TIES is not compiled "
+                    "(the offset row's tie group is ambiguous); use a "
+                    "rank window explicitly"
+                )
+            if fill_spec or not order:
+                raise ValueError(
+                    "chsql: LIMIT WITH TIES requires a plain ORDER BY "
+                    "(CH errors without one; ties are defined by it)"
+                )
+            if limit_by or with_totals:
+                raise ValueError(
+                    "chsql: LIMIT WITH TIES cannot combine with "
+                    "LIMIT BY / DISTINCT ON / WITH TOTALS"
+                )
+            with_ties = int(tm.group(2))
+            limit = None
     if limit:
         lm = re.match(r"LIMIT\s+(\d+)\s*,\s*(\d+)\s*$", limit, re.I)
         if lm:
@@ -5423,7 +5577,23 @@ def _compile_single(
 
     if limit_by:
         off, nby, keys = limit_by
-        order_body = re.sub(r"^ORDER\s+BY\s+", "", order, flags=re.I)
+        if order:
+            order_body = re.sub(r"^ORDER\s+BY\s+", "", order, flags=re.I)
+        else:  # ORDER-BY-less DISTINCT ON: deterministic smallest row
+            names = [
+                al or (_plain_ident(ex) or "")
+                for ex, al in parsed
+            ]
+            if not all(names):
+                raise ValueError(
+                    "chsql: DISTINCT ON without ORDER BY needs every "
+                    "select item to be a plain column or carry an "
+                    "alias (the deterministic pick orders by the "
+                    "output columns) — add an ORDER BY or aliases"
+                )
+            order_body = ", ".join(
+                f"`{n}` ASC NULLS FIRST" for n in names
+            )
         sub = assemble(["SELECT", select_txt, frm, where, group, having])
         rn = (
             f"SELECT * FROM (SELECT *, row_number() OVER (PARTITION BY {keys} "
@@ -5434,6 +5604,18 @@ def _compile_single(
         view = "__chsql_limit_by"
         kept.createOrReplaceTempView(view)
         return spark.sql(assemble([f"SELECT * FROM {view}", order, limit]))
+
+    if with_ties:
+        order_body = re.sub(r"^ORDER\s+BY\s+", "", order, flags=re.I)
+        sub = assemble(["SELECT", select_txt, frm, where, group, having])
+        rk = (
+            f"SELECT * FROM (SELECT *, rank() OVER (ORDER BY {order_body}) "
+            f"AS __rk FROM ({sub})) WHERE __rk <= {with_ties}"
+        )
+        kept = _sql(rk).drop("__rk")
+        view = "__chsql_with_ties"
+        kept.createOrReplaceTempView(view)
+        return spark.sql(assemble([f"SELECT * FROM {view}", order]))
 
     main = assemble(
         ["SELECT", select_txt, frm, where, group, having, order,

@@ -1418,6 +1418,33 @@ SELECT o_orderpriority, d, o_orderkey FROM (
 """
 
 
+# WITH TIES == rank() <= n: a row is kept iff fewer than n rows sort
+# strictly before its tie group — the same window the engine compiles
+_ORACLE_CHSQL_QUALIFY = """
+SELECT o_custkey, d, o_orderkey, o_totalprice FROM (
+  SELECT o_custkey, d, o_orderkey, o_totalprice,
+         rank() OVER (ORDER BY d) AS rk
+  FROM (
+    SELECT o_custkey, CAST(o_orderdate AS DATE) AS d, o_orderkey,
+           o_totalprice,
+           row_number() OVER (PARTITION BY o_custkey
+                              ORDER BY o_totalprice DESC, o_orderkey)
+             AS rn
+    FROM orders
+  ) q1 WHERE rn = 1
+) q2 WHERE rk <= 100
+"""
+
+_ORACLE_CHSQL_DISTINCT_ON = """
+SELECT o_custkey, o_orderkey, o_totalprice FROM (
+  SELECT o_custkey, o_orderkey, o_totalprice,
+         row_number() OVER (PARTITION BY o_custkey
+                            ORDER BY o_totalprice DESC, o_orderkey) AS rn
+  FROM orders WHERE o_orderstatus != 'P'
+) q1 WHERE rn = 1
+"""
+
+
 def q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """topK(10) AND topKWeighted(10) made exact, in one labeled
     union: the ten customers placing the most orders (metric='count')
@@ -4229,6 +4256,55 @@ def q_chsql_limit_by(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_CHSQL_QUALIFY_SQL = """
+SELECT o_custkey, toDate(o_orderdate) AS d, o_orderkey, o_totalprice
+FROM orders
+QUALIFY row_number() OVER (PARTITION BY o_custkey
+                           ORDER BY o_totalprice DESC, o_orderkey) = 1
+ORDER BY d
+LIMIT 100 WITH TIES
+"""
+
+
+def q_chsql_qualify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CH QUALIFY (window filter, 23.x+) + LIMIT n WITH TIES verbatim
+    through the dialect: each customer's single priciest order
+    (deterministic o_orderkey tiebreak), then the first 100 by order
+    date WITH TIES.  The boundary date's whole tie group rides along,
+    so the result is deterministic AS A SET (the driver compare is
+    order-insensitive).  WITH TIES == rank() <= n — a row survives
+    iff fewer than n rows sort strictly before its tie group — which
+    is both the compiled form and the oracle's spelling."""
+    from ..plans import chsql
+
+    _prep(spark)
+    return chsql.run_sql(
+        spark, _CHSQL_QUALIFY_SQL, {"orders": t(spark, sf_dir, "orders")}
+    )
+
+
+_CHSQL_DISTINCT_ON_SQL = """
+SELECT DISTINCT ON (o_custkey) o_custkey, o_orderkey, o_totalprice
+FROM orders
+WHERE o_orderstatus != 'P'
+ORDER BY o_custkey, o_totalprice DESC, o_orderkey
+"""
+
+
+def q_chsql_distinct_on(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CH ``SELECT DISTINCT ON (keys)`` verbatim through the dialect —
+    CH defines it as LIMIT 1 BY keys and the compile reuses exactly
+    that rank-window path (WindowGroupLimit-pruned).  The ORDER BY is
+    total (o_orderkey tiebreak), so the kept row per customer is
+    deterministic."""
+    from ..plans import chsql
+
+    _prep(spark)
+    return chsql.run_sql(
+        spark, _CHSQL_DISTINCT_ON_SQL, {"orders": t(spark, sf_dir, "orders")}
+    )
+
+
 def _events_sign_ledger(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The cdc_collapse-shaped VersionedCollapsing ledger built from
     events: each user's event sequence becomes versions 1..n, every
@@ -4932,6 +5008,8 @@ QUERIES: dict[str, QuerySpec] = {
     "chsql_any_join": QuerySpec(q_chsql_any_join, _ORACLE_CHSQL_ANY_JOIN, "chsql: ANY INNER JOIN as deterministic keep-one build-side dedup + plain join (r10 task 4)"),
     "chsql_model_final": QuerySpec(q_chsql_model_final, _ORACLE_CHSQL_MODEL_FINAL, "chsql: FINAL+SAMPLE on the metrica model via reference-DDL-parsed TableMeta (r10 task 5)"),
     "chsql_summap": QuerySpec(q_chsql_summap, _ORACLE_CHSQL_SUMMAP, "A-ext + chsql r12: sumMap + topK SQL spellings compiled onto the statement-level structural planner (residual-join mixed-aggregate path, one chain per item)"),
+    "chsql_qualify": QuerySpec(q_chsql_qualify, _ORACLE_CHSQL_QUALIFY, "O-ext + chsql r12: QUALIFY window filter (CH 23.x+) + LIMIT n WITH TIES (rank-window compile)"),
+    "chsql_distinct_on": QuerySpec(q_chsql_distinct_on, _ORACLE_CHSQL_DISTINCT_ON, "O-ext + chsql r12: SELECT DISTINCT ON (keys) == LIMIT 1 BY keys (shared rank-window compile)"),
 }
 
 
@@ -4962,8 +5040,9 @@ ROTATION_FORCE_FRONT: frozenset[str] = frozenset(
     # ambiguity refusals, asof_join NULL-time semantics, locate()
     # refusal, transform() matched-NULL guard, alias qualified-ref
     # lookaround — all inside chsql.run_sql's closure).  16 forced +
-    # 34 LRU slots; where_alias and scd2_range_join rotate in
-    # naturally as r10-green LRU entries, so their edits are free.
+    # 2 new (chsql_qualify, chsql_distinct_on — never-verified, auto
+    # front) + 32 LRU slots; where_alias and scd2_range_join rotate
+    # in naturally as r10-green LRU entries, so their edits are free.
     {
         "asof_enrich",
         "chsql_any_join",
