@@ -1,0 +1,125 @@
+"""r12 in-round vocab batch C: CH multi-array lambda forms
+(``arrayMap/Filter/Exists/All/Count/First/Last((x, y) -> ..., a,
+b)``) compiled onto ``zip_with`` with the CH equal-size contract
+(unequal sizes RAISE per row; NULL arrays propagate NULL), plus the
+join-strictness text closures found by the same probe: ``ALL
+[LEFT|INNER] JOIN`` strips (CH's explicit default multiplicity ==
+Spark's join), and ``PASTE JOIN`` refuses by name (Spark would parse
+PASTE as the left alias and the bare JOIN as a condition-free inner
+join — a silent cross product).
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from yc_data_transfer_clickhouse_from_yandex_metrica_spark.plans import chsql
+
+
+@pytest.fixture()
+def arrs(spark):
+    return spark.createDataFrame(
+        [(1, [1, 2, 3], [10, 20, 30]), (2, [], []), (3, None, [1])],
+        "k int, a array<int>, b array<int>",
+    )
+
+
+def _rows(spark, tables, sql):
+    return {
+        r[0]: tuple(r)[1:]
+        for r in chsql.run_sql(spark, sql, tables).collect()
+    }
+
+
+def test_multi_array_lambda_family(spark, arrs, duck):
+    """Values cross-checked against DuckDB's native list lambdas over
+    the same rows (list_zip + list_transform/list_filter)."""
+    q = (
+        "SELECT k, arrayMap((x, y) -> x + y, a, b) AS m, "
+        "arrayFilter((x, y) -> y > 15, a, b) AS f, "
+        "arrayExists((x, y) -> y > 25, a, b) AS e, "
+        "arrayAll((x, y) -> y >= 10, a, b) AS al, "
+        "arrayCount((x, y) -> x + y > 20, a, b) AS c, "
+        "arrayFirst((x, y) -> y > 15, a, b) AS fi, "
+        "arrayLast((x, y) -> y < 25, a, b) AS la "
+        "FROM t ORDER BY k"
+    )
+    got = _rows(spark, {"t": arrs}, q)
+    assert got[1] == ([11, 22, 33], [2, 3], True, True, 2, 2, 2)
+    assert got[2] == ([], [], False, True, 0, None, None)
+    assert got[3] == (None, None, None, None, None, None, None)
+    want = duck.sql(
+        "SELECT list_transform(list_zip(a, b), z -> z[1] + z[2]) AS m, "
+        "list_transform(list_filter(list_zip(a, b), z -> z[2] > 15), "
+        "  z -> z[1]) AS f "
+        "FROM (VALUES ([1, 2, 3]::INT[], [10, 20, 30]::INT[])) v(a, b)"
+    ).fetchone()
+    assert (got[1][0], got[1][1]) == (want[0], want[1])
+
+
+def test_multi_array_lambda_unequal_sizes_raise(spark, arrs):
+    """CH throws on unequal sizes; bare zip_with would silently
+    NULL-pad — the compiled guard raises per row."""
+    from py4j.protocol import Py4JJavaError
+    from pyspark.errors.exceptions.base import PySparkException
+
+    with pytest.raises((PySparkException, Py4JJavaError), match="equal size"):
+        chsql.run_sql(
+            spark,
+            "SELECT arrayMap((x, y) -> x + y, [1, 2], [1]) AS m FROM t",
+            {"t": arrs},
+        ).collect()
+
+
+def test_multi_array_guard_keeps_zip_outside_branch(spark, arrs):
+    """The size guard's CASE chooses between CHEAP subtrees only (the
+    array ref / raise_error); the zip_with must sit OUTSIDE the CASE
+    as its argument — never under a data-dependent branch (the
+    PLANS.md branch penalty)."""
+    df = chsql.run_sql(
+        spark,
+        "SELECT k, arrayMap((x, y) -> x + y, a, b) AS m FROM t",
+        {"t": arrs},
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "zip_with(CASE" in plan  # zip outside, guard as its input
+    assert "THEN zip_with" not in plan and "ELSE zip_with" not in plan
+
+
+def test_all_join_strictness_strips(spark):
+    """CH `ALL [LEFT|INNER] JOIN` is the default multiplicity made
+    explicit; without the strip Spark parses ALL as the left alias
+    and name resolution breaks with an opaque error."""
+    l = spark.createDataFrame([(1, "a"), (2, "b"), (3, "c")], "k int, s string")
+    r = spark.createDataFrame([(1, 10), (1, 20), (3, 30)], "k int, v int")
+    out = chsql.run_sql(
+        spark,
+        "SELECT l.k AS k, r.v AS v FROM l ALL LEFT JOIN r ON l.k = r.k "
+        "ORDER BY k, v",
+        {"l": l, "r": r},
+    ).collect()
+    assert [(x["k"], x["v"]) for x in out] == [
+        (1, 10), (1, 20), (2, None), (3, 30)
+    ]
+    out2 = chsql.run_sql(
+        spark,
+        "SELECT l.k AS k FROM l GLOBAL ALL INNER JOIN r ON l.k = r.k "
+        "ORDER BY k",
+        {"l": l, "r": r},
+    ).collect()
+    assert [x["k"] for x in out2] == [1, 1, 3]
+    # the strip must NOT touch UNION ALL or the SELECT ALL quantifier
+    out3 = chsql.run_sql(
+        spark,
+        "SELECT ALL left(s, 1) AS c FROM l UNION ALL SELECT s AS c FROM l "
+        "ORDER BY c",
+        {"l": l},
+    )
+    assert out3.count() == 6
+
+
+def test_paste_join_refuses(spark):
+    l = spark.createDataFrame([(1, "a")], "k int, s string")
+    r = spark.createDataFrame([(1, 10)], "k int, v int")
+    with pytest.raises(ValueError, match="PASTE JOIN.*cross product"):
+        chsql.run_sql(spark, "SELECT * FROM l PASTE JOIN r", {"l": l, "r": r})

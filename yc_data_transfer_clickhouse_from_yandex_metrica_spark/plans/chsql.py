@@ -121,6 +121,16 @@ vocabulary):
   no stable Spark equivalent); the ``COLUMNS('re')`` / ``* APPLY``
   matchers and ``untuple()`` refuse with Spark-first recipes
   (``* EXCEPT (cols)`` passes through natively).
+- multi-array lambdas (r12): ``arrayMap/Filter/Exists/All/Count/
+  First/Last((x, y) -> ..., a, b)`` compile onto ``zip_with`` with
+  the CH equal-size contract (unequal sizes RAISE per row — bare
+  zip_with would silently NULL-pad; NULL arrays propagate NULL).
+  Three or more arrays keep the arity refusal.
+- ``ALL [LEFT|INNER|...] JOIN`` strips like GLOBAL (CH's explicit
+  default multiplicity == Spark's join; unstripped, Spark parses ALL
+  as the left table's alias).  ``PASTE JOIN`` (positional pairing,
+  CH 24.x) refuses by name — a passthrough silently degrades to a
+  cross product.
 - ``ORDER BY axis WITH FILL [STEP s] [INTERPOLATE (cols)]``: the
   aggregated axis densified via operators/series.fill_series -- one
   sort column, non-axis columns filled with their TYPE DEFAULTS
@@ -663,9 +673,53 @@ def _retention_sql(a: list[str]) -> str:
     return "array(" + ", ".join(items) + ")"
 
 
+def _zip2_guarded(lam: str, arr1: str, arr2: str) -> str:
+    """CH two-array lambda application ``f(λ, a, b)`` -> ``zip_with``
+    with the CH equal-size contract: unequal sizes RAISE per row
+    (bare zip_with would silently NULL-pad — extra elements CH never
+    produces), NULL arrays propagate NULL as CH Nullable does.  The
+    guard's CASE picks between two CHEAP subtrees (the array ref /
+    raise_error) so the zip_with itself stays OUTSIDE the branch —
+    never re-evaluated under a data-dependent CASE (the PLANS.md
+    branch penalty; HOF lambdas are interpreted-eval expressions in
+    Spark regardless, so the arg-position guard is the whole cost)."""
+    guard = (
+        f"(CASE WHEN ({arr1}) IS NULL OR ({arr2}) IS NULL THEN ({arr1}) "
+        f"WHEN size({arr1}) = size({arr2}) THEN ({arr1}) "
+        f"ELSE raise_error('chsql: multi-array lambda arrays must be "
+        f"equal size (CH contract)') END)"
+    )
+    return f"zip_with({guard}, {arr2}, {lam})"
+
+
+def _keep_first2(lam: str, arr1: str, arr2: str) -> str:
+    """(element-of-arr1, predicate) pair array for the keep-first-
+    array family (two-array arrayFilter/arrayFirst).  No lambda
+    decomposition: the user lambda runs in its own zip_with, then a
+    second zip_with pairs its booleans back with arr1."""
+    bools = _zip2_guarded(lam, arr1, arr2)
+    return (
+        f"zip_with({arr1}, {bools}, "
+        f"(__e, __p) -> struct(__e AS __e, __p AS __p))"
+    )
+
+
 _CALL_REWRITES: dict[str, object] = {
-    "arrayMap": lambda a: f"transform({a[1]}, {a[0]})",
-    "arrayFilter": lambda a: f"filter({a[1]}, {a[0]})",
+    # the 3-arg forms are CH's multi-array lambdas f((x, y) -> ...,
+    # a, b): positional application over equal-size arrays
+    "arrayMap": lambda a: (
+        f"transform({a[1]}, {a[0]})"
+        if len(a) == 2
+        else _zip2_guarded(a[0], a[1], a[2])
+    ),
+    "arrayFilter": lambda a: (
+        f"filter({a[1]}, {a[0]})"
+        if len(a) == 2
+        else (
+            f"transform(filter({_keep_first2(a[0], a[1], a[2])}, "
+            f"__z -> CAST(__z.__p AS BOOLEAN)), __z -> __z.__e)"
+        )
+    ),
     "indexOf": lambda a: f"array_position({a[0]}, {a[1]})",
     "uniqExact": lambda a: f"count(DISTINCT {', '.join(a)})",
     "notEmpty": _not_empty_sql,
@@ -776,10 +830,33 @@ _CALL_REWRITES: dict[str, object] = {
     # source columns where CH numbers tuple elements 1..n; access via
     # the field name).  Pairs with the ARRAY JOIN single-array scope.
     "arrayZip": lambda a: f"arrays_zip({', '.join(a)})",
-    "arrayExists": lambda a: f"exists({a[1]}, {a[0]})",
-    "arrayAll": lambda a: f"forall({a[1]}, {a[0]})",
+    "arrayExists": lambda a: (
+        f"exists({a[1]}, {a[0]})"
+        if len(a) == 2
+        else f"exists({_zip2_guarded(a[0], a[1], a[2])}, "
+        f"__x -> CAST(__x AS BOOLEAN))"
+    ),
+    "arrayAll": lambda a: (
+        f"forall({a[1]}, {a[0]})"
+        if len(a) == 2
+        else f"forall({_zip2_guarded(a[0], a[1], a[2])}, "
+        f"__x -> CAST(__x AS BOOLEAN))"
+    ),
+    # the + (CASE ... NULL ELSE 0) gate pins NULL-in -> NULL-out on
+    # BOTH size(NULL) conventions (legacy -1 / NULL) without putting
+    # the filter under a data-dependent branch (additive NULL
+    # arithmetic, the PLANS.md branch-penalty form)
     "arrayCount": lambda a: (
-        f"size(filter({a[1]}, {a[0]}))" if len(a) > 1 else f"size(filter({a[0]}, __x -> __x))"
+        f"(size(filter({a[0]}, __x -> __x)) + "
+        f"(CASE WHEN ({a[0]}) IS NULL THEN NULL ELSE 0 END))"
+        if len(a) == 1
+        else f"(size(filter({a[1]}, {a[0]})) + "
+        f"(CASE WHEN ({a[1]}) IS NULL THEN NULL ELSE 0 END))"
+        if len(a) == 2
+        else f"(size(filter({_zip2_guarded(a[0], a[1], a[2])}, "
+        f"__x -> CAST(__x AS BOOLEAN))) + "
+        f"(CASE WHEN ({a[1]}) IS NULL OR ({a[2]}) IS NULL "
+        f"THEN NULL ELSE 0 END))"
     ),
     "has": lambda a: f"array_contains({a[0]}, {a[1]})",
     # array transforms/aggregates (r8).  arraySum/Min/Max/Avg take the
@@ -1214,8 +1291,24 @@ _CALL_REWRITES: dict[str, object] = {
     # CH lambda-first signature; NULL when nothing matches (CH: the
     # element-type default -- same documented deviation class as the
     # unknown-type postfix index)
-    "arrayFirst": lambda a: f"try_element_at(filter({a[1]}, {a[0]}), 1)",
-    "arrayLast": lambda a: f"try_element_at(filter({a[1]}, {a[0]}), -1)",
+    "arrayFirst": lambda a: (
+        f"try_element_at(filter({a[1]}, {a[0]}), 1)"
+        if len(a) == 2
+        else (
+            f"try_element_at(transform(filter("
+            f"{_keep_first2(a[0], a[1], a[2])}, "
+            f"__z -> CAST(__z.__p AS BOOLEAN)), __z -> __z.__e), 1)"
+        )
+    ),
+    "arrayLast": lambda a: (
+        f"try_element_at(filter({a[1]}, {a[0]}), -1)"
+        if len(a) == 2
+        else (
+            f"try_element_at(transform(filter("
+            f"{_keep_first2(a[0], a[1], a[2])}, "
+            f"__z -> CAST(__z.__p AS BOOLEAN)), __z -> __z.__e), -1)"
+        )
+    ),
     # bitwise family
     "bitAnd": lambda a: f"(({a[0]}) & ({a[1]}))",
     "bitOr": lambda a: f"(({a[0]}) | ({a[1]}))",
@@ -2780,7 +2873,7 @@ _CALL_REWRITES.update(
 # multi-array lambda variadics), the extra-arg call is refused rather
 # than compiled with the argument ignored.
 _ARITY: dict[str, tuple[int, int | None]] = {
-    "arrayMap": (2, 2), "arrayFilter": (2, 2), "indexOf": (2, 2),
+    "arrayMap": (2, 3), "arrayFilter": (2, 3), "indexOf": (2, 2),
     "uniqExact": (1, None), "notEmpty": (1, 1), "empty": (1, 1),
     "toInt64": (1, 1), "toInt8": (1, 1), "toInt16": (1, 1),
     "toInt32": (1, 1), "toUInt8": (1, 1), "toUInt16": (1, 1),
@@ -2801,8 +2894,8 @@ _ARITY: dict[str, tuple[int, int | None]] = {
     "argMax": (2, 2), "argMin": (2, 2), "groupUniqArray": (1, 1),
     "groupArray": (1, 1), "any": (1, 1), "anyLast": (1, 1),
     "arrayStringConcat": (1, 2), "splitByChar": (2, 2),
-    "arrayZip": (1, None), "arrayExists": (2, 2), "arrayAll": (2, 2),
-    "arrayCount": (1, 2), "has": (2, 2), "arraySort": (1, 2),
+    "arrayZip": (1, None), "arrayExists": (2, 3), "arrayAll": (2, 3),
+    "arrayCount": (1, 3), "has": (2, 2), "arraySort": (1, 2),
     "arrayReverseSort": (1, 2), "arrayConcat": (1, None),
     "arrayUniq": (1, None), "arrayDistinct": (1, 1),
     "arraySum": (1, 2), "arrayMin": (1, 2), "arrayMax": (1, 2),
@@ -2839,7 +2932,7 @@ _ARITY: dict[str, tuple[int, int | None]] = {
     "arrayPushBack": (2, 2), "arrayPushFront": (2, 2),
     "arrayPopBack": (1, 1), "arrayPopFront": (1, 1),
     "multiSearchAny": (2, 2), "countEqual": (2, 2),
-    "arrayFirst": (2, 2), "arrayLast": (2, 2),
+    "arrayFirst": (2, 3), "arrayLast": (2, 3),
     "bitAnd": (2, 2), "bitOr": (2, 2), "bitXor": (2, 2),
     "bitNot": (1, 1), "bitShiftLeft": (2, 2), "bitShiftRight": (2, 2),
     "lcase": (1, 1), "ucase": (1, 1), "concatWithSeparator": (2, None),
@@ -5070,6 +5163,30 @@ def run_sql(
     sql = _sub_outside_literals(
         r"\bGLOBAL\s+(?=(ANY|ALL|ASOF|SEMI|ANTI|LEFT|RIGHT|INNER|FULL"
         r"|CROSS|JOIN|IN|NOT)\b)",
+        "",
+        sql,
+        re.I,
+    )
+    # CH PASTE JOIN (24.x) is a POSITIONAL row-by-row join; Spark
+    # would parse PASTE as the left table's ALIAS and the bare `JOIN
+    # r` as a condition-free inner join -- a silent CROSS PRODUCT.
+    # Refuse by name (r12).
+    if re.search(r"\bPASTE\s+JOIN\b", _mask(sql), re.I):
+        raise ValueError(
+            "chsql: PASTE JOIN (positional row pairing) is not "
+            "compiled — a passthrough silently degrades to a cross "
+            "product.  Pair by an explicit key, or build positions "
+            "with row_number() OVER (ORDER BY <total order>) on both "
+            "sides and equi-join them"
+        )
+    # CH `ALL [LEFT|INNER|...] JOIN` is the DEFAULT multiplicity made
+    # explicit (keep every match) == Spark's join semantics already;
+    # stripped like GLOBAL, else Spark parses ALL as the left alias
+    # and the real alias/ON resolution breaks.  The lookahead keeps
+    # UNION ALL / GROUP BY ALL / count(ALL x) untouched (none are
+    # followed by a join keyword).
+    sql = _sub_outside_literals(
+        r"\bALL\s+(?=(LEFT|RIGHT|INNER|FULL|JOIN)\b)",
         "",
         sql,
         re.I,
