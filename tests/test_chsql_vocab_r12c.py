@@ -123,3 +123,65 @@ def test_paste_join_refuses(spark):
     r = spark.createDataFrame([(1, 10)], "k int, v int")
     with pytest.raises(ValueError, match="PASTE JOIN.*cross product"):
         chsql.run_sql(spark, "SELECT * FROM l PASTE JOIN r", {"l": l, "r": r})
+
+
+# ---------------------------------------------------------------------------
+# aggregate combinators: groupArrayIf / -Array family / parametrized-If
+# ---------------------------------------------------------------------------
+
+
+def test_group_array_if_combinators(spark):
+    t = spark.createDataFrame(
+        [(1, "a", 10), (2, "a", 20), (3, "b", 30), (4, "b", None),
+         (5, "a", 20)],
+        "k int, g string, v int",
+    )
+    out = {
+        r["g"]: (r["ga"], r["gua"])
+        for r in chsql.run_sql(
+            spark,
+            "SELECT g, arraySort(groupArrayIf(v, v > 15)) AS ga, "
+            "groupUniqArrayIf(v, v > 15) AS gua "
+            "FROM t GROUP BY g ORDER BY g",
+            {"t": t},
+        ).collect()
+    }
+    assert out == {"a": ([20, 20], [20]), "b": ([30], [30])}
+
+
+def test_array_combinator_family(spark, duck):
+    """Element-level aggregates without explode: values cross-checked
+    against DuckDB unnest over the same rows."""
+    t = spark.createDataFrame(
+        [(1, [1, 2]), (2, [3]), (3, None), (4, [2, None])],
+        "k int, xs array<int>",
+    )
+    r = chsql.run_sql(
+        spark,
+        "SELECT minArray(xs) AS mn, maxArray(xs) AS mx, "
+        "countArray(xs) AS c, avgArray(xs) AS av, "
+        "arraySort(groupArrayArray(xs)) AS gaa, "
+        "groupUniqArrayArray(xs) AS guaa, "
+        "uniqArray(xs) AS u, uniqExactArray(xs) AS ue FROM t",
+        {"t": t},
+    ).collect()[0]
+    want = duck.sql(
+        "SELECT min(x) AS mn, max(x) AS mx, count(x) AS c, "
+        "CAST(avg(x) AS DOUBLE) AS av FROM ("
+        "  SELECT unnest(xs) AS x FROM (VALUES ([1, 2]), ([3]), "
+        "  (NULL), ([2, NULL])) v(xs))"
+    ).fetchone()
+    assert (r["mn"], r["mx"], r["c"], r["av"]) == want == (1, 3, 4, 2.0)
+    assert sorted(r["gaa"], key=repr) == sorted([1, 2, 3, 2, None], key=repr)
+    assert r["u"] == r["ue"] == 4  # {1, 2, 3, NULL} -- NULL counts as in CH
+    assert sorted(r["guaa"], key=repr) == sorted([1, 2, 3, None], key=repr)
+
+
+def test_parametrized_if_refuses(spark):
+    t = spark.createDataFrame([(1, 10)], "k int, v int")
+    with pytest.raises(ValueError, match="-If combinator.*parametrized"):
+        chsql.run_sql(
+            spark,
+            "SELECT quantileExactIf(0.5)(v, v > 5) AS q FROM t",
+            {"t": t},
+        )

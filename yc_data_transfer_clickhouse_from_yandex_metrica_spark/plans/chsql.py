@@ -1224,6 +1224,49 @@ _CALL_REWRITES: dict[str, object] = {
     "uniqExactIf": lambda a: (
         f"count(DISTINCT CASE WHEN {a[1]} THEN {a[0]} END)"
     ),
+    # collect_list/collect_set skip NULLs, so CASE-to-NULL keeps
+    # exactly the condition's rows (and CH groupArray skips NULL
+    # values anyway)
+    "groupArrayIf": lambda a: (
+        f"collect_list(CASE WHEN {a[1]} THEN {a[0]} END)"
+    ),
+    "groupUniqArrayIf": lambda a: (
+        f"array_sort(collect_set(CASE WHEN {a[1]} THEN {a[0]} END))"
+    ),
+    # -Array combinator family (r12): the aggregate applied to every
+    # ELEMENT of every array in the group.  Per-row reductions stay
+    # map-side expressions; only scalars reach the aggregate (no
+    # explode, no row expansion).  countArray/avgArray carry the
+    # additive size(NULL) gate (NULL array rows drop out of the sum
+    # the way a NULL scalar drops out of count/avg) and count only
+    # NON-NULL elements, the count()/avg() contract.
+    "minArray": lambda a: f"min(array_min({a[0]}))",
+    "maxArray": lambda a: f"max(array_max({a[0]}))",
+    "countArray": lambda a: (
+        f"sum(size(filter({a[0]}, __x -> __x IS NOT NULL)) + "
+        f"(CASE WHEN ({a[0]}) IS NULL THEN NULL ELSE 0 END))"
+    ),
+    "avgArray": lambda a: (
+        f"(sum(aggregate(filter({a[0]}, __x -> __x IS NOT NULL), "
+        f"CAST(0.0 AS DOUBLE), (__a, __x) -> __a + __x)) / "
+        f"sum(size(filter({a[0]}, __x -> __x IS NOT NULL)) + "
+        f"(CASE WHEN ({a[0]}) IS NULL THEN NULL ELSE 0 END)))"
+    ),
+    # order within the concatenation is unspecified in BOTH engines
+    # (the groupArray contract above)
+    "groupArrayArray": lambda a: f"flatten(collect_list({a[0]}))",
+    "groupUniqArrayArray": lambda a: (
+        f"array_sort(array_distinct(flatten(collect_list({a[0]}))))"
+    ),
+    # EXACT distinct-element count: a deterministic strengthening of
+    # CH's approximate uniqArray (same class as the exact topK),
+    # uniqExactArray's contract verbatim
+    "uniqArray": lambda a: (
+        f"size(array_distinct(flatten(collect_list({a[0]}))))"
+    ),
+    "uniqExactArray": lambda a: (
+        f"size(array_distinct(flatten(collect_list({a[0]}))))"
+    ),
     # NULL (not CH's NaN) when sum(weight) = 0 -- NULL propagates
     # loudly where NaN poisons comparisons silently
     "avgWeighted": lambda a: f"(sum(({a[0]}) * ({a[1]})) / sum({a[1]}))",
@@ -2709,11 +2752,28 @@ _PARAM_AGG_RE = re.compile(
     r"\s*\("
 )
 
+# an -If combinator on a PARAMETRIZED aggregate (quantileExactIf(p)(x,
+# cond)) would otherwise fall through to an opaque Spark
+# ParseException on the (params)(args) call shape — refuse by name
+_PARAM_AGG_IF_RE = re.compile(
+    r"\b(quantile\w*|uniqUpTo|topK\w*|groupArrayMoving\w*|histogram)"
+    r"If\s*\([^()]*\)\s*\("
+)
+
 
 def _rewrite_parametrized(sql: str) -> str:
     """``agg(params)(args)`` -> the mapped Spark aggregate.  A match
     without a second argument list is left alone (plain ``quantile(x)``
     is not CH syntax, but don't mangle lookalikes)."""
+    m_if = _PARAM_AGG_IF_RE.search(_mask(sql))
+    if m_if:
+        raise ValueError(
+            f"chsql: the -If combinator on the parametrized aggregate "
+            f"{m_if.group(1)!r} is not compiled — filter the rows in "
+            f"WHERE, or wrap the value argument yourself: "
+            f"{m_if.group(1)}(p)(CASE WHEN cond THEN x END) "
+            f"(the compiled aggregates skip NULLs)"
+        )
     changed = True
     while changed:
         changed = False
@@ -2921,6 +2981,11 @@ _ARITY: dict[str, tuple[int, int | None]] = {
     # r12 vocabulary widening
     "minIf": (2, 2), "maxIf": (2, 2), "anyIf": (2, 2),
     "uniqExactIf": (2, 2), "avgWeighted": (2, 2), "median": (1, 1),
+    "groupArrayIf": (2, 2), "groupUniqArrayIf": (2, 2),
+    "minArray": (1, 1), "maxArray": (1, 1), "countArray": (1, 1),
+    "avgArray": (1, 1), "groupArrayArray": (1, 1),
+    "groupUniqArrayArray": (1, 1), "uniqArray": (1, 1),
+    "uniqExactArray": (1, 1),
     "stddevPop": (1, 1), "stddevSamp": (1, 1),
     "varPop": (1, 1), "varSamp": (1, 1),
     "covarPop": (2, 2), "covarSamp": (2, 2),
