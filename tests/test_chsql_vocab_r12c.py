@@ -185,3 +185,93 @@ def test_parametrized_if_refuses(spark):
             "SELECT quantileExactIf(0.5)(v, v > 5) AS q FROM t",
             {"t": t},
         )
+
+
+# ---------------------------------------------------------------------------
+# frame-offset windows / rotation / arrayReduce
+# ---------------------------------------------------------------------------
+
+
+def test_lag_lead_in_frame(spark):
+    """Frameless lagInFrame == standard lag under CH's default frame
+    (backward offsets always inside); Spark rejects explicit frames
+    on lag/lead, so frame-bounded calls fail LOUDLY, never silently.
+    leadInFrame maps to the forward offset of CH's extended-frame
+    idiom (documented deviation: CH's frameless form is all-defaults,
+    never what a query means)."""
+    e = spark.createDataFrame(
+        [(1, 1, 10.0), (1, 2, 30.0), (1, 3, 20.0), (2, 1, 5.0)],
+        "u int, ts int, v double",
+    )
+    out = chsql.run_sql(
+        spark,
+        "SELECT u, ts, lagInFrame(v) OVER (PARTITION BY u ORDER BY ts) AS p, "
+        "leadInFrame(v, 1, 0.0) OVER (PARTITION BY u ORDER BY ts) AS n "
+        "FROM e ORDER BY u, ts",
+        {"e": e},
+    ).collect()
+    assert [(r["p"], r["n"]) for r in out] == [
+        (None, 30.0), (10.0, 20.0), (30.0, 0.0), (None, 0.0)
+    ]
+    from pyspark.errors.exceptions.base import PySparkException
+    import pytest as _pt
+    with _pt.raises(PySparkException, match="[Ww]indow frame"):
+        chsql.run_sql(
+            spark,
+            "SELECT lagInFrame(v) OVER (PARTITION BY u ORDER BY ts "
+            "ROWS BETWEEN 1 PRECEDING AND CURRENT ROW) AS p FROM e",
+            {"e": e},
+        ).collect()
+
+
+def test_row_number_in_all_blocks_refuses(spark):
+    e = spark.createDataFrame([(1,)], "k int")
+    with pytest.raises(ValueError, match="block-read order"):
+        chsql.run_sql(
+            spark, "SELECT rowNumberInAllBlocks() AS r FROM e", {"e": e}
+        )
+
+
+def test_array_rotate(spark):
+    t = spark.createDataFrame(
+        [(1, [1, 2, 3, 4]), (2, []), (3, None)], "k int, a array<int>"
+    )
+    out = {
+        r["k"]: (r["l1"], r["l5"], r["lm1"], r["r1"])
+        for r in chsql.run_sql(
+            spark,
+            "SELECT k, arrayRotateLeft(a, 1) AS l1, "
+            "arrayRotateLeft(a, 5) AS l5, "
+            "arrayRotateLeft(a, -1) AS lm1, "
+            "arrayRotateRight(a, 1) AS r1 FROM t",
+            {"t": t},
+        ).collect()
+    }
+    assert out[1] == (
+        [2, 3, 4, 1], [2, 3, 4, 1], [4, 1, 2, 3], [4, 1, 2, 3]
+    )
+    assert out[2] == ([], [], [], [])
+    assert out[3] == (None, None, None, None)
+
+
+def test_array_reduce_literal_names(spark):
+    t = spark.createDataFrame(
+        [(1, [3, 1, None, 3])], "k int, a array<int>"
+    )
+    r = chsql.run_sql(
+        spark,
+        "SELECT arrayReduce('max', a) AS mx, arrayReduce('min', a) AS mn, "
+        "arrayReduce('count', a) AS c, arrayReduce('avg', a) AS av, "
+        "arrayReduce('uniqExact', a) AS u FROM t",
+        {"t": t},
+    ).collect()[0]
+    assert (r["mx"], r["mn"], r["c"], r["av"]) == (3, 1, 3, 7.0 / 3)
+    assert r["u"] == 3  # {3, 1, NULL}
+    with pytest.raises(ValueError, match="arraySum"):
+        chsql.run_sql(
+            spark, "SELECT arrayReduce('sum', a) AS s FROM t", {"t": t}
+        )
+    with pytest.raises(ValueError, match="LITERAL aggregate name"):
+        chsql.run_sql(
+            spark, "SELECT arrayReduce(k, a) AS s FROM t", {"t": t}
+        )

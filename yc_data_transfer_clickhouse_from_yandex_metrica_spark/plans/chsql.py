@@ -131,6 +131,23 @@ vocabulary):
   as the left table's alias).  ``PASTE JOIN`` (positional pairing,
   CH 24.x) refuses by name — a passthrough silently degrades to a
   cross product.
+- aggregate combinators (r12): ``groupArrayIf`` / ``groupUniqArrayIf``
+  (CASE-to-NULL), the ``-Array`` element-level family (``minArray
+  maxArray countArray avgArray groupArrayArray groupUniqArrayArray
+  uniqArray uniqExactArray`` — per-row map-side reductions, no
+  explode; uniqArray is EXACT, a documented strengthening), and
+  ``arrayReduce('agg', arr)`` for literal max/min/count/avg/uniqExact
+  (sum points at the schema-typed arraySum).  An ``-If`` on a
+  PARAMETRIZED aggregate refuses by name.
+- ``lagInFrame``/``leadInFrame`` -> lag/lead: exact for frameless
+  lagInFrame (CH's default frame contains every backward offset);
+  Spark REJECTS explicit frame specs on lag/lead so frame-bounded
+  calls fail loudly; frameless leadInFrame is a documented deviation
+  (CH's own default-frame form returns all-defaults — this compile
+  gives the forward offset of the extended-frame idiom).
+  ``rowNumberInAllBlocks()`` refuses (block-read order, the
+  runningDifference nondeterminism class); ``arrayRotateLeft/Right``
+  compile branch-free via pmod + two slices.
 - ``ORDER BY axis WITH FILL [STEP s] [INTERPOLATE (cols)]``: the
   aggregated axis densified via operators/series.fill_series -- one
   sort column, non-axis columns filled with their TYPE DEFAULTS
@@ -671,6 +688,51 @@ def _retention_sql(a: list[str]) -> str:
         f"CAST({flags[0]} * {f} AS INT)" for f in flags[1:]
     ]
     return "array(" + ", ".join(items) + ")"
+
+
+def _array_reduce_sql(a: list[str]) -> str:
+    """CH ``arrayReduce('agg', arr)``: per-row reduction of one
+    array's elements by a LITERAL aggregate name.  The type-safe
+    subset maps; 'sum' points at arraySum (whose accumulator is
+    schema-picked), dynamic names and multi-array forms refuse."""
+    if len(a) != 2:
+        raise ValueError(
+            "chsql: arrayReduce is compiled for the single-array form "
+            "arrayReduce('agg', arr) only"
+        )
+    m = re.fullmatch(r"\s*'(\w+)'\s*", a[0])
+    if not m:
+        raise ValueError(
+            "chsql: arrayReduce needs a LITERAL aggregate name "
+            "('max', 'min', 'avg', 'count', 'uniqExact')"
+        )
+    name, arr = m.group(1), a[1]
+    forms = {
+        "max": f"array_max({arr})",
+        "min": f"array_min({arr})",
+        "count": (
+            f"(size(filter({arr}, __x -> __x IS NOT NULL)) + "
+            f"(CASE WHEN ({arr}) IS NULL THEN NULL ELSE 0 END))"
+        ),
+        "avg": (
+            f"(aggregate(filter({arr}, __x -> __x IS NOT NULL), "
+            f"CAST(0.0 AS DOUBLE), (__a, __x) -> __a + __x) / "
+            f"nullif(size(filter({arr}, __x -> __x IS NOT NULL)), 0))"
+        ),
+        "uniqExact": f"size(array_distinct({arr}))",
+    }
+    if name == "sum":
+        raise ValueError(
+            "chsql: arrayReduce('sum', arr) — use arraySum(arr) / "
+            "sumArray(arr), whose accumulator type is picked from the "
+            "array's element schema"
+        )
+    if name not in forms:
+        raise ValueError(
+            f"chsql: arrayReduce aggregate {name!r} is not mapped "
+            f"(mapped: {sorted(forms)}; sum -> arraySum)"
+        )
+    return forms[name]
 
 
 def _zip2_guarded(lam: str, arr1: str, arr2: str) -> str:
@@ -1291,6 +1353,48 @@ _CALL_REWRITES: dict[str, object] = {
     "varSampStable": lambda a: f"var_samp({a[0]})",
     "covarPopStable": lambda a: f"covar_pop({a[0]}, {a[1]})",
     "covarSampStable": lambda a: f"covar_samp({a[0]}, {a[1]})",
+    # CH frame-bounded offset windows (r12).  With CH's DEFAULT frame
+    # (RANGE UNBOUNDED PRECEDING..CURRENT ROW) lagInFrame IS standard
+    # lag (backward offsets always land inside), so the mapping is
+    # exact for the frameless spelling; Spark REJECTS an explicit
+    # frame on lag/lead ("Cannot specify window frame"), so every
+    # frame-bounded call fails loudly instead of silently diverging.
+    # leadInFrame documented deviation: CH's default frame ends at the
+    # current row, so frameless leadInFrame returns all-defaults in CH
+    # (never what a query means); this compile gives the forward
+    # offset of CH's extended-frame idiom instead.
+    "lagInFrame": lambda a: f"lag({', '.join(a)})",
+    "leadInFrame": lambda a: f"lead({', '.join(a)})",
+    # CH rowNumberInAllBlocks numbers rows in BLOCK-READ order --
+    # unspecified on a distributed read, the runningDifference
+    # statement-order class
+    "rowNumberInAllBlocks": lambda a: (_ for _ in ()).throw(
+        ValueError(
+            "chsql: rowNumberInAllBlocks() numbers rows in block-read "
+            "order, which is not reproducible on a distributed read — "
+            "use row_number() OVER (ORDER BY <total order>)"
+        )
+    ),
+    # rotation via pmod + two slices: no data-dependent branch, empty
+    # arrays fall out of pmod(n, greatest(size, 1)) = 0 naturally,
+    # NULL array/shift propagate NULL
+    "arrayRotateLeft": lambda a: (
+        (
+            lambda arr, m: (
+                f"concat(slice({arr}, ({m}) + 1, size({arr}) - ({m})), "
+                f"slice({arr}, 1, {m}))"
+            )
+        )(a[0], f"pmod({a[1]}, greatest(size({a[0]}), 1))")
+    ),
+    "arrayRotateRight": lambda a: (
+        (
+            lambda arr, m: (
+                f"concat(slice({arr}, ({m}) + 1, size({arr}) - ({m})), "
+                f"slice({arr}, 1, {m}))"
+            )
+        )(a[0], f"pmod(-({a[1]}), greatest(size({a[0]}), 1))")
+    ),
+    "arrayReduce": _array_reduce_sql,
     # slope between the min-x and max-x points of the group
     "boundingRatio": lambda a: (
         f"((max_by({a[1]}, {a[0]}) - min_by({a[1]}, {a[0]})) "
@@ -2986,6 +3090,10 @@ _ARITY: dict[str, tuple[int, int | None]] = {
     "avgArray": (1, 1), "groupArrayArray": (1, 1),
     "groupUniqArrayArray": (1, 1), "uniqArray": (1, 1),
     "uniqExactArray": (1, 1),
+    "lagInFrame": (1, 3), "leadInFrame": (1, 3),
+    "rowNumberInAllBlocks": (0, 0),
+    "arrayRotateLeft": (2, 2), "arrayRotateRight": (2, 2),
+    "arrayReduce": (2, 9),
     "stddevPop": (1, 1), "stddevSamp": (1, 1),
     "varPop": (1, 1), "varSamp": (1, 1),
     "covarPop": (2, 2), "covarSamp": (2, 2),
