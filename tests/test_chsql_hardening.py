@@ -58,7 +58,9 @@ OVER_ARITY = [
     "SELECT intDiv(num, den, 1) FROM t",
     "SELECT ifNull(num, den, k) FROM t",
     "SELECT groupUniqArray(k, k) FROM t",
-    "SELECT arrayMap(x -> x, ints, ints) FROM t",  # CH multi-array form
+    # the 4-array lambda form stays refused (r12 mapped TWO arrays
+    # onto zip_with; three-plus keep the arity refusal)
+    "SELECT arrayMap(x -> x, ints, ints, ints) FROM t",
 ]
 
 
