@@ -275,3 +275,72 @@ def test_array_reduce_literal_names(spark):
         chsql.run_sql(
             spark, "SELECT arrayReduce(k, a) AS s FROM t", {"t": t}
         )
+
+
+# ---------------------------------------------------------------------------
+# date tail: makeDate / toWeek / toYearWeek
+# ---------------------------------------------------------------------------
+
+
+def test_make_date_forms(spark):
+    t = spark.createDataFrame([(1,)], "k int")
+    r = chsql.run_sql(
+        spark,
+        "SELECT makeDate(2023, 5, 7) AS d3, makeDate(2023, 42) AS d2, "
+        "makeDateTime(2023, 1, 2, 3, 4, 5) AS ts FROM t",
+        {"t": t},
+    ).collect()[0]
+    import datetime
+    assert r["d3"] == datetime.date(2023, 5, 7)
+    assert r["d2"] == datetime.date(2023, 2, 11)  # day-of-year 42
+    assert r["ts"] == datetime.datetime(2023, 1, 2, 3, 4, 5)
+
+
+def test_to_week_modes(spark, duck):
+    """Mode 0 == MySQL/DuckDB WEEK semantics is hand-pinned on the
+    boundary days; mode 3 == ISO weekofyear; other modes refuse."""
+    t = spark.createDataFrame(
+        [(1, "2023-01-01"), (2, "2024-01-01"), (3, "2024-01-07"),
+         (4, "2023-12-31"), (5, "2023-11-05")],
+        "k int, d string",
+    )
+    out = {
+        r["k"]: (r["w0"], r["w3"])
+        for r in chsql.run_sql(
+            spark,
+            "SELECT k, toWeek(toDate(d)) AS w0, toWeek(toDate(d), 3) AS w3 "
+            "FROM t ORDER BY k",
+            {"t": t},
+        ).collect()
+    }
+    # 2023-01-01 is a Sunday -> week 1 starts Jan 1 (mode 0); ISO says
+    # it belongs to 2022-W52
+    assert out[1] == (1, 52)
+    # 2024-01-01 is a Monday -> days before the first Sunday (Jan 7)
+    # are week 0; ISO calls it week 1
+    assert out[2] == (0, 1)
+    assert out[3] == (1, 1)   # the first Sunday itself
+    assert out[4] == (53, 52)  # 2023-12-31: Sunday, 53rd Sunday-week
+    assert out[5] == (45, 44)
+    with pytest.raises(ValueError, match="toWeek mode 5"):
+        chsql.run_sql(
+            spark, "SELECT toWeek(toDate(d), 5) AS w FROM t", {"t": t}
+        )
+
+
+def test_to_year_week_iso_only(spark):
+    t = spark.createDataFrame([(1, "2023-01-01"), (2, "2024-01-01")],
+                              "k int, d string")
+    out = {
+        r["k"]: r["yw"]
+        for r in chsql.run_sql(
+            spark,
+            "SELECT k, toYearWeek(toDate(d), 3) AS yw FROM t ORDER BY k",
+            {"t": t},
+        ).collect()
+    }
+    assert out == {1: 202252, 2: 202401}
+    with pytest.raises(ValueError, match="mode 3 .ISO. only"):
+        chsql.run_sql(
+            spark, "SELECT toYearWeek(toDate(d)) AS yw FROM t", {"t": t}
+        )

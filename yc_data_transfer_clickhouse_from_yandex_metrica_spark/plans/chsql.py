@@ -2518,6 +2518,56 @@ _CALL_REWRITES.update(
         # init, lambda) (single-array form; CH's multi-array zip form
         # keeps the arity refusal)
         "arrayFold": lambda a: f"aggregate({a[1]}, {a[2]}, {a[0]})",
+        # makeDate(y, m, d) / makeDate(y, day_of_year) (r12)
+        "makeDate": lambda a: (
+            f"make_date({', '.join(a)})"
+            if len(a) == 3
+            else f"date_add(make_date({a[0]}, 1, 1), "
+            f"CAST(({a[1]}) AS INT) - 1)"
+        ),
+        "makeDateTime": lambda a: f"make_timestamp({', '.join(a[:6])})",
+        # toWeek(d[, mode]) (r12): mode 0 (CH default) = MySQL WEEK 0
+        # — Sunday-start, days before the year's first Sunday are week
+        # 0 (floor toward -inf handles them); mode 3 = ISO.  The other
+        # seven MySQL modes refuse by number.
+        "toWeek": lambda a: (
+            (_ for _ in ()).throw(
+                ValueError(
+                    f"chsql: toWeek mode {a[1].strip()} is not mapped "
+                    "(modes 0 and 3 are; toISOWeek covers ISO)"
+                )
+            )
+            if len(a) > 1 and a[1].strip() not in ("0", "3")
+            else f"weekofyear(CAST({a[0]} AS DATE))"
+            if len(a) > 1 and a[1].strip() == "3"
+            else (
+                # date_trunc spelling: lowercase trunc( is a CH
+                # numeric-truncate rewrite key (cascade invariant)
+                (
+                    lambda d: (
+                        f"CAST(floor((dayofyear({d}) - 1 - "
+                        f"pmod(8 - dayofweek(date_trunc('year', {d})), "
+                        f"7)) / 7.0) + 1 AS INT)"
+                    )
+                )(f"CAST({a[0]} AS DATE)")
+            )
+        ),
+        # toYearWeek: only the ISO mode maps cleanly (mode 0's week-0
+        # days roll back into the PREVIOUS year's numbering)
+        "toYearWeek": lambda a: (
+            f"CAST(CAST(year(date_add(CAST({a[0]} AS DATE), "
+            f"3 - weekday({a[0]}))) AS INT) * 100 "
+            f"+ weekofyear(CAST({a[0]} AS DATE)) AS INT)"
+            if len(a) > 1 and a[1].strip() == "3"
+            else (_ for _ in ()).throw(
+                ValueError(
+                    "chsql: toYearWeek is mapped for mode 3 (ISO) only "
+                    "— the default mode's week-0 days take the "
+                    "PREVIOUS year's last week number; use "
+                    "toYearWeek(d, 3) or toISOYear/toISOWeek"
+                )
+            )
+        ),
         # ISO-8601 year = calendar year of that week's Thursday
         # (weekday() is Monday=0, so +3-weekday lands on Thursday)
         "toISOYear": lambda a: (
@@ -3175,6 +3225,8 @@ _ARITY: dict[str, tuple[int, int | None]] = {
     "extractURLParameters": (1, 1), "extractURLParameterNames": (1, 1),
     "queryStringAndFragment": (1, 1), "cutQueryStringAndFragment": (1, 1),
     "netloc": (1, 1), "toISOYear": (1, 1), "toStartOfISOYear": (1, 1),
+    "makeDate": (2, 3), "makeDateTime": (6, 6),
+    "toWeek": (1, 2), "toYearWeek": (1, 2),
     "positionCaseInsensitiveUTF8": (2, 2), "regexpExtract": (2, 3),
     "locate": (2, 3), "generateUUIDv4": (0, 1),
     "substringIndex": (3, 3), "initcapUTF8": (1, 1),
