@@ -344,3 +344,58 @@ def test_to_year_week_iso_only(spark):
         chsql.run_sql(
             spark, "SELECT toYearWeek(toDate(d)) AS yw FROM t", {"t": t}
         )
+
+
+# ---------------------------------------------------------------------------
+# IP / string tail: toIPv4, CIDR range, toFixedString, char, tokens, ngrams
+# ---------------------------------------------------------------------------
+
+
+def test_ipv4_tail(spark):
+    t = spark.createDataFrame([(1, "192.168.1.10")], "k int, ip string")
+    r = chsql.run_sql(
+        spark,
+        "SELECT toIPv4(ip) AS n, "
+        "IPv4CIDRToRange(toIPv4(ip), 16) AS r16, "
+        "IPv4CIDRToRange(toIPv4(ip), 0) AS r0, "
+        "IPv4CIDRToRange(toIPv4(ip), 32) AS r32, "
+        "IPv4NumToString(IPv4CIDRToRange(toIPv4(ip), 16).min) AS lo, "
+        "IPv4NumToString(IPv4CIDRToRange(toIPv4(ip), 16).max) AS hi "
+        "FROM t",
+        {"t": t},
+    ).collect()[0]
+    assert r["n"] == 3232235786
+    assert tuple(r["r16"]) == (3232235520, 3232301055)
+    # bits=0 is the whole space: BIGINT shift, no 32-bit wrap
+    assert tuple(r["r0"]) == (0, 4294967295)
+    assert tuple(r["r32"]) == (3232235786, 3232235786)
+    assert (r["lo"], r["hi"]) == ("192.168.0.0", "192.168.255.255")
+
+
+def test_to_fixed_string(spark):
+    from pyspark.errors.exceptions.base import PySparkException
+
+    t = spark.createDataFrame([(1, "ab")], "k int, s string")
+    r = chsql.run_sql(
+        spark, "SELECT toFixedString(s, 4) AS f FROM t", {"t": t}
+    ).collect()[0]
+    assert r["f"] == "ab\x00\x00"
+    with pytest.raises(PySparkException, match="longer than the fixed"):
+        chsql.run_sql(
+            spark, "SELECT toFixedString(s, 1) AS f FROM t", {"t": t}
+        ).collect()
+
+
+def test_char_multibyte_tokens_ngrams(spark):
+    t = spark.createDataFrame([(1, "Hello, world 42!")], "k int, s string")
+    r = chsql.run_sql(
+        spark,
+        "SELECT char(72, 105) AS c2, char(33) AS c1, "
+        "tokens(s) AS tok, ngrams('abcd', 2) AS ng, "
+        "ngrams('ab', 3) AS ng_short FROM t",
+        {"t": t},
+    ).collect()[0]
+    assert (r["c2"], r["c1"]) == ("Hi", "!")
+    assert r["tok"] == ["Hello", "world", "42"]
+    assert r["ng"] == ["ab", "bc", "cd"]
+    assert r["ng_short"] == []

@@ -1715,10 +1715,15 @@ _CALL_REWRITES.update(
         # IPv4 numeric<->dotted-quad; malformed strings yield NULL
         # (CH IPv4StringToNum THROWS -- NULL propagates loudly in a
         # pipeline without killing the job; documented deviation)
+        # shiftright() function spelling, not the `>>` operator: Spark
+        # fails to PARSE `>>` in any expression that also contains an
+        # inline struct(...).field access (empirically, Spark 4.1) --
+        # and composed calls like IPv4NumToString(range.min) hit
+        # exactly that
         "IPv4NumToString": lambda a: (
-            f"concat(CAST(((({a[0]}) >> 24) & 255) AS STRING), '.', "
-            f"CAST(((({a[0]}) >> 16) & 255) AS STRING), '.', "
-            f"CAST(((({a[0]}) >> 8) & 255) AS STRING), '.', "
+            f"concat(CAST((shiftright({a[0]}, 24) & 255) AS STRING), '.', "
+            f"CAST((shiftright({a[0]}, 16) & 255) AS STRING), '.', "
+            f"CAST((shiftright({a[0]}, 8) & 255) AS STRING), '.', "
             f"CAST((({a[0]}) & 255) AS STRING))"
         ),
         # additive NULL gate, never CASE around the fold (the measured
@@ -1731,6 +1736,62 @@ _CALL_REWRITES.update(
             f"'^([0-9]|[1-9][0-9]|1[0-9][0-9]|2[0-4][0-9]|25[0-5])"
             f"(\\\\.([0-9]|[1-9][0-9]|1[0-9][0-9]|2[0-4][0-9]|25[0-5])){{3}}$' "
             f"THEN CAST(0 AS BIGINT) END)"
+        ),
+        # the engine's IPv4 REPRESENTATION is the UInt32 number (the
+        # IPv4StringToNum form); toIPv4 lands on it, and the range
+        # struct below carries numbers -- render with IPv4NumToString
+        "toIPv4": lambda a: _CALL_REWRITES["IPv4StringToNum"]([a[0]]),
+        # (min, max) of the CIDR block as a struct of numbers.  BIGINT
+        # 1 before the shift: shiftleft over INT wraps at 32 bits,
+        # silently breaking the bits=0 whole-space case
+        "IPv4CIDRToRange": lambda a: (
+            (
+                lambda ip, low: (
+                    f"struct((({ip}) & (4294967295 - {low})) AS min, "
+                    f"(({ip}) | {low}) AS max)"
+                )
+            )(
+                a[0],
+                f"(shiftleft(CAST(1 AS BIGINT), 32 - ({a[1]})) - 1)",
+            )
+        ),
+        # CH pads with NUL bytes and ERRORS when the value is longer
+        # than n; rpad alone would silently TRUNCATE there (the raise
+        # rides a cheap CASE branch, rpad stays outside concerns: both
+        # branches are cheap scalar ops)
+        "toFixedString": lambda a: (
+            f"(CASE WHEN char_length({a[0]}) > ({a[1]}) THEN "
+            f"raise_error('chsql: toFixedString value longer than the "
+            f"fixed size (CH errors here)') "
+            f"ELSE rpad({a[0]}, {a[1]}, chr(0)) END)"
+        ),
+        # CH char(n1, n2, ...) builds a multi-byte string; Spark's
+        # char takes ONE code -- concat per argument (each arg mod 256
+        # in both engines).  CHAR uppercase: the rescan escape.
+        "char": lambda a: (
+            f"CHAR({a[0]})"
+            if len(a) == 1
+            else "concat(" + ", ".join(f"CHAR({x})" for x in a) + ")"
+        ),
+        # alphanumeric runs (the CH 'default' tokenizer); unicode
+        # letter/digit classes where CH is byte-ASCII -- documented
+        # superset deviation on non-ASCII text
+        "tokens": lambda a: (
+            f"filter(split({a[0]}, '[^\\\\p{{L}}\\\\p{{N}}]+'), "
+            f"__x -> __x != '')"
+        ),
+        # character n-grams, branch-free: sequence length clamps to 1
+        # (sequence(1, 0) would count DOWN), the outer slice restores
+        # the true count (0 for too-short strings)
+        "ngrams": lambda a: (
+            (
+                lambda s, n: (
+                    f"slice(transform(sequence(1, "
+                    f"greatest(char_length({s}) - ({n}) + 1, 1)), "
+                    f"__i -> substring({s}, __i, {n})), 1, "
+                    f"greatest(char_length({s}) - ({n}) + 1, 0))"
+                )
+            )(a[0], a[1])
         ),
     }
 )
@@ -3257,6 +3318,9 @@ _ARITY.update(
         "alphaTokens": (1, 1), "arrayResize": (2, 3),
         "tuple": (1, None), "tupleElement": (2, 2),
         "IPv4NumToString": (1, 1), "IPv4StringToNum": (1, 1),
+        "toIPv4": (1, 1), "IPv4CIDRToRange": (2, 2),
+        "toFixedString": (2, 2), "char": (1, None),
+        "tokens": (1, 1), "ngrams": (2, 2),
     }
 )
 
