@@ -399,3 +399,16 @@ def test_char_multibyte_tokens_ngrams(spark):
     assert r["tok"] == ["Hello", "world", "42"]
     assert r["ng"] == ["ab", "bc", "cd"]
     assert r["ng_short"] == []
+
+
+def test_bitmask_forms(spark):
+    t = spark.createDataFrame([(1,)], "k int")
+    r = chsql.run_sql(
+        spark,
+        "SELECT bitmaskToArray(10) AS a, bitmaskToList(10) AS l, "
+        "bitmaskToArray(0) AS z, bitmaskToList(0) AS zl FROM t",
+        {"t": t},
+    ).collect()[0]
+    assert r["a"] == [2, 8]
+    assert r["l"] == "2,8"
+    assert (r["z"], r["zl"]) == ([], "")

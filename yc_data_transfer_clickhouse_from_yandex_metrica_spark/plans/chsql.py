@@ -1773,6 +1773,20 @@ _CALL_REWRITES.update(
             if len(a) == 1
             else "concat(" + ", ".join(f"CHAR({x})" for x in a) + ")"
         ),
+        # set bits as ascending powers of two (63 magnitude bits; CH's
+        # UInt64 top bit is out of BIGINT range -- documented).  List
+        # form is CH's comma-joined STRING rendering of the same.
+        "bitmaskToArray": lambda a: (
+            f"filter(transform(sequence(0, 62), "
+            f"__i -> shiftleft(CAST(1 AS BIGINT), __i)), "
+            f"__b -> (({a[0]}) & __b) != 0)"
+        ),
+        "bitmaskToList": lambda a: (
+            f"array_join(transform(filter(transform(sequence(0, 62), "
+            f"__i -> shiftleft(CAST(1 AS BIGINT), __i)), "
+            f"__b -> (({a[0]}) & __b) != 0), "
+            f"__b -> CAST(__b AS STRING)), ',')"
+        ),
         # alphanumeric runs (the CH 'default' tokenizer); unicode
         # letter/digit classes where CH is byte-ASCII -- documented
         # superset deviation on non-ASCII text
@@ -3321,6 +3335,7 @@ _ARITY.update(
         "toIPv4": (1, 1), "IPv4CIDRToRange": (2, 2),
         "toFixedString": (2, 2), "char": (1, None),
         "tokens": (1, 1), "ngrams": (2, 2),
+        "bitmaskToArray": (1, 1), "bitmaskToList": (1, 1),
     }
 )
 
