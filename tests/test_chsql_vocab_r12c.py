@@ -412,3 +412,18 @@ def test_bitmask_forms(spark):
     assert r["a"] == [2, 8]
     assert r["l"] == "2,8"
     assert (r["z"], r["zl"]) == ([], "")
+
+
+def test_cidr_and_ngrams_literal_guards(spark):
+    """Literal arguments CH rejects refuse instead of wrapping: Spark
+    shift counts wrap mod 64 (bits > 32 would give a garbage mask)
+    and a size-0 ngram would emit empty-string grams."""
+    t = spark.createDataFrame([(1, "10.0.0.1")], "k int, ip string")
+    with pytest.raises(ValueError, match="outside 0..32"):
+        chsql.run_sql(
+            spark,
+            "SELECT IPv4CIDRToRange(toIPv4(ip), 40) AS r FROM t",
+            {"t": t},
+        )
+    with pytest.raises(ValueError, match="must be >= 1"):
+        chsql.run_sql(spark, "SELECT ngrams(ip, 0) AS n FROM t", {"t": t})

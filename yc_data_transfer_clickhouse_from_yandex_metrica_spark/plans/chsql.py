@@ -1745,7 +1745,18 @@ _CALL_REWRITES.update(
         # 1 before the shift: shiftleft over INT wraps at 32 bits,
         # silently breaking the bits=0 whole-space case
         "IPv4CIDRToRange": lambda a: (
-            (
+            # literal bits outside 0..32 refuse: Spark's shift counts
+            # wrap mod 64, so a negative 32-bits would produce a
+            # silently-garbage mask where CH errors
+            (_ for _ in ()).throw(
+                ValueError(
+                    f"chsql: IPv4CIDRToRange bits {a[1].strip()} is "
+                    "outside 0..32 (CH errors here)"
+                )
+            )
+            if re.fullmatch(r"\d+", a[1].strip())
+            and int(a[1].strip()) > 32
+            else (
                 lambda ip, low: (
                     f"struct((({ip}) & (4294967295 - {low})) AS min, "
                     f"(({ip}) | {low}) AS max)"
@@ -1798,7 +1809,17 @@ _CALL_REWRITES.update(
         # (sequence(1, 0) would count DOWN), the outer slice restores
         # the true count (0 for too-short strings)
         "ngrams": lambda a: (
-            (
+            # a literal n < 1 refuses (CH errors; the slice form would
+            # silently emit empty-string grams)
+            (_ for _ in ()).throw(
+                ValueError(
+                    f"chsql: ngrams size {a[1].strip()} must be >= 1 "
+                    "(CH errors here)"
+                )
+            )
+            if re.fullmatch(r"-?\d+", a[1].strip())
+            and int(a[1].strip()) < 1
+            else (
                 lambda s, n: (
                     f"slice(transform(sequence(1, "
                     f"greatest(char_length({s}) - ({n}) + 1, 1)), "
