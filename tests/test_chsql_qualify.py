@@ -204,3 +204,15 @@ def test_star_except_passes_through(spark, tbl):
         {"t": tbl},
     )
     assert [tuple(r) for r in out.collect()] == [(1, 10), (1, 20)]
+
+
+def test_qualify_with_named_window_clause(spark, tbl):
+    """The WINDOW clause rides inside the wrapped inner query, so
+    QUALIFY can reference a named window."""
+    out = chsql.run_sql(
+        spark,
+        "SELECT k, g, v FROM t WINDOW w AS (PARTITION BY k "
+        "ORDER BY v DESC, g) QUALIFY row_number() OVER w = 1 ORDER BY k",
+        {"t": tbl},
+    )
+    assert _rows(out) == [(1, "b", 20), (2, "a", 30)]
