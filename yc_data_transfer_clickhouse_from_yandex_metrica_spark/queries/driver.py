@@ -5033,34 +5033,11 @@ DRIVER_WINDOW = 50  # driver-checked prefix length (round-5 verdict)
 # next CORRECTNESS file re-proves them.  Maintained per round; clear
 # once the round's CORRECTNESS file shows them green again.
 ROTATION_FORCE_FRONT: frozenset[str] = frozenset(
-    # round 12: the r11 forced set landed green in CORRECTNESS_r11 and
-    # was cleared; this is the residue the guard's own
-    # test_stale_tail_is_provably_unchanged reports for the r12
-    # edits (the five r11-ADVICE fixes: chjoin FINAL/SAMPLE +
-    # ambiguity refusals, asof_join NULL-time semantics, locate()
-    # refusal, transform() matched-NULL guard, alias qualified-ref
-    # lookaround — all inside chsql.run_sql's closure).  16 forced +
-    # 2 new (chsql_qualify, chsql_distinct_on — never-verified, auto
-    # front) + 32 LRU slots; where_alias and scd2_range_join rotate
-    # in naturally as r10-green LRU entries, so their edits are free.
-    {
-        "asof_enrich",
-        "chsql_any_join",
-        "chsql_array_join",
-        "chsql_asof",
-        "chsql_daily_fill",
-        "chsql_federated_enrich",
-        "chsql_fill_interpolate",
-        "chsql_final",
-        "chsql_limit_by",
-        "chsql_model_final",
-        "chsql_s3_export",
-        "chsql_sample",
-        "chsql_summap",
-        "chsql_traffic_chart",
-        "chsql_visits_chart",
-        "chsql_word_count",
-    }
+    # round 13: the r12 forced set (16 chsql/asof closures re-proved
+    # after the r11-ADVICE fixes) landed green in CORRECTNESS_r12 —
+    # all 16 have hash-match rows there — so by this set's contract
+    # it empties now.  r13 keeps the tree still so the 19-entry
+    # r10-stale LRU cohort rotates through cleanly (F + new <= 3).
 )
 
 
