@@ -74,12 +74,16 @@ def test_asof_bare_column_colliding_with_cast_type_still_refuses(spark):
     )
     # `date` lives on BOTH sides and is neither a USING column nor an
     # ON equality key; the bare reference must refuse as ambiguous
-    # even though CAST(l.date AS DATE) puts an `AS date` token in the
-    # masked statement.
+    # even though CAST(l.date AS date) puts an `AS date` token in the
+    # masked statement.  (The exemption scan is case-sensitive, so the
+    # hole needs the CAST type spelled in the column's case — `AS
+    # DATE` happens not to exempt lowercase `date` today; the r14 fix
+    # must close the matching-case form without relying on that
+    # accident.)
     with pytest.raises(ValueError, match="ambiguous"):
         chjoin.run_sql(
             spark,
-            "SELECT l.k, CAST(l.date AS DATE) AS d, date "
+            "SELECT l.k, CAST(l.date AS date) AS d, date "
             "FROM l ASOF JOIN r ON l.k = r.k AND l.lt >= r.rt",
             {"l": left, "r": right},
         )
