@@ -159,6 +159,7 @@ STREAMING = [
     "streaming_roundtrip",
     "streaming_windowed",
     "streaming_dedup",
+    "streaming_neardup",
 ]
 
 # tmpfs-bound roundtrips: timed for completeness (registry coverage),

@@ -3016,6 +3016,88 @@ SELECT DISTINCT md5(text) AS h FROM documents
 """
 
 
+def q_streaming_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ingestion-side NEAR-dup triage (streaming/cdc.start_neardup_stream)
+    -- the streaming twin of ``dedup_minhash_lsh``: originals arrive as
+    micro-batch 1, the synthesized near-dup tails as micro-batch 2 (two
+    feeds, two availableNow drains -- the batch boundary is pinned, and
+    each feed is ONE file so a drain is ONE micro-batch).  Output =
+    (doc_id, is_dup, dup_of) of the landing zone.
+
+    The stream flags on the ESTIMATED Jaccard (fraction of agreeing
+    MinHash components; the signature store never keeps shingle sets),
+    so the oracle below recomputes the batch-greedy triage rule over
+    EXACT shingle Jaccard.  That substitution is sound here because
+    threshold 0.4 sits mid-band in a measured EMPTY region of the
+    corpus's exact pair-similarity distribution: no doc pair has exact
+    J in (0.125, 0.667) at sf0.001 or (0.076, 0.692) at sf0.01, so
+    with 64 hashes the estimator is >4.5 sigma from flipping any pair
+    on either side (sigma = sqrt(J(1-J)/64) <= 0.062) and banded LSH
+    (32 bands x 2 rows) misses the lowest true pair with
+    p ~ (1 - 0.667^2)^32 < 1e-8.  64 hashes (not more) is also the
+    performance shape: the signature aggregate is 64 flat MIN columns,
+    inside Spark's whole-stage-codegen field limit (maxFields = 100);
+    128+ columns drop the aggregate to interpreted eval, measured ~3x
+    the entry wall.  The margin covers within-batch AND store-vs-batch
+    candidates, so est-vs-exact can only diverge if the fixtures
+    change shape -- which the hash-compare would then catch, not
+    hide."""
+    _prep(spark)
+    base = tempfile.mkdtemp(prefix="ym_sneardup_q_")
+    feed, dest = f"{base}/feed", f"{base}/warehouse"
+    chk, state = f"{base}/checkpoint", f"{base}/state"
+    docs = _docs_with_dups(spark, sf_dir)
+    originals = docs.where(F.col("doc_id") < 100000)
+    tails = docs.where(F.col("doc_id") >= 100000)
+    for batch in (originals, tails):
+        batch.repartition(1).write.mode("append").parquet(feed)
+        q = cdc.start_neardup_stream(
+            spark, feed, docs.schema, dest, chk, state,
+            k=3, num_hashes=64, bands=32, threshold=0.4,
+        )
+        q.awaitTermination(180)
+    return (
+        spark.read.parquet(dest)
+        .select("doc_id", "is_dup", "dup_of")
+        .orderBy("doc_id")
+    )
+
+
+# Batch-greedy triage over exact Jaccard (threshold 0.4, empty-band
+# argument in the query docstring): batch 1 flags b iff ANY smaller-id
+# batch-1 doc matches (candidates include already-flagged docs -- the
+# documented greedy chain rule); only unflagged batch-1 docs enter the
+# signature store; batch 2 flags against store winners plus
+# smaller-id batch-2 docs.  dup_of = the smallest matching winner.
+_ORACLE_STREAMING_NEARDUP = f"""
+WITH {_DOCS_DUP_SQL},
+{_SHINGLES_SQL},
+{_JACCARD_PAIRS_SQL},
+p AS (SELECT id_a, id_b FROM pairs WHERE j >= 0.4),
+f1 AS (
+  SELECT id_b, min(id_a) AS dup_of FROM p
+  WHERE id_a < 100000 AND id_b < 100000 GROUP BY id_b
+),
+f2 AS (
+  SELECT id_b, min(id_a) AS dup_of FROM (
+    SELECT p.id_a, p.id_b FROM p
+    WHERE p.id_b >= 100000 AND p.id_a < 100000
+      AND p.id_a NOT IN (SELECT id_b FROM f1)
+    UNION ALL
+    SELECT id_a, id_b FROM p WHERE id_a >= 100000 AND id_b >= 100000
+  ) GROUP BY id_b
+),
+fl AS (
+  SELECT * FROM f1
+  UNION ALL
+  SELECT * FROM f2
+)
+SELECT d.doc_id, fl.dup_of IS NOT NULL AS is_dup, fl.dup_of
+FROM docs d LEFT JOIN fl ON d.doc_id = fl.id_b
+ORDER BY d.doc_id
+"""
+
+
 # =========================================================================
 # 24. cdc_collapse -- sign-ledger construction + collapse-to-latest
 #     equivalence (A1/A11/ST3): live count per week == users whose final
@@ -4939,6 +5021,7 @@ QUERIES: dict[str, QuerySpec] = {
     "streaming_roundtrip": QuerySpec(q_streaming_roundtrip, _ORACLE_STREAMING, "ST1 ST4 ST7"),
     "streaming_windowed": QuerySpec(q_streaming_windowed, _ORACLE_STREAMING_WINDOWED, "ST-ext: watermarked tumbling-window stream aggregation"),
     "streaming_dedup": QuerySpec(q_streaming_dedup, _ORACLE_STREAMING_DEDUP, "ST-ext: stateful streaming exact dedup (dedup/exact at ingest)"),
+    "streaming_neardup": QuerySpec(q_streaming_neardup, _ORACLE_STREAMING_NEARDUP, "ST-ext: streaming MinHash near-dup triage at ingest (bounded signature store; batch twin dedup_minhash_lsh)"),
     "cdc_collapse": QuerySpec(q_cdc_collapse, _ORACLE_CDC_COLLAPSE, "A1 A11 ST3"),
     "pricing_summary": QuerySpec(q_pricing_summary, _ORACLE_PRICING, "A8 P5 agg-bench"),
     "regional_revenue": QuerySpec(q_regional_revenue, _ORACLE_REGIONAL, "J1 A8 multi-join-bench"),
