@@ -1,0 +1,215 @@
+"""Hypothesis property tests for skew-safe rewrites, sessionize, and
+exact ANN against pure-Python models.
+
+- salted_agg / salted_join: the REWRITE property — identical results
+  to the plain groupBy / join for any salt width, any data (that is
+  the operators' whole contract; the salt must never leak into
+  results).
+- sessionize: the session_window split model (new session only when
+  the inter-event gap is STRICTLY greater than the timeout — an
+  event at exactly prev + gap still extends the session, i.e. Spark
+  merges on window-end inclusively; the strategy generates
+  exact-boundary gaps so this stays pinned).
+- brute_topk: exact cosine top-k vs a Python model with the same
+  (cos desc, neighbor id asc) tie-break and round_to(4) output.
+"""
+
+from __future__ import annotations
+
+import math
+from datetime import datetime, timezone
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=3),  # key (hot: few keys)
+            st.integers(min_value=-50, max_value=50),
+        ),
+        min_size=1,
+        max_size=40,
+    ),
+    st.integers(min_value=1, max_value=8),  # nsalt
+)
+def test_salted_agg_equals_plain_agg(spark, rows, nsalt):
+    from pyspark.sql import functions as F
+
+    from yc_data_transfer_clickhouse_from_yandex_metrica_spark.operators import skew
+
+    df = spark.createDataFrame(rows, "k int, v long")
+    got = sorted(
+        tuple(r)
+        for r in skew.salted_agg(
+            df,
+            ["k"],
+            {
+                "s": ("sum", "v"),
+                "n": ("count", "v"),
+                "mn": ("min", "v"),
+                "mx": ("max", "v"),
+            },
+            nsalt=nsalt,
+        ).collect()
+    )
+    want = sorted(
+        tuple(r)
+        for r in df.groupBy("k")
+        .agg(
+            F.sum("v").alias("s"),
+            F.count("v").alias("n"),
+            F.min("v").alias("mn"),
+            F.max("v").alias("mx"),
+        )
+        .collect()
+    )
+    assert got == want
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=5),  # fact key
+            st.integers(min_value=0, max_value=99),  # payload
+        ),
+        min_size=1,
+        max_size=30,
+    ),
+    st.lists(
+        st.integers(min_value=0, max_value=5),  # dim keys (some missing)
+        min_size=0,
+        max_size=4,
+        unique=True,
+    ),
+    st.integers(min_value=1, max_value=5),  # nsalt
+    st.sampled_from(["inner", "left"]),
+)
+def test_salted_join_equals_plain_join(spark, fact_rows, dim_keys, nsalt, how):
+    from yc_data_transfer_clickhouse_from_yandex_metrica_spark.operators import skew
+
+    fact = spark.createDataFrame(fact_rows, "k int, p long")
+    dim = spark.createDataFrame(
+        [(k, f"d{k}") for k in dim_keys] or [(99, "none")], "k int, label string"
+    )
+    got = sorted(
+        tuple(r)
+        for r in skew.salted_join(fact, dim, ["k"], nsalt=nsalt, how=how).collect()
+    )
+    want = sorted(tuple(r) for r in fact.join(dim, on=["k"], how=how).collect())
+    assert got == want
+
+
+_GAPS = st.lists(
+    # inter-event gaps in seconds: cluster around the 1800 s timeout,
+    # INCLUDING the exact boundary
+    st.sampled_from([0, 1, 60, 1799, 1800, 1801, 4000]),
+    min_size=0,
+    max_size=10,
+)
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(st.lists(_GAPS, min_size=1, max_size=3))
+def test_sessionize_matches_gap_split_model(spark, users_gaps):
+    from yc_data_transfer_clickhouse_from_yandex_metrica_spark.operators import sessionize
+
+    base = int(datetime(2024, 3, 1, tzinfo=timezone.utc).timestamp())
+    rows, model = [], []
+    for u, gaps in enumerate(users_gaps):
+        ts, all_ts = base, [base]
+        for g in gaps:
+            ts += g
+            all_ts.append(ts)
+        for t in all_ts:
+            rows.append((u, datetime.fromtimestamp(t, tz=timezone.utc)))
+        # split model: only a gap STRICTLY > 1800 s starts a new
+        # session (hypothesis found the boundary: session_window
+        # merges an event landing at exactly prev + gap)
+        sessions, cur = [], [all_ts[0]]
+        for prev, t in zip(all_ts, all_ts[1:]):
+            if t - prev > 1800:
+                sessions.append(cur)
+                cur = [t]
+            else:
+                cur.append(t)
+        sessions.append(cur)
+        for s in sessions:
+            model.append((u, min(s), len(s), max(s) - min(s), len(s) == 1))
+
+    df = spark.createDataFrame(rows, "user_id int, ts timestamp")
+    out = sessionize.sessionize(df, gap="30 minutes").collect()
+    got = sorted(
+        (
+            r["user_id"],
+            int(r["session_start"].replace(tzinfo=timezone.utc).timestamp()),
+            r["n_events"],
+            r["duration_sec"],
+            r["is_bounce"],
+        )
+        for r in out
+    )
+    assert got == sorted(model), (users_gaps, got)
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    st.lists(
+        st.lists(
+            st.integers(min_value=-5, max_value=5),
+            min_size=3,
+            max_size=3,
+        ).filter(lambda v: any(v)),  # nonzero vectors only
+        min_size=2,
+        max_size=12,
+    ),
+    st.integers(min_value=1, max_value=4),  # k
+)
+def test_brute_topk_matches_python_model(spark, vecs, k):
+    from yc_data_transfer_clickhouse_from_yandex_metrica_spark.operators import similarity
+
+    data = [(i, [float(x) for x in v]) for i, v in enumerate(vecs)]
+    df = spark.createDataFrame(data, "vec_id long, embedding array<double>")
+    queries = df.selectExpr("vec_id AS query_id", "embedding").limit(3)
+    out = similarity.brute_topk(df, queries, k=k).collect()
+    got = sorted(
+        (r["query_id"], r["rank"], r["neighbor_id"], r["cos"]) for r in out
+    )
+
+    model = []
+    qids = [r["query_id"] for r in queries.collect()]
+    by_id = dict(data)
+    for qid in qids:
+        qv = by_id[qid]
+        qn = math.sqrt(sum(x * x for x in qv))
+        scored = []
+        for nid, nv in data:
+            if nid == qid:
+                continue
+            nn = math.sqrt(sum(x * x for x in nv))
+            cos = sum(a * b for a, b in zip(nv, qv)) / (nn * qn)
+            scored.append((-cos, nid))
+        for rank, (negcos, nid) in enumerate(sorted(scored)[:k], start=1):
+            model.append(
+                (qid, rank, nid, math.floor(-negcos * 1e4 + 0.5) / 1e4)
+            )
+    assert got == sorted(model), (vecs, got)
