@@ -427,20 +427,6 @@ def replace_all(s: ColumnOrName, needle: str, repl: str) -> Column:
     return F.replace(_col(s), F.lit(needle), F.lit(repl))
 
 
-def quantile_approx(
-    c: ColumnOrName, probs: list[float], accuracy: int = 10000
-) -> Column:
-    """ClickHouse ``quantileTDigest``-class approximate quantiles:
-    Spark's ``percentile_approx`` (Greenwald-Khanna sketch; mergeable,
-    bounded memory -- the property that matters at 100 TB).  Exact
-    counterparts live in ``operators/stats.py`` (quantile_exact);
-    approximate results are unit-gated against them, never
-    oracle-hashed (sketch outputs are engine-specific by nature)."""
-    return F.percentile_approx(
-        _col(c), F.array(*[F.lit(p) for p in probs]), F.lit(accuracy)
-    )
-
-
 def uniq_up_to(c: ColumnOrName, n: int) -> Column:
     """ClickHouse ``uniqUpTo(N)``: exact distinct count while it is
     <= N, else N+1 (the "more than N?" probe).  CH caps the hash-state
