@@ -72,6 +72,7 @@ def test_entry_rows_invariant_under_adversarial_layout(spark, name, monkeypatch)
         out.conf.set("spark.sql.files.maxPartitionBytes", "262144")
         out.conf.set("spark.sql.files.openCostInBytes", "0")
         out.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+        out.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "7")
         return out
 
     monkeypatch.setattr(driver, "tune", tiny_tune)
@@ -79,5 +80,8 @@ def test_entry_rows_invariant_under_adversarial_layout(spark, name, monkeypatch)
         got = _rowset(spec.build(spark, SF))
     finally:
         monkeypatch.undo()
-        orig_tune(spark)  # restore session conf for later tests
+        orig_tune(spark)  # restore the tune-owned conf keys
+        # and the adversarial keys tune does not own
+        spark.conf.unset("spark.sql.files.openCostInBytes")
+        spark.conf.unset("spark.sql.execution.arrow.maxRecordsPerBatch")
     assert got == base, name

@@ -82,6 +82,10 @@ def main(only: set[str]) -> int:
         out.conf.set("spark.sql.files.openCostInBytes", "0")
         # disable partition coalescing so the 5-way shuffles stay 5-way
         out.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+        # tiny odd Arrow batches: mapInPandas operators must be
+        # batch-shape independent (multimodal decoders, pandas-UDF
+        # paths see many small frames instead of one big one)
+        out.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "7")
         return out
 
     driver.tune = tiny_tune
@@ -104,7 +108,9 @@ def main(only: set[str]) -> int:
                 print(f"  adversarial-only: {only_g}")
     finally:
         driver.tune = orig_tune
-        orig_tune(spark)  # restore session conf
+        orig_tune(spark)  # restore the tune-owned conf keys
+        spark.conf.unset("spark.sql.files.openCostInBytes")
+        spark.conf.unset("spark.sql.execution.arrow.maxRecordsPerBatch")
 
     if failures:
         print(f"\nNOT INVARIANT: {failures}")
