@@ -1,7 +1,9 @@
-"""Round-12 ADVICE items (all **low**), deferred to round 14 — strict
-xfails pinning the DESIRED behavior, the same deferral-ledger pattern
-the r11 round used (tests/test_advice_r11_deferred.py, accepted by
-the r12 judge and flipped to live regression tests there).
+"""Round-12 ADVICE items (all **low**) — now FIXED on the
+`r14-advice-fixes` staging branch; these tests were strict xfails
+pinning the desired behavior during the r13 deferral and are live
+regression tests since the fixes landed (the same deferral-ledger
+pattern the r11 round used: tests/test_advice_r11_deferred.py was
+flipped to live tests by the r12 fix commit).
 
 Why deferred (the window arithmetic, README "Driver verification
 window"): every item is an edit to an existing plans/chsql.py or
@@ -48,21 +50,11 @@ import pytest
 from yc_data_transfer_clickhouse_from_yandex_metrica_spark.plans import chjoin, chsql
 
 
-@pytest.mark.xfail(
-    strict=True,
-    reason="ADVICE r12 #1 (deferred to r14): negative literal bits "
-    "bypass the 0..32 refusal — guard regex matches only \\d+",
-)
 def test_ipv4_cidr_negative_literal_bits_refused():
     with pytest.raises(ValueError, match="outside 0..32"):
         chsql._rewrite_calls("SELECT IPv4CIDRToRange(ip, -5) FROM t")
 
 
-@pytest.mark.xfail(
-    strict=True,
-    reason="ADVICE r12 #2 (deferred to r14): CAST(x AS DATE) exempts "
-    "a both-side column named 'date' from the ASOF ambiguity refusal",
-)
 def test_asof_bare_column_colliding_with_cast_type_still_refuses(spark):
     left = spark.createDataFrame(
         [(1, 10, "2024-01-02"), (2, 20, "2024-01-03")],
@@ -89,11 +81,6 @@ def test_asof_bare_column_colliding_with_cast_type_still_refuses(spark):
         )
 
 
-@pytest.mark.xfail(
-    strict=True,
-    reason="ADVICE r12 #3 (deferred to r14): toFixedString overflow "
-    "check counts characters; CH FixedString(n) is byte-sized",
-)
 def test_to_fixed_string_overflow_is_byte_sized(spark):
     # 'éé' is 2 characters but 4 UTF-8 bytes: CH errors at n=3; the
     # char_length guard lets it through and pads per-character.
@@ -103,11 +90,6 @@ def test_to_fixed_string_overflow_is_byte_sized(spark):
         out.collect()
 
 
-@pytest.mark.xfail(
-    strict=True,
-    reason="ADVICE r12 #3 (deferred to r14): NUL padding is "
-    "per-character; CH pads to n BYTES",
-)
 def test_to_fixed_string_pads_to_byte_length(spark):
     # 'é' is 1 character / 2 bytes: CH FixedString(4) yields 2 NUL
     # pad bytes (4 bytes total); the per-character rpad yields 3

@@ -225,6 +225,28 @@ def _sub_bare(sql: str, name: str, repl: str) -> str:
     return "".join(out)
 
 
+def _toplevel_aliases(masked: str) -> set[str]:
+    """``AS name`` tokens at paren depth 0 of a MASKED statement.
+
+    Output aliases are the only top-level ``AS``: ``CAST(x AS DATE)``
+    and every function-internal ``AS`` sit inside parens, so depth
+    filtering strictly SHRINKS the ambiguity-refusal exemption set —
+    it can only add refusals, never silence one (ADVICE r12 #2: a
+    whole-statement scan let a both-side column named like a CAST
+    type escape the bare-reference refusal and resolve left)."""
+    out: set[str] = set()
+    depth = 0
+    for m in re.finditer(r"[()]|\bAS\s+(`?)(\w+)\1", masked, re.I):
+        tok = m.group(0)
+        if tok == "(":
+            depth += 1
+        elif tok == ")":
+            depth -= 1
+        elif depth == 0:
+            out.add(m.group(2))
+    return out
+
+
 def _has_bare_ref(sql: str, name: str) -> bool:
     """True when ``name`` appears as a BARE column reference (plain or
     backtick-quoted) outside literals — not qualified by ``.``, not an
@@ -409,12 +431,10 @@ def compile_strictness_joins(
         )
         # names defined as OUTPUT aliases are alias references under
         # CH's resolution order (alias beats column), not ambiguous —
-        # `SELECT a.ts AS ts ... ORDER BY ts` orders by the alias
-        out_masked = chsql._mask(out_sql)
-        exempt |= {
-            mm.group(2)
-            for mm in re.finditer(r"\bAS\s+(`?)(\w+)\1", out_masked, re.I)
-        }
+        # `SELECT a.ts AS ts ... ORDER BY ts` orders by the alias.
+        # Depth-0 only: CAST(x AS DATE) must not exempt a both-side
+        # column named `date` (ADVICE r12 #2)
+        exempt |= _toplevel_aliases(chsql._mask(out_sql))
         for col in sorted((left.cols & set(right.df.columns)) - exempt):
             if _has_bare_ref(out_sql, col):
                 raise ValueError(

@@ -1746,16 +1746,17 @@ _CALL_REWRITES.update(
         # silently breaking the bits=0 whole-space case
         "IPv4CIDRToRange": lambda a: (
             # literal bits outside 0..32 refuse: Spark's shift counts
-            # wrap mod 64, so a negative 32-bits would produce a
-            # silently-garbage mask where CH errors
+            # wrap mod 64, so a negative or >32 bits would produce a
+            # silently-garbage mask where CH errors (-?\d+ so negative
+            # literals hit the guard too, ADVICE r12 #1)
             (_ for _ in ()).throw(
                 ValueError(
                     f"chsql: IPv4CIDRToRange bits {a[1].strip()} is "
                     "outside 0..32 (CH errors here)"
                 )
             )
-            if re.fullmatch(r"\d+", a[1].strip())
-            and int(a[1].strip()) > 32
+            if re.fullmatch(r"-?\d+", a[1].strip())
+            and not 0 <= int(a[1].strip()) <= 32
             else (
                 lambda ip, low: (
                     f"struct((({ip}) & (4294967295 - {low})) AS min, "
@@ -1768,13 +1769,17 @@ _CALL_REWRITES.update(
         ),
         # CH pads with NUL bytes and ERRORS when the value is longer
         # than n; rpad alone would silently TRUNCATE there (the raise
-        # rides a cheap CASE branch, rpad stays outside concerns: both
-        # branches are cheap scalar ops)
+        # rides a cheap CASE branch; both branches are cheap scalar
+        # ops).  FixedString(n) is n BYTES, so the guard and padding
+        # are octet-based — 'éé' overflows n=3 and 'é' pads to 4
+        # bytes with TWO NULs, matching CH on non-ASCII (ADVICE r12
+        # #3; rpad/char_length counted characters)
         "toFixedString": lambda a: (
-            f"(CASE WHEN char_length({a[0]}) > ({a[1]}) THEN "
+            f"(CASE WHEN octet_length({a[0]}) > ({a[1]}) THEN "
             f"raise_error('chsql: toFixedString value longer than the "
             f"fixed size (CH errors here)') "
-            f"ELSE rpad({a[0]}, {a[1]}, chr(0)) END)"
+            f"ELSE concat({a[0]}, repeat(chr(0), "
+            f"({a[1]}) - octet_length({a[0]}))) END)"
         ),
         # CH char(n1, n2, ...) builds a multi-byte string; Spark's
         # char takes ONE code -- concat per argument (each arg mod 256
