@@ -49,13 +49,18 @@ def test_with_ties_partial_limit_before_single_partition_exchange(spark):
         {"t": _tbl(spark)},
     )
     plan = _plan(out)
-    assert "WindowGroupLimit" in plan
-    partial = plan.index("Partial")
-    single = plan.index("Exchange SinglePartition")
+    # anchor to the operator line: a bare index('Partial') could match
+    # unrelated plan text (e.g. a future format that capitalizes
+    # partial aggregates) and silently change what the position check
+    # measures
+    partial = re.search(r"WindowGroupLimit.*Partial", plan)
+    single = re.search(r"Exchange SinglePartition", plan)
+    assert partial is not None, plan
+    assert single is not None, plan
     # plan strings print top-down (reduce above map): the Partial
     # group limit must appear BELOW the global exchange, i.e. on the
     # map side of it
-    assert partial > single, plan
+    assert partial.start() > single.start(), plan
     # and the result is still tie-complete: k=0 covers ids 0,13,26,...
     rows = out.collect()
     assert len(rows) > 5 and {r["k"] for r in rows} == {0}

@@ -212,4 +212,13 @@ def test_brute_topk_matches_python_model(spark, vecs, k):
             model.append(
                 (qid, rank, nid, math.floor(-negcos * 1e4 + 0.5) / 1e4)
             )
-    assert got == sorted(model), (vecs, got)
+    model = sorted(model)
+    # ids/ranks must agree exactly; the cos VALUE is compared with a
+    # tolerance because the Python model is only bit-identical to the
+    # JVM while the dot-product summation order matches — integer-
+    # valued dim-3 vectors make it exact today, but a dim or
+    # aggregation-order change must not surface as a round_to-boundary
+    # hypothesis flake
+    assert [t[:3] for t in got] == [t[:3] for t in model], (vecs, got)
+    for (_, _, _, gc), (_, _, _, mc) in zip(got, model):
+        assert math.isclose(gc, mc, abs_tol=1e-9), (vecs, got)

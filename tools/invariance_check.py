@@ -20,12 +20,15 @@ from __future__ import annotations
 
 import decimal
 import math
+import os
+import pathlib
 import sys
 import time
 
-sys.path.insert(0, "/root/repo")
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parents[1]))
 
-SF = "/root/testdata/sf0.01"
+# same convention as tests/test_partition_invariance.py
+SF = os.environ.get("SPARK_GRAFT_SF_DIR_SMALL", "/root/testdata/sf0.01")
 
 
 def norm(v):

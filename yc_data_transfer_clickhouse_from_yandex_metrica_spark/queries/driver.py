@@ -5116,11 +5116,33 @@ DRIVER_WINDOW = 50  # driver-checked prefix length (round-5 verdict)
 # next CORRECTNESS file re-proves them.  Maintained per round; clear
 # once the round's CORRECTNESS file shows them green again.
 ROTATION_FORCE_FRONT: frozenset[str] = frozenset(
-    # round 13: the r12 forced set (16 chsql/asof closures re-proved
-    # after the r11-ADVICE fixes) landed green in CORRECTNESS_r12 —
-    # all 16 have hash-match rows there — so by this set's contract
-    # it empties now.  r13 keeps the tree still so the 19-entry
-    # r10-stale LRU cohort rotates through cleanly (F + new <= 3).
+    # round 14: the `r14-advice-fixes` merge edited
+    # plans/chjoin.py:compile_strictness_joins (depth-0 AS-alias
+    # ambiguity exemption), which sits in the closure of every chsql
+    # registry entry (chjoin pre-compiles each statement).  All 17
+    # dependents are forced: they must re-verify regardless of LRU
+    # position, and forcing is the guard's prescribed mechanism.
+    # F = 17 leaves 33 LRU slots, so the 4-entry r11-stale streaming
+    # tail (LRU-first) still clears in r14.
+    {
+        "chsql_any_join",
+        "chsql_array_join",
+        "chsql_asof",
+        "chsql_daily_fill",
+        "chsql_distinct_on",
+        "chsql_federated_enrich",
+        "chsql_fill_interpolate",
+        "chsql_final",
+        "chsql_limit_by",
+        "chsql_model_final",
+        "chsql_qualify",
+        "chsql_s3_export",
+        "chsql_sample",
+        "chsql_summap",
+        "chsql_traffic_chart",
+        "chsql_visits_chart",
+        "chsql_word_count",
+    }
 )
 
 
