@@ -135,6 +135,18 @@ def ch_to_spark(ch_type: str, uint64: str = "decimal") -> tuple[T.DataType, bool
     """
     if uint64 not in ("decimal", "long"):
         raise ValueError(f"uint64 policy must be 'decimal' or 'long', got {uint64!r}")
+    try:
+        return _ch_to_spark(ch_type, uint64)
+    except IndexError:
+        # a parametric base with missing arguments (Nullable(),
+        # Decimal32(), Map(Int8)): typed refusal, not a crash — this
+        # string typically arrives from external DDL text
+        raise UnsupportedCHType(
+            f"malformed ClickHouse type {ch_type!r}: missing type arguments"
+        ) from None
+
+
+def _ch_to_spark(ch_type: str, uint64: str) -> tuple[T.DataType, bool]:
     base, args = _parse(ch_type)
     if base in _REJECT:
         raise UnsupportedCHType(f"ClickHouse type {ch_type!r}: {_REJECT[base]}")
