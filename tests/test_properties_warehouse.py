@@ -1,0 +1,102 @@
+"""Property test for warehouse TTL tiering (S9) against a pure-Python
+Monday-week model: for random row dates and a random cutoff date,
+
+- the moved week list equals exactly the weeks STRICTLY older than
+  monday(cutoff) (model: ``d - timedelta(days=d.weekday())``),
+- the hot∪cold tiered read returns the original rows bit-for-bit
+  (tiering is metadata-only — no row may be lost or duplicated),
+- weeks at/after the cutoff week remain in the hot tier,
+- a second apply_ttl is a no-op (idempotent),
+- delete mode removes exactly the model's aged weeks.
+
+The unit test (test_operators.py) pins hand cases; this derives the
+week arithmetic independently so a ``to_monday`` or lexicographic-
+comparison regression (the aged check compares ISO strings) surfaces
+on random inputs.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import tempfile
+from datetime import date, timedelta
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from yc_data_transfer_clickhouse_from_yandex_metrica_spark.sources import warehouse
+
+_dates = st.dates(min_value=date(2022, 1, 1), max_value=date(2024, 12, 31))
+
+
+def _monday(d: date) -> str:
+    return (d - timedelta(days=d.weekday())).isoformat()
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    st.lists(_dates, min_size=1, max_size=12),
+    _dates,
+    st.sampled_from(["move", "delete"]),
+)
+def test_apply_ttl_matches_monday_model(spark, row_dates, cutoff, action):
+    base = tempfile.mkdtemp(prefix="ym_ttl_prop_")
+    try:
+        hot, cold = f"{base}/hot", f"{base}/cold"
+        layout = warehouse.TableLayout(date_col="d", sort_by=["k"])
+        rows = [(d, i) for i, d in enumerate(row_dates)]
+        df = spark.createDataFrame(rows, "d date, k int")
+        warehouse.write_table(df, hot, layout, mode="overwrite")
+
+        cutoff_week = _monday(cutoff)
+        all_weeks = sorted({_monday(d) for d in row_dates})
+        aged = [w for w in all_weeks if w < cutoff_week]
+        kept = [w for w in all_weeks if w >= cutoff_week]
+
+        kwargs = {"cold_path": cold} if action == "move" else {}
+        stats = warehouse.apply_ttl(
+            spark, hot, cutoff.isoformat(), action=action, **kwargs
+        )
+        key = "moved" if action == "move" else "deleted"
+        assert stats == {"cutoff_week": cutoff_week, key: aged}
+
+        hot_weeks = sorted(
+            n.split("=", 1)[1]
+            for n in os.listdir(hot)
+            if n.startswith("_week=")
+        )
+        assert hot_weeks == kept
+
+        want = sorted((d.isoformat(), k) for d, k in rows)
+        if action == "move":
+            got = warehouse.read_table_tiered(spark, hot, cold)
+            assert (
+                sorted((r["d"].isoformat(), r["k"]) for r in got.collect())
+                == want
+            )
+            # idempotent: second pass moves nothing
+            again = warehouse.apply_ttl(
+                spark, hot, cutoff.isoformat(), action="move", cold_path=cold
+            )
+            assert again[key] == []
+        else:
+            kept_rows = [
+                (d.isoformat(), k)
+                for d, k in rows
+                if _monday(d) >= cutoff_week
+            ]
+            if kept:
+                got = spark.read.parquet(hot)
+                assert (
+                    sorted((r["d"].isoformat(), r["k"]) for r in got.collect())
+                    == sorted(kept_rows)
+                )
+            else:
+                assert kept_rows == []
+    finally:
+        shutil.rmtree(base, ignore_errors=True)

@@ -44,6 +44,11 @@ def insert_csv(df: DataFrame, directory: str, basename: str, compression: str = 
         .write.mode("overwrite")
         .option("header", True)
         .option("compression", compression)
+        # Spark's CSV sink trims field whitespace by default; ClickHouse
+        # CSV export is byte-faithful — keep raw text intact (r14,
+        # found by the csvgz roundtrip property test)
+        .option("ignoreLeadingWhiteSpace", False)
+        .option("ignoreTrailingWhiteSpace", False)
         .csv(tmp)
     )
     part = next(f for f in os.listdir(tmp) if f.startswith("part-"))
@@ -69,6 +74,9 @@ def export_chunked(
         .option("header", True)
         .option("compression", compression)
         .option("maxRecordsPerFile", max_records_per_file)
+        # byte-faithful raw text, same as insert_csv (r14)
+        .option("ignoreLeadingWhiteSpace", False)
+        .option("ignoreTrailingWhiteSpace", False)
     )
     if partition_cols:
         w = w.partitionBy(*partition_cols)
