@@ -22,7 +22,7 @@ import shutil
 import tempfile
 from datetime import date, timedelta
 
-from hypothesis import HealthCheck, given, settings
+from hypothesis import HealthCheck, example, given, settings
 from hypothesis import strategies as st
 
 from yc_data_transfer_clickhouse_from_yandex_metrica_spark.sources import warehouse
@@ -43,6 +43,13 @@ def _monday(d: date) -> str:
     st.lists(_dates, min_size=1, max_size=12),
     _dates,
     st.sampled_from(["move", "delete"]),
+)
+# every week ages out: the hot root keeps only the meta sidecar and
+# the tiered read must degrade to the cold tier (r14 bug, fixed in
+# read_table_tiered — pinned here so the case survives a cleared
+# hypothesis database)
+@example(
+    row_dates=[date(2022, 1, 1)], cutoff=date(2022, 2, 1), action="move"
 )
 def test_apply_ttl_matches_monday_model(spark, row_dates, cutoff, action):
     base = tempfile.mkdtemp(prefix="ym_ttl_prop_")

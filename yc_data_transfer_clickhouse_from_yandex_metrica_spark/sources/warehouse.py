@@ -229,19 +229,29 @@ def read_table_tiered(
     """Union view over the hot and cold tiers produced by
     ``apply_ttl(action="move")``.  Both tiers keep the ``_week=``
     Hive layout, so date predicates prune directories in BOTH roots;
-    a missing/empty cold tier degrades to the hot tier alone."""
-    hot = spark.read.parquet(hot_path)
+    a missing/empty tier on EITHER side degrades to the other alone
+    (a TTL whose cutoff ages out every week leaves the hot root with
+    only the meta sidecar — found by the r14 TTL property test)."""
     jvm = spark._jvm
-    cold_root = jvm.org.apache.hadoop.fs.Path(cold_path)
-    fs = cold_root.getFileSystem(spark._jsc.hadoopConfiguration())
-    if not fs.exists(cold_root):
-        return hot
-    if not any(
-        st.getPath().getName().startswith(f"{WEEK_COL}=")
-        for st in fs.listStatus(cold_root)
-    ):
-        return hot
-    return hot.unionByName(spark.read.parquet(cold_path))
+    fs_path = jvm.org.apache.hadoop.fs.Path
+
+    def _has_weeks(path: str) -> bool:
+        root = fs_path(path)
+        fs = root.getFileSystem(spark._jsc.hadoopConfiguration())
+        return fs.exists(root) and any(
+            st.getPath().getName().startswith(f"{WEEK_COL}=")
+            for st in fs.listStatus(root)
+        )
+
+    hot_ok, cold_ok = _has_weeks(hot_path), _has_weeks(cold_path)
+    if hot_ok and cold_ok:
+        return spark.read.parquet(hot_path).unionByName(
+            spark.read.parquet(cold_path)
+        )
+    if cold_ok:
+        return spark.read.parquet(cold_path)
+    # both empty falls through to the reader's own clear error
+    return spark.read.parquet(hot_path)
 
 
 def compact_partitions(
