@@ -37,6 +37,11 @@ ENTRIES = [
     "event_transitions",
     "last_significant_source",
     "chsql_distinct_on",
+    # r14: tie resolution rides the union+window order
+    "asof_enrich",
+    # r14: deterministic next-fit packing must not depend on task
+    # boundaries
+    "pack_sequences",
 ]
 
 
