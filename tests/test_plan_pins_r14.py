@@ -19,6 +19,15 @@ until now were only hand-verified:
 A Spark upgrade or refactor that silently breaks these re-shuffles
 the full event table per extra stage at 100 TB — these pins turn
 that into a CI failure.
+
+Relation to the older pins in tests/test_operators.py
+(test_window_funnel_single_exchange, test_sequence_ops_single_
+exchange): those assert the PRE-execution plan of a 1-row,
+1-partition input; these run a 2,000-row, 8-partition input to
+completion and pin the FINAL adaptive plan — AQE is legally allowed
+to re-plan at runtime, so only an executed-plan check proves the
+shape that actually runs.  asof_join had no plan pin at all before
+r14.
 """
 
 from __future__ import annotations
