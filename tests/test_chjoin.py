@@ -449,3 +449,35 @@ class TestRefusals:
             {"c": self.c, "p": self.p},
         )
         assert [tuple(r) for r in out.collect()] == [(1, 3)]
+
+
+def test_subquery_alias_refusal_is_deliberate(spark):
+    """r14 review finding, pinned as policy: an alias for a both-side
+    column name defined INSIDE a parenthesized scope (CTE body,
+    IN-subquery) does not exempt the name from the post-ASOF ambiguity
+    refusal, even though the inner reference resolves locally.  The
+    alternative — masking `(SELECT ...)` spans from the bare-ref scan —
+    would silently pass a CORRELATED reference to an outer both-side
+    column, the exact silent-wrong class the gate refuses.  See the
+    comment at the exemption site in plans/chjoin.py."""
+    c = spark.createDataFrame([(1, 2)], "k long, t long")
+    p = spark.createDataFrame([(1, 2, 3)], "k long, t long, v long")
+    o = spark.createDataFrame([(1,)], "x long")
+    with pytest.raises(ValueError, match="ambiguous"):
+        chjoin.run_sql(
+            spark,
+            "SELECT c.k AS k, p.v AS v FROM c ASOF JOIN p "
+            "ON c.k = p.k AND c.t >= p.t "
+            "WHERE c.k IN (SELECT x AS t FROM o ORDER BY t)",
+            {"c": c, "p": p, "o": o},
+        )
+    # qualifying the inner reference (or renaming the inner alias so it
+    # no longer collides with the both-side name) compiles
+    out = chjoin.run_sql(
+        spark,
+        "SELECT c.k AS k, p.v AS v FROM c ASOF JOIN p "
+        "ON c.k = p.k AND c.t >= p.t "
+        "WHERE c.k IN (SELECT x AS xx FROM o ORDER BY xx)",
+        {"c": c, "p": p, "o": o},
+    ).collect()
+    assert [(r["k"], r["v"]) for r in out] == [(1, 3)]

@@ -114,7 +114,11 @@ def main(n_batches: int) -> int:
             spark, feed, schema, dest, chk, state,
             k=3, num_hashes=64, bands=32, threshold=0.4,
         )
-        q.awaitTermination(600)
+        if not q.awaitTermination(600):
+            # a still-running drain would let the loop read partial
+            # state and start a second query on the same checkpoint
+            q.stop()
+            raise RuntimeError(f"batch {b} drain exceeded 600s; aborting probe")
         wall = time.time() - t0
         store_bytes = du(sig_dir)
         corpus_bytes = du(dest)
@@ -138,12 +142,14 @@ def main(n_batches: int) -> int:
     second_half = [w for _, w, *_ in rows[n_batches // 2 :]]
     import statistics
 
-    print(
-        f"\nper-batch wall: first-half median "
-        f"{statistics.median(first_half):.1f}s, second-half median "
-        f"{statistics.median(second_half):.1f}s "
-        f"(flat-cost ratio {statistics.median(second_half) / statistics.median(first_half):.2f})"
-    )
+    if first_half and second_half:  # needs >= 4 batches for the split
+        m1, m2 = statistics.median(first_half), statistics.median(second_half)
+        print(
+            f"\nper-batch wall: first-half median {m1:.1f}s, "
+            f"second-half median {m2:.1f}s (flat-cost ratio {m2 / m1:.2f})"
+        )
+    else:
+        print("\n(too few batches for the flat-cost split; see per-batch lines)")
     last = rows[-1]
     print(
         f"final store/corpus byte ratio: {last[3] / max(last[4], 1):.4f} "

@@ -433,7 +433,18 @@ def compile_strictness_joins(
         # CH's resolution order (alias beats column), not ambiguous —
         # `SELECT a.ts AS ts ... ORDER BY ts` orders by the alias.
         # Depth-0 only: CAST(x AS DATE) must not exempt a both-side
-        # column named `date` (ADVICE r12 #2)
+        # column named `date` (ADVICE r12 #2).
+        # Known over-refusal (deliberate, r14 review): an alias defined
+        # INSIDE a parenthesized scope (CTE body, IN-subquery) no
+        # longer exempts, so a both-side column name referenced only
+        # within that inner scope refuses even though it resolves
+        # locally there.  Scoping the bare-ref scan to match would
+        # need real subquery-scope analysis — masking `(SELECT ...)`
+        # spans instead would silently PASS a correlated reference to
+        # an outer both-side column, the exact silent-wrong class this
+        # gate exists to refuse.  Rename or qualify the inner column;
+        # pinned in test_chjoin.py::test_subquery_alias_refusal_is_
+        # deliberate.
         exempt |= _toplevel_aliases(chsql._mask(out_sql))
         for col in sorted((left.cols & set(right.df.columns)) - exempt):
             if _has_bare_ref(out_sql, col):
