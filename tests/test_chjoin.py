@@ -481,3 +481,31 @@ def test_subquery_alias_refusal_is_deliberate(spark):
         {"c": c, "p": p, "o": o},
     ).collect()
     assert [(r["k"], r["v"]) for r in out] == [(1, 3)]
+
+
+class TestToplevelAliasDepthClamp:
+    """ADVICE r14 #2: `_toplevel_aliases` clamps paren depth at 0 so
+    malformed (unbalanced) masked text can neither lose a genuinely
+    top-level alias nor — worse — surface a nested alias at a fake
+    depth 0 and GROW the exemption set.  Pure-function pins; no Spark.
+    """
+
+    def test_balanced_baseline(self):
+        got = chjoin._toplevel_aliases(
+            "SELECT CAST(x AS DATE) AS d, sum(v) AS total FROM t"
+        )
+        assert got == {"d", "total"}
+
+    def test_stray_close_keeps_later_toplevel_alias(self):
+        # a stray ')' must not push the scanner to depth -1 and make
+        # it skip the genuinely top-level `AS kept`
+        got = chjoin._toplevel_aliases("x ) , y AS kept")
+        assert "kept" in got
+
+    def test_stray_close_cannot_promote_nested_alias(self):
+        # without the clamp, ')' then '(' nets depth 0 inside the
+        # parens, wrongly exempting `inner` (exemption-set growth —
+        # the unsafe direction the docstring forbids)
+        got = chjoin._toplevel_aliases("x ) ( a AS inner ) y AS outer")
+        assert "inner" not in got
+        assert "outer" in got

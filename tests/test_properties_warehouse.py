@@ -107,3 +107,34 @@ def test_apply_ttl_matches_monday_model(spark, row_dates, cutoff, action):
                 assert kept_rows == []
     finally:
         shutil.rmtree(base, ignore_errors=True)
+
+
+def test_tiered_read_refuses_non_weekly_hot_root(spark):
+    """ADVICE r14 #1: a hot root that exists and holds real entries
+    but no _week= directories is outside the apply_ttl layout; with a
+    populated cold tier the tiered read must ERROR, not silently serve
+    cold-only (data would vanish from the union view).  A hot root
+    holding only the meta sidecar stays the documented degrade-to-cold
+    case."""
+    base = tempfile.mkdtemp(prefix="ym_ttl_stray_")
+    try:
+        hot, cold = f"{base}/hot", f"{base}/cold"
+        layout = warehouse.TableLayout(date_col="d", sort_by=["k"])
+        df = spark.createDataFrame([(date(2022, 1, 3), 1)], "d date, k int")
+        warehouse.write_table(df, hot, layout, mode="overwrite")
+        # age out everything -> hot keeps only the meta sidecar
+        warehouse.apply_ttl(
+            spark, hot, "2023-01-01", action="move", cold_path=cold
+        )
+        got = warehouse.read_table_tiered(spark, hot, cold)
+        assert got.count() == 1  # sidecar-only hot degrades to cold
+
+        # now drop a stray non-weekly file into the hot root
+        with open(os.path.join(hot, "stray.parquet"), "w") as f:
+            f.write("not weekly layout")
+        import pytest
+
+        with pytest.raises(IOError, match="non-weekly"):
+            warehouse.read_table_tiered(spark, hot, cold)
+    finally:
+        shutil.rmtree(base, ignore_errors=True)

@@ -233,7 +233,12 @@ def _toplevel_aliases(masked: str) -> set[str]:
     filtering strictly SHRINKS the ambiguity-refusal exemption set —
     it can only add refusals, never silence one (ADVICE r12 #2: a
     whole-statement scan let a both-side column named like a CAST
-    type escape the bare-reference refusal and resolve left)."""
+    type escape the bare-reference refusal and resolve left).
+
+    Depth is clamped at 0 so a stray ``)`` in malformed input cannot
+    push later genuinely-top-level aliases to a fake negative depth
+    and grow the exemption set (ADVICE r14 #2 — the only-shrinks
+    guarantee must hold even on unbalanced text)."""
     out: set[str] = set()
     depth = 0
     for m in re.finditer(r"[()]|\bAS\s+(`?)(\w+)\1", masked, re.I):
@@ -241,7 +246,7 @@ def _toplevel_aliases(masked: str) -> set[str]:
         if tok == "(":
             depth += 1
         elif tok == ")":
-            depth -= 1
+            depth = max(0, depth - 1)
         elif depth == 0:
             out.add(m.group(2))
     return out

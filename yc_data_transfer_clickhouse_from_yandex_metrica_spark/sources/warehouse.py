@@ -231,19 +231,38 @@ def read_table_tiered(
     Hive layout, so date predicates prune directories in BOTH roots;
     a missing/empty tier on EITHER side degrades to the other alone
     (a TTL whose cutoff ages out every week leaves the hot root with
-    only the meta sidecar — found by the r14 TTL property test)."""
+    only the meta sidecar — found by the r14 TTL property test).
+    A hot root that exists and holds real entries but NO ``_week=``
+    directories is outside the ``apply_ttl`` layout entirely; that is
+    an error, not an empty tier — silently dropping it would hide
+    data (ADVICE r14 #1)."""
     jvm = spark._jvm
     fs_path = jvm.org.apache.hadoop.fs.Path
 
-    def _has_weeks(path: str) -> bool:
+    def _listing(path: str) -> list[str]:
         root = fs_path(path)
         fs = root.getFileSystem(spark._jsc.hadoopConfiguration())
-        return fs.exists(root) and any(
-            st.getPath().getName().startswith(f"{WEEK_COL}=")
-            for st in fs.listStatus(root)
-        )
+        if not fs.exists(root):
+            return []
+        return [st.getPath().getName() for st in fs.listStatus(root)]
 
-    hot_ok, cold_ok = _has_weeks(hot_path), _has_weeks(cold_path)
+    def _has_weeks(names: list[str]) -> bool:
+        return any(n.startswith(f"{WEEK_COL}=") for n in names)
+
+    hot_names, cold_names = _listing(hot_path), _listing(cold_path)
+    hot_ok, cold_ok = _has_weeks(hot_names), _has_weeks(cold_names)
+    if not hot_ok and cold_ok:
+        # '_'/'.'-prefixed entries are Hadoop metadata (the meta
+        # sidecar, _SUCCESS, hidden files) — readers ignore them, so
+        # an all-metadata hot root is genuinely empty, not stray
+        stray = [n for n in hot_names if not n.startswith(("_", "."))]
+        if stray:
+            raise IOError(
+                f"hot tier {hot_path!r} holds non-weekly entries "
+                f"{sorted(stray)[:5]} (no {WEEK_COL}= directories); "
+                "refusing to silently drop it from the tiered view — "
+                "expected the apply_ttl Hive layout"
+            )
     if hot_ok and cold_ok:
         return spark.read.parquet(hot_path).unionByName(
             spark.read.parquet(cold_path)
