@@ -5116,14 +5116,16 @@ DRIVER_WINDOW = 50  # driver-checked prefix length (round-5 verdict)
 # next CORRECTNESS file re-proves them.  Maintained per round; clear
 # once the round's CORRECTNESS file shows them green again.
 ROTATION_FORCE_FRONT: frozenset[str] = frozenset(
-    # round 14: the `r14-advice-fixes` merge edited
-    # plans/chjoin.py:compile_strictness_joins (depth-0 AS-alias
-    # ambiguity exemption), which sits in the closure of every chsql
-    # registry entry (chjoin pre-compiles each statement).  All 17
-    # dependents are forced: they must re-verify regardless of LRU
-    # position, and forcing is the guard's prescribed mechanism.
-    # F = 17 leaves 33 LRU slots, so the 4-entry r11-stale streaming
-    # tail (LRU-first) still clears in r14.
+    # round 15: ADVICE r14 #2 edited plans/chjoin.py
+    # `_toplevel_aliases` (paren-depth clamp), reached by
+    # compile_strictness_joins and therefore in the closure of every
+    # chsql registry entry (chjoin pre-compiles each statement).  The
+    # same 17 dependents stay forced — CORRECTNESS_r14 proved them
+    # green for the r14 merge, but the r15 clamp edit re-dirties the
+    # identical set, so the list carries over verbatim.  F = 17
+    # leaves 33 LRU slots; the 4-entry r12-stale tail
+    # (regional_revenue, metrica_*_chart, tfidf_top_terms) sits at
+    # positions 17-20, inside the window, and clears in r15.
     {
         "chsql_any_join",
         "chsql_array_join",
