@@ -5122,11 +5122,15 @@ ROTATION_FORCE_FRONT: frozenset[str] = frozenset(
     # chsql registry entry (chjoin pre-compiles each statement).  The
     # same 17 dependents stay forced — CORRECTNESS_r14 proved them
     # green for the r14 merge, but the r15 clamp edit re-dirties the
-    # identical set, so the list carries over verbatim.  F = 17
-    # leaves 33 LRU slots; the 4-entry r12-stale tail
-    # (regional_revenue, metrica_*_chart, tfidf_top_terms) sits at
-    # positions 17-20, inside the window, and clears in r15.
+    # identical set, so the list carries over verbatim.  Plus
+    # streaming_windowed: start_windowed_counts_stream gained the
+    # max_files_per_trigger option (split-invariance tests pin batch
+    # boundaries with it).  F = 18 leaves 32 LRU slots; the 4-entry
+    # r12-stale tail (regional_revenue, metrica_*_chart,
+    # tfidf_top_terms) sits at positions 18-21, inside the window,
+    # and clears in r15.
     {
+        "streaming_windowed",
         "chsql_any_join",
         "chsql_array_join",
         "chsql_asof",

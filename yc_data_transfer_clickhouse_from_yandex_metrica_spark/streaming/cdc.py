@@ -340,6 +340,7 @@ def start_windowed_counts_stream(
     fmt: str = "parquet",
     transform=None,
     output_mode: str = "complete",
+    max_files_per_trigger: int | None = None,
 ) -> StreamingQuery:
     """Tumbling-window streaming aggregation (the per-day chart feed,
     computed ON the stream): watermarked ``window(ts, len)`` counts
@@ -364,8 +365,14 @@ def start_windowed_counts_stream(
       test_windowed_counts_stream_update_mode.
 
     Either way the state is aggregate rows, NOT events.  availableNow
-    drain keeps tests deterministic."""
-    stream = spark.readStream.format(fmt).schema(schema).load(source_dir)
+    drain keeps tests deterministic; ``max_files_per_trigger`` pins
+    the micro-batch boundaries inside that drain (one batch per file
+    at 1) — the split-invariance property tests depend on it, and the
+    same option throttles per-batch work in continuous runs."""
+    reader = spark.readStream.format(fmt).schema(schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    stream = reader.load(source_dir)
     if transform is not None:
         stream = transform(stream)
     agg = (
