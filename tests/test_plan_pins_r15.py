@@ -248,3 +248,122 @@ def test_dedup_clusters_bounded_exchanges(spark):
     # join's own exchanges, never an iteration-count-dependent number
     n_ex = sum(1 for n, _ in nodes.values() if n == "Exchange")
     assert n_ex <= 3, fmt
+
+
+# ---------------------------------------------------------------------------
+# similarity / text / paragraph pins — the remaining shuffle-discipline
+# docstring claims (signlsh 20-byte band rows, IVF's 1-broadcast +
+# 1-rank-exchange, paragraph_dedup's hash-triple window, and the
+# map-side zero-exchange text family)
+# ---------------------------------------------------------------------------
+
+
+def _embeddings(spark, n=2000, dim=8):
+    return spark.range(n).select(
+        F.col("id").alias("vec_id"),
+        F.array(
+            *[
+                (F.hash(F.col("id"), F.lit(i)) % 1000).cast("double") / 1000.0
+                for i in range(dim)
+            ]
+        ).alias("embedding"),
+    )
+
+
+def test_signlsh_bucket_join_shape(spark):
+    from yc_data_transfer_clickhouse_from_yandex_metrica_spark.operators import similarity
+
+    out = similarity.signlsh_pairs(
+        _embeddings(spark).repartition(8), threshold=0.5, dim=8, nplanes=8
+    )
+    fmt = _formatted(out)
+    nodes = _final_nodes(fmt)
+    _assert_no_forbidden(nodes)
+
+    shj = _shj_on(nodes, ["tbl", "sig"])
+    assert len(shj) == 1, fmt
+
+    # 20-byte band rows: the bucket exchanges carry ONLY (id, tbl, sig)
+    for cols in _exchanges_on(nodes, ["tbl", "sig"]):
+        assert sorted(cols) == ["id", "sig", "tbl"], cols
+    assert "ReusedExchange" in _final_tree(fmt), fmt
+
+    # the embedding arrays never ride a hash exchange
+    for name, block in nodes.values():
+        if name == "Exchange" and "hashpartitioning" in block:
+            im = re.search(r"Input \[\d+\]: \[([^\]]*)\]", block)
+            assert not re.search(r"\b(v|va|vb|embedding)#", im.group(1)), block
+
+
+def test_ivf_topk_one_broadcast_one_rank_exchange(spark):
+    from yc_data_transfer_clickhouse_from_yandex_metrica_spark.operators import similarity
+
+    vectors = _embeddings(spark, 2000).repartition(8)
+    queries = _embeddings(spark, 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = similarity.ivf_topk(vectors, queries, k=5, nlist=8, nprobe=2)
+    fmt = _formatted(out)
+    nodes = _final_nodes(fmt)
+    _assert_no_forbidden(nodes)
+
+    # map-side assignment: the ONLY hash exchange is the per-query
+    # rank window; the probes side reaches the cid join by broadcast
+    hash_ex = [
+        block
+        for name, block in nodes.values()
+        if name == "Exchange" and "hashpartitioning" in block
+    ]
+    assert len(hash_ex) == 1, fmt
+    assert "hashpartitioning(query_id" in hash_ex[0], hash_ex[0]
+    n_bcast = sum(1 for n, _ in nodes.values() if n == "BroadcastExchange")
+    assert n_bcast == 1, fmt
+    # whole family is JVM expressions — no Python eval in the plan
+    assert not re.search(r"BatchEvalPython|ArrowEvalPython|MapInPandas", fmt)
+
+
+def test_paragraph_dedup_window_shuffles_hash_triples_only(spark):
+    docs = spark.range(200).select(
+        F.col("id").alias("doc_id"),
+        F.concat_ws(
+            "\n\n",
+            F.concat(F.lit("shared para "), F.col("id") % 5),
+            F.concat(F.lit("own para "), F.col("id")),
+        ).alias("text"),
+    ).repartition(8)
+    out = dedup.paragraph_dedup(docs)
+    fmt = _formatted(out)
+    nodes = _final_nodes(fmt)
+    _assert_no_forbidden(nodes)
+
+    # the first-occurrence window exchange carries (id, pos, __h) —
+    # never the paragraph text (that moves only in the documented
+    # keep-attach join and reassembly group)
+    h_exchanges = _exchanges_on(nodes, ["__h"])
+    assert h_exchanges, fmt
+    for cols in h_exchanges:
+        assert sorted(cols) == ["__h", "id", "pos"], cols
+
+
+def test_text_family_is_map_side_zero_exchange(spark):
+    from yc_data_transfer_clickhouse_from_yandex_metrica_spark.operators import text
+
+    docs = spark.range(500).select(
+        F.col("id").alias("doc_id"),
+        F.concat(
+            F.lit("Contact me at user"),
+            F.col("id"),
+            F.lit("@example.com or 555-123-4567; the quick brown fox."),
+        ).alias("text"),
+    )  # deliberately NOT repartitioned: range scan has no exchange,
+    # so ANY Exchange below must come from the operator itself
+    for op in (
+        lambda d: text.scrub_pii(d),
+        lambda d: text.text_stats(d),
+    ):
+        out = op(docs)
+        fmt = _formatted(out)
+        nodes = _final_nodes(fmt)
+        n_ex = sum(1 for n, _ in nodes.values() if "Exchange" in n)
+        assert n_ex == 0, fmt
+        assert not re.search(r"BatchEvalPython|ArrowEvalPython|MapInPandas", fmt)
