@@ -228,3 +228,61 @@ def test_neardup_triage_split_invariant(spark):
     )
     for n in SPLITS:
         assert results[n] == want, f"splits={n} triage diverged"
+
+
+def test_collapse_split_invariant(spark):
+    """The foreachBatch collapse merge: a well-formed sign ledger
+    (monotone versions per key, cancel rows always appended after the
+    state they cancel — the CDC wire contract collapsed() documents)
+    chunked 1/2/7 ways in APPEND order must materialize the same
+    collapsed table, equal to the batch collapse of the full ledger.
+    Chunk boundaries may split a (cancel, new-state) update pair:
+    monotone versions make that safe — the higher-version state wins
+    whether or not the cancel landed in the same micro-batch."""
+    from yc_data_transfer_clickhouse_from_yandex_metrica_spark.operators import collapse as col_ops
+
+    rows = []  # (seq, VisitID, VisitVersion, Sign, StartDate)
+    seq = 0
+    for k in range(50):
+        date = f"2022-01-{3 + 7 * (k % 3):02d}"  # 3 distinct weeks
+        n_ver = 1 + k % 4
+        for v in range(1, n_ver + 1):
+            if v > 1:
+                rows.append((seq, k, v - 1, -1, date)); seq += 1
+            rows.append((seq, k, v, 1, date)); seq += 1
+        if k % 10 == 9:  # hard delete: trailing cancel of the latest
+            rows.append((seq, k, n_ver, -1, date)); seq += 1
+    ledger = spark.createDataFrame(
+        rows,
+        "seq long, VisitID long, VisitVersion long, Sign int, StartDate string",
+    ).withColumn("StartDate", F.col("StartDate").cast("date"))
+
+    want = sorted(
+        (r["VisitID"], r["VisitVersion"], r["Sign"], str(r["StartDate"]))
+        for r in col_ops.collapsed(ledger.drop("seq")).collect()
+    )
+    assert want, "fixture collapsed to nothing — test would be vacuous"
+
+    results = {}
+    for n in SPLITS:
+        base = tempfile.mkdtemp(prefix=f"ym_split_col{n}_")
+        try:
+            feed, dest, chk = f"{base}/feed", f"{base}/dest", f"{base}/chk"
+            os.makedirs(feed)
+            for chunk in _chunks(ledger, n, "seq"):
+                chunk.drop("seq").coalesce(1).write.mode("append").parquet(feed)
+                q = cdc.start_collapse_stream(
+                    spark, feed, ledger.drop("seq").schema, dest, chk,
+                    key=["VisitID"], date_col="StartDate",
+                )
+                assert q.awaitTermination(120), "drain did not terminate"
+            results[n] = sorted(
+                (r["VisitID"], r["VisitVersion"], r["Sign"], str(r["StartDate"]))
+                for r in spark.read.parquet(dest)
+                .select("VisitID", "VisitVersion", "Sign", "StartDate")
+                .collect()
+            )
+        finally:
+            shutil.rmtree(base, ignore_errors=True)
+    for n in SPLITS:
+        assert results[n] == want, f"splits={n} diverged from batch collapse"
