@@ -85,6 +85,11 @@ def _shj_on(nodes: dict, key_cols: list[str]) -> list[tuple[str, str]]:
         if name != "ShuffledHashJoin":
             continue
         m = re.search(r"Left keys \[\d+\]: \[([^\]]*)\]", block)
+        if m is None:
+            # plan-format drift (Spark upgrade): skip so the caller's
+            # len()-assertion fails WITH the plan text, instead of an
+            # opaque AttributeError here
+            continue
         keys = [k.split("#")[0].strip() for k in m.group(1).split(",")]
         if keys == key_cols:
             hits.append((name, block))

@@ -136,5 +136,21 @@ def test_tiered_read_refuses_non_weekly_hot_root(spark):
 
         with pytest.raises(IOError, match="non-weekly"):
             warehouse.read_table_tiered(spark, hot, cold)
+
+        # r15 review: the guard is two-sided and fires regardless of
+        # the OTHER tier's state — stray hot with the cold tier gone,
+        # and stray cold beside a populated hot, must both refuse
+        # rather than silently serve one side
+        shutil.rmtree(cold)
+        with pytest.raises(IOError, match="hot tier .* non-weekly"):
+            warehouse.read_table_tiered(spark, hot, cold)
+
+        hot2, cold2 = f"{base}/hot2", f"{base}/cold2"
+        warehouse.write_table(df, hot2, layout, mode="overwrite")
+        os.makedirs(cold2)
+        with open(os.path.join(cold2, "stray.parquet"), "w") as f:
+            f.write("not weekly layout")
+        with pytest.raises(IOError, match="cold tier .* non-weekly"):
+            warehouse.read_table_tiered(spark, hot2, cold2)
     finally:
         shutil.rmtree(base, ignore_errors=True)

@@ -41,7 +41,7 @@ from yc_data_transfer_clickhouse_from_yandex_metrica_spark.operators import corp
 from yc_data_transfer_clickhouse_from_yandex_metrica_spark.session import get_spark
 
 SF = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-SF_SMALL = SF.replace("0.1", "0.01")
+SF_SMALL = SF.replace("sf0.1", "sf0.01")
 
 
 class StoragePoller:
@@ -155,6 +155,12 @@ def main() -> None:
         print(f"{label}: wall {wall:.2f}s  components {len({r['comp'] for r in lab})}")
 
     print("\n-- 3. corpus-independence (fixed 1x pairs, keep_best) --")
+    if SF_SMALL == SF or not os.path.isdir(SF_SMALL):
+        # replace() found nothing to rewrite (custom SF dir): comparing
+        # a corpus against itself would FABRICATE an independence
+        # result — refuse instead
+        print(f"skipped: no sibling sf0.01 corpus next to {SF!r}")
+        return
     # the SAME pair set for both corpora: chains over the id range the
     # smaller corpus covers, so only the assignment-join input grows
     fixed = (

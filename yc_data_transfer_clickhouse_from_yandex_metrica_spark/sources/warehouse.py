@@ -232,10 +232,11 @@ def read_table_tiered(
     a missing/empty tier on EITHER side degrades to the other alone
     (a TTL whose cutoff ages out every week leaves the hot root with
     only the meta sidecar — found by the r14 TTL property test).
-    A hot root that exists and holds real entries but NO ``_week=``
+    A tier that exists and holds real entries but NO ``_week=``
     directories is outside the ``apply_ttl`` layout entirely; that is
-    an error, not an empty tier — silently dropping it would hide
-    data (ADVICE r14 #1)."""
+    an error, not an empty tier — silently dropping it (or serving it
+    as the table) would hide data (ADVICE r14 #1; the r15 review made
+    the guard two-sided and independent of the other tier's state)."""
     jvm = spark._jvm
     fs_path = jvm.org.apache.hadoop.fs.Path
 
@@ -251,17 +252,22 @@ def read_table_tiered(
 
     hot_names, cold_names = _listing(hot_path), _listing(cold_path)
     hot_ok, cold_ok = _has_weeks(hot_names), _has_weeks(cold_names)
-    if not hot_ok and cold_ok:
+    for label, path, ok, names in (
+        ("hot", hot_path, hot_ok, hot_names),
+        ("cold", cold_path, cold_ok, cold_names),
+    ):
+        if ok:
+            continue
         # '_'/'.'-prefixed entries are Hadoop metadata (the meta
         # sidecar, _SUCCESS, hidden files) — readers ignore them, so
-        # an all-metadata hot root is genuinely empty, not stray
-        stray = [n for n in hot_names if not n.startswith(("_", "."))]
+        # an all-metadata root is genuinely empty, not stray
+        stray = [n for n in names if not n.startswith(("_", "."))]
         if stray:
             raise IOError(
-                f"hot tier {hot_path!r} holds non-weekly entries "
+                f"{label} tier {path!r} holds non-weekly entries "
                 f"{sorted(stray)[:5]} (no {WEEK_COL}= directories); "
-                "refusing to silently drop it from the tiered view — "
-                "expected the apply_ttl Hive layout"
+                "refusing to read around it — expected the apply_ttl "
+                "Hive layout on both tiers"
             )
     if hot_ok and cold_ok:
         return spark.read.parquet(hot_path).unionByName(
