@@ -372,3 +372,51 @@ def test_text_family_is_map_side_zero_exchange(spark):
         n_ex = sum(1 for n, _ in nodes.values() if "Exchange" in n)
         assert n_ex == 0, fmt
         assert not re.search(r"BatchEvalPython|ArrowEvalPython|MapInPandas", fmt)
+
+
+def test_dedup_exact_single_exchange(spark):
+    out = dedup.dedup_exact(_docs(spark), ["text"])
+    fmt = _formatted(out)
+    nodes = _final_nodes(fmt)
+    _assert_no_forbidden(nodes)
+    # one shuffle total: the (hash, content) window group; no join
+    hash_ex = [
+        block
+        for name, block in nodes.values()
+        if name == "Exchange" and "hashpartitioning" in block
+    ]
+    assert len(hash_ex) == 1, fmt
+    assert "hashpartitioning(__h" in hash_ex[0], hash_ex[0]
+    assert not any("Join" in n for n, _ in nodes.values()), fmt
+
+
+def test_contamination_inverted_index_shape(spark):
+    train = _docs(spark, 200)
+    bench = spark.range(40).select(
+        F.col("id").alias("doc_id"),
+        F.concat_ws(
+            " ",
+            *[
+                F.concat(F.lit("w"), ((F.col("id") % 7) * 31 + i) % 50)
+                for i in range(10)
+            ],
+        ).alias("text"),
+    )
+    out = dedup.contamination(train, bench, min_overlap=0.3)
+    fmt = _formatted(out)
+    nodes = _final_nodes(fmt)
+    _assert_no_forbidden(nodes)
+
+    shj = _shj_on(nodes, ["sh"])
+    assert len(shj) == 1, fmt
+
+    # both index sides shuffle 8-byte hashes + ids only — never text
+    # or shingle-set arrays
+    sh_ex = _exchanges_on(nodes, ["sh"])
+    assert sh_ex, fmt
+    for cols in sh_ex:
+        assert sorted(cols) in (["sh", "tid"], ["bid", "bn", "sh"]), cols
+    for name, block in nodes.values():
+        if name == "Exchange" and "hashpartitioning" in block:
+            im = re.search(r"Input \[\d+\]: \[([^\]]*)\]", block)
+            assert not _PAYLOAD.search(im.group(1)), block
