@@ -154,3 +154,77 @@ def test_tiered_read_refuses_non_weekly_hot_root(spark):
             warehouse.read_table_tiered(spark, hot2, cold2)
     finally:
         shutil.rmtree(base, ignore_errors=True)
+
+
+@settings(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    st.lists(st.integers(min_value=1, max_value=7), min_size=1, max_size=5),
+    st.integers(min_value=1, max_value=5),
+)
+def test_compact_partitions_matches_dirty_week_model(
+    spark, frags_per_week, max_files
+):
+    """Property form of the compaction unit test: random week count,
+    random fragmentation per week, random threshold.  Model: dirty =
+    weeks whose parquet-file count exceeds the threshold; compaction
+    must list exactly those, leave every clean week's file names
+    untouched, bring each dirty week to <= the target, and preserve
+    the row multiset bit-for-bit."""
+    base = tempfile.mkdtemp(prefix="ym_compact_prop_")
+    try:
+        path = f"{base}/tbl"
+        layout = warehouse.TableLayout(date_col="d", sort_by=["k"])
+        mondays = [date(2023, 10, 2) + timedelta(weeks=w)
+                   for w in range(len(frags_per_week))]
+        first = True
+        for w, (monday, nfrag) in enumerate(zip(mondays, frags_per_week)):
+            for j in range(nfrag):
+                frag = spark.createDataFrame(
+                    [(monday, 1000 * w + 10 * j + i) for i in range(5)],
+                    "d date, k int",
+                )
+                warehouse.write_table(
+                    frag, path, layout,
+                    mode="overwrite" if first else "append",
+                )
+                first = False
+
+        def files(wd):
+            return sorted(
+                f for f in os.listdir(os.path.join(path, wd))
+                if f.endswith(".parquet")
+            )
+
+        week_dirs = sorted(
+            d for d in os.listdir(path) if d.startswith("_week=")
+        )
+        before = {wd: files(wd) for wd in week_dirs}
+        model_dirty = sorted(
+            wd for wd, fl in before.items() if len(fl) > max_files
+        )
+        rows_before = sorted(
+            (str(r["d"]), r["k"])
+            for r in spark.read.parquet(path).collect()
+        )
+
+        stats = warehouse.compact_partitions(
+            spark, path, max_files_per_week=max_files,
+            target_files_per_week=1,
+        )
+        assert sorted(stats["files_before"]) == model_dirty
+        for wd in week_dirs:
+            if wd in model_dirty:
+                assert stats["files_after"][wd] <= 1  # == target
+            else:
+                assert files(wd) == before[wd], f"clean {wd} touched"
+        rows_after = sorted(
+            (str(r["d"]), r["k"])
+            for r in spark.read.parquet(path).collect()
+        )
+        assert rows_after == rows_before
+    finally:
+        shutil.rmtree(base, ignore_errors=True)

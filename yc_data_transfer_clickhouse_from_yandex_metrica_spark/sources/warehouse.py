@@ -295,9 +295,9 @@ def compact_partitions(
     driver-side DIRECTORY listing (metadata only, never data); the
     rewrite is ONE distributed job over just the dirty weeks, swapped
     in atomically per-partition via dynamic partition overwrite --
-    clean weeks are never read, never touched.  Rows are
-    range-clustered on (week, sort keys from table meta) so the
-    rewrite restores tight row-group min/max bounds too.
+    clean weeks are never read, never touched.  Every output file is
+    sorted on (week, sort keys from table meta), so the rewrite
+    restores tight row-group min/max bounds too.
 
     Returns {"files_before": {week: n}, "files_after": {week: n}}
     for the compacted weeks.
@@ -323,8 +323,19 @@ def compact_partitions(
         *[os.path.join(path, wd) for wd in dirty]
     )
     n_out = max(1, len(dirty) * target_files_per_week)
-    keys = [F.col(WEEK_COL)] + [F.col(c) for c in sort_by]
-    out = src.repartitionByRange(n_out, *keys)
+    # hash-repartition on (week, bounded salt), NOT repartitionByRange:
+    # range boundaries fall wherever the sampler puts them, so a week
+    # could straddle two range partitions and come out ABOVE the
+    # threshold it was compacted for (r15 property-test finding, 2
+    # dirty weeks at target 1 -> one week kept 2 files).  With a hash
+    # layout every (week, salt) group lands wholly in one task and the
+    # partitionBy(week) writer splits by directory, so each dirty week
+    # yields AT MOST target_files_per_week files, exactly as the
+    # contract states.  sortWithinPartitions keeps row-group min/max
+    # tight within every output file.
+    salt_src = [F.col(c) for c in sort_by] or [F.lit(0)]
+    salt = F.pmod(F.xxhash64(*salt_src), F.lit(int(target_files_per_week)))
+    out = src.repartition(n_out, F.col(WEEK_COL), salt)
     if sort_by:
         out = out.sortWithinPartitions(WEEK_COL, *sort_by)
     conf_key = "spark.sql.sources.partitionOverwriteMode"
