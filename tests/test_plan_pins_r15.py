@@ -420,3 +420,52 @@ def test_contamination_inverted_index_shape(spark):
         if name == "Exchange" and "hashpartitioning" in block:
             im = re.search(r"Input \[\d+\]: \[([^\]]*)\]", block)
             assert not _PAYLOAD.search(im.group(1)), block
+
+
+def test_salted_agg_phase1_exchange_carries_salt(spark):
+    from yc_data_transfer_clickhouse_from_yandex_metrica_spark.operators import skew
+
+    df = spark.range(5_000).select(
+        (F.col("id") % 3).alias("k"), F.col("id").alias("v")
+    ).repartition(8)
+    out = skew.salted_agg(df, ["k"], {"total": ("sum", "v")}, nsalt=16)
+    fmt = _formatted(out)
+    nodes = _final_nodes(fmt)
+    _assert_no_forbidden(nodes)
+    # two-phase shape: phase 1 shuffles on (k, salt) — the hot key
+    # spreads over nsalt reducers — phase 2 re-merges on k alone
+    ex_keys = []
+    for name, block in nodes.values():
+        if name == "Exchange" and "hashpartitioning" in block:
+            m = re.search(r"hashpartitioning\(([^)]*)\)", block)
+            ex_keys.append(
+                [k.split("#")[0].strip() for k in m.group(1).split(",") if "#" in k]
+            )
+    assert sorted(map(tuple, ex_keys)) == [("k",), ("k", "__salt")], fmt
+
+
+def test_salted_join_key_includes_salt(spark):
+    from yc_data_transfer_clickhouse_from_yandex_metrica_spark.operators import skew
+
+    fact = spark.range(5_000).select(
+        (F.col("id") % 3).alias("k"), F.col("id").alias("v")
+    ).repartition(8)
+    dim = spark.range(3).select(
+        F.col("id").alias("k"), (F.col("id") * 10).alias("attr")
+    )
+    out = skew.salted_join(fact, dim, ["k"], nsalt=16)
+    fmt = _formatted(out)
+    nodes = _final_nodes(fmt)
+    _assert_no_forbidden(nodes)
+    # whichever physical join AQE picks, its keys must be (k, salt):
+    # a refactor that drops the salt from the join condition re-packs
+    # every hot-key row onto one reducer in the shuffled case
+    joins = [
+        block for name, block in nodes.values() if name.endswith("Join")
+    ]
+    assert joins, fmt
+    for block in joins:
+        m = re.search(r"Left keys \[\d+\]: \[([^\]]*)\]", block)
+        assert m is not None, block
+        keys = [k.split("#")[0].strip() for k in m.group(1).split(",")]
+        assert keys == ["k", "__salt"], block
