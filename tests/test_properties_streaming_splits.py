@@ -286,3 +286,77 @@ def test_collapse_split_invariant(spark):
             shutil.rmtree(base, ignore_errors=True)
     for n in SPLITS:
         assert results[n] == want, f"splits={n} diverged from batch collapse"
+
+
+def test_latest_version_state_split_invariant(spark):
+    """The applyInPandasWithState tracker (ST3 option c): per-key
+    (version, net, live) resolution after ingesting the same ledger in
+    1/2/7 micro-batches must match the pure-Python fold (maxv = max
+    version, net = sum of signs AT maxv) for every chunking — the
+    state transition is order-insensitive by construction (rows below
+    the running max are ignored, rows at it accumulate, higher rows
+    reset), so batch boundaries cannot show through."""
+    import uuid
+
+    rows = []  # (seq, VisitID, VisitVersion, Sign)
+    seq = 0
+    for k in range(30):
+        n_ver = 1 + k % 3
+        for v in range(1, n_ver + 1):
+            if v > 1:
+                rows.append((seq, k, v - 1, -1)); seq += 1
+            rows.append((seq, k, v, 1)); seq += 1
+        if k % 5 == 4:  # delete: same-version trailing cancel
+            rows.append((seq, k, n_ver, -1)); seq += 1
+    ledger = spark.createDataFrame(
+        rows, "seq long, VisitID long, VisitVersion long, Sign int"
+    )
+
+    # pure-Python model
+    want = {}
+    for _, k, v, s in rows:
+        maxv, net = want.get(k, (None, 0))
+        if maxv is None or v > maxv:
+            maxv, net = v, s
+        elif v == maxv:
+            net += s
+        want[k] = (maxv, net)
+    want = {k: (v, n, n > 0) for k, (v, n) in want.items()}
+
+    for n in SPLITS:
+        base = tempfile.mkdtemp(prefix=f"ym_split_state{n}_")
+        try:
+            feed, chk, cap = f"{base}/feed", f"{base}/chk", f"{base}/cap"
+            os.makedirs(feed)
+
+            def capture(batch, batch_id, _cap=cap):
+                # the memory sink refuses checkpoint RECOVERY, so the
+                # sequential drains capture through foreachBatch; the
+                # shared checkpoint keeps batch_id monotone across
+                # drains, giving a per-key "latest update" order
+                batch.withColumn("_bid", F.lit(batch_id)).write.mode(
+                    "append"
+                ).parquet(_cap)
+
+            for chunk in _chunks(ledger, n, "seq"):
+                chunk.drop("seq").coalesce(1).write.mode("append").parquet(feed)
+                q = (
+                    cdc.latest_version_stream(
+                        spark, feed, ledger.drop("seq").schema
+                    )
+                    .writeStream.foreachBatch(capture)
+                    .queryName(f"lv_{uuid.uuid4().hex[:8]}")
+                    .outputMode("update")
+                    .option("checkpointLocation", chk)
+                    .trigger(availableNow=True)
+                    .start()
+                )
+                assert q.awaitTermination(120), "drain did not terminate"
+            got = {}
+            for r in sorted(
+                spark.read.parquet(cap).collect(), key=lambda r: r["_bid"]
+            ):
+                got[r["key"]] = (r["version"], r["net"], r["live"])
+            assert got == want, f"splits={n} diverged from the fold model"
+        finally:
+            shutil.rmtree(base, ignore_errors=True)
