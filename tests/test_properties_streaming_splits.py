@@ -16,8 +16,9 @@ Batch boundaries are pinned two ways, matching how each stream runs:
   chunks (dedup, windowed) — one micro-batch per file inside one
   availableNow drain;
 - sequential drain-per-chunk against a SHARED checkpoint (append
-  roundtrip, neardup) — each restart picks up only the new file, the
-  registry entries' own boundary-pinning pattern.
+  roundtrip, neardup, collapse merge, applyInPandasWithState
+  latest-version tracker) — each restart picks up only the new file,
+  the registry entries' own boundary-pinning pattern.
 
 Documented semantic bands the assertions respect:
 
