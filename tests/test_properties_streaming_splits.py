@@ -361,3 +361,53 @@ def test_latest_version_state_split_invariant(spark):
             assert got == want, f"splits={n} diverged from the fold model"
         finally:
             shutil.rmtree(base, ignore_errors=True)
+
+
+def test_windowed_counts_update_mode_split_invariant(spark):
+    """Update mode is the bounded-state PRODUCTION path (the watermark
+    evicts closed windows; the memory sink appends per-batch deltas,
+    counts monotone per key).  Split invariance here: max(n) per
+    (day, event_type) over the appended updates equals the batch
+    ground truth for every chunking — a boundary-dependent watermark
+    advance may change WHICH updates are emitted, never the final
+    per-key maximum, given the generous watermark keeps every row on
+    time."""
+    import uuid
+
+    src = _events(spark)
+    want = sorted(
+        (str(r["day"]), r["event_type"], r["n"])
+        for r in src.groupBy(
+            F.col("ts").cast("date").alias("day"), "event_type"
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    )
+    for n in SPLITS:
+        base = tempfile.mkdtemp(prefix=f"ym_split_winu{n}_")
+        try:
+            feed = f"{base}/feed"
+            os.makedirs(feed)
+            for chunk in _chunks(src, n, "event_id"):
+                chunk.coalesce(1).write.mode("append").parquet(feed)
+            name = f"split_winu_{uuid.uuid4().hex[:8]}"
+            q = cdc.start_windowed_counts_stream(
+                spark, feed, src.schema, "ts", ["event_type"],
+                window_len="1 day", watermark="90 days",
+                query_name=name, output_mode="update",
+                max_files_per_trigger=1,
+            )
+            assert q.awaitTermination(120), "drain did not terminate"
+            got = sorted(
+                (str(r["day"]), r["event_type"], r["n"])
+                for r in spark.table(name)
+                .groupBy(
+                    F.col("win_start").cast("date").alias("day"),
+                    "event_type",
+                )
+                .agg(F.max("n").alias("n"))
+                .collect()
+            )
+            assert got == want, f"splits={n} diverged from batch agg"
+        finally:
+            shutil.rmtree(base, ignore_errors=True)
