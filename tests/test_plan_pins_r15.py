@@ -469,3 +469,27 @@ def test_salted_join_key_includes_salt(spark):
         assert m is not None, block
         keys = [k.split("#")[0].strip() for k in m.group(1).split(",")]
         assert keys == ["k", "__salt"], block
+
+
+def test_domain_quota_single_window_exchange(spark):
+    from yc_data_transfer_clickhouse_from_yandex_metrica_spark.operators import corpus
+
+    docs = spark.range(2_000).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("d"), F.col("id") % 20).alias("domain"),
+        (F.col("id") % 97).alias("q"),
+    ).repartition(8)
+    out = corpus.domain_quota(docs, "domain", F.col("q").cast("double"), cap=5)
+    fmt = _formatted(out)
+    nodes = _final_nodes(fmt)
+    _assert_no_forbidden(nodes)
+    # one hash(domain) exchange feeds the per-domain rank window;
+    # nothing else shuffles
+    hash_ex = [
+        block
+        for name, block in nodes.values()
+        if name == "Exchange" and "hashpartitioning" in block
+    ]
+    assert len(hash_ex) == 1, fmt
+    assert "hashpartitioning(domain" in hash_ex[0], hash_ex[0]
+    assert not any("Join" in nm for nm, _ in nodes.values()), fmt
