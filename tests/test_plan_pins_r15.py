@@ -1,8 +1,11 @@
-"""Executed-plan pins for the dedup/LSH family (r15 verdict task 3).
+"""Executed-plan pins for the dedup/LSH family (r15 verdict task 3),
+extended over the round to 17 pins spanning the similarity, text,
+paragraph, contamination, corpus-quota, and skew-salting claims (see
+the section headers below).
 
 The r14 pattern (test_plan_pins_r14.py) applied to the remaining
 100 TB-critical docstring claims, until now verified only by PLANS.md
-hand probes:
+hand probes — the original four:
 
 - ``minhash_lsh_pairs``: the banded candidate join is a
   ShuffledHashJoin keyed (band, bh); the exchange feeding it carries
