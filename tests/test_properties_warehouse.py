@@ -24,6 +24,7 @@ from datetime import date, timedelta
 
 from hypothesis import HealthCheck, example, given, settings
 from hypothesis import strategies as st
+from pyspark.sql import functions as F
 
 from yc_data_transfer_clickhouse_from_yandex_metrica_spark.sources import warehouse
 
@@ -164,16 +165,19 @@ def test_tiered_read_refuses_non_weekly_hot_root(spark):
 @given(
     st.lists(st.integers(min_value=1, max_value=7), min_size=1, max_size=5),
     st.integers(min_value=1, max_value=5),
+    st.integers(min_value=1, max_value=3),
 )
 def test_compact_partitions_matches_dirty_week_model(
-    spark, frags_per_week, max_files
+    spark, frags_per_week, max_files, target
 ):
     """Property form of the compaction unit test: random week count,
-    random fragmentation per week, random threshold.  Model: dirty =
-    weeks whose parquet-file count exceeds the threshold; compaction
-    must list exactly those, leave every clean week's file names
-    untouched, bring each dirty week to <= the target, and preserve
-    the row multiset bit-for-bit."""
+    random fragmentation per week, random threshold AND random target
+    (target 1 exercises the hash-salt path, target >= 2 the
+    range-bucket path — both must honor at-most-target).  Model:
+    dirty = weeks whose parquet-file count exceeds the threshold;
+    compaction must list exactly those, leave every clean week's file
+    names untouched, bring each dirty week to <= the target, and
+    preserve the row multiset bit-for-bit."""
     base = tempfile.mkdtemp(prefix="ym_compact_prop_")
     try:
         path = f"{base}/tbl"
@@ -213,12 +217,12 @@ def test_compact_partitions_matches_dirty_week_model(
 
         stats = warehouse.compact_partitions(
             spark, path, max_files_per_week=max_files,
-            target_files_per_week=1,
+            target_files_per_week=target,
         )
         assert sorted(stats["files_before"]) == model_dirty
         for wd in week_dirs:
             if wd in model_dirty:
-                assert stats["files_after"][wd] <= 1  # == target
+                assert stats["files_after"][wd] <= target
             else:
                 assert files(wd) == before[wd], f"clean {wd} touched"
         rows_after = sorted(
@@ -226,5 +230,107 @@ def test_compact_partitions_matches_dirty_week_model(
             for r in spark.read.parquet(path).collect()
         )
         assert rows_after == rows_before
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+def test_compact_rejects_nonpositive_target(spark):
+    """ADVICE r15 #2: pmod/ntile by 0 would silently NULL every
+    bucket and collapse each week to one file instead of failing —
+    the degenerate input must refuse before touching any metadata."""
+    import pytest
+
+    for bad in (0, -1):
+        with pytest.raises(ValueError, match="target_files_per_week"):
+            warehouse.compact_partitions(
+                spark, "/nonexistent/never/read",
+                target_files_per_week=bad,
+            )
+
+
+def test_compact_target2_files_cover_disjoint_key_ranges(spark):
+    """ADVICE r15 #1: at target > 1 the within-week split must be by
+    leading-sort-key RANGE, so each output file covers a disjoint key
+    range and file-level min/max skipping survives the split.  The
+    fragments interleave keys across the full domain, so the old
+    hash-salt layout would give every output file a near-full-domain
+    span — overlapping ranges fail this test."""
+    base = tempfile.mkdtemp(prefix="ym_compact_range_")
+    try:
+        path = f"{base}/tbl"
+        layout = warehouse.TableLayout(date_col="d", sort_by=["k"])
+        monday = date(2023, 10, 9)
+        # 6 fragments, each spanning the whole key domain 0..599
+        for j in range(6):
+            frag = spark.createDataFrame(
+                [(monday, j + 6 * i) for i in range(100)],
+                "d date, k int",
+            )
+            warehouse.write_table(
+                frag, path, layout,
+                mode="overwrite" if j == 0 else "append",
+            )
+        wd = os.path.join(path, "_week=2023-10-09")
+        assert len([f for f in os.listdir(wd) if f.endswith(".parquet")]) >= 6
+        rows_before = sorted(
+            r["k"] for r in spark.read.parquet(path).collect()
+        )
+
+        stats = warehouse.compact_partitions(
+            spark, path, max_files_per_week=4, target_files_per_week=2,
+        )
+        assert 1 <= stats["files_after"]["_week=2023-10-09"] <= 2
+
+        spans = []
+        for f in os.listdir(wd):
+            if not f.endswith(".parquet"):
+                continue
+            part = spark.read.parquet(os.path.join(wd, f))
+            lo, hi = part.agg(F.min("k"), F.max("k")).first()
+            spans.append((lo, hi))
+        spans.sort()
+        for (_, hi_prev), (lo_next, _) in zip(spans, spans[1:]):
+            assert hi_prev < lo_next, f"overlapping file ranges: {spans}"
+
+        rows_after = sorted(
+            r["k"] for r in spark.read.parquet(path).collect()
+        )
+        assert rows_after == rows_before
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
+def test_tiered_read_refuses_stray_beside_week_dirs(spark):
+    """ADVICE r15 #3: the stray-entry guard must fire even when the
+    tier ALSO holds _week= directories — a mixed root (weekly layout
+    beside a stray data file) hides the stray just as completely as a
+    week-less root would."""
+    import pytest
+
+    base = tempfile.mkdtemp(prefix="ym_tiered_mixed_")
+    try:
+        hot, cold = f"{base}/hot", f"{base}/cold"
+        layout = warehouse.TableLayout(date_col="d", sort_by=["k"])
+        df = spark.createDataFrame(
+            [(date(2022, 1, 3), 1), (date(2022, 3, 7), 2)], "d date, k int"
+        )
+        warehouse.write_table(df, hot, layout, mode="overwrite")
+        warehouse.apply_ttl(
+            spark, hot, "2022-02-01", action="move", cold_path=cold
+        )
+        # sanity: clean mixed-tier read serves both tiers
+        assert warehouse.read_table_tiered(spark, hot, cold).count() == 2
+
+        # stray file BESIDE the hot tier's week dirs -> refuse
+        with open(os.path.join(hot, "stray.parquet"), "w") as f:
+            f.write("not weekly layout")
+        with pytest.raises(IOError, match="hot tier .* non-weekly"):
+            warehouse.read_table_tiered(spark, hot, cold)
+        os.remove(os.path.join(hot, "stray.parquet"))
+
+        # stray file BESIDE the cold tier's week dirs -> refuse
+        with open(os.path.join(cold, "stray.csv"), "w") as f:
+            f.write("not weekly layout")
+        with pytest.raises(IOError, match="cold tier .* non-weekly"):
+            warehouse.read_table_tiered(spark, hot, cold)
     finally:
         shutil.rmtree(base, ignore_errors=True)

@@ -252,20 +252,23 @@ def read_table_tiered(
 
     hot_names, cold_names = _listing(hot_path), _listing(cold_path)
     hot_ok, cold_ok = _has_weeks(hot_names), _has_weeks(cold_names)
-    for label, path, ok, names in (
-        ("hot", hot_path, hot_ok, hot_names),
-        ("cold", cold_path, cold_ok, cold_names),
+    for label, path, names in (
+        ("hot", hot_path, hot_names),
+        ("cold", cold_path, cold_names),
     ):
-        if ok:
-            continue
         # '_'/'.'-prefixed entries are Hadoop metadata (the meta
-        # sidecar, _SUCCESS, hidden files) — readers ignore them, so
-        # an all-metadata root is genuinely empty, not stray
+        # sidecar, _SUCCESS, hidden files) and the _week= partition
+        # dirs themselves — readers ignore the former and serve the
+        # latter, so anything else is stray DATA the weekly readers
+        # below would silently read around.  The check runs whether
+        # or not the tier also holds _week= dirs (ADVICE r15 #3: a
+        # mixed root — week dirs beside a stray data file — hides
+        # the stray just as completely as a week-less root would).
         stray = [n for n in names if not n.startswith(("_", "."))]
         if stray:
             raise IOError(
                 f"{label} tier {path!r} holds non-weekly entries "
-                f"{sorted(stray)[:5]} (no {WEEK_COL}= directories); "
+                f"{sorted(stray)[:5]} beside the {WEEK_COL}= layout; "
                 "refusing to read around it — expected the apply_ttl "
                 "Hive layout on both tiers"
             )
@@ -299,9 +302,27 @@ def compact_partitions(
     sorted on (week, sort keys from table meta), so the rewrite
     restores tight row-group min/max bounds too.
 
+    For ``target_files_per_week > 1`` with a numeric/date/timestamp
+    leading sort key, the split within a week is by RANGE BUCKET
+    (approx-quantile boundaries of the leading key, computed in one
+    tiny per-week agg and broadcast back — never a per-week window,
+    which would pull a whole week into one task at scale): each
+    output file covers a disjoint leading-key range, so file-level
+    min/max skipping survives the split (ADVICE r15 #1).  A
+    non-orderable-for-quantiles leading key (e.g. string) falls back
+    to a hash salt — the at-most-target count still holds but the
+    per-FILE key ranges then overlap (row-group bounds inside each
+    sorted file stay tight); documented tradeoff.
+
     Returns {"files_before": {week: n}, "files_after": {week: n}}
     for the compacted weeks.
     """
+    if target_files_per_week < 1:
+        # pmod/ntile by 0 would silently yield NULL buckets and
+        # collapse every week onto one — refuse loudly (ADVICE r15 #2)
+        raise ValueError(
+            f"target_files_per_week must be >= 1, got {target_files_per_week}"
+        )
     meta = table_meta(path)
     sort_by = meta.get("sort_by") or []
 
@@ -323,19 +344,58 @@ def compact_partitions(
         *[os.path.join(path, wd) for wd in dirty]
     )
     n_out = max(1, len(dirty) * target_files_per_week)
-    # hash-repartition on (week, bounded salt), NOT repartitionByRange:
-    # range boundaries fall wherever the sampler puts them, so a week
-    # could straddle two range partitions and come out ABOVE the
-    # threshold it was compacted for (r15 property-test finding, 2
-    # dirty weeks at target 1 -> one week kept 2 files).  With a hash
-    # layout every (week, salt) group lands wholly in one task and the
-    # partitionBy(week) writer splits by directory, so each dirty week
-    # yields AT MOST target_files_per_week files, exactly as the
-    # contract states.  sortWithinPartitions keeps row-group min/max
-    # tight within every output file.
-    salt_src = [F.col(c) for c in sort_by] or [F.lit(0)]
-    salt = F.pmod(F.xxhash64(*salt_src), F.lit(int(target_files_per_week)))
-    out = src.repartition(n_out, F.col(WEEK_COL), salt)
+    tgt = int(target_files_per_week)
+    # The split key must have BOUNDED per-week cardinality (<= target)
+    # so a week can never come out ABOVE the threshold it was
+    # compacted for — the r15 property-test finding against raw
+    # repartitionByRange(week, sort_by) was exactly that raw sort
+    # keys let a range boundary fall INSIDE a week.  Two bounded
+    # keys, by leading-sort-key type:
+    #   * range bucket (quantile boundaries of the leading key, one
+    #     tiny per-week agg broadcast back, bucket assigned map-side
+    #     — never a per-week window, which would single-task a whole
+    #     week at scale): buckets are contiguous key ranges, and
+    #     repartitionByRange on (week, bucket) keeps merged buckets
+    #     adjacent, so every output file covers a DISJOINT
+    #     leading-key range and file-level min/max skipping survives
+    #     target > 1 (ADVICE r15 #1);
+    #   * hash salt fallback (no sort keys / non-quantile-able
+    #     leading key such as string): at-most-target still exact,
+    #     but per-file key ranges may overlap — only row-group
+    #     bounds inside each sorted file stay tight.
+    lead_type = dict(src.dtypes).get(sort_by[0]) if sort_by else None
+    _quantile_ok = lead_type is not None and (
+        lead_type in (
+            "tinyint", "smallint", "int", "bigint",
+            "float", "double", "date", "timestamp",
+        )
+        or lead_type.startswith("decimal")
+    )
+    if tgt > 1 and _quantile_ok:
+        key = F.col(sort_by[0])
+        if lead_type == "date":
+            key = F.datediff(key, F.lit("1970-01-01"))
+        elif lead_type == "timestamp":
+            key = key.cast("double")
+        fractions = [i / tgt for i in range(1, tgt)]
+        bounds = src.groupBy(WEEK_COL).agg(
+            F.percentile_approx(key, fractions).alias("__bounds")
+        )
+        bucket = F.coalesce(  # all-null week -> null bounds -> bucket 0
+            F.size(F.filter(F.col("__bounds"), lambda b: key > b)),
+            F.lit(0),
+        )
+        out = (
+            src.join(F.broadcast(bounds), WEEK_COL)
+            .withColumn("__bucket", bucket)
+            .drop("__bounds")  # before the exchange — don't shuffle it
+            .repartitionByRange(n_out, F.col(WEEK_COL), F.col("__bucket"))
+            .drop("__bucket")
+        )
+    else:
+        salt_src = [F.col(c) for c in sort_by] or [F.lit(0)]
+        salt = F.pmod(F.xxhash64(*salt_src), F.lit(tgt))
+        out = src.repartition(n_out, F.col(WEEK_COL), salt)
     if sort_by:
         out = out.sortWithinPartitions(WEEK_COL, *sort_by)
     conf_key = "spark.sql.sources.partitionOverwriteMode"
