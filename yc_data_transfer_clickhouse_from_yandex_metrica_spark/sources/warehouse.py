@@ -282,6 +282,39 @@ def read_table_tiered(
     return spark.read.parquet(hot_path)
 
 
+def _range_bucketed(
+    src: DataFrame, lead: str, lead_type: str, tgt: int, n_out: int
+) -> DataFrame:
+    """The compaction range-bucket layout (shape pinned by
+    test_plan_pins_r16): per-week approx-quantile boundaries of the
+    leading sort key (ONE tiny agg, one row per dirty week), broadcast
+    back onto the rows, bucket assigned map-side, then a single range
+    exchange on the bounded (week, bucket) key.  No per-week window —
+    a window partitioned by week would single-task a whole week at
+    100 TB; this shape's largest single-task unit is one (week,
+    bucket) slice, 1/tgt of a week."""
+    key = F.col(lead)
+    if lead_type == "date":
+        key = F.datediff(key, F.lit("1970-01-01"))
+    elif lead_type == "timestamp":
+        key = key.cast("double")
+    fractions = [i / tgt for i in range(1, tgt)]
+    bounds = src.groupBy(WEEK_COL).agg(
+        F.percentile_approx(key, fractions).alias("__bounds")
+    )
+    bucket = F.coalesce(  # all-null week -> null bounds -> bucket 0
+        F.size(F.filter(F.col("__bounds"), lambda b: key > b)),
+        F.lit(0),
+    )
+    return (
+        src.join(F.broadcast(bounds), WEEK_COL)
+        .withColumn("__bucket", bucket)
+        .drop("__bounds")  # before the exchange — don't shuffle it
+        .repartitionByRange(n_out, F.col(WEEK_COL), F.col("__bucket"))
+        .drop("__bucket")
+    )
+
+
 def compact_partitions(
     spark: SparkSession,
     path: str,
@@ -372,26 +405,7 @@ def compact_partitions(
         or lead_type.startswith("decimal")
     )
     if tgt > 1 and _quantile_ok:
-        key = F.col(sort_by[0])
-        if lead_type == "date":
-            key = F.datediff(key, F.lit("1970-01-01"))
-        elif lead_type == "timestamp":
-            key = key.cast("double")
-        fractions = [i / tgt for i in range(1, tgt)]
-        bounds = src.groupBy(WEEK_COL).agg(
-            F.percentile_approx(key, fractions).alias("__bounds")
-        )
-        bucket = F.coalesce(  # all-null week -> null bounds -> bucket 0
-            F.size(F.filter(F.col("__bounds"), lambda b: key > b)),
-            F.lit(0),
-        )
-        out = (
-            src.join(F.broadcast(bounds), WEEK_COL)
-            .withColumn("__bucket", bucket)
-            .drop("__bounds")  # before the exchange — don't shuffle it
-            .repartitionByRange(n_out, F.col(WEEK_COL), F.col("__bucket"))
-            .drop("__bucket")
-        )
+        out = _range_bucketed(src, sort_by[0], lead_type, tgt, n_out)
     else:
         salt_src = [F.col(c) for c in sort_by] or [F.lit(0)]
         salt = F.pmod(F.xxhash64(*salt_src), F.lit(tgt))
