@@ -5116,39 +5116,19 @@ DRIVER_WINDOW = 50  # driver-checked prefix length (round-5 verdict)
 # next CORRECTNESS file re-proves them.  Maintained per round; clear
 # once the round's CORRECTNESS file shows them green again.
 ROTATION_FORCE_FRONT: frozenset[str] = frozenset(
-    # round 15: ADVICE r14 #2 edited plans/chjoin.py
-    # `_toplevel_aliases` (paren-depth clamp), reached by
-    # compile_strictness_joins and therefore in the closure of every
-    # chsql registry entry (chjoin pre-compiles each statement).  The
-    # same 17 dependents stay forced — CORRECTNESS_r14 proved them
-    # green for the r14 merge, but the r15 clamp edit re-dirties the
-    # identical set, so the list carries over verbatim.  Plus
-    # streaming_windowed: start_windowed_counts_stream gained the
-    # max_files_per_trigger option (split-invariance tests pin batch
-    # boundaries with it).  F = 18 leaves 32 LRU slots; the 4-entry
-    # r12-stale tail (regional_revenue, metrica_*_chart,
-    # tfidf_top_terms) sits at positions 18-21, inside the window,
-    # and clears in r15.
-    {
-        "streaming_windowed",
-        "chsql_any_join",
-        "chsql_array_join",
-        "chsql_asof",
-        "chsql_daily_fill",
-        "chsql_distinct_on",
-        "chsql_federated_enrich",
-        "chsql_fill_interpolate",
-        "chsql_final",
-        "chsql_limit_by",
-        "chsql_model_final",
-        "chsql_qualify",
-        "chsql_s3_export",
-        "chsql_sample",
-        "chsql_summap",
-        "chsql_traffic_chart",
-        "chsql_visits_chart",
-        "chsql_word_count",
-    }
+    # round 16: EMPTY.  CORRECTNESS_r15 re-proved all 18 r15-forced
+    # entries green (the 17 chjoin-dependent chsql entries after the
+    # depth-clamp edit, plus streaming_windowed after the
+    # max_files_per_trigger plumbing), so per the recorded policy the
+    # list clears and the full 50-slot window rotates pure LRU this
+    # round.  The r16 product-code diff (warehouse compaction
+    # range-bucket layout, tiered-read mixed-root guard) touches no
+    # registry entry's closure — verified by test_rotation_guard.py
+    # against the last-green commits and re-proven live by a
+    # driver_sim subset run (partition_probe, sample_by, chsql_sample,
+    # chsql_model_final, scd2_range_join, asof_enrich,
+    # sessionize_hits, pack_sequences — all hash-eq).
+    ()
 )
 
 
