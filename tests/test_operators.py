@@ -1419,6 +1419,42 @@ def test_ivf_empty_and_zero_norm_inputs(spark):
         assert out.count() == 0
 
 
+def test_ivf_preassigned_index_equals_inline(spark):
+    """The serving posture (r16): assign_lists builds the (nn_id, nv,
+    cid) index once; ivf_topk(assigned=...) must return bit-for-bit
+    the same result as the inline-assignment call with the same
+    centroids — including a zero-norm vector, which both the O(nlist)
+    aggregate argmax and the sort formulation must park in list 0."""
+    import numpy as np
+
+    from yc_data_transfer_clickhouse_from_yandex_metrica_spark.operators import similarity
+
+    rng = np.random.RandomState(11)
+    rows = [
+        (i, [float(x) for x in rng.normal(size=16)]) for i in range(300)
+    ] + [(300, [0.0] * 16)]  # zero-norm straggler
+    vecs = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    qs = vecs.where(F.col("vec_id") % 60 == 1).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    cents = similarity.train_centroids(vecs, nlist=8)
+
+    index = similarity.assign_lists(vecs, cents)
+    # total function: every vector lands in exactly one in-range list
+    assert index.count() == 301
+    cids = {r["cid"] for r in index.select("cid").distinct().collect()}
+    assert cids <= set(range(len(cents))), cids
+    zero_cid = index.where(F.col("nn_id") == 300).first()["cid"]
+    assert zero_cid == 0  # NULL cosine coalesces to -inf -> first list
+
+    inline = similarity.ivf_topk(vecs, qs, k=7, nprobe=3, centroids=cents)
+    served = similarity.ivf_topk(
+        vecs, qs, k=7, nprobe=3, centroids=cents, assigned=index
+    )
+    as_set = lambda df: {tuple(r) for r in df.collect()}
+    assert as_set(served) == as_set(inline)
+
+
 # --------------------------------------------------------------------------
 # Multimodal plumbing (Arrow batch stage + frame sampling)
 # --------------------------------------------------------------------------

@@ -1,0 +1,183 @@
+#!/usr/bin/env python
+"""Scale-curve probe for the ANN family (ivf_topk vs brute_topk) —
+the remaining expensive entry without a measured curve after
+probe_neardup_stream (r14) and probe_clusters (r15).
+
+The docstring claims verified, WITHOUT instrumenting the operator
+(external wall clocks + a candidate-count computed from tiny aggs):
+
+1. candidate-volume law: the rank window sees ~|Q| * N * nprobe/nlist
+   candidate rows under IVF vs |Q| * N under brute — measured at
+   1x / 4x / 16x corpus sizes;
+2. build/query split (the serving posture): assign_lists is the one
+   linear-in-N map-side pass, paid once per corpus; the per-batch
+   query path over the persisted index must track CANDIDATES, so the
+   brute/IVF query-wall ratio widens with N;
+3. nprobe linearity: at fixed N, doubling nprobe ~doubles candidates
+   (the recall knob is a budget knob, not a cliff);
+4. constant-list-size regime: scaling nlist with N (list size pinned)
+   keeps the per-batch candidate term ~CONSTANT while brute grows
+   linearly — and the O(nlist) aggregate argmax keeps the build
+   affordable at nlist=1024 (the pre-r16 array_sort assignment was
+   O(nlist log nlist) per row and timed out there).
+
+Synthetic clustered vectors (dim 16, 64 planted centers derived from
+deterministic hashes — no RNG state, reruns agree); queries are 50
+held-out perturbed center points.  Centroids are pre-trained once per
+(N, nlist) via train_centroids.
+
+Usage: python tools/probe_ivf.py
+Prints one human-readable table; the measured numbers land in
+PLANS.md (round 16 entry).
+"""
+
+from __future__ import annotations
+
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+from pyspark.sql import functions as F
+
+from yc_data_transfer_clickhouse_from_yandex_metrica_spark.operators import similarity
+from yc_data_transfer_clickhouse_from_yandex_metrica_spark.session import get_spark
+
+DIM = 16
+NCENTERS = 64
+NQUERIES = 50
+K = 10
+
+
+def make_vectors(spark, n: int):
+    """n clustered unit-ish vectors: center = hash-derived lattice
+    point per (id % NCENTERS), plus a small deterministic per-id
+    offset.  Pure column expressions — no RNG, no driver loop."""
+    c = F.col("id") % NCENTERS
+    comps = []
+    for d in range(DIM):
+        center = (F.xxhash64(c.cast("string"), F.lit(d)) % 1000) / 500.0 - 1.0
+        jitter = (F.xxhash64(F.col("id"), F.lit(d + DIM)) % 100) / 2000.0
+        comps.append((center + jitter).cast("double"))
+    return spark.range(n).select(
+        F.col("id").alias("vec_id"), F.array(*comps).alias("embedding")
+    ).repartition(32)
+
+
+def make_queries(spark):
+    q = make_vectors(spark, NQUERIES * 7).where(F.col("vec_id") % 7 == 3)
+    return q.select(
+        (F.col("vec_id") + 10_000_000).alias("query_id"), "embedding"
+    )
+
+
+def timed_count(df) -> tuple[float, int]:
+    t0 = time.time()
+    n = df.count()
+    return time.time() - t0, n
+
+
+def candidate_rows(index, queries, centroids, nprobe) -> int:
+    """Rows entering the rank window = sum of probed-list sizes over
+    all queries — from per-list sizes (one agg over the index) and
+    the per-query probe cids (|Q| rows), never a big join."""
+    sizes = {
+        r["cid"]: r["n"]
+        for r in index.groupBy("cid").agg(F.count("*").alias("n")).collect()
+    }
+    cents = similarity._centroid_literal(centroids)
+    qv = similarity.as_double("embedding")
+    scored = F.transform(
+        cents,
+        lambda c, i: F.struct(
+            similarity.cosine(qv, c).alias("d"), i.cast("long").alias("cid")
+        ),
+    )
+    ordered = F.array_sort(
+        scored,
+        lambda a, b: F.when(a["d"] > b["d"], F.lit(-1))
+        .when(a["d"] < b["d"], F.lit(1))
+        .otherwise((a["cid"] - b["cid"]).cast("int")),
+    )
+    probed = queries.select(
+        F.explode(
+            F.transform(F.slice(ordered, 1, nprobe), lambda s: s["cid"])
+        ).alias("cid")
+    ).collect()
+    return sum(sizes.get(r["cid"], 0) for r in probed)
+
+
+def main() -> None:
+    spark = get_spark()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    base_n = 25_000
+    queries = make_queries(spark).cache()
+    queries.count()
+
+    hdr = f"{'N':>9} {'mode':<24} {'build s':>8} {'query s':>8} {'cand rows':>12}"
+    print(hdr)
+    rows = []
+    for mult in (1, 4, 16):
+        n = base_n * mult
+        vectors = make_vectors(spark, n).cache()
+        vectors.count()
+
+        t_brute, _ = timed_count(similarity.brute_topk(vectors, queries, k=K))
+        print(f"{n:>9} {'brute':<24} {'-':>8} {t_brute:>8.2f} {n * NQUERIES:>12,}")
+
+        # fixed nlist=64: candidate term grows with N/nlist
+        cents64 = similarity.train_centroids(vectors, 64)
+        idx64 = similarity.assign_lists(vectors, cents64).cache()
+        t_build64, _ = timed_count(idx64)
+        cand64 = candidate_rows(idx64, queries, cents64, 4)
+        t64, _ = timed_count(
+            similarity.ivf_topk(
+                vectors, queries, k=K, nprobe=4,
+                centroids=cents64, assigned=idx64,
+            )
+        )
+        print(f"{n:>9} {'ivf nlist=64 np=4':<24} {t_build64:>8.2f} {t64:>8.2f} {cand64:>12,}")
+
+        if mult in (1, 16):
+            cand8 = candidate_rows(idx64, queries, cents64, 8)
+            t8, _ = timed_count(
+                similarity.ivf_topk(
+                    vectors, queries, k=K, nprobe=8,
+                    centroids=cents64, assigned=idx64,
+                )
+            )
+            print(f"{n:>9} {'ivf nlist=64 np=8':<24} {'-':>8} {t8:>8.2f} {cand8:>12,}")
+
+        # constant-list-size regime: nlist scales with N
+        nlist_s = 64 * mult
+        if nlist_s != 64:
+            cents_s = similarity.train_centroids(vectors, nlist_s)
+            idx_s = similarity.assign_lists(vectors, cents_s).cache()
+            t_build_s, _ = timed_count(idx_s)
+            cand_s = candidate_rows(idx_s, queries, cents_s, 4)
+            t_s, _ = timed_count(
+                similarity.ivf_topk(
+                    vectors, queries, k=K, nprobe=4,
+                    centroids=cents_s, assigned=idx_s,
+                )
+            )
+            idx_s.unpersist()
+        else:
+            t_build_s, cand_s, t_s = t_build64, cand64, t64
+        print(
+            f"{n:>9} {'ivf nlist=' + str(nlist_s) + ' np=4':<24} "
+            f"{t_build_s:>8.2f} {t_s:>8.2f} {cand_s:>12,}"
+        )
+        rows.append((n, t_brute, t64, cand64, t_s, cand_s))
+        idx64.unpersist()
+        vectors.unpersist()
+
+    print("\nbrute/ivf(nlist=64) query-wall ratios:",
+          [f"{b / i:.1f}x" for _, b, i, _, _, _ in rows])
+    print("const-list candidate rows:", [f"{c:,}" for *_, c in rows])
+
+
+if __name__ == "__main__":
+    main()

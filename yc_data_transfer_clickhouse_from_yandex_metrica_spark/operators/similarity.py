@@ -240,6 +240,91 @@ def train_centroids(
     return [[float(v) for v in row] for row in cents]
 
 
+def _centroid_literal(centroids: list[list[float]]) -> Column:
+    """Centroids as ONE parsed literal array-of-arrays (the
+    _hyperplanes lesson: per-element F.lit costs a py4j round trip
+    each; a single F.expr string parses JVM-side)."""
+    return F.expr(
+        "array(" + ",".join(
+            "array(" + ",".join(f"{float(x)!r}D" for x in row) + ")"
+            for row in centroids
+        ) + ")"
+    )
+
+
+def _normalized_centroid_literal(centroids: list[list[float]]) -> Column:
+    """Centroid literal with every row pre-normalized DRIVER-side.
+    For nearest-centroid ASSIGNMENT the row-vector norm cancels out
+    of the argmax (argmax_c dot(v,c)/(|v||c|) = argmax_c dot(v,c/|c|)),
+    so against unit centroids a plain dot product ranks identically
+    to cosine — and skips nlist norm() recomputations per row.
+    Zero-norm centroids have no cosine ordering at all; refuse them
+    loudly (train_centroids never emits one — its centroids are
+    means of unit vectors, re-normalized each Lloyd step)."""
+    norms = [sum(x * x for x in row) ** 0.5 for row in centroids]
+    if any(n == 0 for n in norms):
+        raise ValueError(
+            "zero-norm centroid row(s) at indices "
+            f"{[i for i, n in enumerate(norms) if n == 0]}: "
+            "cosine assignment is undefined for them"
+        )
+    return _centroid_literal(
+        [[x / n for x in row] for row, n in zip(centroids, norms)]
+    )
+
+
+def _score_array(vec: Column, cents_unit: Column) -> Column:
+    """Per-centroid dot scores of one vector against the unit
+    centroid literal; NULL dots (NULL vector elements) coalesce to
+    -inf so they never win the argmax.  Materialize this into a
+    column of its own projection so array_max and array_position
+    share one evaluation."""
+    return F.transform(
+        cents_unit,
+        lambda c: F.coalesce(dot(vec, c), F.lit(float("-inf"))),
+    )
+
+
+def _argmax_cid(scores: Column) -> Column:
+    """cid of the max score (first occurrence — cos desc, cid asc
+    ties), as native O(nlist) scans: array_max + array_position.
+    Both the original per-row array_sort (O(nlist log nlist)
+    comparator lambdas) and a struct-aggregate running max made the
+    N-row index build the dominant IVF cost — probe_ivf r16 measured
+    43 s (aggregate) vs 8 s (this form) for 100k rows x nlist=1024;
+    the sort form timed out outright at 400k.  Zero-norm vectors
+    score 0.0 against every centroid and land in list 0 (first max),
+    matching the sort form's tie-break."""
+    return (F.array_position(scores, F.array_max(scores)) - 1).cast("long")
+
+
+def assign_lists(
+    vectors: DataFrame,
+    centroids: list[list[float]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF index build: (nn_id, nv, cid) — every vector tagged with
+    its nearest-centroid list id in ONE map-side pass (no join, no
+    shuffle, no sort; O(nlist) per row).
+
+    This is the expensive linear-in-N step of IVF, and it is a
+    property of the CORPUS, not of any query: at 100 TB build it once
+    at ingest and persist it partitioned (or bucketed) by ``cid`` —
+    repeated query batches then pass it to ``ivf_topk(assigned=...)``
+    and pay only the candidate-list work, with partition pruning
+    cutting the scan to the probed lists.  Rebuilding per query call
+    (the default when ``assigned`` is omitted) re-pays the full scan
+    every time — fine for one-shot calls, wasteful for serving."""
+    cents_unit = _normalized_centroid_literal(centroids)
+    scored = vectors.select(
+        F.col(id_col).alias("nn_id"), as_double(vec_col).alias("nv")
+    ).withColumn("__scores", _score_array(F.col("nv"), cents_unit))
+    return scored.select(
+        "nn_id", "nv", _argmax_cid(F.col("__scores")).alias("cid")
+    )
+
+
 def ivf_topk(
     vectors: DataFrame,
     queries: DataFrame,
@@ -250,6 +335,7 @@ def ivf_topk(
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
     centroids: list[list[float]] | None = None,
+    assigned: DataFrame | None = None,
 ) -> DataFrame:
     """IVF ANN: coarse-quantize vectors to nlist k-means centroids
     (trained by `train_centroids` on a bounded hash sample unless
@@ -265,7 +351,16 @@ def ivf_topk(
     should pre-train once via ``train_centroids`` and pass
     ``centroids=`` to avoid retraining per call.  A supplied
     ``centroids`` list defines the lists outright -- ``nlist`` is a
-    training-only parameter and is ignored in that case."""
+    training-only parameter and is ignored in that case.
+
+    ``assigned=`` goes one step further (the serving posture): pass
+    the persisted ``assign_lists(vectors, centroids)`` frame and the
+    call skips the linear-in-N assignment scan entirely -- per batch
+    it pays only the probe join and the candidate-list cosines
+    (~|Q| * N * nprobe/nlist rows; probe_ivf r16 measures the law).
+    The caller must pass the SAME centroids the frame was built with
+    (cid spaces must agree); ``vectors`` is then only used for its
+    schema in the empty-centroid degenerate."""
     if centroids is None:
         centroids = train_centroids(vectors, nlist, id_col, vec_col)
     if not centroids:
@@ -279,25 +374,21 @@ def ivf_topk(
             .withColumn("rank", F.lit(None).cast("int"))
             .where(F.lit(False))
         )
-    base = vectors.select(F.col(id_col).alias("nn_id"), as_double(vec_col).alias("nv"))
-    # Centroids as ONE parsed literal array-of-arrays (the _hyperplanes
-    # lesson: per-element F.lit costs a py4j round trip each; a single
-    # F.expr string parses JVM-side).  Assignment is then a pure
-    # map-side Project: the old formulation (crossJoin(broadcast) +
-    # row_number window partitioned by vector id) pushed |N| x nlist
-    # rows through a shuffle -- a 1024x inflation at nlist=1024, the
-    # exact kind of hidden exchange that kills a 100 TB run.
-    cent_sql = "array(" + ",".join(
-        "array(" + ",".join(f"{float(x)!r}D" for x in row) + ")"
-        for row in centroids
-    ) + ")"
-    cents = F.expr(cent_sql)
+    # Assignment is a pure map-side Project (see assign_lists): the
+    # pre-r13 formulation (crossJoin(broadcast) + row_number window
+    # partitioned by vector id) pushed |N| x nlist rows through a
+    # shuffle -- a 1024x inflation at nlist=1024, the exact kind of
+    # hidden exchange that kills a 100 TB run.
+    cents = _centroid_literal(centroids)
     nprobe = min(int(nprobe), len(centroids))
 
     def _best_cids(vec: Column, n: int) -> Column:
         """cids of the n nearest centroids (cos desc, cid asc), as a
         codegen'd expression: zip (dist, cid) structs, sort with a
-        comparator, slice.  No join, no window, no shuffle."""
+        comparator, slice.  No join, no window, no shuffle.  Used on
+        the QUERY side only (|Q| rows) -- the N-row assignment scan
+        uses the O(nlist) aggregate in ``_nearest_cid`` instead of
+        this O(nlist log nlist) sort."""
         scored = F.transform(
             cents,
             lambda c, i: F.struct(
@@ -312,9 +403,8 @@ def ivf_topk(
         )
         return F.transform(F.slice(ordered, 1, n), lambda s: s["cid"])
 
-    assigned = base.select(
-        "nn_id", "nv", _best_cids(F.col("nv"), 1)[0].alias("cid")
-    )
+    if assigned is None:
+        assigned = assign_lists(vectors, centroids, id_col, vec_col)
     q = queries.select(F.col(query_id_col).alias("query_id"), as_double(vec_col).alias("qv"))
     # explode a PURE sequence and index into the sorted-cid array in
     # the Project above it: explode(<HOF expr>) would put the

@@ -5116,19 +5116,24 @@ DRIVER_WINDOW = 50  # driver-checked prefix length (round-5 verdict)
 # next CORRECTNESS file re-proves them.  Maintained per round; clear
 # once the round's CORRECTNESS file shows them green again.
 ROTATION_FORCE_FRONT: frozenset[str] = frozenset(
-    # round 16: EMPTY.  CORRECTNESS_r15 re-proved all 18 r15-forced
-    # entries green (the 17 chjoin-dependent chsql entries after the
+    # round 16: CORRECTNESS_r15 re-proved all 18 r15-forced entries
+    # green (the 17 chjoin-dependent chsql entries after the
     # depth-clamp edit, plus streaming_windowed after the
-    # max_files_per_trigger plumbing), so per the recorded policy the
-    # list clears and the full 50-slot window rotates pure LRU this
-    # round.  The r16 product-code diff (warehouse compaction
-    # range-bucket layout, tiered-read mixed-root guard) touches no
-    # registry entry's closure — verified by test_rotation_guard.py
-    # against the last-green commits and re-proven live by a
-    # driver_sim subset run (partition_probe, sample_by, chsql_sample,
-    # chsql_model_final, scd2_range_join, asof_enrich,
-    # sessionize_hits, pack_sequences — all hash-eq).
-    ()
+    # max_files_per_trigger plumbing), so that list cleared and the
+    # window rotates near-pure LRU this round.  Two new forces: the
+    # r16 IVF improvements (assign_lists/ivf_topk(assigned=), the
+    # O(nlist) native-argmax assignment — probe_ivf.py) edit
+    # similarity.ivf_topk's closure, so both IVF entries re-prove.
+    # The warehouse edits (compaction range-bucket layout, tiered
+    # mixed-root guard) touch no entry closure — rotation guard green
+    # against the last-green commits, plus a live driver_sim subset
+    # (partition_probe, sample_by, chsql_sample, chsql_model_final,
+    # scd2_range_join, asof_enrich, sessionize_hits, pack_sequences —
+    # all hash-eq).
+    {
+        "ann_ivf_topk",
+        "ann_ivf_exhaustive",
+    }
 )
 
 
