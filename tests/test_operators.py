@@ -1455,6 +1455,71 @@ def test_ivf_preassigned_index_equals_inline(spark):
     assert as_set(served) == as_set(inline)
 
 
+def test_ivf_pruned_index_scan_reads_probed_lists_only(spark):
+    """write_ivf_index + ivf_topk_pruned (r16 serving layout): the
+    persisted index is partitioned by cid and the probed-cid predicate
+    must prune at the SCAN — the query reads only the probed list
+    directories (~nprobe/nlist of the index bytes) — while returning
+    exactly the ivf_topk(assigned=...) result."""
+    import shutil
+    import tempfile
+
+    import numpy as np
+
+    from yc_data_transfer_clickhouse_from_yandex_metrica_spark.operators import similarity
+
+    rng = np.random.RandomState(23)
+    rows = [(i, [float(x) for x in rng.normal(size=12)]) for i in range(400)]
+    vecs = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    qs = vecs.where(F.col("vec_id") % 100 == 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    cents = similarity.train_centroids(vecs, nlist=16)
+    base = tempfile.mkdtemp(prefix="ym_ivf_index_")
+    try:
+        path = f"{base}/index"
+        similarity.write_ivf_index(vecs, cents, path)
+
+        pruned = similarity.ivf_topk_pruned(
+            spark, path, qs, cents, k=6, nprobe=2
+        )
+        served = similarity.ivf_topk(
+            vecs, qs, k=6, nprobe=2, centroids=cents,
+            assigned=similarity.assign_lists(vecs, cents),
+        )
+        as_set = lambda df: {tuple(r) for r in df.collect()}
+        assert as_set(pruned) == as_set(served)
+
+        # the probed-cid predicate must land as a PARTITION filter on
+        # the index scan (dir-level pruning), not a post-scan Filter
+        cids = {
+            r["cid"]
+            for r in similarity._probe_frame(
+                qs, similarity._centroid_literal(cents), 2,
+                "query_id", "embedding",
+            ).select("cid").distinct().collect()
+        }
+        assert 0 < len(cids) < len(cents)  # pruning is non-trivial here
+        probed_index = spark.read.parquet(path).where(
+            F.col("cid").isin(sorted(cids))
+        )
+        probed_index.collect()
+        jqe = probed_index._jdf.queryExecution()
+        fmt = spark._jvm.org.apache.spark.sql.api.python.PythonSQLUtils.explainString(
+            jqe, "formatted"
+        )
+        import re as _re
+
+        m = _re.search(r"PartitionFilters: \[([^\]]*)\]", fmt)
+        assert m and "cid" in m.group(1), fmt[:2000]
+        # and the scan's data filters must NOT need cid (it is purely
+        # a partition column): PushedFilters carries no cid term
+        pf = _re.search(r"PushedFilters: \[([^\]]*)\]", fmt)
+        assert pf is None or "cid" not in pf.group(1), fmt[:2000]
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
 # --------------------------------------------------------------------------
 # Multimodal plumbing (Arrow batch stage + frame sampling)
 # --------------------------------------------------------------------------

@@ -381,36 +381,51 @@ def ivf_topk(
     # hidden exchange that kills a 100 TB run.
     cents = _centroid_literal(centroids)
     nprobe = min(int(nprobe), len(centroids))
-
-    def _best_cids(vec: Column, n: int) -> Column:
-        """cids of the n nearest centroids (cos desc, cid asc), as a
-        codegen'd expression: zip (dist, cid) structs, sort with a
-        comparator, slice.  No join, no window, no shuffle.  Used on
-        the QUERY side only (|Q| rows) -- the N-row assignment scan
-        uses the O(nlist) aggregate in ``_nearest_cid`` instead of
-        this O(nlist log nlist) sort."""
-        scored = F.transform(
-            cents,
-            lambda c, i: F.struct(
-                cosine(vec, c).alias("d"), i.cast("long").alias("cid")
-            ),
-        )
-        ordered = F.array_sort(
-            scored,
-            lambda a, b: F.when(a["d"] > b["d"], F.lit(-1))
-            .when(a["d"] < b["d"], F.lit(1))
-            .otherwise((a["cid"] - b["cid"]).cast("int")),
-        )
-        return F.transform(F.slice(ordered, 1, n), lambda s: s["cid"])
-
     if assigned is None:
         assigned = assign_lists(vectors, centroids, id_col, vec_col)
-    q = queries.select(F.col(query_id_col).alias("query_id"), as_double(vec_col).alias("qv"))
-    # explode a PURE sequence and index into the sorted-cid array in
-    # the Project above it: explode(<HOF expr>) would put the
-    # higher-order function under the Generate and drop the operator
-    # to interpreted eval (the verify-skill shingle lesson)
-    probes = q.select(
+    probes = _probe_frame(queries, cents, nprobe, query_id_col, vec_col)
+    return _rank_candidates(probes, assigned, k)
+
+
+def _best_cids(vec: Column, cents: Column, n: int) -> Column:
+    """cids of the n nearest centroids (cos desc, cid asc), as a
+    codegen'd expression: zip (dist, cid) structs, sort with a
+    comparator, slice.  No join, no window, no shuffle.  Used on the
+    QUERY side only (|Q| rows) -- the N-row assignment scan uses the
+    O(nlist) argmax in ``assign_lists`` instead of this
+    O(nlist log nlist) sort."""
+    scored = F.transform(
+        cents,
+        lambda c, i: F.struct(
+            cosine(vec, c).alias("d"), i.cast("long").alias("cid")
+        ),
+    )
+    ordered = F.array_sort(
+        scored,
+        lambda a, b: F.when(a["d"] > b["d"], F.lit(-1))
+        .when(a["d"] < b["d"], F.lit(1))
+        .otherwise((a["cid"] - b["cid"]).cast("int")),
+    )
+    return F.transform(F.slice(ordered, 1, n), lambda s: s["cid"])
+
+
+def _probe_frame(
+    queries: DataFrame,
+    cents: Column,
+    nprobe: int,
+    query_id_col: str,
+    vec_col: str,
+) -> DataFrame:
+    """(query_id, qv, cid): each query row fanned out to its nprobe
+    nearest lists.  Explodes a PURE sequence and indexes into the
+    sorted-cid array in the Project above it: explode(<HOF expr>)
+    would put the higher-order function under the Generate and drop
+    the operator to interpreted eval (the verify-skill shingle
+    lesson)."""
+    q = queries.select(
+        F.col(query_id_col).alias("query_id"), as_double(vec_col).alias("qv")
+    )
+    return q.select(
         "query_id",
         "qv",
         F.explode(F.sequence(F.lit(1), F.lit(int(nprobe)))).alias("__i"),
@@ -418,9 +433,14 @@ def ivf_topk(
         "query_id",
         "qv",
         F.element_at(
-            _best_cids(F.col("qv"), nprobe), F.col("__i")
+            _best_cids(F.col("qv"), cents, nprobe), F.col("__i")
         ).alias("cid"),
     )
+
+
+def _rank_candidates(probes: DataFrame, assigned: DataFrame, k: int) -> DataFrame:
+    """Join probe rows to their lists, score exactly, keep top-k per
+    query (cos desc, neighbor id asc ties)."""
     scored = (
         probes.join(assigned, "cid")
         .where(F.col("nn_id") != F.col("query_id"))
@@ -432,3 +452,51 @@ def ivf_topk(
         .where(F.col("rank") <= k)
         .select("query_id", F.col("nn_id").alias("neighbor_id"), ch.round_to(F.col("cos"), 4).alias("cos"), "rank")
     )
+
+
+def write_ivf_index(
+    vectors: DataFrame,
+    centroids: list[list[float]],
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Persist the ``assign_lists`` index PARTITIONED BY cid — the
+    serving layout: each inverted list is its own directory, so a
+    probed-list predicate prunes at the SCAN (only nprobe/nlist of
+    the index bytes are ever read; see ``ivf_topk_pruned``).  List
+    sizes are ~N/nlist rows; pick nlist so a list is a few hundred MB
+    and files stay bounded."""
+    assign_lists(vectors, centroids, id_col, vec_col).write.mode(
+        "overwrite"
+    ).partitionBy("cid").parquet(path)
+
+
+def ivf_topk_pruned(
+    spark,
+    index_path: str,
+    queries: DataFrame,
+    centroids: list[list[float]],
+    k: int = 10,
+    nprobe: int = 4,
+    query_id_col: str = "query_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF serving over a persisted cid-partitioned index (built by
+    ``write_ivf_index``): the probed cid set — at most |Q| x nprobe
+    values, a bounded driver-side collect because |Q| is one query
+    batch — becomes a partition-pruning predicate, so the scan reads
+    ONLY the probed list directories.  The in-memory ``assigned=``
+    path must still scan the whole index frame into the join; this
+    path touches ~nprobe/nlist of the index bytes, which is what
+    makes repeated batches against a 100 TB index affordable.
+    Results are identical to ``ivf_topk(assigned=...)`` with the same
+    centroids (same probe selection, same exact rescoring)."""
+    cents = _centroid_literal(centroids)
+    nprobe = min(int(nprobe), len(centroids))
+    probes = _probe_frame(queries, cents, nprobe, query_id_col, vec_col)
+    cids = sorted(
+        r["cid"] for r in probes.select("cid").distinct().collect()
+    )
+    index = spark.read.parquet(index_path).where(F.col("cid").isin(cids))
+    return _rank_candidates(probes, index, k)
