@@ -222,3 +222,74 @@ def test_brute_topk_matches_python_model(spark, vecs, k):
     assert [t[:3] for t in got] == [t[:3] for t in model], (vecs, got)
     for (_, _, _, gc), (_, _, _, mc) in zip(got, model):
         assert math.isclose(gc, mc, abs_tol=1e-9), (vecs, got)
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    st.lists(  # vectors, zero vectors allowed (they must land in cid 0)
+        st.lists(
+            st.integers(min_value=-5, max_value=5), min_size=3, max_size=3
+        ),
+        min_size=1,
+        max_size=12,
+    ),
+    st.lists(  # centroids, nonzero rows (zero rows are a typed refusal)
+        st.lists(
+            st.integers(min_value=-3, max_value=3), min_size=3, max_size=3
+        ).filter(lambda v: any(v)),
+        min_size=1,
+        max_size=6,
+    ),
+)
+def test_assign_lists_matches_python_argmax_model(spark, vecs, cents):
+    """The r16 O(nlist) native argmax (unit-normalized centroid dots,
+    array_max + first array_position) against an exact Python model
+    using the SAME ieee operation order: driver-side centroid
+    normalization is literally the same Python expression, and the
+    Spark dot is a left fold, so scores match bit-for-bit and the
+    first-max tie-break must agree exactly — including zero vectors
+    (all scores 0.0 -> cid 0) and duplicate centroids (lowest cid
+    wins)."""
+    from yc_data_transfer_clickhouse_from_yandex_metrica_spark.operators import similarity
+
+    data = [(i, [float(x) for x in v]) for i, v in enumerate(vecs)]
+    df = spark.createDataFrame(data, "vec_id long, embedding array<double>")
+    cent_rows = [[float(x) for x in c] for c in cents]
+    got = {
+        r["nn_id"]: r["cid"]
+        for r in similarity.assign_lists(df, cent_rows).collect()
+    }
+
+    # model: same normalization arithmetic, left-fold dot, first max
+    unit = []
+    for row in cent_rows:
+        n = sum(x * x for x in row) ** 0.5
+        unit.append([x / n for x in row])
+    model = {}
+    for i, v in data:
+        scores = []
+        for c in unit:
+            acc = 0.0
+            for a, b in zip(v, c):
+                acc = acc + a * b
+            scores.append(acc)
+        model[i] = scores.index(max(scores))
+    assert got == model, (vecs, cents, got, model)
+
+
+def test_assign_lists_refuses_zero_norm_centroid(spark):
+    """Zero-norm centroid rows have no cosine ordering; the index
+    build refuses them loudly instead of silently ranking by raw
+    dot."""
+    import pytest
+
+    from yc_data_transfer_clickhouse_from_yandex_metrica_spark.operators import similarity
+
+    df = spark.createDataFrame(
+        [(0, [1.0, 0.0])], "vec_id long, embedding array<double>"
+    )
+    with pytest.raises(ValueError, match="zero-norm centroid"):
+        similarity.assign_lists(df, [[1.0, 0.0], [0.0, 0.0]])
