@@ -334,3 +334,67 @@ def test_tiered_read_refuses_stray_beside_week_dirs(spark):
             warehouse.read_table_tiered(spark, hot, cold)
     finally:
         shutil.rmtree(base, ignore_errors=True)
+
+def test_compact_target2_constant_key_week(spark):
+    """Degenerate key distribution: a dirty week whose leading sort
+    key is one constant value.  All quantile boundaries equal that
+    value, every row buckets to 0, and the week compacts to ONE file
+    (<= target, trivially disjoint) with rows intact — the skew case
+    the quantile split must not mishandle."""
+    base = tempfile.mkdtemp(prefix="ym_compact_const_")
+    try:
+        path = f"{base}/tbl"
+        layout = warehouse.TableLayout(date_col="d", sort_by=["k"])
+        monday = date(2023, 10, 9)
+        for j in range(6):
+            frag = spark.createDataFrame(
+                [(monday, 7) for _ in range(20)], "d date, k int"
+            )
+            warehouse.write_table(
+                frag, path, layout,
+                mode="overwrite" if j == 0 else "append",
+            )
+        stats = warehouse.compact_partitions(
+            spark, path, max_files_per_week=4, target_files_per_week=2,
+        )
+        assert stats["files_after"]["_week=2023-10-09"] == 1
+        assert spark.read.parquet(path).count() == 120
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+def test_compact_target2_date_leading_key(spark):
+    """DATE leading sort key takes the quantile range-bucket path via
+    unix_date (epoch-day proxy): files <= target with disjoint date
+    ranges, rows intact — covers the non-int branch of _quantile_ok
+    (the unit-range test pins the int branch)."""
+    base = tempfile.mkdtemp(prefix="ym_compact_datekey_")
+    try:
+        path = f"{base}/tbl"
+        layout = warehouse.TableLayout(date_col="d", sort_by=["d2"])
+        monday = date(2023, 10, 9)
+        for j in range(6):
+            frag = spark.createDataFrame(
+                [(monday, date(2024, 1, 1) + timedelta(days=j + 6 * i))
+                 for i in range(40)],
+                "d date, d2 date",
+            )
+            warehouse.write_table(
+                frag, path, layout,
+                mode="overwrite" if j == 0 else "append",
+            )
+        stats = warehouse.compact_partitions(
+            spark, path, max_files_per_week=4, target_files_per_week=2,
+        )
+        assert 1 <= stats["files_after"]["_week=2023-10-09"] <= 2
+        wd = os.path.join(path, "_week=2023-10-09")
+        spans = []
+        for f in os.listdir(wd):
+            if f.endswith(".parquet"):
+                part = spark.read.parquet(os.path.join(wd, f))
+                spans.append(tuple(part.agg(F.min("d2"), F.max("d2")).first()))
+        spans.sort()
+        for (_, hi_prev), (lo_next, _) in zip(spans, spans[1:]):
+            assert hi_prev < lo_next, spans
+        assert spark.read.parquet(path).count() == 240
+    finally:
+        shutil.rmtree(base, ignore_errors=True)

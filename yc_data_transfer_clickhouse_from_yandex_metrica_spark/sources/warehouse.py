@@ -294,10 +294,13 @@ def _range_bucketed(
     100 TB; this shape's largest single-task unit is one (week,
     bucket) slice, 1/tgt of a week."""
     key = F.col(lead)
+    # monotonic numeric proxies (quantiles only need ordering); the
+    # epoch functions work under ANSI sessions too, where the casual
+    # string-literal datediff / numeric-cast coercions would not
     if lead_type == "date":
-        key = F.datediff(key, F.lit("1970-01-01"))
+        key = F.unix_date(key)
     elif lead_type == "timestamp":
-        key = key.cast("double")
+        key = F.unix_micros(key)
     fractions = [i / tgt for i in range(1, tgt)]
     bounds = src.groupBy(WEEK_COL).agg(
         F.percentile_approx(key, fractions).alias("__bounds")
