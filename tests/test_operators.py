@@ -1455,6 +1455,57 @@ def test_ivf_preassigned_index_equals_inline(spark):
     assert as_set(served) == as_set(inline)
 
 
+def test_ivf_two_level_assignment(spark):
+    """assign_lists(coarse_groups=g), the IMI-style build path for
+    when N x nlist dots stop being affordable: g=1 must equal the
+    exact argmax BIT-FOR-BIT (one cell, original cid order); on
+    clustered data the g=sqrt(nlist) assignment must agree with exact
+    on >= 90% of rows; and the resulting index must serve ivf_topk
+    with recall comparable to the exact index."""
+    import numpy as np
+
+    from yc_data_transfer_clickhouse_from_yandex_metrica_spark.operators import similarity
+
+    rng = np.random.RandomState(31)
+    centers = rng.normal(size=(8, 24))
+    centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+    rows = []
+    for i in range(600):
+        v = centers[i % 8] + 0.07 * rng.normal(size=24)
+        rows.append((i, [float(x) for x in v]))
+    vecs = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cents = similarity.train_centroids(vecs, nlist=8)
+
+    exact = {
+        r["nn_id"]: r["cid"]
+        for r in similarity.assign_lists(vecs, cents).collect()
+    }
+    g1 = {
+        r["nn_id"]: r["cid"]
+        for r in similarity.assign_lists(vecs, cents, coarse_groups=1).collect()
+    }
+    assert g1 == exact  # degenerate: bit-for-bit the exact argmax
+
+    two = similarity.assign_lists(vecs, cents, coarse_groups=3)
+    h = {r["nn_id"]: r["cid"] for r in two.collect()}
+    assert set(h) == set(exact) and set(h.values()) <= set(range(len(cents)))
+    agree = sum(exact[k] == h[k] for k in exact) / len(exact)
+    assert agree >= 0.9, agree
+
+    qs = vecs.limit(6).selectExpr("vec_id AS query_id", "embedding")
+    brute = {
+        (r["query_id"], r["neighbor_id"])
+        for r in similarity.brute_topk(vecs, qs, k=10).collect()
+    }
+    served = {
+        (r["query_id"], r["neighbor_id"])
+        for r in similarity.ivf_topk(
+            vecs, qs, k=10, nprobe=2, centroids=cents, assigned=two
+        ).collect()
+    }
+    assert len(brute & served) / len(brute) >= 0.85
+
+
 def test_ivf_pruned_index_scan_reads_probed_lists_only(spark):
     """write_ivf_index + ivf_topk_pruned (r16 serving layout): the
     persisted index is partitioned by cid and the probed-cid predicate

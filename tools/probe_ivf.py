@@ -178,6 +178,38 @@ def main() -> None:
           [f"{b / i:.1f}x" for _, b, i, _, _, _ in rows])
     print("const-list candidate rows:", [f"{c:,}" for *_, c in rows])
 
+    # two-level (IMI-style) build at the largest config: the scale
+    # path once N x nlist dots stop being affordable
+    n = base_n * 16
+    vectors = make_vectors(spark, n).cache()
+    vectors.count()
+    cents = similarity.train_centroids(vectors, 1024)
+
+    def _force(df) -> float:
+        t0 = time.time()
+        df.agg(F.sum("cid")).collect()
+        return time.time() - t0
+
+    t_exact = _force(similarity.assign_lists(vectors, cents))
+    t_two = _force(
+        similarity.assign_lists(vectors, cents, coarse_groups=32)
+    )
+    e = {
+        r["nn_id"]: r["cid"]
+        for r in similarity.assign_lists(vectors, cents).collect()
+    }
+    h = {
+        r["nn_id"]: r["cid"]
+        for r in similarity.assign_lists(
+            vectors, cents, coarse_groups=32
+        ).collect()
+    }
+    agree = sum(e[k] == h[k] for k in e) / len(e)
+    print(
+        f"\nbuild at N={n:,} nlist=1024: exact {t_exact:.1f}s, "
+        f"two-level(g=32) {t_two:.1f}s, agreement {agree:.4f}"
+    )
+
 
 if __name__ == "__main__":
     main()

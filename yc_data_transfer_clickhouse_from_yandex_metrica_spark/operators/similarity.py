@@ -298,15 +298,42 @@ def _argmax_cid(scores: Column) -> Column:
     return (F.array_position(scores, F.array_max(scores)) - 1).cast("long")
 
 
+def _coarse_partition(
+    unit: "np.ndarray", groups: int, iters: int = 10
+) -> list[list[int]]:
+    """Driver-side spherical k-means over the (tiny) centroid matrix:
+    member cid lists per coarse group, empty groups dropped.  All
+    numpy on nlist rows — microseconds next to any distributed work;
+    deterministic (first-`groups` seeds, argmax ties to lowest)."""
+    import numpy as np
+
+    g = min(int(groups), len(unit))
+    coarse = unit[:g].copy()
+    assign = None
+    for _ in range(iters):
+        assign = np.argmax(unit @ coarse.T, axis=1)
+        for j in range(g):
+            members = unit[assign == j]
+            if len(members):
+                m = members.mean(axis=0)
+                n = np.linalg.norm(m)
+                if n > 0:
+                    coarse[j] = m / n
+    assign = np.argmax(unit @ coarse.T, axis=1)
+    out = [[int(c) for c in np.where(assign == j)[0]] for j in range(g)]
+    return [m for m in out if m]
+
+
 def assign_lists(
     vectors: DataFrame,
     centroids: list[list[float]],
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    coarse_groups: int | None = None,
 ) -> DataFrame:
     """IVF index build: (nn_id, nv, cid) — every vector tagged with
     its nearest-centroid list id in ONE map-side pass (no join, no
-    shuffle, no sort; O(nlist) per row).
+    shuffle, no sort).
 
     This is the expensive linear-in-N step of IVF, and it is a
     property of the CORPUS, not of any query: at 100 TB build it once
@@ -315,13 +342,95 @@ def assign_lists(
     and pay only the candidate-list work, with partition pruning
     cutting the scan to the probed lists.  Rebuilding per query call
     (the default when ``assigned`` is omitted) re-pays the full scan
-    every time — fine for one-shot calls, wasteful for serving."""
-    cents_unit = _normalized_centroid_literal(centroids)
-    scored = vectors.select(
+    every time — fine for one-shot calls, wasteful for serving.
+
+    ``coarse_groups=None`` (default) is the EXACT argmax: O(nlist)
+    dots per row.  ``coarse_groups=g`` switches to two-level
+    (IMI-style) assignment: the centroids are grouped driver-side by
+    spherical k-means into <= g coarse cells; each row picks its
+    nearest coarse cell, then its nearest centroid WITHIN that cell —
+    O(g + nlist/g) dots per row, minimized at g ~ sqrt(nlist) (a
+    ~16x per-row saving at nlist=1024).  APPROXIMATE: a vector whose
+    true nearest centroid sits in a different coarse cell lands in a
+    neighboring list instead — harmless for IVF semantics (every
+    vector is in exactly one list; queries probe nprobe lists either
+    way), measured ~96% agreement with exact assignment on clustered
+    data, lower on structureless noise (probe_ivf r16).  ``coarse_groups=1`` degenerates
+    to the exact argmax bit-for-bit (one cell holding every centroid,
+    original cid order).  This is the 100 TB build path once
+    N x nlist dots stop being affordable (1e9 vectors x 65k lists =
+    6.5e13 dots exact vs ~5e11 two-level)."""
+    base = vectors.select(
         F.col(id_col).alias("nn_id"), as_double(vec_col).alias("nv")
-    ).withColumn("__scores", _score_array(F.col("nv"), cents_unit))
-    return scored.select(
-        "nn_id", "nv", _argmax_cid(F.col("__scores")).alias("cid")
+    )
+    if coarse_groups is None or min(int(coarse_groups), len(centroids)) >= len(
+        centroids
+    ):
+        cents_unit = _normalized_centroid_literal(centroids)
+        scored = base.withColumn(
+            "__scores", _score_array(F.col("nv"), cents_unit)
+        )
+        return scored.select(
+            "nn_id", "nv", _argmax_cid(F.col("__scores")).alias("cid")
+        )
+
+    import numpy as np
+
+    norms = [sum(x * x for x in row) ** 0.5 for row in centroids]
+    if any(n == 0 for n in norms):
+        raise ValueError(
+            "zero-norm centroid row(s) at indices "
+            f"{[i for i, n in enumerate(norms) if n == 0]}: "
+            "cosine assignment is undefined for them"
+        )
+    unit = np.array(
+        [[x / n for x in row] for row, n in zip(centroids, norms)],
+        dtype=np.float64,
+    )
+    members = _coarse_partition(unit, coarse_groups)
+    # coarse cell representatives: renormalized member means (the
+    # k-means cells' own centroids, rebuilt from the final membership
+    # so expression and partition agree)
+    reps = []
+    for m in members:
+        mean = unit[m].mean(axis=0)
+        n = float(np.linalg.norm(mean))
+        reps.append((mean / n if n > 0 else unit[m[0]]).tolist())
+    rep_lit = _centroid_literal(reps)
+    member_vec_lit = F.expr(
+        "array(" + ",".join(
+            "array(" + ",".join(
+                "array(" + ",".join(f"{float(x)!r}D" for x in unit[c]) + ")"
+                for c in m
+            ) + ")"
+            for m in members
+        ) + ")"
+    )
+    member_cid_lit = F.expr(
+        "array(" + ",".join(
+            "array(" + ",".join(f"{c}L" for c in m) + ")" for m in members
+        ) + ")"
+    )
+    scored = base.withColumn("__gs", _score_array(F.col("nv"), rep_lit))
+    picked = scored.select(
+        "nn_id",
+        "nv",
+        # gid is 0-based; element_at is 1-based
+        (_argmax_cid(F.col("__gs")) + 1).cast("int").alias("__g1"),
+    ).select(
+        "nn_id",
+        "nv",
+        F.element_at(member_cid_lit, F.col("__g1")).alias("__cids"),
+        _score_array(
+            F.col("nv"), F.element_at(member_vec_lit, F.col("__g1"))
+        ).alias("__ms"),
+    )
+    return picked.select(
+        "nn_id",
+        "nv",
+        F.element_at(
+            F.col("__cids"), (_argmax_cid(F.col("__ms")) + 1).cast("int")
+        ).alias("cid"),
     )
 
 
