@@ -218,3 +218,38 @@ def test_pack_sequences_single_shard_exchange(spark):
         if name == "Sort":
             assert "global=false" in block or "false, 0" in block, block
     assert "Sort" in [n for n, _ in nodes.values()]
+
+
+def test_ivf_assign_lists_is_pure_map_side(spark):
+    """assign_lists — exact AND two-level — is the index-build scan:
+    its executed plan must hold NO exchange, no join, no window, no
+    generate (one pass over the vectors, centroids ride as literals).
+    A regression that sneaks a shuffle in here re-prices the 100 TB
+    index build from 'one scan' to 'one scan + full-corpus shuffle'."""
+    from yc_data_transfer_clickhouse_from_yandex_metrica_spark.operators import similarity
+
+    vecs = (
+        spark.range(4000)
+        .select(
+            F.col("id").alias("vec_id"),
+            F.array(
+                *[((F.col("id") * (d + 3)) % 17).cast("double") + 0.5 for d in range(8)]
+            ).alias("embedding"),
+        )
+        .repartition(8)
+    )
+    cents = similarity.train_centroids(vecs, nlist=16)
+    for kwargs in ({}, {"coarse_groups": 4}):
+        out = similarity.assign_lists(vecs, cents, **kwargs)
+        nodes = _final_nodes(_formatted(out))
+        _assert_no_forbidden(nodes)
+        names = [n for n, _ in nodes.values()]
+        for banned in ("Window", "Generate"):
+            assert banned not in names, (kwargs, names)
+        assert not any("Join" in n for n in names), (kwargs, names)
+        # the ONLY exchange is the test input's own repartition(8)
+        # (round-robin); the operator itself must add none —
+        # no hashpartitioning, no rangepartitioning
+        for name, block in nodes.values():
+            if name == "Exchange":
+                assert "RoundRobinPartitioning" in block, (kwargs, block)
