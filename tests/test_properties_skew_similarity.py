@@ -293,3 +293,60 @@ def test_assign_lists_refuses_zero_norm_centroid(spark):
     )
     with pytest.raises(ValueError, match="zero-norm centroid"):
         similarity.assign_lists(df, [[1.0, 0.0], [0.0, 0.0]])
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    st.lists(  # query vectors (nonzero: zero-norm queries carry NULL
+        st.lists(  # cosines whose CH-style ordering is pinned in unit
+            st.integers(min_value=-5, max_value=5), min_size=3, max_size=3
+        ).filter(lambda v: any(v)),  # tests, not here)
+        min_size=1,
+        max_size=8,
+    ),
+    st.lists(  # centroids, nonzero
+        st.lists(
+            st.integers(min_value=-3, max_value=3), min_size=3, max_size=3
+        ).filter(lambda v: any(v)),
+        min_size=2,
+        max_size=6,
+    ),
+    st.integers(min_value=1, max_value=4),  # nprobe
+)
+def test_probe_frame_matches_python_topn_model(spark, qvecs, cents, nprobe):
+    """The query-side probe selection (_probe_frame over _best_cids:
+    per-query top-nprobe centroid cids, cos desc, cid asc ties)
+    against an exact Python model with the same arithmetic order —
+    integer-valued dim-3 vectors make the cosine comparisons exact.
+    Together with the assign_lists model test this pins BOTH sides of
+    the IVF contract: where vectors go, and where queries look."""
+    from yc_data_transfer_clickhouse_from_yandex_metrica_spark.operators import similarity
+
+    n = min(nprobe, len(cents))
+    qs = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(qvecs)],
+        "query_id long, embedding array<double>",
+    )
+    cent_rows = [[float(x) for x in c] for c in cents]
+    got = {}
+    probe = similarity._probe_frame(
+        qs, similarity._centroid_literal(cent_rows), n,
+        "query_id", "embedding",
+    )
+    for r in probe.collect():
+        got.setdefault(r["query_id"], []).append(r["cid"])
+
+    for qid, v in enumerate(qvecs):
+        qn = math.sqrt(sum(x * x for x in v))
+        scored = []
+        for cid, c in enumerate(cent_rows):
+            cn = math.sqrt(sum(x * x for x in c))
+            acc = 0.0
+            for a, b in zip(v, c):
+                acc = acc + a * b
+            scored.append((-(acc / (qn * cn)), cid))
+        want = [cid for _, cid in sorted(scored)[:n]]
+        assert got[qid] == want, (qvecs, cents, qid, got[qid], want)
