@@ -1506,6 +1506,24 @@ def test_ivf_two_level_assignment(spark):
     assert len(brute & served) / len(brute) >= 0.85
 
 
+def test_ivf_assigned_without_centroids_refuses(spark):
+    """assigned= without centroids= must refuse: freshly-trained
+    centroids would probe a cid space the index was not built in —
+    the silent-recall-loss foot-gun the contract forbids."""
+    import pytest
+
+    from yc_data_transfer_clickhouse_from_yandex_metrica_spark.operators import similarity
+
+    vecs = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [0.0, 1.0])],
+        "vec_id long, embedding array<double>",
+    )
+    qs = vecs.selectExpr("vec_id AS query_id", "embedding")
+    idx = similarity.assign_lists(vecs, [[1.0, 0.0], [0.0, 1.0]])
+    with pytest.raises(ValueError, match="assigned= requires"):
+        similarity.ivf_topk(vecs, qs, k=1, assigned=idx)
+
+
 def test_ivf_pruned_index_scan_reads_probed_lists_only(spark):
     """write_ivf_index + ivf_topk_pruned (r16 serving layout): the
     persisted index is partitioned by cid and the probed-cid predicate

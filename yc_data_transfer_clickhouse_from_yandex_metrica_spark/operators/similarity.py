@@ -468,8 +468,16 @@ def ivf_topk(
     it pays only the probe join and the candidate-list cosines
     (~|Q| * N * nprobe/nlist rows; probe_ivf r16 measures the law).
     The caller must pass the SAME centroids the frame was built with
-    (cid spaces must agree); ``vectors`` is then only used for its
-    schema in the empty-centroid degenerate."""
+    (cid spaces must agree) — ``assigned`` without ``centroids``
+    refuses, because freshly-trained centroids would probe a cid
+    space the index was not built in; ``vectors`` is then only used
+    for its schema in the empty-centroid degenerate."""
+    if assigned is not None and centroids is None:
+        raise ValueError(
+            "assigned= requires the centroids the index was built "
+            "with; training fresh ones here would silently probe a "
+            "different cid space"
+        )
     if centroids is None:
         centroids = train_centroids(vectors, nlist, id_col, vec_col)
     if not centroids:
