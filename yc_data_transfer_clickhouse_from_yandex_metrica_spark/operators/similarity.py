@@ -577,14 +577,18 @@ def write_ivf_index(
     path: str,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    coarse_groups: int | None = None,
 ) -> None:
     """Persist the ``assign_lists`` index PARTITIONED BY cid — the
     serving layout: each inverted list is its own directory, so a
     probed-list predicate prunes at the SCAN (only nprobe/nlist of
     the index bytes are ever read; see ``ivf_topk_pruned``).  List
     sizes are ~N/nlist rows; pick nlist so a list is a few hundred MB
-    and files stay bounded."""
-    assign_lists(vectors, centroids, id_col, vec_col).write.mode(
+    and files stay bounded.  ``coarse_groups`` passes through to
+    ``assign_lists`` — the two-level build is how this write stays
+    affordable once N x nlist dots are not (queries are unaffected:
+    they probe by centroid either way)."""
+    assign_lists(vectors, centroids, id_col, vec_col, coarse_groups).write.mode(
         "overwrite"
     ).partitionBy("cid").parquet(path)
 
