@@ -398,3 +398,41 @@ def test_compact_target2_date_leading_key(spark):
         assert spark.read.parquet(path).count() == 240
     finally:
         shutil.rmtree(base, ignore_errors=True)
+
+def test_compact_target2_timestamp_and_decimal_keys(spark):
+    """The remaining _quantile_ok branches: TIMESTAMP leading key
+    (unix_micros proxy) and DECIMAL leading key (native quantiles) —
+    both must honor at-most-target with rows intact."""
+    from datetime import datetime
+
+    for schema, mk in (
+        (
+            "d date, ts timestamp",
+            lambda j, i: datetime(2024, 1, 1 + (j + 6 * i) % 27, (j + i) % 24),
+        ),
+        (
+            "d date, amt decimal(10,2)",
+            lambda j, i: __import__("decimal").Decimal(j + 6 * i) / 4,
+        ),
+    ):
+        key = schema.split(",")[1].split()[0]
+        base = tempfile.mkdtemp(prefix=f"ym_compact_{key}_")
+        try:
+            path = f"{base}/tbl"
+            layout = warehouse.TableLayout(date_col="d", sort_by=[key])
+            monday = date(2023, 10, 9)
+            for j in range(6):
+                frag = spark.createDataFrame(
+                    [(monday, mk(j, i)) for i in range(30)], schema
+                )
+                warehouse.write_table(
+                    frag, path, layout,
+                    mode="overwrite" if j == 0 else "append",
+                )
+            stats = warehouse.compact_partitions(
+                spark, path, max_files_per_week=4, target_files_per_week=2,
+            )
+            assert 1 <= stats["files_after"]["_week=2023-10-09"] <= 2, key
+            assert spark.read.parquet(path).count() == 180, key
+        finally:
+            shutil.rmtree(base, ignore_errors=True)
