@@ -1524,6 +1524,36 @@ def test_ivf_assigned_without_centroids_refuses(spark):
         similarity.ivf_topk(vecs, qs, k=1, assigned=idx)
 
 
+def test_ivf_pruned_empty_query_batch(spark):
+    """An empty query batch against a persisted index: the probed-cid
+    set is empty, the isin([]) predicate prunes everything, and the
+    result is zero rows with the stable output schema (no crash on
+    the empty-collect edge)."""
+    import shutil
+    import tempfile
+
+    from yc_data_transfer_clickhouse_from_yandex_metrica_spark.operators import similarity
+
+    vecs = spark.createDataFrame(
+        [(i, [float(i % 3), 1.0]) for i in range(20)],
+        "vec_id long, embedding array<double>",
+    )
+    cents = [[1.0, 0.0], [0.0, 1.0]]
+    base = tempfile.mkdtemp(prefix="ym_ivf_emptyq_")
+    try:
+        similarity.write_ivf_index(vecs, cents, f"{base}/idx")
+        empty_q = vecs.where(F.lit(False)).selectExpr(
+            "vec_id AS query_id", "embedding"
+        )
+        out = similarity.ivf_topk_pruned(
+            spark, f"{base}/idx", empty_q, cents, k=3, nprobe=2
+        )
+        assert out.columns == ["query_id", "neighbor_id", "cos", "rank"]
+        assert out.count() == 0
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
 def test_ivf_pruned_index_scan_reads_probed_lists_only(spark):
     """write_ivf_index + ivf_topk_pruned (r16 serving layout): the
     persisted index is partitioned by cid and the probed-cid predicate
