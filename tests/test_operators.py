@@ -1445,7 +1445,7 @@ def test_ivf_preassigned_index_equals_inline(spark):
     cids = {r["cid"] for r in index.select("cid").distinct().collect()}
     assert cids <= set(range(len(cents))), cids
     zero_cid = index.where(F.col("nn_id") == 300).first()["cid"]
-    assert zero_cid == 0  # NULL cosine coalesces to -inf -> first list
+    assert zero_cid == 0  # all dots exactly 0.0 -> first-max tie, list 0
 
     inline = similarity.ivf_topk(vecs, qs, k=7, nprobe=3, centroids=cents)
     served = similarity.ivf_topk(
@@ -1522,6 +1522,34 @@ def test_ivf_assigned_without_centroids_refuses(spark):
     idx = similarity.assign_lists(vecs, [[1.0, 0.0], [0.0, 1.0]])
     with pytest.raises(ValueError, match="assigned= requires"):
         similarity.ivf_topk(vecs, qs, k=1, assigned=idx)
+
+
+def test_ivf_degenerate_param_refusals(spark):
+    """r16 review closures: the degenerate parameters that previously
+    crashed deep inside Spark (sequence(1,0) -> element_at(0)) or
+    numpy (argmax of empty) now refuse with typed errors — nprobe < 1
+    in both query paths, coarse_groups < 1 in the index build, and
+    empty centroid lists everywhere."""
+    import pytest
+
+    from yc_data_transfer_clickhouse_from_yandex_metrica_spark.operators import similarity
+
+    vecs = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [0.0, 1.0])],
+        "vec_id long, embedding array<double>",
+    )
+    qs = vecs.selectExpr("vec_id AS query_id", "embedding")
+    cents = [[1.0, 0.0], [0.0, 1.0]]
+    with pytest.raises(ValueError, match="nprobe"):
+        similarity.ivf_topk(vecs, qs, k=1, nprobe=0, centroids=cents)
+    with pytest.raises(ValueError, match="nprobe"):
+        similarity.ivf_topk_pruned(spark, "/nope", qs, cents, nprobe=0)
+    with pytest.raises(ValueError, match="coarse_groups"):
+        similarity.assign_lists(vecs, cents, coarse_groups=0)
+    with pytest.raises(ValueError, match="empty centroid"):
+        similarity.assign_lists(vecs, [])
+    with pytest.raises(ValueError, match="empty centroids"):
+        similarity.ivf_topk_pruned(spark, "/nope", qs, [])
 
 
 def test_ivf_pruned_empty_query_batch(spark):

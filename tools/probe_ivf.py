@@ -23,7 +23,10 @@ The docstring claims verified, WITHOUT instrumenting the operator
 
 Synthetic clustered vectors (dim 16, 64 planted centers derived from
 deterministic hashes — no RNG state, reruns agree); queries are 50
-held-out perturbed center points.  Centroids are pre-trained once per
+corpus members re-labeled with offset query ids (every query has an
+exact duplicate in the corpus at cos=1.0 — fine for the timing and
+candidate-volume laws measured here; do NOT read recall off these
+numbers).  Centroids are pre-trained once per
 (N, nlist) via train_centroids.
 
 Usage: python tools/probe_ivf.py
@@ -80,31 +83,18 @@ def timed_count(df) -> tuple[float, int]:
 
 def candidate_rows(index, queries, centroids, nprobe) -> int:
     """Rows entering the rank window = sum of probed-list sizes over
-    all queries — from per-list sizes (one agg over the index) and
-    the per-query probe cids (|Q| rows), never a big join."""
+    all queries — per-list sizes (one agg over the index) times the
+    per-query probe cids from the OPERATOR'S OWN probe frame (so the
+    count always measures the selection ivf_topk actually uses),
+    never a big join."""
     sizes = {
         r["cid"]: r["n"]
         for r in index.groupBy("cid").agg(F.count("*").alias("n")).collect()
     }
-    cents = similarity._centroid_literal(centroids)
-    qv = similarity.as_double("embedding")
-    scored = F.transform(
-        cents,
-        lambda c, i: F.struct(
-            similarity.cosine(qv, c).alias("d"), i.cast("long").alias("cid")
-        ),
-    )
-    ordered = F.array_sort(
-        scored,
-        lambda a, b: F.when(a["d"] > b["d"], F.lit(-1))
-        .when(a["d"] < b["d"], F.lit(1))
-        .otherwise((a["cid"] - b["cid"]).cast("int")),
-    )
-    probed = queries.select(
-        F.explode(
-            F.transform(F.slice(ordered, 1, nprobe), lambda s: s["cid"])
-        ).alias("cid")
-    ).collect()
+    probed = similarity._probe_frame(
+        queries, similarity._centroid_literal(centroids), nprobe,
+        "query_id", "embedding",
+    ).select("cid").collect()
     return sum(sizes.get(r["cid"], 0) for r in probed)
 
 

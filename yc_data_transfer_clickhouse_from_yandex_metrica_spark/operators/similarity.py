@@ -261,6 +261,10 @@ def _normalized_centroid_literal(centroids: list[list[float]]) -> Column:
     Zero-norm centroids have no cosine ordering at all; refuse them
     loudly (train_centroids never emits one — its centroids are
     means of unit vectors, re-normalized each Lloyd step)."""
+    if not centroids:
+        raise ValueError(
+            "empty centroid list: assignment needs at least one list"
+        )
     norms = [sum(x * x for x in row) ** 0.5 for row in centroids]
     if any(n == 0 for n in norms):
         raise ValueError(
@@ -360,6 +364,8 @@ def assign_lists(
     original cid order).  This is the 100 TB build path once
     N x nlist dots stop being affordable (1e9 vectors x 65k lists =
     6.5e13 dots exact vs ~5e11 two-level)."""
+    if coarse_groups is not None and coarse_groups < 1:
+        raise ValueError(f"coarse_groups must be >= 1, got {coarse_groups}")
     base = vectors.select(
         F.col(id_col).alias("nn_id"), as_double(vec_col).alias("nv")
     )
@@ -478,6 +484,10 @@ def ivf_topk(
             "with; training fresh ones here would silently probe a "
             "different cid space"
         )
+    if nprobe < 1:
+        # min(nprobe, nlist)=0 would build F.sequence(1, 0) = [1, 0]
+        # and crash at element_at(..., 0); refuse with types instead
+        raise ValueError(f"nprobe must be >= 1, got {nprobe}")
     if centroids is None:
         centroids = train_centroids(vectors, nlist, id_col, vec_col)
     if not centroids:
@@ -613,9 +623,23 @@ def ivf_topk_pruned(
     makes repeated batches against a 100 TB index affordable.
     Results are identical to ``ivf_topk(assigned=...)`` with the same
     centroids (same probe selection, same exact rescoring)."""
+    if not centroids:
+        raise ValueError(
+            "empty centroids: no cid space to probe — a persisted "
+            "index cannot have been built without centroids either"
+        )
+    if nprobe < 1:
+        raise ValueError(f"nprobe must be >= 1, got {nprobe}")
     cents = _centroid_literal(centroids)
     nprobe = min(int(nprobe), len(centroids))
     probes = _probe_frame(queries, cents, nprobe, query_id_col, vec_col)
+    # materialize the probe frame ONCE (eager local checkpoint): the
+    # cid collect below and the candidate join must see the SAME
+    # evaluation — a re-computed probe over a non-deterministic query
+    # frame could probe cids the partition filter never collected and
+    # silently drop candidates; it also halves the |Q| x nlist probe
+    # scoring work (r16 review finding)
+    probes = probes.localCheckpoint(eager=True)
     cids = sorted(
         r["cid"] for r in probes.select("cid").distinct().collect()
     )
