@@ -1647,6 +1647,149 @@ def test_ivf_pruned_index_scan_reads_probed_lists_only(spark):
         shutil.rmtree(base, ignore_errors=True)
 
 
+def test_ivf_centroid_sidecar_lifecycle(spark):
+    """r17 (r16 advice #1): write_ivf_index persists the build
+    centroids as a _centroids.json sidecar inside the index dir;
+    ivf_topk_pruned loads them when centroids=None (the serving
+    default), accepts matching explicit centroids, and REFUSES a
+    mismatched list — the silent-recall-loss foot-gun.  A pre-sidecar
+    index (sidecar deleted) still serves with explicit centroids but
+    refuses a list too small to address the persisted cid dirs."""
+    import os
+
+    import numpy as np
+
+    from yc_data_transfer_clickhouse_from_yandex_metrica_spark.operators import similarity
+
+    rng = np.random.RandomState(7)
+    rows = [(i, [float(x) for x in rng.normal(size=8)]) for i in range(120)]
+    vecs = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    qs = vecs.where(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    cents = similarity.train_centroids(vecs, nlist=6)
+    base = tempfile.mkdtemp(prefix="ym_ivf_sidecar_")
+    try:
+        path = f"{base}/idx"
+        similarity.write_ivf_index(vecs, cents, path)
+        sidecar = os.path.join(path, "_centroids.json")
+        assert os.path.exists(sidecar)
+        assert similarity.read_centroid_sidecar(spark, path) == [
+            [float(x) for x in row] for row in cents
+        ]
+
+        as_set = lambda df: {tuple(r) for r in df.collect()}
+        explicit = similarity.ivf_topk_pruned(spark, path, qs, cents, k=4, nprobe=2)
+        loaded = similarity.ivf_topk_pruned(spark, path, qs, k=4, nprobe=2)
+        assert as_set(explicit) == as_set(loaded) and len(as_set(loaded))
+
+        foreign = [[float(x) for x in row] for row in cents]
+        foreign[0] = [v + 0.25 for v in foreign[0]]
+        with pytest.raises(ValueError, match="sidecar"):
+            similarity.ivf_topk_pruned(spark, path, qs, foreign, k=4, nprobe=2)
+
+        # pre-sidecar index: explicit centroids still serve; a list
+        # shorter than the persisted cid space refuses via the max-cid
+        # directory-listing guard; centroids=None has nothing to load
+        os.remove(sidecar)
+        assert as_set(
+            similarity.ivf_topk_pruned(spark, path, qs, cents, k=4, nprobe=2)
+        ) == as_set(explicit)
+        assert similarity._persisted_cids(spark, path) == sorted(
+            {r["cid"] for r in similarity.assign_lists(vecs, cents).select("cid").distinct().collect()}
+        )
+        with pytest.raises(ValueError, match="cid="):
+            similarity.ivf_topk_pruned(spark, path, qs, cents[:2], k=4, nprobe=2)
+        with pytest.raises(ValueError, match="sidecar"):
+            similarity.ivf_topk_pruned(spark, path, qs, k=4, nprobe=2)
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
+def test_ivf_assigned_with_empty_centroid_list_refuses(spark):
+    """r17 (r16 advice #3): an explicitly EMPTY centroid list alongside
+    a built assigned= index is a caller bug (the index necessarily has
+    a non-empty cid space) and must refuse loudly instead of silently
+    returning zero rows via the no-trainable-vectors degenerate."""
+    from yc_data_transfer_clickhouse_from_yandex_metrica_spark.operators import similarity
+
+    vecs = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [0.0, 1.0])],
+        "vec_id long, embedding array<double>",
+    )
+    qs = vecs.selectExpr("vec_id AS query_id", "embedding")
+    idx = similarity.assign_lists(vecs, [[1.0, 0.0], [0.0, 1.0]])
+    with pytest.raises(ValueError, match="empty centroids alongside"):
+        similarity.ivf_topk(vecs, qs, k=1, centroids=[], assigned=idx)
+
+
+def test_ivf_arrow_assignment_matches_literal(spark):
+    """r17 (r16 advice #4): the broadcast-matrix pandas-UDF assignment
+    (the large-nlist path where centroid literals would blow past the
+    SQL parser) assigns IDENTICALLY to the literal path — exact and
+    two-level — including the degenerate rows (NULL vector, NaN
+    element, wrong length, all-zero vector), which land in the first
+    candidate list under both forms."""
+    import numpy as np
+
+    from yc_data_transfer_clickhouse_from_yandex_metrica_spark.operators import similarity
+
+    rng = np.random.RandomState(11)
+    rows = [(i, [float(x) for x in rng.normal(size=6)]) for i in range(60)]
+    rows += [
+        (100, [0.0] * 6),                      # zero norm
+        (101, None),                           # NULL vector
+        (102, [1.0, 2.0]),                     # too short
+        (103, [1.0] * 9),                      # too long
+        (104, [float("nan")] + [1.0] * 5),     # NaN element
+    ]
+    vecs = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cents = similarity.train_centroids(vecs.where(F.col("vec_id") < 100), nlist=8)
+
+    def cids(df):
+        return {r["nn_id"]: r["cid"] for r in df.select("nn_id", "cid").collect()}
+
+    for groups in (None, 3):
+        lit = cids(similarity.assign_lists(vecs, cents, coarse_groups=groups, use_arrow=False))
+        arr = cids(similarity.assign_lists(vecs, cents, coarse_groups=groups, use_arrow=True))
+        assert lit == arr, f"coarse_groups={groups}"
+    # and the auto-switch picks arrow past the literal budget
+    assert similarity._use_arrow(cents, None) is False
+    assert similarity._use_arrow([[0.0] * 1024] * 65536, None) is True
+
+
+def test_ivf_arrow_probe_serving_matches_literal(spark):
+    """r17: end-to-end ivf_topk and ivf_topk_pruned under
+    use_arrow=True (broadcast probe + assignment) return exactly the
+    literal-path results — same probe selection, same rescoring."""
+    import numpy as np
+
+    from yc_data_transfer_clickhouse_from_yandex_metrica_spark.operators import similarity
+
+    rng = np.random.RandomState(13)
+    rows = [(i, [float(x) for x in rng.normal(size=10)]) for i in range(200)]
+    vecs = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    qs = vecs.where(F.col("vec_id") % 50 == 7).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    cents = similarity.train_centroids(vecs, nlist=8)
+    as_set = lambda df: {tuple(r) for r in df.collect()}
+    lit = as_set(similarity.ivf_topk(vecs, qs, k=5, nprobe=3, centroids=cents, use_arrow=False))
+    arr = as_set(similarity.ivf_topk(vecs, qs, k=5, nprobe=3, centroids=cents, use_arrow=True))
+    assert lit == arr and len(lit)
+
+    base = tempfile.mkdtemp(prefix="ym_ivf_arrow_")
+    try:
+        path = f"{base}/idx"
+        similarity.write_ivf_index(vecs, cents, path, use_arrow=True)
+        pruned = as_set(
+            similarity.ivf_topk_pruned(spark, path, qs, k=5, nprobe=3, use_arrow=True)
+        )
+        assert pruned == lit
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
 # --------------------------------------------------------------------------
 # Multimodal plumbing (Arrow batch stage + frame sampling)
 # --------------------------------------------------------------------------

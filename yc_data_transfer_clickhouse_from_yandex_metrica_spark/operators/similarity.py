@@ -24,11 +24,25 @@ to its bucketing skeleton (no PQ codes -- exact residual scoring).
 
 from __future__ import annotations
 
+import json
+
 import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions import ch
+
+# Above this many embedded doubles (nlist x dim), centroid literals stop
+# being viable: each element renders as ~18 chars of SQL, so 2^18 elems
+# is already ~5 MB of expression text through the parser and py4j, and
+# the advertised 65k-list/1024-dim serving target (6.7e7 elems) would be
+# >1 GB — far past any parser.  Past the cap, assignment and probing
+# switch to a broadcast numpy matrix consumed by an Arrow-batched pandas
+# UDF (r16 advice #4).
+_MAX_LITERAL_ELEMS = 1 << 18
+
+_CENTROID_SIDECAR = "_centroids.json"
 
 
 def as_double(vec: Column | str) -> Column:
@@ -261,6 +275,15 @@ def _normalized_centroid_literal(centroids: list[list[float]]) -> Column:
     Zero-norm centroids have no cosine ordering at all; refuse them
     loudly (train_centroids never emits one — its centroids are
     means of unit vectors, re-normalized each Lloyd step)."""
+    unit = _unit_matrix(centroids)
+    return _centroid_literal([[float(x) for x in row] for row in unit])
+
+
+def _unit_matrix(centroids: list[list[float]]) -> "np.ndarray":
+    """Validated, row-normalized centroid matrix (nlist x dim).
+    Refuses empty lists and zero-norm rows loudly (train_centroids
+    never emits either — its centroids are means of unit vectors,
+    re-normalized each Lloyd step)."""
     if not centroids:
         raise ValueError(
             "empty centroid list: assignment needs at least one list"
@@ -272,8 +295,135 @@ def _normalized_centroid_literal(centroids: list[list[float]]) -> Column:
             f"{[i for i, n in enumerate(norms) if n == 0]}: "
             "cosine assignment is undefined for them"
         )
-    return _centroid_literal(
-        [[x / n for x in row] for row, n in zip(centroids, norms)]
+    return np.array(
+        [[x / n for x in row] for row, n in zip(centroids, norms)],
+        dtype=np.float64,
+    )
+
+
+def _use_arrow(centroids: list[list[float]], use_arrow: bool | None) -> bool:
+    """Literal vs broadcast-UDF path choice: explicit flag wins, else
+    auto-switch once the centroid matrix would overflow the literal
+    budget (``_MAX_LITERAL_ELEMS``)."""
+    if use_arrow is not None:
+        return bool(use_arrow)
+    dim = len(centroids[0]) if centroids else 0
+    return len(centroids) * dim > _MAX_LITERAL_ELEMS
+
+
+def _valid_rows(vs, dim: int) -> tuple["np.ndarray", "np.ndarray"]:
+    """(matrix, ok-mask) for a pandas Series of array cells.  A row is
+    usable only if it is a finite ``dim``-length vector; everything
+    else (NULL vector, NULL/NaN element, wrong length) mirrors the
+    literal path's NULL-score ordering and falls to the caller's
+    first-candidate default."""
+    n = len(vs)
+    ok = np.zeros(n, dtype=bool)
+    mat = np.zeros((n, dim), dtype=np.float64)
+    for i, v in enumerate(vs):
+        if v is None:
+            continue
+        a = np.asarray(v, dtype=np.float64)
+        if a.shape == (dim,) and np.isfinite(a).all():
+            mat[i] = a
+            ok[i] = True
+    return mat, ok
+
+
+def _arrow_assign(
+    base: DataFrame,
+    unit: "np.ndarray",
+    members: list[list[int]] | None,
+    reps: "np.ndarray | None",
+) -> DataFrame:
+    """cid assignment via a BROADCAST numpy centroid matrix consumed by
+    an Arrow-batched pandas UDF — the large-nlist path where a centroid
+    literal would blow past the SQL parser/py4j/codegen (r16 advice #4:
+    the 65k-list x 1024-dim target is a multi-hundred-MB expression in
+    literal form).  Semantics mirror the literal path: exact argmax
+    (``members is None``) or two-level coarse-then-member argmax, ties
+    to the lowest cid, and any row that is not a finite dim-length
+    vector lands in the first candidate list (the literal path's
+    all-scores-NULL ordering).  Scores are numpy dots — summation order
+    differs from the JVM fold, so a near-exact tie (< 1 ulp apart) may
+    assign differently than the literal path; harmless for IVF
+    semantics (every vector still lands in exactly one list)."""
+    from pyspark.sql.functions import pandas_udf
+
+    spark = base.sparkSession
+    payload = {
+        "unit": unit,
+        "members": None
+        if members is None
+        else [np.asarray(m, dtype=np.int64) for m in members],
+        "reps": reps,
+    }
+    bc = spark.sparkContext.broadcast(payload)
+
+    @pandas_udf("long")
+    def _assign(vs: pd.Series) -> pd.Series:
+        p = bc.value
+        u, mem, rp = p["unit"], p["members"], p["reps"]
+        mat, ok = _valid_rows(vs, u.shape[1])
+        fallback = 0 if mem is None else int(mem[0][0])
+        out = np.full(len(vs), fallback, dtype=np.int64)
+        idx = np.where(ok)[0]
+        if len(idx):
+            if mem is None:
+                out[idx] = np.argmax(mat[idx] @ u.T, axis=1)
+            else:
+                gids = np.argmax(mat[idx] @ rp.T, axis=1)
+                for g in np.unique(gids):
+                    sel = idx[gids == g]
+                    cids = mem[g]
+                    within = np.argmax(mat[sel] @ u[cids].T, axis=1)
+                    out[sel] = cids[within]
+        return pd.Series(out)
+
+    return base.select("nn_id", "nv", _assign(F.col("nv")).alias("cid"))
+
+
+def _arrow_probe_frame(
+    queries: DataFrame,
+    unit: "np.ndarray",
+    nprobe: int,
+    query_id_col: str,
+    vec_col: str,
+) -> DataFrame:
+    """(query_id, qv, cid) probe fan-out via the broadcast matrix — the
+    query-side twin of ``_arrow_assign`` for nlist past the literal
+    budget.  Per row: top-``nprobe`` cids by cosine desc, cid asc
+    (against unit centroids the dot ranks identically to cosine).
+    Rows that are not finite dim-length vectors mirror the literal
+    comparator's NULL ordering and probe cids [0..nprobe-1]."""
+    from pyspark.sql.functions import pandas_udf
+
+    spark = queries.sparkSession
+    bc = spark.sparkContext.broadcast(unit)
+    np_ = int(nprobe)
+
+    @pandas_udf("array<long>")
+    def _probe(vs: pd.Series) -> pd.Series:
+        u = bc.value
+        mat, ok = _valid_rows(vs, u.shape[1])
+        nlist = u.shape[0]
+        default = list(range(np_))
+        out: list[list[int]] = [default] * len(vs)
+        idx = np.where(ok)[0]
+        if len(idx):
+            scores = mat[idx] @ u.T
+            # stable argsort on -score: score desc, cid asc ties —
+            # exactly the literal comparator's ordering
+            order = np.argsort(-scores, axis=1, kind="stable")[:, :np_]
+            for r, row in zip(idx, order):
+                out[r] = [int(c) for c in row]
+        return pd.Series(out)
+
+    q = queries.select(
+        F.col(query_id_col).alias("query_id"), as_double(vec_col).alias("qv")
+    )
+    return q.select(
+        "query_id", "qv", F.explode(_probe(F.col("qv"))).alias("cid")
     )
 
 
@@ -334,6 +484,7 @@ def assign_lists(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     coarse_groups: int | None = None,
+    use_arrow: bool | None = None,
 ) -> DataFrame:
     """IVF index build: (nn_id, nv, cid) — every vector tagged with
     its nearest-centroid list id in ONE map-side pass (no join, no
@@ -363,15 +514,27 @@ def assign_lists(
     to the exact argmax bit-for-bit (one cell holding every centroid,
     original cid order).  This is the 100 TB build path once
     N x nlist dots stop being affordable (1e9 vectors x 65k lists =
-    6.5e13 dots exact vs ~5e11 two-level)."""
+    6.5e13 dots exact vs ~5e11 two-level).
+
+    ``use_arrow`` picks the expression form: ``False`` embeds the
+    centroids as a single SQL literal (JVM codegen, zero Python — the
+    default small-nlist path), ``True`` ships them as a broadcast
+    numpy matrix consumed by an Arrow-batched pandas UDF, and ``None``
+    (default) auto-switches to the broadcast form once nlist x dim
+    exceeds ``_MAX_LITERAL_ELEMS`` — past that the literal would be
+    tens-of-MB of expression text through the parser/py4j (the r16
+    advice's 65k x 1024 example is ~1.3 GB in literal form)."""
     if coarse_groups is not None and coarse_groups < 1:
         raise ValueError(f"coarse_groups must be >= 1, got {coarse_groups}")
     base = vectors.select(
         F.col(id_col).alias("nn_id"), as_double(vec_col).alias("nv")
     )
+    arrow = _use_arrow(centroids, use_arrow)
     if coarse_groups is None or min(int(coarse_groups), len(centroids)) >= len(
         centroids
     ):
+        if arrow:
+            return _arrow_assign(base, _unit_matrix(centroids), None, None)
         cents_unit = _normalized_centroid_literal(centroids)
         scored = base.withColumn(
             "__scores", _score_array(F.col("nv"), cents_unit)
@@ -380,19 +543,7 @@ def assign_lists(
             "nn_id", "nv", _argmax_cid(F.col("__scores")).alias("cid")
         )
 
-    import numpy as np
-
-    norms = [sum(x * x for x in row) ** 0.5 for row in centroids]
-    if any(n == 0 for n in norms):
-        raise ValueError(
-            "zero-norm centroid row(s) at indices "
-            f"{[i for i, n in enumerate(norms) if n == 0]}: "
-            "cosine assignment is undefined for them"
-        )
-    unit = np.array(
-        [[x / n for x in row] for row, n in zip(centroids, norms)],
-        dtype=np.float64,
-    )
+    unit = _unit_matrix(centroids)
     members = _coarse_partition(unit, coarse_groups)
     # coarse cell representatives: renormalized member means (the
     # k-means cells' own centroids, rebuilt from the final membership
@@ -402,6 +553,10 @@ def assign_lists(
         mean = unit[m].mean(axis=0)
         n = float(np.linalg.norm(mean))
         reps.append((mean / n if n > 0 else unit[m[0]]).tolist())
+    if arrow:
+        return _arrow_assign(
+            base, unit, members, np.array(reps, dtype=np.float64)
+        )
     rep_lit = _centroid_literal(reps)
     member_vec_lit = F.expr(
         "array(" + ",".join(
@@ -451,6 +606,7 @@ def ivf_topk(
     query_id_col: str = "query_id",
     centroids: list[list[float]] | None = None,
     assigned: DataFrame | None = None,
+    use_arrow: bool | None = None,
 ) -> DataFrame:
     """IVF ANN: coarse-quantize vectors to nlist k-means centroids
     (trained by `train_centroids` on a bounded hash sample unless
@@ -484,6 +640,16 @@ def ivf_topk(
             "with; training fresh ones here would silently probe a "
             "different cid space"
         )
+    if assigned is not None and not centroids:
+        # an explicitly EMPTY list alongside a built index is a caller
+        # bug, not the no-trainable-vectors degenerate: the index was
+        # necessarily built with >= 1 centroid, so probing an empty cid
+        # space would silently return zero rows (r16 advice #3 —
+        # mirrors ivf_topk_pruned's refusal)
+        raise ValueError(
+            "empty centroids alongside assigned=: the index was built "
+            "with a non-empty cid space — pass the build centroids"
+        )
     if nprobe < 1:
         # min(nprobe, nlist)=0 would build F.sequence(1, 0) = [1, 0]
         # and crash at element_at(..., 0); refuse with types instead
@@ -506,12 +672,36 @@ def ivf_topk(
     # partitioned by vector id) pushed |N| x nlist rows through a
     # shuffle -- a 1024x inflation at nlist=1024, the exact kind of
     # hidden exchange that kills a 100 TB run.
-    cents = _centroid_literal(centroids)
     nprobe = min(int(nprobe), len(centroids))
     if assigned is None:
-        assigned = assign_lists(vectors, centroids, id_col, vec_col)
-    probes = _probe_frame(queries, cents, nprobe, query_id_col, vec_col)
+        assigned = assign_lists(
+            vectors, centroids, id_col, vec_col, use_arrow=use_arrow
+        )
+    probes = _build_probes(
+        queries, centroids, nprobe, query_id_col, vec_col, use_arrow
+    )
     return _rank_candidates(probes, assigned, k)
+
+
+def _build_probes(
+    queries: DataFrame,
+    centroids: list[list[float]],
+    nprobe: int,
+    query_id_col: str,
+    vec_col: str,
+    use_arrow: bool | None,
+) -> DataFrame:
+    """Probe fan-out, literal or broadcast form by the same size rule
+    as ``assign_lists`` — the query side is |Q|-bounded in rows, but
+    its centroid LITERAL is nlist x dim either way, so large nlist
+    needs the broadcast path here too."""
+    if _use_arrow(centroids, use_arrow):
+        return _arrow_probe_frame(
+            queries, _unit_matrix(centroids), nprobe, query_id_col, vec_col
+        )
+    return _probe_frame(
+        queries, _centroid_literal(centroids), nprobe, query_id_col, vec_col
+    )
 
 
 def _best_cids(vec: Column, cents: Column, n: int) -> Column:
@@ -581,6 +771,78 @@ def _rank_candidates(probes: DataFrame, assigned: DataFrame, k: int) -> DataFram
     )
 
 
+def _hadoop_fs(spark, path: str):
+    """(FileSystem, Path) for ``path`` via the session's Hadoop conf —
+    works uniformly for file:/, hdfs:/ and s3a:/ index locations."""
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    return fs, hpath
+
+
+def _write_centroid_sidecar(
+    spark, path: str, centroids: list[list[float]]
+) -> None:
+    """Persist the build centroids NEXT TO the index (r16 advice #1):
+    ``_centroids.json`` inside the index directory.  The underscore
+    prefix makes Spark's parquet reader skip it as a hidden file, and
+    co-location means the index can never be served against a foreign
+    cid space — ``ivf_topk_pruned`` loads or cross-checks it before
+    probing.  Written through the Hadoop FileSystem API so the sidecar
+    lands wherever the index does (local, HDFS, S3)."""
+    fs, _ = _hadoop_fs(spark, path)
+    dest = spark._jvm.org.apache.hadoop.fs.Path(
+        path.rstrip("/") + "/" + _CENTROID_SIDECAR
+    )
+    out = fs.create(dest, True)
+    try:
+        payload = json.dumps(
+            {"centroids": [[float(x) for x in row] for row in centroids]}
+        ).encode("utf-8")
+        out.write(bytearray(payload))
+    finally:
+        out.close()
+
+
+def read_centroid_sidecar(spark, path: str) -> list[list[float]] | None:
+    """The ``_centroids.json`` sidecar of a persisted index, or None
+    for a pre-sidecar index directory."""
+    fs, _ = _hadoop_fs(spark, path)
+    src = spark._jvm.org.apache.hadoop.fs.Path(
+        path.rstrip("/") + "/" + _CENTROID_SIDECAR
+    )
+    if not fs.exists(src):
+        return None
+    stream = fs.open(src)
+    try:
+        raw = bytes(
+            spark._jvm.org.apache.commons.io.IOUtils.toByteArray(stream)
+        )
+    finally:
+        stream.close()
+    cents = json.loads(raw.decode("utf-8"))["centroids"]
+    return [[float(x) for x in row] for row in cents]
+
+
+def _persisted_cids(spark, path: str) -> list[int]:
+    """cid partition values of a persisted index, from the DIRECTORY
+    LISTING alone (``cid=N`` partition dirs) — no Spark job, no data
+    read.  The cheap max-cid sanity check for pre-sidecar indexes."""
+    fs, hpath = _hadoop_fs(spark, path)
+    if not fs.exists(hpath):
+        # let the parquet read below surface the missing-path error
+        return []
+    cids = []
+    for status in fs.listStatus(hpath):
+        name = status.getPath().getName()
+        if status.isDirectory() and name.startswith("cid="):
+            try:
+                cids.append(int(name[4:]))
+            except ValueError:
+                continue
+    return sorted(cids)
+
+
 def write_ivf_index(
     vectors: DataFrame,
     centroids: list[list[float]],
@@ -588,6 +850,7 @@ def write_ivf_index(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     coarse_groups: int | None = None,
+    use_arrow: bool | None = None,
 ) -> None:
     """Persist the ``assign_lists`` index PARTITIONED BY cid — the
     serving layout: each inverted list is its own directory, so a
@@ -597,21 +860,26 @@ def write_ivf_index(
     and files stay bounded.  ``coarse_groups`` passes through to
     ``assign_lists`` — the two-level build is how this write stays
     affordable once N x nlist dots are not (queries are unaffected:
-    they probe by centroid either way)."""
-    assign_lists(vectors, centroids, id_col, vec_col, coarse_groups).write.mode(
-        "overwrite"
-    ).partitionBy("cid").parquet(path)
+    they probe by centroid either way).  The build centroids are
+    persisted alongside as ``_centroids.json`` so serving can never
+    silently probe a foreign cid space (r16 advice #1)."""
+    spark = vectors.sparkSession
+    assign_lists(
+        vectors, centroids, id_col, vec_col, coarse_groups, use_arrow
+    ).write.mode("overwrite").partitionBy("cid").parquet(path)
+    _write_centroid_sidecar(spark, path, centroids)
 
 
 def ivf_topk_pruned(
     spark,
     index_path: str,
     queries: DataFrame,
-    centroids: list[list[float]],
+    centroids: list[list[float]] | None = None,
     k: int = 10,
     nprobe: int = 4,
     query_id_col: str = "query_id",
     vec_col: str = "embedding",
+    use_arrow: bool | None = None,
 ) -> DataFrame:
     """IVF serving over a persisted cid-partitioned index (built by
     ``write_ivf_index``): the probed cid set — at most |Q| x nprobe
@@ -622,26 +890,66 @@ def ivf_topk_pruned(
     path touches ~nprobe/nlist of the index bytes, which is what
     makes repeated batches against a 100 TB index affordable.
     Results are identical to ``ivf_topk(assigned=...)`` with the same
-    centroids (same probe selection, same exact rescoring)."""
-    if not centroids:
+    centroids (same probe selection, same exact rescoring).
+
+    ``centroids=None`` (the serving default) loads the index's own
+    ``_centroids.json`` sidecar — the ONLY cid space the index can be
+    correctly probed in.  Explicit ``centroids=`` are cross-checked
+    against the sidecar and refused on mismatch (r16 advice #1: a
+    mismatched list would probe a foreign cid space and silently lose
+    recall); for a pre-sidecar index the cheap fallback guard is that
+    every persisted ``cid=`` partition directory must be addressable
+    by the supplied list (max persisted cid < len(centroids))."""
+    if centroids is not None and not centroids:
         raise ValueError(
             "empty centroids: no cid space to probe — a persisted "
             "index cannot have been built without centroids either"
         )
     if nprobe < 1:
         raise ValueError(f"nprobe must be >= 1, got {nprobe}")
-    cents = _centroid_literal(centroids)
+    sidecar = read_centroid_sidecar(spark, index_path)
+    if centroids is None:
+        if sidecar is None:
+            raise ValueError(
+                f"no centroids= given and {index_path} has no "
+                f"{_CENTROID_SIDECAR} sidecar (pre-sidecar index?) — "
+                "pass the build centroids explicitly"
+            )
+        centroids = sidecar
+    elif sidecar is not None:
+        if [[float(x) for x in row] for row in centroids] != sidecar:
+            raise ValueError(
+                "centroids= disagree with the index's "
+                f"{_CENTROID_SIDECAR} sidecar: serving with foreign "
+                "centroids probes a different cid space and silently "
+                "loses recall — pass the build centroids (or None to "
+                "load them from the sidecar)"
+            )
+    else:
+        persisted = _persisted_cids(spark, index_path)
+        if persisted and persisted[-1] >= len(centroids):
+            raise ValueError(
+                f"index at {index_path} holds cid={persisted[-1]} but "
+                f"only {len(centroids)} centroids were supplied — the "
+                "index was built with a different (larger) centroid "
+                "list"
+            )
     nprobe = min(int(nprobe), len(centroids))
-    probes = _probe_frame(queries, cents, nprobe, query_id_col, vec_col)
-    # materialize the probe frame ONCE (eager local checkpoint): the
-    # cid collect below and the candidate join must see the SAME
-    # evaluation — a re-computed probe over a non-deterministic query
-    # frame could probe cids the partition filter never collected and
-    # silently drop candidates; it also halves the |Q| x nlist probe
-    # scoring work (r16 review finding)
-    probes = probes.localCheckpoint(eager=True)
-    cids = sorted(
-        r["cid"] for r in probes.select("cid").distinct().collect()
+    probes = _build_probes(
+        queries, centroids, nprobe, query_id_col, vec_col, use_arrow
     )
+    # Materialize the probe frame ONCE, as a driver-local collect
+    # rebuilt into a local DataFrame: the cid set below and the
+    # candidate join must see the SAME evaluation — a re-computed
+    # probe over a non-deterministic query frame could probe cids the
+    # partition filter never collected and silently drop candidates —
+    # and the frame is bounded (|Q| x nprobe rows, one query batch).
+    # The r16 localCheckpoint form stored non-replicated executor
+    # blocks: an executor loss mid-batch made the serving query
+    # unrecoverable, and the blocks lingered until driver GC across
+    # repeated serving batches (r16 advice #2).
+    probe_rows = probes.collect()
+    probes_local = spark.createDataFrame(probe_rows, probes.schema)
+    cids = sorted({r["cid"] for r in probe_rows})
     index = spark.read.parquet(index_path).where(F.col("cid").isin(cids))
-    return _rank_candidates(probes, index, k)
+    return _rank_candidates(probes_local, index, k)
