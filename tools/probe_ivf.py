@@ -29,9 +29,17 @@ candidate-volume laws measured here; do NOT read recall off these
 numbers).  Centroids are pre-trained once per
 (N, nlist) via train_centroids.
 
-Usage: python tools/probe_ivf.py
+Usage: python tools/probe_ivf.py            # timing/candidate laws
+       python tools/probe_ivf.py --recall   # r17: end-to-end recall@10
 Prints one human-readable table; the measured numbers land in
-PLANS.md (round 16 entry).
+PLANS.md (round 16 entry; --recall in the round 17 entry).
+
+--recall (r16 verdict #4): the number a user actually cares about —
+END-TO-END recall@10 vs brute for served queries, exact vs
+g=sqrt(nlist) two-level assignment, nprobe in {1,2,4,8} at the same
+400k corpus / nlist=1024.  Queries here are HELD OUT (cluster-center
+vectors with a different jitter stream than any corpus id), so recall
+is not inflated by exact duplicates.
 """
 
 from __future__ import annotations
@@ -201,5 +209,55 @@ def main() -> None:
     )
 
 
+def recall_main() -> None:
+    """recall@10 vs brute at N=400k / nlist=1024: exact assignment vs
+    two-level g=32 (~sqrt(nlist)), nprobe in {1,2,4,8}."""
+    spark = get_spark()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    n, nlist, g = 400_000, 1024, 32
+    vectors = make_vectors(spark, n).cache()
+    vectors.count()
+    # held-out queries: same planted centers, DISTINCT jitter stream
+    # (ids >= n never appear in the corpus; center depends on id %
+    # NCENTERS only, jitter on the full id) — so no query has an
+    # exact duplicate and recall is a real retrieval number
+    queries = (
+        make_vectors(spark, n + NQUERIES * 7)
+        .where((F.col("vec_id") >= n) & (F.col("vec_id") % 7 == 3))
+        .select((F.col("vec_id") + 10_000_000).alias("query_id"), "embedding")
+        .cache()
+    )
+    nq = queries.count()
+
+    truth: dict[int, set] = {}
+    for r in similarity.brute_topk(vectors, queries, k=K).collect():
+        truth.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+
+    cents = similarity.train_centroids(vectors, nlist)
+    print(f"N={n:,} nlist={nlist} queries={nq} (held out), k={K}")
+    print(f"{'assignment':<18} " + " ".join(f"np={p:<2}   " for p in (1, 2, 4, 8)))
+    for label, groups in (("exact", None), (f"two-level g={g}", g)):
+        idx = similarity.assign_lists(vectors, cents, coarse_groups=groups).cache()
+        idx.count()
+        cells = []
+        for nprobe in (1, 2, 4, 8):
+            got: dict[int, set] = {}
+            for r in similarity.ivf_topk(
+                vectors, queries, k=K, nprobe=nprobe,
+                centroids=cents, assigned=idx,
+            ).collect():
+                got.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+            rec = sum(
+                len(truth[q] & got.get(q, set())) / len(truth[q]) for q in truth
+            ) / len(truth)
+            cells.append(f"{rec:.3f}  ")
+        print(f"{label:<18} " + " ".join(cells))
+        idx.unpersist()
+
+
 if __name__ == "__main__":
-    main()
+    if "--recall" in sys.argv[1:]:
+        recall_main()
+    else:
+        main()
