@@ -136,6 +136,7 @@ HEADLINE = [
     "ann_brute_topk",
     "ann_ivf_topk",
     "ann_ivf_exhaustive",
+    "ann_ivf_served",
     "text_stats",
     "repetition_stats",
     "pii_scrub",
