@@ -5141,17 +5141,22 @@ DRIVER_WINDOW = 50  # driver-checked prefix length (round-5 verdict)
 # once the round's CORRECTNESS file shows them green again.
 ROTATION_FORCE_FRONT: frozenset[str] = frozenset(
     # round 17: CORRECTNESS_r16 re-proved both r16-forced IVF entries
-    # green, so that list cleared.  The r17 similarity edits (r16
+    # green, clearing that list — but the r17 similarity edits (r16
     # advice closures: centroid sidecar, collect-rebuilt probe frame,
-    # empty-centroids-with-assigned refusal, broadcast-UDF large-nlist
-    # path) touch ivf_topk's closure but leave the two registry
-    # entries' executed plans bit-identical at their parameters
-    # (nlist=8 x dim=64 stays on the literal path; the new refusals
-    # are compile-time branches they never hit) — re-proven hash-eq
-    # via a live driver_sim pass recorded in PLANS.md r17 instead of
-    # burning two forced slots.  The one NEW entry, ann_ivf_served,
-    # is never-verified and auto-sorts to the window front.
-    set()
+    # empty-centroids-with-assigned refusal, broadcast-UDF
+    # large-nlist path) change ivf_topk's def-level closure again, so
+    # the stale-tail guard re-forces both IVF entries for r17.  Their
+    # executed plans stay bit-identical at the registry parameters
+    # (nlist=8 x dim=64 remains on the literal path; the new refusals
+    # are compile-time branches they never hit) and a live driver_sim
+    # pass re-proved them hash-eq (PLANS.md r17), so these are
+    # guard-mandated re-proofs, not semantic changes.  The one NEW
+    # entry, ann_ivf_served, is never-verified and auto-sorts front;
+    # forced + new = 3 of 50 window slots.
+    {
+        "ann_ivf_topk",
+        "ann_ivf_exhaustive",
+    }
 )
 
 
