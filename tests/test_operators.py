@@ -1742,6 +1742,9 @@ def test_ivf_arrow_assignment_matches_literal(spark):
         (102, [1.0, 2.0]),                     # too short
         (103, [1.0] * 9),                      # too long
         (104, [float("nan")] + [1.0] * 5),     # NaN element
+        (105, [float("inf")] + [1.0] * 5),     # +inf element (r17: score-domain parity)
+        (106, [float("-inf")] + [1.0] * 5),    # -inf element
+        (107, [float("inf"), float("-inf")] + [1.0] * 4),  # inf+(-inf) -> NaN dots
     ]
     vecs = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
     cents = similarity.train_centroids(vecs.where(F.col("vec_id") < 100), nlist=8)
@@ -1769,9 +1772,17 @@ def test_ivf_arrow_probe_serving_matches_literal(spark):
     rng = np.random.RandomState(13)
     rows = [(i, [float(x) for x in rng.normal(size=10)]) for i in range(200)]
     vecs = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    # degenerate QUERY rows ride along (r17 review): a NULL vector and
+    # a wrong-length vector must probe the same default cid set under
+    # both forms (literal all-NULL comparator ordering == arrow
+    # cid-asc default) and so return identical final rows
+    degenerate_q = spark.createDataFrame(
+        [(900, None), (901, [1.0, 2.0])],
+        "query_id long, embedding array<double>",
+    )
     qs = vecs.where(F.col("vec_id") % 50 == 7).select(
         F.col("vec_id").alias("query_id"), "embedding"
-    )
+    ).unionByName(degenerate_q)
     cents = similarity.train_centroids(vecs, nlist=8)
     as_set = lambda df: {tuple(r) for r in df.collect()}
     lit = as_set(similarity.ivf_topk(vecs, qs, k=5, nprobe=3, centroids=cents, use_arrow=False))

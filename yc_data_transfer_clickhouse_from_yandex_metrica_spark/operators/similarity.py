@@ -311,22 +311,41 @@ def _use_arrow(centroids: list[list[float]], use_arrow: bool | None) -> bool:
     return len(centroids) * dim > _MAX_LITERAL_ELEMS
 
 
-def _valid_rows(vs, dim: int) -> tuple["np.ndarray", "np.ndarray"]:
+def _valid_rows(
+    vs, dim: int, require_finite: bool = True
+) -> tuple["np.ndarray", "np.ndarray"]:
     """(matrix, ok-mask) for a pandas Series of array cells.  A row is
-    usable only if it is a finite ``dim``-length vector; everything
-    else (NULL vector, NULL/NaN element, wrong length) mirrors the
-    literal path's NULL-score ordering and falls to the caller's
-    first-candidate default."""
+    usable if it is a ``dim``-length vector (and finite, when
+    ``require_finite``); everything else (NULL vector, wrong length)
+    mirrors the literal path's NULL-score ordering and falls to the
+    caller's first-candidate default.  Fast path: a batch of uniform
+    non-null rows stacks in one vectorized call (the common shape on
+    the N-row build this path exists to serve); the per-row loop only
+    runs for batches holding NULLs or ragged lengths."""
     n = len(vs)
+    try:
+        stacked = np.stack([np.asarray(v, dtype=np.float64) for v in vs])
+    except (TypeError, ValueError):
+        stacked = None
+    if stacked is not None and stacked.shape == (n, dim):
+        ok = (
+            np.isfinite(stacked).all(axis=1)
+            if require_finite
+            else np.ones(n, dtype=bool)
+        )
+        return stacked, ok
     ok = np.zeros(n, dtype=bool)
     mat = np.zeros((n, dim), dtype=np.float64)
     for i, v in enumerate(vs):
         if v is None:
             continue
         a = np.asarray(v, dtype=np.float64)
-        if a.shape == (dim,) and np.isfinite(a).all():
-            mat[i] = a
-            ok[i] = True
+        if a.shape != (dim,):
+            continue
+        if require_finite and not np.isfinite(a).all():
+            continue
+        mat[i] = a
+        ok[i] = True
     return mat, ok
 
 
@@ -343,8 +362,13 @@ def _arrow_assign(
     literal form).  Semantics mirror the literal path: exact argmax
     (``members is None``) or two-level coarse-then-member argmax, ties
     to the lowest cid, and any row that is not a finite dim-length
-    vector lands in the first candidate list (the literal path's
-    all-scores-NULL ordering).  Scores are numpy dots — summation order
+    vector of the wrong LENGTH (or NULL) lands in the first candidate
+    list (the literal path's all-scores-NULL ordering), while
+    non-finite ELEMENTS flow through the score domain: numpy argmax
+    returns the first-NaN index when a NaN is present, which is
+    exactly Spark's NaN-greatest array_max + first-occurrence
+    array_position, so NaN/inf rows assign identically to the literal
+    path too (r17 review).  Scores are numpy dots — summation order
     differs from the JVM fold, so a near-exact tie (< 1 ulp apart) may
     assign differently than the literal path; harmless for IVF
     semantics (every vector still lands in exactly one list)."""
@@ -364,20 +388,21 @@ def _arrow_assign(
     def _assign(vs: pd.Series) -> pd.Series:
         p = bc.value
         u, mem, rp = p["unit"], p["members"], p["reps"]
-        mat, ok = _valid_rows(vs, u.shape[1])
+        mat, ok = _valid_rows(vs, u.shape[1], require_finite=False)
         fallback = 0 if mem is None else int(mem[0][0])
         out = np.full(len(vs), fallback, dtype=np.int64)
         idx = np.where(ok)[0]
         if len(idx):
-            if mem is None:
-                out[idx] = np.argmax(mat[idx] @ u.T, axis=1)
-            else:
-                gids = np.argmax(mat[idx] @ rp.T, axis=1)
-                for g in np.unique(gids):
-                    sel = idx[gids == g]
-                    cids = mem[g]
-                    within = np.argmax(mat[sel] @ u[cids].T, axis=1)
-                    out[sel] = cids[within]
+            with np.errstate(invalid="ignore", over="ignore"):
+                if mem is None:
+                    out[idx] = np.argmax(mat[idx] @ u.T, axis=1)
+                else:
+                    gids = np.argmax(mat[idx] @ rp.T, axis=1)
+                    for g in np.unique(gids):
+                        sel = idx[gids == g]
+                        cids = mem[g]
+                        within = np.argmax(mat[sel] @ u[cids].T, axis=1)
+                        out[sel] = cids[within]
         return pd.Series(out)
 
     return base.select("nn_id", "nv", _assign(F.col("nv")).alias("cid"))
@@ -405,8 +430,13 @@ def _arrow_probe_frame(
     @pandas_udf("array<long>")
     def _probe(vs: pd.Series) -> pd.Series:
         u = bc.value
+        # require_finite stays ON here: the literal comparator's
+        # ordering over mixed NaN scores is non-transitive (NaN
+        # compares false both ways), so non-finite QUERY vectors have
+        # no well-defined probe order in EITHER path; the conservative
+        # cid-asc default below matches the literal path's all-NULL
+        # ordering and is deterministic
         mat, ok = _valid_rows(vs, u.shape[1])
-        nlist = u.shape[0]
         default = list(range(np_))
         out: list[list[int]] = [default] * len(vs)
         idx = np.where(ok)[0]
@@ -634,21 +664,17 @@ def ivf_topk(
     refuses, because freshly-trained centroids would probe a cid
     space the index was not built in; ``vectors`` is then only used
     for its schema in the empty-centroid degenerate."""
-    if assigned is not None and centroids is None:
-        raise ValueError(
-            "assigned= requires the centroids the index was built "
-            "with; training fresh ones here would silently probe a "
-            "different cid space"
-        )
     if assigned is not None and not centroids:
-        # an explicitly EMPTY list alongside a built index is a caller
-        # bug, not the no-trainable-vectors degenerate: the index was
-        # necessarily built with >= 1 centroid, so probing an empty cid
-        # space would silently return zero rows (r16 advice #3 —
-        # mirrors ivf_topk_pruned's refusal)
+        # one invariant, both spellings: a built index necessarily has
+        # a non-empty cid space, so centroids=None (training fresh ones
+        # would silently probe a foreign cid space) and an explicitly
+        # EMPTY list (r16 advice #3 — not the no-trainable-vectors
+        # degenerate) are both caller bugs; mirrors ivf_topk_pruned
         raise ValueError(
-            "empty centroids alongside assigned=: the index was built "
-            "with a non-empty cid space — pass the build centroids"
+            "assigned= requires the non-empty centroid list the index "
+            "was built with: training fresh ones here would silently "
+            "probe a different cid space, and empty centroids alongside "
+            "a built index cannot be the training degenerate"
         )
     if nprobe < 1:
         # min(nprobe, nlist)=0 would build F.sequence(1, 0) = [1, 0]
@@ -804,15 +830,27 @@ def _write_centroid_sidecar(
         out.close()
 
 
+# (index path -> (sidecar mtime, parsed centroids)): repeated serving
+# batches against the same index must not re-read and re-parse the
+# sidecar per call — at a 65k x 1024 index that is >1 GB of JSON
+# through py4j on the hot path (r17 review).  mtime-keyed so an index
+# rebuild (write_ivf_index overwrites the sidecar) invalidates.
+_sidecar_cache: dict[str, tuple[int, list[list[float]]]] = {}
+
+
 def read_centroid_sidecar(spark, path: str) -> list[list[float]] | None:
     """The ``_centroids.json`` sidecar of a persisted index, or None
-    for a pre-sidecar index directory."""
+    for a pre-sidecar index directory.  Parsed once per (path, mtime)
+    per process."""
     fs, _ = _hadoop_fs(spark, path)
-    src = spark._jvm.org.apache.hadoop.fs.Path(
-        path.rstrip("/") + "/" + _CENTROID_SIDECAR
-    )
+    key = path.rstrip("/")
+    src = spark._jvm.org.apache.hadoop.fs.Path(key + "/" + _CENTROID_SIDECAR)
     if not fs.exists(src):
         return None
+    mtime = int(fs.getFileStatus(src).getModificationTime())
+    hit = _sidecar_cache.get(key)
+    if hit is not None and hit[0] == mtime:
+        return hit[1]
     stream = fs.open(src)
     try:
         raw = bytes(
@@ -821,7 +859,9 @@ def read_centroid_sidecar(spark, path: str) -> list[list[float]] | None:
     finally:
         stream.close()
     cents = json.loads(raw.decode("utf-8"))["centroids"]
-    return [[float(x) for x in row] for row in cents]
+    cents = [[float(x) for x in row] for row in cents]
+    _sidecar_cache[key] = (mtime, cents)
+    return cents
 
 
 def _persisted_cids(spark, path: str) -> list[int]:
@@ -917,7 +957,19 @@ def ivf_topk_pruned(
             )
         centroids = sidecar
     elif sidecar is not None:
-        if [[float(x) for x in row] for row in centroids] != sidecar:
+        # vectorized exact compare (the python nested-listcomp form is
+        # O(nlist x dim) interpreter work per serving call); ragged or
+        # wrong-shape input compares unequal, never raises here
+        try:
+            same = bool(
+                np.array_equal(
+                    np.asarray(centroids, dtype=np.float64),
+                    np.asarray(sidecar, dtype=np.float64),
+                )
+            )
+        except (TypeError, ValueError):
+            same = False
+        if not same:
             raise ValueError(
                 "centroids= disagree with the index's "
                 f"{_CENTROID_SIDECAR} sidecar: serving with foreign "
@@ -935,21 +987,30 @@ def ivf_topk_pruned(
                 "list"
             )
     nprobe = min(int(nprobe), len(centroids))
-    probes = _build_probes(
-        queries, centroids, nprobe, query_id_col, vec_col, use_arrow
+    # Single-evaluation serving with a bounded driver footprint: the
+    # QUERY frame is collected ONCE (|Q| rows, one vector each — NOT
+    # the probe frame, which would ship every query vector nprobe
+    # times) and rebuilt as a driver-local relation; probe selection
+    # runs over that fixed local input, so the collected (query_id,
+    # cid) pairs, the partition filter, and the candidate join all
+    # derive from the same evaluation by construction — a re-computed
+    # probe over a non-deterministic query frame could otherwise probe
+    # cids the partition filter never saw and silently drop
+    # candidates.  The r16 localCheckpoint form bought the same
+    # guarantee with non-replicated executor blocks (unrecoverable on
+    # executor loss, lingering until driver GC across serving batches
+    # — r16 advice #2).
+    q = queries.select(
+        F.col(query_id_col).alias("query_id"), as_double(vec_col).alias("qv")
     )
-    # Materialize the probe frame ONCE, as a driver-local collect
-    # rebuilt into a local DataFrame: the cid set below and the
-    # candidate join must see the SAME evaluation — a re-computed
-    # probe over a non-deterministic query frame could probe cids the
-    # partition filter never collected and silently drop candidates —
-    # and the frame is bounded (|Q| x nprobe rows, one query batch).
-    # The r16 localCheckpoint form stored non-replicated executor
-    # blocks: an executor loss mid-batch made the serving query
-    # unrecoverable, and the blocks lingered until driver GC across
-    # repeated serving batches (r16 advice #2).
-    probe_rows = probes.collect()
-    probes_local = spark.createDataFrame(probe_rows, probes.schema)
-    cids = sorted({r["cid"] for r in probe_rows})
+    q_local = spark.createDataFrame(q.collect(), q.schema)
+    pairs = _build_probes(
+        q_local, centroids, nprobe, "query_id", "qv", use_arrow
+    ).select("query_id", "cid")
+    pair_rows = pairs.collect()
+    cids = sorted({r["cid"] for r in pair_rows})
+    probes_local = spark.createDataFrame(pair_rows, pairs.schema).join(
+        q_local, "query_id"
+    )
     index = spark.read.parquet(index_path).where(F.col("cid").isin(cids))
     return _rank_candidates(probes_local, index, k)

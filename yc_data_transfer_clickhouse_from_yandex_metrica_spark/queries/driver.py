@@ -895,14 +895,19 @@ def q_ann_ivf_served(spark: SparkSession, sf_dir: str) -> DataFrame:
     (same pinned centroids, same probe selection, same exact
     rescoring), so it shares the closed-form DuckDB oracle."""
     import hashlib
+    import os
 
     _prep(spark)
     emb = t(spark, sf_dir, "embeddings")
     queries_df = emb.where(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
+    # scratch path keyed by (sf_dir, pid): stable WITHIN a process so
+    # repeated calls overwrite instead of leaking a dir per call, and
+    # process-private so a concurrent harness/bench pair on the same
+    # sf_dir cannot overwrite an index mid-read (r17 review)
     tag = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
-    path = f"{tempfile.gettempdir()}/ym_ann_ivf_served_{tag}"
+    path = f"{tempfile.gettempdir()}/ym_ann_ivf_served_{tag}_{os.getpid()}"
     similarity.write_ivf_index(emb, _IVF_CENTROIDS, path)
     return similarity.ivf_topk_pruned(spark, path, queries_df, k=10, nprobe=4)
 
