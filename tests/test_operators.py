@@ -1756,9 +1756,14 @@ def test_ivf_arrow_assignment_matches_literal(spark):
         lit = cids(similarity.assign_lists(vecs, cents, coarse_groups=groups, use_arrow=False))
         arr = cids(similarity.assign_lists(vecs, cents, coarse_groups=groups, use_arrow=True))
         assert lit == arr, f"coarse_groups={groups}"
-    # and the auto-switch picks arrow past the literal budget
+    # the auto-switch picks arrow past the measured crossover, and a
+    # FORCED literal past the parser budget refuses with types instead
+    # of dying opaquely in the SQL parser
     assert similarity._use_arrow(cents, None) is False
+    assert similarity._use_arrow([[0.0] * 16] * 256, None) is True
     assert similarity._use_arrow([[0.0] * 1024] * 65536, None) is True
+    with pytest.raises(ValueError, match="parser budget"):
+        similarity._use_arrow([[0.0] * 1024] * 65536, False)
 
 
 def test_ivf_arrow_probe_serving_matches_literal(spark):

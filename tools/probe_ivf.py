@@ -31,6 +31,7 @@ numbers).  Centroids are pre-trained once per
 
 Usage: python tools/probe_ivf.py            # timing/candidate laws
        python tools/probe_ivf.py --recall   # r17: end-to-end recall@10
+       python tools/probe_ivf.py --arrow    # r17: literal vs broadcast-UDF build
 Prints one human-readable table; the measured numbers land in
 PLANS.md (round 16 entry; --recall in the round 17 entry).
 
@@ -256,8 +257,61 @@ def recall_main() -> None:
         idx.unpersist()
 
 
+def arrow_main() -> None:
+    """Literal vs broadcast-UDF (arrow) assignment walls + agreement at
+    the same 400k / nlist=1024 config, exact and two-level — the
+    broadcast path exists for nlist past the literal parser budget, so
+    its cost must be known where both forms still run."""
+    spark = get_spark()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    n, nlist, g = 400_000, 1024, 32
+    vectors = make_vectors(spark, n).cache()
+    vectors.count()
+    cents = similarity.train_centroids(vectors, nlist)
+
+    def _force(df) -> float:
+        t0 = time.time()
+        df.agg(F.sum("cid")).collect()
+        return time.time() - t0
+
+    print(f"N={n:,} nlist={nlist} dim={DIM}")
+    results = {}
+    for label, groups, arrow in (
+        ("exact literal", None, False),
+        ("exact arrow", None, True),
+        (f"two-level g={g} literal", g, False),
+        (f"two-level g={g} arrow", g, True),
+    ):
+        t = _force(
+            similarity.assign_lists(
+                vectors, cents, coarse_groups=groups, use_arrow=arrow
+            )
+        )
+        results[label] = t
+        print(f"{label:<24} {t:>7.1f}s")
+
+    for groups in (None, g):
+        lit = {
+            r["nn_id"]: r["cid"]
+            for r in similarity.assign_lists(
+                vectors, cents, coarse_groups=groups, use_arrow=False
+            ).collect()
+        }
+        arr = {
+            r["nn_id"]: r["cid"]
+            for r in similarity.assign_lists(
+                vectors, cents, coarse_groups=groups, use_arrow=True
+            ).collect()
+        }
+        agree = sum(lit[k] == arr[k] for k in lit) / len(lit)
+        print(f"agreement groups={groups}: {agree:.6f}")
+
+
 if __name__ == "__main__":
     if "--recall" in sys.argv[1:]:
         recall_main()
+    elif "--arrow" in sys.argv[1:]:
+        arrow_main()
     else:
         main()

@@ -33,13 +33,25 @@ from pyspark.sql import functions as F
 
 from ..functions import ch
 
-# Above this many embedded doubles (nlist x dim), centroid literals stop
-# being viable: each element renders as ~18 chars of SQL, so 2^18 elems
-# is already ~5 MB of expression text through the parser and py4j, and
-# the advertised 65k-list/1024-dim serving target (6.7e7 elems) would be
-# >1 GB — far past any parser.  Past the cap, assignment and probing
-# switch to a broadcast numpy matrix consumed by an Arrow-batched pandas
-# UDF (r16 advice #4).
+# Auto-switch point between the SQL-literal centroid form (JVM
+# codegen'd HOF fold — zero Python, best for tiny centroid sets) and
+# the broadcast-numpy + Arrow-UDF form.  MEASURED crossover
+# (tools/probe_ivf.py --arrow + the crossover sweep, PLANS.md r17,
+# 200k rows x dim 16): the literal fold scales linearly in nlist x dim
+# (0.42 s at 128 elems -> 19.6 s at 16k) while the arrow path stays
+# flat (~0.4-0.6 s — BLAS matmul is trivial at these sizes; the cost
+# is the constant Arrow transfer of N rows), with break-even at
+# ~256 elems.  1024 keeps a safety margin for the python-worker
+# startup on tiny inputs and keeps the pinned registry entries
+# (nlist=8 x dim=64 = 512) on the fully-JVM literal plan.
+_ARROW_AUTO_ELEMS = 1024
+
+# Hard ceiling for an EXPLICITLY forced literal (use_arrow=False):
+# each element renders as ~18 chars of SQL, so 2^18 elems is already
+# ~5 MB of expression text through the parser and py4j, and the
+# 65k-list/1024-dim serving target (6.7e7 elems) would be >1 GB — far
+# past any parser.  Forcing a literal past this refuses with types
+# instead of dying opaquely in the parser (r16 advice #4).
 _MAX_LITERAL_ELEMS = 1 << 18
 
 _CENTROID_SIDECAR = "_centroids.json"
@@ -302,13 +314,22 @@ def _unit_matrix(centroids: list[list[float]]) -> "np.ndarray":
 
 
 def _use_arrow(centroids: list[list[float]], use_arrow: bool | None) -> bool:
-    """Literal vs broadcast-UDF path choice: explicit flag wins, else
-    auto-switch once the centroid matrix would overflow the literal
-    budget (``_MAX_LITERAL_ELEMS``)."""
-    if use_arrow is not None:
-        return bool(use_arrow)
+    """Literal vs broadcast-UDF path choice: explicit flag wins (a
+    forced literal past the parser budget refuses with types), else
+    auto-switch at the measured performance crossover
+    (``_ARROW_AUTO_ELEMS``)."""
     dim = len(centroids[0]) if centroids else 0
-    return len(centroids) * dim > _MAX_LITERAL_ELEMS
+    elems = len(centroids) * dim
+    if use_arrow is not None:
+        if not use_arrow and elems > _MAX_LITERAL_ELEMS:
+            raise ValueError(
+                f"use_arrow=False forces a {elems}-double centroid "
+                f"literal — past the {_MAX_LITERAL_ELEMS} parser budget "
+                "(multi-MB SQL text); drop the flag or pass "
+                "use_arrow=True for the broadcast path"
+            )
+        return bool(use_arrow)
+    return elems > _ARROW_AUTO_ELEMS
 
 
 def _valid_rows(
@@ -547,13 +568,16 @@ def assign_lists(
     6.5e13 dots exact vs ~5e11 two-level).
 
     ``use_arrow`` picks the expression form: ``False`` embeds the
-    centroids as a single SQL literal (JVM codegen, zero Python — the
-    default small-nlist path), ``True`` ships them as a broadcast
-    numpy matrix consumed by an Arrow-batched pandas UDF, and ``None``
-    (default) auto-switches to the broadcast form once nlist x dim
-    exceeds ``_MAX_LITERAL_ELEMS`` — past that the literal would be
-    tens-of-MB of expression text through the parser/py4j (the r16
-    advice's 65k x 1024 example is ~1.3 GB in literal form)."""
+    centroids as a single SQL literal (JVM codegen, zero Python — best
+    for tiny centroid sets; refuses past the parser budget), ``True``
+    ships them as a broadcast numpy matrix consumed by an
+    Arrow-batched pandas UDF, and ``None`` (default) auto-switches to
+    the broadcast form once nlist x dim passes the MEASURED crossover
+    (``_ARROW_AUTO_ELEMS``): the literal fold's per-row cost is linear
+    in nlist x dim while the arrow path rides BLAS and stays flat —
+    35x at 1024 x 16 (probe_ivf --arrow, PLANS.md r17) — and the r16
+    advice's 65k x 1024 target is ~1.3 GB of SQL text in literal form,
+    parser-impossible outright."""
     if coarse_groups is not None and coarse_groups < 1:
         raise ValueError(f"coarse_groups must be >= 1, got {coarse_groups}")
     base = vectors.select(
