@@ -1723,6 +1723,43 @@ def test_ivf_assigned_with_empty_centroid_list_refuses(spark):
         similarity.ivf_topk(vecs, qs, k=1, centroids=[], assigned=idx)
 
 
+def test_ivf_append_equals_full_rebuild(spark):
+    """r17: append_ivf_index grows a persisted index batch-by-batch in
+    the SAME cid space (sidecar centroids), so serving over
+    build(first half) + append(second half) returns exactly the
+    results of serving over a one-shot full build — and appending to
+    a sidecar-less directory refuses (foreign-centroid corruption
+    guard)."""
+    import numpy as np
+
+    from yc_data_transfer_clickhouse_from_yandex_metrica_spark.operators import similarity
+
+    rng = np.random.RandomState(29)
+    rows = [(i, [float(x) for x in rng.normal(size=8)]) for i in range(240)]
+    vecs = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    first = vecs.where(F.col("vec_id") < 120)
+    second = vecs.where(F.col("vec_id") >= 120)
+    qs = vecs.where(F.col("vec_id") % 60 == 7).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    cents = similarity.train_centroids(first, nlist=6)
+    base = tempfile.mkdtemp(prefix="ym_ivf_append_")
+    try:
+        grown, full = f"{base}/grown", f"{base}/full"
+        similarity.write_ivf_index(first, cents, grown)
+        similarity.append_ivf_index(second, grown)
+        similarity.write_ivf_index(vecs, cents, full)
+        as_set = lambda df: {tuple(r) for r in df.collect()}
+        g = as_set(similarity.ivf_topk_pruned(spark, grown, qs, k=5, nprobe=3))
+        f = as_set(similarity.ivf_topk_pruned(spark, full, qs, k=5, nprobe=3))
+        assert g == f and len(g)
+
+        with pytest.raises(ValueError, match="sidecar"):
+            similarity.append_ivf_index(second, f"{base}/nowhere")
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
 def test_ivf_arrow_assignment_matches_literal(spark):
     """r17 (r16 advice #4): the broadcast-matrix pandas-UDF assignment
     (the large-nlist path where centroid literals would blow past the

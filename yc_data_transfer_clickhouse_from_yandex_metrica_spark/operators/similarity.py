@@ -934,6 +934,42 @@ def write_ivf_index(
     _write_centroid_sidecar(spark, path, centroids)
 
 
+def append_ivf_index(
+    vectors: DataFrame,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    coarse_groups: int | None = None,
+    use_arrow: bool | None = None,
+) -> None:
+    """Append NEW vectors to an existing persisted index — the 100 TB
+    ingest posture: a daily/hourly batch pays only its own
+    assignment scan (linear in the BATCH, not the corpus) and lands as
+    extra files inside the existing ``cid=`` partition directories, so
+    serving needs no refresh step and keeps pruning identically.
+    Assignment uses the index's OWN sidecar centroids — the only cid
+    space the index can correctly grow in; an explicit centroid list
+    is deliberately NOT accepted (the mismatch foot-gun
+    ``ivf_topk_pruned`` refuses at read time would here corrupt the
+    index at write time).  Callers own id uniqueness across batches
+    (same as any append-mode sink); re-clustering (drift) is a
+    rebuild via ``write_ivf_index``, not an append.  List-size skew
+    from drifted data shows up as growing probed-list scan cost, the
+    same signal FAISS users watch; the sidecar mtime is untouched so
+    serving caches stay valid."""
+    spark = vectors.sparkSession
+    cents = read_centroid_sidecar(spark, path)
+    if cents is None:
+        raise ValueError(
+            f"no {_CENTROID_SIDECAR} sidecar at {path}: append requires "
+            "an index built by write_ivf_index (appending with foreign "
+            "centroids would corrupt the cid space)"
+        )
+    assign_lists(
+        vectors, cents, id_col, vec_col, coarse_groups, use_arrow
+    ).write.mode("append").partitionBy("cid").parquet(path)
+
+
 def ivf_topk_pruned(
     spark,
     index_path: str,
