@@ -32,6 +32,7 @@ numbers).  Centroids are pre-trained once per
 Usage: python tools/probe_ivf.py            # timing/candidate laws
        python tools/probe_ivf.py --recall   # r17: end-to-end recall@10
        python tools/probe_ivf.py --arrow    # r17: literal vs broadcast-UDF build
+       python tools/probe_ivf.py --append   # r17: incremental-append skew/cost curve
 Prints one human-readable table; the measured numbers land in
 PLANS.md (round 16 entry; --recall in the round 17 entry).
 
@@ -308,10 +309,75 @@ def arrow_main() -> None:
         print(f"agreement groups={groups}: {agree:.6f}")
 
 
+def make_drifted_vectors(spark, n: int, id_offset: int, drift: float):
+    """Same lattice-center construction as make_vectors but with every
+    center shifted by `drift` in each coordinate — appended batches
+    whose distribution moved away from the trained centroids."""
+    c = F.col("id") % NCENTERS
+    comps = []
+    for d in range(DIM):
+        center = (F.xxhash64(c.cast("string"), F.lit(d)) % 1000) / 500.0 - 1.0
+        jitter = (F.xxhash64(F.col("id"), F.lit(d + DIM)) % 100) / 2000.0
+        comps.append((center + jitter + drift).cast("double"))
+    return spark.range(n).select(
+        (F.col("id") + id_offset).alias("vec_id"), F.array(*comps).alias("embedding")
+    ).repartition(32)
+
+
+def append_main() -> None:
+    """Incremental-append curve, DETERMINISTIC metrics only (walls on
+    this host drift 2-4x within a run — the candidate-volume law is
+    the honest scale lens, as in the r16 probe): after K appended
+    batches at increasing drift, report list-size skew (max/mean) and
+    the query batch's candidate rows — grounds append_ivf_index's
+    docstring claim that DRIFTED appends concentrate into few lists
+    and grow the probed-list scan, where a rebuild (re-train) is the
+    fix."""
+    import shutil
+    import tempfile
+
+    spark = get_spark()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    base_n, batch_n, nlist, nbatches = 200_000, 50_000, 256, 4
+    vectors = make_vectors(spark, base_n).cache()
+    vectors.count()
+    queries = make_queries(spark).cache()
+    queries.count()
+    cents = similarity.train_centroids(vectors, nlist)
+
+    def stats(path) -> tuple[float, int, int]:
+        idx = spark.read.parquet(path)
+        ns = [r["count"] for r in idx.groupBy("cid").count().collect()]
+        cand = candidate_rows(idx, queries, cents, 8)
+        return max(ns) / (sum(ns) / len(ns)), sum(ns), cand
+
+    for label, drift in (("no-drift", 0.0), ("drift=0.5", 0.5), ("drift=2.0", 2.0)):
+        base = tempfile.mkdtemp(prefix="ym_ivf_appendprobe_")
+        try:
+            path = f"{base}/idx"
+            similarity.write_ivf_index(vectors, cents, path)
+            s0, n0, c0 = stats(path)
+            print(f"{label}: base     skew {s0:5.2f}  N={n0:>9,}  cand={c0:>11,}")
+            for b in range(nbatches):
+                similarity.append_ivf_index(
+                    make_drifted_vectors(
+                        spark, batch_n, 10_000_000 + b * batch_n, drift
+                    ),
+                    path,
+                )
+            s, n, c = stats(path)
+            print(f"{label}: +4 appends skew {s:5.2f}  N={n:>9,}  cand={c:>11,}")
+        finally:
+            shutil.rmtree(base, ignore_errors=True)
+
+
 if __name__ == "__main__":
     if "--recall" in sys.argv[1:]:
         recall_main()
     elif "--arrow" in sys.argv[1:]:
         arrow_main()
+    elif "--append" in sys.argv[1:]:
+        append_main()
     else:
         main()
