@@ -346,19 +346,28 @@ def append_main() -> None:
     queries.count()
     cents = similarity.train_centroids(vectors, nlist)
 
-    def stats(path) -> tuple[float, int, int]:
+    def stats(path, qset) -> tuple[float, int, int]:
         idx = spark.read.parquet(path)
         ns = [r["count"] for r in idx.groupBy("cid").count().collect()]
-        cand = candidate_rows(idx, queries, cents, 8)
+        cand = candidate_rows(idx, qset, cents, 8)
         return max(ns) / (sum(ns) / len(ns)), sum(ns), cand
 
     for label, drift in (("no-drift", 0.0), ("drift=0.5", 0.5), ("drift=2.0", 2.0)):
+        # queries FROM the appended distribution: the workload that
+        # actually chases drifted data into its (skewed) lists
+        dq = (
+            make_drifted_vectors(spark, NQUERIES * 7, 20_000_000, drift)
+            .where(F.col("vec_id") % 7 == 3)
+            .select((F.col("vec_id") + 10_000_000).alias("query_id"), "embedding")
+            .cache()
+        )
+        dq.count()
         base = tempfile.mkdtemp(prefix="ym_ivf_appendprobe_")
         try:
             path = f"{base}/idx"
             similarity.write_ivf_index(vectors, cents, path)
-            s0, n0, c0 = stats(path)
-            print(f"{label}: base     skew {s0:5.2f}  N={n0:>9,}  cand={c0:>11,}")
+            s0, n0, c0 = stats(path, queries)
+            print(f"{label}: base       skew {s0:5.2f}  N={n0:>9,}  cand(base-q)={c0:>11,}")
             for b in range(nbatches):
                 similarity.append_ivf_index(
                     make_drifted_vectors(
@@ -366,10 +375,15 @@ def append_main() -> None:
                     ),
                     path,
                 )
-            s, n, c = stats(path)
-            print(f"{label}: +4 appends skew {s:5.2f}  N={n:>9,}  cand={c:>11,}")
+            s, n, c = stats(path, queries)
+            _, _, cd = stats(path, dq)
+            print(
+                f"{label}: +4 appends skew {s:5.2f}  N={n:>9,}  "
+                f"cand(base-q)={c:>11,}  cand(drift-q)={cd:>11,}"
+            )
         finally:
             shutil.rmtree(base, ignore_errors=True)
+            dq.unpersist()
 
 
 if __name__ == "__main__":
