@@ -1,0 +1,141 @@
+"""Round-18 IVF index maintenance surface (r17 verdict #4).
+
+``append_ivf_index`` writes one file set per batch into each ``cid=``
+directory; a real ingest cadence therefore accumulates small files
+per list and list-size skew under drift.  ``index_stats`` exposes the
+rebuild/compact decision signals as a library call and
+``compact_ivf_index`` rewrites only the dirty lists — preserving the
+centroid sidecar (and its mtime-keyed serving cache) and serving
+results bit-identically.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import tempfile
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from yc_data_transfer_clickhouse_from_yandex_metrica_spark.operators import similarity
+
+
+def _vectors(spark, lo, hi, dim=6, seed=23):
+    rng = np.random.RandomState(seed + lo)
+    rows = [
+        (i, [float(x) for x in rng.normal(size=dim)]) for i in range(lo, hi)
+    ]
+    return spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+
+@pytest.fixture()
+def appended_index(spark):
+    """An index grown by several appends: base build + 4 batches."""
+    base = tempfile.mkdtemp(prefix="ym_r18_maint_")
+    path = f"{base}/idx"
+    first = _vectors(spark, 0, 80)
+    cents = similarity.train_centroids(first, nlist=4)
+    similarity.write_ivf_index(first, cents, path)
+    for b in range(4):
+        similarity.append_ivf_index(
+            _vectors(spark, 80 + 30 * b, 110 + 30 * b), path
+        )
+    yield path, cents
+    shutil.rmtree(base, ignore_errors=True)
+
+
+def test_index_stats_counts_rows_files_and_skew(spark, appended_index):
+    path, cents = appended_index
+    stats = similarity.index_stats(spark, path)
+    assert stats["nlist"] == len(cents)
+    assert stats["rows"] == 200  # 80 base + 4 x 30 appended
+    assert 1 <= stats["lists"] <= len(cents)
+    # every batch lands at least one file somewhere; the max per list
+    # must exceed a single build's output
+    assert stats["files"] >= stats["max_files_per_list"] > 1
+    assert stats["skew"] >= 1.0
+    per_cid = stats["per_cid"]
+    assert sum(v["rows"] for v in per_cid.values()) == 200
+    assert all(v["bytes"] > 0 for v in per_cid.values() if v["files"])
+    # stats agree with the frame itself
+    actual = {
+        r["cid"]: r["n"]
+        for r in spark.read.parquet(path).groupBy("cid").agg(
+            F.count(F.lit(1)).alias("n")
+        ).collect()
+    }
+    assert {c: v["rows"] for c, v in per_cid.items() if v["rows"]} == actual
+
+
+def test_compact_bounds_files_and_serves_identically(spark, appended_index):
+    path, cents = appended_index
+    qs = _vectors(spark, 500, 506).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    before_rows = {
+        tuple(r)
+        for r in similarity.ivf_topk_pruned(
+            spark, path, qs, k=5, nprobe=3
+        ).collect()
+    }
+    sidecar_before = similarity.read_centroid_sidecar(spark, path)
+    sidecar_file = os.path.join(path, "_centroids.json")
+    mtime_before = os.path.getmtime(sidecar_file)
+
+    report = similarity.compact_ivf_index(
+        spark, path, max_files_per_list=2, target_files_per_list=1
+    )
+    assert report["files_before"], "appended index should have dirty lists"
+    for cid, n in report["files_after"].items():
+        assert n <= 1, (cid, n)
+        assert n < report["files_before"][cid]
+    stats = similarity.index_stats(spark, path)
+    assert stats["max_files_per_list"] <= 2
+    assert stats["rows"] == 200  # nothing lost
+
+    # sidecar untouched: same file mtime, cache returns the SAME array
+    assert os.path.getmtime(sidecar_file) == mtime_before
+    assert similarity.read_centroid_sidecar(spark, path) is sidecar_before
+
+    after_rows = {
+        tuple(r)
+        for r in similarity.ivf_topk_pruned(
+            spark, path, qs, k=5, nprobe=3
+        ).collect()
+    }
+    assert after_rows == before_rows and after_rows
+
+    # idempotent: a second pass finds nothing dirty
+    again = similarity.compact_ivf_index(
+        spark, path, max_files_per_list=2, target_files_per_list=1
+    )
+    assert again == {"files_before": {}, "files_after": {}}
+
+
+def test_compact_target_above_one_bounds_per_list(spark, appended_index):
+    path, _ = appended_index
+    report = similarity.compact_ivf_index(
+        spark, path, max_files_per_list=2, target_files_per_list=2
+    )
+    assert report["files_before"]
+    assert all(n <= 2 for n in report["files_after"].values())
+    assert similarity.index_stats(spark, path)["rows"] == 200
+
+
+def test_compact_refuses_sidecar_less_layout(spark):
+    base = tempfile.mkdtemp(prefix="ym_r18_nosc_")
+    try:
+        path = f"{base}/tbl"
+        vecs = _vectors(spark, 0, 40)
+        cents = similarity.train_centroids(vecs, nlist=3)
+        similarity.assign_lists(vecs, cents).write.partitionBy(
+            "cid"
+        ).parquet(path)
+        with pytest.raises(ValueError, match="sidecar"):
+            similarity.compact_ivf_index(spark, path)
+        with pytest.raises(ValueError, match="target_files_per_list"):
+            similarity.compact_ivf_index(spark, path, target_files_per_list=0)
+    finally:
+        shutil.rmtree(base, ignore_errors=True)

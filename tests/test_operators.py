@@ -1674,7 +1674,11 @@ def test_ivf_centroid_sidecar_lifecycle(spark):
         similarity.write_ivf_index(vecs, cents, path)
         sidecar = os.path.join(path, "_centroids.json")
         assert os.path.exists(sidecar)
-        assert similarity.read_centroid_sidecar(spark, path) == [
+        loaded_cents = similarity.read_centroid_sidecar(spark, path)
+        # r18: the sidecar cache hands back a compact float64 ndarray
+        # (advice r17 #3), value-equal to the build centroids
+        assert isinstance(loaded_cents, np.ndarray)
+        assert loaded_cents.tolist() == [
             [float(x) for x in row] for row in cents
         ]
 

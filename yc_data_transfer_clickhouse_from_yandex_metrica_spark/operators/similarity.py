@@ -24,12 +24,15 @@ to its bucketing skeleton (no PQ codes -- exact residual scoring).
 
 from __future__ import annotations
 
+import hashlib
 import json
+from collections import OrderedDict
 
 import numpy as np
 import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql.types import StructType
 
 from ..functions import ch
 
@@ -295,8 +298,11 @@ def _unit_matrix(centroids: list[list[float]]) -> "np.ndarray":
     """Validated, row-normalized centroid matrix (nlist x dim).
     Refuses empty lists and zero-norm rows loudly (train_centroids
     never emits either — its centroids are means of unit vectors,
-    re-normalized each Lloyd step)."""
-    if not centroids:
+    re-normalized each Lloyd step).  Accepts a list-of-lists or a 2-D
+    ndarray; the per-element Python arithmetic is deliberately kept
+    (NOT vectorized) so normalized values stay bit-identical across
+    rounds — the registry's pinned hashes ride on them."""
+    if len(centroids) == 0:
         raise ValueError(
             "empty centroid list: assignment needs at least one list"
         )
@@ -317,8 +323,10 @@ def _use_arrow(centroids: list[list[float]], use_arrow: bool | None) -> bool:
     """Literal vs broadcast-UDF path choice: explicit flag wins (a
     forced literal past the parser budget refuses with types), else
     auto-switch at the measured performance crossover
-    (``_ARROW_AUTO_ELEMS``)."""
-    dim = len(centroids[0]) if centroids else 0
+    (``_ARROW_AUTO_ELEMS``).  Accepts a list-of-lists or a 2-D
+    ndarray (the sidecar cache hands back the latter — r17 advice
+    #3)."""
+    dim = len(centroids[0]) if len(centroids) else 0
     elems = len(centroids) * dim
     if use_arrow is not None:
         if not use_arrow and elems > _MAX_LITERAL_ELEMS:
@@ -370,6 +378,46 @@ def _valid_rows(
     return mat, ok
 
 
+# (applicationId, kind, content digest) -> Broadcast.  One broadcast
+# per centroid-payload IDENTITY per SparkContext (r17 advice #4): the
+# arrow paths used to create a fresh SparkContext broadcast of the
+# full centroid payload on every call and never release it, so
+# repeated build/serving batches against a large-nlist index piled up
+# multi-hundred-MB broadcast blocks on executors until driver GC
+# happened to reclaim them.  Content-keyed (sha256 over the raw
+# float64/int64 bytes — cheaper than re-serializing and re-shipping
+# the same payload) and LRU-bounded; evicted entries are
+# unpersist()ed, NOT destroy()ed, so any still-lazy DataFrame holding
+# one simply re-fetches from the driver on next use.
+_BCAST_CACHE_MAX = 4
+_bcast_cache: "OrderedDict[tuple, object]" = OrderedDict()
+
+
+def _cached_broadcast(spark, kind: str, arrays, factory):
+    """Memoized ``sparkContext.broadcast(factory())`` keyed by the
+    content of ``arrays`` (each a contiguous ndarray) within one
+    application.  ``factory`` runs only on a miss."""
+    h = hashlib.sha256()
+    for a in arrays:
+        a = np.ascontiguousarray(a)
+        h.update(repr((kind, a.dtype.str, a.shape)).encode())
+        h.update(a.tobytes())
+    key = (spark.sparkContext.applicationId, kind, h.hexdigest())
+    hit = _bcast_cache.get(key)
+    if hit is not None:
+        _bcast_cache.move_to_end(key)
+        return hit
+    bc = spark.sparkContext.broadcast(factory())
+    _bcast_cache[key] = bc
+    while len(_bcast_cache) > _BCAST_CACHE_MAX:
+        _, old = _bcast_cache.popitem(last=False)
+        try:
+            old.unpersist(False)
+        except Exception:
+            pass  # a dead SparkContext's broadcasts are already gone
+    return bc
+
+
 def _arrow_assign(
     base: DataFrame,
     unit: "np.ndarray",
@@ -396,14 +444,20 @@ def _arrow_assign(
     from pyspark.sql.functions import pandas_udf
 
     spark = base.sparkSession
-    payload = {
-        "unit": unit,
-        "members": None
+    members_np = (
+        None
         if members is None
-        else [np.asarray(m, dtype=np.int64) for m in members],
-        "reps": reps,
-    }
-    bc = spark.sparkContext.broadcast(payload)
+        else [np.asarray(m, dtype=np.int64) for m in members]
+    )
+    fp_arrays = [unit] + (
+        [] if members_np is None else [*members_np, reps]
+    )
+    bc = _cached_broadcast(
+        spark,
+        "assign",
+        fp_arrays,
+        lambda: {"unit": unit, "members": members_np, "reps": reps},
+    )
 
     @pandas_udf("long")
     def _assign(vs: pd.Series) -> pd.Series:
@@ -445,7 +499,7 @@ def _arrow_probe_frame(
     from pyspark.sql.functions import pandas_udf
 
     spark = queries.sparkSession
-    bc = spark.sparkContext.broadcast(unit)
+    bc = _cached_broadcast(spark, "probe", [unit], lambda: unit)
     np_ = int(nprobe)
 
     @pandas_udf("array<long>")
@@ -688,7 +742,7 @@ def ivf_topk(
     refuses, because freshly-trained centroids would probe a cid
     space the index was not built in; ``vectors`` is then only used
     for its schema in the empty-centroid degenerate."""
-    if assigned is not None and not centroids:
+    if assigned is not None and (centroids is None or len(centroids) == 0):
         # one invariant, both spellings: a built index necessarily has
         # a non-empty cid space, so centroids=None (training fresh ones
         # would silently probe a foreign cid space) and an explicitly
@@ -706,7 +760,7 @@ def ivf_topk(
         raise ValueError(f"nprobe must be >= 1, got {nprobe}")
     if centroids is None:
         centroids = train_centroids(vectors, nlist, id_col, vec_col)
-    if not centroids:
+    if len(centroids) == 0:
         # no trainable vectors: empty result with the stable schema
         return (
             queries.select(F.col(query_id_col).alias("query_id"))
@@ -859,13 +913,21 @@ def _write_centroid_sidecar(
 # sidecar per call — at a 65k x 1024 index that is >1 GB of JSON
 # through py4j on the hot path (r17 review).  mtime-keyed so an index
 # rebuild (write_ivf_index overwrites the sidecar) invalidates.
-_sidecar_cache: dict[str, tuple[int, list[list[float]]]] = {}
+# Entries are compact float64 ndarrays, NOT nested Python float lists
+# (r17 advice #3: at 65k x 1024 a boxed-float entry is multiple GB vs
+# ~0.5 GB contiguous), and the cache is LRU-bounded so a process
+# serving many distinct index paths cannot retain them all for its
+# lifetime.
+_SIDECAR_CACHE_MAX = 4
+_sidecar_cache: "OrderedDict[str, tuple[int, np.ndarray]]" = OrderedDict()
 
 
-def read_centroid_sidecar(spark, path: str) -> list[list[float]] | None:
-    """The ``_centroids.json`` sidecar of a persisted index, or None
-    for a pre-sidecar index directory.  Parsed once per (path, mtime)
-    per process."""
+def read_centroid_sidecar(spark, path: str) -> "np.ndarray | None":
+    """The ``_centroids.json`` sidecar of a persisted index as an
+    (nlist x dim) float64 ndarray, or None for a pre-sidecar index
+    directory.  Parsed once per (path, mtime) per process; every
+    downstream consumer (``_unit_matrix``, ``_use_arrow``, the
+    centroid literals) accepts the ndarray form directly."""
     fs, _ = _hadoop_fs(spark, path)
     key = path.rstrip("/")
     src = spark._jvm.org.apache.hadoop.fs.Path(key + "/" + _CENTROID_SIDECAR)
@@ -874,6 +936,7 @@ def read_centroid_sidecar(spark, path: str) -> list[list[float]] | None:
     mtime = int(fs.getFileStatus(src).getModificationTime())
     hit = _sidecar_cache.get(key)
     if hit is not None and hit[0] == mtime:
+        _sidecar_cache.move_to_end(key)
         return hit[1]
     stream = fs.open(src)
     try:
@@ -882,9 +945,12 @@ def read_centroid_sidecar(spark, path: str) -> list[list[float]] | None:
         )
     finally:
         stream.close()
-    cents = json.loads(raw.decode("utf-8"))["centroids"]
-    cents = [[float(x) for x in row] for row in cents]
+    cents = np.asarray(
+        json.loads(raw.decode("utf-8"))["centroids"], dtype=np.float64
+    )
     _sidecar_cache[key] = (mtime, cents)
+    while len(_sidecar_cache) > _SIDECAR_CACHE_MAX:
+        _sidecar_cache.popitem(last=False)
     return cents
 
 
@@ -970,6 +1036,154 @@ def append_ivf_index(
     ).write.mode("append").partitionBy("cid").parquet(path)
 
 
+def _list_cid_files(spark, path: str) -> dict[int, tuple[int, int]]:
+    """cid -> (data file count, data bytes) from the DIRECTORY LISTING
+    alone (Hadoop FS API, so local/HDFS/S3 alike; metadata only, no
+    Spark job, no data read)."""
+    fs, hpath = _hadoop_fs(spark, path)
+    out: dict[int, tuple[int, int]] = {}
+    for status in fs.listStatus(hpath):
+        name = status.getPath().getName()
+        if not (status.isDirectory() and name.startswith("cid=")):
+            continue
+        try:
+            cid = int(name[4:])
+        except ValueError:
+            continue
+        files = bytes_ = 0
+        for f in fs.listStatus(status.getPath()):
+            fname = f.getPath().getName()
+            if fname.endswith(".parquet"):
+                files += 1
+                bytes_ += int(f.getLen())
+        out[cid] = (files, bytes_)
+    return out
+
+
+def index_stats(spark, path: str) -> dict:
+    """Maintenance signals for a persisted IVF index — the
+    rebuild/compact decision the r17 append-drift probe computed
+    tool-side (tools/probe_ivf.py --append), as a library call
+    (r17 verdict #4a).  ``append_ivf_index`` writes one file set per
+    batch into each ``cid=`` directory, so a real ingest cadence
+    grows BOTH list-size skew (drifted data concentrates in few
+    lists; skew-6 measured 1.6x probe candidates for drifted-
+    distribution queries) and small files per list.  Returns::
+
+        {"nlist":    centroid count from the sidecar (None if absent),
+         "lists":    number of non-empty cid= partition directories,
+         "rows":     total indexed vectors,
+         "files":    total data files,
+         "skew":     max/mean rows per non-empty list (1.0 = uniform),
+         "max_files_per_list": ..., "mean_files_per_list": ...,
+         "per_cid":  {cid: {"rows": n, "files": m, "bytes": b}}}
+
+    Row counts are ONE metadata-cheap job (group-by on the partition
+    column reads footer counts, never vector data); file counts and
+    bytes come from the directory listing alone.  Watch ``skew``
+    against the r17 drift table (PLANS.md) for the rebuild decision
+    and ``max_files_per_list`` for the ``compact_ivf_index`` one."""
+    listing = _list_cid_files(spark, path)
+    rows_by_cid = {
+        r["cid"]: r["n"]
+        for r in spark.read.parquet(path)
+        .groupBy("cid")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    sidecar = read_centroid_sidecar(spark, path)
+    per_cid = {
+        cid: {
+            "rows": int(rows_by_cid.get(cid, 0)),
+            "files": listing[cid][0],
+            "bytes": listing[cid][1],
+        }
+        for cid in sorted(listing)
+    }
+    sizes = [v["rows"] for v in per_cid.values() if v["rows"] > 0]
+    files = [v["files"] for v in per_cid.values()]
+    return {
+        "nlist": None if sidecar is None else int(len(sidecar)),
+        "lists": len(sizes),
+        "rows": int(sum(sizes)),
+        "files": int(sum(files)),
+        "skew": (max(sizes) / (sum(sizes) / len(sizes))) if sizes else None,
+        "max_files_per_list": max(files) if files else 0,
+        "mean_files_per_list": (sum(files) / len(files)) if files else 0.0,
+        "per_cid": per_cid,
+    }
+
+
+def compact_ivf_index(
+    spark,
+    path: str,
+    max_files_per_list: int = 4,
+    target_files_per_list: int = 1,
+) -> dict:
+    """Small-files compaction for the ``cid=`` index layout (r17
+    verdict #4b) — ``warehouse.compact_partitions``' approach
+    (pkg/sources/warehouse.py) re-targeted from ``_week=`` tables to
+    the IVF serving layout: an hourly ``append_ivf_index`` cadence
+    leaves one file set per batch per list, and a week of that makes
+    every probed-list scan open hundreds of tiny files.
+
+    Discovery is a driver-side directory LISTING (metadata only);
+    only lists holding more than ``max_files_per_list`` data files
+    are rewritten, in ONE distributed job, swapped in atomically
+    per-partition via dynamic partition overwrite — clean lists are
+    never read, never touched, and the root ``_centroids.json``
+    sidecar is NOT rewritten, so its mtime (and every serving
+    process's mtime-keyed sidecar cache) stays valid.  Within a
+    rewritten list the split key is a bounded hash salt on the vector
+    id (``pmod(xxhash64(nn_id), target)``) — an inverted list has no
+    range-skipping sort key to preserve, unlike the weekly tables.
+
+    Refuses a directory with no sidecar: that is not a
+    ``write_ivf_index`` layout, and rewriting an arbitrary
+    partitioned table here (instead of ``compact_partitions``) would
+    silently drop its sort contract.
+
+    Returns {"files_before": {cid: n}, "files_after": {cid: n}} for
+    the compacted lists (empty dicts when nothing was dirty)."""
+    if target_files_per_list < 1:
+        raise ValueError(
+            f"target_files_per_list must be >= 1, got {target_files_per_list}"
+        )
+    if read_centroid_sidecar(spark, path) is None:
+        raise ValueError(
+            f"no {_CENTROID_SIDECAR} sidecar at {path}: not a "
+            "write_ivf_index layout — compact_ivf_index preserves the "
+            "sidecar contract and refuses to rewrite arbitrary "
+            "partitioned tables (use warehouse.compact_partitions for "
+            "weekly tables)"
+        )
+    before = {cid: f for cid, (f, _) in _list_cid_files(spark, path).items()}
+    dirty = sorted(c for c, n in before.items() if n > max_files_per_list)
+    if not dirty:
+        return {"files_before": {}, "files_after": {}}
+    tgt = int(target_files_per_list)
+    src = spark.read.option("basePath", path).parquet(
+        *[f"{path.rstrip('/')}/cid={c}" for c in dirty]
+    )
+    # bounded per-list split key (<= target pieces per cid), so a
+    # compacted list can never come out ABOVE the threshold it was
+    # compacted for — same invariant as compact_partitions' salt path
+    salt = F.pmod(F.xxhash64(F.col("nn_id")), F.lit(tgt))
+    out = src.repartition(max(1, len(dirty) * tgt), F.col("cid"), salt)
+    conf_key = "spark.sql.sources.partitionOverwriteMode"
+    prev = spark.conf.get(conf_key, "static")
+    spark.conf.set(conf_key, "dynamic")
+    try:
+        out.write.mode("overwrite").partitionBy("cid").parquet(path)
+    finally:
+        spark.conf.set(conf_key, prev)
+    after = {cid: f for cid, (f, _) in _list_cid_files(spark, path).items()}
+    return {
+        "files_before": {c: before[c] for c in dirty},
+        "files_after": {c: after.get(c, 0) for c in dirty},
+    }
+
+
 def ivf_topk_pruned(
     spark,
     index_path: str,
@@ -980,6 +1194,7 @@ def ivf_topk_pruned(
     query_id_col: str = "query_id",
     vec_col: str = "embedding",
     use_arrow: bool | None = None,
+    max_query_rows: int = 100_000,
 ) -> DataFrame:
     """IVF serving over a persisted cid-partitioned index (built by
     ``write_ivf_index``): the probed cid set — at most |Q| x nprobe
@@ -990,7 +1205,17 @@ def ivf_topk_pruned(
     path touches ~nprobe/nlist of the index bytes, which is what
     makes repeated batches against a 100 TB index affordable.
     Results are identical to ``ivf_topk(assigned=...)`` with the same
-    centroids (same probe selection, same exact rescoring).
+    centroids (same probe selection, same exact rescoring); query ids
+    must be unique within the batch (duplicates are refused loudly —
+    they would re-pair ambiguously after the driver-side rebuild).
+
+    ``max_query_rows`` bounds the driver-side query collect (r17
+    advice #1: driver memory is the hard ceiling of this path; an
+    unguarded million-row high-dim batch would OOM the driver instead
+    of degrading).  Batches past the cap refuse with the remedies in
+    the message — split the batch, raise the cap where driver heap
+    genuinely allows, or use ``ivf_topk(assigned=...)``, which keeps
+    queries distributed end-to-end.
 
     ``centroids=None`` (the serving default) loads the index's own
     ``_centroids.json`` sidecar — the ONLY cid space the index can be
@@ -1000,13 +1225,17 @@ def ivf_topk_pruned(
     recall); for a pre-sidecar index the cheap fallback guard is that
     every persisted ``cid=`` partition directory must be addressable
     by the supplied list (max persisted cid < len(centroids))."""
-    if centroids is not None and not centroids:
+    if centroids is not None and len(centroids) == 0:
         raise ValueError(
             "empty centroids: no cid space to probe — a persisted "
             "index cannot have been built without centroids either"
         )
     if nprobe < 1:
         raise ValueError(f"nprobe must be >= 1, got {nprobe}")
+    if max_query_rows < 1:
+        raise ValueError(
+            f"max_query_rows must be >= 1, got {max_query_rows}"
+        )
     sidecar = read_centroid_sidecar(spark, index_path)
     if centroids is None:
         if sidecar is None:
@@ -1063,14 +1292,47 @@ def ivf_topk_pruned(
     q = queries.select(
         F.col(query_id_col).alias("query_id"), as_double(vec_col).alias("qv")
     )
-    q_local = spark.createDataFrame(q.collect(), q.schema)
+    # limit(cap+1) + length check: ONE evaluation proves the batch is
+    # under the cap AND yields the rows (a separate count() would
+    # re-evaluate a possibly non-deterministic query frame)
+    q_rows = q.limit(int(max_query_rows) + 1).collect()
+    if len(q_rows) > max_query_rows:
+        raise ValueError(
+            f"query batch exceeds max_query_rows={max_query_rows}: the "
+            "pruned serving path collects the batch driver-side to "
+            "derive the partition filter — split the batch, raise "
+            "max_query_rows where driver heap allows, or use "
+            "ivf_topk(assigned=...) which keeps queries distributed"
+        )
+    qv_by_id: dict = {}
+    for r in q_rows:
+        if r["query_id"] in qv_by_id:
+            raise ValueError(
+                f"duplicate query_id {r['query_id']!r} in the serving "
+                "batch: the pruned path re-pairs probes to vectors by "
+                "id after the driver-side rebuild, so duplicates would "
+                "multiply probe rows quadratically and diverge from "
+                "ivf_topk(assigned=...) — deduplicate ids first"
+            )
+        qv_by_id[r["query_id"]] = r["qv"]
+    q_local = spark.createDataFrame(q_rows, q.schema)
     pairs = _build_probes(
         q_local, centroids, nprobe, "query_id", "qv", use_arrow
     ).select("query_id", "cid")
     pair_rows = pairs.collect()
     cids = sorted({r["cid"] for r in pair_rows})
-    probes_local = spark.createDataFrame(pair_rows, pairs.schema).join(
-        q_local, "query_id"
+    # probe rows rebuilt driver-side from the SAME collected pairs the
+    # partition filter came from (ids are unique, so this is the exact
+    # pairing a join would produce, minus the join)
+    probes_schema = StructType(
+        list(q.schema.fields) + [pairs.schema["cid"]]
+    )
+    probes_local = spark.createDataFrame(
+        [
+            (r["query_id"], qv_by_id[r["query_id"]], r["cid"])
+            for r in pair_rows
+        ],
+        probes_schema,
     )
     index = spark.read.parquet(index_path).where(F.col("cid").isin(cids))
     return _rank_candidates(probes_local, index, k)

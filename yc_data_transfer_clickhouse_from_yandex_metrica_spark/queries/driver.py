@@ -5145,22 +5145,25 @@ DRIVER_WINDOW = 50  # driver-checked prefix length (round-5 verdict)
 # next CORRECTNESS file re-proves them.  Maintained per round; clear
 # once the round's CORRECTNESS file shows them green again.
 ROTATION_FORCE_FRONT: frozenset[str] = frozenset(
-    # round 17: CORRECTNESS_r16 re-proved both r16-forced IVF entries
-    # green, clearing that list — but the r17 similarity edits (r16
-    # advice closures: centroid sidecar, collect-rebuilt probe frame,
-    # empty-centroids-with-assigned refusal, broadcast-UDF
-    # large-nlist path) change ivf_topk's def-level closure again, so
-    # the stale-tail guard re-forces both IVF entries for r17.  Their
-    # executed plans stay bit-identical at the registry parameters
-    # (nlist=8 x dim=64 remains on the literal path; the new refusals
-    # are compile-time branches they never hit) and a live driver_sim
-    # pass re-proved them hash-eq (PLANS.md r17), so these are
-    # guard-mandated re-proofs, not semantic changes.  The one NEW
-    # entry, ann_ivf_served, is never-verified and auto-sorts front;
-    # forced + new = 3 of 50 window slots.
+    # round 18: CORRECTNESS_r17 re-proved the two r17-forced IVF
+    # entries plus the new ann_ivf_served green, clearing the r17
+    # list — but the r18 similarity edits (the r17 ADVICE closures:
+    # bounded+dup-guarded serving collect, ndarray sidecar cache,
+    # memoized centroid broadcasts) again change the def-level
+    # closures of all three IVF entries, so the stale-tail guard
+    # re-forces them.  The r17 verdict's forced+new=0 target is
+    # deliberately traded against its own higher-priority item
+    # ("close whatever NEW advice the r17 driver issues, first"):
+    # advice #1 is medium severity and all four land inside these
+    # closures; 3 forced slots still leave 47 LRU slots, enough to
+    # clear the whole 7-entry r15 tail plus 40 of the r16 tail.  At
+    # the registry parameters (nlist=8 x dim=64, literal path,
+    # |Q| << max_query_rows, unique ids) the executed plans are
+    # expected unchanged; forced + new = 3 + 0.
     {
         "ann_ivf_topk",
         "ann_ivf_exhaustive",
+        "ann_ivf_served",
     }
 )
 
