@@ -386,6 +386,77 @@ def append_main() -> None:
             dq.unpersist()
 
 
+def rebuild_main() -> None:
+    """r18 (r17 verdict #6): does a REBUILD restore the
+    candidate-fraction law for queries FROM the drifted distribution?
+    The r17 --append probe measured skew-6 drift (drift=2.0) costing
+    1.6x candidates for drift-distribution queries on an appended
+    index.  This probe takes that worst case, then rebuilds
+    (re-trains centroids on the grown corpus read back from the index
+    itself + write_ivf_index) and re-measures skew and candidates for
+    BOTH query origins.  Deterministic metrics only, as in --append.
+    index_stats() supplies the skew signal the same way a production
+    monitor would."""
+    import shutil
+    import tempfile
+
+    spark = get_spark()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    base_n, batch_n, nlist, nbatches, drift = 200_000, 50_000, 256, 4, 2.0
+    vectors = make_vectors(spark, base_n).cache()
+    vectors.count()
+    queries = make_queries(spark).cache()
+    queries.count()
+    cents = similarity.train_centroids(vectors, nlist)
+    dq = (
+        make_drifted_vectors(spark, NQUERIES * 7, 20_000_000, drift)
+        .where(F.col("vec_id") % 7 == 3)
+        .select((F.col("vec_id") + 10_000_000).alias("query_id"), "embedding")
+        .cache()
+    )
+    dq.count()
+
+    def report(label, path, cts):
+        st = similarity.index_stats(spark, path)
+        idx = spark.read.parquet(path)
+        cb = candidate_rows(idx, queries, cts, 8)
+        cd = candidate_rows(idx, dq, cts, 8)
+        print(
+            f"{label}: skew {st['skew']:5.2f}  N={st['rows']:>9,}  "
+            f"cand(base-q)={cb:>11,}  cand(drift-q)={cd:>11,}"
+        )
+
+    base = tempfile.mkdtemp(prefix="ym_ivf_rebuildprobe_")
+    try:
+        path = f"{base}/idx"
+        similarity.write_ivf_index(vectors, cents, path)
+        for b in range(nbatches):
+            similarity.append_ivf_index(
+                make_drifted_vectors(
+                    spark, batch_n, 10_000_000 + b * batch_n, drift
+                ),
+                path,
+            )
+        report("appended (old cents)", path, cents)
+
+        # THE REBUILD append_ivf_index's docstring prescribes:
+        # re-train on the grown corpus (read back from the index — at
+        # scale the index IS the corpus) and write a fresh index
+        grown = spark.read.parquet(path).select("nn_id", "nv")
+        new_cents = similarity.train_centroids(
+            grown, nlist, id_col="nn_id", vec_col="nv"
+        )
+        path2 = f"{base}/idx_rebuilt"
+        similarity.write_ivf_index(
+            grown, new_cents, path2, id_col="nn_id", vec_col="nv"
+        )
+        report("rebuilt  (new cents)", path2, new_cents)
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+        dq.unpersist()
+
+
 if __name__ == "__main__":
     if "--recall" in sys.argv[1:]:
         recall_main()
@@ -393,5 +464,7 @@ if __name__ == "__main__":
         arrow_main()
     elif "--append" in sys.argv[1:]:
         append_main()
+    elif "--rebuild" in sys.argv[1:]:
+        rebuild_main()
     else:
         main()

@@ -1021,8 +1021,11 @@ def append_ivf_index(
     (same as any append-mode sink); re-clustering (drift) is a
     rebuild via ``write_ivf_index``, not an append.  List-size skew
     from drifted data shows up as growing probed-list scan cost, the
-    same signal FAISS users watch; the sidecar mtime is untouched so
-    serving caches stay valid."""
+    same signal FAISS users watch (``index_stats`` exposes it; the
+    rebuild pays: probe_ivf --rebuild, PLANS.md r18, measured
+    re-training on the grown corpus restoring skew 6.00 -> 3.99 and
+    drift-query candidates 1.6x -> 1.07x of the fraction law); the
+    sidecar mtime is untouched so serving caches stay valid."""
     spark = vectors.sparkSession
     cents = read_centroid_sidecar(spark, path)
     if cents is None:
