@@ -124,6 +124,59 @@ def test_compact_target_above_one_bounds_per_list(spark, appended_index):
     assert similarity.index_stats(spark, path)["rows"] == 200
 
 
+def test_compact_never_touches_clean_lists(spark):
+    """'Clean lists are never read, never touched' pinned at the FILE
+    level: dirty exactly one list (append only vectors that assign to
+    it), compact, and assert every other list's file set is
+    byte-identical (same names, same sizes, same mtimes)."""
+    base = tempfile.mkdtemp(prefix="ym_r18_clean_")
+    try:
+        path = f"{base}/idx"
+        vecs = _vectors(spark, 0, 80)
+        cents = similarity.train_centroids(vecs, nlist=4)
+        similarity.write_ivf_index(vecs, cents, path)
+        # normalize: one file per list, so post-state is unambiguous
+        similarity.compact_ivf_index(
+            spark, path, max_files_per_list=0, target_files_per_list=1
+        )
+        # pick the busiest cid and append ONLY vectors assigned to it
+        stats0 = similarity.index_stats(spark, path)
+        hot = max(stats0["per_cid"], key=lambda c: stats0["per_cid"][c]["rows"])
+        batch = _vectors(spark, 1000, 1200)
+        hot_ids = [
+            r["nn_id"]
+            for r in similarity.assign_lists(batch, cents)
+            .where(F.col("cid") == hot)
+            .select("nn_id")
+            .collect()
+        ]
+        assert hot_ids, "seeded batch must hit the busiest list"
+        for _ in range(3):
+            similarity.append_ivf_index(
+                batch.where(F.col("vec_id").isin(hot_ids)).limit(10), path
+            )
+
+        def snapshot(cid):
+            d = os.path.join(path, f"cid={cid}")
+            return sorted(
+                (f, os.path.getsize(os.path.join(d, f)),
+                 os.path.getmtime(os.path.join(d, f)))
+                for f in os.listdir(d)
+                if f.endswith(".parquet")
+            )
+
+        clean = [c for c in stats0["per_cid"] if c != hot]
+        before = {c: snapshot(c) for c in clean}
+        report = similarity.compact_ivf_index(
+            spark, path, max_files_per_list=2, target_files_per_list=1
+        )
+        assert set(report["files_before"]) == {hot}
+        assert report["files_after"][hot] <= 1
+        assert {c: snapshot(c) for c in clean} == before
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
 def test_compact_refuses_sidecar_less_layout(spark):
     base = tempfile.mkdtemp(prefix="ym_r18_nosc_")
     try:
