@@ -126,6 +126,27 @@ def test_centroid_broadcast_is_memoized_and_bounded(spark):
     assert np.array_equal(a.value, unit)
 
 
+def test_unit_matrix_memoizes_ndarray_inputs_only(spark, served_index):
+    """Sidecar-served centroids (one cached ndarray object per path)
+    pay the O(nlist x dim) Python normalization once; list inputs
+    never touch the memo, and the memoized values are the exact loop
+    outputs (same-object identity on repeat, bit-equal to the list
+    path's result)."""
+    path, _, cents = served_index
+    similarity._unit_cache.clear()
+    nd = similarity.read_centroid_sidecar(spark, path)
+    u1 = similarity._unit_matrix(nd)
+    u2 = similarity._unit_matrix(nd)
+    assert u1 is u2 and len(similarity._unit_cache) == 1
+    from_list = similarity._unit_matrix([list(map(float, r)) for r in cents])
+    assert len(similarity._unit_cache) == 1  # lists bypass the memo
+    assert np.array_equal(u1, from_list)  # bit-identical arithmetic
+    # bound holds; dead keys cannot alias (weakref check)
+    for i in range(similarity._UNIT_CACHE_MAX + 3):
+        similarity._unit_matrix(np.asarray([[1.0, float(i + 1)]]))
+        assert len(similarity._unit_cache) <= similarity._UNIT_CACHE_MAX
+
+
 def test_arrow_paths_reuse_one_broadcast_per_payload(spark):
     """End-to-end: two assign_lists calls with the same centroids on
     the arrow path create ONE broadcast, and repeated pruned serving

@@ -26,6 +26,7 @@ from __future__ import annotations
 
 import hashlib
 import json
+import weakref
 from collections import OrderedDict
 
 import numpy as np
@@ -294,6 +295,18 @@ def _normalized_centroid_literal(centroids: list[list[float]]) -> Column:
     return _centroid_literal([[float(x) for x in row] for row in unit])
 
 
+# id(ndarray) -> (weakref to the keyed array, its unit matrix): the
+# sidecar cache hands the SAME ndarray object back per (path, mtime),
+# but every serving call used to re-run the O(nlist x dim) Python
+# normalization below — ~6.7e7 interpreter float ops per call at the
+# 65k x 1024 target.  Identity-keyed so the memo NEVER changes which
+# bits come out (same input object -> the matrix the loop computed
+# once); the weakref check defeats id() reuse after GC.  List inputs
+# (the registry entries' path) never touch the memo.
+_UNIT_CACHE_MAX = 4
+_unit_cache: "OrderedDict[int, tuple]" = OrderedDict()
+
+
 def _unit_matrix(centroids: list[list[float]]) -> "np.ndarray":
     """Validated, row-normalized centroid matrix (nlist x dim).
     Refuses empty lists and zero-norm rows loudly (train_centroids
@@ -301,11 +314,19 @@ def _unit_matrix(centroids: list[list[float]]) -> "np.ndarray":
     re-normalized each Lloyd step).  Accepts a list-of-lists or a 2-D
     ndarray; the per-element Python arithmetic is deliberately kept
     (NOT vectorized) so normalized values stay bit-identical across
-    rounds — the registry's pinned hashes ride on them."""
+    rounds — the registry's pinned hashes ride on them — and ndarray
+    inputs are memoized by object identity so repeated serving calls
+    against one cached sidecar pay the loop once."""
     if len(centroids) == 0:
         raise ValueError(
             "empty centroid list: assignment needs at least one list"
         )
+    is_nd = isinstance(centroids, np.ndarray)
+    if is_nd:
+        hit = _unit_cache.get(id(centroids))
+        if hit is not None and hit[0]() is centroids:
+            _unit_cache.move_to_end(id(centroids))
+            return hit[1]
     norms = [sum(x * x for x in row) ** 0.5 for row in centroids]
     if any(n == 0 for n in norms):
         raise ValueError(
@@ -313,10 +334,15 @@ def _unit_matrix(centroids: list[list[float]]) -> "np.ndarray":
             f"{[i for i, n in enumerate(norms) if n == 0]}: "
             "cosine assignment is undefined for them"
         )
-    return np.array(
+    unit = np.array(
         [[x / n for x in row] for row, n in zip(centroids, norms)],
         dtype=np.float64,
     )
+    if is_nd:
+        _unit_cache[id(centroids)] = (weakref.ref(centroids), unit)
+        while len(_unit_cache) > _UNIT_CACHE_MAX:
+            _unit_cache.popitem(last=False)
+    return unit
 
 
 def _use_arrow(centroids: list[list[float]], use_arrow: bool | None) -> bool:
