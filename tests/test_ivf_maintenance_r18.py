@@ -177,6 +177,36 @@ def test_compact_never_touches_clean_lists(spark):
         shutil.rmtree(base, ignore_errors=True)
 
 
+def test_rebuild_retrains_into_a_fresh_index(spark, appended_index):
+    """rebuild_ivf_index = the drift fix as a library call: fresh
+    centroids trained on the corpus read back from the index, a new
+    sidecar'd layout at dest (rows preserved, nlist defaulted from
+    the source sidecar), serving works against it, and the footguns
+    refuse (in-place rebuild; sidecar-less source)."""
+    path, cents = appended_index
+    dest = path + "_rebuilt"
+    stats = similarity.rebuild_ivf_index(spark, path, dest)
+    assert stats["rows"] == 200 and stats["nlist"] == len(cents)
+    new_cents = similarity.read_centroid_sidecar(spark, dest)
+    assert isinstance(new_cents, np.ndarray) and len(new_cents) == len(cents)
+
+    qs = _vectors(spark, 700, 704).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = similarity.ivf_topk_pruned(spark, dest, qs, k=4, nprobe=2)
+    assert out.count() == 4 * 4
+
+    with pytest.raises(ValueError, match="in-place"):
+        similarity.rebuild_ivf_index(spark, path, path + "/")
+    with pytest.raises(ValueError, match="sidecar"):
+        similarity.rebuild_ivf_index(spark, f"{path}_nowhere", dest + "2")
+
+    # explicit nlist overrides the sidecar default
+    dest3 = path + "_rb3"
+    stats3 = similarity.rebuild_ivf_index(spark, path, dest3, nlist=2)
+    assert stats3["nlist"] == 2 and stats3["rows"] == 200
+
+
 def test_compact_refuses_sidecar_less_layout(spark):
     base = tempfile.mkdtemp(prefix="ym_r18_nosc_")
     try:

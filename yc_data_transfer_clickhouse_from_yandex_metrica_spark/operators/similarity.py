@@ -1213,6 +1213,55 @@ def compact_ivf_index(
     }
 
 
+def rebuild_ivf_index(
+    spark,
+    path: str,
+    dest: str,
+    nlist: int | None = None,
+    coarse_groups: int | None = None,
+    use_arrow: bool | None = None,
+) -> dict:
+    """THE drift fix, as one call: re-train centroids on the grown
+    corpus (read back from the index itself — at scale the index IS
+    the corpus) and write a fresh sidecar'd index at ``dest``.
+    ``index_stats`` supplies the trigger (skew creeping above the
+    build-time value); measured payoff at the r17 worst case
+    (probe_ivf --rebuild, PLANS.md r18): skew 6.00 -> 3.99,
+    drift-distribution query candidates 1.47x -> 1.07x of the
+    balanced fraction law — appends alone never recover that.
+
+    ``nlist`` defaults to the source sidecar's list count.  Writes to
+    ``dest``, never in place: an overwrite of ``path`` would destroy
+    the corpus mid-read, so the same blue/green swap discipline as
+    any serving-index rebuild applies (validate ``dest``, then repoint
+    readers).  Returns ``index_stats(dest)`` so the caller can assert
+    the skew actually recovered before swapping."""
+    old = read_centroid_sidecar(spark, path)
+    if old is None:
+        raise ValueError(
+            f"no {_CENTROID_SIDECAR} sidecar at {path}: rebuild reads "
+            "a write_ivf_index layout (use write_ivf_index directly "
+            "for a first build from raw vectors)"
+        )
+    if path.rstrip("/") == dest.rstrip("/"):
+        raise ValueError(
+            "dest must differ from the source index path: an in-place "
+            "rebuild would overwrite the corpus it is reading — write "
+            "to a fresh path and swap after validating index_stats"
+        )
+    corpus = spark.read.parquet(path).select("nn_id", "nv")
+    cents = train_centroids(
+        corpus, int(nlist) if nlist is not None else len(old),
+        id_col="nn_id", vec_col="nv",
+    )
+    write_ivf_index(
+        corpus, cents, dest,
+        id_col="nn_id", vec_col="nv",
+        coarse_groups=coarse_groups, use_arrow=use_arrow,
+    )
+    return index_stats(spark, dest)
+
+
 def ivf_topk_pruned(
     spark,
     index_path: str,
