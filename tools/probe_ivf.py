@@ -440,17 +440,12 @@ def rebuild_main() -> None:
             )
         report("appended (old cents)", path, cents)
 
-        # THE REBUILD append_ivf_index's docstring prescribes:
-        # re-train on the grown corpus (read back from the index — at
-        # scale the index IS the corpus) and write a fresh index
-        grown = spark.read.parquet(path).select("nn_id", "nv")
-        new_cents = similarity.train_centroids(
-            grown, nlist, id_col="nn_id", vec_col="nv"
-        )
+        # THE REBUILD, through the shipped library call (r18:
+        # rebuild_ivf_index packages re-train-on-the-grown-corpus +
+        # write_ivf_index; this probe is its 400k integration run)
         path2 = f"{base}/idx_rebuilt"
-        similarity.write_ivf_index(
-            grown, new_cents, path2, id_col="nn_id", vec_col="nv"
-        )
+        similarity.rebuild_ivf_index(spark, path, path2)
+        new_cents = similarity.read_centroid_sidecar(spark, path2)
         report("rebuilt  (new cents)", path2, new_cents)
     finally:
         shutil.rmtree(base, ignore_errors=True)
