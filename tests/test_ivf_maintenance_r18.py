@@ -196,8 +196,18 @@ def test_rebuild_retrains_into_a_fresh_index(spark, appended_index):
     out = similarity.ivf_topk_pruned(spark, dest, qs, k=4, nprobe=2)
     assert out.count() == 4 * 4
 
-    with pytest.raises(ValueError, match="in-place"):
-        similarity.rebuild_ivf_index(spark, path, path + "/")
+    # overlap refusals on QUALIFIED paths: same path (trailing slash,
+    # '//' spelling, scheme alias) and nesting in either direction
+    for bad in (
+        path + "/",
+        path.replace("/idx", "//idx"),
+        "file://" + path,
+        path + "/nested",
+    ):
+        with pytest.raises(ValueError, match="overlap"):
+            similarity.rebuild_ivf_index(spark, path, bad)
+    with pytest.raises(ValueError, match="overlap"):
+        similarity.rebuild_ivf_index(spark, path, os.path.dirname(path))
     with pytest.raises(ValueError, match="sidecar"):
         similarity.rebuild_ivf_index(spark, f"{path}_nowhere", dest + "2")
 

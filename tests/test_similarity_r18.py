@@ -109,10 +109,17 @@ def test_sidecar_cache_is_compact_and_bounded(spark, served_index):
 
 def test_centroid_broadcast_is_memoized_and_bounded(spark):
     similarity._bcast_cache.clear()
+    similarity._bcast_id_cache.clear()
     unit = similarity._unit_matrix([[1.0, 0.0], [0.0, 1.0]])
     a = similarity._cached_broadcast(spark, "probe", [unit], lambda: unit)
     b = similarity._cached_broadcast(spark, "probe", [unit], lambda: unit)
     assert a is b and len(similarity._bcast_cache) == 1
+    # the identity tier serves same-object repeats without rehashing
+    assert len(similarity._bcast_id_cache) == 1
+    # a value-equal COPY misses the id tier but hits the content tier
+    assert similarity._cached_broadcast(
+        spark, "probe", [unit.copy()], lambda: unit
+    ) is a
     # same bytes, different kind -> distinct broadcast (assign payloads
     # and probe payloads must never alias)
     c = similarity._cached_broadcast(spark, "assign", [unit], lambda: unit)

@@ -390,8 +390,9 @@ def rebuild_main() -> None:
     """r18 (r17 verdict #6): does a REBUILD restore the
     candidate-fraction law for queries FROM the drifted distribution?
     The r17 --append probe measured skew-6 drift (drift=2.0) costing
-    1.6x candidates for drift-distribution queries on an appended
-    index.  This probe takes that worst case, then rebuilds
+    drift-distribution queries 1.47x the no-drift fraction-law
+    candidates (1.61x what base-distribution queries pay on the same
+    index).  This probe takes that worst case, then rebuilds
     (re-trains centroids on the grown corpus read back from the index
     itself + write_ivf_index) and re-measures skew and candidates for
     BOTH query origins.  Deterministic metrics only, as in --append.

@@ -26,6 +26,7 @@ from __future__ import annotations
 
 import hashlib
 import json
+import threading
 import weakref
 from collections import OrderedDict
 
@@ -323,10 +324,11 @@ def _unit_matrix(centroids: list[list[float]]) -> "np.ndarray":
         )
     is_nd = isinstance(centroids, np.ndarray)
     if is_nd:
-        hit = _unit_cache.get(id(centroids))
-        if hit is not None and hit[0]() is centroids:
-            _unit_cache.move_to_end(id(centroids))
-            return hit[1]
+        with _cache_lock:
+            hit = _unit_cache.get(id(centroids))
+            if hit is not None and hit[0]() is centroids:
+                _unit_cache.move_to_end(id(centroids))
+                return hit[1]
     norms = [sum(x * x for x in row) ** 0.5 for row in centroids]
     if any(n == 0 for n in norms):
         raise ValueError(
@@ -339,9 +341,10 @@ def _unit_matrix(centroids: list[list[float]]) -> "np.ndarray":
         dtype=np.float64,
     )
     if is_nd:
-        _unit_cache[id(centroids)] = (weakref.ref(centroids), unit)
-        while len(_unit_cache) > _UNIT_CACHE_MAX:
-            _unit_cache.popitem(last=False)
+        with _cache_lock:
+            _unit_cache[id(centroids)] = (weakref.ref(centroids), unit)
+            while len(_unit_cache) > _UNIT_CACHE_MAX:
+                _unit_cache.popitem(last=False)
     return unit
 
 
@@ -417,30 +420,64 @@ def _valid_rows(
 # one simply re-fetches from the driver on next use.
 _BCAST_CACHE_MAX = 4
 _bcast_cache: "OrderedDict[tuple, object]" = OrderedDict()
+# identity-keyed first tier (the _unit_matrix pattern): a serving hot
+# path that hands the SAME cached sidecar array back per call must
+# not pay an O(payload) content hash per call just to find the
+# broadcast it already owns.  Entries hold weakrefs to the keyed
+# arrays (id() reuse after GC misses) and the broadcast; the content
+# cache below still owns unpersist-on-evict, so an id-tier entry that
+# outlives its content entry just hands back a lazily re-fetched
+# broadcast.  All three serving caches share one lock: they are
+# check-then-act state, and a multithreaded driver (a thread pool of
+# concurrent serving calls on one session) racing two misses would
+# otherwise double-create — and half-leak — the full-payload
+# broadcast the memo exists to prevent (r18 review).
+_cache_lock = threading.Lock()
+_bcast_id_cache: "OrderedDict[tuple, tuple]" = OrderedDict()
 
 
 def _cached_broadcast(spark, kind: str, arrays, factory):
     """Memoized ``sparkContext.broadcast(factory())`` keyed by the
     content of ``arrays`` (each a contiguous ndarray) within one
-    application.  ``factory`` runs only on a miss."""
+    application; an identity tier short-circuits the content hash
+    when the same array OBJECTS repeat (the cached-sidecar serving
+    case).  ``factory`` runs only on a miss."""
+    app = spark.sparkContext.applicationId
+    id_key = (app, kind, tuple(id(a) for a in arrays))
+    with _cache_lock:
+        hit = _bcast_id_cache.get(id_key)
+        if hit is not None and all(
+            w() is a for w, a in zip(hit[0], arrays)
+        ):
+            _bcast_id_cache.move_to_end(id_key)
+            return hit[1]
     h = hashlib.sha256()
     for a in arrays:
         a = np.ascontiguousarray(a)
         h.update(repr((kind, a.dtype.str, a.shape)).encode())
         h.update(a.tobytes())
-    key = (spark.sparkContext.applicationId, kind, h.hexdigest())
-    hit = _bcast_cache.get(key)
-    if hit is not None:
-        _bcast_cache.move_to_end(key)
-        return hit
-    bc = spark.sparkContext.broadcast(factory())
-    _bcast_cache[key] = bc
-    while len(_bcast_cache) > _BCAST_CACHE_MAX:
-        _, old = _bcast_cache.popitem(last=False)
-        try:
-            old.unpersist(False)
-        except Exception:
-            pass  # a dead SparkContext's broadcasts are already gone
+    key = (app, kind, h.hexdigest())
+    with _cache_lock:
+        bc = _bcast_cache.get(key)
+        if bc is not None:
+            _bcast_cache.move_to_end(key)
+        else:
+            # created under the lock: a concurrent miss on the same
+            # payload must not double-broadcast it (the loser's copy
+            # would never be unpersisted)
+            bc = spark.sparkContext.broadcast(factory())
+            _bcast_cache[key] = bc
+            while len(_bcast_cache) > _BCAST_CACHE_MAX:
+                _, old = _bcast_cache.popitem(last=False)
+                try:
+                    old.unpersist(False)
+                except Exception:
+                    pass  # a dead SparkContext's broadcasts are gone
+        _bcast_id_cache[id_key] = (
+            tuple(weakref.ref(a) for a in arrays), bc,
+        )
+        while len(_bcast_id_cache) > _BCAST_CACHE_MAX:
+            _bcast_id_cache.popitem(last=False)
     return bc
 
 
@@ -960,10 +997,11 @@ def read_centroid_sidecar(spark, path: str) -> "np.ndarray | None":
     if not fs.exists(src):
         return None
     mtime = int(fs.getFileStatus(src).getModificationTime())
-    hit = _sidecar_cache.get(key)
-    if hit is not None and hit[0] == mtime:
-        _sidecar_cache.move_to_end(key)
-        return hit[1]
+    with _cache_lock:
+        hit = _sidecar_cache.get(key)
+        if hit is not None and hit[0] == mtime:
+            _sidecar_cache.move_to_end(key)
+            return hit[1]
     stream = fs.open(src)
     try:
         raw = bytes(
@@ -974,29 +1012,27 @@ def read_centroid_sidecar(spark, path: str) -> "np.ndarray | None":
     cents = np.asarray(
         json.loads(raw.decode("utf-8"))["centroids"], dtype=np.float64
     )
-    _sidecar_cache[key] = (mtime, cents)
-    while len(_sidecar_cache) > _SIDECAR_CACHE_MAX:
-        _sidecar_cache.popitem(last=False)
+    with _cache_lock:
+        # a racing parse of the same (key, mtime) already cached its
+        # array: return THAT one so every caller shares one object
+        # (the identity-keyed unit/broadcast tiers ride on it)
+        hit = _sidecar_cache.get(key)
+        if hit is not None and hit[0] == mtime:
+            _sidecar_cache.move_to_end(key)
+            return hit[1]
+        _sidecar_cache[key] = (mtime, cents)
+        while len(_sidecar_cache) > _SIDECAR_CACHE_MAX:
+            _sidecar_cache.popitem(last=False)
     return cents
 
 
 def _persisted_cids(spark, path: str) -> list[int]:
     """cid partition values of a persisted index, from the DIRECTORY
     LISTING alone (``cid=N`` partition dirs) — no Spark job, no data
-    read.  The cheap max-cid sanity check for pre-sidecar indexes."""
-    fs, hpath = _hadoop_fs(spark, path)
-    if not fs.exists(hpath):
-        # let the parquet read below surface the missing-path error
-        return []
-    cids = []
-    for status in fs.listStatus(hpath):
-        name = status.getPath().getName()
-        if status.isDirectory() and name.startswith("cid="):
-            try:
-                cids.append(int(name[4:]))
-            except ValueError:
-                continue
-    return sorted(cids)
+    read.  The cheap max-cid sanity check for pre-sidecar indexes.
+    One walker for every cid= consumer (r18 review): this is
+    ``_list_cid_files`` minus the per-dir file stats."""
+    return sorted(_list_cid_files(spark, path))
 
 
 def write_ivf_index(
@@ -1050,8 +1086,9 @@ def append_ivf_index(
     same signal FAISS users watch (``index_stats`` exposes it; the
     rebuild pays: probe_ivf --rebuild, PLANS.md r18, measured
     re-training on the grown corpus restoring skew 6.00 -> 3.99 and
-    drift-query candidates 1.6x -> 1.07x of the fraction law); the
-    sidecar mtime is untouched so serving caches stay valid."""
+    drift-query candidates from 1.47x to 1.07x of the no-drift
+    fraction-law reference); the sidecar mtime is untouched so
+    serving caches stay valid."""
     spark = vectors.sparkSession
     cents = read_centroid_sidecar(spark, path)
     if cents is None:
@@ -1068,9 +1105,13 @@ def append_ivf_index(
 def _list_cid_files(spark, path: str) -> dict[int, tuple[int, int]]:
     """cid -> (data file count, data bytes) from the DIRECTORY LISTING
     alone (Hadoop FS API, so local/HDFS/S3 alike; metadata only, no
-    Spark job, no data read)."""
+    Spark job, no data read).  A missing root returns {} — callers
+    either guard (``_persisted_cids``) or surface the error at their
+    own read."""
     fs, hpath = _hadoop_fs(spark, path)
     out: dict[int, tuple[int, int]] = {}
+    if not fs.exists(hpath):
+        return out
     for status in fs.listStatus(hpath):
         name = status.getPath().getName()
         if not (status.isDirectory() and name.startswith("cid=")):
@@ -1096,8 +1137,10 @@ def index_stats(spark, path: str) -> dict:
     (r17 verdict #4a).  ``append_ivf_index`` writes one file set per
     batch into each ``cid=`` directory, so a real ingest cadence
     grows BOTH list-size skew (drifted data concentrates in few
-    lists; skew-6 measured 1.6x probe candidates for drifted-
-    distribution queries) and small files per list.  Returns::
+    lists; at measured skew 6 drifted-distribution queries probe
+    1.47x the no-drift fraction-law candidates — 1.61x what
+    base-distribution queries pay on the same index) and small files
+    per list.  Returns::
 
         {"nlist":    centroid count from the sidecar (None if absent),
          "lists":    number of non-empty cid= partition directories,
@@ -1166,6 +1209,14 @@ def compact_ivf_index(
     rewritten list the split key is a bounded hash salt on the vector
     id (``pmod(xxhash64(nn_id), target)``) — an inverted list has no
     range-skipping sort key to preserve, unlike the weekly tables.
+
+    SINGLE WRITER REQUIRED (r18 review): like any OPTIMIZE over a
+    plain parquet layout, the rewrite snapshots the file listing at
+    read time and dynamic overwrite replaces whole ``cid=``
+    partitions at commit — an ``append_ivf_index`` batch landing in a
+    dirty list BETWEEN those two points is silently dropped.
+    Schedule compaction in the ingest gap (or pause the appender),
+    exactly as with ``warehouse.compact_partitions``.
 
     Refuses a directory with no sidecar: that is not a
     ``write_ivf_index`` layout, and rewriting an arbitrary
@@ -1243,11 +1294,27 @@ def rebuild_ivf_index(
             "a write_ivf_index layout (use write_ivf_index directly "
             "for a first build from raw vectors)"
         )
-    if path.rstrip("/") == dest.rstrip("/"):
+    # overlap guard on QUALIFIED paths (r18 review: a raw string
+    # compare lets 'file:///x' vs '/x', '//'-spellings, relative
+    # paths, or a dest nested inside the source slip through — and
+    # mode('overwrite') deletes dest before the corpus read runs, so
+    # any overlap destroys the only copy).  makeQualified normalizes
+    # scheme/authority and resolves to absolute; symlink aliasing is
+    # the caller's remaining responsibility (Hadoop paths never stat).
+    src_fs, src_p = _hadoop_fs(spark, path)
+    dst_fs, dst_p = _hadoop_fs(spark, dest)
+    src_q = str(src_fs.makeQualified(src_p)).rstrip("/")
+    dst_q = str(dst_fs.makeQualified(dst_p)).rstrip("/")
+    if (
+        src_q == dst_q
+        or dst_q.startswith(src_q + "/")
+        or src_q.startswith(dst_q + "/")
+    ):
         raise ValueError(
-            "dest must differ from the source index path: an in-place "
-            "rebuild would overwrite the corpus it is reading — write "
-            "to a fresh path and swap after validating index_stats"
+            f"dest {dst_q} overlaps the source index {src_q}: an "
+            "in-place (or nested) rebuild would overwrite the corpus "
+            "it is reading — write to a disjoint path and swap after "
+            "validating index_stats"
         )
     corpus = spark.read.parquet(path).select("nn_id", "nv")
     cents = train_centroids(

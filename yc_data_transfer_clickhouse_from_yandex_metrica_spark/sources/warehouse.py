@@ -350,6 +350,12 @@ def compact_partitions(
     per-FILE key ranges then overlap (row-group bounds inside each
     sorted file stay tight); documented tradeoff.
 
+    SINGLE WRITER REQUIRED: the rewrite snapshots the file listing at
+    read time and dynamic overwrite replaces whole week partitions at
+    commit — a streaming append landing in a dirty week between those
+    two points is silently dropped.  Schedule compaction in the
+    ingest gap (same discipline as ``similarity.compact_ivf_index``).
+
     Returns {"files_before": {week: n}, "files_after": {week: n}}
     for the compacted weeks.
     """
