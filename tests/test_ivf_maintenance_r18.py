@@ -217,6 +217,78 @@ def test_rebuild_retrains_into_a_fresh_index(spark, appended_index):
     assert stats3["nlist"] == 2 and stats3["rows"] == 200
 
 
+def test_streaming_ivf_append_lifecycle(spark):
+    """append_ivf_index_stream: a file-backed embedding stream drains
+    into a persisted index (availableNow), a second drain over the
+    same checkpoint ingests only NEW files, serving equals a one-shot
+    build over the same vectors, replayed batch ids are skipped via
+    the ingest-progress sidecar, and a foreign checkpoint lineage is
+    refused."""
+    base = tempfile.mkdtemp(prefix="ym_r18_ivfstream_")
+    try:
+        path, src, ckpt = f"{base}/idx", f"{base}/src", f"{base}/ckpt"
+        first = _vectors(spark, 0, 80)
+        cents = similarity.train_centroids(first, nlist=4)
+        similarity.write_ivf_index(first, cents, path)
+
+        _vectors(spark, 200, 260).write.parquet(src)
+        stream = spark.readStream.schema(
+            "vec_id long, embedding array<double>"
+        ).parquet(src)
+        q = similarity.append_ivf_index_stream(stream, path, ckpt)
+        q.awaitTermination(120)
+        assert similarity.index_stats(spark, path)["rows"] == 140
+
+        # second drain over the SAME checkpoint: only the new file
+        _vectors(spark, 400, 430).write.mode("append").parquet(src)
+        q2 = similarity.append_ivf_index_stream(stream, path, ckpt)
+        q2.awaitTermination(120)
+        assert similarity.index_stats(spark, path)["rows"] == 170
+
+        # serving == one-shot build over the same vectors
+        qs = _vectors(spark, 900, 904).select(
+            F.col("vec_id").alias("query_id"), "embedding"
+        )
+        oneshot = f"{base}/oneshot"
+        similarity.write_ivf_index(
+            first.unionAll(_vectors(spark, 200, 260)).unionAll(
+                _vectors(spark, 400, 430)
+            ),
+            cents,
+            oneshot,
+        )
+        as_set = lambda df: {tuple(r) for r in df.collect()}
+        got = as_set(similarity.ivf_topk_pruned(spark, path, qs, k=5, nprobe=3))
+        want = as_set(
+            similarity.ivf_topk_pruned(spark, oneshot, qs, k=5, nprobe=3)
+        )
+        assert got == want and got
+
+        # replayed batch id: the progress sidecar makes the apply a
+        # no-op — mark future batch ids as already applied, deliver a
+        # new file, and the drain must append nothing
+        prog = similarity._read_ingest_progress(spark, path)
+        assert prog["checkpoint"] == ckpt and prog["last_batch"] >= 0
+        similarity._write_ingest_progress(
+            spark, path, {"checkpoint": ckpt, "last_batch": 10_000}
+        )
+        _vectors(spark, 600, 610).write.mode("append").parquet(src)
+        q3 = similarity.append_ivf_index_stream(stream, path, ckpt)
+        q3.awaitTermination(120)
+        assert similarity.index_stats(spark, path)["rows"] == 170
+
+        # foreign checkpoint lineage refuses
+        with pytest.raises(ValueError, match="lineage"):
+            similarity.append_ivf_index_stream(stream, path, f"{base}/ckpt2")
+        # sidecar-less index refuses
+        with pytest.raises(ValueError, match="sidecar"):
+            similarity.append_ivf_index_stream(
+                stream, f"{base}/nowhere", ckpt
+            )
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
 def test_compact_refuses_sidecar_less_layout(spark):
     base = tempfile.mkdtemp(prefix="ym_r18_nosc_")
     try:

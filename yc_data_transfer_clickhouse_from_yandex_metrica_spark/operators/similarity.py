@@ -1102,6 +1102,114 @@ def append_ivf_index(
     ).write.mode("append").partitionBy("cid").parquet(path)
 
 
+# ingest-progress sidecar for append_ivf_index_stream: records the
+# checkpoint lineage and last applied micro-batch id.  Underscore
+# prefix = hidden from Spark's parquet reader, co-located with the
+# index like _centroids.json.
+_INGEST_SIDECAR = "_ingest_progress.json"
+
+
+def _read_ingest_progress(spark, path: str) -> dict | None:
+    fs, _ = _hadoop_fs(spark, path)
+    src = spark._jvm.org.apache.hadoop.fs.Path(
+        path.rstrip("/") + "/" + _INGEST_SIDECAR
+    )
+    if not fs.exists(src):
+        return None
+    stream = fs.open(src)
+    try:
+        raw = bytes(
+            spark._jvm.org.apache.commons.io.IOUtils.toByteArray(stream)
+        )
+    finally:
+        stream.close()
+    return json.loads(raw.decode("utf-8"))
+
+
+def _write_ingest_progress(spark, path: str, progress: dict) -> None:
+    fs, _ = _hadoop_fs(spark, path)
+    dest = spark._jvm.org.apache.hadoop.fs.Path(
+        path.rstrip("/") + "/" + _INGEST_SIDECAR
+    )
+    out = fs.create(dest, True)
+    try:
+        out.write(bytearray(json.dumps(progress).encode("utf-8")))
+    finally:
+        out.close()
+
+
+def append_ivf_index_stream(
+    stream: DataFrame,
+    path: str,
+    checkpoint_dir: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    coarse_groups: int | None = None,
+    use_arrow: bool | None = None,
+    available_now: bool = True,
+):
+    """Continuous IVF ingest: a streaming embedding source appended to
+    a persisted index one micro-batch at a time — the 100 TB training
+    pipeline's hourly cadence as a running query instead of a cron
+    job.  Each batch pays only its own ``assign_lists`` scan
+    (batch-linear, map-side) and lands inside the existing ``cid=``
+    directories via ``append_ivf_index``, so serving needs no refresh
+    and keeps pruning identically.
+
+    Exactly-once discipline (the standard foreachBatch pattern): an
+    ``_ingest_progress.json`` sidecar next to the index records the
+    checkpoint lineage and the last applied batch id; a replayed
+    batch (at-least-once delivery after a retry) is skipped instead
+    of double-appended.  The unavoidable window — a crash AFTER the
+    append commits but BEFORE the progress record lands — re-appends
+    that one batch on recovery, the same at-least-once floor as any
+    non-transactional parquet sink; run a periodic exact-dedup or use
+    batch ``append_ivf_index`` with caller-side dedup if that window
+    matters.  A DIFFERENT checkpoint lineage against an index that
+    already has ingest progress is refused loudly: fresh checkpoints
+    restart batch ids at 0, which would silently skip (or duplicate)
+    real data — re-point the old checkpoint, or rebuild the index.
+
+    Returns the started StreamingQuery (``available_now=True`` drains
+    the source and stops — the testing/backfill mode; ``False`` runs
+    the default micro-batch trigger)."""
+    spark = stream.sparkSession
+    if read_centroid_sidecar(spark, path) is None:
+        raise ValueError(
+            f"no {_CENTROID_SIDECAR} sidecar at {path}: streaming "
+            "append requires an index built by write_ivf_index"
+        )
+    progress = _read_ingest_progress(spark, path)
+    if progress is not None and progress.get("checkpoint") != checkpoint_dir:
+        raise ValueError(
+            f"index at {path} was fed by checkpoint lineage "
+            f"{progress.get('checkpoint')!r}, not {checkpoint_dir!r}: a "
+            "new lineage restarts batch ids and would silently skip or "
+            "duplicate data — resume the original checkpoint, or "
+            "rebuild the index to start a new lineage"
+        )
+
+    def _apply(batch_df, batch_id: int) -> None:
+        seen = _read_ingest_progress(batch_df.sparkSession, path)
+        if seen is not None and batch_id <= seen.get("last_batch", -1):
+            return  # replay of an already-applied batch
+        append_ivf_index(
+            batch_df, path, id_col, vec_col, coarse_groups, use_arrow
+        )
+        _write_ingest_progress(
+            batch_df.sparkSession, path,
+            {"checkpoint": checkpoint_dir, "last_batch": int(batch_id)},
+        )
+
+    writer = (
+        stream.writeStream.foreachBatch(_apply)
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 def _list_cid_files(spark, path: str) -> dict[int, tuple[int, int]]:
     """cid -> (data file count, data bytes) from the DIRECTORY LISTING
     alone (Hadoop FS API, so local/HDFS/S3 alike; metadata only, no
