@@ -203,6 +203,8 @@ def test_rebuild_retrains_into_a_fresh_index(spark, appended_index):
         path.replace("/idx", "//idx"),
         "file://" + path,
         path + "/nested",
+        # '..' aliasing: lexically different, resolves to the source
+        os.path.dirname(path) + "/elsewhere/../" + os.path.basename(path),
     ):
         with pytest.raises(ValueError, match="overlap"):
             similarity.rebuild_ivf_index(spark, path, bad)
@@ -264,20 +266,43 @@ def test_streaming_ivf_append_lifecycle(spark):
         )
         assert got == want and got
 
+        # the recorded lineage is the QUALIFIED checkpoint location
+        lineage = similarity._qualified(spark, ckpt)
+        prog = similarity._read_ingest_progress(spark, path)
+        assert prog["checkpoint"] == lineage and prog["last_batch"] >= 0
+        # no .tmp residue from the atomic sidecar writes
+        assert not [
+            f for f in os.listdir(path) if f.endswith(".json.tmp")
+        ]
+
         # replayed batch id: the progress sidecar makes the apply a
         # no-op — mark future batch ids as already applied, deliver a
         # new file, and the drain must append nothing
-        prog = similarity._read_ingest_progress(spark, path)
-        assert prog["checkpoint"] == ckpt and prog["last_batch"] >= 0
         similarity._write_ingest_progress(
-            spark, path, {"checkpoint": ckpt, "last_batch": 10_000}
+            spark, path, {"checkpoint": lineage, "last_batch": 10_000}
         )
         _vectors(spark, 600, 610).write.mode("append").parquet(src)
-        q3 = similarity.append_ivf_index_stream(stream, path, ckpt)
+        # equivalent spelling of the SAME checkpoint resumes (the
+        # lineage identity is qualified, not the raw argument string)
+        q3 = similarity.append_ivf_index_stream(
+            stream, path, "file://" + ckpt
+        )
         q3.awaitTermination(120)
         assert similarity.index_stats(spark, path)["rows"] == 170
 
-        # foreign checkpoint lineage refuses
+        # per-batch lineage re-check: a batch applying against a
+        # progress record from ANOTHER lineage fails loudly instead
+        # of silently comparing foreign batch ids (two fresh streams
+        # racing one index)
+        with pytest.raises(RuntimeError, match="lineage"):
+            similarity._ingest_apply(
+                _vectors(spark, 800, 805), 0, path,
+                similarity._qualified(spark, f"{base}/ckptB"),
+                "vec_id", "embedding", None, None,
+            )
+        assert similarity.index_stats(spark, path)["rows"] == 170
+
+        # foreign checkpoint lineage refuses at start too
         with pytest.raises(ValueError, match="lineage"):
             similarity.append_ivf_index_stream(stream, path, f"{base}/ckpt2")
         # sidecar-less index refuses

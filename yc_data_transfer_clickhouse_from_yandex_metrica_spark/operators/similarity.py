@@ -434,38 +434,65 @@ _bcast_cache: "OrderedDict[tuple, object]" = OrderedDict()
 # broadcast the memo exists to prevent (r18 review).
 _cache_lock = threading.Lock()
 _bcast_id_cache: "OrderedDict[tuple, tuple]" = OrderedDict()
+# content-key -> Event while a broadcast is being created: concurrent
+# misses on the same payload wait for the creator instead of
+# double-broadcasting, and the GLOBAL lock is never held across the
+# O(payload) broadcast serialization itself (r18 review #5: a
+# seconds-long 'assign' broadcast would otherwise stall every other
+# thread's microsecond cache lookup).
+_bcast_pending: dict[tuple, "threading.Event"] = {}
 
 
 def _cached_broadcast(spark, kind: str, arrays, factory):
     """Memoized ``sparkContext.broadcast(factory())`` keyed by the
     content of ``arrays`` (each a contiguous ndarray) within one
     application; an identity tier short-circuits the content hash
-    when the same array OBJECTS repeat (the cached-sidecar serving
-    case).  ``factory`` runs only on a miss."""
+    when the same array OBJECT repeats (the cached-sidecar serving
+    case).  ``factory`` runs only on a miss, never under the global
+    lock, and never twice for one payload."""
     app = spark.sparkContext.applicationId
-    id_key = (app, kind, tuple(id(a) for a in arrays))
-    with _cache_lock:
-        hit = _bcast_id_cache.get(id_key)
-        if hit is not None and all(
-            w() is a for w, a in zip(hit[0], arrays)
-        ):
-            _bcast_id_cache.move_to_end(id_key)
-            return hit[1]
+    # identity tier: single-array payloads only — those are the
+    # objects that actually repeat (the memoized unit matrix of a
+    # cached sidecar).  Coarse-assign payloads rebuild members/reps
+    # per call; inserting their dead-on-arrival ids would churn the
+    # hot probe entry out of this tiny LRU (r18 review #6).
+    id_key = (app, kind, id(arrays[0])) if len(arrays) == 1 else None
+    if id_key is not None:
+        with _cache_lock:
+            hit = _bcast_id_cache.get(id_key)
+            if hit is not None and hit[0]() is arrays[0]:
+                _bcast_id_cache.move_to_end(id_key)
+                return hit[1]
     h = hashlib.sha256()
     for a in arrays:
         a = np.ascontiguousarray(a)
         h.update(repr((kind, a.dtype.str, a.shape)).encode())
         h.update(a.tobytes())
     key = (app, kind, h.hexdigest())
-    with _cache_lock:
-        bc = _bcast_cache.get(key)
-        if bc is not None:
-            _bcast_cache.move_to_end(key)
-        else:
-            # created under the lock: a concurrent miss on the same
-            # payload must not double-broadcast it (the loser's copy
-            # would never be unpersisted)
+    while True:
+        with _cache_lock:
+            bc = _bcast_cache.get(key)
+            if bc is not None:
+                _bcast_cache.move_to_end(key)
+                break
+            ev = _bcast_pending.get(key)
+            if ev is None:
+                ev = threading.Event()
+                _bcast_pending[key] = ev
+                creating = True
+            else:
+                creating = False
+        if not creating:
+            ev.wait()
+            continue  # re-check the cache (creator may have failed)
+        try:
             bc = spark.sparkContext.broadcast(factory())
+        except BaseException:
+            with _cache_lock:
+                _bcast_pending.pop(key, None)
+            ev.set()
+            raise
+        with _cache_lock:
             _bcast_cache[key] = bc
             while len(_bcast_cache) > _BCAST_CACHE_MAX:
                 _, old = _bcast_cache.popitem(last=False)
@@ -473,11 +500,14 @@ def _cached_broadcast(spark, kind: str, arrays, factory):
                     old.unpersist(False)
                 except Exception:
                     pass  # a dead SparkContext's broadcasts are gone
-        _bcast_id_cache[id_key] = (
-            tuple(weakref.ref(a) for a in arrays), bc,
-        )
-        while len(_bcast_id_cache) > _BCAST_CACHE_MAX:
-            _bcast_id_cache.popitem(last=False)
+            _bcast_pending.pop(key, None)
+        ev.set()
+        break
+    if id_key is not None:
+        with _cache_lock:
+            _bcast_id_cache[id_key] = (weakref.ref(arrays[0]), bc)
+            while len(_bcast_id_cache) > _BCAST_CACHE_MAX:
+                _bcast_id_cache.popitem(last=False)
     return bc
 
 
@@ -947,6 +977,61 @@ def _hadoop_fs(spark, path: str):
     return fs, hpath
 
 
+def _qualified(spark, path: str) -> str:
+    """Hadoop-qualified, dot-segment-normalized absolute form of
+    ``path``, for alias-proof location compares.  makeQualified
+    resolves scheme/authority/relative; java.net.URI.normalize()
+    then collapses '.'/'..' segments, which Hadoop Path does NOT
+    (r18 review: '/a/b/../idx' would otherwise alias '/a/idx' past a
+    prefix check).  Symlinks remain the caller's responsibility
+    (neither layer stats the filesystem)."""
+    fs, p = _hadoop_fs(spark, path)
+    q = str(fs.makeQualified(p))
+    return str(spark._jvm.java.net.URI(q).normalize().toString()).rstrip("/")
+
+
+def _read_json_sidecar(spark, path: str, name: str) -> dict | None:
+    """Parse one ``_name.json`` sidecar inside an index directory, or
+    None if absent.  One reader for every sidecar (r18 review #8)."""
+    fs, _ = _hadoop_fs(spark, path)
+    src = spark._jvm.org.apache.hadoop.fs.Path(
+        path.rstrip("/") + "/" + name
+    )
+    if not fs.exists(src):
+        return None
+    stream = fs.open(src)
+    try:
+        raw = bytes(
+            spark._jvm.org.apache.commons.io.IOUtils.toByteArray(stream)
+        )
+    finally:
+        stream.close()
+    return json.loads(raw.decode("utf-8"))
+
+
+def _write_json_sidecar(spark, path: str, name: str, payload: dict) -> None:
+    """Write one sidecar ATOMICALLY: temp file + delete + rename, so a
+    reader never sees a truncated/empty file (r18 review #3: a crash
+    between fs.create's truncate and the write used to leave a
+    0-byte sidecar that wedged every later read on JSONDecodeError).
+    The delete->rename gap can only lose the OLD file — readers then
+    see 'absent', which every consumer already handles (pre-sidecar
+    refusal / at-least-once replay) — never a partial one."""
+    fs, _ = _hadoop_fs(spark, path)
+    root = path.rstrip("/")
+    jvm_path = spark._jvm.org.apache.hadoop.fs.Path
+    dest = jvm_path(root + "/" + name)
+    tmp = jvm_path(root + "/" + name + ".tmp")
+    out = fs.create(tmp, True)
+    try:
+        out.write(bytearray(json.dumps(payload).encode("utf-8")))
+    finally:
+        out.close()
+    fs.delete(dest, False)
+    if not fs.rename(tmp, dest):
+        raise IOError(f"could not publish sidecar {name} at {path}")
+
+
 def _write_centroid_sidecar(
     spark, path: str, centroids: list[list[float]]
 ) -> None:
@@ -957,18 +1042,10 @@ def _write_centroid_sidecar(
     cid space — ``ivf_topk_pruned`` loads or cross-checks it before
     probing.  Written through the Hadoop FileSystem API so the sidecar
     lands wherever the index does (local, HDFS, S3)."""
-    fs, _ = _hadoop_fs(spark, path)
-    dest = spark._jvm.org.apache.hadoop.fs.Path(
-        path.rstrip("/") + "/" + _CENTROID_SIDECAR
+    _write_json_sidecar(
+        spark, path, _CENTROID_SIDECAR,
+        {"centroids": [[float(x) for x in row] for row in centroids]},
     )
-    out = fs.create(dest, True)
-    try:
-        payload = json.dumps(
-            {"centroids": [[float(x) for x in row] for row in centroids]}
-        ).encode("utf-8")
-        out.write(bytearray(payload))
-    finally:
-        out.close()
 
 
 # (index path -> (sidecar mtime, parsed centroids)): repeated serving
@@ -1002,16 +1079,11 @@ def read_centroid_sidecar(spark, path: str) -> "np.ndarray | None":
         if hit is not None and hit[0] == mtime:
             _sidecar_cache.move_to_end(key)
             return hit[1]
-    stream = fs.open(src)
-    try:
-        raw = bytes(
-            spark._jvm.org.apache.commons.io.IOUtils.toByteArray(stream)
-        )
-    finally:
-        stream.close()
-    cents = np.asarray(
-        json.loads(raw.decode("utf-8"))["centroids"], dtype=np.float64
-    )
+    parsed = _read_json_sidecar(spark, path, _CENTROID_SIDECAR)
+    if parsed is None:
+        # the atomic rewrite's delete->rename gap: treat as absent
+        return None
+    cents = np.asarray(parsed["centroids"], dtype=np.float64)
     with _cache_lock:
         # a racing parse of the same (key, mtime) already cached its
         # array: return THAT one so every caller shares one object
@@ -1026,13 +1098,34 @@ def read_centroid_sidecar(spark, path: str) -> "np.ndarray | None":
     return cents
 
 
+def _cid_dirs(spark, path: str):
+    """(FileSystem, {cid: hadoop Path of its directory}) from ONE root
+    listing — the single cid= walker every consumer builds on (r18
+    reviews #5/#7).  O(number of lists), never O(number of files); a
+    missing root returns an empty dict."""
+    fs, hpath = _hadoop_fs(spark, path)
+    out = {}
+    if not fs.exists(hpath):
+        return fs, out
+    for status in fs.listStatus(hpath):
+        name = status.getPath().getName()
+        if not (status.isDirectory() and name.startswith("cid=")):
+            continue
+        try:
+            out[int(name[4:])] = status.getPath()
+        except ValueError:
+            continue
+    return fs, out
+
+
 def _persisted_cids(spark, path: str) -> list[int]:
     """cid partition values of a persisted index, from the DIRECTORY
     LISTING alone (``cid=N`` partition dirs) — no Spark job, no data
-    read.  The cheap max-cid sanity check for pre-sidecar indexes.
-    One walker for every cid= consumer (r18 review): this is
-    ``_list_cid_files`` minus the per-dir file stats."""
-    return sorted(_list_cid_files(spark, path))
+    read, no per-file stats (this runs on the SERVING path's
+    pre-sidecar guard, where an O(files) walk would mean millions of
+    object-store list calls per query batch — r18 review #7).  The
+    cheap max-cid sanity check for pre-sidecar indexes."""
+    return sorted(_cid_dirs(spark, path)[1])
 
 
 def write_ivf_index(
@@ -1110,32 +1203,50 @@ _INGEST_SIDECAR = "_ingest_progress.json"
 
 
 def _read_ingest_progress(spark, path: str) -> dict | None:
-    fs, _ = _hadoop_fs(spark, path)
-    src = spark._jvm.org.apache.hadoop.fs.Path(
-        path.rstrip("/") + "/" + _INGEST_SIDECAR
-    )
-    if not fs.exists(src):
-        return None
-    stream = fs.open(src)
-    try:
-        raw = bytes(
-            spark._jvm.org.apache.commons.io.IOUtils.toByteArray(stream)
-        )
-    finally:
-        stream.close()
-    return json.loads(raw.decode("utf-8"))
+    return _read_json_sidecar(spark, path, _INGEST_SIDECAR)
 
 
 def _write_ingest_progress(spark, path: str, progress: dict) -> None:
-    fs, _ = _hadoop_fs(spark, path)
-    dest = spark._jvm.org.apache.hadoop.fs.Path(
-        path.rstrip("/") + "/" + _INGEST_SIDECAR
+    _write_json_sidecar(spark, path, _INGEST_SIDECAR, progress)
+
+
+def _ingest_apply(
+    batch_df: DataFrame,
+    batch_id: int,
+    path: str,
+    lineage: str,
+    id_col: str,
+    vec_col: str,
+    coarse_groups: int | None,
+    use_arrow: bool | None,
+) -> bool:
+    """One micro-batch of ``append_ivf_index_stream`` (module-level so
+    the replay/lineage semantics are unit-testable).  Returns True if
+    the batch was appended, False if skipped as a replay.  The
+    lineage is RE-CHECKED here, not only at start (r18 review #2: two
+    streams started against a FRESH index both pass the start-time
+    pre-check; without this re-check the loser's batches would
+    compare ids against the winner's lineage and be silently
+    swallowed — now the loser's stream fails loudly instead)."""
+    spark = batch_df.sparkSession
+    seen = _read_ingest_progress(spark, path)
+    if seen is not None:
+        if seen.get("checkpoint") != lineage:
+            raise RuntimeError(
+                f"index at {path} is being fed by checkpoint lineage "
+                f"{seen.get('checkpoint')!r}, not {lineage!r}: two "
+                "streams are racing this index — stop one; batch ids "
+                "from different lineages are not comparable"
+            )
+        if batch_id <= seen.get("last_batch", -1):
+            return False  # replay of an already-applied batch
+    append_ivf_index(
+        batch_df, path, id_col, vec_col, coarse_groups, use_arrow
     )
-    out = fs.create(dest, True)
-    try:
-        out.write(bytearray(json.dumps(progress).encode("utf-8")))
-    finally:
-        out.close()
+    _write_ingest_progress(
+        spark, path, {"checkpoint": lineage, "last_batch": int(batch_id)}
+    )
+    return True
 
 
 def append_ivf_index_stream(
@@ -1179,26 +1290,24 @@ def append_ivf_index_stream(
             f"no {_CENTROID_SIDECAR} sidecar at {path}: streaming "
             "append requires an index built by write_ivf_index"
         )
+    # the lineage identity is the QUALIFIED checkpoint location, so
+    # equivalent spellings of one checkpoint ('/x' vs 'file:///x' vs
+    # '/x/') resume instead of spuriously refusing (r18 review #4)
+    lineage = _qualified(spark, checkpoint_dir)
     progress = _read_ingest_progress(spark, path)
-    if progress is not None and progress.get("checkpoint") != checkpoint_dir:
+    if progress is not None and progress.get("checkpoint") != lineage:
         raise ValueError(
             f"index at {path} was fed by checkpoint lineage "
-            f"{progress.get('checkpoint')!r}, not {checkpoint_dir!r}: a "
+            f"{progress.get('checkpoint')!r}, not {lineage!r}: a "
             "new lineage restarts batch ids and would silently skip or "
             "duplicate data — resume the original checkpoint, or "
             "rebuild the index to start a new lineage"
         )
 
     def _apply(batch_df, batch_id: int) -> None:
-        seen = _read_ingest_progress(batch_df.sparkSession, path)
-        if seen is not None and batch_id <= seen.get("last_batch", -1):
-            return  # replay of an already-applied batch
-        append_ivf_index(
-            batch_df, path, id_col, vec_col, coarse_groups, use_arrow
-        )
-        _write_ingest_progress(
-            batch_df.sparkSession, path,
-            {"checkpoint": checkpoint_dir, "last_batch": int(batch_id)},
+        _ingest_apply(
+            batch_df, batch_id, path, lineage,
+            id_col, vec_col, coarse_groups, use_arrow,
         )
 
     writer = (
@@ -1211,27 +1320,16 @@ def append_ivf_index_stream(
 
 
 def _list_cid_files(spark, path: str) -> dict[int, tuple[int, int]]:
-    """cid -> (data file count, data bytes) from the DIRECTORY LISTING
-    alone (Hadoop FS API, so local/HDFS/S3 alike; metadata only, no
-    Spark job, no data read).  A missing root returns {} — callers
-    either guard (``_persisted_cids``) or surface the error at their
-    own read."""
-    fs, hpath = _hadoop_fs(spark, path)
+    """cid -> (data file count, data bytes): the ``_cid_dirs`` walk
+    plus per-directory file stats (maintenance-path only — this IS
+    O(total data files); the serving path uses ``_persisted_cids``).
+    A missing root returns {}."""
+    fs, dirs = _cid_dirs(spark, path)
     out: dict[int, tuple[int, int]] = {}
-    if not fs.exists(hpath):
-        return out
-    for status in fs.listStatus(hpath):
-        name = status.getPath().getName()
-        if not (status.isDirectory() and name.startswith("cid=")):
-            continue
-        try:
-            cid = int(name[4:])
-        except ValueError:
-            continue
+    for cid, dpath in dirs.items():
         files = bytes_ = 0
-        for f in fs.listStatus(status.getPath()):
-            fname = f.getPath().getName()
-            if fname.endswith(".parquet"):
+        for f in fs.listStatus(dpath):
+            if f.getPath().getName().endswith(".parquet"):
                 files += 1
                 bytes_ += int(f.getLen())
         out[cid] = (files, bytes_)
@@ -1402,17 +1500,15 @@ def rebuild_ivf_index(
             "a write_ivf_index layout (use write_ivf_index directly "
             "for a first build from raw vectors)"
         )
-    # overlap guard on QUALIFIED paths (r18 review: a raw string
-    # compare lets 'file:///x' vs '/x', '//'-spellings, relative
-    # paths, or a dest nested inside the source slip through — and
-    # mode('overwrite') deletes dest before the corpus read runs, so
-    # any overlap destroys the only copy).  makeQualified normalizes
-    # scheme/authority and resolves to absolute; symlink aliasing is
-    # the caller's remaining responsibility (Hadoop paths never stat).
-    src_fs, src_p = _hadoop_fs(spark, path)
-    dst_fs, dst_p = _hadoop_fs(spark, dest)
-    src_q = str(src_fs.makeQualified(src_p)).rstrip("/")
-    dst_q = str(dst_fs.makeQualified(dst_p)).rstrip("/")
+    # overlap guard on QUALIFIED, dot-normalized paths (r18 review: a
+    # raw string compare lets 'file:///x' vs '/x', '//'-spellings,
+    # relative paths, '..' segments, or a dest nested inside the
+    # source slip through — and mode('overwrite') deletes dest before
+    # the corpus read runs, so any overlap destroys the only copy).
+    # Symlink aliasing remains the caller's responsibility (qualified
+    # paths never stat).
+    src_q = _qualified(spark, path)
+    dst_q = _qualified(spark, dest)
     if (
         src_q == dst_q
         or dst_q.startswith(src_q + "/")
