@@ -297,8 +297,25 @@ def test_streaming_ivf_append_lifecycle(spark):
         with pytest.raises(RuntimeError, match="lineage"):
             similarity._ingest_apply(
                 _vectors(spark, 800, 805), 0, path,
-                similarity._qualified(spark, f"{base}/ckptB"),
+                similarity._qualified(spark, f"{base}/ckptB"), None,
                 "vec_id", "embedding", None, None,
+            )
+        assert similarity.index_stats(spark, path)["rows"] == 170
+
+        # a recreated checkpoint (same location, new query id) is NOT
+        # a resume: its batch ids restart at 0 and would be skipped
+        # as replays — refused at start AND per-batch
+        similarity._write_ingest_progress(
+            spark, path,
+            {"checkpoint": lineage, "query_id": "old-query-id",
+             "last_batch": 10_000},
+        )
+        with pytest.raises(ValueError, match="recreated"):
+            similarity.append_ivf_index_stream(stream, path, ckpt)
+        with pytest.raises(RuntimeError, match="recreated"):
+            similarity._ingest_apply(
+                _vectors(spark, 800, 805), 0, path, lineage,
+                "new-query-id", "vec_id", "embedding", None, None,
             )
         assert similarity.index_stats(spark, path)["rows"] == 170
 

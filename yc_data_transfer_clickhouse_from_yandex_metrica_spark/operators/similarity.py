@@ -485,23 +485,26 @@ def _cached_broadcast(spark, kind: str, arrays, factory):
         if not creating:
             ev.wait()
             continue  # re-check the cache (creator may have failed)
+        # one try/finally owns the whole creator path: ANY exit —
+        # broadcast failure, or a BaseException (KeyboardInterrupt,
+        # py4j error in the eviction unpersist) inside the insert
+        # block — must clear the pending entry and wake the waiters,
+        # or every thread hashing to this payload hangs forever in
+        # ev.wait() (r18 review pass 3)
         try:
             bc = spark.sparkContext.broadcast(factory())
-        except BaseException:
+            with _cache_lock:
+                _bcast_cache[key] = bc
+                while len(_bcast_cache) > _BCAST_CACHE_MAX:
+                    _, old = _bcast_cache.popitem(last=False)
+                    try:
+                        old.unpersist(False)
+                    except Exception:
+                        pass  # a dead SparkContext's broadcasts are gone
+        finally:
             with _cache_lock:
                 _bcast_pending.pop(key, None)
             ev.set()
-            raise
-        with _cache_lock:
-            _bcast_cache[key] = bc
-            while len(_bcast_cache) > _BCAST_CACHE_MAX:
-                _, old = _bcast_cache.popitem(last=False)
-                try:
-                    old.unpersist(False)
-                except Exception:
-                    pass  # a dead SparkContext's broadcasts are gone
-            _bcast_pending.pop(key, None)
-        ev.set()
         break
     if id_key is not None:
         with _cache_lock:
@@ -980,14 +983,47 @@ def _hadoop_fs(spark, path: str):
 def _qualified(spark, path: str) -> str:
     """Hadoop-qualified, dot-segment-normalized absolute form of
     ``path``, for alias-proof location compares.  makeQualified
-    resolves scheme/authority/relative; java.net.URI.normalize()
-    then collapses '.'/'..' segments, which Hadoop Path does NOT
-    (r18 review: '/a/b/../idx' would otherwise alias '/a/idx' past a
+    resolves scheme/authority/relative; ``Path.toUri()`` (the ENCODED
+    URI object — never the raw string, which URI() would reject for
+    a space or any RFC-illegal character) then ``normalize()``
+    collapses '.'/'..' segments, which Hadoop Path does NOT (r18
+    review: '/a/b/../idx' would otherwise alias '/a/idx' past a
     prefix check).  Symlinks remain the caller's responsibility
     (neither layer stats the filesystem)."""
     fs, p = _hadoop_fs(spark, path)
-    q = str(fs.makeQualified(p))
-    return str(spark._jvm.java.net.URI(q).normalize().toString()).rstrip("/")
+    return str(
+        fs.makeQualified(p).toUri().normalize().toString()
+    ).rstrip("/")
+
+
+def _sidecar_status(fs, src):
+    """FileStatus of a sidecar, or None if absent — ONE filesystem
+    round-trip (fs.exists + getFileStatus would be two HEADs per
+    serving-path cache miss on an object store; r18 review #5b)."""
+    try:
+        return fs.getFileStatus(src)
+    except Exception as e:  # py4j wraps java FileNotFoundException
+        if "FileNotFoundException" in str(e):
+            return None
+        raise
+
+
+def _read_json_stream(spark, fs, src) -> dict | None:
+    """Parse one sidecar file; None if it vanished between status and
+    open (the atomic rewrite's delete->rename gap)."""
+    try:
+        stream = fs.open(src)
+    except Exception as e:
+        if "FileNotFoundException" in str(e):
+            return None
+        raise
+    try:
+        raw = bytes(
+            spark._jvm.org.apache.commons.io.IOUtils.toByteArray(stream)
+        )
+    finally:
+        stream.close()
+    return json.loads(raw.decode("utf-8"))
 
 
 def _read_json_sidecar(spark, path: str, name: str) -> dict | None:
@@ -997,16 +1033,9 @@ def _read_json_sidecar(spark, path: str, name: str) -> dict | None:
     src = spark._jvm.org.apache.hadoop.fs.Path(
         path.rstrip("/") + "/" + name
     )
-    if not fs.exists(src):
+    if _sidecar_status(fs, src) is None:
         return None
-    stream = fs.open(src)
-    try:
-        raw = bytes(
-            spark._jvm.org.apache.commons.io.IOUtils.toByteArray(stream)
-        )
-    finally:
-        stream.close()
-    return json.loads(raw.decode("utf-8"))
+    return _read_json_stream(spark, fs, src)
 
 
 def _write_json_sidecar(spark, path: str, name: str, payload: dict) -> None:
@@ -1071,15 +1100,16 @@ def read_centroid_sidecar(spark, path: str) -> "np.ndarray | None":
     fs, _ = _hadoop_fs(spark, path)
     key = path.rstrip("/")
     src = spark._jvm.org.apache.hadoop.fs.Path(key + "/" + _CENTROID_SIDECAR)
-    if not fs.exists(src):
+    status = _sidecar_status(fs, src)  # one RPC: status doubles as exists
+    if status is None:
         return None
-    mtime = int(fs.getFileStatus(src).getModificationTime())
+    mtime = int(status.getModificationTime())
     with _cache_lock:
         hit = _sidecar_cache.get(key)
         if hit is not None and hit[0] == mtime:
             _sidecar_cache.move_to_end(key)
             return hit[1]
-    parsed = _read_json_sidecar(spark, path, _CENTROID_SIDECAR)
+    parsed = _read_json_stream(spark, fs, src)
     if parsed is None:
         # the atomic rewrite's delete->rename gap: treat as absent
         return None
@@ -1210,11 +1240,33 @@ def _write_ingest_progress(spark, path: str, progress: dict) -> None:
     _write_json_sidecar(spark, path, _INGEST_SIDECAR, progress)
 
 
+def _checkpoint_query_id(spark, checkpoint_dir: str) -> str | None:
+    """The streaming query's UNIQUE id from ``<ckpt>/metadata``
+    (written by Spark at query start, preserved across resumes), or
+    None for a checkpoint directory that has never started.  This is
+    the identity that distinguishes a RESUMED checkpoint from one
+    deleted and recreated at the same path — the latter restarts
+    batch ids at 0 (r18 review: location-only lineage would then skip
+    new batches as 'replays', permanent data loss)."""
+    meta = _read_json_sidecar(spark, checkpoint_dir, "metadata")
+    return None if meta is None else meta.get("id")
+
+
+# per-index-path locks: one driver's concurrent ingest streams (or a
+# thread pool retrying batches) serialize their read-check-append-
+# write cycle per index, so two streams racing a FRESH index cannot
+# both apply batch 0 before either publishes progress — the loser now
+# dies at ITS batch 0 (r18 review).  Cross-PROCESS racers remain the
+# documented non-transactional-sink caveat.
+_ingest_locks: dict[str, "threading.Lock"] = {}
+
+
 def _ingest_apply(
     batch_df: DataFrame,
     batch_id: int,
     path: str,
     lineage: str,
+    query_id: str | None,
     id_col: str,
     vec_col: str,
     coarse_groups: int | None,
@@ -1223,29 +1275,53 @@ def _ingest_apply(
     """One micro-batch of ``append_ivf_index_stream`` (module-level so
     the replay/lineage semantics are unit-testable).  Returns True if
     the batch was appended, False if skipped as a replay.  The
-    lineage is RE-CHECKED here, not only at start (r18 review #2: two
-    streams started against a FRESH index both pass the start-time
-    pre-check; without this re-check the loser's batches would
-    compare ids against the winner's lineage and be silently
-    swallowed — now the loser's stream fails loudly instead)."""
+    lineage — checkpoint location AND query id — is RE-CHECKED here
+    under a per-index lock, not only at start: two streams started
+    against a FRESH index both pass the start-time pre-check, and
+    without this locked re-check the loser's batches would compare
+    ids against the winner's lineage and be silently swallowed."""
     spark = batch_df.sparkSession
-    seen = _read_ingest_progress(spark, path)
-    if seen is not None:
-        if seen.get("checkpoint") != lineage:
-            raise RuntimeError(
-                f"index at {path} is being fed by checkpoint lineage "
-                f"{seen.get('checkpoint')!r}, not {lineage!r}: two "
-                "streams are racing this index — stop one; batch ids "
-                "from different lineages are not comparable"
-            )
-        if batch_id <= seen.get("last_batch", -1):
-            return False  # replay of an already-applied batch
-    append_ivf_index(
-        batch_df, path, id_col, vec_col, coarse_groups, use_arrow
-    )
-    _write_ingest_progress(
-        spark, path, {"checkpoint": lineage, "last_batch": int(batch_id)}
-    )
+    with _cache_lock:
+        lock = _ingest_locks.setdefault(
+            path.rstrip("/"), threading.Lock()
+        )
+    with lock:
+        seen = _read_ingest_progress(spark, path)
+        if seen is not None:
+            if seen.get("checkpoint") != lineage:
+                raise RuntimeError(
+                    f"index at {path} is being fed by checkpoint "
+                    f"lineage {seen.get('checkpoint')!r}, not "
+                    f"{lineage!r}: two streams are racing this index "
+                    "— stop one; batch ids from different lineages "
+                    "are not comparable"
+                )
+            recorded_qid = seen.get("query_id")
+            if (
+                recorded_qid is not None
+                and query_id is not None
+                and query_id != recorded_qid
+            ):
+                raise RuntimeError(
+                    f"checkpoint feeding {path} was recreated (query "
+                    f"id {query_id!r} vs recorded {recorded_qid!r}): "
+                    "its batch ids restarted at 0 and would be "
+                    "skipped as replays — restore the original "
+                    "checkpoint or rebuild the index"
+                )
+            if batch_id <= seen.get("last_batch", -1):
+                return False  # replay of an already-applied batch
+        append_ivf_index(
+            batch_df, path, id_col, vec_col, coarse_groups, use_arrow
+        )
+        _write_ingest_progress(
+            spark, path,
+            {
+                "checkpoint": lineage,
+                "query_id": query_id,
+                "last_batch": int(batch_id),
+            },
+        )
     return True
 
 
@@ -1295,18 +1371,38 @@ def append_ivf_index_stream(
     # '/x/') resume instead of spuriously refusing (r18 review #4)
     lineage = _qualified(spark, checkpoint_dir)
     progress = _read_ingest_progress(spark, path)
-    if progress is not None and progress.get("checkpoint") != lineage:
-        raise ValueError(
-            f"index at {path} was fed by checkpoint lineage "
-            f"{progress.get('checkpoint')!r}, not {lineage!r}: a "
-            "new lineage restarts batch ids and would silently skip or "
-            "duplicate data — resume the original checkpoint, or "
-            "rebuild the index to start a new lineage"
-        )
+    if progress is not None:
+        if progress.get("checkpoint") != lineage:
+            raise ValueError(
+                f"index at {path} was fed by checkpoint lineage "
+                f"{progress.get('checkpoint')!r}, not {lineage!r}: a "
+                "new lineage restarts batch ids and would silently "
+                "skip or duplicate data — resume the original "
+                "checkpoint, or rebuild the index to start a new "
+                "lineage"
+            )
+        recorded_qid = progress.get("query_id")
+        current_qid = _checkpoint_query_id(spark, checkpoint_dir)
+        if recorded_qid is not None and current_qid != recorded_qid:
+            raise ValueError(
+                f"checkpoint at {checkpoint_dir} was recreated (query "
+                f"id {current_qid!r} vs recorded {recorded_qid!r}): "
+                "its batch ids restart at 0 and real batches would be "
+                "skipped as replays — restore the original checkpoint "
+                "or rebuild the index"
+            )
+
+    qid_memo: dict = {}
 
     def _apply(batch_df, batch_id: int) -> None:
+        # the query id exists once the query is running; read it on
+        # the first batch and reuse (constant for the query's life)
+        if "qid" not in qid_memo:
+            qid_memo["qid"] = _checkpoint_query_id(
+                batch_df.sparkSession, checkpoint_dir
+            )
         _ingest_apply(
-            batch_df, batch_id, path, lineage,
+            batch_df, batch_id, path, lineage, qid_memo["qid"],
             id_col, vec_col, coarse_groups, use_arrow,
         )
 
