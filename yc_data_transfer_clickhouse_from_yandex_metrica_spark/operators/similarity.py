@@ -340,6 +340,11 @@ def _unit_matrix(centroids: list[list[float]]) -> "np.ndarray":
         [[x / n for x in row] for row, n in zip(centroids, norms)],
         dtype=np.float64,
     )
+    # identity-keyed memos downstream (_bcast_id_cache) would be
+    # silently poisoned by in-place mutation; freeze so it raises
+    # instead (r19 advice #3) — values are unchanged, so the pinned
+    # registry hashes are unaffected.
+    unit.setflags(write=False)
     if is_nd:
         with _cache_lock:
             _unit_cache[id(centroids)] = (weakref.ref(centroids), unit)
@@ -996,6 +1001,41 @@ def _qualified(spark, path: str) -> str:
     ).rstrip("/")
 
 
+def _refuse_overlap(src_q: str, dst_q: str, why: str) -> None:
+    """Refuse equal or nested QUALIFIED paths (one shared guard for
+    rebuild and promote — both destroy data if the two locations
+    alias)."""
+    if (
+        src_q == dst_q
+        or dst_q.startswith(src_q + "/")
+        or src_q.startswith(dst_q + "/")
+    ):
+        raise ValueError(f"dest {dst_q} overlaps the source index {src_q}: {why}")
+
+
+def _is_file_not_found(e: Exception) -> bool:
+    """True iff the py4j-wrapped Java exception IS (or is caused by) a
+    ``java.io.FileNotFoundException`` — matched by CLASS, walking both
+    the cause chain and each link's superclass chain (object stores
+    throw scheme-specific FNF subclasses).  Substring-matching the
+    rendered trace is wrong in both directions (r19 advice #1): py4j
+    renders the full cause chain, so a permission error whose *message*
+    mentions FNF would be misread as 'no sidecar' — for the ingest
+    progress read that silently disables the replay guard for the
+    batch.  A non-py4j exception (no ``java_exception``) is never FNF."""
+    jexc = getattr(e, "java_exception", None)
+    seen = 0
+    while jexc is not None and seen < 16:  # defensive cycle bound
+        cls = jexc.getClass()
+        while cls is not None:
+            if cls.getName() == "java.io.FileNotFoundException":
+                return True
+            cls = cls.getSuperclass()
+        jexc = jexc.getCause()
+        seen += 1
+    return False
+
+
 def _sidecar_status(fs, src):
     """FileStatus of a sidecar, or None if absent — ONE filesystem
     round-trip (fs.exists + getFileStatus would be two HEADs per
@@ -1003,7 +1043,7 @@ def _sidecar_status(fs, src):
     try:
         return fs.getFileStatus(src)
     except Exception as e:  # py4j wraps java FileNotFoundException
-        if "FileNotFoundException" in str(e):
+        if _is_file_not_found(e):
             return None
         raise
 
@@ -1014,7 +1054,7 @@ def _read_json_stream(spark, fs, src) -> dict | None:
     try:
         stream = fs.open(src)
     except Exception as e:
-        if "FileNotFoundException" in str(e):
+        if _is_file_not_found(e):
             return None
         raise
     try:
@@ -1026,14 +1066,35 @@ def _read_json_stream(spark, fs, src) -> dict | None:
     return json.loads(raw.decode("utf-8"))
 
 
+def _refuse_torn_publish(fs, src) -> None:
+    """A present ``<name>.tmp`` next to a MISSING destination is a
+    publish that crashed in ``_write_json_sidecar``'s delete->rename
+    gap (r19 advice #2).  For ``_ingest_progress.json`` reading that
+    state as 'fresh index' would silently reset the streaming
+    replay/lineage guards — replayed batch ids would re-append.  Fail
+    safe: refuse loudly with the recovery steps.  Costs one extra RPC
+    only on the already-rare absent path (fresh index / pre-sidecar
+    layout), never on a successful read."""
+    if _sidecar_status(fs, src.suffix(".tmp")) is not None:
+        raise IOError(
+            f"sidecar {src} is missing but {src}.tmp exists: a "
+            "publish crashed between delete and rename — inspect the "
+            ".tmp (rename a complete one into place to recover, or "
+            "delete it to deliberately reset this sidecar's state)"
+        )
+
+
 def _read_json_sidecar(spark, path: str, name: str) -> dict | None:
     """Parse one ``_name.json`` sidecar inside an index directory, or
-    None if absent.  One reader for every sidecar (r18 review #8)."""
+    None if absent.  One reader for every sidecar (r18 review #8);
+    a torn publish (dest missing, ``.tmp`` present) refuses instead
+    of reporting absence (r19 advice #2)."""
     fs, _ = _hadoop_fs(spark, path)
     src = spark._jvm.org.apache.hadoop.fs.Path(
         path.rstrip("/") + "/" + name
     )
     if _sidecar_status(fs, src) is None:
+        _refuse_torn_publish(fs, src)
         return None
     return _read_json_stream(spark, fs, src)
 
@@ -1043,9 +1104,14 @@ def _write_json_sidecar(spark, path: str, name: str, payload: dict) -> None:
     reader never sees a truncated/empty file (r18 review #3: a crash
     between fs.create's truncate and the write used to leave a
     0-byte sidecar that wedged every later read on JSONDecodeError).
-    The delete->rename gap can only lose the OLD file — readers then
-    see 'absent', which every consumer already handles (pre-sidecar
-    refusal / at-least-once replay) — never a partial one."""
+    The delete->rename gap can only lose the OLD file, never publish a
+    partial one — and a crash INSIDE that gap leaves the completed
+    ``.tmp`` next to the missing destination, which readers refuse as
+    a torn publish (``_refuse_torn_publish``) instead of misreading as
+    a fresh/pre-sidecar state (r19 advice #2: for the ingest-progress
+    sidecar 'absent' would silently reset the replay/lineage guards).
+    The next successful write self-heals: it overwrites the stale
+    ``.tmp`` and republishes."""
     fs, _ = _hadoop_fs(spark, path)
     root = path.rstrip("/")
     jvm_path = spark._jvm.org.apache.hadoop.fs.Path
@@ -1102,6 +1168,7 @@ def read_centroid_sidecar(spark, path: str) -> "np.ndarray | None":
     src = spark._jvm.org.apache.hadoop.fs.Path(key + "/" + _CENTROID_SIDECAR)
     status = _sidecar_status(fs, src)  # one RPC: status doubles as exists
     if status is None:
+        _refuse_torn_publish(fs, src)  # r19 advice #2: loud, not None
         return None
     mtime = int(status.getModificationTime())
     with _cache_lock:
@@ -1114,6 +1181,12 @@ def read_centroid_sidecar(spark, path: str) -> "np.ndarray | None":
         # the atomic rewrite's delete->rename gap: treat as absent
         return None
     cents = np.asarray(parsed["centroids"], dtype=np.float64)
+    # all three serving caches (_sidecar_cache, _unit_cache,
+    # _bcast_id_cache) key on this object's IDENTITY — a consumer
+    # mutating it in place would poison every memo (same id, changed
+    # content) with no error.  Freeze it so mutation raises instead
+    # (r19 advice #3).
+    cents.setflags(write=False)
     with _cache_lock:
         # a racing parse of the same (key, mtime) already cached its
         # array: return THAT one so every caller shares one object
@@ -1230,6 +1303,7 @@ def append_ivf_index(
 # prefix = hidden from Spark's parquet reader, co-located with the
 # index like _centroids.json.
 _INGEST_SIDECAR = "_ingest_progress.json"
+_REBUILD_SIDECAR = "_rebuild_source.json"
 
 
 def _read_ingest_progress(spark, path: str) -> dict | None:
@@ -1432,6 +1506,38 @@ def _list_cid_files(spark, path: str) -> dict[int, tuple[int, int]]:
     return out
 
 
+def _footer_row_counts(spark, path: str) -> dict[int, int]:
+    """cid -> row count, summed from parquet FOOTER metadata through
+    the same Hadoop FS walk ``_list_cid_files`` performs — no Spark
+    job, no row iteration (r18 verdict #4: the previous
+    ``groupBy("cid").count()`` decoded zero data columns but, with
+    ``spark.sql.parquet.aggregatePushdown`` unset, still iterated
+    O(rows); at the 100 TB target that touches every row group).  A
+    footer is a few KB regardless of file size, so this is O(files)
+    metadata reads — the same order as the byte/file listing the
+    maintenance path already pays."""
+    jvm = spark._jvm
+    conf = spark._jsc.hadoopConfiguration()
+    fs, dirs = _cid_dirs(spark, path)
+    out: dict[int, int] = {}
+    for cid, dpath in dirs.items():
+        rows = 0
+        for f in fs.listStatus(dpath):
+            if not f.getPath().getName().endswith(".parquet"):
+                continue
+            reader = jvm.org.apache.parquet.hadoop.ParquetFileReader.open(
+                jvm.org.apache.parquet.hadoop.util.HadoopInputFile.fromStatus(
+                    f, conf
+                )
+            )
+            try:
+                rows += int(reader.getRecordCount())
+            finally:
+                reader.close()
+        out[cid] = rows
+    return out
+
+
 def index_stats(spark, path: str) -> dict:
     """Maintenance signals for a persisted IVF index — the
     rebuild/compact decision the r17 append-drift probe computed
@@ -1452,19 +1558,16 @@ def index_stats(spark, path: str) -> dict:
          "max_files_per_list": ..., "mean_files_per_list": ...,
          "per_cid":  {cid: {"rows": n, "files": m, "bytes": b}}}
 
-    Row counts are ONE metadata-cheap job (group-by on the partition
-    column reads footer counts, never vector data); file counts and
-    bytes come from the directory listing alone.  Watch ``skew``
-    against the r17 drift table (PLANS.md) for the rebuild decision
-    and ``max_files_per_list`` for the ``compact_ivf_index`` one."""
+    Row counts come from parquet FOOTER metadata on the same driver-
+    side FS walk as the file/byte listing — NO Spark job, no row
+    iteration (r18 verdict #4: the earlier partition-column group-by
+    decoded no data columns but still iterated every row group with
+    aggregate pushdown unset; footers are O(files) few-KB reads).
+    Watch ``skew`` against the r17 drift table (PLANS.md) for the
+    rebuild decision and ``max_files_per_list`` for the
+    ``compact_ivf_index`` one."""
     listing = _list_cid_files(spark, path)
-    rows_by_cid = {
-        r["cid"]: r["n"]
-        for r in spark.read.parquet(path)
-        .groupBy("cid")
-        .agg(F.count(F.lit(1)).alias("n"))
-        .collect()
-    }
+    rows_by_cid = _footer_row_counts(spark, path)
     sidecar = read_centroid_sidecar(spark, path)
     per_cid = {
         cid: {
@@ -1531,6 +1634,17 @@ def compact_ivf_index(
         raise ValueError(
             f"target_files_per_list must be >= 1, got {target_files_per_list}"
         )
+    if target_files_per_list > max(max_files_per_list, 1):
+        # a target above the dirtiness threshold rewrites a dirty list
+        # to a file count that is STILL dirty, so every subsequent call
+        # re-reads and rewrites the same lists forever (r19 advice #4)
+        raise ValueError(
+            f"target_files_per_list={target_files_per_list} exceeds "
+            f"max_files_per_list={max_files_per_list}: compaction would "
+            "never converge (every rewritten list would still be above "
+            "the threshold it was compacted for) — use a target at or "
+            "below the threshold"
+        )
     if read_centroid_sidecar(spark, path) is None:
         raise ValueError(
             f"no {_CENTROID_SIDECAR} sidecar at {path}: not a "
@@ -1586,9 +1700,15 @@ def rebuild_ivf_index(
     ``nlist`` defaults to the source sidecar's list count.  Writes to
     ``dest``, never in place: an overwrite of ``path`` would destroy
     the corpus mid-read, so the same blue/green swap discipline as
-    any serving-index rebuild applies (validate ``dest``, then repoint
-    readers).  Returns ``index_stats(dest)`` so the caller can assert
-    the skew actually recovered before swapping."""
+    any serving-index rebuild applies — validate ``dest``, then run
+    ``promote_ivf_index`` to swap.  A ``_rebuild_source.json`` sidecar
+    at ``dest`` records the source identity, its ingest-progress
+    lineage, and its footer row count AS OF the snapshot taken BEFORE
+    the corpus read; ``promote_ivf_index`` compares the source's
+    current state against it, so appends that land mid-rebuild (data
+    the new index lacks) refuse the swap instead of silently forking
+    the corpus.  Returns ``index_stats(dest)`` so the caller can
+    assert the skew actually recovered before promoting."""
     old = read_centroid_sidecar(spark, path)
     if old is None:
         raise ValueError(
@@ -1601,21 +1721,23 @@ def rebuild_ivf_index(
     # relative paths, '..' segments, or a dest nested inside the
     # source slip through — and mode('overwrite') deletes dest before
     # the corpus read runs, so any overlap destroys the only copy).
-    # Symlink aliasing remains the caller's responsibility (qualified
+    # Symlinks remain the caller's responsibility (qualified
     # paths never stat).
     src_q = _qualified(spark, path)
     dst_q = _qualified(spark, dest)
-    if (
-        src_q == dst_q
-        or dst_q.startswith(src_q + "/")
-        or src_q.startswith(dst_q + "/")
-    ):
-        raise ValueError(
-            f"dest {dst_q} overlaps the source index {src_q}: an "
-            "in-place (or nested) rebuild would overwrite the corpus "
-            "it is reading — write to a disjoint path and swap after "
-            "validating index_stats"
-        )
+    _refuse_overlap(
+        src_q, dst_q,
+        "an in-place (or nested) rebuild would overwrite the corpus "
+        "it is reading — write to a disjoint path and promote after "
+        "validating index_stats",
+    )
+    # snapshot the source's ingest state BEFORE the corpus read is
+    # triggered: appends landing after this point may or may not make
+    # the new index (the read executes lazily, twice), but they always
+    # advance past the snapshot, so promote_ivf_index refuses —
+    # conservative in exactly the direction that cannot lose data
+    snap_progress = _read_ingest_progress(spark, path)
+    snap_rows = int(sum(_footer_row_counts(spark, path).values()))
     corpus = spark.read.parquet(path).select("nn_id", "nv")
     cents = train_centroids(
         corpus, int(nlist) if nlist is not None else len(old),
@@ -1626,7 +1748,162 @@ def rebuild_ivf_index(
         id_col="nn_id", vec_col="nv",
         coarse_groups=coarse_groups, use_arrow=use_arrow,
     )
+    _write_json_sidecar(
+        spark, dest, _REBUILD_SIDECAR,
+        {
+            "source": src_q,
+            "source_progress": snap_progress,
+            "source_rows": snap_rows,
+        },
+    )
     return index_stats(spark, dest)
+
+
+def promote_ivf_index(
+    spark,
+    path: str,
+    new_path: str,
+    retired_suffix: str = "__retired",
+) -> dict:
+    """Blue/green swap of a rebuilt IVF index into the serving
+    location — the step the r18 verdict flagged as prose (#2): after
+    ``rebuild_ivf_index(path, new_path)`` and the caller's
+    ``index_stats`` validation, this repoints readers by PATH SWAP
+    (readers keep addressing ``path``; no config change, and every
+    process's mtime-keyed sidecar cache self-invalidates on the new
+    ``_centroids.json``), carries the ingest lineage so a streaming
+    appender resumes against the promoted index, and retires the old
+    index for rollback.
+
+    Refusal ladder (each names its remedy):
+
+    - ``new_path`` lacks ``_rebuild_source.json`` -> it was not
+      produced by ``rebuild_ivf_index``; promote cannot prove the old
+      index gained no data mid-build.  Rebuild properly, or swap
+      manually after stopping every writer.
+    - the recorded source is not ``path`` -> wrong pair of indexes.
+    - the old index's CURRENT ingest progress differs from the
+      rebuild-time snapshot, or its CURRENT footer row count does ->
+      appends (streaming via the progress sidecar, or batch
+      ``append_ivf_index`` which the row count catches) landed
+      mid-rebuild: data the new index lacks.  Re-run the rebuild.
+    - ``path + retired_suffix`` already exists -> a previous
+      retirement was never cleared; remove or archive it first.
+
+    Lineage: the snapshot's ``_ingest_progress.json`` (if any) is
+    written into the new index BEFORE the swap, so the ORIGINAL
+    checkpoint resumes seamlessly — its next batch id exceeds the
+    carried ``last_batch`` and replays of already-baked-in batches
+    are skipped.  A source with no ingest lineage promotes with none:
+    any fresh checkpoint may then start a new lineage.
+
+    SINGLE PROMOTER / STOPPED APPENDER REQUIRED across the two
+    renames, like every other maintenance call here: the progress
+    checks close the mid-REBUILD window, but an append landing in the
+    rename gap itself is the same non-transactional-FS caveat as
+    ``compact_ivf_index``.  Crash between the renames rolls back
+    (best effort, loudly).  A serving call racing the swap can see
+    ``path`` absent for the instant between the two renames and
+    refuses loudly (missing sidecar) rather than serving partial
+    state — retry-on-refuse is the reader-side contract, the same as
+    any directory-swap deploy on a plain filesystem.
+
+    Returns {"promoted", "retired", "carried_lineage", "stats"} with
+    ``stats`` = the promoted content's ``index_stats`` (computed at
+    ``new_path`` pre-swap; the swap moves files, not content)."""
+    src_q = _qualified(spark, path)
+    new_q = _qualified(spark, new_path)
+    _refuse_overlap(
+        src_q, new_q,
+        "promote swaps two disjoint directories — a nested pair "
+        "would move the index into (or out of) itself",
+    )
+    record = _read_json_sidecar(spark, new_path, _REBUILD_SIDECAR)
+    if record is None:
+        raise ValueError(
+            f"no {_REBUILD_SIDECAR} at {new_q}: the candidate was not "
+            "produced by rebuild_ivf_index, so promote cannot prove "
+            f"the serving index at {src_q} gained no data mid-build — "
+            "rebuild with rebuild_ivf_index, or stop every writer and "
+            "swap manually"
+        )
+    if record.get("source") != src_q:
+        raise ValueError(
+            f"candidate at {new_q} was rebuilt from "
+            f"{record.get('source')!r}, not from {src_q}: refusing to "
+            "swap an unrelated index pair"
+        )
+    if read_centroid_sidecar(spark, new_path) is None:
+        raise ValueError(
+            f"candidate at {new_q} has no {_CENTROID_SIDECAR} sidecar: "
+            "not a servable write_ivf_index layout"
+        )
+    snap_progress = record.get("source_progress")
+    cur_progress = _read_ingest_progress(spark, path)
+    if cur_progress != snap_progress:
+        raise ValueError(
+            f"ingest progress on {src_q} moved since the rebuild "
+            f"snapshot ({snap_progress!r} -> {cur_progress!r}): "
+            "streaming appends landed mid-rebuild and the candidate "
+            "index lacks them — stop the appender and re-run "
+            "rebuild_ivf_index"
+        )
+    cur_rows = int(sum(_footer_row_counts(spark, path).values()))
+    snap_rows = record.get("source_rows")
+    if cur_rows != snap_rows:
+        raise ValueError(
+            f"row count on {src_q} moved since the rebuild snapshot "
+            f"({snap_rows} -> {cur_rows}): appends (or deletes) landed "
+            "mid-rebuild and the candidate index does not reflect "
+            "them — re-run rebuild_ivf_index"
+        )
+    stats = index_stats(spark, new_path)
+    fs, old_p = _hadoop_fs(spark, path)
+    jvm_path = spark._jvm.org.apache.hadoop.fs.Path
+    new_p = jvm_path(new_path)
+    retired_p = jvm_path(path.rstrip("/") + retired_suffix)
+    if fs.exists(retired_p):
+        raise ValueError(
+            f"retirement target {_qualified(spark, str(path).rstrip('/') + retired_suffix)} "
+            "already exists: a previous promotion's retired index was "
+            "never cleared — archive or delete it first"
+        )
+    # carry the lineage into the candidate BEFORE the swap: if the
+    # swap then fails, the candidate just holds a redundant copy of
+    # the source's own progress record — harmless on retry
+    if snap_progress is not None:
+        _write_ingest_progress(spark, new_path, snap_progress)
+    if not fs.rename(old_p, retired_p):
+        raise IOError(
+            f"could not retire {src_q} to {retired_suffix}: promotion "
+            "aborted with nothing moved"
+        )
+    try:
+        moved = fs.rename(new_p, old_p)
+    except Exception:
+        fs.rename(retired_p, old_p)  # best-effort rollback
+        raise
+    if not moved:
+        if not fs.rename(retired_p, old_p):
+            raise IOError(
+                f"PROMOTION TORN: {src_q} was retired to "
+                f"{retired_suffix} but the candidate could not move in "
+                "AND the rollback failed — restore by renaming "
+                f"{retired_suffix} back manually"
+            )
+        raise IOError(
+            f"could not move candidate {new_q} into {src_q}: rolled "
+            "back (old index restored)"
+        )
+    # consumed; leftover only on a crash right here, and harmless —
+    # nothing reads _rebuild_source.json at a SERVING location
+    fs.delete(jvm_path(path.rstrip("/") + "/" + _REBUILD_SIDECAR), False)
+    return {
+        "promoted": src_q,
+        "retired": src_q + retired_suffix,
+        "carried_lineage": snap_progress is not None,
+        "stats": stats,
+    }
 
 
 def ivf_topk_pruned(

@@ -5145,21 +5145,21 @@ DRIVER_WINDOW = 50  # driver-checked prefix length (round-5 verdict)
 # next CORRECTNESS file re-proves them.  Maintained per round; clear
 # once the round's CORRECTNESS file shows them green again.
 ROTATION_FORCE_FRONT: frozenset[str] = frozenset(
-    # round 18: CORRECTNESS_r17 re-proved the two r17-forced IVF
-    # entries plus the new ann_ivf_served green, clearing the r17
-    # list — but the r18 similarity edits (the r17 ADVICE closures:
-    # bounded+dup-guarded serving collect, ndarray sidecar cache,
-    # memoized centroid broadcasts) again change the def-level
-    # closures of all three IVF entries, so the stale-tail guard
-    # re-forces them.  The r17 verdict's forced+new=0 target is
-    # deliberately traded against its own higher-priority item
-    # ("close whatever NEW advice the r17 driver issues, first"):
-    # advice #1 is medium severity and all four land inside these
-    # closures; 3 forced slots still leave 47 LRU slots, enough to
-    # clear the whole 7-entry r15 tail plus 40 of the r16 tail.  At
-    # the registry parameters (nlist=8 x dim=64, literal path,
-    # |Q| << max_query_rows, unique ids) the executed plans are
-    # expected unchanged; forced + new = 3 + 0.
+    # round 19: CORRECTNESS_r18 shows all three IVF entries green,
+    # which by this guard's own rule clears the r18 force — but the
+    # r19 ADVICE closures again land inside these closures
+    # (class-matched FNF detection in _sidecar_status/_read_json_stream
+    # and the torn-publish guard reach ann_ivf_served via
+    # read_centroid_sidecar/write_ivf_index; the frozen memoized
+    # unit matrix reaches all three via _unit_matrix), so the
+    # stale-tail guard re-forces them — the same advice-first trade
+    # the r18 verdict pre-sanctioned ("if a fix must touch an IVF
+    # closure, take the force and say so").  3 forced slots still
+    # leave 47 LRU slots: the whole 8-entry r16 tail re-proves and
+    # the freshness floor rises to r17.  All edits are
+    # value-preserving (exception classification, write-protection
+    # flags, refusal paths), so the executed plans and pinned hashes
+    # are expected unchanged; forced + new = 3 + 0.
     {
         "ann_ivf_topk",
         "ann_ivf_exhaustive",
