@@ -137,6 +137,15 @@ def test_compact_refuses_nonconvergent_target(spark, built_index):
         similarity.compact_ivf_index(
             spark, path, max_files_per_list=2, target_files_per_list=3
         )
+    with pytest.raises(ValueError, match="max_files_per_list"):
+        similarity.compact_ivf_index(
+            spark, path, max_files_per_list=-1, target_files_per_list=1
+        )
+    # the explicit full-rewrite spelling stays legal (normalize pass)
+    report = similarity.compact_ivf_index(
+        spark, path, max_files_per_list=0, target_files_per_list=1
+    )
+    assert all(n <= 1 for n in report["files_after"].values())
 
 
 # =====================================================================
@@ -165,6 +174,37 @@ def test_index_stats_runs_no_spark_job(spark, built_index):
     assert {
         c: v["rows"] for c, v in stats["per_cid"].items() if v["rows"]
     } == actual
+
+
+def test_index_stats_refuses_missing_path(spark, built_index):
+    """A typo'd path must refuse, not describe a healthy empty index
+    (automation drives rebuild/compact decisions off these stats)."""
+    base, path, _ = built_index
+    with pytest.raises(ValueError, match="missing path"):
+        similarity.index_stats(spark, f"{base}/idx_typo")
+
+
+def test_footer_counts_skip_empty_files_and_name_corrupt_ones(
+    spark, built_index
+):
+    _, path, _ = built_index
+    cid_dir = next(
+        d for d in os.listdir(path) if d.startswith("cid=")
+    )
+    # a zero-byte .parquet (killed writer debris): skipped for rows,
+    # exactly as Spark's scan planner produces no splits for it
+    empty = os.path.join(path, cid_dir, "part-junk.parquet")
+    open(empty, "w").close()
+    assert similarity.index_stats(spark, path)["rows"] == 80
+    os.remove(empty)
+    # a non-empty corrupt file refuses WITH the file named — silent
+    # under-counting would make promote compare wrong totals
+    bad = os.path.join(path, cid_dir, "part-bad.parquet")
+    with open(bad, "w") as f:
+        f.write("not parquet at all")
+    with pytest.raises(IOError, match="part-bad.parquet"):
+        similarity.index_stats(spark, path)
+    os.remove(bad)
 
 
 # =====================================================================
@@ -238,6 +278,22 @@ def test_promote_refuses_non_rebuild_candidate_and_wrong_source(
     # overlap refuses before any sidecar read
     with pytest.raises(ValueError, match="overlap"):
         similarity.promote_ivf_index(spark, path, path + "/nested")
+
+
+def test_promote_names_recovery_for_half_swapped_crash(spark, built_index):
+    """A promotion killed between its two renames leaves the serving
+    path missing and the retired copy present; a retry must name the
+    actual recovery (rename back / complete), never the misleading
+    'row count moved (N -> 0), re-run rebuild' that cannot even run."""
+    _, path, _ = built_index
+    dest = path + "_rb"
+    similarity.rebuild_ivf_index(spark, path, dest)
+    os.rename(path, path + "__retired")  # simulate the crash state
+    with pytest.raises(IOError, match="crashed between its two renames"):
+        similarity.promote_ivf_index(spark, path, dest)
+    os.rename(path + "__retired", path)  # the named rollback recovery
+    out = similarity.promote_ivf_index(spark, path, dest)
+    assert out["stats"]["rows"] == 80
 
 
 def test_promote_refuses_mid_rebuild_appends(spark, built_index):

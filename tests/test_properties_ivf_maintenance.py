@@ -54,6 +54,11 @@ def _vectors(spark, lo, hi, dim=5, seed=37):
 def test_append_compact_serve_lifecycle(spark, batches, max_files, target):
     base_n = 60
     base = tempfile.mkdtemp(prefix="ym_prop_ivfm_")
+    # r19 advice #4: a target above max(max_files, 1) can never
+    # converge and is REFUSED — fold the generated combination into
+    # the documented valid domain (the refusal itself is pinned in
+    # test_ivf_promote_r19.py)
+    target = min(target, max(max_files, 1))
     try:
         path = f"{base}/idx"
         first = _vectors(spark, 0, base_n)

@@ -1066,22 +1066,38 @@ def _read_json_stream(spark, fs, src) -> dict | None:
     return json.loads(raw.decode("utf-8"))
 
 
-def _refuse_torn_publish(fs, src) -> None:
-    """A present ``<name>.tmp`` next to a MISSING destination is a
-    publish that crashed in ``_write_json_sidecar``'s delete->rename
-    gap (r19 advice #2).  For ``_ingest_progress.json`` reading that
-    state as 'fresh index' would silently reset the streaming
-    replay/lineage guards — replayed batch ids would re-append.  Fail
-    safe: refuse loudly with the recovery steps.  Costs one extra RPC
-    only on the already-rare absent path (fresh index / pre-sidecar
-    layout), never on a successful read."""
-    if _sidecar_status(fs, src.suffix(".tmp")) is not None:
-        raise IOError(
-            f"sidecar {src} is missing but {src}.tmp exists: a "
-            "publish crashed between delete and rename — inspect the "
-            ".tmp (rename a complete one into place to recover, or "
-            "delete it to deliberately reset this sidecar's state)"
-        )
+def _absent_or_torn(fs, src) -> bool:
+    """For a destination whose first status returned None: True if it
+    is genuinely absent, False if a racing publish completed while we
+    looked (destination present on re-check — read it), IOError if
+    TORN (``.tmp`` present, destination still missing after the
+    re-check).
+
+    A crash in ``_write_json_sidecar``'s delete->rename gap leaves
+    exactly that torn state (r19 advice #2), and for
+    ``_ingest_progress.json`` reading it as 'fresh index' would
+    silently reset the streaming replay/lineage guards — replayed
+    batch ids would re-append.  Fail safe: refuse loudly.  The
+    re-check of the destination absorbs the benign in-flight case
+    where a LIVE publish renamed between our two stats (r19 review
+    #1); a reader racing the tmp-write phase of a live cross-process
+    publish can still refuse spuriously — transient, retryable, and
+    strictly safer than the silent guard reset.  In-process
+    racers are already serialized by the per-index ingest lock.
+    Costs extra RPCs only on the already-rare absent path, never on
+    a successful read."""
+    if _sidecar_status(fs, src.suffix(".tmp")) is None:
+        return True
+    if _sidecar_status(fs, src) is not None:
+        return False  # live publish completed between our stats
+    raise IOError(
+        f"sidecar {src} is missing but {src}.tmp exists: either a "
+        "publish crashed between delete and rename, or another "
+        "process is publishing right now — retry first; if the state "
+        "persists, inspect the .tmp (rename a complete one into "
+        "place to recover, or delete it to deliberately reset this "
+        "sidecar's state)"
+    )
 
 
 def _read_json_sidecar(spark, path: str, name: str) -> dict | None:
@@ -1093,8 +1109,7 @@ def _read_json_sidecar(spark, path: str, name: str) -> dict | None:
     src = spark._jvm.org.apache.hadoop.fs.Path(
         path.rstrip("/") + "/" + name
     )
-    if _sidecar_status(fs, src) is None:
-        _refuse_torn_publish(fs, src)
+    if _sidecar_status(fs, src) is None and _absent_or_torn(fs, src):
         return None
     return _read_json_stream(spark, fs, src)
 
@@ -1168,8 +1183,14 @@ def read_centroid_sidecar(spark, path: str) -> "np.ndarray | None":
     src = spark._jvm.org.apache.hadoop.fs.Path(key + "/" + _CENTROID_SIDECAR)
     status = _sidecar_status(fs, src)  # one RPC: status doubles as exists
     if status is None:
-        _refuse_torn_publish(fs, src)  # r19 advice #2: loud, not None
-        return None
+        # r19 advice #2: torn publish refuses loudly instead of
+        # reporting a pre-sidecar index; a racing live publish that
+        # completed between the stats falls through to a re-stat
+        if _absent_or_torn(fs, src):
+            return None
+        status = _sidecar_status(fs, src)
+        if status is None:
+            return None  # vanished again: a republish gap — absent
     mtime = int(status.getModificationTime())
     with _cache_lock:
         hit = _sidecar_cache.get(key)
@@ -1444,7 +1465,15 @@ def append_ivf_index_stream(
     # equivalent spellings of one checkpoint ('/x' vs 'file:///x' vs
     # '/x/') resume instead of spuriously refusing (r18 review #4)
     lineage = _qualified(spark, checkpoint_dir)
-    progress = _read_ingest_progress(spark, path)
+    # read under the same per-index lock _ingest_apply publishes
+    # under (r19 review #1): without it this advisory pre-check can
+    # observe a sibling stream's publish mid-flight
+    with _cache_lock:
+        start_lock = _ingest_locks.setdefault(
+            path.rstrip("/"), threading.Lock()
+        )
+    with start_lock:
+        progress = _read_ingest_progress(spark, path)
     if progress is not None:
         if progress.get("checkpoint") != lineage:
             raise ValueError(
@@ -1489,53 +1518,63 @@ def append_ivf_index_stream(
     return writer.start()
 
 
-def _list_cid_files(spark, path: str) -> dict[int, tuple[int, int]]:
-    """cid -> (data file count, data bytes): the ``_cid_dirs`` walk
-    plus per-directory file stats (maintenance-path only — this IS
-    O(total data files); the serving path uses ``_persisted_cids``).
-    A missing root returns {}."""
+def _list_cid_files(
+    spark, path: str, with_rows: bool = False
+) -> dict[int, tuple[int, int, int | None]]:
+    """cid -> (data file count, data bytes, rows-or-None): ONE
+    ``_cid_dirs`` walk with per-directory file stats (maintenance-path
+    only — this IS O(total data files); the serving path uses
+    ``_persisted_cids``).  A missing root returns {}.
+
+    With ``with_rows`` the SAME walk also sums row counts from the
+    parquet FOOTERS — no Spark job, no row iteration (r18 verdict
+    #4: a ``groupBy("cid").count()`` decodes zero data columns but,
+    with ``spark.sql.parquet.aggregatePushdown`` unset, still
+    iterates O(rows); footers are few-KB reads regardless of file
+    size).  Zero-byte files count toward ``files``/``bytes`` but are
+    skipped for rows — Spark's scan planner produces no splits for
+    them either (r19 review #7) — while a non-empty file whose footer
+    cannot be read fails loudly WITH the file named (it is real data
+    the index would silently under-count)."""
+    jvm = spark._jvm
+    conf = spark._jsc.hadoopConfiguration()
     fs, dirs = _cid_dirs(spark, path)
-    out: dict[int, tuple[int, int]] = {}
+    out: dict[int, tuple[int, int, int | None]] = {}
     for cid, dpath in dirs.items():
-        files = bytes_ = 0
+        files = bytes_ = rows = 0
         for f in fs.listStatus(dpath):
-            if f.getPath().getName().endswith(".parquet"):
-                files += 1
-                bytes_ += int(f.getLen())
-        out[cid] = (files, bytes_)
+            if not f.getPath().getName().endswith(".parquet"):
+                continue
+            files += 1
+            flen = int(f.getLen())
+            bytes_ += flen
+            if not with_rows or flen == 0:
+                continue
+            try:
+                reader = jvm.org.apache.parquet.hadoop.ParquetFileReader.open(
+                    jvm.org.apache.parquet.hadoop.util.HadoopInputFile.fromStatus(
+                        f, conf
+                    )
+                )
+                try:
+                    rows += int(reader.getRecordCount())
+                finally:
+                    reader.close()
+            except Exception as e:
+                raise IOError(
+                    f"unreadable parquet footer at {f.getPath()} "
+                    f"({flen} bytes): the index would under-count — "
+                    "remove or restore the file"
+                ) from e
+        out[cid] = (files, bytes_, rows if with_rows else None)
     return out
 
 
 def _footer_row_counts(spark, path: str) -> dict[int, int]:
-    """cid -> row count, summed from parquet FOOTER metadata through
-    the same Hadoop FS walk ``_list_cid_files`` performs — no Spark
-    job, no row iteration (r18 verdict #4: the previous
-    ``groupBy("cid").count()`` decoded zero data columns but, with
-    ``spark.sql.parquet.aggregatePushdown`` unset, still iterated
-    O(rows); at the 100 TB target that touches every row group).  A
-    footer is a few KB regardless of file size, so this is O(files)
-    metadata reads — the same order as the byte/file listing the
-    maintenance path already pays."""
-    jvm = spark._jvm
-    conf = spark._jsc.hadoopConfiguration()
-    fs, dirs = _cid_dirs(spark, path)
-    out: dict[int, int] = {}
-    for cid, dpath in dirs.items():
-        rows = 0
-        for f in fs.listStatus(dpath):
-            if not f.getPath().getName().endswith(".parquet"):
-                continue
-            reader = jvm.org.apache.parquet.hadoop.ParquetFileReader.open(
-                jvm.org.apache.parquet.hadoop.util.HadoopInputFile.fromStatus(
-                    f, conf
-                )
-            )
-            try:
-                rows += int(reader.getRecordCount())
-            finally:
-                reader.close()
-        out[cid] = rows
-    return out
+    """cid -> footer row count (the ``with_rows`` walk, rows only)."""
+    return {
+        cid: t[2] for cid, t in _list_cid_files(spark, path, True).items()
+    }
 
 
 def index_stats(spark, path: str) -> dict:
@@ -1565,13 +1604,21 @@ def index_stats(spark, path: str) -> dict:
     aggregate pushdown unset; footers are O(files) few-KB reads).
     Watch ``skew`` against the r17 drift table (PLANS.md) for the
     rebuild decision and ``max_files_per_list`` for the
-    ``compact_ivf_index`` one."""
-    listing = _list_cid_files(spark, path)
-    rows_by_cid = _footer_row_counts(spark, path)
+    ``compact_ivf_index`` one.  A missing root refuses loudly (r19
+    review #2: the directory walk would otherwise report a typo'd
+    path as a healthy empty index and automation would act on it)."""
+    fs, hpath = _hadoop_fs(spark, path)
+    if not fs.exists(hpath):
+        raise ValueError(
+            f"no index directory at {_qualified(spark, path)}: "
+            "index_stats refuses to describe a missing path as an "
+            "empty index — check the path"
+        )
+    listing = _list_cid_files(spark, path, with_rows=True)
     sidecar = read_centroid_sidecar(spark, path)
     per_cid = {
         cid: {
-            "rows": int(rows_by_cid.get(cid, 0)),
+            "rows": int(listing[cid][2]),
             "files": listing[cid][0],
             "bytes": listing[cid][1],
         }
@@ -1634,10 +1681,19 @@ def compact_ivf_index(
         raise ValueError(
             f"target_files_per_list must be >= 1, got {target_files_per_list}"
         )
+    if max_files_per_list < 0:
+        raise ValueError(
+            f"max_files_per_list must be >= 0, got {max_files_per_list}"
+        )
     if target_files_per_list > max(max_files_per_list, 1):
         # a target above the dirtiness threshold rewrites a dirty list
         # to a file count that is STILL dirty, so every subsequent call
-        # re-reads and rewrites the same lists forever (r19 advice #4)
+        # re-reads and rewrites the same lists forever (r19 advice #4).
+        # The one deliberate exception: max_files_per_list=0 with
+        # target=1 is the explicit FULL-REWRITE spelling (every
+        # non-empty list is by definition 'dirty' under a 0 threshold)
+        # — a normalize pass, not a steady-state policy, so the
+        # convergence contract does not apply to it.
         raise ValueError(
             f"target_files_per_list={target_files_per_list} exceeds "
             f"max_files_per_list={max_files_per_list}: compaction would "
@@ -1653,7 +1709,7 @@ def compact_ivf_index(
             "partitioned tables (use warehouse.compact_partitions for "
             "weekly tables)"
         )
-    before = {cid: f for cid, (f, _) in _list_cid_files(spark, path).items()}
+    before = {cid: f for cid, (f, *_) in _list_cid_files(spark, path).items()}
     dirty = sorted(c for c, n in before.items() if n > max_files_per_list)
     if not dirty:
         return {"files_before": {}, "files_after": {}}
@@ -1673,7 +1729,7 @@ def compact_ivf_index(
         out.write.mode("overwrite").partitionBy("cid").parquet(path)
     finally:
         spark.conf.set(conf_key, prev)
-    after = {cid: f for cid, (f, _) in _list_cid_files(spark, path).items()}
+    after = {cid: f for cid, (f, *_) in _list_cid_files(spark, path).items()}
     return {
         "files_before": {c: before[c] for c in dirty},
         "files_after": {c: after.get(c, 0) for c in dirty},
@@ -1789,6 +1845,13 @@ def promote_ivf_index(
       mid-rebuild: data the new index lacks.  Re-run the rebuild.
     - ``path + retired_suffix`` already exists -> a previous
       retirement was never cleared; remove or archive it first.
+    - ``path`` and ``new_path`` resolve to different filesystems ->
+      the rename swap cannot work; copy the candidate next to the
+      serving index first.  Checked BEFORE anything moves.
+    - ``path`` missing while ``path + retired_suffix`` exists -> a
+      previous promotion was KILLED between its two renames; the
+      refusal names both recoveries (rename back = rollback, rename
+      candidate in = complete).
 
     Lineage: the snapshot's ``_ingest_progress.json`` (if any) is
     written into the new index BEFORE the swap, so the ORIGINAL
@@ -1801,8 +1864,11 @@ def promote_ivf_index(
     renames, like every other maintenance call here: the progress
     checks close the mid-REBUILD window, but an append landing in the
     rename gap itself is the same non-transactional-FS caveat as
-    ``compact_ivf_index``.  Crash between the renames rolls back
-    (best effort, loudly).  A serving call racing the swap can see
+    ``compact_ivf_index``.  An in-process FAILURE between the renames
+    rolls back (best effort, loudly); a hard process KILL there
+    cannot — the next promote call detects the half-swapped state and
+    its refusal names the manual recovery.  A serving call racing the
+    swap can see
     ``path`` absent for the instant between the two renames and
     refuses loudly (missing sidecar) rather than serving partial
     state — retry-on-refuse is the reader-side contract, the same as
@@ -1818,6 +1884,42 @@ def promote_ivf_index(
         "promote swaps two disjoint directories — a nested pair "
         "would move the index into (or out of) itself",
     )
+    fs, old_p = _hadoop_fs(spark, path)
+    new_fs, new_p = _hadoop_fs(spark, new_path)
+    jvm_path = spark._jvm.org.apache.hadoop.fs.Path
+    retired_p = jvm_path(path.rstrip("/") + retired_suffix)
+    # every filesystem precondition is checked BEFORE any state
+    # comparison or rename (r19 review #3/#5): a cross-FS pair would
+    # otherwise pass every content check and fail only AFTER the
+    # serving index was retired, and a half-swapped crash leftover
+    # would surface as a misleading 'row count moved (N -> 0)'
+    # refusal whose remedy (re-run the rebuild) cannot even run
+    if str(fs.getUri()) != str(new_fs.getUri()):
+        raise ValueError(
+            f"{src_q} and {new_q} live on different filesystems "
+            f"({fs.getUri()} vs {new_fs.getUri()}): the rename swap "
+            "needs both on one filesystem — copy the candidate next "
+            "to the serving index first"
+        )
+    if not fs.exists(old_p):
+        if fs.exists(retired_p):
+            raise IOError(
+                f"serving index {src_q} is missing but "
+                f"{src_q}{retired_suffix} exists: a previous "
+                "promotion crashed between its two renames — rename "
+                f"{retired_suffix} back to restore serving (rollback), "
+                "or rename the candidate into place to complete that "
+                "swap, then retry"
+            )
+        raise ValueError(
+            f"no serving index at {src_q}: nothing to promote onto"
+        )
+    if fs.exists(retired_p):
+        raise ValueError(
+            f"retirement target {src_q}{retired_suffix} already "
+            "exists: a previous promotion's retired index was never "
+            "cleared — archive or delete it first"
+        )
     record = _read_json_sidecar(spark, new_path, _REBUILD_SIDECAR)
     if record is None:
         raise ValueError(
@@ -1858,16 +1960,6 @@ def promote_ivf_index(
             "them — re-run rebuild_ivf_index"
         )
     stats = index_stats(spark, new_path)
-    fs, old_p = _hadoop_fs(spark, path)
-    jvm_path = spark._jvm.org.apache.hadoop.fs.Path
-    new_p = jvm_path(new_path)
-    retired_p = jvm_path(path.rstrip("/") + retired_suffix)
-    if fs.exists(retired_p):
-        raise ValueError(
-            f"retirement target {_qualified(spark, str(path).rstrip('/') + retired_suffix)} "
-            "already exists: a previous promotion's retired index was "
-            "never cleared — archive or delete it first"
-        )
     # carry the lineage into the candidate BEFORE the swap: if the
     # swap then fails, the candidate just holds a redundant copy of
     # the source's own progress record — harmless on retry
