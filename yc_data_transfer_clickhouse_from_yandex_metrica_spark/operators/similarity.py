@@ -1066,38 +1066,46 @@ def _read_json_stream(spark, fs, src) -> dict | None:
     return json.loads(raw.decode("utf-8"))
 
 
-def _absent_or_torn(fs, src) -> bool:
-    """For a destination whose first status returned None: True if it
-    is genuinely absent, False if a racing publish completed while we
-    looked (destination present on re-check — read it), IOError if
-    TORN (``.tmp`` present, destination still missing after the
-    re-check).
+def _sidecar_status_or_torn(fs, src):
+    """FileStatus of a sidecar with racing-publish recovery: one
+    status probe on the hot (present) path; on absence, probe the
+    ``.tmp`` and then RE-PROBE the destination — on EITHER tmp branch
+    — so a live publish whose rename lands between any two probes is
+    read, never misread as absent (r19 review pass 2: the one-sided
+    re-check missed the rename landing between the dest and tmp
+    probes, exactly the replay-guard reset this guard exists to
+    close).  Returns the FileStatus, or None (genuinely absent:
+    destination and ``.tmp`` both missing on a settled view), or
+    raises IOError when TORN — ``.tmp`` present, destination still
+    missing after the re-probe.
 
     A crash in ``_write_json_sidecar``'s delete->rename gap leaves
     exactly that torn state (r19 advice #2), and for
     ``_ingest_progress.json`` reading it as 'fresh index' would
     silently reset the streaming replay/lineage guards — replayed
-    batch ids would re-append.  Fail safe: refuse loudly.  The
-    re-check of the destination absorbs the benign in-flight case
-    where a LIVE publish renamed between our two stats (r19 review
-    #1); a reader racing the tmp-write phase of a live cross-process
-    publish can still refuse spuriously — transient, retryable, and
-    strictly safer than the silent guard reset.  In-process
-    racers are already serialized by the per-index ingest lock.
-    Costs extra RPCs only on the already-rare absent path, never on
-    a successful read."""
-    if _sidecar_status(fs, src.suffix(".tmp")) is None:
-        return True
-    if _sidecar_status(fs, src) is not None:
-        return False  # live publish completed between our stats
-    raise IOError(
-        f"sidecar {src} is missing but {src}.tmp exists: either a "
-        "publish crashed between delete and rename, or another "
-        "process is publishing right now — retry first; if the state "
-        "persists, inspect the .tmp (rename a complete one into "
-        "place to recover, or delete it to deliberately reset this "
-        "sidecar's state)"
-    )
+    batch ids would re-append.  Fail safe: refuse loudly.  A reader
+    racing the tmp-write phase of a live cross-process publish can
+    still refuse spuriously — transient, retryable, and strictly
+    safer than the silent guard reset; in-process racers are already
+    serialized by the per-index ingest lock.  Costs extra RPCs only
+    on the already-rare absent path, never on a successful read."""
+    status = _sidecar_status(fs, src)
+    if status is not None:
+        return status
+    tmp_present = _sidecar_status(fs, src.suffix(".tmp")) is not None
+    status = _sidecar_status(fs, src)  # a live rename may have landed
+    if status is not None:
+        return status
+    if tmp_present:
+        raise IOError(
+            f"sidecar {src} is missing but {src}.tmp exists: either a "
+            "publish crashed between delete and rename, or another "
+            "process is publishing right now — retry first; if the "
+            "state persists, inspect the .tmp (rename a complete one "
+            "into place to recover, or delete it to deliberately "
+            "reset this sidecar's state)"
+        )
+    return None
 
 
 def _read_json_sidecar(spark, path: str, name: str) -> dict | None:
@@ -1109,7 +1117,7 @@ def _read_json_sidecar(spark, path: str, name: str) -> dict | None:
     src = spark._jvm.org.apache.hadoop.fs.Path(
         path.rstrip("/") + "/" + name
     )
-    if _sidecar_status(fs, src) is None and _absent_or_torn(fs, src):
+    if _sidecar_status_or_torn(fs, src) is None:
         return None
     return _read_json_stream(spark, fs, src)
 
@@ -1122,8 +1130,8 @@ def _write_json_sidecar(spark, path: str, name: str, payload: dict) -> None:
     The delete->rename gap can only lose the OLD file, never publish a
     partial one — and a crash INSIDE that gap leaves the completed
     ``.tmp`` next to the missing destination, which readers refuse as
-    a torn publish (``_refuse_torn_publish``) instead of misreading as
-    a fresh/pre-sidecar state (r19 advice #2: for the ingest-progress
+    a torn publish (``_sidecar_status_or_torn``) instead of misreading
+    as a fresh/pre-sidecar state (r19 advice #2: for the ingest-progress
     sidecar 'absent' would silently reset the replay/lineage guards).
     The next successful write self-heals: it overwrites the stale
     ``.tmp`` and republishes."""
@@ -1181,16 +1189,12 @@ def read_centroid_sidecar(spark, path: str) -> "np.ndarray | None":
     fs, _ = _hadoop_fs(spark, path)
     key = path.rstrip("/")
     src = spark._jvm.org.apache.hadoop.fs.Path(key + "/" + _CENTROID_SIDECAR)
-    status = _sidecar_status(fs, src)  # one RPC: status doubles as exists
+    # one RPC on the hot path (status doubles as exists); the absent
+    # branch runs the torn-publish / racing-rename recovery (r19
+    # advice #2 + review pass 2) and hands back the fresh status
+    status = _sidecar_status_or_torn(fs, src)
     if status is None:
-        # r19 advice #2: torn publish refuses loudly instead of
-        # reporting a pre-sidecar index; a racing live publish that
-        # completed between the stats falls through to a re-stat
-        if _absent_or_torn(fs, src):
-            return None
-        status = _sidecar_status(fs, src)
-        if status is None:
-            return None  # vanished again: a republish gap — absent
+        return None
     mtime = int(status.getModificationTime())
     with _cache_lock:
         hit = _sidecar_cache.get(key)
@@ -1561,10 +1565,17 @@ def _list_cid_files(
                 finally:
                     reader.close()
             except Exception as e:
+                if _is_file_not_found(e):
+                    # vanished between listStatus and open: the walk's
+                    # snapshot broke (a concurrent rewrite) — surface
+                    # the raw FNF so the caller retries the walk, not
+                    # a 'corrupt file' misdiagnosis (r19 review pass 2)
+                    raise
                 raise IOError(
-                    f"unreadable parquet footer at {f.getPath()} "
-                    f"({flen} bytes): the index would under-count — "
-                    "remove or restore the file"
+                    f"could not read parquet footer at {f.getPath()} "
+                    f"({flen} bytes): retry for transient storage "
+                    "errors; a persistent failure means non-parquet "
+                    "debris the index would otherwise under-count"
                 ) from e
         out[cid] = (files, bytes_, rows if with_rows else None)
     return out
