@@ -1566,11 +1566,18 @@ def _list_cid_files(
                     reader.close()
             except Exception as e:
                 if _is_file_not_found(e):
-                    # vanished between listStatus and open: the walk's
-                    # snapshot broke (a concurrent rewrite) — surface
-                    # the raw FNF so the caller retries the walk, not
-                    # a 'corrupt file' misdiagnosis (r19 review pass 2)
-                    raise
+                    # vanished between listStatus and open: a
+                    # concurrent rewrite broke this walk's listing
+                    # snapshot — name that, not a 'corrupt file'
+                    # misdiagnosis (r19 review passes 2-3); typed so
+                    # maintenance boundaries never leak raw py4j
+                    raise IOError(
+                        f"{f.getPath()} vanished during the stats "
+                        "walk: a concurrent compact/rebuild/append is "
+                        "rewriting this index — re-run after the "
+                        "writer settles (maintenance calls require a "
+                        "single writer)"
+                    ) from e
                 raise IOError(
                     f"could not read parquet footer at {f.getPath()} "
                     f"({flen} bytes): retry for transient storage "
