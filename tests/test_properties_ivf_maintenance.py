@@ -131,3 +131,103 @@ def test_append_compact_serve_lifecycle(spark, batches, max_files, target):
             assert again == {"files_before": {}, "files_after": {}}
     finally:
         shutil.rmtree(base, ignore_errors=True)
+
+
+@settings(
+    max_examples=3,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    st.lists(
+        st.one_of(
+            st.tuples(st.just("append"), st.integers(min_value=1, max_value=30)),
+            st.tuples(st.just("compact"), st.just(0)),
+            st.tuples(st.just("promote"), st.just(0)),
+        ),
+        min_size=1,
+        max_size=4,
+    ),
+)
+def test_maintenance_sequence_preserves_rows_and_serving(spark, ops):
+    """Full-lifecycle property (r19): for a RANDOM sequence of
+    append / compact / rebuild+promote operations,
+
+    - ``index_stats`` rows always equal the model count (no op may
+      lose or duplicate a vector — the row-count check is also what
+      promote's mid-rebuild refusal rides on),
+    - each promote serves BIT-identically to the candidate it
+      swapped in (the swap moves files, not content), at the
+      ORIGINAL serving path,
+    - after the whole sequence the persisted index still equals an
+      in-memory ``ivf_topk`` over the same vectors with the promoted
+      sidecar's centroids (the pruned-serving identity, now across
+      arbitrary maintenance histories).
+    """
+    base = tempfile.mkdtemp(prefix="ym_prop_promote_")
+    try:
+        path = f"{base}/idx"
+        base_n = 50
+        frames = [_vectors(spark, 0, base_n)]
+        cents = similarity.train_centroids(frames[0], nlist=3)
+        similarity.write_ivf_index(frames[0], cents, path)
+        model_rows = base_n
+        lo, gen = 1000, 0
+        qs = _vectors(spark, 9000, 9004).select(
+            F.col("vec_id").alias("query_id"), "embedding"
+        )
+        for op, arg in ops:
+            if op == "append":
+                frames.append(_vectors(spark, lo, lo + arg))
+                similarity.append_ivf_index(frames[-1], path)
+                model_rows += arg
+                lo += arg
+            elif op == "compact":
+                similarity.compact_ivf_index(
+                    spark, path, max_files_per_list=2, target_files_per_list=1
+                )
+            else:  # rebuild + promote
+                gen += 1
+                dest = f"{base}/rb{gen}"
+                similarity.rebuild_ivf_index(spark, path, dest)
+                before = {
+                    tuple(r)
+                    for r in similarity.ivf_topk_pruned(
+                        spark, dest, qs, k=4, nprobe=2
+                    ).collect()
+                }
+                out = similarity.promote_ivf_index(spark, path, dest)
+                shutil.rmtree(f"{path}__retired")
+                assert out["stats"]["rows"] == model_rows
+                after = {
+                    tuple(r)
+                    for r in similarity.ivf_topk_pruned(
+                        spark, path, qs, k=4, nprobe=2
+                    ).collect()
+                }
+                assert after == before and after
+            assert similarity.index_stats(spark, path)["rows"] == model_rows
+
+        # pruned serving over the maintained index == in-memory
+        # ivf_topk over the concatenated vectors with the promoted
+        # sidecar's centroids (same arithmetic both sides, no FP risk)
+        sidecar = similarity.read_centroid_sidecar(spark, path)
+        all_vecs = frames[0]
+        for f in frames[1:]:
+            all_vecs = all_vecs.unionAll(f)
+        expect = {
+            tuple(r)
+            for r in similarity.ivf_topk(
+                all_vecs, qs, k=4, nprobe=2,
+                centroids=[[float(x) for x in row] for row in sidecar],
+            ).collect()
+        }
+        got = {
+            tuple(r)
+            for r in similarity.ivf_topk_pruned(
+                spark, path, qs, k=4, nprobe=2
+            ).collect()
+        }
+        assert got == expect and got
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
