@@ -1892,6 +1892,16 @@ def promote_ivf_index(
     state — retry-on-refuse is the reader-side contract, the same as
     any directory-swap deploy on a plain filesystem.
 
+    Filesystem fit: the rename swap is O(metadata) and atomic-per-
+    directory on HDFS and POSIX filesystems — the right home for a
+    serving index.  On an object store (s3a) a directory rename is a
+    COPY of every object: at the 100 TB target that is not a swap,
+    it is a second migration.  There, keep the indirection one level
+    up instead — rebuild into a sibling generation directory and
+    repoint the application's index-path config after validating
+    ``index_stats`` — and reserve this call for rename-capable
+    storage.
+
     Returns {"promoted", "retired", "carried_lineage", "stats"} with
     ``stats`` = the promoted content's ``index_stats`` (computed at
     ``new_path`` pre-swap; the swap moves files, not content)."""
