@@ -453,6 +453,94 @@ def rebuild_main() -> None:
         dq.unpersist()
 
 
+def promote_main() -> None:
+    """r19 (r18 verdict #5): the blue/green swap measured at the same
+    400k worst case as --rebuild.  Claims: (1) promote's wall is
+    validation (snapshot compare + footer walk + stats) plus two
+    directory renames — O(files) metadata, orders of magnitude under
+    the rebuild's O(N) re-train + rewrite; (2) after the swap the
+    ORIGINAL serving path holds the rebuilt index bit-for-bit (same
+    skew, same candidate counts); (3) a batch append landing after
+    the rebuild snapshot refuses the swap loudly (the footer
+    row-count check — batch appends never touch the progress
+    sidecar)."""
+    import shutil
+    import tempfile
+
+    spark = get_spark()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    base_n, batch_n, nlist, nbatches, drift = 200_000, 50_000, 256, 4, 2.0
+    vectors = make_vectors(spark, base_n).cache()
+    vectors.count()
+    queries = make_queries(spark).cache()
+    queries.count()
+    cents = similarity.train_centroids(vectors, nlist)
+    base = tempfile.mkdtemp(prefix="ym_ivf_promoteprobe_")
+    try:
+        path = f"{base}/idx"
+        similarity.write_ivf_index(vectors, cents, path)
+        for b in range(nbatches):
+            similarity.append_ivf_index(
+                make_drifted_vectors(
+                    spark, batch_n, 10_000_000 + b * batch_n, drift
+                ),
+                path,
+            )
+
+        t0 = time.time()
+        dest = f"{base}/idx_rebuilt"
+        similarity.rebuild_ivf_index(spark, path, dest)
+        rebuild_wall = time.time() - t0
+        new_cents = similarity.read_centroid_sidecar(spark, dest)
+        cand_rebuilt = candidate_rows(
+            spark.read.parquet(dest), queries, new_cents, 8
+        )
+        skew_rebuilt = similarity.index_stats(spark, dest)["skew"]
+
+        t0 = time.time()
+        out = similarity.promote_ivf_index(spark, path, dest)
+        promote_wall = time.time() - t0
+        st = similarity.index_stats(spark, path)
+        cand_promoted = candidate_rows(
+            spark.read.parquet(path), queries,
+            similarity.read_centroid_sidecar(spark, path), 8,
+        )
+        print(
+            f"rebuild wall {rebuild_wall:7.2f} s  "
+            "(re-train + full rewrite: O(N))"
+        )
+        print(
+            f"promote wall {promote_wall:7.2f} s  "
+            f"(snapshot checks + footer walk + 2 renames: "
+            f"O(files)={st['files']})"
+        )
+        print(
+            f"promoted@original-path: rows={st['rows']:,} "
+            f"skew={st['skew']:.2f} cand(base-q)={cand_promoted:,}"
+        )
+        print(
+            f"rebuilt (pre-swap)    : rows={out['stats']['rows']:,} "
+            f"skew={skew_rebuilt:.2f} cand(base-q)={cand_rebuilt:,}"
+        )
+        assert cand_promoted == cand_rebuilt and st["skew"] == skew_rebuilt
+
+        # claim 3: a batch append after the rebuild snapshot refuses
+        dest2 = f"{base}/idx_rb2"
+        similarity.rebuild_ivf_index(spark, path, dest2)
+        similarity.append_ivf_index(
+            make_drifted_vectors(spark, 1000, 30_000_000, drift), path
+        )
+        shutil.rmtree(f"{path}__retired")
+        try:
+            similarity.promote_ivf_index(spark, path, dest2)
+            print("ERROR: mid-rebuild append was NOT refused")
+        except ValueError as e:
+            print(f"mid-rebuild append refused: {str(e)[:90]}...")
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
 if __name__ == "__main__":
     if "--recall" in sys.argv[1:]:
         recall_main()
@@ -462,5 +550,7 @@ if __name__ == "__main__":
         append_main()
     elif "--rebuild" in sys.argv[1:]:
         rebuild_main()
+    elif "--promote" in sys.argv[1:]:
+        promote_main()
     else:
         main()

@@ -29,6 +29,7 @@ import json
 import threading
 import weakref
 from collections import OrderedDict
+from concurrent.futures import ThreadPoolExecutor
 
 import numpy as np
 import pandas as pd
@@ -1256,6 +1257,31 @@ def _persisted_cids(spark, path: str) -> list[int]:
     return sorted(_cid_dirs(spark, path)[1])
 
 
+def _bounded_by_list(assigned: DataFrame, nlist: int, files_per_list):
+    """Bound the ``partitionBy("cid")`` output to at most
+    ``files_per_list`` data files per list via the same (cid, salted
+    id) repartition ``compact_ivf_index`` uses.  Without it every
+    upstream task writes one file into every cid it touches — tasks x
+    nlist files, the classic dynamic-partitioning small-files trap
+    (r19 probe --promote measured 25,269 files for a 400k-row /
+    256-list rebuild, ~16 rows per file, before this bound).  The
+    price is one shuffle of the assigned rows; that is the same
+    shuffle a post-hoc compaction would pay, minus ever having
+    written the fragmented layout.  ``files_per_list=None`` skips the
+    shuffle (map-side write, unbounded files) for callers that
+    schedule ``compact_ivf_index`` in the ingest gap instead."""
+    if files_per_list is None:
+        return assigned
+    if files_per_list < 1:
+        raise ValueError(
+            f"files_per_list must be >= 1 or None, got {files_per_list}"
+        )
+    salt = F.pmod(F.xxhash64(F.col("nn_id")), F.lit(int(files_per_list)))
+    return assigned.repartition(
+        max(1, nlist * int(files_per_list)), F.col("cid"), salt
+    )
+
+
 def write_ivf_index(
     vectors: DataFrame,
     centroids: list[list[float]],
@@ -1264,22 +1290,31 @@ def write_ivf_index(
     vec_col: str = "embedding",
     coarse_groups: int | None = None,
     use_arrow: bool | None = None,
+    files_per_list: int | None = 1,
 ) -> None:
     """Persist the ``assign_lists`` index PARTITIONED BY cid — the
     serving layout: each inverted list is its own directory, so a
     probed-list predicate prunes at the SCAN (only nprobe/nlist of
     the index bytes are ever read; see ``ivf_topk_pruned``).  List
     sizes are ~N/nlist rows; pick nlist so a list is a few hundred MB
-    and files stay bounded.  ``coarse_groups`` passes through to
-    ``assign_lists`` — the two-level build is how this write stays
-    affordable once N x nlist dots are not (queries are unaffected:
-    they probe by centroid either way).  The build centroids are
-    persisted alongside as ``_centroids.json`` so serving can never
-    silently probe a foreign cid space (r16 advice #1)."""
+    and files stay bounded.  ``files_per_list`` (default 1) bounds
+    the per-list file count via a salted repartition — one shuffle,
+    vs the tasks x nlist small-files explosion of a raw
+    ``partitionBy`` write (``_bounded_by_list``); pass None to write
+    map-side (no shuffle) and compact later.  ``coarse_groups``
+    passes through to ``assign_lists`` — the two-level build is how
+    this write stays affordable once N x nlist dots are not (queries
+    are unaffected: they probe by centroid either way).  The build
+    centroids are persisted alongside as ``_centroids.json`` so
+    serving can never silently probe a foreign cid space (r16 advice
+    #1)."""
     spark = vectors.sparkSession
-    assign_lists(
+    assigned = assign_lists(
         vectors, centroids, id_col, vec_col, coarse_groups, use_arrow
-    ).write.mode("overwrite").partitionBy("cid").parquet(path)
+    )
+    _bounded_by_list(assigned, len(centroids), files_per_list).write.mode(
+        "overwrite"
+    ).partitionBy("cid").parquet(path)
     _write_centroid_sidecar(spark, path, centroids)
 
 
@@ -1290,6 +1325,7 @@ def append_ivf_index(
     vec_col: str = "embedding",
     coarse_groups: int | None = None,
     use_arrow: bool | None = None,
+    files_per_list: int | None = 1,
 ) -> None:
     """Append NEW vectors to an existing persisted index — the 100 TB
     ingest posture: a daily/hourly batch pays only its own
@@ -1309,7 +1345,11 @@ def append_ivf_index(
     re-training on the grown corpus restoring skew 6.00 -> 3.99 and
     drift-query candidates from 1.47x to 1.07x of the no-drift
     fraction-law reference); the sidecar mtime is untouched so
-    serving caches stay valid."""
+    serving caches stay valid.  ``files_per_list`` (default 1)
+    bounds THIS BATCH's files per list via a salted repartition —
+    an hourly cadence then grows each list one file per batch
+    (compact when the sum crosses the threshold), instead of
+    batch-tasks x nlist files per append; None skips the shuffle."""
     spark = vectors.sparkSession
     cents = read_centroid_sidecar(spark, path)
     if cents is None:
@@ -1318,9 +1358,12 @@ def append_ivf_index(
             "an index built by write_ivf_index (appending with foreign "
             "centroids would corrupt the cid space)"
         )
-    assign_lists(
+    assigned = assign_lists(
         vectors, cents, id_col, vec_col, coarse_groups, use_arrow
-    ).write.mode("append").partitionBy("cid").parquet(path)
+    )
+    _bounded_by_list(assigned, len(cents), files_per_list).write.mode(
+        "append"
+    ).partitionBy("cid").parquet(path)
 
 
 # ingest-progress sidecar for append_ivf_index_stream: records the
@@ -1535,56 +1578,78 @@ def _list_cid_files(
     #4: a ``groupBy("cid").count()`` decodes zero data columns but,
     with ``spark.sql.parquet.aggregatePushdown`` unset, still
     iterates O(rows); footers are few-KB reads regardless of file
-    size).  Zero-byte files count toward ``files``/``bytes`` but are
-    skipped for rows — Spark's scan planner produces no splits for
-    them either (r19 review #7) — while a non-empty file whose footer
-    cannot be read fails loudly WITH the file named (it is real data
-    the index would silently under-count)."""
+    size).  Footer reads run on a driver-side THREAD POOL (py4j
+    opens one gateway connection per thread; Hadoop FileSystem and
+    per-file ParquetFileReader are thread-safe): each read is
+    latency-bound on py4j round trips, and the r19 --promote probe
+    measured a SEQUENTIAL walk of a 25k-file pre-bound layout at
+    ~8 min — file-count-bounded writes fix the count, the pool fixes
+    the residual latency.  Zero-byte files count toward
+    ``files``/``bytes`` but are skipped for rows — Spark's scan
+    planner produces no splits for them either (r19 review #7) —
+    while a non-empty file whose footer cannot be read fails loudly
+    WITH the file named (it is real data the index would silently
+    under-count)."""
     jvm = spark._jvm
     conf = spark._jsc.hadoopConfiguration()
     fs, dirs = _cid_dirs(spark, path)
     out: dict[int, tuple[int, int, int | None]] = {}
+    footer_jobs: list[tuple[int, object, int]] = []  # (cid, status, len)
+    rows_by_cid: dict[int, int] = {}
     for cid, dpath in dirs.items():
-        files = bytes_ = rows = 0
+        files = bytes_ = 0
+        rows_by_cid[cid] = 0
         for f in fs.listStatus(dpath):
             if not f.getPath().getName().endswith(".parquet"):
                 continue
             files += 1
             flen = int(f.getLen())
             bytes_ += flen
-            if not with_rows or flen == 0:
-                continue
-            try:
-                reader = jvm.org.apache.parquet.hadoop.ParquetFileReader.open(
-                    jvm.org.apache.parquet.hadoop.util.HadoopInputFile.fromStatus(
-                        f, conf
-                    )
+            if with_rows and flen > 0:
+                footer_jobs.append((cid, f, flen))
+        out[cid] = (files, bytes_, None)
+
+    def _read_footer(job) -> tuple[int, int]:
+        cid, f, flen = job
+        try:
+            reader = jvm.org.apache.parquet.hadoop.ParquetFileReader.open(
+                jvm.org.apache.parquet.hadoop.util.HadoopInputFile.fromStatus(
+                    f, conf
                 )
-                try:
-                    rows += int(reader.getRecordCount())
-                finally:
-                    reader.close()
-            except Exception as e:
-                if _is_file_not_found(e):
-                    # vanished between listStatus and open: a
-                    # concurrent rewrite broke this walk's listing
-                    # snapshot — name that, not a 'corrupt file'
-                    # misdiagnosis (r19 review passes 2-3); typed so
-                    # maintenance boundaries never leak raw py4j
-                    raise IOError(
-                        f"{f.getPath()} vanished during the stats "
-                        "walk: a concurrent compact/rebuild/append is "
-                        "rewriting this index — re-run after the "
-                        "writer settles (maintenance calls require a "
-                        "single writer)"
-                    ) from e
+            )
+            try:
+                return cid, int(reader.getRecordCount())
+            finally:
+                reader.close()
+        except Exception as e:
+            if _is_file_not_found(e):
+                # vanished between listStatus and open: a concurrent
+                # rewrite broke this walk's listing snapshot — name
+                # that, not a 'corrupt file' misdiagnosis (r19 review
+                # passes 2-3); typed so maintenance boundaries never
+                # leak raw py4j
                 raise IOError(
-                    f"could not read parquet footer at {f.getPath()} "
-                    f"({flen} bytes): retry for transient storage "
-                    "errors; a persistent failure means non-parquet "
-                    "debris the index would otherwise under-count"
+                    f"{f.getPath()} vanished during the stats walk: "
+                    "a concurrent compact/rebuild/append is rewriting "
+                    "this index — re-run after the writer settles "
+                    "(maintenance calls require a single writer)"
                 ) from e
-        out[cid] = (files, bytes_, rows if with_rows else None)
+            raise IOError(
+                f"could not read parquet footer at {f.getPath()} "
+                f"({flen} bytes): retry for transient storage "
+                "errors; a persistent failure means non-parquet "
+                "debris the index would otherwise under-count"
+            ) from e
+
+    if footer_jobs:
+        workers = min(16, len(footer_jobs))
+        with ThreadPoolExecutor(max_workers=workers) as pool:
+            for cid, n in pool.map(_read_footer, footer_jobs):
+                rows_by_cid[cid] += n
+    if with_rows:
+        out = {
+            cid: (t[0], t[1], rows_by_cid[cid]) for cid, t in out.items()
+        }
     return out
 
 
