@@ -534,9 +534,12 @@ def promote_main() -> None:
         shutil.rmtree(f"{path}__retired")
         try:
             similarity.promote_ivf_index(spark, path, dest2)
-            print("ERROR: mid-rebuild append was NOT refused")
         except ValueError as e:
             print(f"mid-rebuild append refused: {str(e)[:90]}...")
+        else:
+            # fail like claims 1-2 do: an exit-0 probe must mean
+            # every headline claim held
+            raise AssertionError("mid-rebuild append was NOT refused")
     finally:
         shutil.rmtree(base, ignore_errors=True)
 

@@ -29,7 +29,7 @@ import json
 import threading
 import weakref
 from collections import OrderedDict
-from concurrent.futures import ThreadPoolExecutor
+from concurrent.futures import ThreadPoolExecutor, as_completed
 
 import numpy as np
 import pandas as pd
@@ -1257,19 +1257,30 @@ def _persisted_cids(spark, path: str) -> list[int]:
     return sorted(_cid_dirs(spark, path)[1])
 
 
-def _bounded_by_list(assigned: DataFrame, nlist: int, files_per_list):
+def _bounded_by_list(assigned: DataFrame, files_per_list):
     """Bound the ``partitionBy("cid")`` output to at most
-    ``files_per_list`` data files per list via the same (cid, salted
-    id) repartition ``compact_ivf_index`` uses.  Without it every
-    upstream task writes one file into every cid it touches — tasks x
-    nlist files, the classic dynamic-partitioning small-files trap
-    (r19 probe --promote measured 25,269 files for a 400k-row /
-    256-list rebuild, ~16 rows per file, before this bound).  The
-    price is one shuffle of the assigned rows; that is the same
-    shuffle a post-hoc compaction would pay, minus ever having
-    written the fragmented layout.  ``files_per_list=None`` skips the
-    shuffle (map-side write, unbounded files) for callers that
-    schedule ``compact_ivf_index`` in the ingest gap instead."""
+    ``files_per_list`` data files per list via a (cid, salted id)
+    repartition — ``compact_ivf_index`` rides the same helper.
+    Without it every upstream task writes one file into every cid it
+    touches — tasks x nlist files, the classic dynamic-partitioning
+    small-files trap (r19 probe --promote measured 25,269 files for
+    a 400k-row / 256-list rebuild, ~16 rows per file, before this
+    bound).  The price is one shuffle of the assigned rows; that is
+    the same shuffle a post-hoc compaction would pay, minus ever
+    having written the fragmented layout.
+
+    The partition COUNT is deliberately not specified: the per-cid
+    file bound holds for ANY count (all rows of one (cid, salt) pair
+    hash to one task), so the session's shuffle sizing — and AQE
+    partition coalescing, which an explicit count would disable —
+    right-sizes a 10k-row hourly batch to a handful of tasks while a
+    full-corpus build fans out to the configured width (r19 review:
+    a pinned nlist-wide count would have made every 65k-list
+    micro-batch append a 65k-task, mostly-empty stage).
+
+    ``files_per_list=None`` skips the shuffle entirely (map-side
+    write, unbounded files) for callers that schedule
+    ``compact_ivf_index`` in the ingest gap instead."""
     if files_per_list is None:
         return assigned
     if files_per_list < 1:
@@ -1277,9 +1288,7 @@ def _bounded_by_list(assigned: DataFrame, nlist: int, files_per_list):
             f"files_per_list must be >= 1 or None, got {files_per_list}"
         )
     salt = F.pmod(F.xxhash64(F.col("nn_id")), F.lit(int(files_per_list)))
-    return assigned.repartition(
-        max(1, nlist * int(files_per_list)), F.col("cid"), salt
-    )
+    return assigned.repartition(F.col("cid"), salt)
 
 
 def write_ivf_index(
@@ -1312,7 +1321,7 @@ def write_ivf_index(
     assigned = assign_lists(
         vectors, centroids, id_col, vec_col, coarse_groups, use_arrow
     )
-    _bounded_by_list(assigned, len(centroids), files_per_list).write.mode(
+    _bounded_by_list(assigned, files_per_list).write.mode(
         "overwrite"
     ).partitionBy("cid").parquet(path)
     _write_centroid_sidecar(spark, path, centroids)
@@ -1361,7 +1370,7 @@ def append_ivf_index(
     assigned = assign_lists(
         vectors, cents, id_col, vec_col, coarse_groups, use_arrow
     )
-    _bounded_by_list(assigned, len(cents), files_per_list).write.mode(
+    _bounded_by_list(assigned, files_per_list).write.mode(
         "append"
     ).partitionBy("cid").parquet(path)
 
@@ -1413,6 +1422,7 @@ def _ingest_apply(
     vec_col: str,
     coarse_groups: int | None,
     use_arrow: bool | None,
+    files_per_list: int | None = 1,
 ) -> bool:
     """One micro-batch of ``append_ivf_index_stream`` (module-level so
     the replay/lineage semantics are unit-testable).  Returns True if
@@ -1454,7 +1464,8 @@ def _ingest_apply(
             if batch_id <= seen.get("last_batch", -1):
                 return False  # replay of an already-applied batch
         append_ivf_index(
-            batch_df, path, id_col, vec_col, coarse_groups, use_arrow
+            batch_df, path, id_col, vec_col, coarse_groups, use_arrow,
+            files_per_list,
         )
         _write_ingest_progress(
             spark, path,
@@ -1476,14 +1487,19 @@ def append_ivf_index_stream(
     coarse_groups: int | None = None,
     use_arrow: bool | None = None,
     available_now: bool = True,
+    files_per_list: int | None = 1,
 ):
     """Continuous IVF ingest: a streaming embedding source appended to
     a persisted index one micro-batch at a time — the 100 TB training
     pipeline's hourly cadence as a running query instead of a cron
-    job.  Each batch pays only its own ``assign_lists`` scan
-    (batch-linear, map-side) and lands inside the existing ``cid=``
-    directories via ``append_ivf_index``, so serving needs no refresh
-    and keeps pruning identically.
+    job.  Each batch pays its own ``assign_lists`` scan (linear in
+    the BATCH) plus the bounded-layout shuffle (``files_per_list``,
+    default 1: each list grows ONE file per micro-batch, AQE-sized to
+    the batch; pass None for the map-side unbounded write plus a
+    scheduled ``compact_ivf_index`` in the ingest gap) and lands
+    inside the existing ``cid=`` directories via
+    ``append_ivf_index``, so serving needs no refresh and keeps
+    pruning identically.
 
     Exactly-once discipline (the standard foreachBatch pattern): an
     ``_ingest_progress.json`` sidecar next to the index records the
@@ -1553,7 +1569,7 @@ def append_ivf_index_stream(
             )
         _ingest_apply(
             batch_df, batch_id, path, lineage, qid_memo["qid"],
-            id_col, vec_col, coarse_groups, use_arrow,
+            id_col, vec_col, coarse_groups, use_arrow, files_per_list,
         )
 
     writer = (
@@ -1643,9 +1659,21 @@ def _list_cid_files(
 
     if footer_jobs:
         workers = min(16, len(footer_jobs))
+        # submit + as_completed with cancel-on-error, NOT pool.map:
+        # map enqueues every job eagerly and the with-block's shutdown
+        # would run the whole remaining walk before surfacing the
+        # first corrupt-footer error (r19 review: 'fails loudly' must
+        # not silently pay the full walk it is aborting)
         with ThreadPoolExecutor(max_workers=workers) as pool:
-            for cid, n in pool.map(_read_footer, footer_jobs):
-                rows_by_cid[cid] += n
+            futs = [pool.submit(_read_footer, j) for j in footer_jobs]
+            try:
+                for fut in as_completed(futs):
+                    cid, n = fut.result()
+                    rows_by_cid[cid] += n
+            except BaseException:
+                for fut in futs:
+                    fut.cancel()
+                raise
     if with_rows:
         out = {
             cid: (t[0], t[1], rows_by_cid[cid]) for cid, t in out.items()
@@ -1800,11 +1828,11 @@ def compact_ivf_index(
     src = spark.read.option("basePath", path).parquet(
         *[f"{path.rstrip('/')}/cid={c}" for c in dirty]
     )
-    # bounded per-list split key (<= target pieces per cid), so a
-    # compacted list can never come out ABOVE the threshold it was
-    # compacted for — same invariant as compact_partitions' salt path
-    salt = F.pmod(F.xxhash64(F.col("nn_id")), F.lit(tgt))
-    out = src.repartition(max(1, len(dirty) * tgt), F.col("cid"), salt)
+    # bounded per-list split (<= target pieces per cid) through the
+    # same helper the build/append writers use (r19 review: one copy
+    # of the bounding scheme), so a compacted list can never come out
+    # ABOVE the threshold it was compacted for
+    out = _bounded_by_list(src, tgt)
     conf_key = "spark.sql.sources.partitionOverwriteMode"
     prev = spark.conf.get(conf_key, "static")
     spark.conf.set(conf_key, "dynamic")
