@@ -1257,7 +1257,9 @@ def _persisted_cids(spark, path: str) -> list[int]:
     return sorted(_cid_dirs(spark, path)[1])
 
 
-def _bounded_by_list(assigned: DataFrame, files_per_list):
+def _bounded_by_list(
+    assigned: DataFrame, files_per_list, width: int | None = None
+):
     """Bound the ``partitionBy("cid")`` output to at most
     ``files_per_list`` data files per list via a (cid, salted id)
     repartition — ``compact_ivf_index`` rides the same helper.
@@ -1269,14 +1271,21 @@ def _bounded_by_list(assigned: DataFrame, files_per_list):
     the same shuffle a post-hoc compaction would pay, minus ever
     having written the fragmented layout.
 
-    The partition COUNT is deliberately not specified: the per-cid
-    file bound holds for ANY count (all rows of one (cid, salt) pair
-    hash to one task), so the session's shuffle sizing — and AQE
-    partition coalescing, which an explicit count would disable —
-    right-sizes a 10k-row hourly batch to a handful of tasks while a
-    full-corpus build fans out to the configured width (r19 review:
-    a pinned nlist-wide count would have made every 65k-list
-    micro-batch append a 65k-task, mostly-empty stage).
+    The per-cid file bound holds for ANY partition count (all rows of
+    one (cid, salt) pair hash to one task), which lets each caller
+    pick the right sizing:
+
+    - ``width=None`` (appends, streaming micro-batches): no explicit
+      count, so the session's shuffle sizing and AQE coalescing —
+      which an explicit count would disable — right-size a 10k-row
+      hourly batch to a handful of tasks instead of an nlist-wide,
+      mostly-empty stage (r19 review pass 4).
+    - explicit ``width`` (full-corpus build: nlist x files_per_list;
+      compaction: dirty-lists x target): restores the fan-out AQE
+      cannot create — coalescing only MERGES partitions, so a
+      corpus-scale write left at ``spark.sql.shuffle.partitions``
+      would funnel the whole corpus through ~200 tasks and spill
+      (r19 review pass 5).
 
     ``files_per_list=None`` skips the shuffle entirely (map-side
     write, unbounded files) for callers that schedule
@@ -1288,7 +1297,9 @@ def _bounded_by_list(assigned: DataFrame, files_per_list):
             f"files_per_list must be >= 1 or None, got {files_per_list}"
         )
     salt = F.pmod(F.xxhash64(F.col("nn_id")), F.lit(int(files_per_list)))
-    return assigned.repartition(F.col("cid"), salt)
+    if width is None:
+        return assigned.repartition(F.col("cid"), salt)
+    return assigned.repartition(max(1, int(width)), F.col("cid"), salt)
 
 
 def write_ivf_index(
@@ -1321,7 +1332,12 @@ def write_ivf_index(
     assigned = assign_lists(
         vectors, centroids, id_col, vec_col, coarse_groups, use_arrow
     )
-    _bounded_by_list(assigned, files_per_list).write.mode(
+    # full-corpus write: explicit nlist-wide fan-out (the operator
+    # sized nlist to the corpus; AQE cannot SPLIT a narrow shuffle)
+    width = (
+        None if files_per_list is None else len(centroids) * files_per_list
+    )
+    _bounded_by_list(assigned, files_per_list, width).write.mode(
         "overwrite"
     ).partitionBy("cid").parquet(path)
     _write_centroid_sidecar(spark, path, centroids)
@@ -1519,6 +1535,14 @@ def append_ivf_index_stream(
     the source and stops — the testing/backfill mode; ``False`` runs
     the default micro-batch trigger)."""
     spark = stream.sparkSession
+    if files_per_list is not None and files_per_list < 1:
+        # fail-fast like every other precondition here: without this,
+        # an invalid value only surfaces inside batch 0's foreachBatch
+        # as a StreamingQueryException after the checkpoint was
+        # created (r19 review pass 5)
+        raise ValueError(
+            f"files_per_list must be >= 1 or None, got {files_per_list}"
+        )
     if read_centroid_sidecar(spark, path) is None:
         raise ValueError(
             f"no {_CENTROID_SIDECAR} sidecar at {path}: streaming "
@@ -1832,7 +1856,7 @@ def compact_ivf_index(
     # same helper the build/append writers use (r19 review: one copy
     # of the bounding scheme), so a compacted list can never come out
     # ABOVE the threshold it was compacted for
-    out = _bounded_by_list(src, tgt)
+    out = _bounded_by_list(src, tgt, len(dirty) * tgt)
     conf_key = "spark.sql.sources.partitionOverwriteMode"
     prev = spark.conf.get(conf_key, "static")
     spark.conf.set(conf_key, "dynamic")
