@@ -361,3 +361,57 @@ def test_promote_carries_lineage_and_stream_resumes(spark):
         assert got.count() == 9
     finally:
         shutil.rmtree(base, ignore_errors=True)
+
+
+# =====================================================================
+# bounded write layout (r19 probe --promote finding)
+# =====================================================================
+def test_build_and_append_bound_files_per_list(spark, built_index):
+    """write_ivf_index / append_ivf_index bound output files per list
+    (default 1 per write) — the raw partitionBy small-files trap
+    (25,269 files for a 400k-row rebuild, probe --promote) is closed
+    at the source."""
+    _, path, _ = built_index
+    stats = similarity.index_stats(spark, path)
+    assert stats["max_files_per_list"] == 1
+    similarity.append_ivf_index(_vectors(spark, 300, 360), path)
+    stats = similarity.index_stats(spark, path)
+    assert stats["max_files_per_list"] <= 2  # one more file set max
+    assert stats["rows"] == 140
+
+
+def test_bounded_by_list_width_and_validation(spark):
+    """Explicit keys fan out to keys x slack partitions (AQE cannot
+    SPLIT a narrow shuffle, so corpus-scale writes must not be left
+    at spark.sql.shuffle.partitions); invalid domains refuse loudly
+    instead of clamping to a one-task corpus funnel."""
+    df = _vectors(spark, 0, 40).select(
+        F.col("vec_id").alias("nn_id"),
+        F.col("embedding").alias("nv"),
+        (F.col("vec_id") % 4).alias("cid"),
+    )
+    wide = similarity._bounded_by_list(df, 2, keys=8)
+    assert wide.rdd.getNumPartitions() == 8 * similarity._WIDTH_SLACK
+    assert similarity._bounded_by_list(df, None) is df
+    with pytest.raises(ValueError, match="files_per_list"):
+        similarity._bounded_by_list(df, 0)
+    with pytest.raises(ValueError, match="keys"):
+        similarity._bounded_by_list(df, 1, keys=0)
+
+
+def test_stream_rejects_bad_files_per_list_before_start(spark, built_index):
+    """The streaming API refuses an invalid files_per_list
+    synchronously, before any checkpoint state exists — not inside
+    batch 0 as a StreamingQueryException."""
+    base, path, _ = built_index
+    src = f"{base}/stream_src"
+    _vectors(spark, 200, 210).write.parquet(src)
+    stream = spark.readStream.schema(
+        "vec_id long, embedding array<double>"
+    ).parquet(src)
+    ckpt = f"{base}/stream_ckpt"
+    with pytest.raises(ValueError, match="files_per_list"):
+        similarity.append_ivf_index_stream(
+            stream, path, ckpt, files_per_list=0
+        )
+    assert not os.path.exists(ckpt)

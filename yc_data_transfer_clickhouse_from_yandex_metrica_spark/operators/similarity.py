@@ -1257,8 +1257,25 @@ def _persisted_cids(spark, path: str) -> list[int]:
     return sorted(_cid_dirs(spark, path)[1])
 
 
+def _check_files_per_list(files_per_list) -> None:
+    """Shared domain check (helper + the streaming API's fail-fast
+    pre-check — one copy, r19 review pass 6)."""
+    if files_per_list is not None and files_per_list < 1:
+        raise ValueError(
+            f"files_per_list must be >= 1 or None, got {files_per_list}"
+        )
+
+
+# hash-collision slack for explicit-width bounded writes: n distinct
+# (cid, salt) keys into 4n buckets makes same-task key pairs rare, so
+# a straggler task carries ~1 list instead of the 3-4 that land
+# together at width == n (~1/e of tasks empty, birthday collisions on
+# the rest — r19 review pass 6); empty tasks are near-free.
+_WIDTH_SLACK = 4
+
+
 def _bounded_by_list(
-    assigned: DataFrame, files_per_list, width: int | None = None
+    assigned: DataFrame, files_per_list, keys: int | None = None
 ):
     """Bound the ``partitionBy("cid")`` output to at most
     ``files_per_list`` data files per list via a (cid, salted id)
@@ -1275,31 +1292,34 @@ def _bounded_by_list(
     one (cid, salt) pair hash to one task), which lets each caller
     pick the right sizing:
 
-    - ``width=None`` (appends, streaming micro-batches): no explicit
+    - ``keys=None`` (appends, streaming micro-batches): no explicit
       count, so the session's shuffle sizing and AQE coalescing —
       which an explicit count would disable — right-size a 10k-row
       hourly batch to a handful of tasks instead of an nlist-wide,
       mostly-empty stage (r19 review pass 4).
-    - explicit ``width`` (full-corpus build: nlist x files_per_list;
-      compaction: dirty-lists x target): restores the fan-out AQE
-      cannot create — coalescing only MERGES partitions, so a
-      corpus-scale write left at ``spark.sql.shuffle.partitions``
-      would funnel the whole corpus through ~200 tasks and spill
-      (r19 review pass 5).
+    - explicit ``keys`` = the distinct (cid, salt) count (full-corpus
+      build: nlist x files_per_list; compaction: dirty-lists x
+      target): restores the fan-out AQE cannot create — coalescing
+      only MERGES partitions, so a corpus-scale write left at
+      ``spark.sql.shuffle.partitions`` would funnel the whole corpus
+      through ~200 tasks and spill (r19 review pass 5).  The actual
+      width is ``keys x _WIDTH_SLACK`` so hash collisions (two whole
+      lists serialized through one straggler task) stay rare.
 
     ``files_per_list=None`` skips the shuffle entirely (map-side
     write, unbounded files) for callers that schedule
     ``compact_ivf_index`` in the ingest gap instead."""
+    _check_files_per_list(files_per_list)
     if files_per_list is None:
         return assigned
-    if files_per_list < 1:
-        raise ValueError(
-            f"files_per_list must be >= 1 or None, got {files_per_list}"
-        )
     salt = F.pmod(F.xxhash64(F.col("nn_id")), F.lit(int(files_per_list)))
-    if width is None:
+    if keys is None:
         return assigned.repartition(F.col("cid"), salt)
-    return assigned.repartition(max(1, int(width)), F.col("cid"), salt)
+    if keys < 1:
+        # loud, not clamped: a mis-computed key count silently funneling
+        # the corpus through one task is the spill this helper prevents
+        raise ValueError(f"keys must be >= 1 or None, got {keys}")
+    return assigned.repartition(int(keys) * _WIDTH_SLACK, F.col("cid"), salt)
 
 
 def write_ivf_index(
@@ -1334,10 +1354,10 @@ def write_ivf_index(
     )
     # full-corpus write: explicit nlist-wide fan-out (the operator
     # sized nlist to the corpus; AQE cannot SPLIT a narrow shuffle)
-    width = (
+    keys = (
         None if files_per_list is None else len(centroids) * files_per_list
     )
-    _bounded_by_list(assigned, files_per_list, width).write.mode(
+    _bounded_by_list(assigned, files_per_list, keys).write.mode(
         "overwrite"
     ).partitionBy("cid").parquet(path)
     _write_centroid_sidecar(spark, path, centroids)
@@ -1535,14 +1555,11 @@ def append_ivf_index_stream(
     the source and stops — the testing/backfill mode; ``False`` runs
     the default micro-batch trigger)."""
     spark = stream.sparkSession
-    if files_per_list is not None and files_per_list < 1:
-        # fail-fast like every other precondition here: without this,
-        # an invalid value only surfaces inside batch 0's foreachBatch
-        # as a StreamingQueryException after the checkpoint was
-        # created (r19 review pass 5)
-        raise ValueError(
-            f"files_per_list must be >= 1 or None, got {files_per_list}"
-        )
+    # fail-fast like every other precondition here: without this, an
+    # invalid value only surfaces inside batch 0's foreachBatch as a
+    # StreamingQueryException after the checkpoint was created (r19
+    # review pass 5)
+    _check_files_per_list(files_per_list)
     if read_centroid_sidecar(spark, path) is None:
         raise ValueError(
             f"no {_CENTROID_SIDECAR} sidecar at {path}: streaming "
