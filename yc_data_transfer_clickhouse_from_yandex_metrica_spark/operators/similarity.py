@@ -1267,10 +1267,14 @@ def _check_files_per_list(files_per_list) -> None:
 
 
 # hash-collision slack for explicit-width bounded writes: n distinct
-# (cid, salt) keys into 4n buckets makes same-task key pairs rare, so
-# a straggler task carries ~1 list instead of the 3-4 that land
-# together at width == n (~1/e of tasks empty, birthday collisions on
-# the rest — r19 review pass 6); empty tasks are near-free.
+# (cid, salt) keys into 4n buckets.  Collisions do not vanish —
+# expected same-task key PAIRS are ~n/8, so at large n thousands of
+# tasks still carry 2 key groups — but the per-pair probability drops
+# from the width==n regime where ~1/e of tasks sit empty while the
+# max-loaded task serializes 3-4 whole lists; at 4n the max load is
+# ~2 (r19 review passes 6-7).  The cost is ~78%-empty task slots,
+# which are scheduler-cheap next to a straggler rewriting multiple
+# few-hundred-MB lists.
 _WIDTH_SLACK = 4
 
 
