@@ -74,7 +74,26 @@ def _variant_type(j: ColumnOrName, path: tuple) -> Column:
     return F.schema_of_variant(_variant_at(j, path))
 
 
-_JSON_NUMERIC_RE = r"^(BIGINT|INT|SMALLINT|TINYINT|DOUBLE|FLOAT|DECIMAL)"
+# Type gates compare schema_of_variant output, which for SCALAR values
+# is exactly one of the tokens below (DECIMAL renders with a precision
+# suffix, e.g. "DECIMAL(3,1)").  Formulated as isin/startswith instead
+# of rlike (r19 opt): same truth table over schema_of_variant's output
+# grammar, but equality/prefix tests instead of a Java regex engine per
+# row per gate (the battery carries ~10 gates/row at full width).
+_INT_TYPES = ("BIGINT", "INT", "SMALLINT", "TINYINT")
+_FLOAT_TYPES = ("DOUBLE", "FLOAT")
+
+
+def _is_int_type(st: Column) -> Column:
+    return st.isin(*_INT_TYPES)
+
+
+def _is_float_type(st: Column) -> Column:
+    return st.isin(*_FLOAT_TYPES) | st.startswith("DECIMAL")
+
+
+def _is_numeric_type(st: Column) -> Column:
+    return st.isin(*_INT_TYPES, *_FLOAT_TYPES) | st.startswith("DECIMAL")
 
 
 def json_has(j: ColumnOrName, *path: str | int) -> Column:
@@ -117,10 +136,9 @@ def json_extract_int(j: ColumnOrName, *path: str | int) -> Column:
     v = _variant_at(j, path)
     st = F.schema_of_variant(v)
     return F.coalesce(
-        v.try_cast("long")
-        + F.when(st.rlike(r"^(BIGINT|INT|SMALLINT|TINYINT)"), F.lit(0)),
+        v.try_cast("long") + F.when(_is_int_type(st), F.lit(0)),
         v.try_cast("double").cast("long")
-        + F.when(st.rlike(r"^(DOUBLE|FLOAT|DECIMAL)"), F.lit(0)),
+        + F.when(_is_float_type(st), F.lit(0)),
         F.lit(0).cast("long"),
     )
 
@@ -130,7 +148,7 @@ def json_extract_float(j: ColumnOrName, *path: str | int) -> Column:
     v = _variant_at(j, path)
     return F.coalesce(
         v.try_cast("double")
-        + F.when(F.schema_of_variant(v).rlike(_JSON_NUMERIC_RE), F.lit(0.0)),
+        + F.when(_is_numeric_type(F.schema_of_variant(v)), F.lit(0.0)),
         F.lit(0.0),
     )
 
@@ -178,16 +196,21 @@ def json_length(j: ColumnOrName, *path: str | int) -> Column:
     """``JSONLength``: element count of the array / key count of the
     object at path, else 0."""
     v = _variant_at(j, path)
-    s = F.to_json(v)
     t = F.schema_of_variant(v)
-    # additive gates (see NOTE above): json_array_length /
-    # json_object_keys return NULL on a non-matching JSON kind, so the
-    # unconditional calls are safe, and the when() arms only annul a
-    # scalar's spurious length (e.g. json_array_length('5') is NULL
-    # already; the gate guards the VARIANT/OBJECT ambiguity)
+    # additive gates (see NOTE above): the array arm reads the element
+    # count straight off the variant (try_variant_get -> array<variant>
+    # is NULL for any non-array, exactly like json_array_length of the
+    # rendered text was -- r19 opt: no to_json render + JSON reparse on
+    # the array path); the object arm still renders, but coalesce is
+    # lazy so it only runs for non-arrays, and its to_json/
+    # json_object_keys subtree is byte-identical to json_extract_keys'
+    # (subexpression elimination shares one evaluation when both are
+    # projected).  The when() arms only annul a scalar's spurious
+    # length (the gate guards the VARIANT/OBJECT ambiguity).
     return F.coalesce(
-        F.json_array_length(s) + F.when(t.startswith("ARRAY"), F.lit(0)),
-        F.array_size(F.json_object_keys(s))
+        F.array_size(F.try_variant_get(v, "$", "array<variant>"))
+        + F.when(t.startswith("ARRAY"), F.lit(0)),
+        F.array_size(F.json_object_keys(F.to_json(v)))
         + F.when(t.startswith("OBJECT") | (t == "VARIANT"), F.lit(0)),
         F.lit(0),
     )
@@ -206,8 +229,8 @@ def json_type(j: ColumnOrName, *path: str | int) -> Column:
         .when(t == "STRING", F.lit("String"))
         .when(t == "BOOLEAN", F.lit("Bool"))
         .when(t == "VOID", F.lit("Null"))
-        .when(t.rlike(r"^(BIGINT|INT|SMALLINT|TINYINT)"), F.lit("Int64"))
-        .when(t.rlike(r"^(DOUBLE|FLOAT|DECIMAL)"), F.lit("Double")),
+        .when(_is_int_type(t), F.lit("Int64"))
+        .when(_is_float_type(t), F.lit("Double")),
         F.lit(""),
     )
 

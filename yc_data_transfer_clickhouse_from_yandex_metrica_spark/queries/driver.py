@@ -4139,7 +4139,20 @@ _JSON_EDGE_CASE = """CASE CAST(event_id % 7 AS INT)
 
 def q_json_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     _prep(spark)
-    e = t(spark, sf_dir, "events").withColumn("__j", F.expr(_JSON_EDGE_CASE))
+    # ORDER BY runs BEFORE the variant battery (r19 opt): a trailing
+    # orderBy would put the 17-column extraction Project under the
+    # range exchange, whose boundary-sampling job evaluates the whole
+    # child once just to sample event_id -- the battery ran TWICE and
+    # the sort shuffled 17 wide columns (measured 7.8 s vs 3.4 s at
+    # sf0.1).  Sorting the 3 narrow input columns first preserves both
+    # the row set and the output order (a deterministic per-row
+    # projection after a sort keeps partition order), guide §2.3/§2.4.
+    e = (
+        t(spark, sf_dir, "events")
+        .select("event_id", "props")
+        .withColumn("__j", F.expr(_JSON_EDGE_CASE))
+        .orderBy("event_id")
+    )
     return e.select(
         "event_id",
         chjson.json_extract_int("props", "k").alias("k_int"),
@@ -4162,7 +4175,7 @@ def q_json_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         chjson.json_length("__j").alias("obj_len"),
         chjson.json_length("__j", "arr").alias("arr_len"),
         chjson.json_type("__j", "n").alias("t_n"),
-    ).orderBy("event_id")
+    )
 
 
 _ORACLE_JSON_FUNCS = f"""
