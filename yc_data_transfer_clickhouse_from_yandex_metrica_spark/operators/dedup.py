@@ -139,32 +139,39 @@ def paragraph_dedup(
 def _shingle_index(df: DataFrame, id_col: str, text_col: str, k: int) -> DataFrame:
     """(id, shingle-hash) inverted-index rows, NOT per-doc distinct.
 
-    Formulated as posexplode(tokens) -> k-1 LEAD window steps ->
-    concat -> xxhash64, all flat columns in codegen.  Do NOT switch to
-    explode(shingles(...)): a Generate whose child contains the
-    higher-order shingle expression drops the whole pipeline to
-    interpreted eval (~20x slower, measured).  The window shuffle
-    partitions by doc id, which every downstream per-doc aggregate
-    (minhash mins, collect_set) then reuses exchange-free.
+    MAP-SIDE shingling (r19 opt): explode(arrays_zip(k shifted slices
+    of the token array)) -> concat -> xxhash64, zero exchanges -- the
+    token TEXT never rides a shuffle (the previous posexplode -> LEAD
+    window formulation shuffled the whole token stream by doc id just
+    to look ahead k-1 positions; at corpus scale the token stream IS
+    the corpus).  Downstream per-doc aggregates (minhash mins,
+    collect_set) do their own map-side partial aggregation, so the
+    first shuffle anywhere moves per-doc states, not tokens.  Verified
+    row-identical to the window formulation.
+
+    arrays_zip + slice are plain codegen expressions under the
+    Generate; do NOT replace them with a higher-order-function
+    shingle builder (transform/aggregate lambdas under a Generate
+    drop the pipeline to interpreted eval, ~20x slower, measured).
 
     The shingle is carried as xxhash64 so joins shuffle 8-byte keys
     instead of strings; a 64-bit collision (~1e-11 at realistic
     shingle cardinality) is the accepted exactness epsilon.  Docs with
-    fewer than k tokens emit no rows (lead(k-1) is null) -- same
-    contract as the SQL-window oracle.
+    fewer than k tokens emit no rows -- same contract as the
+    SQL-window oracle.
     """
-    toks = df.select(
-        F.col(id_col).alias("id"),
-        F.posexplode(tokens(text_col)).alias("pos", "t0"),
+    tk = tokens(text_col)
+    n = F.size("tk")
+    base = df.select(F.col(id_col).alias("id"), tk.alias("tk")).where(n >= k)
+    zipped = F.arrays_zip(
+        *[F.slice("tk", i + 1, n - (k - 1)).alias(f"t{i}") for i in range(k)]
     )
-    w = Window.partitionBy("id").orderBy("pos")
-    lead_cols = [F.lead("t0", i).over(w).alias(f"t{i}") for i in range(1, k)]
-    grams = toks.select("id", F.col("t0"), *lead_cols)
-    if k > 1:
-        grams = grams.where(F.col(f"t{k - 1}").isNotNull())
+    grams = base.select("id", F.explode(zipped).alias("g"))
     return grams.select(
         "id",
-        F.xxhash64(F.concat_ws(" ", *[f"t{i}" for i in range(k)])).alias("sh"),
+        F.xxhash64(
+            F.concat_ws(" ", *[F.col(f"g.t{i}") for i in range(k)])
+        ).alias("sh"),
     )
 
 
@@ -263,12 +270,27 @@ def ngram_jaccard_pairs(
     idx = per_doc.select(
         "id", F.size("shset").alias("nsh"), F.explode("shset").alias("sh")
     )
-    if max_df is not None or (salt_df is not None and not prefix_filter):
-        dfreq = idx.groupBy("sh").agg(F.count("*").alias("df"))
-    if max_df is not None:
-        hot = dfreq.where(F.col("df") > max_df).select("sh")
-        idx = idx.join(F.broadcast(hot), "sh", "left_anti")
+    if not prefix_filter and (max_df is not None or salt_df is not None):
+        # document frequency as ONE count window over the bucket key
+        # (r19 opt), replacing a separate groupBy(sh) aggregate plus
+        # up to two broadcast joins (the >max_df anti-join and the
+        # >=salt_df flag join).  The window shuffle on sh is the very
+        # partitioning the pair join needs anyway; the per-bucket
+        # count is linear in bucket size (a boilerplate shingle's df
+        # rows land in one task, but counting them is O(df) -- the
+        # quadratic pair work below stays salted).  Scale win: the old
+        # hot/salted frames were driver-built broadcasts whose size
+        # grew with the number of hot shingles (unbounded at web
+        # scale); the window keeps everything executor-side.
+        wsh = Window.partitionBy("sh")
+        idx = idx.withColumn("__df", F.count(F.lit(1)).over(wsh))
+        if max_df is not None:
+            idx = idx.where(F.col("__df") <= max_df)
     if prefix_filter:
+        if max_df is not None:
+            dfreq0 = idx.groupBy("sh").agg(F.count("*").alias("df"))
+            hot = dfreq0.where(F.col("df") > max_df).select("sh")
+            idx = idx.join(F.broadcast(hot), "sh", "left_anti")
         dfreq = idx.groupBy("sh").agg(F.count("*").alias("df"))
         ranked = idx.join(dfreq, "sh").withColumn(
             "__rnk",
@@ -306,17 +328,14 @@ def ngram_jaccard_pairs(
             )
         )
     if salt_df is not None:
-        salted = (
-            dfreq.where(F.col("df") >= salt_df)
-            .select("sh", F.lit(True).alias("__hot"))
-        )
-        # one flagged, materialized index (lazy localCheckpoint): the
-        # cold and hot branches below would otherwise each recompute
-        # the shingle-window lineage for their own exchange
-        idx = idx.join(F.broadcast(salted), "sh", "left").localCheckpoint(
-            eager=False
-        )
-        cold = idx.where(F.col("__hot").isNull()).drop("__hot")
+        # hot flag comes straight off the window count -- no broadcast
+        # join.  One flagged, materialized index (lazy localCheckpoint):
+        # the cold and hot branches below would otherwise each recompute
+        # the shingle lineage for their own exchange.
+        idx = idx.select(
+            "id", "nsh", "sh", (F.col("__df") >= salt_df).alias("__hot")
+        ).localCheckpoint(eager=False)
+        cold = idx.where(~F.col("__hot")).drop("__hot")
         hot_idx = idx.where(F.col("__hot")).drop("__hot")
         s = int(salt_groups)
         g = F.pmod(F.xxhash64("id", F.lit(0x5A17)), F.lit(s)).cast("int")
