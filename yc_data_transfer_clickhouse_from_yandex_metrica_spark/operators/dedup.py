@@ -714,9 +714,18 @@ def simhash_hashes(
         th = F.expr(_MD5_TERM_HASH)
     else:
         raise ValueError(f"hash_fn must be 'xxhash64' or 'md5', got {hash_fn!r}")
+    # per-doc dedup is MAP-SIDE (r19 opt): array_distinct before the
+    # explode replaces a .distinct() on the exploded (id, th) rows --
+    # that distinct was a full shuffle of the token stream; now the
+    # only shuffle is the vote aggregate's per-doc partial states.
+    # Dedup domain moves from hash space to token-string space, which
+    # is what the md5-path SQL oracle does too (SELECT DISTINCT doc,
+    # token); the two differ only on an intra-document 64-bit term
+    # hash collision (~1e-11), the family's accepted epsilon.
     idx = df.select(
-        F.col(id_col).alias("id"), F.explode(tokens(text_col)).alias("t")
-    ).select("id", th.alias("th")).distinct()
+        F.col(id_col).alias("id"),
+        F.explode(F.array_distinct(tokens(text_col))).alias("t"),
+    ).select("id", th.alias("th"))
     # per-column F.expr strings, not composed Column objects: the
     # composed form costs ~6 py4j round-trips per bit (~1 s of
     # driver-side build for 64 bits, measured); a parsed string is one
