@@ -598,9 +598,29 @@ def connected_components(
     # degrade under the leaked storage (also measured).
     import gc
 
+    # both edge orientations from ONE pass over pairs (r19 opt):
+    # explode of a 2-struct array instead of unionAll of two selects.
+    # The union form embeds the pair-mining lineage TWICE in the edges
+    # job and exchange reuse does NOT merge the branches (measured: 4
+    # ShuffledHashJoin / 11 Exchange in the union plan vs 2 / ~6 here;
+    # the pair join — the expensive post-checkpoint step of the LSH
+    # miners — executed twice per edges build).  Same row set:
+    # explode(array(a->b, b->a)) emits exactly the two orientations
+    # the union emitted, and distinct collapses them identically.
     edges = (
-        pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
-        .unionAll(pairs.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst")))
+        pairs.select(
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.col(a_col).alias("src"), F.col(b_col).alias("dst")
+                    ),
+                    F.struct(
+                        F.col(b_col).alias("src"), F.col(a_col).alias("dst")
+                    ),
+                )
+            ).alias("e")
+        )
+        .select("e.src", "e.dst")
         .distinct()
         .localCheckpoint(eager=True)
     )
