@@ -243,3 +243,42 @@ def test_bpe_estimate_matches_python_model(spark, texts):
         dense = len(re.sub(r"\s+", "", s))
         surcharge = max(math.floor((dense - pieces * 4) / 8), 0)
         assert got[i] == pieces + surcharge, (t, got[i])
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(_TEXTS)
+def test_text_stats_staged_equals_naive(spark, texts):
+    """text_stats is built as staged projections (each lambda HOF named
+    once -- the r19 optimization); this pins it bit-identical to the
+    naive single-select over the public per-column helpers (the
+    pre-r19 formulation the DuckDB oracle mirrors)."""
+    from pyspark.sql import functions as F
+
+    from yc_data_transfer_clickhouse_from_yandex_metrica_spark.functions import ch
+    from yc_data_transfer_clickhouse_from_yandex_metrica_spark.operators import text as tx
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)] + [(len(texts), None)],
+        "doc_id long, text string",
+    )
+    t = tx.tokens("text")
+    naive = df.select(
+        F.col("doc_id"),
+        tx.token_count("text").alias("n_tokens"),
+        tx.bpe_token_estimate("text").alias("n_tokens_bpe"),
+        ch.round_to(F.coalesce(tx.stopword_ratio(t), F.lit(0.0)), 4).alias("stop_ratio"),
+        ch.round_to(F.coalesce(tx.mean_token_len(t), F.lit(0.0)), 4).alias("mean_tok_len"),
+        ch.round_to(F.coalesce(tx.alnum_ratio("text"), F.lit(0.0)), 4).alias("alnum_ratio"),
+        ch.round_to(tx.quality_score("text"), 4).alias("quality"),
+        tx.lang_id("text").alias("pred_lang"),
+        tx.fingerprint_md5(t).alias("fingerprint"),
+    )
+    staged = tx.text_stats(df)
+    assert staged.columns == naive.columns
+    a = {r["doc_id"]: tuple(r) for r in staged.collect()}
+    b = {r["doc_id"]: tuple(r) for r in naive.collect()}
+    assert a == b

@@ -102,16 +102,11 @@ def alnum_ratio(text: Column | str) -> Column:
     return kept.cast("double") / F.nullif(F.length(c).cast("double"), F.lit(0.0))
 
 
-def quality_score(text: Column | str, lang: str = "en") -> Column:
-    """Composite [0,1] quality heuristic: stopword presence (fluency
-    proxy), sane mean word length, alphanumeric density, non-trivial
-    length.  Fixed arithmetic so the DuckDB oracle can reproduce it
-    bit-for-bit (after rounding)."""
-    t = tokens(text)
-    sw = F.coalesce(stopword_ratio(t, lang), F.lit(0.0))
-    mlen = F.coalesce(mean_token_len(t), F.lit(0.0))
-    alnum = F.coalesce(alnum_ratio(text), F.lit(0.0))
-    n = F.size(t).cast("double")
+def _quality_from(sw: Column, mlen: Column, alnum: Column, n: Column) -> Column:
+    """The quality arithmetic over already-built signal columns.  Single
+    definition shared by :func:`quality_score` (self-contained column)
+    and :func:`text_stats` (staged projections) so the two paths cannot
+    drift -- the oracle SQL mirrors exactly this expression tree."""
     len_ok = F.least(n / F.lit(20.0), F.lit(1.0))
     mlen_ok = F.when((mlen >= 3.0) & (mlen <= 8.0), F.lit(1.0)).otherwise(F.lit(0.5))
     return F.least(
@@ -126,16 +121,30 @@ def quality_score(text: Column | str, lang: str = "en") -> Column:
     )
 
 
+def quality_score(text: Column | str, lang: str = "en") -> Column:
+    """Composite [0,1] quality heuristic: stopword presence (fluency
+    proxy), sane mean word length, alphanumeric density, non-trivial
+    length.  Fixed arithmetic so the DuckDB oracle can reproduce it
+    bit-for-bit (after rounding)."""
+    t = tokens(text)
+    sw = F.coalesce(stopword_ratio(t, lang), F.lit(0.0))
+    mlen = F.coalesce(mean_token_len(t), F.lit(0.0))
+    alnum = F.coalesce(alnum_ratio(text), F.lit(0.0))
+    n = F.size(t).cast("double")
+    return _quality_from(sw, mlen, alnum, n)
+
+
 def lang_scores(toks: Column) -> dict[str, Column]:
     return {lang: F.coalesce(stopword_ratio(toks, lang), F.lit(0.0)) for lang in LANG_PRIORITY}
 
 
-def lang_id(text: Column | str) -> Column:
-    """Predicted language = argmax of per-language stopword evidence,
-    ties broken by LANG_PRIORITY order; 'und' (undetermined) when no
-    language scores > 0.  Chained CASE so the oracle SQL is identical."""
-    t = tokens(text)
-    scores = lang_scores(t)
+def _langid_chain(scores: dict[str, Column]) -> Column:
+    """Argmax-with-priority CASE chain over per-language score columns.
+    Shared by :func:`lang_id` and :func:`text_stats`; note every score
+    is referenced by several CASE branches, so callers must pass CHEAP
+    columns (field refs / plain arithmetic) -- passing lambda-HOF
+    subtrees re-evaluates them per reference (HOFs are interpreted and
+    exempt from codegen subexpression elimination)."""
     best: Column = F.lit("und")
     best_score: Column = F.lit(0.0)
     # iterate in reverse priority: earlier langs overwrite on >= score
@@ -146,6 +155,14 @@ def lang_id(text: Column | str) -> Column:
         best = F.when(better, F.lit(lang)).otherwise(best)
         best_score = F.when(better, s).otherwise(best_score)
     return best
+
+
+def lang_id(text: Column | str) -> Column:
+    """Predicted language = argmax of per-language stopword evidence,
+    ties broken by LANG_PRIORITY order; 'und' (undetermined) when no
+    language scores > 0.  Chained CASE so the oracle SQL is identical."""
+    t = tokens(text)
+    return _langid_chain(lang_scores(t))
 
 
 def fingerprint_md5(toks: Column) -> Column:
@@ -299,16 +316,60 @@ def scrub_pii(
 
 def text_stats(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Per-document stats frame: token count, stopword ratio, mean token
-    length, alnum ratio, quality score, predicted language, fingerprint."""
-    t = tokens(text_col)
-    return df.select(
+    length, alnum ratio, quality score, predicted language, fingerprint.
+
+    Staged projections, not one wide select: the stopword filters and
+    the token-length fold are lambda higher-order functions, which are
+    (a) evaluated interpreted and (b) exempt from codegen subexpression
+    elimination -- the naive single-select form inlines 43 ArrayFilter
+    nodes per row (every lang_id CASE branch re-embeds the filters it
+    references) and measured 2.1x slower at sf0.1.  Here each HOF is
+    named once in its own projection (4 filters + 1 fold + 1 tokenize)
+    and the final stage is cheap arithmetic over those columns;
+    CollapseProject keeps the stages apart because the producers are
+    non-cheap and multiply-referenced.  Still map-side, zero exchange,
+    no Python (plan-pinned); output is bit-identical to the naive form
+    (pure subexpression naming -- the arithmetic helpers are shared,
+    and tests/test_properties_text.py pins staged == naive).
+    """
+    base = df.select(
+        F.col(id_col), F.col(text_col), tokens(text_col).alias("__toks")
+    )
+    tk = F.col("__toks")
+    staged = base.select(
+        id_col,
+        text_col,
+        "__toks",
+        F.size(tk).alias("__n"),
+        *[
+            F.size(F.filter(tk, lambda x: x.isin(*STOPWORDS[lang]))).alias(
+                f"__h_{lang}"
+            )
+            for lang in LANG_PRIORITY
+        ],
+        F.aggregate(tk, F.lit(0).cast("long"), lambda a, x: a + F.length(x)).alias(
+            "__tlen"
+        ),
+    )
+    nd = F.col("__n").cast("double")
+
+    def ratio(h: str) -> Column:
+        return F.col(h).cast("double") / F.nullif(nd, F.lit(0.0))
+
+    sw = F.coalesce(ratio("__h_en"), F.lit(0.0))
+    mlen = F.coalesce(
+        F.col("__tlen").cast("double") / F.nullif(nd, F.lit(0.0)), F.lit(0.0)
+    )
+    alnum = F.coalesce(alnum_ratio(text_col), F.lit(0.0))
+    scores = {lang: F.coalesce(ratio(f"__h_{lang}"), F.lit(0.0)) for lang in LANG_PRIORITY}
+    return staged.select(
         F.col(id_col),
-        token_count(text_col).alias("n_tokens"),
+        F.col("__n").cast("long").alias("n_tokens"),
         bpe_token_estimate(text_col).alias("n_tokens_bpe"),
-        ch.round_to(F.coalesce(stopword_ratio(t), F.lit(0.0)), 4).alias("stop_ratio"),
-        ch.round_to(F.coalesce(mean_token_len(t), F.lit(0.0)), 4).alias("mean_tok_len"),
-        ch.round_to(F.coalesce(alnum_ratio(text_col), F.lit(0.0)), 4).alias("alnum_ratio"),
-        ch.round_to(quality_score(text_col), 4).alias("quality"),
-        lang_id(text_col).alias("pred_lang"),
-        fingerprint_md5(t).alias("fingerprint"),
+        ch.round_to(sw, 4).alias("stop_ratio"),
+        ch.round_to(mlen, 4).alias("mean_tok_len"),
+        ch.round_to(alnum, 4).alias("alnum_ratio"),
+        ch.round_to(_quality_from(sw, mlen, alnum, nd), 4).alias("quality"),
+        _langid_chain(scores).alias("pred_lang"),
+        fingerprint_md5(tk).alias("fingerprint"),
     )
