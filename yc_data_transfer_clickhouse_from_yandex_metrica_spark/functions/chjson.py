@@ -187,8 +187,19 @@ def json_extract_array_raw(j: ColumnOrName, *path: str | int) -> Column:
 def json_extract_keys(j: ColumnOrName, *path: str | int) -> Column:
     """``JSONExtractKeys``: keys of the object at path, SORTED
     (documented deviation -- CH preserves document order); [] when the
-    path is missing or not an object."""
-    ks = F.json_object_keys(F.to_json(_variant_at(j, path)))
+    path is missing or not an object.
+
+    Keys come straight off the variant via a ``map<string,variant>``
+    extraction (r19 opt): ``try_variant_get`` is NULL for any
+    non-object, exactly like ``json_object_keys`` of the rendered text
+    was, and the shredded object's fields are already key-sorted -- no
+    JSON text render + reparse per row (measured ~0.45 s/1.5M rows off
+    the battery).  ``array_sort`` stays as the documented-order
+    guarantee rather than an implicit property of variant
+    normalization."""
+    ks = F.map_keys(
+        F.try_variant_get(_variant_at(j, path), "$", "map<string,variant>")
+    )
     return F.array_sort(F.coalesce(ks, F.array().cast("array<string>")))
 
 
@@ -197,20 +208,20 @@ def json_length(j: ColumnOrName, *path: str | int) -> Column:
     object at path, else 0."""
     v = _variant_at(j, path)
     t = F.schema_of_variant(v)
-    # additive gates (see NOTE above): the array arm reads the element
-    # count straight off the variant (try_variant_get -> array<variant>
-    # is NULL for any non-array, exactly like json_array_length of the
-    # rendered text was -- r19 opt: no to_json render + JSON reparse on
-    # the array path); the object arm still renders, but coalesce is
-    # lazy so it only runs for non-arrays, and its to_json/
-    # json_object_keys subtree is byte-identical to json_extract_keys'
+    # additive gates (see NOTE above): BOTH arms read their count
+    # straight off the variant (r19 opt) -- try_variant_get ->
+    # array<variant> / map<string,variant> is NULL for any
+    # wrong-shaped value, exactly like json_array_length /
+    # json_object_keys of the rendered text were, so neither arm pays
+    # a to_json render + JSON reparse per row, and the object arm's
+    # map extraction is byte-identical to json_extract_keys'
     # (subexpression elimination shares one evaluation when both are
     # projected).  The when() arms only annul a scalar's spurious
     # length (the gate guards the VARIANT/OBJECT ambiguity).
     return F.coalesce(
         F.array_size(F.try_variant_get(v, "$", "array<variant>"))
         + F.when(t.startswith("ARRAY"), F.lit(0)),
-        F.array_size(F.json_object_keys(F.to_json(v)))
+        F.array_size(F.map_keys(F.try_variant_get(v, "$", "map<string,variant>")))
         + F.when(t.startswith("OBJECT") | (t == "VARIANT"), F.lit(0)),
         F.lit(0),
     )

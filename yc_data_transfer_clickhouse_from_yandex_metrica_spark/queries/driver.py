@@ -5176,10 +5176,13 @@ ROTATION_FORCE_FRONT: frozenset[str] = frozenset(
     # round 19 optimization pass: json_funcs' chjson closure changed
     # (json_type/json_length gates moved from rlike to isin/startswith,
     # json_length's array arm now reads array_size(try_variant_get)
-    # directly) and the battery now projects above the row sort.  All
-    # verified hash-eq on a vanilla session + chjson property suite
-    # this round, but the stale-tail guard rightly demands the next
-    # driver window re-prove them; forced + new = 4 + 0.
+    # directly, and json_extract_keys/json_length's object arm now
+    # extract map<string,variant> straight off the variant instead of
+    # rendering to JSON text and reparsing) and the battery now
+    # projects above the row sort.  All verified hash-eq on a vanilla
+    # session + chjson property suite this round, but the stale-tail
+    # guard rightly demands the next driver window re-prove them;
+    # forced + new = 4 + 0.
     {
         "ann_ivf_topk",
         "ann_ivf_exhaustive",
