@@ -3844,11 +3844,41 @@ _STRUCT_AGG_GATE = re.compile(
 # qualified) identifier or an integer position
 _PLAIN_OUT_RE = re.compile(r"(`[^`]+`|\w+)(\s*\.\s*(`[^`]+`|\w+))*")
 
+# r20 shared-scan compile for multi-frame structural statements
+# (_rewrite_summap docstring).  Module flag so an A/B or a test can
+# pin the legacy inline (scan-per-frame) compile.
+_SHARED_SCAN = True
+
 
 def _norm_expr(e: str) -> str:
     """Whitespace-collapsed, backtick-stripped text for expr equality
     (group-key matching only -- NOT identifier resolution)."""
     return _collapse_ws(e).replace("`", "")
+
+
+def _ident_tokens(texts: list[str]) -> set[str]:
+    """Lower-cased identifier-shaped tokens of every text (literals
+    masked).  A SUPERSET of the column references (function names and
+    keywords ride along), used only to decide which base-view columns
+    the shared-scan projection may DROP -- keeping extra columns is
+    safe, dropping a referenced one is not, and every real column
+    reference necessarily appears as one of these tokens."""
+    out: set[str] = set()
+    for t in texts:
+        if not t:
+            continue
+        for m in re.finditer(r"`([^`]+)`|\b([A-Za-z_]\w*)\b", _mask(t)):
+            out.add((m.group(1) or m.group(2)).lower())
+    return out
+
+
+def _flat_strs(x) -> list[str]:
+    """Every string anywhere inside a (possibly nested) payload tuple."""
+    if isinstance(x, str):
+        return [x]
+    if isinstance(x, (list, tuple)):
+        return [s for y in x for s in _flat_strs(y)]
+    return []
 
 
 def _summap_chain(
@@ -4428,7 +4458,11 @@ def _hist_chain(
     )
 
 
-def _rewrite_summap(sql: str) -> str:
+def _rewrite_summap(
+    sql: str,
+    view_cols: dict[str, list[str]] | None = None,
+    shared_out: list[tuple[str, str]] | None = None,
+) -> str:
     """Compile the CH map-aggregate combinators (``sumMap(keys, vals)``
     / ``minMap`` / ``maxMap``) when each call is a whole ALIASED item
     of the top-level SELECT list -- the canonical Metrica shape
@@ -4446,10 +4480,20 @@ def _rewrite_summap(sql: str) -> str:
     - RESIDUAL PATH (other aggregates or HAVING present): the
       non-map items compute in a residual GROUP BY over the same
       FROM/WHERE, then a null-safe equi-join on the group keys merges
-      the two aggregate streams.  CH folds both into one pass; two
-      passes is the cost of keeping both plans in native Spark
-      aggregates (both scans push the same filters; noted in
-      PLANS.md).
+      the two aggregate streams.
+
+    SHARED SCAN (r20): with two or more frames (residual + one chain
+    per structural item) the inline form re-evaluates FROM/WHERE once
+    PER FRAME -- at scale that is N full scans of the fact table for
+    one statement.  When ``shared_out`` is given and the FROM is one
+    plain relation, the frames instead read a shared base view: this
+    function appends ``(view_name, base_select_sql)`` pairs to
+    ``shared_out`` and run_sql materializes each base exactly once
+    (localCheckpoint) before compiling the statement.  ``view_cols``
+    (view name -> column list) lets the base project only the columns
+    the frames reference, so the one scan stays column-pruned.  With
+    ``shared_out=None`` (the pure-text path, kept for tests) the
+    inline multi-scan form is emitted unchanged.
 
     Occurrences anywhere else (subquery, CTE, HAVING, nested in an
     expression) keep the structural refusal -- this function simply
@@ -4459,7 +4503,9 @@ def _rewrite_summap(sql: str) -> str:
         return sql
     branches = _split_union_all(sql)
     if len(branches) > 1:
-        return " UNION ALL ".join(_rewrite_summap(b) for b in branches)
+        return " UNION ALL ".join(
+            _rewrite_summap(b, view_cols, shared_out) for b in branches
+        )
     try:
         spans = _segment(sql)
     except ValueError:
@@ -4886,6 +4932,60 @@ def _rewrite_summap(sql: str) -> str:
         _norm_expr(expr) in gk_norm for _idx, expr, _al in other
     )
 
+    # ---- shared scan (r20): one materialized base for 2+ frames -----
+    # Each frame below embeds FROM/WHERE verbatim, so the inline form
+    # scans the source once per frame (guide §2.1/§6 read
+    # amplification).  When the caller can materialize (shared_out
+    # given), the FROM is a single plain relation, and there are at
+    # least two frames, project the referenced columns (plus the
+    # WHERE) into one base view the frames re-read.  Qualified
+    # references keep resolving because the base view is re-aliased
+    # with the original relation/alias name.
+    n_frames = (0 if fast else 1) + len(struct_items)
+    use_frm, use_where = frm, where_txt
+    if shared_out is not None and n_frames >= 2:
+        sf_m = re.fullmatch(
+            r"FROM\s+(`[^`]+`|\w+)(?:\s+(?:AS\s+)?(`[^`]+`|\w+))?",
+            _collapse_ws(frm),
+            re.I,
+        )
+        if sf_m:
+            rel, al = sf_m.group(1), sf_m.group(2)
+            proj = "*"
+            rel_key = rel.strip("`")
+            # pruning is skipped under a WITH prefix: CH scalar
+            # aliases substitute textually AFTER this rewrite, so
+            # token extraction here could miss columns they expand to
+            if (
+                view_cols is not None
+                and rel_key in view_cols
+                and not re.match(r"\s*WITH\b", sql, re.I)
+            ):
+                refd = _ident_tokens(
+                    list(gk)
+                    + [expr for _i, expr, _a in other]
+                    + [having_b or ""]
+                    + [
+                        s
+                        for _i, _k, payload, _a in struct_items
+                        for s in _flat_strs(payload)
+                    ]
+                )
+                kept = [
+                    c for c in view_cols[rel_key] if c.lower() in refd
+                ]
+                if kept and len(kept) < len(view_cols[rel_key]):
+                    proj = ", ".join(f"`{c}`" for c in kept)
+            view = f"__chsql_sb{len(shared_out)}"
+            shared_out.append(
+                (
+                    view,
+                    f"SELECT {proj} {frm}"
+                    + (f" {where_txt}" if where_txt else ""),
+                )
+            )
+            use_frm, use_where = f"FROM {view} {al or rel}", None
+
     frames: list[tuple[str, str]] = []
     if not fast:
         r_items = "".join(
@@ -4894,7 +4994,7 @@ def _rewrite_summap(sql: str) -> str:
         gk_sel = ", ".join(f"{e} AS __smg{i}" for i, e in enumerate(gk))
         resid = (
             f"SELECT {gk_sel}{r_items}" if gk_sel else f"SELECT 1 AS __smone{r_items}"
-        ) + f" {frm}" + (f" {where_txt}" if where_txt else "")
+        ) + f" {use_frm}" + (f" {use_where}" if use_where else "")
         if gk:
             resid += " GROUP BY " + ", ".join(gk)
         if having_b:
@@ -4903,12 +5003,12 @@ def _rewrite_summap(sql: str) -> str:
     for n, (_idx, kind, payload, _alias) in enumerate(struct_items):
         if kind == "map":
             how, karg, varg = payload
-            chain = _summap_chain(how, karg, varg, gk, frm, where_txt)
+            chain = _summap_chain(how, karg, varg, gk, use_frm, use_where)
         elif kind == "topk":
             topn, xarg, warg = payload
-            chain = _topk_chain(topn, xarg, warg, gk, frm, where_txt)
+            chain = _topk_chain(topn, xarg, warg, gk, use_frm, use_where)
         elif kind == "ent":
-            chain = _entropy_chain(payload[0], gk, frm, where_txt)
+            chain = _entropy_chain(payload[0], gk, use_frm, use_where)
         elif kind == "wf":
             win_s, ts_arg, conds, wf_mode = payload
             builder = (
@@ -4916,27 +5016,27 @@ def _rewrite_summap(sql: str) -> str:
                 if wf_mode == "strict_order"
                 else _window_funnel_chain
             )
-            chain = builder(win_s, ts_arg, conds, gk, frm, where_txt)
+            chain = builder(win_s, ts_arg, conds, gk, use_frm, use_where)
         elif kind == "seqm":
             refs, sgaps, ts_arg, conds = payload
             chain = _seq_match_chain(
-                refs, sgaps, ts_arg, conds, gk, frm, where_txt
+                refs, sgaps, ts_arg, conds, gk, use_frm, use_where
             )
         elif kind == "seqc":
             refs, _sgaps, ts_arg, conds = payload
             chain = _seq_count_chain(
                 conds[refs[0] - 1], conds[refs[1] - 1], ts_arg, gk,
-                frm, where_txt,
+                use_frm, use_where,
             )
         elif kind == "ils":
-            chain = _ils_chain(payload[0], payload[1], gk, frm, where_txt)
+            chain = _ils_chain(payload[0], payload[1], gk, use_frm, use_where)
         elif kind == "mxi":
-            chain = _mxi_chain(payload[0], payload[1], gk, frm, where_txt)
+            chain = _mxi_chain(payload[0], payload[1], gk, use_frm, use_where)
         elif kind == "hist":
-            chain = _hist_chain(payload[0], payload[1], gk, frm, where_txt)
+            chain = _hist_chain(payload[0], payload[1], gk, use_frm, use_where)
         else:
             ps, xarg, warg, scalar = payload
-            chain = _qew_chain(ps, xarg, warg, gk, frm, where_txt, scalar)
+            chain = _qew_chain(ps, xarg, warg, gk, use_frm, use_where, scalar)
         frames.append((f"__smm{n}", chain))
 
     base_tag = frames[0][0]
@@ -5531,6 +5631,7 @@ def run_sql(
     if _chjoin._ANY_MOD.search(_mask(sql)):
         sql, tables = _chjoin.compile_strictness_joins(spark, sql, tables)
     sql, decorations = _scan_table_decorations(sql, tables)
+    view_cols: dict[str, list[str]] = {}
     for i, (name, df) in enumerate(sorted(tables.items(), key=lambda kv: -len(kv[0]))):
         view = f"__chsql_t{i}"
         if name in decorations:
@@ -5538,19 +5639,35 @@ def run_sql(
                 df, name, decorations[name], (table_meta or {}).get(name)
             )
         df.createOrReplaceTempView(view)
+        view_cols[view] = list(df.columns)
         sql = _replace_name(sql, name, view)
     sql = _rewrite_indexing(sql, _elem_defaults(tables))
     sql = _rewrite_array_literals(sql)
     sql = _rewrite_postfix_indexing(sql)
     sql = _rewrite_array_join(sql, _elem_defaults(tables))
-    sql = _rewrite_summap(sql)
-    sql = _rewrite_running(sql)
-    _refuse_state_combinators(sql)
-    _refuse_families(sql)
-    sql = _rewrite_parametrized(sql)
-    sql = _rewrite_calls(sql, _schema_ctx(tables))
-    sql = _rewrite_literals(sql)
-    sql = _collapse_ws(sql).rstrip(";").rstrip()
+    # shared_bases collects (view name, base SELECT) pairs the
+    # structural compiler wants materialized ONCE instead of scanning
+    # the source once per aggregate frame (see _rewrite_summap)
+    shared_bases: list[tuple[str, str]] = []
+    sql = _rewrite_summap(
+        sql, view_cols, shared_bases if _SHARED_SCAN else None
+    )
+    ctx = _schema_ctx(tables)
+
+    def _post_rewrites(text: str) -> str:
+        # every text-level rewrite that runs AFTER the structural
+        # compiler must also apply to the extracted base texts --
+        # they were part of this same statement until a moment ago
+        text = _rewrite_running(text)
+        _refuse_state_combinators(text)
+        _refuse_families(text)
+        text = _rewrite_parametrized(text)
+        text = _rewrite_calls(text, ctx)
+        text = _rewrite_literals(text)
+        return _collapse_ws(text).rstrip(";").rstrip()
+
+    sql = _post_rewrites(sql)
+    shared_bases = [(v, _post_rewrites(t)) for v, t in shared_bases]
     # trailing CH decorations with no Spark counterpart: FORMAT picks
     # a CLI wire format (the DataFrame IS the result set here) and
     # SETTINGS tunes CH execution knobs -- both stripped, masked-scan
@@ -5568,11 +5685,19 @@ def run_sql(
     # `WITH expr AS name` form), subquery CTEs carried as a Spark
     # WITH prefix into every compiled statement
     masked = _mask(sql)
+    # the shared-scan base texts were lifted out of this statement, so
+    # the read-decoration refusals below must scan them too (a SAMPLE/
+    # FINAL/ANY JOIN inside the lifted FROM/WHERE refused before the
+    # lift and must keep refusing, not surface as a Spark parse error)
+    _shared_masked = [_mask(t) for _v, t in shared_bases]
     # CH `SAMPLE k` reads a deterministic slice of a table's declared
     # SAMPLE BY key; a bare DataFrame has no such key, so the clause
     # cannot be honored faithfully -- refuse with the operator pointer
     # instead of Spark's opaque parse error
-    if re.search(r"\bSAMPLE\s+[\d./]", masked, re.I):
+    if any(
+        re.search(r"\bSAMPLE\s+[\d./]", mt, re.I)
+        for mt in [masked] + _shared_masked
+    ):
         # direct `FROM table SAMPLE f` was compiled above when the
         # table declares TableMeta(sample_by=...); what remains here
         # is a placement with no declared key (subquery, undeclared
@@ -5587,9 +5712,13 @@ def run_sql(
     # engine's version key; Spark would silently parse FINAL as a
     # table ALIAS and skip the collapse — the worst silent-wrong
     # class, so refuse (rename the alias if FINAL was meant as one)
-    if re.search(
-        r"(\bFROM\s+|\bJOIN\s+|,\s*)(`[^`]+`|\w+)\s+FINAL\b", masked, re.I
-    ) or re.search(r"\)\s+FINAL\b", masked, re.I):
+    if any(
+        re.search(
+            r"(\bFROM\s+|\bJOIN\s+|,\s*)(`[^`]+`|\w+)\s+FINAL\b", mt, re.I
+        )
+        or re.search(r"\)\s+FINAL\b", mt, re.I)
+        for mt in [masked] + _shared_masked
+    ):
         # direct `FROM table FINAL` was compiled above when the table
         # declares TableMeta(key, version, sign); what remains is a
         # target with no declaration (Spark would silently parse FINAL
@@ -5608,16 +5737,38 @@ def run_sql(
     ):
         # CH accepts the modifier BEFORE or AFTER the direction word
         # (`ANY LEFT JOIN` == `LEFT ANY JOIN`): refuse both spellings
-        if re.search(
-            rf"\b{bad}\s+(LEFT\s+|RIGHT\s+|INNER\s+|FULL\s+)?JOIN\b", masked, re.I
-        ) or re.search(
-            rf"\b(LEFT|RIGHT|INNER|FULL)\s+{bad}\s+JOIN\b", masked, re.I
+        if any(
+            re.search(
+                rf"\b{bad}\s+(LEFT\s+|RIGHT\s+|INNER\s+|FULL\s+)?JOIN\b",
+                mt,
+                re.I,
+            )
+            or re.search(
+                rf"\b(LEFT|RIGHT|INNER|FULL)\s+{bad}\s+JOIN\b", mt, re.I
+            )
+            for mt in [masked] + _shared_masked
         ):
             raise ValueError(
                 f"chsql: CH {bad} JOIN changes row multiplicity and is not "
                 f"mapped; {hint}"
             )
-    cte_prefix, sql = _extract_with(sql)
+    _with_scalars: list[tuple[str, str]] = []
+    cte_prefix, sql = _extract_with(sql, _with_scalars)
+
+    # materialize each shared-scan base exactly once (eager
+    # localCheckpoint: the N aggregate frames then re-read the stored
+    # partitions instead of re-running the scan N times; recomputed
+    # from the inputs on EVERY run_sql call -- nothing persists across
+    # invocations, and the bench's release_storage unpersists it).
+    # CH scalar WITH aliases substitute textually into the main text
+    # above; the lifted base texts need the same substitution.
+    for view, btxt in shared_bases:
+        for name, expr in _with_scalars:
+            btxt = _sub_outside_literals(
+                rf"(?<![\w`]){re.escape(name)}(?![\w`])", f"({expr})", btxt
+            )
+        stmt = f"{cte_prefix} {btxt}" if cte_prefix else btxt
+        spark.sql(stmt).localCheckpoint().createOrReplaceTempView(view)
 
     # CH binds LIMIT (and ORDER BY) to EACH branch of a top-level
     # UNION ALL; ANSI binds them to the union.  Compile branches
@@ -5631,14 +5782,19 @@ def run_sql(
     return _compile_single(spark, sql, cte_prefix)
 
 
-def _extract_with(sql: str) -> tuple[str, str]:
+def _extract_with(
+    sql: str, scalars_out: list[tuple[str, str]] | None = None
+) -> tuple[str, str]:
     """Split a leading CH ``WITH`` into (spark CTE prefix, remaining
     query).  Two CH item shapes: ``name AS (subquery)`` stays a CTE
     (ANSI, Spark-native); ``expr AS name`` is CH's SCALAR alias --
     substituted textually as ``(expr)`` into the rest of the query
     (Spark has no scalar WITH).  Scalar aliases may not reference each
     other (CH allows it; not reproduced -- raises via the final
-    unresolved-name error)."""
+    unresolved-name error).  ``scalars_out`` (if given) receives the
+    (name, expr) scalar pairs so run_sql can apply the same
+    substitution to shared-scan base texts lifted out of the
+    statement."""
     if not re.match(r"\s*WITH\b", sql, re.I):
         return "", sql
     sel = _find_clause(sql, "SELECT")
@@ -5666,6 +5822,8 @@ def _extract_with(sql: str) -> tuple[str, str]:
         rest = _sub_outside_literals(
             rf"(?<![\w`]){re.escape(name)}(?![\w`])", f"({expr})", rest
         )
+    if scalars_out is not None:
+        scalars_out.extend(scalars)
     return ("WITH " + ", ".join(ctes)) if ctes else "", rest
 
 

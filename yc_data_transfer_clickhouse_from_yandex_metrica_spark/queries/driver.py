@@ -5158,36 +5158,30 @@ DRIVER_WINDOW = 50  # driver-checked prefix length (round-5 verdict)
 # next CORRECTNESS file re-proves them.  Maintained per round; clear
 # once the round's CORRECTNESS file shows them green again.
 ROTATION_FORCE_FRONT: frozenset[str] = frozenset(
-    # round 19: CORRECTNESS_r18 shows all three IVF entries green,
-    # which by this guard's own rule clears the r18 force — but the
-    # r19 ADVICE closures again land inside these closures
-    # (class-matched FNF detection in _sidecar_status/_read_json_stream
-    # and the torn-publish guard reach ann_ivf_served via
-    # read_centroid_sidecar/write_ivf_index; the frozen memoized
-    # unit matrix reaches all three via _unit_matrix), so the
-    # stale-tail guard re-forces them — the same advice-first trade
-    # the r18 verdict pre-sanctioned ("if a fix must touch an IVF
-    # closure, take the force and say so").  3 forced slots still
-    # leave 47 LRU slots: the whole 8-entry r16 tail re-proves and
-    # the freshness floor rises to r17.  All edits are
-    # value-preserving (exception classification, write-protection
-    # flags, refusal paths), so the executed plans and pinned hashes
-    # are expected unchanged; forced + new = 3 + 0.
-    # round 19 optimization pass: json_funcs' chjson closure changed
-    # (json_type/json_length gates moved from rlike to isin/startswith,
-    # json_length's array arm now reads array_size(try_variant_get)
-    # directly, and json_extract_keys/json_length's object arm now
-    # extract map<string,variant> straight off the variant instead of
-    # rendering to JSON text and reparsing) and the battery now
-    # projects above the row sort.  All verified hash-eq on a vanilla
-    # session + chjson property suite this round, but the stale-tail
-    # guard rightly demands the next driver window re-prove them;
-    # forced + new = 4 + 0.
+    # round 20 (optimization round 2): CORRECTNESS_r19 shows the four
+    # r19-forced entries (3 IVF + json_funcs) green, which by this
+    # guard's own rule clears the r19 force.  This round's shared-scan
+    # compile for multi-frame structural statements lands inside
+    # plans/chsql.run_sql (base-view materialization + the
+    # _rewrite_summap lift), so every stale-tail entry whose closure
+    # reaches run_sql must be re-proven by the next driver window.
+    # chsql_summap is the one entry whose executed plan actually
+    # changes (three scans of the source -> one materialized base);
+    # for the other eight the compile is byte-identical (single-frame
+    # or non-structural statements never enter the shared path — the
+    # r20 test suite pins this), but the def-level closure changed, so
+    # the guard rightly demands driver re-proof.  Forced + new = 9 + 0
+    # leaves 41 LRU slots.
     {
-        "ann_ivf_topk",
-        "ann_ivf_exhaustive",
-        "ann_ivf_served",
-        "json_funcs",
+        "chsql_any_join",
+        "chsql_asof",
+        "chsql_distinct_on",
+        "chsql_model_final",
+        "chsql_qualify",
+        "chsql_sample",
+        "chsql_summap",
+        "chsql_traffic_chart",
+        "chsql_visits_chart",
     }
 )
 
