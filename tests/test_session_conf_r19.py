@@ -30,6 +30,16 @@ def test_tune_preserves_codegen_cache(spark):
     # tune() is re-applied by every query builder (_prep); it must not
     # try to downgrade the static conf (static confs are not
     # runtime-settable -- a set attempt would raise inside tune's
-    # guarded loop and silently no-op, but assert the end state anyway)
-    tune(spark)
-    assert int(spark.conf.get("spark.sql.codegen.cache.maxEntries")) >= 5000
+    # guarded loop and silently no-op, but assert the end state anyway).
+    # Restore the session fixture's shuffle partitioning afterwards:
+    # tune() without shuffle_partitions resets it to the
+    # SPARK_GRAFT_CPUS default, a side effect later tests must not
+    # inherit (r19 ADVICE).
+    before = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        tune(spark)
+        assert (
+            int(spark.conf.get("spark.sql.codegen.cache.maxEntries")) >= 5000
+        )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", before)

@@ -349,6 +349,26 @@ def ngram_jaccard_pairs(
             F.explode(F.sequence(F.lit(0), g)).alias("ci"),
             g.alias("cj"),
         )
+        # The grid only spreads work if the join's exchange actually
+        # partitions by the CELL key.  Left alone, two mechanisms
+        # silently re-concentrate every cell of a hot shingle into one
+        # task (r20, measured at the 10x probe: ONE task emitting
+        # C(5000,2) = 12.5M pairs, 39.5 s vs the 4.5 s stage median):
+        # (a) the index arrives hash-partitioned by (sh) from the df
+        # window, which SATISFIES ClusteredDistribution(sh, ci, cj),
+        # so the planner may skip the re-shuffle entirely; (b) the
+        # hot side is tiny in BYTES (the explosion happens at the
+        # join's OUTPUT), so AQE's byte-based partition coalescing
+        # merges the salted exchange back to ~1 partition.  An
+        # explicit-width repartition on the full cell key defeats
+        # both: user-specified partitioning is neither elided nor
+        # AQE-coalesced.  Width = the session's shuffle parallelism
+        # (the same scale knob every other exchange uses).
+        n_cells = int(
+            hot_idx.sparkSession.conf.get("spark.sql.shuffle.partitions")
+        )
+        lefts = lefts.repartition(n_cells, "sh", "ci", "cj")
+        rights = rights.repartition(n_cells, "sh", "ci", "cj")
         ca = cold.hint("shuffle_hash").alias("a")
         cb = cold.hint("shuffle_hash").alias("b")
         cold_pairs = ca.join(

@@ -28,6 +28,7 @@ import hashlib
 import json
 import threading
 import weakref
+from typing import Iterator
 from collections import OrderedDict
 from concurrent.futures import ThreadPoolExecutor, as_completed
 
@@ -144,6 +145,13 @@ def sign_signature(vec: Column, dim: int, nplanes: int = 16, seed: int = 42) -> 
     Two vectors that are positive scalar multiples get IDENTICAL
     signatures (recall 1.0 for exact-duplicate embeddings); cosine-
     close pairs collide with prob (1 - theta/pi)^nplanes per table.
+
+    Expression form (interpreted lambda HOFs: nplanes dots per row,
+    each a dim-length zip_with+fold).  ``signlsh_pairs`` computes the
+    same signatures through the Arrow kernel below (one numpy pass per
+    batch, bit-identical -- the kernel reproduces this fold's exact
+    IEEE operation order); this form stays as the semantic reference
+    and the equality oracle for the kernel's property tests.
     """
     planes = _hyperplanes(dim, nplanes, seed)
     bits = F.transform(
@@ -156,6 +164,90 @@ def sign_signature(vec: Column, dim: int, nplanes: int = 16, seed: int = 42) -> 
         lambda acc, b: F.struct((acc["v"] + b * acc["m"]).alias("v"), (acc["m"] * 2).alias("m")),
         lambda acc: acc["v"],
     )
+
+
+# r20: signlsh_pairs signature stage backend.  True = one Arrow numpy
+# kernel for all tables' signatures (guide §4: the expression form is
+# ntables*nplanes interpreted lambda dots per row, exempt from codegen
+# CSE); False pins the legacy per-table expression battery (kept for
+# A/Bs and the bit-equality property tests).
+_ARROW_SIGS = True
+
+
+def _sign_signatures_kernel(
+    dim: int, nplanes: int, ntables: int, seed0: int = 42
+):
+    """Arrow kernel: all ``ntables`` sign-LSH signatures of a vector in
+    one vectorized pass -- ``array<long>`` of length ntables, table t
+    seeded ``seed0 + t`` exactly like the expression path.
+
+    Bit-identical to :func:`sign_signature` by construction:
+
+    - the accumulation loops over dimensions in index order, so each
+      plane dot performs the same IEEE additions in the same order as
+      the expression fold (``((0 + x0*p0) + x1*p1) + ...``) -- numpy's
+      pairwise-summation dot would round differently and could flip a
+      sign on a near-zero dot;
+    - NaN dots (NaN elements; inf - inf) set the bit: Spark SQL
+      comparison semantics order NaN ABOVE every value, so the
+      expression's ``dot > 0`` is TRUE for NaN (measured: an all-NaN
+      vector signs 0xFFFF), unlike IEEE/numpy where NaN compares
+      false -- the kernel ORs ``isnan`` in explicitly;
+    - NULL vectors, wrong-length vectors, and vectors with a NULL
+      ELEMENT produce signature 0: the expression's zip_with pads
+      with NULLs, one NULL product poisons the whole fold to SQL NULL
+      (not NaN), and ``NULL > 0`` is false for every bit.  The
+      returned wrapper normalizes has-null-element vectors to NULL
+      before the kernel, because Arrow->pandas conversion would
+      otherwise collapse NULL elements into NaN and flip those bits
+      to 1 under the NaN rule.
+    """
+    from pyspark.sql.functions import pandas_udf
+
+    d, npl, nt, s0 = int(dim), int(nplanes), int(ntables), int(seed0)
+
+    @pandas_udf("array<long>")
+    def _sigs(it: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        # heavyweight init once per task (guide §4.5): the plane
+        # matrix is rebuilt from the same seeds the expression
+        # literals use
+        planes = np.concatenate(
+            [
+                np.random.RandomState(s0 + t).choice(
+                    [-1.0, 1.0], size=(npl, d)
+                )
+                for t in range(nt)
+            ],
+            axis=0,
+        )  # (nt*npl, d)
+        weights = np.int64(1) << np.arange(npl, dtype=np.int64)
+        for vs in it:
+            n = len(vs)
+            mat, ok = _valid_rows(vs, d, require_finite=False)
+            acc = np.zeros((n, nt * npl), dtype=np.float64)
+            with np.errstate(invalid="ignore", over="ignore"):
+                for j in range(d):  # strict left-fold order per plane
+                    acc += mat[:, j, None] * planes[None, :, j]
+                # Spark comparison semantics: NaN > 0 is TRUE
+                bits = ((acc > 0) | np.isnan(acc)).astype(np.int64)
+            bits[~ok] = 0
+            sig = (bits.reshape(n, nt, npl) * weights).sum(
+                axis=2, dtype=np.int64
+            )
+            yield pd.Series(list(sig))
+
+    def call(vec: Column) -> Column:
+        # NULL-element vectors fold to SQL NULL in the expression form
+        # (signature 0); normalize them to a NULL vector here so the
+        # kernel's ok-mask handles them (Arrow would deliver the NULL
+        # elements as NaN, which signs 1 under the NaN rule above)
+        clean = F.when(
+            F.exists(vec, lambda x: x.isNull()),
+            F.lit(None).cast("array<double>"),
+        ).otherwise(vec)
+        return _sigs(clean)
+
+    return call
 
 
 def signlsh_pairs(
@@ -177,20 +269,34 @@ def signlsh_pairs(
     # banded rows carry ONLY (id, tbl, sig): the bucket self-join
     # shuffles 20 bytes/row; vectors are attached per side AFTER the
     # candidate pairs exist (|candidates| << |vectors| x ntables)
-    sigs = base.select(
-        "id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(t).alias("tbl"),
-                        sign_signature(F.col("v"), dim, nplanes, seed=42 + t).alias("sig"),
-                    )
-                    for t in range(ntables)
-                ]
-            )
-        ).alias("s"),
-    ).select("id", F.col("s.tbl").alias("tbl"), F.col("s.sig").alias("sig"))
+    if _ARROW_SIGS:
+        # r20: one Arrow batch pass computes every table's signature
+        # (bit-identical to the expression battery -- see
+        # _sign_signatures_kernel); the expression form evaluated
+        # ntables*nplanes interpreted lambda dots per row (guide §4).
+        # posexplode's position IS the table index (array built in
+        # seed order).  The kernel is NOT a lambda HOF, so sitting
+        # under the Generate is safe: ArrowEvalPython materializes the
+        # array column before the explode consumes it.
+        kern = _sign_signatures_kernel(dim, nplanes, ntables, seed0=42)
+        sigs = base.select(
+            "id", F.posexplode(kern(F.col("v"))).alias("tbl", "sig")
+        )
+    else:
+        sigs = base.select(
+            "id",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(t).alias("tbl"),
+                            sign_signature(F.col("v"), dim, nplanes, seed=42 + t).alias("sig"),
+                        )
+                        for t in range(ntables)
+                    ]
+                )
+            ).alias("s"),
+        ).select("id", F.col("s.tbl").alias("tbl"), F.col("s.sig").alias("sig"))
     # shuffle_hash on BOTH sides: broadcast would compute the signature
     # lineage twice (build + probe); the shuffled join materializes the
     # sig exchange once and reuses it -- measured 4.4x at sf0.1, and at

@@ -4051,12 +4051,29 @@ def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("lo"),
     )
     # mod-based per-stratum keep (oracle-portable; production uses
-    # sampling.stratified_sample's hash variant)
-    kept = scored.where(
-        (F.col("stratum") == "hi")
-        | ((F.col("stratum") == "mid") & (F.pmod(F.col("doc_id"), F.lit(10)) < 3))
-        | ((F.col("stratum") == "lo") & (F.pmod(F.col("doc_id"), F.lit(10)) < 1))
+    # sampling.stratified_sample's hash variant).  The predicate
+    # references `quality` exactly ONCE: predicate pushdown re-inlines
+    # the referenced alias's full expression tree per reference, and
+    # the stratum-OR spelling referenced quality six times — six
+    # interpreted evaluations of the tokenize/stopword/length battery
+    # per row in the pushed Filter (guide §4.4; r20 plan pair).  Width
+    # mapping is exactly the stratum table: pmod ∈ [0,9] < 10 keeps
+    # every 'hi' row, < 3 is the 'mid' keep, < 1 the 'lo' keep; the
+    # bucket index floor(quality*4) is exact because multiplying a
+    # double by 4 is a power-of-two scaling (no rounding), so
+    # floor(q*4) >= 3 iff q >= 0.75 and >= 2 iff q >= 0.5, the same
+    # comparisons the stratum CASE makes.
+    keep_width = F.element_at(
+        F.array(F.lit(1), F.lit(3), F.lit(10)),
+        (
+            F.least(
+                F.greatest(F.floor(F.col("quality") * 4) - 1, F.lit(0)),
+                F.lit(2),
+            )
+            + 1
+        ).cast("int"),
     )
+    kept = scored.where(F.pmod(F.col("doc_id"), F.lit(10)) < keep_width)
     packed = packing.pack_sequences(
         kept, "doc_id", "n_tokens", budget=2048, nshards=8,
         shard_expr=F.pmod(F.col("doc_id"), F.lit(8)),
@@ -5170,8 +5187,20 @@ ROTATION_FORCE_FRONT: frozenset[str] = frozenset(
     # for the other eight the compile is byte-identical (single-frame
     # or non-structural statements never enter the shared path — the
     # r20 test suite pins this), but the def-level closure changed, so
-    # the guard rightly demands driver re-proof.  Forced + new = 9 + 0
-    # leaves 41 LRU slots.
+    # the guard rightly demands driver re-proof.
+    # Also this round: dedup_embedding's signature stage moved to the
+    # Arrow numpy kernel (bit-identical by the r20 property battery,
+    # exceptAll-equal at sf0.01/sf0.1, but signlsh_pairs' closure
+    # changed — the verdict pre-sanctioned this +1 force), and
+    # curation_pipeline's keep predicate was rewritten to reference
+    # the quality expression once (value-equal at every SF + synthetic
+    # battery; builder-local closure changed).
+    # ngram_jaccard_pairs' salted hot join gained an explicit-width
+    # cell repartition (the 10x probe showed AQE's byte-based
+    # coalescing merging the salt grid back into one straggler task;
+    # the repartition is semantics-free — partitioning only — and the
+    # three reachable stale-tail entries re-prove via the window).
+    # Forced + new = 14 + 0 leaves 36 LRU slots.
     {
         "chsql_any_join",
         "chsql_asof",
@@ -5182,6 +5211,11 @@ ROTATION_FORCE_FRONT: frozenset[str] = frozenset(
         "chsql_summap",
         "chsql_traffic_chart",
         "chsql_visits_chart",
+        "dedup_embedding",
+        "curation_pipeline",
+        "dedup_ngram_jaccard",
+        "dedup_clusters",
+        "dedup_keep_best",
     }
 )
 

@@ -86,4 +86,23 @@ def get_spark(
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     spark = builder.getOrCreate()
+    # static confs are silently ignored when getOrCreate() returned a
+    # pre-existing session; surface the one that matters for perf so a
+    # mis-sized codegen cache is visible instead of a mystery slowdown
+    # (r19 ADVICE)
+    try:
+        got = spark.conf.get("spark.sql.codegen.cache.maxEntries")
+    except Exception:
+        got = None
+    if got is not None and got != "5000":
+        import warnings
+
+        warnings.warn(
+            "get_spark: existing SparkSession kept "
+            f"spark.sql.codegen.cache.maxEntries={got} (static conf; "
+            "requested 5000).  Registry-cycling workloads will re-pay "
+            "whole-stage-codegen compiles every pass.",
+            RuntimeWarning,
+            stacklevel=2,
+        )
     return tune(spark, shuffle_partitions)
