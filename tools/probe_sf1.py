@@ -62,19 +62,32 @@ if __name__ == "__main__":
             pass
 
     rec: dict[str, list[float]] = {n: [] for n in names}
+    errs: dict[str, str] = {}
     for p in range(runs):
         for name in names:
+            if name in errs:
+                continue
             spark.sparkContext.setJobDescription(f"probe:{name}:pass{p}")
             t0 = time.perf_counter()
-            df = QUERIES[name].build(spark, sf_dir)
-            df.write.mode("overwrite").format("noop").save()
+            try:
+                df = QUERIES[name].build(spark, sf_dir)
+                df.write.mode("overwrite").format("noop").save()
+            except Exception as e:  # noqa: BLE001 - a probe-data shape
+                # mismatch (e.g. single-file layout assumptions) must
+                # not void the other entries' measurements
+                errs[name] = f"{type(e).__name__}: {e}"[:200]
+                print(f"  pass{p} {name}: ERROR {errs[name]}",
+                      file=sys.stderr, flush=True)
+                release_storage()
+                continue
             dt = round(time.perf_counter() - t0, 3)
             rec[name].append(dt)
             release_storage()
             print(f"  pass{p} {name}: {dt:.3f}s", file=sys.stderr, flush=True)
+    rec = {n: v for n, v in rec.items() if v}
 
     med = {n: round(statistics.median(v), 3) for n, v in rec.items()}
-    out = {"sf_dir": sf_dir, "cpus": cpus, "runs": runs, "medians": med, "raw": rec}
+    out = {"sf_dir": sf_dir, "cpus": cpus, "runs": runs, "medians": med, "raw": rec, "errors": errs}
     print(json.dumps(out, indent=1))
     path = os.environ.get("PROBE_OUT")
     if path:
